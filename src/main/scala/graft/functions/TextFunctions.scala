@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level scalar layer (SURVEY.md §2.2 / §2.6).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (codegen'd,
+  * whole-stage-compatible) — no Scala UDFs in the hot path. Each function
+  * cites the reference behavior it reproduces (file:line into /root/reference).
+  */
+object TextFunctions {
+
+  /** P7 whitespace normalize — `' '.join(s.split())`,
+    * reference `src/data_processor.py:58-66`. Idempotent. */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Whitespace tokenizer over normalized text (basis of P11/U-layer ops). */
+  def tokens(c: Column): Column =
+    split(normalizeWhitespace(c), " ")
+
+  /** P8 category cleanup — drop falsy, strip `Category:` prefix, trim, drop
+    * empties; reference `src/data_processor.py:68-83`. Pure higher-order
+    * array functions, no shuffle, no UDF. */
+  def cleanCategories(c: Column): Column =
+    filter(
+      transform(c, x => trim(regexp_replace(x, "^Category:", ""))),
+      x => x.isNotNull && x =!= "")
+
+  /** P5 URL construction — `https://en.wikipedia.org/wiki/` + title with
+    * spaces as underscores (MediaWiki canonical form); reference
+    * `src/mediawiki_client.py:162`. The reference uses percent-encoding via
+    * `urllib.parse.quote`; we use the title-path form (documented deviation —
+    * MediaWiki treats them identically). */
+  def articleUrl(title: Column): Column =
+    concat(lit("https://en.wikipedia.org/wiki/"), regexp_replace(title, " ", "_"))
+
+  /** F1 required-fields validator — row passes iff all of the given columns
+    * are non-null and non-empty; reference `src/data_processor.py:48-56`. */
+  def isValid(cols: Column*): Column =
+    cols.map(c => c.isNotNull && c =!= "").reduce(_ && _)
+
+  /** F5 redirect predicate — reference `src/mediawiki_client.py:150` checks
+    * `#REDIRECT`/`#redirect`; we normalize case (strictly more correct). */
+  def isRedirect(content: Column): Column =
+    lower(content).startsWith("#redirect")
+
+  /** P11 text statistics — reference `src/production_data_processor.py:169-182`. */
+  def wordCount(c: Column): Column =
+    when(normalizeWhitespace(c) === "", lit(0))
+      .otherwise(size(tokens(c)))
+  def lineCount(c: Column): Column = size(split(c, "\n"))
+
+  /** U1 wikitext → plain text, as a codegen'd regexp chain (no UDF).
+    * Reproduces the observable effect of `wikitextparser.plain_text()` on the
+    * reference's fixtures (`src/production_mediawiki_client.py:107-118`,
+    * `test_production_pipeline.py:114-131`): strip templates (2 nesting
+    * levels), piped links `[[a|b]]`→b, plain links `[[a]]`→a, external links,
+    * refs, bold/italic quote runs, headings markup, then normalize
+    * whitespace. A fixed chain (vs a recursive parser) keeps it
+    * whole-stage-codegen and oracle-expressible. */
+  def wikitextToPlain(c: Column): Column = {
+    val noTmpl1 = regexp_replace(c, "\\{\\{[^{}]*\\}\\}", " ")
+    val noTmpl2 = regexp_replace(noTmpl1, "\\{\\{[^{}]*\\}\\}", " ")
+    val noRef   = regexp_replace(noTmpl2, "<ref[^>]*>.*?</ref>|<ref[^>]*/>", " ")
+    val pipedLk = regexp_replace(noRef, "\\[\\[[^\\]|]*\\|([^\\]]*)\\]\\]", "$1")
+    val plainLk = regexp_replace(pipedLk, "\\[\\[([^\\]]*)\\]\\]", "$1")
+    val extLk   = regexp_replace(plainLk, "\\[https?://[^\\s\\]]*( ([^\\]]*))?\\]", "$2")
+    val quotes  = regexp_replace(extLk, "'{2,}", "")
+    val heading = regexp_replace(quotes, "={2,}", "")
+    normalizeWhitespace(heading)
+  }
+
+  /** Portable polynomial string hash: fold chars as
+    * `h = (h*31 + codepoint) mod 1e9+7`, h0=0. Deterministic and expressible
+    * identically in DuckDB (`list_reduce`) — the cross-engine-checkable hash
+    * underlying minhash/simhash/fingerprints. Cost is O(len) per value via a
+    * higher-order fold; at 100 TB swap in `xxhash64` (same call sites,
+    * oracle coverage traded for speed). */
+  val HashMod = 1000000007L
+  def charPolyHash(s: Column): Column =
+    aggregate(
+      split(s, ""),
+      lit(0L),
+      (h, ch) => (h * lit(31L) + ascii(ch).cast("long")) % lit(HashMod))
+
+  /** Portable token-sequence rolling hash: fold token hashes as
+    * `h = (h*131 + charPolyHash(tok)) mod 1e9+7` — the document fingerprint. */
+  def tokenSeqHash(toks: Column): Column =
+    aggregate(
+      toks,
+      lit(0L),
+      (h, t) => (h * lit(131L) + charPolyHash(t)) % lit(HashMod))
+
+  /** Distinct word n-gram shingles of the normalized text (dedup unit).
+    * Pure array ops; empty result for texts shorter than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>")).otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  /** The i-th minhash permutation of a base hash `h`:
+    * `((1000003*(i+1))*h + 12345 + 7919*i) mod 1e9+7`. Fits in Long
+    * (coeff ≤ ~2e8, h < 1e9+7 → product < 2^63). */
+  def minhashPerm(i: Column, h: Column): Column =
+    ((lit(1000003L) * (i + 1)) * h + lit(12345L) + lit(7919L) * i) % lit(HashMod)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Reference pipeline operators over the document corpus (SURVEY.md §2.1-§2.3).
+  *
+  * All operators are `DataFrame => DataFrame` — lazy logical-plan builders;
+  * Catalyst handles pushdown/pruning. Shuffle inventory is documented per op.
+  */
+object ArticleOps {
+
+  /** S1/P1 — enumeration scan projected to stubs `{id, source, lang}`
+    * (analog of `{title, pageid, ns}`, reference `src/mediawiki_client.py:94-98`).
+    * Narrow: projection+filter reach the parquet scan (PushedFilters). */
+  def stubScan(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .where(col("doc_id") >= 0) // F3 special-page analog (pageid != -1)
+
+  /** S4/S6 — point lookup by key. At scale this is a parquet
+    * row-group-pruned scan (predicate pushdown on the key column). */
+  def pointLookup(docs: DataFrame, id: Long): DataFrame =
+    docs.where(col("doc_id") === id)
+
+  /** F1-F5 — the validator/filter stack
+    * (reference `src/data_processor.py:48-56`, `src/mediawiki_client.py:139-150`). */
+  def validated(docs: DataFrame): DataFrame =
+    docs.where(isValid(col("text"), col("lang"), col("source")) &&
+      !isRedirect(col("text")))
+
+  /** P2/P3 — article projection + derived metadata struct
+    * (reference `src/production_data_processor.py:9-61`). Narrow, codegen'd. */
+  def withMetadata(docs: DataFrame): DataFrame = {
+    val clean = normalizeWhitespace(col("text"))
+    docs
+      .withColumn("clean_text", clean)
+      .withColumn("content_length", length(col("text")).cast("long"))
+      .withColumn("clean_length", length(clean).cast("long"))
+      .withColumn("word_count", wordCount(col("text")).cast("long"))
+      .withColumn("line_count", lineCount(col("text")).cast("long"))
+      .withColumn("url", articleUrl(concat_ws("_", lit("doc"), col("doc_id"))))
+  }
+
+  /** J1 — enqueue anti-join dedup: keep stubs whose key is NOT in `processed`
+    * (reference `src/queue_manager.py:52-58`). `left_anti` lets Catalyst pick
+    * broadcast when `processed` is small — at 100 TB with a large processed
+    * set AQE falls back to shuffled hash; key-only projection keeps the
+    * build side minimal. */
+  def antiJoinNew(stubs: DataFrame, processed: DataFrame, key: String): DataFrame =
+    stubs.join(processed.select(key).distinct(), Seq(key), "left_anti")
+
+  /** J2 — idempotent set insert: union + dedup by key
+    * (reference `src/queue_manager.py:74-84`). One shuffle on the key. */
+  def idempotentUnion(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.unionByName(b).dropDuplicates(key)
+
+  /** J3 — the flagship stub→content enrichment equi-join
+    * (reference `src/main.py:101-114` fetch loop). One shuffle each side on
+    * the join key (or zero if bucketed/broadcast); Catalyst/AQE picks the
+    * physical strategy. */
+  def enrich(stubs: DataFrame, content: DataFrame, key: String): DataFrame =
+    stubs.join(content, Seq(key), "inner")
+
+  /** K1/K2 — batch layout assignment: the `batch_{NNN}/article_{NNNNNN}` sink
+    * naming (reference `src/azure_manager.py:33-78`), expressed as columns so
+    * the write is `partitionBy("batch_id")`. Global row_number gives the
+    * reference's sequential file indexes — a single-partition window, which
+    * is the price of its *global* sequential naming; at 100 TB use
+    * zipWithIndex-style per-partition offsets or drop global ordering. */
+  def batchLayout(docs: DataFrame, orderCol: String, batchSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    docs
+      .withColumn("file_index", row_number().over(w).cast("long") - 1)
+      .withColumn("batch_id", (col("file_index") / batchSize).cast("long"))
+      .withColumn("file_name",
+        format_string("batch_%03d/article_%06d.json", col("batch_id"), col("file_index")))
+  }
+
+  /** P10 — JSON serialization of the storage document
+    * (reference `src/data_processor.py:85-103`). */
+  def toStorageJson(docs: DataFrame, cols: Seq[String]): DataFrame =
+    docs.withColumn("json", to_json(struct(cols.map(col): _*)))
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Aggregation layer (SURVEY.md §2.4) — hash aggregations with map-side
+  * partials (Spark's partial/final agg replaces the reference's per-batch +
+  * run-total two-level accumulation, `src/data_processor.py:121-140`).
+  *
+  * Cross-engine determinism: double sums are order-dependent, so any money/
+  * measure aggregate is computed as a per-row scaled BIGINT
+  * (`floor(x*scale+0.5)`) then integer-summed — bit-identical on Spark and
+  * DuckDB regardless of partitioning. Division back to double is a single fp
+  * op on identical integers.
+  */
+object Summaries {
+
+  /** Per-row scaled fixed-point value: floor(x*scale + 0.5) as BIGINT. */
+  def fx(c: Column, scale: Long): Column =
+    floor(c * scale + lit(0.5)).cast("long")
+
+  /** Exact sum of a double measure, returned as double with `dec` decimals. */
+  def exactSum(c: Column, dec: Int): Column = {
+    val s = math.pow(10, dec).toLong
+    sum(fx(c, s)) / lit(s.toDouble)
+  }
+
+  /** Exact mean of a double measure (exact integer sum / count). */
+  def exactAvg(c: Column, dec: Int): Column = {
+    val s = math.pow(10, dec).toLong
+    sum(fx(c, s)) / (lit(s.toDouble) * count(c))
+  }
+
+  /** A1 — corpus-level batch summary (reference `src/data_processor.py:121-140`):
+    * count, total/avg content length, word totals. One partial+final agg. */
+  def corpusSummary(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("total_docs"),
+      sum(length(col("text")).cast("long")).as("total_content_length"),
+      (sum(length(col("text")).cast("long")) / count(lit(1))).as("avg_content_length"),
+      sum(wordCount(col("text")).cast("long")).as("total_words"),
+      countDistinct(col("lang")).as("unique_langs"))
+
+  /** A2 — per-source production summary + source histogram
+    * (reference `src/production_data_processor.py:135-167`). One shuffle on
+    * `source`; low cardinality → tiny exchange after map-side combine. */
+  def sourceSummary(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("doc_count"),
+      sum(length(col("text")).cast("long")).as("total_content_length"),
+      (sum(length(col("text")).cast("long")) / count(lit(1))).as("avg_content_length"),
+      countDistinct(col("lang")).as("unique_langs"))
+
+  /** A3 — status counts (reference `src/queue_manager.py:86-114`). */
+  def statusCounts(df: DataFrame, statusCol: String): DataFrame =
+    df.groupBy(col(statusCol)).agg(count(lit(1)).as("n"))
+
+  /** A7 — event-time window counts (the rate-limiter's 60 s sliding window,
+    * reference `src/enhanced_production_mediawiki_client.py:43-64`), batch
+    * form: tumbling windows via `window()`. Streaming form in
+    * `graft.streaming.Streams`. */
+  def eventWindowCounts(events: DataFrame, minutes: Int): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$minutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value"), 4).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** A2's `sources` histogram as a map (dict shape fidelity,
+    * reference `src/production_data_processor.py:149-153`). */
+  def sourcesMap(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).count()
+      .agg(map_from_entries(sort_array(collect_list(struct(col("source"), col("count")))))
+        .as("sources"))
+}
