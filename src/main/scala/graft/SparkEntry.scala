@@ -82,11 +82,12 @@ object SparkEntry {
         .orderBy(col("source"))),
 
     // ---- joins / dedup-shaped set ops (J1-J3) ----
+    // customers with no large order — the queue's "not yet processed" anti-join
     "j1_antijoin_dedup" -> ((s, d) =>
       ArticleOps.antiJoinNew(
         Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
           .withColumnRenamed("c_custkey", "o_custkey"),
-        Tables.orders(s, d), "o_custkey")
+        Tables.orders(s, d).where(col("o_totalprice") > 300000), "o_custkey")
         .withColumnRenamed("o_custkey", "c_custkey")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
@@ -139,6 +140,58 @@ object SparkEntry {
         .select(col("doc_id"), col("file_index"), col("batch_id"), col("file_name"))
         .orderBy(col("doc_id"))),
 
+    // ---- dedup suite (north-star: exact, minhash-LSH, simhash, n-gram, embedding) ----
+    "dedup_exact" -> ((s, d) =>
+      operators.Dedup.exactDuplicates(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    "dedup_ngram" -> ((s, d) =>
+      operators.Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 5000L)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_minhash" -> ((s, d) =>
+      operators.Dedup.minhashPairs(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_simhash" -> ((s, d) =>
+      operators.Dedup.simhashPairs(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_embedding" -> ((s, d) =>
+      operators.Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 400000L)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ---- similarity search (brute-force baseline + LSH scale path) ----
+    "ann_topk" -> ((s, d) =>
+      operators.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10, 5)
+        .orderBy(col("query_id"), col("rank"))),
+
+    "ann_lsh" -> ((s, d) =>
+      operators.Similarity.lshTopK(Tables.embeddings(s, d), 10, 5, planes = 4, tables = 2)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- text analysis (lang-id, quality, tokens, fingerprints) ----
+    "ta_langid" -> ((s, d) =>
+      operators.TextAnalysis.langId(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    "ta_quality" -> ((s, d) =>
+      operators.TextAnalysis.quality(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    "ta_tokens" -> ((s, d) =>
+      operators.TextAnalysis.tokenCounts(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    "ta_fingerprint" -> ((s, d) =>
+      operators.TextAnalysis.fingerprints(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // ---- multimodal plumbing (binary payload + typed metadata + stub decode) ----
+    "mm_media_features" -> ((s, d) =>
+      operators.Multimodal.mediaFeaturesSql(Tables.documents(s, d))
+        .orderBy(col("media_id"))),
+
     // ---- flagship end-to-end pipeline (E1/E2 shape) ----
     "e2e_pipeline" -> ((s, d) =>
       ArticleOps.withMetadata(ArticleOps.validated(Tables.documents(s, d)))
@@ -162,6 +215,22 @@ object SparkEntry {
     def normOf(c: String) = s"trim(regexp_replace($c, '\\s+', ' ', 'g'))"
     val toks = s"string_split($norm, ' ')"
     val wordCnt = s"CASE WHEN $norm = '' THEN 0 ELSE len($toks) END"
+    // distinct word-3-gram shingles from a `toks` list column (mirrors
+    // TextFunctions.shingles with n=3)
+    val shinglesOf =
+      "list_distinct(CASE WHEN len(toks) < 3 THEN [] " +
+        "ELSE list_transform(range(0, len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END)"
+    // portable char-polynomial hash (mirrors TextFunctions.charPolyHash)
+    def poly(e: String) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
+        s"c -> unicode(c)::BIGINT)), (a, b) -> (a*31 + b) % 1000000007)"
+    // unit-normalized embedding CTEs (mirrors Dedup.withUnitVector): DuckDB
+    // list_dot_product folds sequentially — verified bit-identical to
+    // Spark's index left-fold. cosine(a,b) = dot of unit vectors.
+    val unitVecCte =
+      "e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+        "e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),\n" +
+        "en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1)"
     val validWhere =
       "text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> '' " +
         "AND source IS NOT NULL AND source <> '' AND lower(text) NOT LIKE '#redirect%'"
@@ -220,7 +289,8 @@ object SparkEntry {
 
       "j1_antijoin_dedup" ->
         """SELECT c_custkey, c_name FROM customer c
-          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
           |ORDER BY c_custkey""".stripMargin,
 
       "j2_union_dedup" ->
@@ -256,7 +326,7 @@ object SparkEntry {
       "a7_event_window" ->
         """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
           |  count(*)::BIGINT AS n,
-          |  sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_value
+          |  sum(CAST(floor(value*10000 + 0.5) AS BIGINT)) / (10000.0::DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
       "a8_props_summary" ->
@@ -302,6 +372,174 @@ object SparkEntry {
            |    (row_number() OVER (ORDER BY doc_id) - 1) // 100,
            |    row_number() OVER (ORDER BY doc_id) - 1) AS file_name
            |FROM documents WHERE $validWhere ORDER BY doc_id""".stripMargin,
+
+      "dedup_exact" ->
+        s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY $norm) AS canonical_id,
+           |  count(*) OVER (PARTITION BY $norm)::BIGINT AS n_copies
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "dedup_ngram" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT * FROM (
+           |  SELECT doc_a, doc_b,
+           |    CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000
+           |  FROM common
+           |  JOIN sizes na ON na.doc_id = doc_a
+           |  JOIN sizes nb ON nb.doc_id = doc_b)
+           |WHERE jaccard_x10000 >= 5000 ORDER BY doc_a, doc_b""".stripMargin,
+
+      "dedup_minhash" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+           |hh AS (SELECT doc_id, ${poly("sh")} AS h FROM sh),
+           |mh AS (SELECT doc_id, i, min(((1000003*(i+1))*h + 12345 + 7919*i) % 1000000007) AS mh
+           |  FROM hh CROSS JOIN range(0, 16) r(i) GROUP BY doc_id, i),
+           |bk AS (SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS bkey
+           |  FROM mh GROUP BY doc_id, i // 4),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x
+           |  JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |est AS (SELECT doc_a, doc_b, sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS matches
+           |  FROM cand JOIN mh ma ON ma.doc_id = doc_a
+           |  JOIN mh mb ON mb.doc_id = doc_b AND mb.i = ma.i
+           |  GROUP BY doc_a, doc_b)
+           |SELECT * FROM (
+           |  SELECT doc_a, doc_b, CAST(floor((100.0::DOUBLE) * matches / 16 + 0.5) AS BIGINT) AS est_jaccard_x100 FROM est)
+           |WHERE est_jaccard_x100 >= 50 ORDER BY doc_a, doc_b""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+           |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM tok GROUP BY doc_id, tok),
+           |th AS (SELECT doc_id, cnt, ${poly("tok")} AS h FROM tc),
+           |bits AS (SELECT doc_id, b,
+           |    sum(cnt * ((CAST(floor(h / power(2, b)) AS BIGINT) % 2) * 2 - 1)) AS s
+           |  FROM th CROSS JOIN range(0, 32) r(b) GROUP BY doc_id, b),
+           |sim AS (SELECT doc_id,
+           |    sum(CAST((CASE WHEN s > 0 THEN 1 ELSE 0 END) * power(2, b) AS BIGINT))::BIGINT AS simhash
+           |  FROM bits GROUP BY doc_id),
+           |banded AS (SELECT doc_id, simhash, j,
+           |    CAST(floor(simhash / power(2, j * 8)) AS BIGINT) % 256 AS bkey
+           |  FROM sim CROSS JOIN range(0, 4) r(j)),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
+           |    y.doc_id AS doc_b, y.simhash AS sim_b
+           |  FROM banded x JOIN banded y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+           |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+      "dedup_embedding" ->
+        s"""WITH $unitVecCte
+           |SELECT * FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+           |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
+           |WHERE cos_x1000000 >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
+
+      "ann_topk" ->
+        s"""WITH $unitVecCte,
+           |q AS (SELECT vec_id AS query_id, vn AS qv FROM en WHERE vec_id < 10),
+           |scored AS (SELECT query_id, en.vec_id, list_dot_product(qv, vn) AS cos
+           |  FROM q JOIN en ON query_id <> en.vec_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+           |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "ann_lsh" ->
+        s"""WITH $unitVecCte,
+           |pd AS (SELECT vec_id, t, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), d ->
+           |      ((((1103515245*((t*4+p)*64+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * vn[d+1])),
+           |    (s, x) -> s + x) AS dotp
+           |  FROM en CROSS JOIN range(0, 2) r(t) CROSS JOIN range(0, 4) rp(p)),
+           |buckets AS (SELECT vec_id, t,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
+           |  FROM pd GROUP BY vec_id, t),
+           |cand AS (SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+           |  FROM buckets q JOIN buckets b ON q.t = b.t AND q.bucket = b.bucket
+           |  WHERE q.vec_id < 10 AND q.vec_id <> b.vec_id),
+           |scored AS (SELECT query_id, cand.vec_id, list_dot_product(eq.vn, ec.vn) AS cos
+           |  FROM cand JOIN en eq ON eq.vec_id = query_id JOIN en ec ON ec.vec_id = cand.vec_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+           |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "ta_langid" -> {
+        val langs = operators.TextAnalysis.stopwords
+        val scoreCols = langs.map { case (l, ws) =>
+          s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))::BIGINT AS score_$l"
+        }.mkString(",\n  ")
+        val names = langs.map(_._1)
+        val pred = names.map { l =>
+          val isMax = names.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+          s"WHEN $isMax AND score_$l > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""SELECT doc_id, ${names.map(l => s"score_$l").mkString(", ")},
+           |  $pred AS predicted_lang, actual_lang
+           |FROM (SELECT doc_id, lang AS actual_lang,
+           |  $scoreCols
+           |FROM documents) ORDER BY doc_id""".stripMargin
+      },
+
+      "ta_quality" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+        s"""SELECT doc_id, char_len, word_cnt,
+           |  CAST(floor((100.0::DOUBLE) * (norm_len - word_cnt + 1) / word_cnt + 0.5) AS BIGINT) AS avg_word_len_x100,
+           |  punct_cnt, digit_cnt, upper_cnt,
+           |  CAST(floor((10000.0::DOUBLE) * stop_hits / word_cnt + 0.5) AS BIGINT) AS stopword_ratio_x10000,
+           |  CAST(floor((10000.0::DOUBLE) *
+           |    least(1.0::DOUBLE, (word_cnt::DOUBLE) / (200.0::DOUBLE)) *
+           |    ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE, (4.0::DOUBLE) * stop_hits / word_cnt)) + 0.5) AS BIGINT) AS quality_x10000
+           |FROM (SELECT doc_id,
+           |  length(text)::BIGINT AS char_len,
+           |  length($norm)::BIGINT AS norm_len,
+           |  ($wordCnt)::BIGINT AS word_cnt,
+           |  len(list_filter($toks, t -> t IN ($enWords)))::BIGINT AS stop_hits,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS punct_cnt,
+           |  len(regexp_extract_all(text, '[0-9]'))::BIGINT AS digit_cnt,
+           |  len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS upper_cnt
+           |FROM documents) ORDER BY doc_id""".stripMargin
+      },
+
+      "ta_tokens" ->
+        s"""SELECT doc_id,
+           |  ($wordCnt)::BIGINT AS ws_tokens,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens,
+           |  length(text)::BIGINT AS chars
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "ta_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, toks, $shinglesOf AS shs FROM t)
+           |SELECT doc_id,
+           |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, tk -> ${poly("tk")})),
+           |    (a, b) -> (a*131 + b) % 1000000007) AS fingerprint,
+           |  CASE WHEN len(shs) > 0
+           |    THEN list_min(list_transform(shs, sg -> ${poly("sg")})) ELSE -1 END AS min_shingle_hash,
+           |  CASE WHEN len(shs) > 0
+           |    THEN list_max(list_transform(shs, sg -> ${poly("sg")})) ELSE -1 END AS max_shingle_hash
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+      "mm_media_features" ->
+        """SELECT doc_id AS media_id,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+          |  octet_length(encode(text))::BIGINT AS n_bytes,
+          |  md5(text) AS checksum,
+          |  CAST(64 + octet_length(encode(text))::BIGINT % 576 AS INT) AS width,
+          |  CAST(64 + (octet_length(encode(text))::BIGINT * 7) % 416 AS INT) AS height,
+          |  CAST(1 + octet_length(encode(text))::BIGINT % 24 AS INT) AS n_frames
+          |FROM documents ORDER BY media_id""".stripMargin,
 
       "e2e_pipeline" ->
         s"""SELECT source, count(*)::BIGINT AS doc_count,

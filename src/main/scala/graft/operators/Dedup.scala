@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Deduplication suite for large-scale corpus curation — exact, MinHash-LSH,
+  * SimHash, and n-gram-Jaccard near-dup detection over the `documents` table.
+  *
+  * Scale posture (100 TB): every variant is explode → map-side-combinable
+  * hash aggregation → key-equi-join on bounded-width keys (shingle, band
+  * signature, bucket). No driver-side state, no cross joins except where a
+  * candidate set is already LSH-bounded. The portable `charPolyHash` (cross-
+  * engine checkable) can be swapped for `xxhash64` at the same call sites
+  * when oracle parity is not needed.
+  */
+object Dedup {
+
+  /** Exact duplicate grouping on normalized text: every doc is assigned the
+    * canonical (min) doc_id of its content group. One shuffle on the text
+    * hash; at 100 TB group on `xxhash64(norm)` instead of the full string to
+    * shrink the exchange. */
+  def exactDuplicates(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("norm"))
+    docs
+      .withColumn("norm", normalizeWhitespace(col("text")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("canonical_id"), col("n_copies"))
+  }
+
+  /** Exploded distinct word-n-gram shingles: (doc_id, sh). */
+  def shingleTable(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted-index self-join:
+    * explode shingles → join on shingle → count common → J = |∩|/|∪|.
+    * Shuffles: one on `sh` (the join), one on the pair key (the count).
+    * At scale, cap shingle document-frequency (`docFreqCap`) to keep hot
+    * shingles from exploding the join (standard candidate pruning). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccardX10000: Long,
+                        docFreqCap: Option[Int] = None): DataFrame = {
+    val sh0 = shingleTable(docs, n)
+    val sh = docFreqCap match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("sh")).count().where(col("count") > cap).select(col("sh"))
+        sh0.join(hot, Seq("sh"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.alias("a")
+      .join(sh.alias("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard_x10000",
+        floor(lit(10000.0) * col("n_common") / (col("n_a") + col("n_b") - col("n_common")) + 0.5)
+          .cast("long"))
+      .where(col("jaccard_x10000") >= minJaccardX10000)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_x10000"))
+  }
+
+  /** MinHash signature table: (doc_id, i, mh) for i in 0..k-1 —
+    * mh = min over shingles of the i-th permuted shingle hash. Pure
+    * explode + min-aggregate (map-side combine does the heavy lifting). */
+  def minhashTable(docs: DataFrame, n: Int, k: Int): DataFrame =
+    shingleTable(docs, n)
+      .withColumn("h", charPolyHash(col("sh")))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("h"))
+      .withColumn("ph", minhashPerm(col("i"), col("h")))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("ph")).as("mh"))
+
+  /** MinHash-LSH near-dup pairs: band the k-row signature into `bands`
+    * buckets, self-join on (band, band-signature) for candidates, then
+    * estimate J as the fraction of matching signature rows. Candidate
+    * generation is an equi-join on the band key — the crucial scale property
+    * (no all-pairs comparison). */
+  def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                   minEstX100: Long = 50): DataFrame = {
+    val rows = k / bands
+    val mt = minhashTable(docs, n, k)
+    val bandKeys = mt
+      .withColumn("band", (col("i") / rows).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh").cast("string")), "-").as("bkey"))
+    val cand = bandKeys.alias("x")
+      .join(bandKeys.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(mt.select(col("doc_id").as("doc_a"), col("i"), col("mh").as("mh_a")), Seq("doc_a"))
+      .join(mt.select(col("doc_id").as("doc_b"), col("i"), col("mh").as("mh_b")), Seq("doc_b", "i"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("matches"))
+      .withColumn("est_jaccard_x100",
+        floor(lit(100.0) * col("matches") / k + 0.5).cast("long"))
+      .where(col("est_jaccard_x100") >= minEstX100)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard_x100"))
+  }
+
+  /** 32-bit SimHash per doc over token hashes weighted by term frequency.
+    * Bit b of `charPolyHash(token)` is extracted portably as
+    * floor(h / 2^b) mod 2 (no shift-by-column needed); the per-bit vote is
+    * an integer sum — order-independent, cross-engine exact. */
+  def simhashTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", charPolyHash(col("tok")))
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("bit", (floor(col("h") / pow(lit(2.0), col("b"))).cast("long") % 2))
+      .withColumn("contrib", col("cnt") * (col("bit") * 2 - 1))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bitval", when(col("s") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum((col("bitval") * pow(lit(2.0), col("b"))).cast("long")).as("simhash"))
+
+  /** SimHash near-dup pairs: block on the 4 signature bytes (a pair within
+    * hamming ≤ 3 of a 32-bit hash must agree on ≥1 of 4 bytes — pigeonhole),
+    * then verify hamming distance with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val st = simhashTable(docs)
+    val banded = st.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("bkey", (floor(col("simhash") / pow(lit(2.0), col("j") * 8)).cast("long") % 256))
+    val cand = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("sim_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Order-fixed dot product over double arrays: a single left fold over
+    * indices (no intermediate zipped array) — bit-identical to DuckDB's
+    * sequential `list_dot_product`. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(sequence(lit(1), size(a)), lit(0.0),
+      (s, i) => s + element_at(a, i) * element_at(b, i))
+
+  /** Attach a unit-normalized copy of the embedding: `vn = v / ‖v‖`.
+    * Norm is materialized as its own column first so the division inside
+    * `transform` doesn't re-fold the dot product per element. After this,
+    * cosine(a, b) = dot(vn_a, vn_b) — one fold per pair instead of three. */
+  def withUnitVector(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotCol(col("v"), col("v"))))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+
+  /** Embedding near-dup pairs above a cosine threshold. All-pairs at test
+    * scale (500×500); the LSH-bucketed variant in `Similarity.lshTopK` is
+    * the 100 TB path (same cosine core, candidates bounded by bucket). */
+  def embeddingNearDupPairs(emb: DataFrame, minCosX1000000: Long): DataFrame = {
+    val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
+    e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_x1000000",
+        floor(dotCol(col("a.vn"), col("b.vn")) * 1000000.0 + 0.5).cast("long"))
+      .where(col("cos_x1000000") >= minCosX1000000)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cos_x1000000"))
+  }
+}

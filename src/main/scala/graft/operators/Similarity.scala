@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Dedup.{dotCol, withUnitVector}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two tiers:
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    Query set × corpus via broadcast of the (small) query side; ranking by
+  *    a per-query window. At 100 TB this is the per-bucket inner loop, not
+  *    the outer scan.
+  *  - `lshTopK`: random-hyperplane LSH with `tables` independent hash tables
+  *    of `planes` sign bits each. A vector lands in one bucket per table;
+  *    candidates = any shared (table, bucket) — the classic recall lever
+  *    (more tables → higher recall, more candidates). The candidate join is
+  *    an equi-join on (table, bucket): no cross join anywhere.
+  *
+  * All vectors are unit-normalized once up front (`withUnitVector`), so
+  * cosine = one dot-product fold per pair. Hyperplane weights are
+  * integer-derived (`lcg/2^21 - 0.5`) — bit-identical across engines.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane weight for global plane index g,
+    * dim d: ((1103515245*(g*64+d+1)+12345) mod 2^21)/2^21 - 0.5. */
+  private def planeWeight(g: Column, d: Column): Column =
+    ((lit(1103515245L) * (g * 64 + d + 1) + lit(12345L)) % lit(2097152L))
+      .cast("double") / lit(2097152.0) - lit(0.5)
+
+  /** Hyperplane dot product for one (table-global plane g, vector vn) —
+    * a single-level order-fixed fold. The bucket is then assembled
+    * relationally (explode planes → sign → integer groupBy-sum) rather than
+    * as a nested fold: flatter expressions stay inside whole-stage codegen
+    * and the bit-packing sum is order-independent. */
+  def planeDot(vn: Column, g: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)), lit(0.0),
+      (s, d) => s + planeWeight(g, d) * element_at(vn, d + 1))
+
+  /** Exact cosine top-k for each query vector (queries = vec_id < nQueries).
+    * The query side is broadcast; ranking via row_number over (cosine desc,
+    * id) — deterministic under ties. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dotCol(col("qv"), col("vn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
+  }
+
+  /** Multi-table LSH ANN top-k: candidates = vectors sharing any
+    * (table, bucket) with the query; ranked by exact cosine within the
+    * candidate set. Map-only hashing (one row per vector per table), then
+    * one equi-join — this is the plan shape that survives 100 TB. */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
+              planes: Int = 4, tables: Int = 2): DataFrame = {
+    val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
+    // Build the LSH index relationally: one row per (vector, table, plane),
+    // sign of the hyperplane dot, then an integer groupBy-sum packs the
+    // bits. localCheckpoint materializes the index once (the natural
+    // build-then-probe shape) so the probe self-join reads it instead of
+    // recomputing 2× the hash folds.
+    val buckets = e
+      .select(col("vec_id"), col("vn"),
+        explode(sequence(lit(0), lit(tables - 1))).as("t"))
+      .select(col("vec_id"), col("vn"), col("t"),
+        explode(sequence(lit(0), lit(planes - 1))).as("p"))
+      .withColumn("dotp", planeDot(col("vn"), col("t") * planes + col("p")))
+      .groupBy(col("vec_id"), col("t"))
+      .agg(sum(when(col("dotp") > 0, pow(lit(2.0), col("p")).cast("long"))
+        .otherwise(0L)).as("bucket"))
+      .localCheckpoint()
+    val cand = buckets.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+      .join(buckets, Seq("t", "bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct() // a pair may collide in several tables — count it once
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("vn").as("qv")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", dotCol(col("qv"), col("vn")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
+  }
+}

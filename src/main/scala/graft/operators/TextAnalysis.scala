@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis suite for corpus curation: language ID, quality scoring,
+  * token counting, and document fingerprinting. All pure column expressions
+  * (map-only, whole-stage codegen, zero shuffle) — exactly what you want in
+  * the inner loop of a 100 TB filter pass.
+  */
+object TextAnalysis {
+
+  /** Stopword lists per language for the n-gram/stopword-hit heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "y", "las", "un", "es"),
+    "zh" -> Seq("de", "shi", "zai", "le"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+
+  /** Language-ID by stopword hit count with a fixed-priority tie-break
+    * (order of `stopwords`). Emits per-language scores + the prediction. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = stopwords.foldLeft(docs) { case (df, (l, ws)) =>
+      df.withColumn(s"score_$l", hitCount(toks, ws).cast("long"))
+    }
+    val pred = stopwords.map(_._1).foldRight(lit("und"): Column) { (l, rest) =>
+      val isMax = stopwords.map(_._1).filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+      when(isMax && col(s"score_$l") > 0, lit(l)).otherwise(rest)
+    }
+    scored.select(
+      Seq(col("doc_id")) ++ stopwords.map { case (l, _) => col(s"score_$l") } ++
+        Seq(pred.as("predicted_lang"), col("lang").as("actual_lang")): _*)
+  }
+
+  /** Quality scoring: length/punctuation/stopword/digit signals + a combined
+    * fixed-point score. Mirrors the heuristics LLM-corpus filters use
+    * (length fit, symbol density, stopword density). */
+  def quality(docs: DataFrame): DataFrame = {
+    val norm = normalizeWhitespace(col("text"))
+    val wc = wordCount(col("text")).cast("long")
+    val toks = tokens(col("text"))
+    val stopHits = hitCount(toks, stopwords.head._2).cast("long")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
+    val digits = regexp_count(col("text"), lit("[0-9]")).cast("long")
+    val upper = regexp_count(col("text"), lit("[A-Z]")).cast("long")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("char_len"),
+      wc.as("word_cnt"),
+      // mean token length ×100: chars-in-tokens = len(norm) - (wc-1) spaces
+      floor(lit(100.0) * (length(norm) - wc + 1) / wc + 0.5).cast("long")
+        .as("avg_word_len_x100"),
+      punct.as("punct_cnt"),
+      digits.as("digit_cnt"),
+      upper.as("upper_cnt"),
+      floor(lit(10000.0) * stopHits / wc + 0.5).cast("long")
+        .as("stopword_ratio_x10000"),
+      // quality = length-fit (cap at 200 words) × (0.5 + 0.5·stopword density·4 capped)
+      floor(lit(10000.0) *
+        least(lit(1.0), wc.cast("double") / 200.0) *
+        (lit(0.5) + lit(0.5) * least(lit(1.0), lit(4.0) * stopHits / wc)) + 0.5)
+        .cast("long").as("quality_x10000"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs /
+    * digit runs / single symbols), and characters. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      wordCount(col("text")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("chars"))
+
+  /** Document fingerprints: rolling token-sequence hash (order-sensitive),
+    * plus min/max 3-gram shingle hashes (winnowing-style content anchors —
+    * stable under small edits). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val sh = shingles(col("text"), 3)
+    val shHashes = transform(sh, s => charPolyHash(s))
+    docs.select(
+      col("doc_id"),
+      tokenSeqHash(tokens(col("text"))).as("fingerprint"),
+      when(size(sh) > 0, array_min(shHashes)).otherwise(lit(-1L)).as("min_shingle_hash"),
+      when(size(sh) > 0, array_max(shHashes)).otherwise(lit(-1L)).as("max_shingle_hash"))
+  }
+}
