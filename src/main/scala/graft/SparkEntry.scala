@@ -382,9 +382,9 @@ object SparkEntry {
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
            |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
-           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
            |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
-           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
            |SELECT * FROM (
            |  SELECT doc_a, doc_b,
            |    CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000

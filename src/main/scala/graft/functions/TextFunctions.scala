@@ -74,16 +74,16 @@ object TextFunctions {
 
   /** Portable polynomial string hash: fold chars as
     * `h = (h*31 + codepoint) mod 1e9+7`, h0=0. Deterministic and expressible
-    * identically in DuckDB (`list_reduce`) — the cross-engine-checkable hash
-    * underlying minhash/simhash/fingerprints. Cost is O(len) per value via a
-    * higher-order fold; at 100 TB swap in `xxhash64` (same call sites,
-    * oracle coverage traded for speed). */
+    * identically in DuckDB (`list_reduce` over `unicode(c)`) — the
+    * cross-engine-checkable hash underlying minhash/simhash/fingerprints.
+    * Implemented as a codegen'd Catalyst expression
+    * ([[graft.plans.CharPolyHashExpr]]); the equivalent (slower) built-in
+    * form is `aggregate(split(s,''), 0L, (h,c) => (h*31+ascii(c)) % M)`.
+    * At 100 TB `xxhash64` is the drop-in upgrade if oracle parity is not
+    * needed. */
   val HashMod = 1000000007L
   def charPolyHash(s: Column): Column =
-    aggregate(
-      split(s, ""),
-      lit(0L),
-      (h, ch) => (h * lit(31L) + ascii(ch).cast("long")) % lit(HashMod))
+    graft.plans.ArrayExpressions.charPolyHash(s)
 
   /** Portable token-sequence rolling hash: fold token hashes as
     * `h = (h*131 + charPolyHash(tok)) mod 1e9+7` — the document fingerprint. */
@@ -93,16 +93,22 @@ object TextFunctions {
       lit(0L),
       (h, t) => (h * lit(131L) + charPolyHash(t)) % lit(HashMod))
 
-  /** Distinct word n-gram shingles of the normalized text (dedup unit).
-    * Pure array ops; empty result for texts shorter than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles from an already-materialized token-array
+    * column. IMPORTANT: pass a bound attribute (a column produced by a prior
+    * select), not an inline `tokens(text)` expression — subexpressions are
+    * inlined into the transform lambda and would re-tokenize the whole text
+    * for every element_at (observed 10× slowdown). */
+  def shinglesFromToks(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array().cast("array<string>")).otherwise(
         transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-  }
+
+  /** Distinct word n-gram shingles of the normalized text (dedup unit).
+    * Convenience form; in per-row hot paths materialize the tokens first
+    * and call [[shinglesFromToks]]. */
+  def shingles(text: Column, n: Int): Column = shinglesFromToks(tokens(text), n)
 
   /** The i-th minhash permutation of a base hash `h`:
     * `((1000003*(i+1))*h + 12345 + 7919*i) mod 1e9+7`. Fits in Long

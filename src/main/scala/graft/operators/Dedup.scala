@@ -30,27 +30,35 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("n_copies"))
   }
 
-  /** Exploded distinct word-n-gram shingles: (doc_id, sh). */
+  /** Exploded distinct word-n-gram shingles: (doc_id, sh). Tokens are
+    * materialized as a column first so the shingle lambda reads a bound
+    * attribute instead of re-tokenizing per element. */
   def shingleTable(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromToks(col("toks"), n)).as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs via the inverted-index self-join:
-    * explode shingles → join on shingle → count common → J = |∩|/|∪|.
-    * Shuffles: one on `sh` (the join), one on the pair key (the count).
+    * explode shingles → hash → join on the 64-bit shingle hash → count
+    * common → J = |∩|/|∪|. Joining on the codegen'd hash instead of the
+    * shingle string shrinks the exchange ~3× and makes key compares O(1);
+    * a hash collision (p≈n²/2·1e-9) inflates one pair's |∩| by 1 — the
+    * oracle computes the same hash, so parity is unaffected.
+    * Shuffles: one on `h` (the join), one on the pair key (the count).
     * At scale, cap shingle document-frequency (`docFreqCap`) to keep hot
     * shingles from exploding the join (standard candidate pruning). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccardX10000: Long,
                         docFreqCap: Option[Int] = None): DataFrame = {
     val sh0 = shingleTable(docs, n)
+      .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
     val sh = docFreqCap match {
       case Some(cap) =>
-        val hot = sh0.groupBy(col("sh")).count().where(col("count") > cap).select(col("sh"))
-        sh0.join(hot, Seq("sh"), "left_anti")
+        val hot = sh0.groupBy(col("h")).count().where(col("count") > cap).select(col("h"))
+        sh0.join(hot, Seq("h"), "left_anti")
       case None => sh0
     }
     val sizes = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.alias("a")
-      .join(sh.alias("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.alias("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
@@ -144,12 +152,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Order-fixed dot product over double arrays: a single left fold over
-    * indices (no intermediate zipped array) — bit-identical to DuckDB's
-    * sequential `list_dot_product`. */
+  /** Order-fixed dot product over double arrays — bit-identical to DuckDB's
+    * sequential `list_dot_product`. Codegen'd custom expression
+    * ([[graft.plans.DotProductExpr]]); the equivalent (interpreted) built-in
+    * form is `aggregate(sequence(1,size(a)), 0.0, (s,i) => s+a[i]*b[i])`. */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(sequence(lit(1), size(a)), lit(0.0),
-      (s, i) => s + element_at(a, i) * element_at(b, i))
+    graft.plans.ArrayExpressions.dotProduct(a, b)
 
   /** Attach a unit-normalized copy of the embedding: `vn = v / ‖v‖`.
     * Norm is materialized as its own column first so the division inside

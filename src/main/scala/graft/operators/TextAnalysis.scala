@@ -83,12 +83,15 @@ object TextAnalysis {
     * plus min/max 3-gram shingle hashes (winnowing-style content anchors —
     * stable under small edits). */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val sh = shingles(col("text"), 3)
+    val sh = col("sh")
     val shHashes = transform(sh, s => charPolyHash(s))
-    docs.select(
-      col("doc_id"),
-      tokenSeqHash(tokens(col("text"))).as("fingerprint"),
-      when(size(sh) > 0, array_min(shHashes)).otherwise(lit(-1L)).as("min_shingle_hash"),
-      when(size(sh) > 0, array_max(shHashes)).otherwise(lit(-1L)).as("max_shingle_hash"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), shinglesFromToks(col("toks"), 3).as("sh"))
+      .select(
+        col("doc_id"),
+        tokenSeqHash(col("toks")).as("fingerprint"),
+        when(size(sh) > 0, array_min(shHashes)).otherwise(lit(-1L)).as("min_shingle_hash"),
+        when(size(sh) > 0, array_max(shHashes)).otherwise(lit(-1L)).as("max_shingle_hash"))
   }
 }

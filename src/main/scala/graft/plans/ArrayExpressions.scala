@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Codegen'd Catalyst expressions for the engine's hot inner loops.
+  *
+  * Spark's higher-order functions (`aggregate`, `zip_with`) are
+  * CodegenFallback — every fold step is an interpreted lambda call with
+  * boxing. These expressions compile the same arithmetic, in the same
+  * evaluation order, into whole-stage-codegen Java loops:
+  *
+  *  - [[DotProductExpr]] — sequential Σ a[i]·b[i] over two double arrays;
+  *    bit-identical to the left fold it replaces (and to DuckDB's
+  *    `list_dot_product`), so the oracle contract is unchanged.
+  *  - [[CharPolyHashExpr]] — h = (h·31 + codepoint) mod 1e9+7 over a
+  *    string's codepoints; bit-identical to the `aggregate(split(s,''))`
+  *    fold it replaces (and to DuckDB's `list_reduce` over `unicode(c)`).
+  *
+  * Registered for SQL via [[GraftExtensions]] (`graft_dot`, `graft_hash`).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CharPolyHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.CharPolyHashExpr.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharPolyHashExpr {
+  /** Called from generated code (static, branch-free inner loop). */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Column wrappers (the library-facing surface). */
+object ArrayExpressions {
+  import org.apache.spark.sql.GraftColumnBridge._
+
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProductExpr(expression(a), expression(b)))
+
+  def charPolyHash(s: Column): Column =
+    column(CharPolyHashExpr(expression(s)))
+}
+
+/** SessionExtensions hook: `spark.sql("SELECT graft_dot(a, b)")` etc.
+  * Wire with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_hash"),
+      new ExpressionInfo(classOf[CharPolyHashExpr].getName, "graft_hash"),
+      (exprs: Seq[Expression]) => CharPolyHashExpr(exprs.head)))
+  }
+}
