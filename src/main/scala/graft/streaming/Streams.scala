@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.functions.TextFunctions._
+
+/** Incremental/streaming layer (SURVEY.md §2.7).
+  *
+  * The reference is a resumable micro-batch consumer: a persistent FIFO
+  * queue (`src/queue_manager.py`), a checkpoint file
+  * (`src/checkpoint_manager.py`), batch-of-1000 sinks, and a 60 s
+  * sliding-window rate limiter (`src/enhanced_production_mediawiki_client.py:43-64`).
+  * Structured Streaming supplies each of those natively — and strictly
+  * stronger: the reference pops the queue *before* processing (a crash loses
+  * the in-flight article); Spark's offset log + idempotent sink gives
+  * exactly-once.
+  *
+  * | reference mechanism            | here                                   |
+  * |--------------------------------|----------------------------------------|
+  * | persistent queue + checkpoint  | `checkpointLocation` + `Trigger.AvailableNow` |
+  * | batch-of-1000 upload           | `foreachBatch` → partitioned JSON sink |
+  * | failed-title quarantine        | dead-letter split (`splitValid`)       |
+  * | 60 s sliding request window    | watermarked sliding window aggregate   |
+  * | running processed/failed count | `mapGroupsWithState` running counters  |
+  */
+object Streams {
+
+  /** File-stream source over a directory of parquet drops — the "queue".
+    * `maxFilesPerTrigger` plays the reference's batch-size throttle. */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** F1 dead-letter split: (valid, quarantined-with-error). The reference
+    * appends failed titles to a `failed` list and continues
+    * (`src/main.py:122-135`); here both legs are DataFrames. */
+  def splitValid(docs: DataFrame): (DataFrame, DataFrame) = {
+    val ok = isValid(col("text"), col("lang"), col("source")) && !isRedirect(col("text"))
+    (docs.where(ok),
+      docs.where(!ok).withColumn("error",
+        when(col("text").isNull || col("text") === "", "empty_content")
+          .when(isRedirect(col("text")), "redirect")
+          .otherwise("invalid_metadata")))
+  }
+
+  /** A7 — sliding event-time window counts with a watermark (the adaptive
+    * rate limiter's trailing 60 s view, generalized). Late data beyond the
+    * watermark is dropped — the lateness semantics the reference lacks. */
+  def slidingEventCounts(events: DataFrame, window_ : String = "60 seconds",
+                         slide: String = "20 seconds",
+                         watermark: String = "2 minutes"): DataFrame =
+    events
+      // watermarks require TIMESTAMP (with local tz); the lake stores NTZ —
+      // under the UTC session the cast is instant-preserving
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"))
+
+  /** Checkpointed ingest: stream → validate → partitioned JSON batches via
+    * foreachBatch (micro-batch id = the reference's batch number). Restart
+    * with the same checkpoint dir resumes from the offset log — the
+    * `--reset` analog is deleting the checkpoint dir. */
+  def ingest(spark: SparkSession, srcDir: String, schema: StructType,
+             outDir: String, checkpointDir: String): StreamingQuery =
+    fileSource(spark, srcDir, schema)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val (valid, dead) = splitValid(batch.toDF())
+        valid
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("batch_id").json(outDir)
+        dead
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("batch_id")
+          .json(outDir + "_deadletter")
+        ()
+      }
+      .start()
+
+  /** Per-key running counters via mapGroupsWithState — the reference's
+    * `total_processed`/`total_failed` checkpoint counters
+    * (`src/checkpoint_manager.py:9-17`) as managed state. */
+  final case class SourceProgress(source: String, processed: Long, totalChars: Long)
+
+  def runningTotals(spark: SparkSession, docs: Dataset[graft.Schemas.Doc]):
+      Dataset[SourceProgress] = {
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .mapGroupsWithState[SourceProgress, SourceProgress](
+        GroupStateTimeout.NoTimeout) {
+        case (src, rows, state: GroupState[SourceProgress]) =>
+          val prev = state.getOption.getOrElse(SourceProgress(src, 0L, 0L))
+          var n = prev.processed
+          var chars = prev.totalChars
+          rows.foreach { d => n += 1; chars += d.n_chars }
+          val next = SourceProgress(src, n, chars)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Operator-level behavior tests on crafted micro-corpora (the oracle gate
+  * covers the full driver tables; these pin down semantics and edge cases). */
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("dedup_exact groups whitespace-variant copies under the min id") {
+    val docs = docsDF(
+      1L -> "alpha beta gamma", 2L -> "  alpha   beta\tgamma ",
+      3L -> "other text here", 4L -> "alpha beta gamma")
+    val got = Dedup.exactDuplicates(docs).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 3L, 1L), (4L, 1L, 3L)))
+  }
+
+  test("ngram jaccard finds the overlapping pair and respects the threshold") {
+    val a = "one two three four five six seven eight nine ten"
+    val b = "one two three four five six seven eight nine eleven" // 7/11 shared 3-grams
+    val c = "totally different words with no shared trigrams at all"
+    val got = Dedup.ngramJaccardPairs(docsDF(1L -> a, 2L -> b, 3L -> c), 3, 5000L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (da, db, j) = got.head
+    assert((da, db) == (1L, 2L))
+    assert(j == math.floor(10000.0 * 7 / (8 + 8 - 7) + 0.5).toLong)
+  }
+
+  test("minhash estimates ~1 for identical docs and finds no false pair vs disjoint") {
+    val a = "one two three four five six seven eight nine ten"
+    val c = "totally different words with no shared trigrams at all"
+    val got = Dedup.minhashPairs(docsDF(1L -> a, 2L -> a, 3L -> c))
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 100L)))
+  }
+
+  test("simhash of identical docs has hamming 0; disjoint docs are not banded together or far") {
+    val a = "one two three four five six seven eight nine ten"
+    val got = Dedup.simhashPairs(docsDF(1L -> a, 2L -> a), maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("embedding near-dup flags an identical vector pair at cos=1") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), 0),
+      (2L, Array(2.0f, 4.0f, 6.0f), 0),  // same direction => cos 1
+      (3L, Array(-3.0f, 1.0f, 0.5f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDupPairs(emb, 950000L).as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1000000L)))
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Similarity.bruteForceTopK(emb, 3, 5)
+    val rows = got.orderBy("query_id", "rank").collect()
+    assert(rows.length == 15)
+    // per query: ranks 1..5, cosines non-increasing
+    rows.grouped(5).foreach { g =>
+      assert(g.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val cs = g.map(_.getLong(3)).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
+  test("lsh candidates are a subset ranked identically to brute force where they overlap") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val ls = Similarity.lshTopK(emb, 5, 5).collect()
+    // every LSH cosine must equal the exact cosine for the same pair
+    ls.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(k) && bf(k) == r.getLong(3))
+    }
+  }
+
+  test("batch layout numbers files sequentially into fixed-size batches") {
+    val docs = (0L until 25L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val got = ArticleOps.batchLayout(docs, "doc_id", 10)
+      .select("doc_id", "file_index", "batch_id", "file_name")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(2)).toSeq == (0 until 25).map(_ / 10).map(_.toLong))
+    assert(got.head.getString(3) == "batch_000/article_000000.json")
+    assert(got.last.getString(3) == "batch_002/article_000024.json")
+  }
+
+  test("multimodal stub decode is deterministic and partition-batched") {
+    import Schemas.MediaRecord
+    val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
+      .as[MediaRecord]
+    val feats = Multimodal.decodeFeatures(spark, media)
+    val r = feats.where(col("media_id") === 0L).collect().head
+    val payloadLen = Tables.documents(spark, sfDir)
+      .where(col("doc_id") === 0L).select(length(col("text"))).as[Int].head()
+    assert(r.getAs[Long]("n_bytes") == payloadLen.toLong)
+    assert(r.getAs[Int]("width") == (64 + payloadLen % 576))
+    // SQL slice agrees with the typed mapPartitions path on shared fields
+    val sqlRow = Multimodal.mediaFeaturesSql(Tables.documents(spark, sfDir))
+      .where(col("media_id") === 0L).collect().head
+    assert(sqlRow.getAs[Long]("n_bytes") == r.getAs[Long]("n_bytes"))
+    assert(sqlRow.getAs[Int]("width") == r.getAs[Int]("width"))
+    assert(sqlRow.getAs[Int]("height") == r.getAs[Int]("height"))
+  }
+
+  test("anti-join + idempotent union behave as set operations") {
+    val processed = Seq(1L, 2L).toDF("doc_id")
+    val incoming = Seq(1L, 2L, 3L, 3L, 4L).toDF("doc_id")
+    val fresh = ArticleOps.antiJoinNew(incoming, processed, "doc_id")
+    assert(fresh.distinct().as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    val merged = ArticleOps.idempotentUnion(processed, incoming, "doc_id")
+    assert(merged.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+}

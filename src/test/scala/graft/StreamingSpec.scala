@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** Structured Streaming layer (SURVEY.md §2.7): windowed aggregates against
+  * their batch equivalents, checkpointed ingest with resume, dead-letter
+  * split, and stateful running totals. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("A7 sliding window counts: streaming equals batch") {
+    val events = Tables.events(spark, sfDir)
+    // batch ground truth with the same window spec
+    val batch = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "60 seconds", "20 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+
+    val srcDir = tmp("stream-src")
+    events.write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.fileSource(spark, srcDir, events.schema, maxFilesPerTrigger = 2)
+    val q = Streams.slidingEventCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("win_counts")
+      .select(col("win_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("checkpointed ingest writes batches and resumes without duplicates") {
+    val srcDir = tmp("ingest-src")
+    val outDir = tmp("ingest-out") + "/data"
+    val ckDir = tmp("ingest-ck")
+    val docs = Tables.documents(spark, sfDir)
+    docs.write.mode("overwrite").parquet(srcDir)
+
+    val q1 = Streams.ingest(spark, srcDir, docs.schema, outDir, ckDir)
+    q1.awaitTermination()
+    val afterFirst = spark.read.json(outDir).count()
+    assert(afterFirst == docs.count()) // all docs valid in testdata
+
+    // resume with no new files: offset log says everything is processed
+    val q2 = Streams.ingest(spark, srcDir, docs.schema, outDir, ckDir)
+    q2.awaitTermination()
+    assert(spark.read.json(outDir).count() == afterFirst)
+
+    // new file arrives -> only it is processed on the next run
+    docs.limit(7).withColumn("doc_id", col("doc_id") + 100000L)
+      .write.mode("append").parquet(srcDir)
+    val q3 = Streams.ingest(spark, srcDir, docs.schema, outDir, ckDir)
+    q3.awaitTermination()
+    assert(spark.read.json(outDir).count() == afterFirst + 7)
+  }
+
+  test("dead-letter split quarantines invalid rows with a reason") {
+    val docs = Seq(
+      (1L, "good content", "en", "src0", 12L),
+      (2L, "", "en", "src0", 0L),
+      (3L, "#REDIRECT [[X]]", "en", "src0", 15L),
+      (4L, "more good content", "en", "src0", 17L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (ok, dead) = Streams.splitValid(docs)
+    assert(ok.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    val reasons = dead.select("doc_id", "error").as[(Long, String)].collect().toMap
+    assert(reasons == Map(2L -> "empty_content", 3L -> "redirect"))
+  }
+
+  test("running totals keep per-source state across micro-batches") {
+    import Schemas.Doc
+    val docs = Tables.documents(spark, sfDir).as[Doc]
+    val got = Streams.runningTotals(spark, docs).collect()
+      .map(p => p.source -> (p.processed, p.totalChars)).toMap
+    val expect = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)), sum("n_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+  }
+}

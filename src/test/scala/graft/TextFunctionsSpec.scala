@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.functions.TextFunctions._
+
+/** Scalar layer unit + property tests (SURVEY.md §2.2/§2.6 operators).
+  * Fixtures carried over from the reference's inline test articles
+  * (FIXTURES.md §1.2; `test_pipeline.py:119-126`,
+  * `test_production_pipeline.py:114-131`). */
+class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
+
+  /** Minimal property loop over scalacheck generators (the
+    * scalatest-scalacheck bridge artifact isn't in the offline cache). */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 30)(body: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(n).foreach(body)
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column, input: String): String =
+    Seq(input).toDF("s").select(c.cast("string")).as[String].head()
+
+  test("P7 whitespace normalize collapses runs and trims") {
+    assert(eval1(normalizeWhitespace(col("s")), "  a \t b\n\nc  ") == "a b c")
+  }
+
+  test("P7 is idempotent (property)") {
+    forAllSampled(Gen.asciiPrintableStr) { s =>
+      val once = eval1(normalizeWhitespace(col("s")), s)
+      val twice = eval1(normalizeWhitespace(lit(once)), "x")
+      assert(once == twice)
+    }
+  }
+
+  test("P8 category cleanup strips prefix, trims, drops empties") {
+    val got = Seq(Seq("Category:Science", " Category:Art ", "", "Category:  ", "Plain"))
+      .toDF("cats")
+      .select(cleanCategories(col("cats")))
+      .as[Seq[String]].head()
+    // reference semantics (src/data_processor.py:75-79): the prefix is only
+    // stripped when it starts the raw string — " Category:Art " keeps its
+    // prefix (startswith fails) and is merely trimmed
+    assert(got == Seq("Science", "Category:Art", "Plain"))
+  }
+
+  test("P8 never lengthens an element (property)") {
+    forAllSampled(Gen.listOf(Gen.asciiPrintableStr)) { xs =>
+      val got = Seq(xs).toDF("cats").select(cleanCategories(col("cats")))
+        .as[Seq[String]].head()
+      assert(got.size <= xs.size)
+      got.foreach(e => assert(e.nonEmpty))
+    }
+  }
+
+  test("P5 article URL uses underscore form") {
+    assert(eval1(articleUrl(col("s")), "Albert Einstein") ==
+      "https://en.wikipedia.org/wiki/Albert_Einstein")
+  }
+
+  test("F1/F5 validator and redirect predicate") {
+    val df = Seq(
+      ("Test Article", "This is test content"), // valid (test_pipeline.py:119-126)
+      ("", "content"),                          // empty title
+      ("t", ""),                                // empty content
+      ("t", "#REDIRECT [[X]]"),                 // redirect, upper
+      ("t", "#redirect [[X]]")                  // redirect, lower
+    ).toDF("title", "text")
+    val n = df.where(isValid(col("title"), col("text")) && !isRedirect(col("text"))).count()
+    assert(n == 1)
+  }
+
+  test("U1 wikitext strip on the reference's markup fixture") {
+    // test_production_pipeline.py:114-131 shape: template, bold, links, ref, heading
+    val wt = "{{Infobox|name=Test}} '''Bold''' and ''italic'' see " +
+      "[[Page|linked text]] and [[Direct]]<ref name=a>cite</ref> == Heading == tail"
+    assert(eval1(wikitextToPlain(col("s")), wt) ==
+      "Bold and italic see linked text and Direct Heading tail")
+  }
+
+  test("charPolyHash matches the cross-engine reference value") {
+    // same value DuckDB computes via list_reduce over unicode(c): probed 204910434
+    val h = Seq("hello world").toDF("s").select(charPolyHash(col("s"))).as[Long].head()
+    assert(h == 204910434L)
+  }
+
+  test("charPolyHash equals the built-in HOF fold it replaces (property)") {
+    val hof = (s: org.apache.spark.sql.Column) => aggregate(
+      split(s, ""), lit(0L),
+      (h, ch) => (h * lit(31L) + ascii(ch).cast("long")) % lit(HashMod))
+    forAllSampled(Gen.asciiPrintableStr.suchThat(_.nonEmpty), 20) { s =>
+      val df = Seq(s).toDF("s")
+      val a = df.select(charPolyHash(col("s"))).as[Long].head()
+      val b = df.select(hof(col("s"))).as[Long].head()
+      assert(a == b)
+    }
+  }
+
+  test("shingles: distinct n-grams, short text yields empty") {
+    val got = Seq("a b c b a b c").toDF("s")
+      .select(shingles(col("s"), 3)).as[Seq[String]].head()
+    assert(got.sorted == Seq("a b c", "b a b", "b c b", "c b a").sorted)
+    val short = Seq("a b").toDF("s").select(shingles(col("s"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("word/line counts match reference semantics") {
+    val df = Seq("one two\nthree  four\n").toDF("s")
+    assert(df.select(wordCount(col("s"))).as[Int].head() == 4)
+    assert(df.select(lineCount(col("s"))).as[Int].head() == 3) // trailing \n => empty last
+    assert(Seq("").toDF("s").select(wordCount(col("s"))).as[Int].head() == 0)
+  }
+}
