@@ -127,6 +127,57 @@ object SparkEntry {
 
     "a8_props_summary" -> ((s, d) => Relational.propsSummary(s, d)),
 
+    // P6 — timestamp → ISO-8601 normalization (reference
+    // `src/production_mediawiki_client.py:162-172`)
+    "p6_timestamp_normalize" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_iso"))
+        .orderBy(col("o_orderkey"))),
+
+    // S8 — per-row rendition dispatch ('wikitext'|'html'|'plain', reference
+    // `src/enhanced_mediawiki_client.py:93-102`): rendition is selected by a
+    // format column, derived lazily — only the chosen branch is computed
+    "s8_format_dispatch" -> ((s, d) => {
+      val fmt = when(col("doc_id") % 3 === 0, "wikitext")
+        .when(col("doc_id") % 3 === 1, "html").otherwise("plain")
+      Tables.documents(s, d)
+        .withColumn("format", fmt)
+        .withColumn("rendition",
+          when(col("format") === "plain", normalizeWhitespace(col("text")))
+            .when(col("format") === "html", concat(lit("<p>"), col("text"), lit("</p>")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("format"), col("rendition"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P10 — storage-document JSON serialization (reference
+    // `src/data_processor.py:85-103`)
+    "p10_to_json" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("source"))).as("doc_json"))
+        .orderBy(col("doc_id"))),
+
+    // U4/A1 — explode + exact distinct (the reference's unique_categories,
+    // `src/data_processor.py:128-131`), per language
+    "a4_unique_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("unique_tokens"))
+        .orderBy(col("lang"))),
+
+    // scalable variant of a4: HLL sketch instead of exact distinct — the
+    // 100 TB form (no oracle: HLL implementations differ across engines, so
+    // the driver records the weaker rows-only check)
+    "a9_approx_distinct" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(approx_count_distinct(col("tok")).as("approx_unique_tokens"))
+        .orderBy(col("lang"))),
+
     // ---- relational workload (J3 at scale: Q1/Q3/Q5-shaped) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_top_orders" -> ((s, d) => Relational.topRevenueOrders(s, d, 10)),
@@ -333,6 +384,27 @@ object SparkEntry {
         """SELECT event_type, count(*)::BIGINT AS n,
           |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "p6_timestamp_normalize" ->
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_iso FROM orders ORDER BY o_orderkey",
+
+      "s8_format_dispatch" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'wikitext' WHEN doc_id % 3 = 1 THEN 'html' ELSE 'plain' END AS format,
+           |  CASE WHEN doc_id % 3 = 2 THEN $norm
+           |       WHEN doc_id % 3 = 1 THEN '<p>' || text || '</p>'
+           |       ELSE text END AS rendition
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "p10_to_json" ->
+        """SELECT doc_id,
+          |  to_json(struct_pack(doc_id := doc_id, lang := lang, source := source)) AS doc_json
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "a4_unique_tokens" ->
+        s"""SELECT lang, count(DISTINCT tok)::BIGINT AS unique_tokens
+           |FROM (SELECT lang, unnest($toks) AS tok FROM documents)
+           |GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
