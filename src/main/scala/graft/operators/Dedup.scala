@@ -114,22 +114,17 @@ object Dedup {
   }
 
   /** 32-bit SimHash per doc over token hashes weighted by term frequency.
-    * Bit b of `charPolyHash(token)` is extracted portably as
-    * floor(h / 2^b) mod 2 (no shift-by-column needed); the per-bit vote is
-    * an integer sum — order-independent, cross-engine exact. */
+    * One-pass custom aggregate ([[graft.plans.SimHashAgg]]): the 32 bit
+    * votes live in a mutable buffer, so the plan is two hash aggregations
+    * (term counts, then simhash) with no 32× row explosion. Votes are exact
+    * integer sums — order-independent, so the relational DuckDB oracle
+    * (explode bits → per-bit vote → regroup) matches bit-for-bit. */
   def simhashTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", charPolyHash(col("tok")))
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("bit", (floor(col("h") / pow(lit(2.0), col("b"))).cast("long") % 2))
-      .withColumn("contrib", col("cnt") * (col("bit") * 2 - 1))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bitval", when(col("s") > 0, 1L).otherwise(0L))
       .groupBy(col("doc_id"))
-      .agg(sum((col("bitval") * pow(lit(2.0), col("b"))).cast("long")).as("simhash"))
+      .agg(graft.plans.SimHashAgg.simhashAgg(col("h"), col("cnt")).as("simhash"))
 
   /** SimHash near-dup pairs: block on the 4 signature bytes (a pair within
     * hamming ≤ 3 of a 32-bit hash must agree on ≥1 of 4 bytes — pigeonhole),

@@ -1,0 +1,86 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** One-pass 32-bit SimHash aggregate over (token-hash, weight) rows.
+  *
+  * Replaces the relational formulation (explode 32 bit-positions → per-bit
+  * integer vote → re-group) with a `TypedImperativeAggregate` holding the 32
+  * vote counters in a mutable buffer: one shuffle of one buffer per group
+  * instead of a 32× row blowup. Semantics are identical — votes are exact
+  * integer sums (order-independent), bit b of the result is set iff its
+  * vote is > 0 — so the DuckDB oracle (which keeps the relational form)
+  * still matches bit-for-bit.
+  */
+case class SimHashAgg(hash: Expression, weight: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(hash, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](32)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val h = hash.eval(input)
+    val w = weight.eval(input)
+    if (h != null && w != null) {
+      val hv = h.asInstanceOf[Long]
+      val wv = w.asInstanceOf[Long]
+      var b = 0
+      while (b < 32) {
+        buf(b) += wv * (((hv >> b) & 1L) * 2L - 1L)
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var b = 0
+    while (b < 32) { b1(b) += b2(b); b += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sim = 0L
+    var b = 0
+    while (b < 32) { if (buf(b) > 0) sim |= (1L << b); b += 1 }
+    sim
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(32 * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(32)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(hash = newChildren(0), weight = newChildren(1))
+}
+
+object SimHashAgg {
+  /** Column form: `simhashAgg(tokenHash, weight)` inside a groupBy.agg. */
+  def simhashAgg(hash: Column, weight: Column): Column =
+    GraftColumnBridge.column(
+      SimHashAgg(GraftColumnBridge.expression(hash),
+        GraftColumnBridge.expression(weight)).toAggregateExpression())
+}
