@@ -566,12 +566,12 @@ object SparkEntry {
       "ta_quality" -> {
         val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
         s"""SELECT doc_id, char_len, word_cnt,
-           |  CAST(floor((100.0::DOUBLE) * (norm_len - word_cnt + 1) / word_cnt + 0.5) AS BIGINT) AS avg_word_len_x100,
+           |  CAST(floor((100.0::DOUBLE) * (norm_len - word_cnt + 1) / greatest(word_cnt, 1) + 0.5) AS BIGINT) AS avg_word_len_x100,
            |  punct_cnt, digit_cnt, upper_cnt,
-           |  CAST(floor((10000.0::DOUBLE) * stop_hits / word_cnt + 0.5) AS BIGINT) AS stopword_ratio_x10000,
+           |  CAST(floor((10000.0::DOUBLE) * stop_hits / greatest(word_cnt, 1) + 0.5) AS BIGINT) AS stopword_ratio_x10000,
            |  CAST(floor((10000.0::DOUBLE) *
            |    least(1.0::DOUBLE, (word_cnt::DOUBLE) / (200.0::DOUBLE)) *
-           |    ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE, (4.0::DOUBLE) * stop_hits / word_cnt)) + 0.5) AS BIGINT) AS quality_x10000
+           |    ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE, (4.0::DOUBLE) * stop_hits / greatest(word_cnt, 1))) + 0.5) AS BIGINT) AS quality_x10000
            |FROM (SELECT doc_id,
            |  length(text)::BIGINT AS char_len,
            |  length($norm)::BIGINT AS norm_len,

@@ -55,10 +55,11 @@ object Schemas {
   /** Embedding row for similarity search. */
   final case class Embedding(vec_id: Long, embedding: Array[Float], label: Int)
 
-  /** Batch summary — reference `src/data_processor.py:133-140`. */
-  final case class BatchSummary(total_articles: Long, total_content_length: Long,
-                                avg_content_length: Double, total_categories: Long,
-                                unique_categories: Long)
+  /** Batch summary — reference `src/data_processor.py:133-140` (corpus
+    * analog: words ↔ categories, langs ↔ unique categories). */
+  final case class BatchSummary(total_docs: Long, total_content_length: Long,
+                                avg_content_length: Double, total_words: Long,
+                                unique_langs: Long)
 
   /** Media record for the multimodal pipeline (opaque binary + typed metadata). */
   final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],

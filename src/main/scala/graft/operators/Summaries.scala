@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -66,6 +66,40 @@ object Summaries {
       .agg(count(lit(1)).as("n"), exactSum(col("value"), 4).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** A1 as a typed one-pass `Aggregator` — the SURVEY §4 custom-Catalyst
+    * candidate: count, length sum/avg, word total, AND exact distinct langs
+    * in a single pass (the reference's `create_summary` shape,
+    * `src/data_processor.py:121-140`). The Set buffer is fine for
+    * low-cardinality keys like languages; for unbounded keys use the
+    * two-aggregation split or the HLL variant. */
+  object CorpusSummaryAggregator
+    extends org.apache.spark.sql.expressions.Aggregator[
+      graft.Schemas.Doc, (Long, Long, Long, Set[String]), graft.Schemas.BatchSummary] {
+    override def zero: (Long, Long, Long, Set[String]) = (0L, 0L, 0L, Set.empty)
+    override def reduce(b: (Long, Long, Long, Set[String]), d: graft.Schemas.Doc) = {
+      val words = if (d.text == null || d.text.trim.isEmpty) 0L
+        else d.text.trim.split("\\s+").length.toLong
+      (b._1 + 1, b._2 + (if (d.text == null) 0L else d.text.length.toLong),
+        b._3 + words, b._4 + d.lang)
+    }
+    override def merge(a: (Long, Long, Long, Set[String]),
+                       b: (Long, Long, Long, Set[String])) =
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 ++ b._4)
+    override def finish(b: (Long, Long, Long, Set[String])): graft.Schemas.BatchSummary =
+      graft.Schemas.BatchSummary(b._1, b._2,
+        if (b._1 == 0) 0.0 else b._2.toDouble / b._1, b._3, b._4.size.toLong)
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product
+    override def outputEncoder = org.apache.spark.sql.Encoders.product
+  }
+
+  /** One-pass typed corpus summary (Dataset surface of A1). */
+  def typedCorpusSummary(spark: SparkSession,
+                         docs: org.apache.spark.sql.Dataset[graft.Schemas.Doc]):
+      org.apache.spark.sql.Dataset[graft.Schemas.BatchSummary] = {
+    import spark.implicits._
+    docs.select(CorpusSummaryAggregator.toColumn)
+  }
 
   /** A2's `sources` histogram as a map (dict shape fidelity,
     * reference `src/production_data_processor.py:149-153`). */

@@ -45,6 +45,8 @@ object TextAnalysis {
   def quality(docs: DataFrame): DataFrame = {
     val norm = normalizeWhitespace(col("text"))
     val wc = wordCount(col("text")).cast("long")
+    // denominators guard against empty docs (0/0 differs across engines)
+    val wcDen = greatest(wc, lit(1L))
     val toks = tokens(col("text"))
     val stopHits = hitCount(toks, stopwords.head._2).cast("long")
     val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
@@ -55,17 +57,17 @@ object TextAnalysis {
       length(col("text")).cast("long").as("char_len"),
       wc.as("word_cnt"),
       // mean token length ×100: chars-in-tokens = len(norm) - (wc-1) spaces
-      floor(lit(100.0) * (length(norm) - wc + 1) / wc + 0.5).cast("long")
+      floor(lit(100.0) * (length(norm) - wc + 1) / wcDen + 0.5).cast("long")
         .as("avg_word_len_x100"),
       punct.as("punct_cnt"),
       digits.as("digit_cnt"),
       upper.as("upper_cnt"),
-      floor(lit(10000.0) * stopHits / wc + 0.5).cast("long")
+      floor(lit(10000.0) * stopHits / wcDen + 0.5).cast("long")
         .as("stopword_ratio_x10000"),
       // quality = length-fit (cap at 200 words) × (0.5 + 0.5·stopword density·4 capped)
       floor(lit(10000.0) *
         least(lit(1.0), wc.cast("double") / 200.0) *
-        (lit(0.5) + lit(0.5) * least(lit(1.0), lit(4.0) * stopHits / wc)) + 0.5)
+        (lit(0.5) + lit(0.5) * least(lit(1.0), lit(4.0) * stopHits / wcDen)) + 0.5)
         .cast("long").as("quality_x10000"))
   }
 

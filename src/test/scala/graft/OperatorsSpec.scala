@@ -121,4 +121,39 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val merged = ArticleOps.idempotentUnion(processed, incoming, "doc_id")
     assert(merged.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("typed one-pass corpus summary equals the DataFrame aggregation") {
+    import Schemas.Doc
+    val docs = Tables.documents(spark, sfDir).as[Doc]
+    val typed = operators.Summaries.typedCorpusSummary(spark, docs).head()
+    val df = operators.Summaries.corpusSummary(Tables.documents(spark, sfDir)).head()
+    assert(typed.total_docs == df.getLong(0))
+    assert(typed.total_content_length == df.getLong(1))
+    assert(typed.avg_content_length == df.getDouble(2))
+    assert(typed.total_words == df.getLong(3))
+    assert(typed.unique_langs == df.getLong(4))
+  }
+
+  test("retrying enrichment recovers transient failures and dead-letters permanent ones") {
+    import sources.RetryingEnrichment
+    // backoff policy mirrors the reference: 1,2,4,... capped
+    assert(RetryingEnrichment.backoffMs(0, 1000, 60000) == 1000)
+    assert(RetryingEnrichment.backoffMs(3, 1000, 60000) == 8000)
+    assert(RetryingEnrichment.backoffMs(10, 1000, 60000) == 60000)
+    val keys = spark.createDataset(Seq(1L, 2L, 3L))
+    // fetcher fails twice per key before succeeding, except key 3 which
+    // always fails -> dead letter
+    val got = RetryingEnrichment.enrichWithRetry[Long](spark, keys, () => {
+      val attempts = scala.collection.mutable.Map[Long, Int]()
+      k => {
+        val a = attempts.updateWith(k)(v => Some(v.getOrElse(0) + 1)).get
+        if (k == 3L) throw new RuntimeException("permanent")
+        if (a < 3) throw new RuntimeException("transient")
+        s"content-$k"
+      }
+    }, retries = 3).collect().map(e => e.key -> ((e.content, e.error))).toMap
+    assert(got(1L) == ((Some("content-1"), None)))
+    assert(got(2L) == ((Some("content-2"), None)))
+    assert(got(3L)._1.isEmpty && got(3L)._2.contains("permanent"))
+  }
 }
