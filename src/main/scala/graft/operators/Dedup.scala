@@ -72,14 +72,18 @@ object Dedup {
   }
 
   /** MinHash signature table: (doc_id, i, mh) for i in 0..k-1 —
-    * mh = min over shingles of the i-th permuted shingle hash. Pure
-    * explode + min-aggregate (map-side combine does the heavy lifting). */
+    * mh = min over shingles of the i-th permuted shingle hash. One-pass
+    * custom aggregate ([[graft.plans.MinHashAgg]]) holding the k minima in a
+    * buffer (no k× row explosion; map-side combine ships one k-long array
+    * per doc per partition); posexplode restores the (doc, i, mh) shape.
+    * The equivalent built-in form is explode(0..k-1) → minhashPerm →
+    * groupBy(doc, i).min — which is what the DuckDB oracle runs. */
   def minhashTable(docs: DataFrame, n: Int, k: Int): DataFrame =
     shingleTable(docs, n)
       .withColumn("h", charPolyHash(col("sh")))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("h"))
-      .withColumn("ph", minhashPerm(col("i"), col("h")))
-      .groupBy(col("doc_id"), col("i")).agg(min(col("ph")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(graft.plans.MinHashAgg.minhashSignature(col("h"), k).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
 
   /** MinHash-LSH near-dup pairs: band the k-row signature into `bands`
     * buckets, self-join on (band, band-signature) for candidates, then
