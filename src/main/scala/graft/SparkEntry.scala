@@ -217,6 +217,12 @@ object SparkEntry {
       operators.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10, 5)
         .orderBy(col("query_id"), col("rank"))),
 
+    // IVF ANN (k-means coarse quantizer; rows-only check — no oracle since
+    // k-means isn't reproducible cross-engine)
+    "ann_ivf" -> ((s, d) =>
+      operators.Similarity.ivfTopK(Tables.embeddings(s, d), 10, 5)
+        .orderBy(col("query_id"), col("rank"))),
+
     "ann_lsh" -> ((s, d) =>
       operators.Similarity.lshTopK(Tables.embeddings(s, d), 10, 5, planes = 4, tables = 2)
         .orderBy(col("query_id"), col("rank"))),

@@ -59,6 +59,51 @@ object Similarity {
         floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
   }
 
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer assigns each
+    * vector to a cell; a query probes its `nProbe` nearest cells and ranks
+    * candidates by exact cosine. The other classic ANN scale path besides
+    * LSH: cells are data-adaptive (better recall on clustered data), at the
+    * cost of a training pass. Centroids are tiny (nCells × dim) and ride
+    * along broadcast; the candidate join is an equi-join on `cell`.
+    * Not oracle-checkable (k-means isn't reproducible in DuckDB) — covered
+    * by the rows-only driver check + the cosine-consistency spec. */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
+      .withColumn("features", array_to_vector(col("vn")))
+    val model = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("features").fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("vn"), col("prediction").as("cell"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    // per query: nProbe nearest cells by (exact) distance to the centroid
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = broadcast(q).join(broadcast(centroids))
+      .withColumn("cdist", -dotCol(col("qv"), col("centroid"))) // max dot = min dist on unit sphere
+      .withColumn("crank", row_number().over(wCell))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dotCol(col("qv"), col("vn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
+  }
+
   /** Multi-table LSH ANN top-k: candidates = vectors sharing any
     * (table, bucket) with the query; ranked by exact cosine within the
     * candidate set. Map-only hashing (one row per vector per table), then

@@ -156,4 +156,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == ((Some("content-2"), None)))
     assert(got(3L)._1.isEmpty && got(3L)._2.contains("permanent"))
   }
+
+  test("ivf candidates rank identically to brute force; probing more cells helps recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val ivf = Similarity.ivfTopK(emb, 5, 5).collect()
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(key) && bf(key) == r.getLong(3))
+    }
+    val top5 = Similarity.bruteForceTopK(emb, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfAll = Similarity.ivfTopK(emb, 5, 5, nCells = 16, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every cell = exhaustive search = exact top-5
+    assert(ivfAll == top5)
+  }
 }
