@@ -31,16 +31,19 @@ object ArticleOps {
 
   /** P2/P3 — article projection + derived metadata struct
     * (reference `src/production_data_processor.py:9-61`). Narrow, codegen'd. */
-  def withMetadata(docs: DataFrame): DataFrame = {
-    val clean = normalizeWhitespace(col("text"))
+  def withMetadata(docs: DataFrame): DataFrame =
     docs
-      .withColumn("clean_text", clean)
+      // materialize the normalized text once; every derived metric reads the
+      // bound column instead of re-running the regex (expression hygiene —
+      // see TextFunctions.shinglesFromToks)
+      .withColumn("clean_text", normalizeWhitespace(col("text")))
       .withColumn("content_length", length(col("text")).cast("long"))
-      .withColumn("clean_length", length(clean).cast("long"))
-      .withColumn("word_count", wordCount(col("text")).cast("long"))
+      .withColumn("clean_length", length(col("clean_text")).cast("long"))
+      .withColumn("word_count",
+        when(col("clean_text") === "", 0L)
+          .otherwise(size(split(col("clean_text"), " ")).cast("long")))
       .withColumn("line_count", lineCount(col("text")).cast("long"))
       .withColumn("url", articleUrl(concat_ws("_", lit("doc"), col("doc_id"))))
-  }
 
   /** J1 — enqueue anti-join dedup: keep stubs whose key is NOT in `processed`
     * (reference `src/queue_manager.py:52-58`). `left_anti` lets Catalyst pick
