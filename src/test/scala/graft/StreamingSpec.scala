@@ -87,4 +87,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expect)
   }
+
+  test("watermark drops late events in update mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val agg = df
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Update()).trigger(Trigger.ProcessingTime(0)).start()
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((ts(0), "a"), (ts(1), "a"))
+    q.processAllAvailable()
+    // advance the watermark far past 10:00
+    mem.addData((ts(30), "a"))
+    q.processAllAvailable()
+    // this event is an hour late -> dropped by the watermark
+    mem.addData((ts(0), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val n1000 = spark.table("late_out")
+      .where(col("win_start") === ts(0) && col("event_type") === "a")
+      .agg(max("n")).collect().head.getLong(0)
+    assert(n1000 == 1L) // the late re-count never landed
+  }
 }
