@@ -124,5 +124,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash"),
       new ExpressionInfo(classOf[CharPolyHashExpr].getName, "graft_hash"),
       (exprs: Seq[Expression]) => CharPolyHashExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHashAgg(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => MinHashAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
   }
 }
