@@ -56,7 +56,10 @@ object Dedup {
         sh0.join(hot, Seq("h"), "left_anti")
       case None => sh0
     }
-    val sizes = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // sizes come from the SAME (possibly capped) shingle universe as the
+    // intersection — otherwise capped pairs get a systematically
+    // underestimated Jaccard and true dups can be missed
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.alias("a")
       .join(sh.alias("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

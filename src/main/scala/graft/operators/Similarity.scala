@@ -25,20 +25,22 @@ import Dedup.{dotCol, withUnitVector}
 object Similarity {
 
   /** Deterministic pseudo-random hyperplane weight for global plane index g,
-    * dim d: ((1103515245*(g*64+d+1)+12345) mod 2^21)/2^21 - 0.5. */
-  private def planeWeight(g: Column, d: Column): Column =
-    ((lit(1103515245L) * (g * 64 + d + 1) + lit(12345L)) % lit(2097152L))
+    * component d: ((1103515245*(g*dim+d+1)+12345) mod 2^21)/2^21 - 0.5. */
+  private def planeWeight(g: Column, d: Column, dim: Int): Column =
+    ((lit(1103515245L) * (g * dim + d + 1) + lit(12345L)) % lit(2097152L))
       .cast("double") / lit(2097152.0) - lit(0.5)
 
   /** Hyperplane dot product for one (table-global plane g, vector vn) —
-    * a single-level order-fixed fold. The bucket is then assembled
-    * relationally (explode planes → sign → integer groupBy-sum) rather than
-    * as a nested fold: flatter expressions stay inside whole-stage codegen
-    * and the bit-packing sum is order-independent. */
-  def planeDot(vn: Column, g: Column): Column =
+    * a single-level order-fixed fold over `dim` components. The bucket is
+    * then assembled relationally (explode planes → sign → integer
+    * groupBy-sum) rather than as a nested fold: flatter expressions stay
+    * inside whole-stage codegen and the bit-packing sum is
+    * order-independent. `dim` must match the embedding width — a shorter
+    * array would null the fold and collapse every vector into bucket 0. */
+  def planeDot(vn: Column, g: Column, dim: Int): Column =
     aggregate(
-      sequence(lit(0), lit(63)), lit(0.0),
-      (s, d) => s + planeWeight(g, d) * element_at(vn, d + 1))
+      sequence(lit(0), lit(dim - 1)), lit(0.0),
+      (s, d) => s + planeWeight(g, d, dim) * element_at(vn, d + 1))
 
   /** Exact cosine top-k for each query vector (queries = vec_id < nQueries).
     * The query side is broadcast; ranking via row_number over (cosine desc,
@@ -87,7 +89,10 @@ object Similarity {
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist"), col("cell"))
     val probes = broadcast(q).join(broadcast(centroids))
-      .withColumn("cdist", -dotCol(col("qv"), col("centroid"))) // max dot = min dist on unit sphere
+      // true squared distance: |q-c|^2 = 1 + |c|^2 - 2 q·c (centroids are
+      // means of unit vectors, NOT unit themselves — the |c|^2 term matters)
+      .withColumn("cdist",
+        dotCol(col("centroid"), col("centroid")) - lit(2.0) * dotCol(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(wCell))
       .where(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
@@ -109,23 +114,24 @@ object Similarity {
     * candidate set. Map-only hashing (one row per vector per table), then
     * one equi-join — this is the plan shape that survives 100 TB. */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
-              planes: Int = 4, tables: Int = 2): DataFrame = {
+              planes: Int = 4, tables: Int = 2, dim: Int = 64): DataFrame = {
     val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
     // Build the LSH index relationally: one row per (vector, table, plane),
     // sign of the hyperplane dot, then an integer groupBy-sum packs the
-    // bits. localCheckpoint materializes the index once (the natural
+    // bits. persist() materializes the index once (the natural
     // build-then-probe shape) so the probe self-join reads it instead of
-    // recomputing 2× the hash folds.
+    // recomputing 2× the hash folds; unlike localCheckpoint it is lazy and
+    // recomputes from lineage on block loss.
     val buckets = e
       .select(col("vec_id"), col("vn"),
         explode(sequence(lit(0), lit(tables - 1))).as("t"))
       .select(col("vec_id"), col("vn"), col("t"),
         explode(sequence(lit(0), lit(planes - 1))).as("p"))
-      .withColumn("dotp", planeDot(col("vn"), col("t") * planes + col("p")))
+      .withColumn("dotp", planeDot(col("vn"), col("t") * planes + col("p"), dim))
       .groupBy(col("vec_id"), col("t"))
       .agg(sum(when(col("dotp") > 0, pow(lit(2.0), col("p")).cast("long"))
         .otherwise(0L)).as("bucket"))
-      .localCheckpoint()
+      .persist()
     val cand = buckets.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
       .join(buckets, Seq("t", "bucket"))

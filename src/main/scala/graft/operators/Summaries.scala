@@ -81,7 +81,8 @@ object Summaries {
       val words = if (d.text == null || d.text.trim.isEmpty) 0L
         else d.text.trim.split("\\s+").length.toLong
       (b._1 + 1, b._2 + (if (d.text == null) 0L else d.text.length.toLong),
-        b._3 + words, b._4 + d.lang)
+        b._3 + words,
+        if (d.lang == null) b._4 else b._4 + d.lang) // countDistinct skips nulls
     }
     override def merge(a: (Long, Long, Long, Set[String]),
                        b: (Long, Long, Long, Set[String])) =

@@ -131,7 +131,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
-      (exprs: Seq[Expression]) => MinHashAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash: k must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash: k must be an integer literal")
+        }
+        MinHashAgg(exprs.head, k)
+      }))
   }
 }

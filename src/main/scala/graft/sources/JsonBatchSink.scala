@@ -31,8 +31,13 @@ object JsonBatchSink {
       .option("maxRecordsPerFile", batchSize)
       .partitionBy("batch_id")
       .json(outDir)
-    docs.count()
+    // count what was written (output-sized scan) rather than re-scanning
+    // the full source a second time
+    spark_count(docs.sparkSession, outDir)
   }
+
+  private def spark_count(spark: SparkSession, dir: String): Long =
+    spark.read.json(dir).count()
 
   /** S10/S11 — read the batch layout back (schema inferred or given);
     * `batch_id` is recovered from partition discovery. */

@@ -76,14 +76,17 @@ object Streams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // idempotent on micro-batch replay: overwrite THIS batch's partition
+        // (dynamic partition overwrite) instead of blindly appending — a
+        // crash between the two writes re-runs batchId with the same data
         val (valid, dead) = splitValid(batch.toDF())
-        valid
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").partitionBy("batch_id").json(outDir)
-        dead
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").partitionBy("batch_id")
-          .json(outDir + "_deadletter")
+        def writeLeg(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").json(dir)
+        writeLeg(valid, outDir)
+        writeLeg(dead, outDir + "_deadletter")
         ()
       }
       .start()
