@@ -494,7 +494,7 @@ object SparkEntry {
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
            |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM tok GROUP BY doc_id, tok),
-           |th AS (SELECT doc_id, cnt, ${poly("tok")} AS h FROM tc),
+           |th AS (SELECT doc_id, cnt, ((${poly("tok")}) * 48271) % 4294967291 AS h FROM tc),
            |bits AS (SELECT doc_id, b,
            |    sum(cnt * ((CAST(floor(h / power(2, b)) AS BIGINT) % 2) * 2 - 1)) AS s
            |  FROM th CROSS JOIN range(0, 32) r(b) GROUP BY doc_id, b),

@@ -95,6 +95,9 @@ object Dedup {
     * (no all-pairs comparison). */
   def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                    minEstX100: Long = 50): DataFrame = {
+    require(k % bands == 0,
+      s"k ($k) must be divisible by bands ($bands) — a ragged band would " +
+        "admit candidates on a single matching permutation")
     val rows = k / bands
     val mt = minhashTable(docs, n, k)
     val bandKeys = mt
@@ -129,7 +132,11 @@ object Dedup {
   def simhashTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", charPolyHash(col("tok")))
+      // charPolyHash < 1e9+7 < 2^30 would leave bits 30-31 permanently
+      // unset (weakening the top blocking band); an LCG step mod the prime
+      // 4294967291 spreads the hash over the full 32-bit range — same
+      // arithmetic in the DuckDB oracle
+      .withColumn("h", (charPolyHash(col("tok")) * 48271L) % 4294967291L)
       .groupBy(col("doc_id"))
       .agg(graft.plans.SimHashAgg.simhashAgg(col("h"), col("cnt")).as("simhash"))
 

@@ -121,7 +121,10 @@ object Similarity {
     // bits. persist() materializes the index once (the natural
     // build-then-probe shape) so the probe self-join reads it instead of
     // recomputing 2× the hash folds; unlike localCheckpoint it is lazy and
-    // recomputes from lineage on block loss.
+    // recomputes from lineage on block loss. The cached index is tiny
+    // (vec_id, t, bucket) and lives until the session ends — callers doing
+    // many independent lshTopK sweeps should unpersist via
+    // spark.sharedState.cacheManager or reuse one index.
     val buckets = e
       .select(col("vec_id"), col("vn"),
         explode(sequence(lit(0), lit(tables - 1))).as("t"))

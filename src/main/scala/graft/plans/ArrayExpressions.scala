@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.GraftColumnBridge.ADT
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -26,8 +27,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Registered for SQL via [[GraftExtensions]] (`graft_dot`, `graft_hash`).
   */
 case class DotProductExpr(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
+  // the analyzer casts array<float> etc. to array<double> — without this,
+  // getDouble over a float array would return reinterpreted garbage
+  override def inputTypes: Seq[ADT] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
@@ -61,8 +66,10 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-case class CharPolyHashExpr(child: Expression) extends UnaryExpression {
+case class CharPolyHashExpr(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[ADT] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash"
 

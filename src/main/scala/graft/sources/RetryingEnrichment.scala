@@ -39,13 +39,14 @@ object RetryingEnrichment {
   def enrichWithRetry[K](spark: SparkSession, keys: Dataset[K],
                          makeFetcher: () => K => String,
                          retries: Int = 3, initialMs: Long = 1,
-                         maxMs: Long = 60000)(
+                         maxMs: Long = 60000,
+                         sleep: Long => Unit = Thread.sleep(_))(
       implicit ev: org.apache.spark.sql.Encoder[Enriched[K]]): Dataset[Enriched[K]] =
     keys.mapPartitions { it =>
       val fetch = makeFetcher() // per-partition client init
       it.map { k =>
         try {
-          val v = withBackoff(retries, initialMs, maxMs, _ => ())(fetch(k))
+          val v = withBackoff(retries, initialMs, maxMs, sleep)(fetch(k))
           Enriched(k, Some(v), None)
         } catch {
           case e: Exception => Enriched(k, None, Some(e.getMessage))

@@ -10,4 +10,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Accessible alias for the private[sql] AbstractDataType, so graft
+    * expressions can declare `inputTypes` (ImplicitCastInputTypes). */
+  type ADT = org.apache.spark.sql.types.AbstractDataType
 }
