@@ -178,10 +178,28 @@ object SparkEntry {
         .agg(approx_count_distinct(col("tok")).as("approx_unique_tokens"))
         .orderBy(col("lang"))),
 
-    // ---- relational workload (J3 at scale: Q1/Q3/Q5-shaped) ----
+    // ---- relational workload (J3 at scale: Q1/Q3/Q5/Q6-shaped) ----
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_top_orders" -> ((s, d) => Relational.topRevenueOrders(s, d, 10)),
     "q5_region_revenue" -> ((s, d) => Relational.regionRevenue(s, d)),
+    "q6_revenue_forecast" -> ((s, d) => Relational.revenueForecast(s, d)),
+
+    "q7_window_rank" -> ((s, d) =>
+      Relational.topOrderPerCustomer(s, d, 1)
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
+    // second-order stats from exact integer sums (fixed-point technique)
+    "a10_correlation" -> ((s, d) =>
+      Relational.valueCorrelation(s, d).orderBy(col("event_type"))),
+
+    // positional (lower) median — interpolation-free, engine-agnostic
+    "a11_median" -> ((s, d) =>
+      Relational.medianValue(s, d).orderBy(col("event_type"))),
+
+    // session windows, batch form: lag + cumulative-sum gap splitting
+    "a12_sessions" -> ((s, d) =>
+      Relational.sessionize(s, d, 30)
+        .orderBy(col("user_id"), col("session_idx"))),
 
     // ---- sink layout (K1/K2) ----
     "k1_batch_layout" -> ((s, d) =>
@@ -441,6 +459,59 @@ object SparkEntry {
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+      "q6_revenue_forecast" ->
+        """SELECT sum(CAST(floor(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT))::BIGINT AS revenue_x10000,
+          |  count(*)::BIGINT AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+          |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+      "q7_window_rank" ->
+        """WITH t AS (SELECT o_custkey, o_orderkey,
+          |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS o_totalprice_x100 FROM orders),
+          |r AS (SELECT o_custkey, o_orderkey, o_totalprice_x100,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice_x100 DESC, o_orderkey) AS rn
+          |  FROM t)
+          |SELECT o_custkey, o_orderkey, o_totalprice_x100, rn::BIGINT AS rn
+          |FROM r WHERE rn <= 1 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+      "a10_correlation" ->
+        """WITH t AS (SELECT event_type,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+          |g AS (SELECT event_type, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv, sum(k)::BIGINT AS sk,
+          |    sum(v*v)::BIGINT AS svv, sum(k*k)::BIGINT AS skk, sum(v*k)::BIGINT AS svk
+          |  FROM t GROUP BY event_type)
+          |SELECT event_type, n,
+          |  CAST(floor((10000.0::DOUBLE) * (n*svk - sv*sk) /
+          |    (sqrt(CAST(n*svv - sv*sv AS DOUBLE)) * sqrt(CAST(n*skk - sk*sk AS DOUBLE))) + 0.5) AS BIGINT) AS corr_x10000
+          |FROM g ORDER BY event_type""".stripMargin,
+
+      "a11_median" ->
+        """WITH t AS (SELECT event_type, event_id,
+          |    CAST(floor(value*10000 + 0.5) AS BIGINT) AS v FROM events),
+          |r AS (SELECT event_type, v,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+          |    count(*) OVER (PARTITION BY event_type) AS cnt
+          |  FROM t)
+          |SELECT event_type, v AS median_x10000
+          |FROM r WHERE rn = (cnt + 1) // 2 ORDER BY event_type""".stripMargin,
+
+      "a12_sessions" ->
+        """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+          |s AS (SELECT user_id, tsu,
+          |    CASE WHEN tsu - lag(tsu, 1) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 30*60000000 THEN 1 ELSE 0 END AS new_session,
+          |    event_id
+          |  FROM t),
+          |x AS (SELECT user_id, tsu,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+          |  FROM s)
+          |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+          |  min(tsu)::BIGINT AS start_us, max(tsu)::BIGINT AS end_us
+          |FROM x GROUP BY user_id, session_idx
+          |ORDER BY user_id, session_idx""".stripMargin,
 
       "k1_batch_layout" ->
         s"""SELECT doc_id,

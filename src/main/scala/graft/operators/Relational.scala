@@ -67,6 +67,91 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** TPC-H Q6-shaped filter-aggregate: every predicate reaches the parquet
+    * scan (PushedFilters), one map-side-combined global agg — the minimal
+    * "scan efficiency" probe. */
+  def revenueForecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1994-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(fx(col("l_extendedprice") * col("l_discount"), 10000L))
+        .as("revenue_x10000"), count(lit(1)).as("n_items"))
+
+  /** Window ranking: each customer's top-revenue order (row_number over a
+    * per-customer window) — the partitioned-window shape (shuffle on the
+    * partition key only; no global sort). */
+  def topOrderPerCustomer(spark: SparkSession, dir: String, topN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice_x100").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("o_totalprice_x100", fx(col("o_totalprice"), 100L))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topN)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice_x100"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Pearson correlation from exact integer sums — the fixed-point technique
+    * extended to second-order statistics: every Σ is an integer, the final
+    * formula is a handful of deterministic double ops, so both engines agree
+    * bit-for-bit (unlike built-in corr(), whose running-moment accumulation
+    * is partition-order-dependent). */
+  def valueCorrelation(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("v", fx(col("value"), 100L)) // x100 keeps sum(v*v) far from Long overflow
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"), sum(col("k")).as("sk"),
+        sum(col("v") * col("v")).as("svv"), sum(col("k") * col("k")).as("skk"),
+        sum(col("v") * col("k")).as("svk"))
+      .withColumn("corr_x10000",
+        floor(lit(10000.0) *
+          (col("n") * col("svk") - col("sv") * col("sk")) /
+          (sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double")) *
+            sqrt((col("n") * col("skk") - col("sk") * col("sk")).cast("double"))) + 0.5)
+          .cast("long"))
+      .select(col("event_type"), col("n"), col("corr_x10000"))
+
+  /** Event sessionization, relationally: a session break is a >gap pause
+    * between a user's consecutive events (lag + cumulative sum over a
+    * per-user window) — the batch form of a session window, exact in
+    * integer microseconds so the oracle matches. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("new_session",
+        when(col("tsu") - lag(col("tsu"), 1).over(w) > gapMinutes * 60000000L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"))
+  }
+
+  /** Positional median (lower median): the value at row ⌈n/2⌉ of the sorted
+    * group — pure relational (row_number + count), avoiding interpolation
+    * formulas that differ across engines. */
+  def medianValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("v", fx(col("value"), 10000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("v"), col("event_id"))
+    ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      // floor division on both engines (a double-to-int CAST truncates in
+      // Spark but rounds in DuckDB)
+      .where(col("rn") === floor((col("cnt") + 1) / 2).cast("int"))
+      .select(col("event_type"), col("v").as("median_x10000"))
+  }
+
   /** JSON-props extraction over events (reference parses JSON at
     * `src/azure_manager.py:133`): per-type sum of a JSON field. */
   def propsSummary(spark: SparkSession, dir: String): DataFrame =
