@@ -184,6 +184,10 @@ object SparkEntry {
     "q5_region_revenue" -> ((s, d) => Relational.regionRevenue(s, d)),
     "q6_revenue_forecast" -> ((s, d) => Relational.revenueForecast(s, d)),
 
+    // multi-level totals: ROLLUP (region, nation) + grand total in one pass
+    "q8_rollup" -> ((s, d) =>
+      Relational.rollupRevenue(s, d).orderBy(col("region"), col("nation"))),
+
     "q7_window_rank" -> ((s, d) =>
       Relational.topOrderPerCustomer(s, d, 1)
         .orderBy(col("o_custkey"), col("o_orderkey"))),
@@ -466,6 +470,17 @@ object SparkEntry {
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
           |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+      "q8_rollup" ->
+        """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+          |  sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))::BIGINT AS total_x100,
+          |  count(*)::BIGINT AS n_orders
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY region, nation""".stripMargin,
 
       "q7_window_rank" ->
         """WITH t AS (SELECT o_custkey, o_orderkey,

@@ -152,6 +152,26 @@ object Relational {
       .select(col("event_type"), col("v").as("median_x10000"))
   }
 
+  /** Multi-level totals via ROLLUP: (region, nation), per-region subtotals,
+    * and the grand total in one pass. Subtotal rows' null keys are projected
+    * to 'ALL' so ordering is engine-agnostic (null sort order differs across
+    * engines). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(fx(col("o_totalprice"), 100L)).as("total_x100"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("total_x100"), col("n_orders"))
+  }
+
   /** JSON-props extraction over events (reference parses JSON at
     * `src/azure_manager.py:133`): per-type sum of a JSON field. */
   def propsSummary(spark: SparkSession, dir: String): DataFrame =
