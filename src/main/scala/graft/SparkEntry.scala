@@ -205,6 +205,31 @@ object SparkEntry {
       Relational.sessionize(s, d, 30)
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // as-of join, composed form (union + carry-forward window): each
+    // purchase matched to the user's latest click at-or-before it. The
+    // custom AsOfJoinExec physical operator computes the same thing
+    // (asserted equal in AsOfJoinSpec); this composed form is what the
+    // oracle can express.
+    "a13_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      val tagged = ev.where(col("event_type").isin("click", "purchase"))
+        .withColumn("is_click", (col("event_type") === "click").cast("int"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("is_click").desc, col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("last_click_id",
+          last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("last_click_tsu",
+          last(when(col("is_click") === 1, col("tsu")), ignoreNulls = true).over(w))
+        .where(col("is_click") === 0)
+        .select(col("event_id"), col("user_id"), col("tsu"),
+          col("last_click_id"), col("last_click_tsu"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- sink layout (K1/K2) ----
     "k1_batch_layout" -> ((s, d) =>
       ArticleOps.batchLayout(
@@ -527,6 +552,21 @@ object SparkEntry {
           |  min(tsu)::BIGINT AS start_us, max(tsu)::BIGINT AS end_us
           |FROM x GROUP BY user_id, session_idx
           |ORDER BY user_id, session_idx""".stripMargin,
+
+      "a13_asof" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+          |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |t AS (SELECT event_id, user_id, tsu, is_click,
+          |    last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id ORDER BY tsu, is_click DESC, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+          |    last_value(CASE WHEN is_click = 1 THEN tsu END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id ORDER BY tsu, is_click DESC, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_tsu
+          |  FROM ev)
+          |SELECT event_id, user_id, tsu, last_click_id, last_click_tsu
+          |FROM t WHERE is_click = 0 ORDER BY event_id""".stripMargin,
 
       "k1_batch_layout" ->
         s"""SELECT doc_id,

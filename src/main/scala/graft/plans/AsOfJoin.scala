@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection, Ascending, GenericInternalRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN — the whole-operator custom-Catalyst tier (SURVEY §4 option c:
+  * LogicalPlan + Strategy + SparkPlan), for the one relational shape Spark
+  * has no built-in operator for: "for each left row, the latest right row
+  * with the same key and time ≤ the left time".
+  *
+  * Physical execution is a per-partition sort-merge: both sides are
+  * hash-clustered on the key and sorted by (key, time) — requirements the
+  * planner satisfies with exactly the exchanges/sorts a sort-merge join
+  * would use — then a single forward scan per partition emits each left row
+  * joined to the last right row seen for its key (left outer semantics:
+  * nulls when no right row precedes). O(n log n) in the shuffle, O(n) in
+  * the merge, no buffering beyond one held right row per key.
+  *
+  * The equivalent composed-operator form (union + last_value window) is
+  * what the DuckDB oracle runs; `AsOfJoinSpec` asserts both agree.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTime, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rightWidth = right.output.size
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var heldKey: Any = null
+      var heldRow: InternalRow = null
+      lIter.map { lRow =>
+        val lKeyV = lk.eval(lRow)
+        val lTimeV = lt.eval(lRow)
+        // advance the right side while its (key, time) is ≤ (lKey, lTime)
+        var advancing = true
+        while (advancing && rHead != null) {
+          val rKeyV = rk.eval(rHead)
+          val kc = keyOrd.compare(rKeyV.asInstanceOf[AnyRef], lKeyV.asInstanceOf[AnyRef])
+          if (kc < 0 ||
+              (kc == 0 && timeOrd.compare(rt.eval(rHead).asInstanceOf[AnyRef],
+                lTimeV.asInstanceOf[AnyRef]) <= 0)) {
+            if (kc == 0) { heldKey = rKeyV; heldRow = rHead }
+            rHead = if (rIter.hasNext) rIter.next().copy() else null
+          } else advancing = false
+        }
+        val matched = heldRow != null && heldKey != null &&
+          keyOrd.compare(heldKey.asInstanceOf[AnyRef], lKeyV.asInstanceOf[AnyRef]) == 0
+        proj(joined(lRow, if (matched) heldRow else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoin {
+  /** `left ASOF JOIN right ON left.key = right.key AND right.time ≤
+    * left.time` (latest such right row; left outer). Column name overlap is
+    * the caller's responsibility (alias beforehand). */
+  def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+               leftKeyCol: String, rightKeyCol: String,
+               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = GraftColumnBridge.analyzed(left)
+    val rp = GraftColumnBridge.analyzed(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${p.output.map(_.name).mkString(",")}"))
+    GraftColumnBridge.ofRows(spark,
+      AsOfJoinPlan(lp, rp, attr(lp, leftKeyCol), attr(rp, rightKeyCol),
+        attr(lp, leftTimeCol), attr(rp, rightTimeCol)))
+  }
+}

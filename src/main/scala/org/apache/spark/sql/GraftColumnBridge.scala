@@ -13,4 +13,16 @@ object GraftColumnBridge {
   /** Accessible alias for the private[sql] AbstractDataType, so graft
     * expressions can declare `inputTypes` (ImplicitCastInputTypes). */
   type ADT = org.apache.spark.sql.types.AbstractDataType
+
+  /** Build a DataFrame from a custom LogicalPlan (private[sql]
+    * Dataset.ofRows) — needed to surface custom operators like the as-of
+    * join as ordinary DataFrames. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame. */
+  def analyzed(df: DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
