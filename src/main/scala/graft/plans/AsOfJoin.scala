@@ -45,8 +45,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  // requiredNumPartitions pins both exchanges to the same partition count:
+  // AQE's shuffle coalescing does not know this custom node needs
+  // co-partitioned children (it special-cases joins), so an advisory
+  // distribution could be coalesced asymmetrically and break zipPartitions
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions
+    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = Some(n)) ::
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = Some(n)) :: Nil
+  }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
