@@ -113,7 +113,10 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOfJoin {
   /** `left ASOF JOIN right ON left.key = right.key AND right.time ≤
     * left.time` (latest such right row; left outer). Column name overlap is
-    * the caller's responsibility (alias beforehand). */
+    * the caller's responsibility (alias beforehand). Right rows tied on
+    * (key, time) are resolved by scan order — for deterministic tie-breaks
+    * precompute a composite time column (e.g. `struct(ts, id)`) and pass
+    * that as the time column on both sides. */
   def asofJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
                leftKeyCol: String, rightKeyCol: String,
                leftTimeCol: String, rightTimeCol: String): DataFrame = {
