@@ -19,23 +19,29 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "las", "un", "es"),
     "zh" -> Seq("de", "shi", "zai", "le"))
 
-  private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
-
   /** Language-ID by stopword hit count with a fixed-priority tie-break
-    * (order of `stopwords`). Emits per-language scores + the prediction. */
+    * (order of `stopwords`). Emits per-language scores + the prediction.
+    *
+    * One tokenize pass + ONE codegen'd scoring pass
+    * ([[graft.plans.StopwordScoresExpr]]: per token, one hash-set probe per
+    * language) instead of 5 interpreted `filter`-HOF walks — the all-scores
+    * array is bound as its own column so CollapseProject cannot inline the
+    * scorer into each per-language extraction. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = stopwords.foldLeft(docs) { case (df, (l, ws)) =>
-      df.withColumn(s"score_$l", hitCount(toks, ws).cast("long"))
-    }
-    val pred = stopwords.map(_._1).foldRight(lit("und"): Column) { (l, rest) =>
-      val isMax = stopwords.map(_._1).filter(_ != l)
+    val names = stopwords.map(_._1)
+    val scored = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        graft.plans.ArrayExpressions.stopwordScores(col("toks"), stopwords.map(_._2)).as("sc"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        names.zipWithIndex.map { case (l, i) => col("sc")(i).as(s"score_$l") }: _*)
+    val pred = names.foldRight(lit("und"): Column) { (l, rest) =>
+      val isMax = names.filter(_ != l)
         .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
       when(isMax && col(s"score_$l") > 0, lit(l)).otherwise(rest)
     }
     scored.select(
-      Seq(col("doc_id")) ++ stopwords.map { case (l, _) => col(s"score_$l") } ++
+      Seq(col("doc_id")) ++ names.map(l => col(s"score_$l")) ++
         Seq(pred.as("predicted_lang"), col("lang").as("actual_lang")): _*)
   }
 
@@ -47,8 +53,8 @@ object TextAnalysis {
     val wc = wordCount(col("text")).cast("long")
     // denominators guard against empty docs (0/0 differs across engines)
     val wcDen = greatest(wc, lit(1L))
-    val toks = tokens(col("text"))
-    val stopHits = hitCount(toks, stopwords.head._2).cast("long")
+    val stopHits = graft.plans.ArrayExpressions
+      .stopwordScores(tokens(col("text")), Seq(stopwords.head._2))(0).cast("long")
     val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
     val digits = regexp_count(col("text"), lit("[0-9]")).cast("long")
     val upper = regexp_count(col("text"), lit("[A-Z]")).cast("long")

@@ -107,6 +107,64 @@ object CharPolyHashExpr {
   }
 }
 
+/** One-pass multi-language stopword scoring over a token array.
+  *
+  * Replaces k independent `size(filter(toks, _.isin(words)))` higher-order
+  * calls (each a CodegenFallback interpreted lambda re-walking the array)
+  * with a single codegen'd pass: for each token, one hash-set probe per
+  * language. Semantics are identical to the per-language `IN`-filter counts
+  * (a token may score for several languages), so the relational DuckDB
+  * oracle is unchanged. Output: array<long> of counts, one per word set,
+  * in constructor order.
+  */
+case class StopwordScoresExpr(tokens: Expression, wordSets: Seq[Seq[String]])
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def child: Expression = tokens
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_stopword_scores"
+
+  // UTF8String sets built once per executor (transient: rebuilt after ship)
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    wordSets.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  def score(toks: ArrayData): ArrayData = {
+    val counts = new Array[Long](sets.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var l = 0
+        while (l < sets.length) {
+          if (sets(l).contains(t)) counts(l) += 1
+          l += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    score(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordScorer", this,
+      classOf[StopwordScoresExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.score($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(tokens = newChild)
+}
+
 /** Column wrappers (the library-facing surface). */
 object ArrayExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
@@ -116,6 +174,9 @@ object ArrayExpressions {
 
   def charPolyHash(s: Column): Column =
     column(CharPolyHashExpr(expression(s)))
+
+  def stopwordScores(toks: Column, wordSets: Seq[Seq[String]]): Column =
+    column(StopwordScoresExpr(expression(toks), wordSets))
 }
 
 /** SessionExtensions hook: `spark.sql("SELECT graft_dot(a, b)")` etc.
