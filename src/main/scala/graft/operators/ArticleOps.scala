@@ -67,14 +67,31 @@ object ArticleOps {
 
   /** K1/K2 — batch layout assignment: the `batch_{NNN}/article_{NNNNNN}` sink
     * naming (reference `src/azure_manager.py:33-78`), expressed as columns so
-    * the write is `partitionBy("batch_id")`. Global row_number gives the
-    * reference's sequential file indexes — a single-partition window, which
-    * is the price of its *global* sequential naming; at 100 TB use
-    * zipWithIndex-style per-partition offsets or drop global ordering. */
+    * the write is `partitionBy("batch_id")`. The global sequential index is
+    * computed WITHOUT a single-partition window: a parallel range-sort on
+    * `orderCol`, then RDD `zipWithIndex` (per-partition counts → cumulative
+    * offsets → per-partition increment) — the same deterministic rank
+    * (`orderCol` values should be unique, else ties rank in partition scan
+    * order, exactly as `row_number` would). zipWithIndex runs one extra
+    * count job over the sorted lineage; cache `docs` upstream if its scan is
+    * expensive. */
   def batchLayout(docs: DataFrame, orderCol: String, batchSize: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-    docs
-      .withColumn("file_index", row_number().over(w).cast("long") - 1)
+    import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
+    import org.apache.spark.sql.types.LongType
+    val sorted = docs.orderBy(col(orderCol))
+    val outSchema = sorted.schema.add("file_index", LongType, nullable = false)
+    val outTypes = outSchema.fields.map(_.dataType)
+    val indexed = sorted.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      val proj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val idxRow = new SpecificInternalRow(Seq(LongType))
+      it.map { case (row, idx) =>
+        idxRow.setLong(0, idx)
+        proj(joined(row, idxRow)): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.GraftColumnBridge
+      .internalCreateDataFrame(docs.sparkSession, indexed, outSchema)
       .withColumn("batch_id", (col("file_index") / batchSize).cast("long"))
       .withColumn("file_name",
         format_string("batch_%03d/article_%06d.json", col("batch_id"), col("file_index")))

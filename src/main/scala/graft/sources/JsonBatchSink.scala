@@ -24,20 +24,17 @@ object JsonBatchSink {
     * number of records written. */
   def write(docs: DataFrame, jsonCols: Seq[String], outDir: String,
             orderCol: String, batchSize: Int): Long = {
-    val laidOut = ArticleOps.batchLayout(docs, orderCol, batchSize)
-    laidOut
+    val out = ArticleOps.batchLayout(docs, orderCol, batchSize)
       .select((jsonCols :+ "file_name" :+ "batch_id").map(col): _*)
-      .write.mode(SaveMode.Overwrite)
+    out.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", batchSize)
       .partitionBy("batch_id")
       .json(outDir)
-    // count what was written (output-sized scan) rather than re-scanning
-    // the full source a second time
-    spark_count(docs.sparkSession, outDir)
+    // count what was written (output-sized scan, not a source re-scan).
+    // The explicit schema keeps this safe for an EMPTY write: schema
+    // inference would throw with only _SUCCESS in the directory.
+    docs.sparkSession.read.schema(out.schema).json(outDir).count()
   }
-
-  private def spark_count(spark: SparkSession, dir: String): Long =
-    spark.read.json(dir).count()
 
   /** S10/S11 — read the batch layout back (schema inferred or given);
     * `batch_id` is recovered from partition discovery. */

@@ -25,4 +25,14 @@ object GraftColumnBridge {
   def analyzed(df: DataFrame):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Build a DataFrame from an InternalRow RDD with a known schema
+    * (private[sql] SparkSession.internalCreateDataFrame) — needed for
+    * RDD-level operators (e.g. zipWithIndex global indexing) that must
+    * re-enter the DataFrame world without a Row round-trip. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }
