@@ -3,13 +3,33 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. The same line is also written to
-  * SPARK_GRAFT_BENCH_OUT (default `bench_out.json` in the CWD) so the
-  * driver's parse can't be broken by sbt/log noise on stdout.
+  * prints ONE JSON line. The full result (including the second scale point's
+  * per-query map) is written to SPARK_GRAFT_BENCH_OUT (default
+  * `bench_out.json` in the CWD); the stdout line carries everything except
+  * `queries2` and rounds timings to milliseconds, so it stays well under the
+  * driver's log-tail window — round 2's stdout line grew past that window
+  * and the driver parsed nothing.
   * If SPARK_GRAFT_BENCH_SF2 names a second existing scale dir (default
-  * sf0.01), the suite is re-run there and recorded under `sf2`/`queries2` —
-  * two scale points make per-query scaling slopes visible. */
+  * sf0.01), the suite is re-run there and recorded under `sf2`/`total2`/
+  * `failed2` (stdout) + `queries2` (file) — two scale points make per-query
+  * scaling slopes visible. */
 object Bench {
+  /** Minimal JSON string escaper for interpolated values (paths, query
+    * names): backslash, quote, control chars. */
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+  private def jstr(s: String): String = "\"" + esc(s) + "\""
+  private def r3(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,6 +40,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // (succeeded timings, failed names) — a failed query's partial elapsed
+    // time is NOT recorded, so totals and scaling slopes only ever compare
+    // fully-run queries
     def runSuite(dir: String): (Map[String, Double], List[String]) = {
       // warmup: touch every table once so per-query timings measure the
       // operators, not file-listing / reader / codegen session init
@@ -27,37 +50,43 @@ object Bench {
         try Tables.load(spark, dir, n).count() catch { case _: Throwable => () }
       }
       var failed = List.empty[String]
-      val results = SparkEntry.queries.map { case (name, fn) =>
+      val results = SparkEntry.queries.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd forces the full physical plan (projections, sorts) — a bare
         // count() would let Catalyst prune the very operators being measured
-        try fn(spark, dir).queryExecution.toRdd.count()
-        catch { case _: Throwable => failed ::= name }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, dir).queryExecution.toRdd.count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => failed ::= name; None }
       }
       (results, failed)
     }
 
     def qJson(m: Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    def fJson(f: List[String]): String = f.map(jstr).mkString("[", ",", "]")
 
     val (results, failed) = runSuite(sfDir)
-    val fj = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     val sf2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF2", "/root/testdata/sf0.01")
-    val sf2Part =
-      if (sf2 != sfDir && Files.isDirectory(Paths.get(sf2))) {
-        val (r2, _) = runSuite(sf2)
-        s""","sf2":"$sf2","total2":${r2.values.sum},"queries2":${qJson(r2)}"""
-      } else ""
+    val (r2, f2) =
+      if (sf2 != sfDir && Files.isDirectory(Paths.get(sf2))) runSuite(sf2)
+      else (Map.empty[String, Double], List.empty[String])
+    val sf2Head =
+      if (r2.nonEmpty)
+        s""","sf2":${jstr(sf2)},"total2":${r3(r2.values.sum)},"failed2":${fJson(f2)}"""
+      else ""
 
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"failed":$fj,"sf":"$sfDir"$sf2Part}"""
+    val head =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qJson(results)},"failed":${fJson(failed)},"sf":${jstr(sfDir)}$sf2Head"""
+    val stdoutLine = head + "}"
+    val fileLine =
+      if (r2.nonEmpty) head + s""","queries2":${qJson(r2)}}""" else stdoutLine
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(outFile), line + "\n")
+    try Files.writeString(Paths.get(outFile), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
-    println(line)
+    println(stdoutLine)
     spark.stop()
   }
 }

@@ -205,26 +205,27 @@ object SparkEntry {
       Relational.sessionize(s, d, 30)
         .orderBy(col("user_id"), col("session_idx"))),
 
-    // as-of join, composed form (union + carry-forward window): each
-    // purchase matched to the user's latest click at-or-before it. The
-    // custom AsOfJoinExec physical operator computes the same thing
-    // (asserted equal in AsOfJoinSpec); this composed form is what the
-    // oracle can express.
+    // as-of join via the custom Catalyst operator (AsOfJoinPlan + Strategy
+    // + sort-merge AsOfJoinExec): each purchase matched to the user's
+    // latest click at-or-before it. Composite time keys make the tie
+    // semantics deterministic and identical to the composed union+window
+    // formulation the DuckDB oracle runs: the left key's MaxValue
+    // tie-component admits clicks AT the purchase timestamp, and among
+    // clicks tied on tsu the largest event_id wins (right side sorted by
+    // the composite, exec holds the last row scanned). AsOfJoinSpec
+    // asserts this operator equals the composed window form.
     "a13_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
-      val tagged = ev.where(col("event_type").isin("click", "purchase"))
-        .withColumn("is_click", (col("event_type") === "click").cast("int"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("tsu"), col("is_click").desc, col("event_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      tagged
-        .withColumn("last_click_id",
-          last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("last_click_tsu",
-          last(when(col("is_click") === 1, col("tsu")), ignoreNulls = true).over(w))
-        .where(col("is_click") === 0)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsu"),
+          struct(col("tsu"), lit(Long.MaxValue).as("tie")).as("tkey"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("last_click_id"),
+          col("user_id").as("c_user"), col("tsu").as("last_click_tsu"),
+          struct(col("tsu"), col("event_id").as("tie")).as("ckey"))
+      graft.plans.AsOfJoin.asofJoin(s, purchases, clicks,
+          "user_id", "c_user", "tkey", "ckey")
         .select(col("event_id"), col("user_id"), col("tsu"),
           col("last_click_id"), col("last_click_tsu"))
         .orderBy(col("event_id"))

@@ -6,8 +6,9 @@ import graft.functions.TextFunctions._
 
 /** Reference pipeline operators over the document corpus (SURVEY.md §2.1-§2.3).
   *
-  * All operators are `DataFrame => DataFrame` — lazy logical-plan builders;
-  * Catalyst handles pushdown/pruning. Shuffle inventory is documented per op.
+  * All operators are `DataFrame => DataFrame` lazy logical-plan builders —
+  * Catalyst handles pushdown/pruning — EXCEPT `batchLayout`, which eagerly
+  * runs the sort (see its doc). Shuffle inventory is documented per op.
   */
 object ArticleOps {
 
@@ -72,9 +73,16 @@ object ArticleOps {
     * `orderCol`, then RDD `zipWithIndex` (per-partition counts → cumulative
     * offsets → per-partition increment) — the same deterministic rank
     * (`orderCol` values should be unique, else ties rank in partition scan
-    * order, exactly as `row_number` would). zipWithIndex runs one extra
-    * count job over the sorted lineage; cache `docs` upstream if its scan is
-    * expensive. */
+    * order, exactly as `row_number` would).
+    *
+    * NOT lazy: `zipWithIndex` runs the per-partition count job in its
+    * constructor, so merely building this DataFrame executes the full sort
+    * as a Spark job. The sort's shuffle files are reused when the result is
+    * subsequently acted on (the count job and the action read the same
+    * exchange output), so the source is scanned once — no upstream caching
+    * needed. The LogicalRDD boundary is also an optimizer barrier: filters
+    * and projections do NOT push below it, so pre-filter/pre-project `docs`
+    * before calling. */
   def batchLayout(docs: DataFrame, orderCol: String, batchSize: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
     import org.apache.spark.sql.types.LongType

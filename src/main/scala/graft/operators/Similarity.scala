@@ -118,13 +118,14 @@ object Similarity {
     val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
     // Build the LSH index relationally: one row per (vector, table, plane),
     // sign of the hyperplane dot, then an integer groupBy-sum packs the
-    // bits. persist() materializes the index once (the natural
-    // build-then-probe shape) so the probe self-join reads it instead of
-    // recomputing 2× the hash folds; unlike localCheckpoint it is lazy and
-    // recomputes from lineage on block loss. The cached index is tiny
-    // (vec_id, t, bucket) and lives until the session ends — callers doing
-    // many independent lshTopK sweeps should unpersist via
-    // spark.sharedState.cacheManager or reuse one index.
+    // bits. No persist(): the index is referenced twice (query leg, corpus
+    // leg), but Catalyst pushes the `vec_id < nQueries` filter all the way
+    // to the query leg's scan, so that leg hashes only the handful of query
+    // vectors — total fold work is n + nQueries ≈ n either way, and nothing
+    // is left cached after the call (the previous persist() accumulated
+    // across a bench session). At 100 TB the index would be written to a
+    // table once and probed many times; within one query, recompute-with-
+    // pushdown is the cheaper and leak-free shape.
     val buckets = e
       .select(col("vec_id"), col("vn"),
         explode(sequence(lit(0), lit(tables - 1))).as("t"))
@@ -134,7 +135,6 @@ object Similarity {
       .groupBy(col("vec_id"), col("t"))
       .agg(sum(when(col("dotp") > 0, pow(lit(2.0), col("p")).cast("long"))
         .otherwise(0L)).as("bucket"))
-      .persist()
     val cand = buckets.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
       .join(buckets, Seq("t", "bucket"))

@@ -9,28 +9,41 @@ import graft.plans.AsOfJoin
 class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  test("custom as-of join equals the composed window formulation") {
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("tsu"))
-    val clicks = ev.where(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("tsu").as("click_tsu"))
-    val custom = AsOfJoin.asofJoin(spark, purchases, clicks,
-        "user_id", "c_user", "tsu", "click_tsu")
-      .select(col("event_id"), col("user_id"), col("tsu"),
-        col("click_id"), col("click_tsu"))
-      .collect()
+  test("custom as-of join (the a13_asof query) equals the composed window formulation") {
+    // a13_asof now runs through AsOfJoinExec; the composed union+window
+    // form below is the oracle-expressible formulation it must match
+    val custom = SparkEntry.queries("a13_asof")(spark, sfDir).collect()
       .map(r => (r.getLong(0), (if (r.isNullAt(3)) -1L else r.getLong(3),
                                 if (r.isNullAt(4)) -1L else r.getLong(4))))
       .toMap
-    val composed = SparkEntry.queries("a13_asof")(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+    val tagged = ev.where(col("event_type").isin("click", "purchase"))
+      .withColumn("is_click", (col("event_type") === "click").cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("is_click").desc, col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val composed = tagged
+      .withColumn("last_click_id",
+        last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_tsu",
+        last(when(col("is_click") === 1, col("tsu")), ignoreNulls = true).over(w))
+      .where(col("is_click") === 0)
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        col("last_click_id"), col("last_click_tsu"))
+      .collect()
       .map(r => (r.getLong(0), (if (r.isNullAt(3)) -1L else r.getLong(3),
                                 if (r.isNullAt(4)) -1L else r.getLong(4))))
       .toMap
     assert(custom.size == composed.size && custom.size > 0)
     assert(custom == composed)
+  }
+
+  test("a13_asof physical plan uses the custom AsOfJoinExec node") {
+    val plan = SparkEntry.queries("a13_asof")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in plan:\n$plan")
   }
 
   test("as-of join emits nulls when no right row precedes") {
