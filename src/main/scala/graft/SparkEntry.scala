@@ -260,6 +260,17 @@ object SparkEntry {
       operators.Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 400000L)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // embedding near-dup in the regime LSH banding is for (cos ≥ 0.9,
+    // O(n) output): the corpus plus one planted near-copy per vector
+    // (the synthetic embeddings top out at cos ≈ 0.6, so copies are
+    // planted deterministically). Candidates from a (table, bucket)
+    // equi-join — no cross join; the oracle runs the all-pairs form, so a
+    // hash match proves 100% banding recall.
+    "dedup_embedding_lsh" -> ((s, d) =>
+      operators.Dedup.embeddingNearDupPairsBanded(
+        operators.Dedup.withNearCopies(Tables.embeddings(s, d)), 900000L)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
     // ---- similarity search (brute-force baseline + LSH scale path) ----
     "ann_topk" -> ((s, d) =>
       operators.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10, 5)
@@ -644,6 +655,19 @@ object SparkEntry {
            |    CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
            |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
            |WHERE cos_x1000000 >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
+
+      "dedup_embedding_lsh" ->
+        """WITH b0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |u0 AS (SELECT vec_id, v FROM b0
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id, list_concat([v[1]*(1.05::DOUBLE)], v[2:]) AS v FROM b0),
+          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u0),
+          |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1)
+          |SELECT * FROM (
+          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |    CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+          |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
+          |WHERE cos_x1000000 >= 900000 ORDER BY vec_a, vec_b""".stripMargin,
 
       "ann_topk" ->
         s"""WITH $unitVecCte,
