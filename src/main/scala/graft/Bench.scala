@@ -50,7 +50,10 @@ object Bench {
         try Tables.load(spark, dir, n).count() catch { case _: Throwable => () }
       }
       var failed = List.empty[String]
-      val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      // sorted name order: queries is a HashMap, so adding one entry would
+      // otherwise reshuffle the whole suite's execution (and JIT-warmup)
+      // order and make per-query timings incomparable across rounds
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd forces the full physical plan (projections, sorts) — a bare
         // count() would let Catalyst prune the very operators being measured
@@ -58,7 +61,7 @@ object Bench {
           fn(spark, dir).queryExecution.toRdd.count()
           Some(name -> (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => failed ::= name; None }
-      }
+      }.toMap
       (results, failed)
     }
 
@@ -70,11 +73,15 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     val sf2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF2", "/root/testdata/sf0.01")
+    // gate the sf2 section on "the sf2 suite was run", not on r2.nonEmpty —
+    // an all-queries-failed sf2 run must still emit failed2, or it would be
+    // indistinguishable from sf2 not being configured
+    val sf2Ran = sf2 != sfDir && Files.isDirectory(Paths.get(sf2))
     val (r2, f2) =
-      if (sf2 != sfDir && Files.isDirectory(Paths.get(sf2))) runSuite(sf2)
+      if (sf2Ran) runSuite(sf2)
       else (Map.empty[String, Double], List.empty[String])
     val sf2Head =
-      if (r2.nonEmpty)
+      if (sf2Ran)
         s""","sf2":${jstr(sf2)},"total2":${r3(r2.values.sum)},"failed2":${fJson(f2)}"""
       else ""
 
@@ -82,7 +89,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qJson(results)},"failed":${fJson(failed)},"sf":${jstr(sfDir)}$sf2Head"""
     val stdoutLine = head + "}"
     val fileLine =
-      if (r2.nonEmpty) head + s""","queries2":${qJson(r2)}}""" else stdoutLine
+      if (sf2Ran) head + s""","queries2":${qJson(r2)}}""" else stdoutLine
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outFile), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }

@@ -256,8 +256,11 @@ object SparkEntry {
       operators.Dedup.simhashPairs(Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // threshold 0.4 is below the quadratic-safe floor — the explicit opt-in
+    // is the point: this query demonstrates the all-pairs regime knowingly
     "dedup_embedding" -> ((s, d) =>
-      operators.Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 400000L)
+      operators.Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 400000L,
+          allowQuadratic = true)
         .orderBy(col("vec_a"), col("vec_b"))),
 
     // embedding near-dup in the regime LSH banding is for (cos ≥ 0.9,

@@ -193,8 +193,19 @@ object Dedup {
     * dots/vector). Low-threshold all-pairs similarity is intrinsically
     * quadratic — at 100 TB you either raise the threshold into the
     * near-dup regime ([[embeddingNearDupPairsBanded]], which IS banded) or
-    * accept a distributed blocked cartesian sized to the cluster. */
-  def embeddingNearDupPairs(emb: DataFrame, minCosX1000000: Long): DataFrame = {
+    * accept a distributed blocked cartesian sized to the cluster.
+    *
+    * That regime choice is enforced: below `quadraticSafeFloor` (cos 0.9,
+    * where the banded sibling answers the same question in O(n)) the caller
+    * must opt in with `allowQuadratic = true` — a low threshold can't be
+    * aimed at a 100 TB corpus by accident. */
+  val quadraticSafeFloor = 900000L
+  def embeddingNearDupPairs(emb: DataFrame, minCosX1000000: Long,
+                            allowQuadratic: Boolean = false): DataFrame = {
+    require(minCosX1000000 >= quadraticSafeFloor || allowQuadratic,
+      s"threshold $minCosX1000000 < $quadraticSafeFloor is the all-pairs " +
+        "regime (Ω(n²) output): use embeddingNearDupPairsBanded, or pass " +
+        "allowQuadratic = true to accept a corpus-sized cartesian")
     val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
     e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_x1000000",
@@ -209,11 +220,21 @@ object Dedup {
     * (cosine ≥ ~0.9, p_agree ≥ 0.856, output O(n)).
     *
     * Plan shape: one map-only pass packs `planes` sign bits per (vector,
-    * table) — the hyperplane weights are a deterministic LCG baked in as ONE
-    * literal dim×(tables·planes) matrix, so every dot is the codegen'd
-    * [[graft.plans.DotProductExpr]] (no interpreted HOF in the hot loop) —
-    * then candidates come from an equi-join on (table, bucket) and are
-    * verified with the exact cosine. No cross join anywhere. With the
+    * table) — all tables·planes hyperplane dots run inside ONE codegen'd
+    * expression ([[graft.plans.MultiPlaneBucketsExpr]]) that carries the
+    * dim×(tables·planes) weight matrix as a referenced object, so the plan
+    * holds one node and the task binary one `double[]` (the previous
+    * literal-matrix formulation expanded to ~10⁶ expression nodes and
+    * multi-MiB task binaries — pure plan overhead that dwarfed the data) —
+    * then candidates come from an equi-join on (table, bucket) carrying the
+    * vector as payload — the standard LSH index layout: one shuffle of
+    * n·tables index rows, exact-cosine verification inline in the join, no
+    * re-join against the corpus to fetch vectors (re-fetching shuffles every
+    * candidate pair a second and third time; candidates outnumber vectors
+    * ~50× on this corpus). A pair colliding in several tables computes its
+    * dot once per collision before the final distinct — cheaper than the
+    * extra pair-sized shuffles it avoids, since true near-dups are O(n) and
+    * random collisions average ~1 table. No cross join anywhere. With the
     * default 16 planes × 8 tables on the test corpus: 100% recall of all
     * ≥0.9 pairs, 0.65% of all pairs admitted as candidates (measured).
     *
@@ -223,39 +244,20 @@ object Dedup {
   def embeddingNearDupPairsBanded(emb: DataFrame, minCosX1000000: Long,
                                   planes: Int = 16, tables: Int = 8,
                                   dim: Int = 64): DataFrame = {
-    require(planes <= 62, "bucket is packed into one long")
-    // plane weight for global plane g, component d — the same LCG as
-    // Similarity.planeWeight, precomputed here so the dot runs codegen'd
-    val planeLit: Column = array((0 until tables * planes).map { g =>
-      array((0 until dim).map { d =>
-        lit(((1103515245L * (g.toLong * dim + d + 1) + 12345L) % 2097152L)
-          .toDouble / 2097152.0 - 0.5)
-      }: _*)
-    }: _*)
-    val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
-    val buckets = e
-      .select(col("vec_id"),
-        array((0 until tables).map { t =>
-          (0 until planes).map { p =>
-            when(dotCol(col("vn"),
-              element_at(planeLit, t * planes + p + 1)) > 0,
-              lit(1L << p)).otherwise(0L)
-          }.reduce(_ + _)
-        }: _*).as("bks"))
-      .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bucket")))
-    val cand = buckets.alias("x")
+    val buckets = withUnitVector(emb)
+      .select(col("vec_id"), col("vn"),
+        posexplode(graft.plans.ArrayExpressions.planeBuckets(
+          col("vn"), planes, tables, dim)).as(Seq("t", "bucket")))
+    buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct() // a pair may collide in several tables — verify it once
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("vn").as("va")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("vn").as("vb")), Seq("vec_b"))
       .withColumn("cos_x1000000",
-        floor(dotCol(col("va"), col("vb")) * 1000000.0 + 0.5).cast("long"))
+        floor(dotCol(col("x.vn"), col("y.vn")) * 1000000.0 + 0.5).cast("long"))
       .where(col("cos_x1000000") >= minCosX1000000)
-      .select(col("vec_a"), col("vec_b"), col("cos_x1000000"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("cos_x1000000"))
+      .distinct() // a pair may collide in several tables — emit it once
   }
 
   /** Test-corpus builder for the near-dup regime: the synthetic embeddings
@@ -263,7 +265,11 @@ object Dedup {
     * deterministic near-copy per vector — component 1 scaled ×1.05 after
     * the double cast (cosine ≥ 0.9998 to its source), id offset so pairs
     * are identifiable. Bit-identical cross-engine (IEEE multiply on the
-    * same doubles). */
+    * same doubles).
+    *
+    * Precondition: every base `vec_id` must be < `idOffset`, else planted
+    * ids collide with base ids and pair identification silently corrupts on
+    * BOTH engines (DedupSpec asserts this on the test corpus). */
   def withNearCopies(emb: DataFrame, idOffset: Long = 1000000L,
                      dim: Int = 64): DataFrame = {
     val base = emb.select(col("vec_id"),

@@ -165,6 +165,92 @@ case class StopwordScoresExpr(tokens: Expression, wordSets: Seq[Seq[String]])
     copy(tokens = newChild)
 }
 
+/** All random-hyperplane LSH buckets for one unit vector, in one pass.
+  *
+  * Replaces the literal-matrix formulation (an `array(array(lit...))` of
+  * `tables·planes·dim` literals referenced once per plane — ~10⁶ expression
+  * nodes after expansion, multi-MiB task binaries, and seconds of
+  * optimizer/codegen time per plan) with a single expression that carries
+  * the plane matrix as a *referenced object* (`ctx.addReferenceObj`, the
+  * [[StopwordScoresExpr]] pattern): the plan holds one node, the task binary
+  * holds one `double[]`, and the generated code makes one virtual call per
+  * row.
+  *
+  * Semantics are unchanged from the composed form: plane weight for global
+  * plane `g = t·planes + p`, component `d` is the deterministic LCG
+  * `((1103515245·(g·dim+d+1)+12345) mod 2²¹)/2²¹ − 0.5` (identical to
+  * `Similarity.planeWeight`, mirrored by the DuckDB oracles), each dot is
+  * the same sequential left-fold as [[DotProductExpr]], and bucket `t` packs
+  * `planes` sign bits (`dot > 0`). Output: `array<long>` of length `tables`.
+  */
+case class MultiPlaneBucketsExpr(child: Expression, planes: Int, tables: Int,
+                                 dim: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(planes >= 1 && planes <= 62, "bucket is packed into one long")
+  require(tables >= 1 && dim >= 1, "tables and dim must be positive")
+
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_plane_buckets"
+
+  // row-major (tables·planes) × dim; @transient: rebuilt from the three ints
+  // after executor ship instead of serialized (64 KiB saved per task at the
+  // defaults, and the rebuild is a few µs once per executor)
+  @transient private lazy val w: Array[Double] = {
+    val m = new Array[Double](tables * planes * dim)
+    var g = 0
+    while (g < tables * planes) {
+      var d = 0
+      while (d < dim) {
+        m(g * dim + d) =
+          ((1103515245L * (g.toLong * dim + d + 1) + 12345L) % 2097152L)
+            .toDouble / 2097152.0 - 0.5
+        d += 1
+      }
+      g += 1
+    }
+    m
+  }
+
+  /** Called from generated code; one sequential fold per plane, same
+    * IEEE evaluation order as [[DotProductExpr]] over the literal rows. */
+  def buckets(vn: ArrayData): ArrayData = {
+    val n = math.min(vn.numElements(), dim)
+    val out = new Array[Long](tables)
+    var g = 0
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val base = g * dim
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += vn.getDouble(d) * w(base + d); d += 1 }
+        if (s > 0) bucket |= (1L << p)
+        p += 1
+        g += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    buckets(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planeBuckets", this,
+      classOf[MultiPlaneBucketsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.buckets($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers (the library-facing surface). */
 object ArrayExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
@@ -177,6 +263,9 @@ object ArrayExpressions {
 
   def stopwordScores(toks: Column, wordSets: Seq[Seq[String]]): Column =
     column(StopwordScoresExpr(expression(toks), wordSets))
+
+  def planeBuckets(vn: Column, planes: Int, tables: Int, dim: Int): Column =
+    column(MultiPlaneBucketsExpr(expression(vn), planes, tables, dim))
 }
 
 /** SessionExtensions hook: `spark.sql("SELECT graft_dot(a, b)")` etc.

@@ -4,10 +4,10 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection, Ascending, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection, Ascending, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** AS-OF JOIN — the whole-operator custom-Catalyst tier (SURVEY §4 option c:
@@ -64,34 +64,46 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lt = BindReferences.bindReference(leftTime, left.output)
     val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
     val rightWidth = right.output.size
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // generated projections/orderings, built once per partition — the
+      // merge loop runs per row, and interpreted Expression.eval +
+      // InterpretedOrdering here cost ~3× end-to-end (measured at sf0.1)
+      val lKeyProj = UnsafeProjection.create(Seq(lk))
+      val lTimeProj = UnsafeProjection.create(Seq(lt))
+      val rKeyProj = UnsafeProjection.create(Seq(rk))
+      val rTimeProj = UnsafeProjection.create(Seq(rt))
+      val keyOrd = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(0, keyType, nullable = true), Ascending)))
+      val timeOrd = GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(0, timeType, nullable = true), Ascending)))
       val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
-      var heldKey: Any = null
       var heldRow: InternalRow = null
       lIter.map { lRow =>
-        val lKeyV = lk.eval(lRow)
-        val lTimeV = lt.eval(lRow)
+        val lKeyRow = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
         // advance the right side while its (key, time) is ≤ (lKey, lTime)
         var advancing = true
         while (advancing && rHead != null) {
-          val rKeyV = rk.eval(rHead)
-          val kc = keyOrd.compare(rKeyV.asInstanceOf[AnyRef], lKeyV.asInstanceOf[AnyRef])
+          val kc = keyOrd.compare(rKeyProj(rHead), lKeyRow)
           if (kc < 0 ||
-              (kc == 0 && timeOrd.compare(rt.eval(rHead).asInstanceOf[AnyRef],
-                lTimeV.asInstanceOf[AnyRef]) <= 0)) {
-            if (kc == 0) { heldKey = rKeyV; heldRow = rHead }
+              (kc == 0 && timeOrd.compare(rTimeProj(rHead), lTimeRow) <= 0)) {
+            if (kc == 0) heldRow = rHead
             rHead = if (rIter.hasNext) rIter.next().copy() else null
           } else advancing = false
         }
-        val matched = heldRow != null && heldKey != null &&
-          keyOrd.compare(heldKey.asInstanceOf[AnyRef], lKeyV.asInstanceOf[AnyRef]) == 0
+        // re-project the held row's key (its projection buffer was reused
+        // while advancing); SQL equi-join semantics: null keys never match
+        val matched = heldRow != null && !lKeyRow.isNullAt(0) && {
+          val hk = rKeyProj(heldRow)
+          !hk.isNullAt(0) && keyOrd.compare(hk, lKeyRow) == 0
+        }
         proj(joined(lRow, if (matched) heldRow else nullRight))
       }
     }
