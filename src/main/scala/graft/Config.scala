@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Typed engine configuration — the Spark-side analog of the reference's
+  * YAML config (`/root/reference/config/config.yaml:1-28`) with the
+  * dot-path getter of `/root/reference/src/config_manager.py:14-64`.
+  *
+  * The reference threads one ConfigManager through every component
+  * (batch size, file naming, retry envelope, checkpoint cadence); here the
+  * same role is a case class with library defaults, overridable from a flat
+  * YAML-subset file (`section:` headers + `key: value` lines — exactly the
+  * reference file's shape; no external YAML dependency). Every tunable the
+  * engine exposes as a function default is representable here, so a
+  * deployment can retune thresholds without recompiling.
+  */
+case class GraftConfig(
+    // processing (reference `processing:` section)
+    batchSize: Int = 100,
+    checkpointInterval: Int = 100,
+    // naming (reference `naming:` section, printf-style)
+    filePattern: String = "batch_%03d/article_%06d.json",
+    // retry envelope (reference `api:` section)
+    maxRetries: Int = 3,
+    initialDelayMs: Long = 1000L,
+    maxDelayMs: Long = 60000L,
+    // event-time analytics
+    windowMinutes: Int = 5,
+    sessionGapMinutes: Int = 30,
+    // dedup suite
+    ngramN: Int = 3,
+    minJaccardX10000: Long = 5000L,
+    minhashK: Int = 16,
+    minhashBands: Int = 4,
+    minEstJaccardX100: Long = 50L,
+    simhashMaxHamming: Int = 3,
+    lshPlanes: Int = 16,
+    lshTables: Int = 8,
+    embeddingDim: Int = 64,
+    minCosX1000000: Long = 900000L,
+    // similarity search
+    annQueries: Int = 10,
+    annK: Int = 5)
+
+object GraftConfig {
+
+  /** Library defaults — what `SparkEntry` runs with. */
+  val default: GraftConfig = GraftConfig()
+
+  /** Parse the flat YAML subset the reference uses: top-level `section:`
+    * lines, two-space-indented `key: value` entries, `#` comments, optional
+    * quotes around values. Returns dot-path → raw string, e.g.
+    * `processing.batch_size -> "1000"`. */
+  def parseFlatYaml(lines: Seq[String]): Map[String, String] = {
+    var section = ""
+    val out = Map.newBuilder[String, String]
+    lines.foreach { raw =>
+      val noComment = {
+        val i = raw.indexOf('#')
+        if (i >= 0 && !raw.take(i).exists(_ == '"')) raw.take(i) else raw
+      }
+      val line = noComment.replaceAll("\\s+$", "")
+      if (line.nonEmpty) {
+        val indented = line.startsWith(" ") || line.startsWith("\t")
+        val t = line.trim
+        val colon = t.indexOf(':')
+        if (colon >= 0) {
+          val key = t.take(colon).trim
+          val value = t.drop(colon + 1).trim.stripPrefix("\"").stripSuffix("\"")
+          if (!indented && value.isEmpty) section = key
+          else if (value.nonEmpty)
+            out += (if (indented && section.nonEmpty) s"$section.$key" else key) -> value
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Dot-path getter with default — `config_manager.py:64`'s `get`. */
+  def get(m: Map[String, String], key: String, default: String): String =
+    m.getOrElse(key, default)
+
+  /** Build a typed config from dot-path entries; unknown keys are ignored
+    * (the reference likewise carries sections this engine doesn't use). */
+  def fromMap(m: Map[String, String]): GraftConfig = {
+    val d = default
+    def i(k: String, dv: Int): Int = m.get(k).map(_.toInt).getOrElse(dv)
+    def l(k: String, dv: Long): Long = m.get(k).map(_.toLong).getOrElse(dv)
+    def s(k: String, dv: String): String = m.getOrElse(k, dv)
+    GraftConfig(
+      batchSize = i("processing.batch_size", d.batchSize),
+      checkpointInterval = i("processing.checkpoint_interval", d.checkpointInterval),
+      filePattern = s("naming.file_pattern", d.filePattern),
+      maxRetries = i("api.max_retries", d.maxRetries),
+      initialDelayMs = l("api.initial_delay_ms", d.initialDelayMs),
+      maxDelayMs = l("api.max_delay_ms", d.maxDelayMs),
+      windowMinutes = i("windows.minutes", d.windowMinutes),
+      sessionGapMinutes = i("sessions.gap_minutes", d.sessionGapMinutes),
+      ngramN = i("dedup.ngram_n", d.ngramN),
+      minJaccardX10000 = l("dedup.min_jaccard_x10000", d.minJaccardX10000),
+      minhashK = i("dedup.minhash_k", d.minhashK),
+      minhashBands = i("dedup.minhash_bands", d.minhashBands),
+      minEstJaccardX100 = l("dedup.min_est_jaccard_x100", d.minEstJaccardX100),
+      simhashMaxHamming = i("dedup.simhash_max_hamming", d.simhashMaxHamming),
+      lshPlanes = i("embedding.lsh_planes", d.lshPlanes),
+      lshTables = i("embedding.lsh_tables", d.lshTables),
+      embeddingDim = i("embedding.dim", d.embeddingDim),
+      minCosX1000000 = l("embedding.min_cos_x1000000", d.minCosX1000000),
+      annQueries = i("ann.queries", d.annQueries),
+      annK = i("ann.k", d.annK))
+  }
+
+  /** Load from a file path (missing file → defaults, mirroring the
+    * reference's env-fallback posture rather than failing the pipeline). */
+  def load(path: String): GraftConfig = {
+    val p = Paths.get(path)
+    if (Files.isRegularFile(p))
+      fromMap(parseFlatYaml(Files.readAllLines(p).asScala.toSeq))
+    else default
+  }
+}

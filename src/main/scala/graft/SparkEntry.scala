@@ -18,6 +18,11 @@ import graft.operators.Summaries.{exactSum, fx}
   */
 object SparkEntry {
 
+  /** Engine tunables; every threshold/size below comes from here, so a
+    * deployment can swap `GraftConfig.load(path)` without touching queries.
+    * Defaults equal the constants the DuckDB oracles are written against. */
+  val cfg: GraftConfig = GraftConfig.default
+
   /** Flagship query on sf=0.001 — the reference's E2 pipeline shape
     * (scan → validate → clean → derive metadata → per-source summary). */
   def entry(spark: SparkSession): DataFrame =
@@ -122,7 +127,7 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))),
 
     "a7_event_window" -> ((s, d) =>
-      Summaries.eventWindowCounts(Tables.events(s, d), 5)
+      Summaries.eventWindowCounts(Tables.events(s, d), cfg.windowMinutes)
         .orderBy(col("win_start"), col("event_type"))),
 
     "a8_props_summary" -> ((s, d) => Relational.propsSummary(s, d)),
@@ -135,17 +140,23 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_iso"))
         .orderBy(col("o_orderkey"))),
 
-    // S8 — per-row rendition dispatch ('wikitext'|'html'|'plain', reference
-    // `src/enhanced_mediawiki_client.py:93-102`): rendition is selected by a
-    // format column, derived lazily — only the chosen branch is computed
+    // S8/S9 — per-row rendition dispatch ('wikitext'|'html'|'plain'|
+    // 'summary', reference `src/enhanced_mediawiki_client.py:93-102`;
+    // the summary rendition — lead sentence of the normalized text — is the
+    // wikipedia-lib summary at `src/enhanced_mediawiki_client.py:277-303`):
+    // rendition is selected by a format column, derived lazily — only the
+    // chosen branch is computed
     "s8_format_dispatch" -> ((s, d) => {
-      val fmt = when(col("doc_id") % 3 === 0, "wikitext")
-        .when(col("doc_id") % 3 === 1, "html").otherwise("plain")
+      val fmt = when(col("doc_id") % 4 === 0, "wikitext")
+        .when(col("doc_id") % 4 === 1, "html")
+        .when(col("doc_id") % 4 === 2, "plain").otherwise("summary")
       Tables.documents(s, d)
         .withColumn("format", fmt)
         .withColumn("rendition",
           when(col("format") === "plain", normalizeWhitespace(col("text")))
             .when(col("format") === "html", concat(lit("<p>"), col("text"), lit("</p>")))
+            .when(col("format") === "summary",
+              substring_index(normalizeWhitespace(col("text")), ". ", 1))
             .otherwise(col("text")))
         .select(col("doc_id"), col("format"), col("rendition"))
         .orderBy(col("doc_id"))
@@ -202,7 +213,7 @@ object SparkEntry {
 
     // session windows, batch form: lag + cumulative-sum gap splitting
     "a12_sessions" -> ((s, d) =>
-      Relational.sessionize(s, d, 30)
+      Relational.sessionize(s, d, cfg.sessionGapMinutes)
         .orderBy(col("user_id"), col("session_idx"))),
 
     // as-of join via the custom Catalyst operator (AsOfJoinPlan + Strategy
@@ -235,7 +246,7 @@ object SparkEntry {
     "k1_batch_layout" -> ((s, d) =>
       ArticleOps.batchLayout(
         ArticleOps.validated(Tables.documents(s, d)).select(col("doc_id")),
-        "doc_id", 100)
+        "doc_id", cfg.batchSize)
         .select(col("doc_id"), col("file_index"), col("batch_id"), col("file_name"))
         .orderBy(col("doc_id"))),
 
@@ -245,15 +256,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "dedup_ngram" -> ((s, d) =>
-      operators.Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 5000L)
+      operators.Dedup.ngramJaccardPairs(Tables.documents(s, d), cfg.ngramN, cfg.minJaccardX10000)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_minhash" -> ((s, d) =>
-      operators.Dedup.minhashPairs(Tables.documents(s, d))
+      operators.Dedup.minhashPairs(Tables.documents(s, d), cfg.ngramN,
+        cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_simhash" -> ((s, d) =>
-      operators.Dedup.simhashPairs(Tables.documents(s, d))
+      operators.Dedup.simhashPairs(Tables.documents(s, d), cfg.simhashMaxHamming)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // threshold 0.4 is below the quadratic-safe floor — the explicit opt-in
@@ -271,18 +283,26 @@ object SparkEntry {
     // hash match proves 100% banding recall.
     "dedup_embedding_lsh" -> ((s, d) =>
       operators.Dedup.embeddingNearDupPairsBanded(
-        operators.Dedup.withNearCopies(Tables.embeddings(s, d)), 900000L)
+        operators.Dedup.withNearCopies(Tables.embeddings(s, d)),
+        cfg.minCosX1000000, cfg.lshPlanes, cfg.lshTables, cfg.embeddingDim)
         .orderBy(col("vec_a"), col("vec_b"))),
 
     // ---- similarity search (brute-force baseline + LSH scale path) ----
     "ann_topk" -> ((s, d) =>
-      operators.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10, 5)
+      operators.Similarity.bruteForceTopK(Tables.embeddings(s, d), cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))),
 
     // IVF ANN (k-means coarse quantizer; rows-only check — no oracle since
     // k-means isn't reproducible cross-engine)
     "ann_ivf" -> ((s, d) =>
-      operators.Similarity.ivfTopK(Tables.embeddings(s, d), 10, 5)
+      operators.Similarity.ivfTopK(Tables.embeddings(s, d), cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // deterministic IVF (fixed hyperplane coarse quantizer + exact
+    // fixed-point centroid sums) — the fully oracle-checked sibling of
+    // ann_ivf: same probe/rank machinery, reproducible cells
+    "ann_ivf_det" -> ((s, d) =>
+      operators.Similarity.ivfTopKDet(Tables.embeddings(s, d), cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))),
 
     "ann_lsh" -> ((s, d) =>
@@ -458,9 +478,11 @@ object SparkEntry {
 
       "s8_format_dispatch" ->
         s"""SELECT doc_id,
-           |  CASE WHEN doc_id % 3 = 0 THEN 'wikitext' WHEN doc_id % 3 = 1 THEN 'html' ELSE 'plain' END AS format,
-           |  CASE WHEN doc_id % 3 = 2 THEN $norm
-           |       WHEN doc_id % 3 = 1 THEN '<p>' || text || '</p>'
+           |  CASE WHEN doc_id % 4 = 0 THEN 'wikitext' WHEN doc_id % 4 = 1 THEN 'html'
+           |       WHEN doc_id % 4 = 2 THEN 'plain' ELSE 'summary' END AS format,
+           |  CASE WHEN doc_id % 4 = 2 THEN $norm
+           |       WHEN doc_id % 4 = 1 THEN '<p>' || text || '</p>'
+           |       WHEN doc_id % 4 = 3 THEN split_part($norm, '. ', 1)
            |       ELSE text END AS rendition
            |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -677,6 +699,40 @@ object SparkEntry {
            |q AS (SELECT vec_id AS query_id, vn AS qv FROM en WHERE vec_id < 10),
            |scored AS (SELECT query_id, en.vec_id, list_dot_product(qv, vn) AS cos
            |  FROM q JOIN en ON query_id <> en.vec_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+           |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "ann_ivf_det" ->
+        s"""WITH $unitVecCte,
+           |pd AS (SELECT vec_id, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), d ->
+           |      ((((1103515245*(p*64+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * vn[d+1])),
+           |    (s, x) -> s + x) AS dotp
+           |  FROM en CROSS JOIN range(0, 4) r(p)),
+           |cells AS (SELECT vec_id,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS cell
+           |  FROM pd GROUP BY vec_id),
+           |assigned AS (SELECT en.vec_id, vn, cell FROM en JOIN cells ON en.vec_id = cells.vec_id),
+           |comp AS (SELECT cell, d, CAST(floor(vn[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM assigned CROSS JOIN range(0, 64) r(d)),
+           |cellsums AS (SELECT cell, d, sum(xi)::BIGINT AS sd, count(*)::BIGINT AS cnt
+           |  FROM comp GROUP BY cell, d),
+           |centroids AS (SELECT cell, list((sd::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM cellsums GROUP BY cell),
+           |q AS (SELECT vec_id AS query_id, vn AS qv FROM assigned WHERE vec_id < 10),
+           |probes AS (SELECT query_id, qv, cell FROM (
+           |  SELECT query_id, qv, c.cell,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY
+           |      list_dot_product(centroid, centroid) - (2.0::DOUBLE) * list_dot_product(qv, centroid), c.cell) AS crank
+           |  FROM q CROSS JOIN centroids c)
+           |  WHERE crank <= 4),
+           |scored AS (SELECT query_id, a.vec_id, list_dot_product(qv, a.vn) AS cos
+           |  FROM probes JOIN assigned a ON probes.cell = a.cell
+           |  WHERE query_id <> a.vec_id),
            |r AS (SELECT query_id, vec_id, cos,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
            |  FROM scored)

@@ -109,6 +109,62 @@ object Similarity {
         floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
   }
 
+  /** Deterministic IVF ANN top-k — the oracle-checkable sibling of
+    * [[ivfTopK]]: the k-means coarse quantizer (not reproducible
+    * cross-engine) is replaced by a FIXED random-hyperplane quantizer —
+    * cell = `planes` packed sign bits from the same LCG plane family as
+    * [[graft.plans.MultiPlaneBucketsExpr]] (2^planes cells) — and centroids
+    * are derived from exact per-component integer sums (fixed-point
+    * `floor(x·1e6+0.5)` then integer Σ), so they are order-independent and
+    * bit-identical in DuckDB. Probe ranking (|c|² − 2·q·c, ties by cell) and
+    * candidate ranking (exact cosine) are sequential double folds — the
+    * proven-parity pattern. Same plan shape as [[ivfTopK]]: tiny broadcast
+    * centroid table, candidate equi-join on `cell`. k-means stays the
+    * adaptive default; this variant trades cell quality for a full
+    * correctness gate on the probe/rank machinery they share. */
+  def ivfTopKDet(emb: DataFrame, nQueries: Int, k: Int,
+                 planes: Int = 4, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    val S = 1000000.0
+    val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
+    val assigned = e.withColumn("cell",
+      element_at(graft.plans.ArrayExpressions.planeBuckets(
+        col("vn"), planes, 1, dim), 1))
+    // exact integer component sums per cell → deterministic centroids
+    val comp = assigned
+      .select(col("cell"), posexplode(col("vn")).as(Seq("d", "x")))
+      .withColumn("xi", floor(col("x") * S + 0.5).cast("long"))
+    val cellSums = comp.groupBy(col("cell"), col("d"))
+      .agg(sum(col("xi")).as("sd"), count(lit(1)).as("cnt"))
+    val centroids = cellSums
+      .withColumn("cd", col("sd").cast("double") / (col("cnt").cast("double") * S))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+        x => x.getField("cd")).as("centroid"))
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = broadcast(q).join(broadcast(centroids))
+      // |q-c|² − 1 = |c|² − 2·q·c (q is unit; centroids are means, not unit)
+      .withColumn("cdist",
+        dotCol(col("centroid"), col("centroid")) -
+          lit(2.0) * dotCol(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wCell))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", dotCol(col("qv"), col("vn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
+  }
+
   /** Multi-table LSH ANN top-k: candidates = vectors sharing any
     * (table, bucket) with the query; ranked by exact cosine within the
     * candidate set. Map-only hashing (one row per vector per table), then

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftConfig: flat-YAML parsing, dot-path lookup, typed overrides —
+  * mirrors the reference's ConfigManager surface
+  * (`/root/reference/src/config_manager.py:14-64`). */
+class ConfigSpec extends AnyFunSuite {
+
+  private val sample = Seq(
+    "# engine tunables",
+    "processing:",
+    "  batch_size: 1000",
+    "  checkpoint_interval: 50   # trailing comment",
+    "naming:",
+    "  file_pattern: \"batch_%03d/article_%06d.json\"",
+    "api:",
+    "  max_retries: 5",
+    "dedup:",
+    "  minhash_k: 32",
+    "  minhash_bands: 8",
+    "embedding:",
+    "  lsh_planes: 12",
+    "  min_cos_x1000000: 950000")
+
+  test("flat YAML parses into dot-path entries, skipping comments and blanks") {
+    val m = GraftConfig.parseFlatYaml(sample)
+    assert(m("processing.batch_size") == "1000")
+    assert(m("processing.checkpoint_interval") == "50")
+    assert(m("naming.file_pattern") == "batch_%03d/article_%06d.json")
+    assert(!m.contains("# engine tunables"))
+  }
+
+  test("dot-path get falls back to the default for missing keys") {
+    val m = GraftConfig.parseFlatYaml(sample)
+    assert(GraftConfig.get(m, "api.max_retries", "3") == "5")
+    assert(GraftConfig.get(m, "api.initial_delay_ms", "1000") == "1000")
+  }
+
+  test("typed config applies overrides and keeps defaults elsewhere") {
+    val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(sample))
+    assert(c.batchSize == 1000)
+    assert(c.checkpointInterval == 50)
+    assert(c.maxRetries == 5)
+    assert(c.minhashK == 32 && c.minhashBands == 8)
+    assert(c.lshPlanes == 12 && c.minCosX1000000 == 950000L)
+    // untouched keys keep library defaults
+    assert(c.sessionGapMinutes == GraftConfig.default.sessionGapMinutes)
+    assert(c.annK == GraftConfig.default.annK)
+  }
+
+  test("load of a missing file yields the library defaults") {
+    assert(GraftConfig.load("/nonexistent/config.yaml") == GraftConfig.default)
+  }
+
+  test("SparkEntry runs on defaults that match the oracle constants") {
+    val c = SparkEntry.cfg
+    assert(c.batchSize == 100)        // k1 oracle: // 100
+    assert(c.sessionGapMinutes == 30) // a12 oracle: 30*60000000
+    assert(c.windowMinutes == 5)      // a7 oracle: INTERVAL '5 minutes'
+    assert(c.minJaccardX10000 == 5000L && c.minEstJaccardX100 == 50L)
+    assert(c.minCosX1000000 == 900000L)
+  }
+}

@@ -157,6 +157,64 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L)._1.isEmpty && got(3L)._2.contains("permanent"))
   }
 
+  test("approx_count_distinct tracks the exact distinct count within 5% per language") {
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("lang").agg(countDistinct(col("tok")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = toks.groupBy("lang").agg(approx_count_distinct(col("tok")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, n) =>
+      val a = approx(lang)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"lang $lang: approx $a vs exact $n exceeds 5%")
+    }
+  }
+
+  test("banded embedding near-dup equals the all-pairs result on the planted corpus") {
+    // pins banding recall directly: a future miss fails HERE (attributable
+    // to candidate generation) instead of as an opaque oracle hash mismatch
+    val emb = Dedup.withNearCopies(Tables.embeddings(spark, sfDir))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val banded = asSet(Dedup.embeddingNearDupPairsBanded(emb, 900000L))
+    val allPairs = asSet(Dedup.embeddingNearDupPairs(emb, 900000L))
+    assert(banded == allPairs)
+    assert(banded.nonEmpty) // the planted copies must actually qualify
+  }
+
+  test("withNearCopies precondition: base ids stay below the planted-id offset") {
+    val maxId = Tables.embeddings(spark, sfDir)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    assert(maxId < 1000000L,
+      s"max base vec_id $maxId collides with the planted-id offset")
+  }
+
+  test("all-pairs embedding dedup refuses a low threshold without the explicit opt-in") {
+    val emb = Seq((1L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairs(emb, 400000L)
+    }
+    Dedup.embeddingNearDupPairs(emb, 400000L, allowQuadratic = true) // accepted
+  }
+
+  test("deterministic ivf ranks by exact cosine; probing every cell equals brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    Similarity.ivfTopKDet(emb, 5, 5).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(key) && bf(key) == r.getLong(3))
+    }
+    val top5 = Similarity.bruteForceTopK(emb, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val detAll = Similarity.ivfTopKDet(emb, 5, 5, planes = 4, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(detAll == top5)
+  }
+
   test("ivf candidates rank identically to brute force; probing more cells helps recall") {
     val emb = Tables.embeddings(spark, sfDir)
     val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()

@@ -14,5 +14,5 @@ done
 MAIN="$1"; shift
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*" \
+  -cp "target/scala-2.13/classes:target/scala-2.13/test-classes:src/main/resources:/opt/spark/jars/*" \
   "$MAIN" "$@"
