@@ -68,15 +68,27 @@ object Similarity {
     * cost of a training pass. Centroids are tiny (nCells × dim) and ride
     * along broadcast; the candidate join is an equi-join on `cell`.
     * Not oracle-checkable (k-means isn't reproducible in DuckDB) — covered
-    * by the rows-only driver check + the cosine-consistency spec. */
+    * by the rows-only driver check + the cosine-consistency spec.
+    *
+    * `trainFraction` is the scale lever for the training pass: k-means
+    * iterates over its input, so at 100 TB you fit on a deterministic
+    * sample (centroid quality needs only a representative sample, and cell
+    * ASSIGNMENT still covers every vector) — the standard IVF practice of
+    * training the quantizer on a corpus subset. */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4,
+              trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction $trainFraction must be in (0, 1]")
     val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
       .withColumn("features", array_to_vector(col("vn")))
+    val trainSet =
+      if (trainFraction < 1.0) e.sample(withReplacement = false, trainFraction, seed = 42L)
+      else e
     val model = new KMeans().setK(nCells).setSeed(42L)
-      .setFeaturesCol("features").fit(e)
+      .setFeaturesCol("features").fit(trainSet)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("vn"), col("prediction").as("cell"))
     val spark = emb.sparkSession

@@ -231,4 +231,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     // probing every cell = exhaustive search = exact top-5
     assert(ivfAll == top5)
   }
+
+  test("ivf trained on a sample still ranks candidates by exact cosine") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // quantizer quality changes with the sample; candidate cosines must not
+    val sampled = Similarity.ivfTopK(emb, 5, 5, trainFraction = 0.5).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(key) && bf(key) == r.getLong(3))
+    }
+  }
 }
