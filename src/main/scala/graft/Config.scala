@@ -56,9 +56,21 @@ object GraftConfig {
     var section = ""
     val out = Map.newBuilder[String, String]
     lines.foreach { raw =>
+      // strip from the first '#' that sits OUTSIDE double quotes — a quoted
+      // value followed by a trailing comment must not keep the comment
       val noComment = {
-        val i = raw.indexOf('#')
-        if (i >= 0 && !raw.take(i).exists(_ == '"')) raw.take(i) else raw
+        var inQuote = false
+        var cut = -1
+        var i = 0
+        while (cut < 0 && i < raw.length) {
+          raw.charAt(i) match {
+            case '"' => inQuote = !inQuote
+            case '#' if !inQuote => cut = i
+            case _ => ()
+          }
+          i += 1
+        }
+        if (cut >= 0) raw.take(cut) else raw
       }
       val line = noComment.replaceAll("\\s+$", "")
       if (line.nonEmpty) {

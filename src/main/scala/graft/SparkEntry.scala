@@ -19,9 +19,11 @@ import graft.operators.Summaries.{exactSum, fx}
 object SparkEntry {
 
   /** Engine tunables; every threshold/size below comes from here, so a
-    * deployment can swap `GraftConfig.load(path)` without touching queries.
-    * Defaults equal the constants the DuckDB oracles are written against. */
-  val cfg: GraftConfig = GraftConfig.default
+    * deployment retunes via a config file (`GRAFT_CONFIG=/path/to.yaml`)
+    * without recompiling. Defaults (no file) equal the constants the DuckDB
+    * oracles are written against. */
+  val cfg: GraftConfig =
+    sys.env.get("GRAFT_CONFIG").map(GraftConfig.load).getOrElse(GraftConfig.default)
 
   /** Flagship query on sf=0.001 — the reference's E2 pipeline shape
     * (scan → validate → clean → derive metadata → per-source summary). */

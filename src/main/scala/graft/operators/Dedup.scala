@@ -269,7 +269,7 @@ object Dedup {
     *
     * Precondition: every base `vec_id` must be < `idOffset`, else planted
     * ids collide with base ids and pair identification silently corrupts on
-    * BOTH engines (DedupSpec asserts this on the test corpus). */
+    * BOTH engines (OperatorsSpec asserts this on the test corpus). */
   def withNearCopies(emb: DataFrame, idOffset: Long = 1000000L,
                      dim: Int = 64): DataFrame = {
     val base = emb.select(col("vec_id"),

@@ -84,9 +84,14 @@ object Similarity {
       s"trainFraction $trainFraction must be in (0, 1]")
     val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
       .withColumn("features", array_to_vector(col("vn")))
+    // an over-aggressive fraction on a small corpus can undershoot nCells
+    // and fail k-means with an opaque MLlib error — fall back to the full
+    // corpus (the count is trivial next to the training passes it precedes)
     val trainSet =
-      if (trainFraction < 1.0) e.sample(withReplacement = false, trainFraction, seed = 42L)
-      else e
+      if (trainFraction < 1.0) {
+        val sampled = e.sample(withReplacement = false, trainFraction, seed = 42L)
+        if (sampled.count() >= nCells) sampled else e
+      } else e
     val model = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("features").fit(trainSet)
     val assigned = model.transform(e)

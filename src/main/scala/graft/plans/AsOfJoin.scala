@@ -88,14 +88,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { lRow =>
         val lKeyRow = lKeyProj(lRow)
         val lTimeRow = lTimeProj(lRow)
-        // advance the right side while its (key, time) is ≤ (lKey, lTime)
+        val lTimeNull = lTimeRow.isNullAt(0)
+        // advance the right side while its (key, time) is ≤ (lKey, lTime).
+        // SQL comparison semantics for NULL times: `rt <= lt` is UNKNOWN, so
+        // a NULL-time right row is consumed but never held, and a NULL-time
+        // left row holds nothing (it sorts first in its key group under the
+        // nulls-first child ordering, so not advancing on it is safe)
         var advancing = true
         while (advancing && rHead != null) {
           val kc = keyOrd.compare(rKeyProj(rHead), lKeyRow)
-          if (kc < 0 ||
-              (kc == 0 && timeOrd.compare(rTimeProj(rHead), lTimeRow) <= 0)) {
-            if (kc == 0) heldRow = rHead
+          if (kc < 0) {
             rHead = if (rIter.hasNext) rIter.next().copy() else null
+          } else if (kc == 0) {
+            val rTimeRow = rTimeProj(rHead)
+            if (rTimeRow.isNullAt(0)) {
+              rHead = if (rIter.hasNext) rIter.next().copy() else null
+            } else if (!lTimeNull && timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
+              heldRow = rHead
+              rHead = if (rIter.hasNext) rIter.next().copy() else null
+            } else advancing = false
           } else advancing = false
         }
         // re-project the held row's key (its projection buffer was reused

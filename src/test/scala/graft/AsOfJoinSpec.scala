@@ -46,6 +46,24 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in plan:\n$plan")
   }
 
+  test("NULL times never match: null-time right rows are skipped, null-time left rows join nothing") {
+    // SQL semantics: `rt <= lt` is UNKNOWN when either side is NULL
+    val l = Seq((1L, Some(50L)), (1L, None.asInstanceOf[Option[Long]]), (2L, Some(10L)))
+      .toDF("k", "t")
+    val r = Seq((1L, None.asInstanceOf[Option[Long]], "nul"), (1L, Some(40L), "a"),
+      (2L, None.asInstanceOf[Option[Long]], "nul2"))
+      .toDF("rk", "rt", "v")
+    val got = AsOfJoin.asofJoin(spark, l, r, "k", "rk", "t", "rt")
+      .select("k", "t", "v").collect()
+      .map(x => ((if (x.isNullAt(0)) -1L else x.getLong(0)),
+        (if (x.isNullAt(1)) -1L else x.getLong(1)),
+        (if (x.isNullAt(2)) null else x.getString(2))))
+      .toSet
+    // (1, 50) matches the t=40 row, NOT the null-time row; (1, null) and
+    // (2, 10) (whose only candidate has a null time) stay unmatched
+    assert(got == Set((1L, 50L, "a"), (1L, -1L, null), (2L, 10L, null)))
+  }
+
   test("as-of join emits nulls when no right row precedes") {
     val l = Seq((1L, 100L), (1L, 50L), (2L, 10L)).toDF("k", "t")
     val r = Seq((1L, 60L, "a"), (1L, 90L, "b"), (3L, 5L, "c"))

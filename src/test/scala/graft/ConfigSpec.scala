@@ -31,6 +31,18 @@ class ConfigSpec extends AnyFunSuite {
     assert(!m.contains("# engine tunables"))
   }
 
+  test("a trailing comment after a quoted value is stripped; '#' inside quotes is kept") {
+    val m = GraftConfig.parseFlatYaml(Seq(
+      "naming:",
+      "  file_pattern: \"batch_%03d.json\" # per-article files",
+      "  sep: \"#\" # a literal hash value",
+      "processing:",
+      "  batch_size: \"100\" # quoted numeric"))
+    assert(m("naming.file_pattern") == "batch_%03d.json")
+    assert(m("naming.sep") == "#")
+    assert(GraftConfig.fromMap(m).batchSize == 100)
+  }
+
   test("dot-path get falls back to the default for missing keys") {
     val m = GraftConfig.parseFlatYaml(sample)
     assert(GraftConfig.get(m, "api.max_retries", "3") == "5")
