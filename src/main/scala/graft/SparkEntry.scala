@@ -289,6 +289,19 @@ object SparkEntry {
         cfg.minCosX1000000, cfg.lshPlanes, cfg.lshTables, cfg.embeddingDim)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // connected components over the banded near-dup pairs: the transitive
+    // closure that turns pairwise matches into per-cluster canonical ids —
+    // the keep/drop decision of a dedup pipeline. Oracle: recursive-CTE
+    // min-reachable-id over the same (all-pairs) pair list.
+    "dedup_clusters" -> ((s, d) =>
+      operators.Dedup.dedupClusters(
+        operators.Dedup.embeddingNearDupPairsBanded(
+          operators.Dedup.withNearCopies(Tables.embeddings(s, d)),
+          cfg.minCosX1000000, cfg.lshPlanes, cfg.lshTables, cfg.embeddingDim),
+        "vec_a", "vec_b")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
+
     // ---- similarity search (brute-force baseline + LSH scale path) ----
     "ann_topk" -> ((s, d) =>
       operators.Similarity.bruteForceTopK(Tables.embeddings(s, d), cfg.annQueries, cfg.annK)
@@ -695,6 +708,27 @@ object SparkEntry {
           |    CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
           |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
           |WHERE cos_x1000000 >= 900000 ORDER BY vec_a, vec_b""".stripMargin,
+
+      "dedup_clusters" ->
+        """WITH RECURSIVE
+          |b0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |u0 AS (SELECT vec_id, v FROM b0
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id, list_concat([v[1]*(1.05::DOUBLE)], v[2:]) AS v FROM b0),
+          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u0),
+          |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1),
+          |pr AS (SELECT vec_a, vec_b FROM (
+          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |      CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+          |    FROM en a JOIN en b ON a.vec_id < b.vec_id)
+          |  WHERE cos_x1000000 >= 900000),
+          |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr UNION SELECT vec_b, vec_a FROM pr),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+          |SELECT id AS vec_id, min(r) AS canonical_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
       "ann_topk" ->
         s"""WITH $unitVecCte,

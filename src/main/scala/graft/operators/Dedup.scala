@@ -260,6 +260,51 @@ object Dedup {
       .distinct() // a pair may collide in several tables — emit it once
   }
 
+  /** Connected components over a near-dup pair list — the step after pair
+    * generation in every dedup pipeline: pairs only relate docs two at a
+    * time, but the KEEP/DROP decision needs the transitive closure (a~b,
+    * b~c ⇒ one cluster {a,b,c} with one canonical survivor).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * label among itself and its neighbors; converged when no label changes.
+    * Rounds = graph diameter — near-dup components are tiny (pairs/chains),
+    * so 2–3 rounds in practice; `maxIters` bounds pathological chains. Each
+    * round is one equi-join + one map-side-combinable min aggregation, and
+    * `localCheckpoint` cuts the growing lineage (the standard Spark
+    * iterative-algorithm shape, same as MLlib). At 100 TB diameter-bound
+    * propagation still holds for near-dup graphs; for adversarial diameters
+    * the upgrade path is the large-star/small-star decomposition, which
+    * keeps this exact per-round join shape.
+    *
+    * Output: (id, canonical_id) for every node that appears in a pair —
+    * singletons are implicitly their own canonical. Matches a DuckDB
+    * recursive-CTE min-reachable-id oracle exactly (both compute the same
+    * fixpoint). */
+  def dedupClusters(pairs: DataFrame, aCol: String = "doc_a",
+                    bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round: compute the pair query once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.where(col("label") =!= col("old_label")).isEmpty
+      labels = updated.select(col("id"), col("label"))
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
   /** Test-corpus builder for the near-dup regime: the synthetic embeddings
     * have no high-cosine pairs (max ≈ 0.6), so near-dup demos plant one
     * deterministic near-copy per vector — component 1 scaled ×1.05 after

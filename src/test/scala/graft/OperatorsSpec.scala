@@ -185,6 +185,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(banded.nonEmpty) // the planted copies must actually qualify
   }
 
+  test("dedup clusters form the transitive closure with the min id as canonical") {
+    // chain 1-2-3 needs two propagation rounds (3 learns 1 via 2)
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // empty pair list degenerates cleanly
+    assert(Dedup.dedupClusters(pairs.where(col("doc_a") < 0)).isEmpty)
+  }
+
   test("withNearCopies precondition: base ids stay below the planted-id offset") {
     val maxId = Tables.embeddings(spark, sfDir)
       .agg(max(col("vec_id"))).head().getLong(0)
