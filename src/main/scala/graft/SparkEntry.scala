@@ -341,6 +341,25 @@ object SparkEntry {
       operators.TextAnalysis.fingerprints(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // per-doc top-5 salient terms, integer-exact TF-IDF (no log, so the
+    // idf factor is bit-identical cross-engine)
+    "ta_keywords" -> ((s, d) =>
+      operators.TextAnalysis.keywords(Tables.documents(s, d), 5)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // PII scrub pass over text with deterministically planted PII (the
+    // synthetic corpus has none — the planting makes the oracle
+    // non-vacuous, same pattern as u1's constructed wikitext)
+    "ta_pii" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or https://site"), col("doc_id").cast("string"),
+        lit(".example/p?q=1 tel +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      operators.TextAnalysis.piiScan(Tables.documents(s, d), planted)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing (binary payload + typed metadata + stub decode) ----
     "mm_media_features" -> ((s, d) =>
       operators.Multimodal.mediaFeaturesSql(Tables.documents(s, d))
@@ -853,6 +872,37 @@ object SparkEntry {
            |  CASE WHEN len(shs) > 0
            |    THEN list_max(list_transform(shs, sg -> ${poly("sg")})) ELSE -1 END AS max_shingle_hash
            |FROM s ORDER BY doc_id""".stripMargin,
+
+      "ta_keywords" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+           |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+           |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+           |sc AS (SELECT doc_id, term, tf,
+           |    tf * CAST(floor((1000000.0::DOUBLE) * n_docs / df) AS BIGINT) AS score
+           |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+           |r AS (SELECT doc_id, term, score,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           |  FROM sc)
+           |SELECT doc_id, term, rank::BIGINT AS rank, score
+           |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+      "ta_pii" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val url = "https?://[^ ]+"
+        val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4,}"
+        s"""WITH p AS (SELECT doc_id,
+           |  text || ' contact user' || doc_id || '@example.com or https://site' || doc_id ||
+           |    '.example/p?q=1 tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS ptext
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(ptext, '$email'))::BIGINT AS email_cnt,
+           |  len(regexp_extract_all(ptext, '$url'))::BIGINT AS url_cnt,
+           |  len(regexp_extract_all(ptext, '$phone'))::BIGINT AS phone_cnt,
+           |  regexp_replace(regexp_replace(regexp_replace(ptext,
+           |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+           |FROM p ORDER BY doc_id""".stripMargin
+      },
 
       "mm_media_features" ->
         """SELECT doc_id AS media_id,

@@ -87,6 +87,62 @@ object TextAnalysis {
         .cast("long").as("bpe_tokens"),
       length(col("text")).cast("long").as("chars"))
 
+  /** Per-document top-k salient terms by integer-exact TF-IDF:
+    * `score = tf · floor(1e6 · nDocs / df)` — the idf factor is a
+    * fixed-point integer (no `log`, whose libm rounding differs across
+    * engines), so scores and ranks are bit-identical cross-engine while
+    * preserving the tf-idf ordering semantics (rarer term ⇒ larger factor).
+    *
+    * Plan shape: explode → two hash aggregations (tf per (doc, term), df
+    * per term) → equi-join on term → per-doc window top-k. The corpus size
+    * rides along as a broadcast one-row aggregate (no driver action). df is
+    * the classic skew point at 100 TB (every doc shares stopwords) — the
+    * aggregation is map-side combined, and a df cap (drop terms in >X% of
+    * docs, i.e. stopwords) is the standard pruning when the term join
+    * itself skews. */
+  def keywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * floor(lit(1000000.0) * col("n_docs") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank").cast("long").as("rank"),
+        col("score"))
+  }
+
+  // PII patterns — RE2-safe (no backreferences or lookarounds), identical
+  // semantics under Java regex (Spark) and RE2 (DuckDB). The URL class is
+  // an explicit `[^ ]` rather than `\s` (whose char sets differ between the
+  // two engines at the margins).
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^ ]+"
+  val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4,}"
+
+  /** PII detection + redaction over a text column — the scrub pass every
+    * training-data pipeline runs before publishing a corpus: per-doc match
+    * counts for emails / URLs / phone numbers, plus the redacted text with
+    * typed placeholders. Map-only, codegen'd regex — the same posture as
+    * [[quality]]. */
+  def piiScan(docs: DataFrame, text: Column): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(text, lit(emailRe)).cast("long").as("email_cnt"),
+      regexp_count(text, lit(urlRe)).cast("long").as("url_cnt"),
+      regexp_count(text, lit(phoneRe)).cast("long").as("phone_cnt"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+          lit(urlRe), lit("<URL>")),
+        lit(phoneRe), lit("<PHONE>")).as("redacted"))
+
   /** Document fingerprints: rolling token-sequence hash (order-sensitive),
     * plus min/max 3-gram shingle hashes (winnowing-style content anchors —
     * stable under small edits). */

@@ -64,6 +64,26 @@ object Streams {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"))
 
+  /** Streaming exact dedup — the incremental form of the batch dedup suite:
+    * re-deliveries of the same normalized content (re-crawls, source
+    * overlap, replayed files) are dropped as they arrive. Keyed on
+    * `xxhash64(normalized text)` — a 64-bit state key instead of the full
+    * string, the same exchange-shrinking trade as the batch path.
+    *
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by the event
+    * time horizon: a duplicate arriving within `watermark` of the original
+    * is dropped, older state is evicted. The unbounded-state
+    * `dropDuplicates` variant is exact forever but its state grows with the
+    * corpus — at 100 TB the horizoned form is the only sustainable one, and
+    * a periodic batch `exactDuplicates` pass catches cross-horizon dupes. */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("content_hash", xxhash64(normalizeWhitespace(col("text"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Checkpointed ingest: stream → validate → partitioned JSON batches via
     * foreachBatch (micro-batch id = the reference's batch number). Restart
     * with the same checkpoint dir resumes from the offset log — the

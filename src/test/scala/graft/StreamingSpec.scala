@@ -64,6 +64,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.json(outDir).count() == afterFirst + 7)
   }
 
+  test("streaming dedup drops in-horizon re-deliveries; equals batch distinct") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "2024-01-01 10:00:00"),
+      (2L, "  alpha   beta\tgamma ", "2024-01-01 10:01:00"), // ws-variant dupe
+      (3L, "other text", "2024-01-01 10:02:00"),
+      (4L, "alpha beta gamma", "2024-01-01 10:03:00"),       // exact dupe
+      (5L, "third body", "2024-01-01 10:04:00")
+    ).toDF("doc_id", "text", "ts")
+    val srcDir = tmp("dedup-src")
+    docs.write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.fileSource(spark, srcDir, docs.schema, maxFilesPerTrigger = 1)
+    val q = Streams.dedupStream(stream)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_stream")
+    // one survivor per distinct normalized content, same as the batch form
+    assert(got.count() == 3)
+    assert(got.select("content_hash").distinct().count() == 3)
+    val batchHashes = docs
+      .select(xxhash64(graft.functions.TextFunctions.normalizeWhitespace(col("text"))))
+      .distinct().as[Long].collect().toSet
+    assert(got.select("content_hash").as[Long].collect().toSet == batchHashes)
+  }
+
   test("dead-letter split quarantines invalid rows with a reason") {
     val docs = Seq(
       (1L, "good content", "en", "src0", 12L),
