@@ -88,6 +88,20 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("valid_docs"))
         .orderBy(col("source"))),
 
+    // F6 — empty-revisions predicate (reference drops pages with no
+    // revisions, `src/mediawiki_client.py:143-145`). The documents table has
+    // no revisions column, so one is constructed deterministically (doc_id
+    // % 3 revisions per page — the u1 planting pattern): pages whose array
+    // is empty are filtered out, survivors report their revision count.
+    "f6_empty_revisions" -> ((s, d) => {
+      val revs = slice(tokens(col("text")), lit(1), (col("doc_id") % 3).cast("int"))
+      Tables.documents(s, d)
+        .withColumn("revisions", revs)
+        .where(size(col("revisions")) > 0)
+        .select(col("doc_id"), size(col("revisions")).cast("long").as("n_revisions"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- joins / dedup-shaped set ops (J1-J3) ----
     // customers with no large order — the queue's "not yet processed" anti-join
     "j1_antijoin_dedup" -> ((s, d) =>
@@ -459,6 +473,12 @@ object SparkEntry {
 
       "f1_validate" ->
         s"SELECT source, count(*)::BIGINT AS valid_docs FROM documents WHERE $validWhere GROUP BY source ORDER BY source",
+
+      "f6_empty_revisions" ->
+        s"""SELECT doc_id, len(list_slice($toks, 1, (doc_id % 3)::INT))::BIGINT AS n_revisions
+           |FROM documents
+           |WHERE len(list_slice($toks, 1, (doc_id % 3)::INT)) > 0
+           |ORDER BY doc_id""".stripMargin,
 
       "j1_antijoin_dedup" ->
         """SELECT c_custkey, c_name FROM customer c
