@@ -33,27 +33,39 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     // (succeeded timings, failed names) — a failed query's partial elapsed
     // time is NOT recorded, so totals and scaling slopes only ever compare
-    // fully-run queries
+    // fully-run queries.
+    // Each scale point gets a FRESH session: a 50-query suite accumulates
+    // generated classes, broadcast blocks, and listener state that only a
+    // stopped context + full GC release — measured in-session drift of 2×
+    // on random queries otherwise (the second scale point inherited all of
+    // the first's garbage).
     def runSuite(dir: String): (Map[String, Double], List[String]) = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
       // warmup: touch every table once so per-query timings measure the
       // operators, not file-listing / reader / codegen session init
       Tables.names.foreach { n =>
         try Tables.load(spark, dir, n).count() catch { case _: Throwable => () }
       }
       var failed = List.empty[String]
+      var sinceGc = 0
       // sorted name order: queries is a HashMap, so adding one entry would
       // otherwise reshuffle the whole suite's execution (and JIT-warmup)
       // order and make per-query timings incomparable across rounds
       val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        // a full GC every few queries lets the ContextCleaner reap
+        // broadcasts and the JVM unload dead generated classes — with a
+        // large heap no GC happens naturally and both pile up (outside the
+        // timed window; costs ~0.1 s each)
+        sinceGc += 1
+        if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
         val t0 = System.nanoTime()
         // toRdd forces the full physical plan (projections, sorts) — a bare
         // count() would let Catalyst prune the very operators being measured
@@ -62,6 +74,10 @@ object Bench {
           Some(name -> (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => failed ::= name; None }
       }.toMap
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
       (results, failed)
     }
 
@@ -94,6 +110,5 @@ object Bench {
     try Files.writeString(Paths.get(outFile), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: $e") }
     println(stdoutLine)
-    spark.stop()
   }
 }
