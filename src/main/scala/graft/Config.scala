@@ -41,7 +41,11 @@ case class GraftConfig(
     minCosX1000000: Long = 900000L,
     // similarity search
     annQueries: Int = 10,
-    annK: Int = 5)
+    annK: Int = 5,
+    // corpus mixing / packing
+    splitTrainPct: Int = 80,
+    splitValPct: Int = 90,
+    packTokenBudget: Int = 512)
 
 object GraftConfig {
 
@@ -120,7 +124,10 @@ object GraftConfig {
       embeddingDim = i("embedding.dim", d.embeddingDim),
       minCosX1000000 = l("embedding.min_cos_x1000000", d.minCosX1000000),
       annQueries = i("ann.queries", d.annQueries),
-      annK = i("ann.k", d.annK))
+      annK = i("ann.k", d.annK),
+      splitTrainPct = i("mix.train_pct", d.splitTrainPct),
+      splitValPct = i("mix.val_pct", d.splitValPct),
+      packTokenBudget = i("mix.pack_token_budget", d.packTokenBudget))
   }
 
   /** Load from a file path (missing file → defaults, mirroring the

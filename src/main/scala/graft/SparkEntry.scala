@@ -379,6 +379,26 @@ object SparkEntry {
       operators.Multimodal.mediaFeaturesSql(Tables.documents(s, d))
         .orderBy(col("media_id"))),
 
+    // ---- corpus assembly: split / mixture reweighting / packing ----
+    // all RNG-free (portable hash of the doc id), so assignment is stable
+    // across runs, engines, and partitionings — the reproducibility a
+    // 100 TB split needs (seeded rand() is not repartition-stable)
+    "mix_split" -> ((s, d) =>
+      operators.Mixing.withSplit(Tables.documents(s, d),
+          trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
+        .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))),
+
+    "mix_sample" -> ((s, d) =>
+      operators.Mixing.sampleBySource(Tables.documents(s, d),
+          Map("src0" -> 100, "src1" -> 25), defaultPct = 50)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))),
+
+    "pack_sequences" -> ((s, d) =>
+      operators.Mixing.packSequences(Tables.documents(s, d), cfg.packTokenBudget)
+        .orderBy(col("source"), col("seq_no"))),
+
     // ---- flagship end-to-end pipeline (E1/E2 shape) ----
     "e2e_pipeline" -> ((s, d) =>
       ArticleOps.withMetadata(ArticleOps.validated(Tables.documents(s, d)))
@@ -934,6 +954,29 @@ object SparkEntry {
           |  CAST(64 + (octet_length(encode(text))::BIGINT * 7) % 416 AS INT) AS height,
           |  CAST(1 + octet_length(encode(text))::BIGINT % 24 AS INT) AS n_frames
           |FROM documents ORDER BY media_id""".stripMargin,
+
+      "mix_split" ->
+        s"""SELECT source,
+           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           |  count(*)::BIGINT AS n
+           |FROM (SELECT source, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents)
+           |GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+      "mix_sample" ->
+        s"""SELECT source, count(*)::BIGINT AS n_kept
+           |FROM (SELECT source, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents)
+           |WHERE b < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 25 ELSE 50 END
+           |GROUP BY source ORDER BY source""".stripMargin,
+
+      "pack_sequences" ->
+        s"""WITH t AS (SELECT source, doc_id, ($wordCnt)::BIGINT AS tok_cnt FROM documents),
+           |c AS (SELECT source, doc_id, tok_cnt,
+           |    sum(tok_cnt) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
+           |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
+           |FROM c GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
 
       "e2e_pipeline" ->
         s"""SELECT source, count(*)::BIGINT AS doc_count,

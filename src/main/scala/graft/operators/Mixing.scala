@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Corpus mixing, splitting, and sequence packing — the assembly steps of a
+  * training-data pipeline once cleaning/dedup are done: carve reproducible
+  * train/val/test splits, reweight sources to a target mixture, and pack
+  * documents into fixed token budgets for training sequences.
+  *
+  * Everything is RNG-free: assignment comes from the portable
+  * char-polynomial hash of the doc id, so it is stable across runs, engines
+  * (the DuckDB oracles run the same arithmetic), partitionings, and
+  * cluster sizes — the property that makes a split reproducible at 100 TB
+  * (seeded `rand()` is none of those things across re-partitions).
+  */
+object Mixing {
+
+  /** Stable bucket in [0, 100) for a doc id: portable hash of
+    * `"split:" + id` — the salt decorrelates this hash from any other use
+    * of the id hash. Map-only, codegen'd. */
+  def hashBucket(id: Column): Column =
+    charPolyHash(concat(lit("split:"), id.cast("string"))) % 100
+
+  /** Train/val/test assignment by hash bucket: `< trainPct` → train,
+    * `< valPct` → val, else test. */
+  def withSplit(docs: DataFrame, idCol: String = "doc_id",
+                trainPct: Int = 80, valPct: Int = 90): DataFrame = {
+    require(0 < trainPct && trainPct <= valPct && valPct <= 100,
+      s"need 0 < trainPct ($trainPct) <= valPct ($valPct) <= 100")
+    val b = hashBucket(col(idCol))
+    docs.withColumn("split",
+      when(b < trainPct, "train").when(b < valPct, "val").otherwise("test"))
+  }
+
+  /** Deterministic per-source downsampling to a target mixture: keep a doc
+    * iff its hash bucket < the source's percentage quota. The reweighting
+    * primitive of corpus mixing (e.g. downweight a crawl, keep all of a
+    * curated source) — a doc's fate never depends on which executor saw it. */
+  def sampleBySource(docs: DataFrame, quotaPct: Map[String, Int],
+                     defaultPct: Int = 100, idCol: String = "doc_id"): DataFrame = {
+    require((quotaPct.values ++ Seq(defaultPct)).forall(q => q >= 0 && q <= 100),
+      "quotas are percentages in [0, 100]")
+    val quota = quotaPct.foldLeft(lit(defaultPct)) { case (acc, (src, q)) =>
+      when(col("source") === src, lit(q)).otherwise(acc)
+    }
+    docs.where(hashBucket(col(idCol)) < quota)
+  }
+
+  /** Contiguous greedy sequence packing: within each source (docs ordered
+    * by id), a doc joins the sequence its running token prefix falls in —
+    * `seq_no = floor(tokens-before-this-doc / budget)`. A doc larger than
+    * the budget gets a sequence of its own. One window per source — the
+    * packing parallelizes across sources; a single giant source would be
+    * range-partitioned into blocks first (same greedy rule per block).
+    * Output: one row per (source, seq_no) with doc/token totals. */
+  def packSequences(docs: DataFrame, tokenBudget: Int): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"),
+        wordCount(col("text")).cast("long").as("tok_cnt"))
+      .withColumn("seq_no",
+        floor((sum(col("tok_cnt")).over(w) - col("tok_cnt")) / tokenBudget))
+      .groupBy(col("source"), col("seq_no"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("seq_tokens"))
+  }
+}

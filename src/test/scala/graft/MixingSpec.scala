@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Mixing
+
+/** Corpus assembly operators: hash-stable splits, mixture downsampling,
+  * and greedy contiguous sequence packing. */
+class MixingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("split partitions the corpus completely and is repartition-stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val split = Mixing.withSplit(docs)
+    val bySplit = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == docs.count())
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L)) // 80/10/10-ish
+    // stability: the same doc lands in the same split under any partitioning
+    val a = split.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Mixing.withSplit(docs.repartition(7)).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("sampleBySource keeps a deterministic per-source subset honoring quotas") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Mixing.sampleBySource(docs, Map("src0" -> 100, "src1" -> 0), defaultPct = 50)
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("src0", 0L) == totals("src0")) // 100% quota keeps all
+    assert(!bySrc.contains("src1"))                        // 0% quota drops all
+    // deterministic: run twice, identical kept set
+    val ids1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Mixing.sampleBySource(docs, Map("src0" -> 100, "src1" -> 0), 50)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("packSequences matches a sequential greedy reference per source") {
+    val budget = 50
+    val docs = Seq(
+      (1L, "a " * 10), (2L, "b " * 30), (3L, "c " * 30),  // 10+30 | 30
+      (4L, "d " * 120),                                    // oversized: own seq
+      (5L, "e " * 5)
+    ).map { case (id, t) => (id, t.trim, "srcX") }.toDF("doc_id", "text", "source")
+    val got = operators.Mixing.packSequences(docs, budget)
+      .orderBy("seq_no").as[(String, Long, Long, Long)].collect().toSeq
+    // reference loop: running prefix / budget
+    // doc tokens: 10, 30, 30, 120, 5; prefixes before: 0, 10, 40, 70, 190
+    // seq_no = prefix/50: 0, 0, 0, 1, 3
+    assert(got == Seq(
+      ("srcX", 0L, 3L, 70L),   // docs 1-3 (the 3rd starts at 40 < 50)
+      ("srcX", 1L, 1L, 120L),  // oversized doc alone
+      ("srcX", 3L, 1L, 5L)))   // next doc lands past the oversized span
+  }
+}
