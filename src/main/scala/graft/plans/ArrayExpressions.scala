@@ -272,7 +272,25 @@ object ArrayExpressions {
   * Wire with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case x if x.foldable => x.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_plane_buckets"),
+      new ExpressionInfo(classOf[MultiPlaneBucketsExpr].getName, "graft_plane_buckets"),
+      (exprs: Seq[Expression]) => MultiPlaneBucketsExpr(exprs.head,
+        intLit(exprs(1), "graft_plane_buckets", "planes"),
+        intLit(exprs(2), "graft_plane_buckets", "tables"),
+        intLit(exprs(3), "graft_plane_buckets", "dim"))))
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
@@ -288,18 +306,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
-      (exprs: Seq[Expression]) => {
-        val k = exprs(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"graft_minhash: k must be an integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "graft_minhash: k must be an integer literal")
-        }
-        MinHashAgg(exprs.head, k)
-      }))
+      (exprs: Seq[Expression]) =>
+        MinHashAgg(exprs.head, intLit(exprs(1), "graft_minhash", "k"))))
   }
 }

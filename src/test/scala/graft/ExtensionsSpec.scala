@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface registered by `graft.plans.GraftExtensions`
+  * (`spark.sql.extensions`): every injected function must be callable from
+  * plain SQL and agree with its Column-API twin. */
+class ExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("graft_dot and graft_hash are callable from SQL and match the Column API") {
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+      .head().getDouble(0)
+    assert(dot == 32.0)
+    val h = spark.sql("SELECT graft_hash('alpha beta')").head().getLong(0)
+    val hCol = {
+      import org.apache.spark.sql.functions._
+      spark.range(1).select(
+        graft.plans.ArrayExpressions.charPolyHash(lit("alpha beta"))).head().getLong(0)
+    }
+    assert(h == hCol)
+  }
+
+  test("graft_plane_buckets from SQL equals the Column API and rejects non-literal shape args") {
+    import org.apache.spark.sql.functions._
+    val sqlBks = spark.sql(
+      "SELECT graft_plane_buckets(array(0.5D, -0.25D, 1.0D, 0.125D), 4, 2, 4)")
+      .head().getSeq[Long](0)
+    val colBks = spark.range(1)
+      .select(graft.plans.ArrayExpressions.planeBuckets(
+        array(lit(0.5), lit(-0.25), lit(1.0), lit(0.125)), 4, 2, 4))
+      .head().getSeq[Long](0)
+    assert(sqlBks == colBks && sqlBks.length == 2)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_plane_buckets(array(1.0D), id + 1, 2, 4) FROM range(1)")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
+  test("graft_simhash and graft_minhash aggregates run from SQL") {
+    import spark.implicits._
+    Seq((1L, 5L, 3L), (1L, 9L, 1L)).toDF("id", "h", "cnt")
+      .createOrReplaceTempView("ext_toks")
+    val sim = spark.sql(
+      "SELECT graft_simhash(h, cnt) FROM ext_toks GROUP BY id").head().getLong(0)
+    assert(sim >= 0L)
+    val mh = spark.sql(
+      "SELECT graft_minhash(h, 4) FROM ext_toks GROUP BY id")
+      .head().getSeq[Long](0)
+    assert(mh.length == 4)
+  }
+}

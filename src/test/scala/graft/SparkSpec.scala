@@ -12,6 +12,9 @@ trait SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the whole test suite runs with the library's SessionExtensions
+      // installed — ExtensionsSpec exercises the SQL-registered functions
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
