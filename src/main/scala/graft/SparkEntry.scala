@@ -258,6 +258,13 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // A14 — bounded range join (attribution window): clicks within the
+    // trailing 5 minutes of each purchase. Bucketed equi-join form — a
+    // naive inequality join would plan as a per-key cartesian.
+    "a14_range_join" -> ((s, d) =>
+      Relational.purchaseClickWindow(s, d, cfg.windowMinutes)
+        .orderBy(col("event_id"))),
+
     // ---- sink layout (K1/K2) ----
     "k1_batch_layout" -> ((s, d) =>
       ArticleOps.batchLayout(
@@ -309,6 +316,17 @@ object SparkEntry {
     // min-reachable-id over the same (all-pairs) pair list.
     "dedup_clusters" -> ((s, d) =>
       operators.Dedup.dedupClusters(
+        operators.Dedup.embeddingNearDupPairsBanded(
+          operators.Dedup.withNearCopies(Tables.embeddings(s, d)),
+          cfg.minCosX1000000, cfg.lshPlanes, cfg.lshTables, cfg.embeddingDim),
+        "vec_a", "vec_b")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))),
+
+    // same clustering contract via the O(log)-round large-star/small-star
+    // decomposition — the variant that survives long chains at scale
+    "dedup_clusters_star" -> ((s, d) =>
+      operators.Dedup.dedupClustersStar(
         operators.Dedup.embeddingNearDupPairsBanded(
           operators.Dedup.withNearCopies(Tables.embeddings(s, d)),
           cfg.minCosX1000000, cfg.lshPlanes, cfg.lshTables, cfg.embeddingDim),
@@ -679,6 +697,14 @@ object SparkEntry {
           |SELECT event_id, user_id, tsu, last_click_id, last_click_tsu
           |FROM t WHERE is_click = 0 ORDER BY event_id""".stripMargin,
 
+      "a14_range_join" ->
+        """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click')
+          |SELECT p.event_id, p.user_id, count(c.tsu)::BIGINT AS n_clicks_5m
+          |FROM p LEFT JOIN c ON p.user_id = c.user_id
+          |  AND c.tsu BETWEEN p.tsu - 300000000 AND p.tsu
+          |GROUP BY p.event_id, p.user_id ORDER BY event_id""".stripMargin,
+
       "k1_batch_layout" ->
         s"""SELECT doc_id,
            |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS file_index,
@@ -769,6 +795,27 @@ object SparkEntry {
           |WHERE cos_x1000000 >= 900000 ORDER BY vec_a, vec_b""".stripMargin,
 
       "dedup_clusters" ->
+        """WITH RECURSIVE
+          |b0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |u0 AS (SELECT vec_id, v FROM b0
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id, list_concat([v[1]*(1.05::DOUBLE)], v[2:]) AS v FROM b0),
+          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u0),
+          |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1),
+          |pr AS (SELECT vec_a, vec_b FROM (
+          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |      CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+          |    FROM en a JOIN en b ON a.vec_id < b.vec_id)
+          |  WHERE cos_x1000000 >= 900000),
+          |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr UNION SELECT vec_b, vec_a FROM pr),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+          |SELECT id AS vec_id, min(r) AS canonical_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+      "dedup_clusters_star" ->
         """WITH RECURSIVE
           |b0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
           |u0 AS (SELECT vec_id, v FROM b0

@@ -305,6 +305,70 @@ object Dedup {
     labels.select(col("id"), col("label").as("canonical_id"))
   }
 
+  /** Connected components in O(log) rounds — the alternating
+    * large-star/small-star decomposition (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): the scale upgrade over
+    * [[dedupClusters]]' diameter-bound propagation for graphs with long
+    * chains.
+    *
+    * Each round: **large-star** connects every strictly-larger neighbor of
+    * a node to the minimum of its closed neighborhood; **small-star**
+    * (edges oriented larger→smaller) connects all smaller neighbors and the
+    * node itself to that minimum. Both are one groupBy-min plus one
+    * equi-join over the edge set — the same per-round shuffle shape as
+    * propagation, but the edge set contracts toward a star per component
+    * in a logarithmic number of rounds instead of one hop per round.
+    * Fixpoint = the edge set stops changing; then every edge is
+    * (node → component min).
+    *
+    * Same output contract as [[dedupClusters]] (and the same recursive-CTE
+    * oracle): (id, canonical_id) for every node appearing in a pair. */
+  def dedupClustersStar(pairs: DataFrame, aCol: String = "doc_a",
+                        bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    var e = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct()
+      .localCheckpoint()
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star: for each directed (u, v) with v > u, emit (v, m_u)
+      val dir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = dir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val afterLarge = dir.join(mL, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: orient larger→smaller, then point every smaller
+      // neighbor AND the node itself at the minimum
+      val el = afterLarge.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val mS = el.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = el.join(mS, Seq("u"))
+      val afterSmall = joined.select(col("v").as("u"), col("m").as("v"))
+        .unionByName(joined.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v")).distinct()
+        .localCheckpoint()
+      // fixpoint: the (normalized) edge set is unchanged
+      converged = afterSmall.count() == e.count() &&
+        afterSmall.except(e).isEmpty
+      e = afterSmall
+      i += 1
+    }
+    nodes
+      .join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("root"), col("id"))).as("canonical_id"))
+  }
+
   /** Test-corpus builder for the near-dup regime: the synthetic embeddings
     * have no high-cosine pairs (max ≈ 0.6), so near-dup demos plant one
     * deterministic near-copy per vector — component 1 scaled ×1.05 after

@@ -157,6 +157,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L)._1.isEmpty && got(3L)._2.contains("permanent"))
   }
 
+  test("bounded range join equals the naive inequality join, including window boundaries") {
+    val left = Seq((1L, 10L, 1000L), (2L, 10L, 2000L), (3L, 20L, 1500L))
+      .toDF("lid", "k", "lt")
+    // right times probe both boundaries of [lt-300, lt]: exactly at the
+    // edges, just outside, and across bucket lines
+    val right = Seq(
+      (100L, 10L, 700L), (101L, 10L, 699L),   // lid 1: at lower edge | outside
+      (102L, 10L, 1000L), (103L, 10L, 1001L), // lid 1: at upper edge | outside
+      (104L, 10L, 1800L),                     // lid 2 only
+      (105L, 20L, 1499L), (106L, 30L, 1500L)  // key match | key miss
+    ).toDF("rid", "k", "rt")
+    val got = Relational.boundedRangeJoin(left, right, "k", "lt", "rt", -300L, 0L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = left.join(right, Seq("k"))
+      .where(col("rt").between(col("lt") - 300L, col("lt")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 100L), (1L, 102L), (2L, 104L), (3L, 105L)))
+  }
+
+  test("range-join query plans as an equi-join, not a nested loop") {
+    val plan = SparkEntry.queries("a14_range_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a non-equi plan:\n$plan")
+  }
+
   test("approx_count_distinct tracks the exact distinct count within 5% per language") {
     import graft.functions.TextFunctions.tokens
     val toks = Tables.documents(spark, sfDir)
@@ -192,6 +219,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
     // empty pair list degenerates cleanly
     assert(Dedup.dedupClusters(pairs.where(col("doc_a") < 0)).isEmpty)
+  }
+
+  test("large-star/small-star clusters equal propagation, and survive a long chain") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val prop = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toSet
+    val star = Dedup.dedupClustersStar(pairs).as[(Long, Long)].collect().toSet
+    assert(star == prop)
+    // a 60-node path has diameter 59: propagation's default round budget
+    // can't close it, the O(log)-round decomposition converges comfortably
+    val path = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClustersStar(path).as[(Long, Long)].collect().toSet
+    assert(got == (1L to 60L).map(i => (i, 1L)).toSet)
+    // empty input degenerates cleanly
+    assert(Dedup.dedupClustersStar(pairs.where(col("doc_a") < 0)).isEmpty)
   }
 
   test("withNearCopies precondition: base ids stay below the planted-id offset") {
