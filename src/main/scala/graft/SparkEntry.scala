@@ -219,6 +219,21 @@ object SparkEntry {
       Relational.topOrderPerCustomer(s, d, 1)
         .orderBy(col("o_custkey"), col("o_orderkey"))),
 
+    // grouped top-k via the one-pass bounded-heap aggregate
+    // (plans.TopKAgg): partial aggregation compacts every map task to <= k
+    // entries per group BEFORE the shuffle — the scale form of q7's window
+    // ranking (which shuffles and sorts every row). Oracle: the window form.
+    "q9_topk_agg" -> ((s, d) => {
+      val t = Tables.orders(s, d).select(col("o_custkey"),
+        fx(col("o_totalprice"), 100L).as("p_x100"), col("o_orderkey"))
+      t.groupBy(col("o_custkey"))
+        .agg(graft.plans.TopKAgg.topK(col("p_x100"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("r", "e")))
+        .select(col("o_custkey"), (col("r") + 1).cast("long").as("rn"),
+          col("e.v").as("o_totalprice_x100"), col("e.id").as("o_orderkey"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // second-order stats from exact integer sums (fixed-point technique)
     "a10_correlation" -> ((s, d) =>
       Relational.valueCorrelation(s, d).orderBy(col("event_type"))),
@@ -644,6 +659,15 @@ object SparkEntry {
           |  FROM t)
           |SELECT o_custkey, o_orderkey, o_totalprice_x100, rn::BIGINT AS rn
           |FROM r WHERE rn <= 1 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+      "q9_topk_agg" ->
+        """WITH t AS (SELECT o_custkey, o_orderkey,
+          |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS o_totalprice_x100 FROM orders),
+          |r AS (SELECT o_custkey, o_orderkey, o_totalprice_x100,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice_x100 DESC, o_orderkey) AS rn
+          |  FROM t)
+          |SELECT o_custkey, rn::BIGINT AS rn, o_totalprice_x100, o_orderkey
+          |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
       "a10_correlation" ->
         """WITH t AS (SELECT event_type,

@@ -157,6 +157,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L)._1.isEmpty && got(3L)._2.contains("permanent"))
   }
 
+  test("bounded-heap top-k aggregate equals the window formulation with deterministic ties") {
+    // unit: beyond-capacity offers keep the k best, ties toward smaller id
+    val h = new graft.plans.TopKAgg.Heap(3)
+    Seq((5L, 1L), (9L, 2L), (5L, 0L), (7L, 3L), (9L, 9L), (1L, 4L)).foreach {
+      case (v, i) => h.offer(v, i)
+    }
+    assert(h.toSortedDesc.toSeq == Seq((9L, 2L), (9L, 9L), (7L, 3L)))
+    // integration: aggregate == window rank over real data
+    val orders = Tables.orders(spark, sfDir)
+    val viaAgg = SparkEntry.queries("q9_topk_agg")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice_x100").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_totalprice_x100"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_totalprice_x100"), col("o_orderkey"))
+      .orderBy(col("o_custkey"), col("rn"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaAgg == viaWindow && viaAgg.nonEmpty)
+  }
+
   test("bounded range join equals the naive inequality join, including window boundaries") {
     val left = Seq((1L, 10L, 1000L), (2L, 10L, 2000L), (3L, 20L, 1500L))
       .toDF("lid", "k", "lt")
