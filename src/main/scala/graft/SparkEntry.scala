@@ -471,6 +471,29 @@ object SparkEntry {
       "e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
         "e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),\n" +
         "en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1)"
+    // shared by dedup_clusters and dedup_clusters_star (same contract,
+    // same fixpoint — min reachable id over the near-dup pair graph)
+    val clustersOracle =
+      """WITH RECURSIVE
+          |b0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |u0 AS (SELECT vec_id, v FROM b0
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id, list_concat([v[1]*(1.05::DOUBLE)], v[2:]) AS v FROM b0),
+          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u0),
+          |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1),
+          |pr AS (SELECT vec_a, vec_b FROM (
+          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |      CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+          |    FROM en a JOIN en b ON a.vec_id < b.vec_id)
+          |  WHERE cos_x1000000 >= 900000),
+          |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr UNION SELECT vec_b, vec_a FROM pr),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+          |SELECT id AS vec_id, min(r) AS canonical_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
     val validWhere =
       "text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> '' " +
         "AND source IS NOT NULL AND source <> '' AND lower(text) NOT LIKE '#redirect%'"
@@ -818,47 +841,9 @@ object SparkEntry {
           |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
           |WHERE cos_x1000000 >= 900000 ORDER BY vec_a, vec_b""".stripMargin,
 
-      "dedup_clusters" ->
-        """WITH RECURSIVE
-          |b0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-          |u0 AS (SELECT vec_id, v FROM b0
-          |  UNION ALL
-          |  SELECT vec_id + 1000000 AS vec_id, list_concat([v[1]*(1.05::DOUBLE)], v[2:]) AS v FROM b0),
-          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u0),
-          |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1),
-          |pr AS (SELECT vec_a, vec_b FROM (
-          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          |      CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
-          |    FROM en a JOIN en b ON a.vec_id < b.vec_id)
-          |  WHERE cos_x1000000 >= 900000),
-          |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr UNION SELECT vec_b, vec_a FROM pr),
-          |nodes AS (SELECT DISTINCT src AS id FROM edges),
-          |reach(id, r) AS (
-          |  SELECT id, id FROM nodes
-          |  UNION
-          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
-          |SELECT id AS vec_id, min(r) AS canonical_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+      "dedup_clusters" -> clustersOracle,
 
-      "dedup_clusters_star" ->
-        """WITH RECURSIVE
-          |b0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-          |u0 AS (SELECT vec_id, v FROM b0
-          |  UNION ALL
-          |  SELECT vec_id + 1000000 AS vec_id, list_concat([v[1]*(1.05::DOUBLE)], v[2:]) AS v FROM b0),
-          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u0),
-          |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1),
-          |pr AS (SELECT vec_a, vec_b FROM (
-          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-          |      CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
-          |    FROM en a JOIN en b ON a.vec_id < b.vec_id)
-          |  WHERE cos_x1000000 >= 900000),
-          |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr UNION SELECT vec_b, vec_a FROM pr),
-          |nodes AS (SELECT DISTINCT src AS id FROM edges),
-          |reach(id, r) AS (
-          |  SELECT id, id FROM nodes
-          |  UNION
-          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
-          |SELECT id AS vec_id, min(r) AS canonical_id FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+      "dedup_clusters_star" -> clustersOracle,
 
       "ann_topk" ->
         s"""WITH $unitVecCte,

@@ -302,6 +302,13 @@ object Dedup {
       labels = updated.select(col("id"), col("label"))
       i += 1
     }
+    // silent exhaustion would return INTERMEDIATE labels — one real cluster
+    // reported as several, each with its own "canonical" survivor, and a
+    // consumer would silently keep duplicates. Fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIters rounds — the pair " +
+        "graph has a long-diameter component; use dedupClustersStar " +
+        "(O(log) rounds) or raise maxIters")
     labels.select(col("id"), col("label").as("canonical_id"))
   }
 
@@ -325,14 +332,17 @@ object Dedup {
     * oracle): (id, canonical_id) for every node appearing in a pair. */
   def dedupClustersStar(pairs: DataFrame, aCol: String = "doc_a",
                         bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    // same node universe as dedupClusters: every id appearing in a pair —
+    // including self-pairs, whose nodes must still come out as their own
+    // canonical even though the (a, a) edge itself carries no information
+    val nodes = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id"))).distinct()
+      .localCheckpoint()
     var e = pairs
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v")).distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id"))).distinct()
       .localCheckpoint()
     var converged = e.isEmpty
     var i = 0
@@ -363,6 +373,9 @@ object Dedup {
       e = afterSmall
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"large-star/small-star did not converge in $maxIters rounds " +
+        "(log-round bound exceeded — raise maxIters)")
     nodes
       .join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
       .groupBy(col("id"))

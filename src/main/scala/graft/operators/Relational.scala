@@ -172,8 +172,6 @@ object Relational {
         col("total_x100"), col("n_orders"))
   }
 
-  /** JSON-props extraction over events (reference parses JSON at
-    * `src/azure_manager.py:133`): per-type sum of a JSON field. */
   /** Bounded range join via time bucketing — the second relational shape
     * Spark has no efficient built-in for (the first is the as-of join,
     * [[graft.plans.AsOfJoin]]): `left JOIN right ON key AND right.time ∈
@@ -183,8 +181,10 @@ object Relational {
     * buckets its window spans, candidates come from an equi-join on
     * (key, bucket), and the exact range predicate filters them. Bucket
     * arithmetic is integer `DIV` (a double division's ulp can misplace a
-    * boundary row at µs-epoch magnitudes). Cost: 2× the left rows through
-    * one equi-join — the plan shape that survives 100 TB. */
+    * boundary row at µs-epoch magnitudes), computed over fixed-name temp
+    * columns so arbitrary caller column names never reach a SQL string.
+    * Cost: 2× the left rows through one equi-join — the plan shape that
+    * survives 100 TB. */
   def boundedRangeJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
                        lowerOffset: Long, upperOffset: Long): DataFrame = {
@@ -194,13 +194,16 @@ object Relational {
     val lo = col(leftTime) + lowerOffset
     val hi = col(leftTime) + upperOffset
     val lExp = left
+      .withColumn("_lo", lo).withColumn("_hi", hi)
       .withColumn("_b", explode(sequence(
-        expr(s"($leftTime + ${lowerOffset}L) DIV ${w}L"),
-        expr(s"($leftTime + ${upperOffset}L) DIV ${w}L"))))
-    val rB = right.withColumn("_b", expr(s"$rightTime DIV ${w}L"))
+        expr(s"_lo DIV ${w}L"), expr(s"_hi DIV ${w}L"))))
+    val rB = right
+      .withColumn("_rt", col(rightTime))
+      .withColumn("_b", expr(s"_rt DIV ${w}L"))
+      .drop("_rt")
     lExp.join(rB, Seq(key, "_b"))
-      .where(col(rightTime).between(lo, hi))
-      .drop("_b")
+      .where(col(rightTime).between(col("_lo"), col("_hi")))
+      .drop("_b", "_lo", "_hi")
   }
 
   /** A14 — clicks within the trailing 5 minutes of each purchase, per user:
@@ -226,6 +229,8 @@ object Relational {
         coalesce(col("n"), lit(0L)).as("n_clicks_5m"))
   }
 
+  /** JSON-props extraction over events (reference parses JSON at
+    * `src/azure_manager.py:133`): per-type sum of a JSON field. */
   def propsSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))

@@ -72,5 +72,9 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.windowMinutes == 5)      // a7 oracle: INTERVAL '5 minutes'
     assert(c.minJaccardX10000 == 5000L && c.minEstJaccardX100 == 50L)
     assert(c.minCosX1000000 == 900000L)
+    // a14 oracle: BETWEEN p.tsu - 300000000; mix oracles: 80/90; pack: /512
+    assert(c.windowMinutes * 60L * 1000000L == 300000000L)
+    assert(c.splitTrainPct == 80 && c.splitValPct == 90)
+    assert(c.packTokenBudget == 512)
   }
 }

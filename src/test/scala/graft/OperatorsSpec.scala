@@ -252,12 +252,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val star = Dedup.dedupClustersStar(pairs).as[(Long, Long)].collect().toSet
     assert(star == prop)
     // a 60-node path has diameter 59: propagation's default round budget
-    // can't close it, the O(log)-round decomposition converges comfortably
+    // can't close it — it must FAIL LOUDLY (silent exhaustion would report
+    // one cluster as many) — while the O(log)-round decomposition converges
     val path = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] { Dedup.dedupClusters(path).collect() }
     val got = Dedup.dedupClustersStar(path).as[(Long, Long)].collect().toSet
     assert(got == (1L to 60L).map(i => (i, 1L)).toSet)
     // empty input degenerates cleanly
     assert(Dedup.dedupClustersStar(pairs.where(col("doc_a") < 0)).isEmpty)
+    // a self-pair's node is still emitted as its own canonical (the same
+    // contract as the propagation version)
+    val selfPair = Seq((5L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
+    assert(Dedup.dedupClustersStar(selfPair).as[(Long, Long)].collect().toSet ==
+      Set((5L, 5L), (7L, 7L), (8L, 7L)))
+    assert(Dedup.dedupClusters(selfPair).as[(Long, Long)].collect().toSet ==
+      Set((5L, 5L), (7L, 7L), (8L, 7L)))
   }
 
   test("withNearCopies precondition: base ids stay below the planted-id offset") {
