@@ -84,6 +84,33 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream attribution join — the incremental form of the batch
+    * bounded range join ([[graft.operators.Relational.boundedRangeJoin]]):
+    * each purchase matched to the same user's clicks within the trailing
+    * `windowMinutes`. Both sides carry watermarks, and the time-range
+    * predicate in the join condition is what lets Spark BOUND the join
+    * state: click state older than the window + watermark is evicted
+    * instead of accumulating forever (an unconstrained stream-stream join
+    * would buffer both streams indefinitely). Inner join: unmatched
+    * purchases surface via the batch left-outer form or a stream-stream
+    * left join with the same bounds. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      windowMinutes: Int = 5,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").cast("timestamp").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("event_id"), col("user_id"), col("click_id"))
+  }
+
   /** Checkpointed ingest: stream → validate → partitioned JSON batches via
     * foreachBatch (micro-batch id = the reference's batch number). Restart
     * with the same checkpoint dir resumes from the offset log — the

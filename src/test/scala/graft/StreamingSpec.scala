@@ -64,6 +64,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.json(outDir).count() == afterFirst + 7)
   }
 
+  test("stream-stream attribution join equals the batch bounded range join") {
+    val ev = Tables.events(spark, sfDir)
+    // batch ground truth: inner matches of the same (user, trailing-5m) rule
+    val evU = ev.withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+    val batch = operators.Relational.boundedRangeJoin(
+        evU.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tsu")),
+        evU.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("tsu").as("click_tsu")),
+        "user_id", "tsu", "click_tsu", -5L * 60L * 1000000L, 0L)
+      .select(col("event_id"), col("click_id"))
+      .as[(Long, Long)].collect().toSet
+
+    val srcDir = tmp("attr-src")
+    ev.write.mode("overwrite").parquet(srcDir)
+    val s1 = Streams.fileSource(spark, srcDir, ev.schema, maxFilesPerTrigger = 2)
+      .where(col("event_type") === "purchase")
+    val s2 = Streams.fileSource(spark, srcDir, ev.schema, maxFilesPerTrigger = 2)
+      .where(col("event_type") === "click")
+    val q = Streams.attributionJoin(s1, s2)
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("attr_join")
+      .select(col("event_id"), col("click_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming dedup drops in-horizon re-deliveries; equals batch distinct") {
     val docs = Seq(
       (1L, "alpha beta gamma", "2024-01-01 10:00:00"),
