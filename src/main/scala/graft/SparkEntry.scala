@@ -247,6 +247,24 @@ object SparkEntry {
       Relational.sessionize(s, d, cfg.sessionGapMinutes)
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // session windows via Spark's NATIVE session_window operator — the
+    // built-in form of a12's composed lag/cumsum sessionization. Verified
+    // boundary semantics (OperatorsSpec): session_window MERGES an event at
+    // exactly gap distance (splits only when diff > gap) — the same rule as
+    // the composed form, so the oracle shares a12's split predicate.
+    // Aggregates are real event times, not window bounds (window end =
+    // last event + gap, an artifact).
+    "a12b_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("tsc", col("ts").cast("timestamp"))
+        .groupBy(col("user_id"),
+          session_window(col("tsc"), s"${cfg.sessionGapMinutes} minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("tsc"))).as("start_us"),
+          max(unix_micros(col("tsc"))).as("end_us"))
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     // as-of join via the custom Catalyst operator (AsOfJoinPlan + Strategy
     // + sort-merge AsOfJoinExec): each purchase matched to the user's
     // latest click at-or-before it. Composite time keys make the tie
@@ -728,6 +746,21 @@ object SparkEntry {
           |  min(tsu)::BIGINT AS start_us, max(tsu)::BIGINT AS end_us
           |FROM x GROUP BY user_id, session_idx
           |ORDER BY user_id, session_idx""".stripMargin,
+
+      "a12b_session_window" ->
+        """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+          |s AS (SELECT user_id, tsu,
+          |    CASE WHEN tsu - lag(tsu, 1) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 30*60000000 THEN 1 ELSE 0 END AS new_session,
+          |    event_id
+          |  FROM t),
+          |x AS (SELECT user_id, tsu,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+          |  FROM s)
+          |SELECT user_id, count(*)::BIGINT AS n_events,
+          |  min(tsu)::BIGINT AS start_us, max(tsu)::BIGINT AS end_us
+          |FROM x GROUP BY user_id, session_idx
+          |ORDER BY user_id, start_us""".stripMargin,
 
       "a13_asof" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,

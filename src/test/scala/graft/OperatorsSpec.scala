@@ -157,6 +157,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L)._1.isEmpty && got(3L)._2.contains("permanent"))
   }
 
+  test("native session_window merges at exactly-gap deltas, same rule as the composed form") {
+    // two events exactly 30 min apart, a third just past the gap — pins the
+    // boundary rule the a12b oracle relies on: split only when diff > gap
+    val ev = Seq(
+      (1L, 7L, "2024-01-01 10:00:00"),
+      (2L, 7L, "2024-01-01 10:30:00"),        // exactly gap: same session
+      (3L, 7L, "2024-01-01 11:00:00.000001")  // 1 µs past gap: new session
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("tsc", col("ts").cast("timestamp"))
+    val native = ev.groupBy(col("user_id"),
+        session_window(col("tsc"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("w.start"))
+      .collect().map(_.getLong(2)).toSeq
+    assert(native == Seq(2L, 1L))
+  }
+
   test("bounded-heap top-k aggregate equals the window formulation with deterministic ties") {
     // unit: beyond-capacity offers keep the k best, ties toward smaller id
     val h = new graft.plans.TopKAgg.Heap(3)
