@@ -138,6 +138,69 @@ object Streams {
       }
       .start()
 
+  /** Streaming session windows — the arbitrary-stateful tier
+    * (`flatMapGroupsWithState` + event-time timeout) beneath the native
+    * `session_window`: per user, open sessions live in state as merged
+    * intervals; a session is emitted (and its state dropped) once the
+    * watermark passes `end + gap`, when no in-order event can extend it.
+    * Out-of-order events within the watermark merge correctly because the
+    * state is a sorted interval list, not a single running session.
+    * Semantics match the batch forms: events exactly `gap` apart merge
+    * (split only when the delta exceeds the gap). */
+  final case class OpenSession(start_us: Long, end_us: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                                 n_events: Long)
+
+  def streamingSessions(spark: SparkSession, events: DataFrame,
+                        gapMinutes: Int = 30,
+                        watermark: String = "30 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("tsc", col("ts").cast("timestamp"))
+      .withWatermark("tsc", watermark)
+      // the watermarked column must survive into the stateful operator's
+      // input (event-time timeout requires it in the child output)
+      .select(col("user_id").cast("long").as("_1"),
+        unix_micros(col("tsc")).as("_2"), col("tsc").as("_3"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[List[OpenSession]]) =>
+          val existing = state.getOption.getOrElse(Nil)
+          val wmNow = state.getCurrentWatermarkMs() * 1000L
+          // late-data policy: flatMapGroupsWithState DELIVERS rows older
+          // than the watermark (unlike windowed aggs) — drop them here, or
+          // a late event would reopen a session the watermark already
+          // closed and the result would depend on arrival order
+          val incoming = rows.map { case (_, tsu, _) => OpenSession(tsu, tsu, 1L) }
+            .filter(_.start_us >= wmNow).toList
+          val merged =
+            if (incoming.isEmpty) existing
+            else {
+              val all = (existing ++ incoming).sortBy(s => (s.start_us, s.end_us))
+              all.tail.foldLeft(List(all.head)) { (acc, s) =>
+                val cur = acc.head
+                if (s.start_us <= cur.end_us + gapUs)
+                  OpenSession(cur.start_us, math.max(cur.end_us, s.end_us),
+                    cur.n + s.n) :: acc.tail
+                else s :: acc
+              }.reverse
+            }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(_.end_us + gapUs < wmUs)
+          if (open.nonEmpty) {
+            state.update(open)
+            // wake when the watermark could close the earliest open session
+            state.setTimeoutTimestamp(
+              open.map(_.end_us).min / 1000L + gapUs / 1000L + 1L)
+          } else state.remove()
+          closed.map(s => ClosedSession(user, s.start_us, s.end_us, s.n)).iterator
+      }
+  }
+
   /** Per-key running counters via mapGroupsWithState — the reference's
     * `total_processed`/`total_failed` checkpoint counters
     * (`src/checkpoint_manager.py:9-17`) as managed state. */

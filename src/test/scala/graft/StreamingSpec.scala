@@ -64,6 +64,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.json(outDir).count() == afterFirst + 7)
   }
 
+  test("streaming sessions emit exactly the batch sessions once the watermark closes them") {
+    val ev = Tables.events(spark, sfDir)
+    // batch ground truth (a12 semantics: split when delta > gap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val batch = ev
+      .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("new_s",
+        when(col("tsu") - lag(col("tsu"), 1).over(w) > 30L * 60000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val srcDir = tmp("sess-src")
+    // time-range-partitioned files: each micro-batch covers a time slice,
+    // so the watermark trails the data and no event arrives late (range k's
+    // max ≤ range k+1's min ⇒ wm = max − 30min never passes unseen events)
+    ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.fileSource(spark, srcDir, ev.schema, maxFilesPerTrigger = 1)
+    val q = Streams.streamingSessions(spark, stream)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions_stream")
+      .as[Streams.ClosedSession].collect()
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+    // the stream can only emit sessions the final watermark already closed,
+    // but everything it emits must be a real batch session, closed exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions not in batch: ${streamed.diff(batch).take(3)}")
+  }
+
   test("stream-stream attribution join equals the batch bounded range join") {
     val ev = Tables.events(spark, sfDir)
     // batch ground truth: inner matches of the same (user, trailing-5m) rule
