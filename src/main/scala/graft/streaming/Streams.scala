@@ -189,8 +189,10 @@ object Streams {
                 else s :: acc
               }.reverse
             }
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (closed, open) = merged.partition(_.end_us + gapUs < wmUs)
+          // same watermark value as the late-drop filter above — the two
+          // thresholds must share it or a dropped-late event could reopen
+          // a closed session
+          val (closed, open) = merged.partition(_.end_us + gapUs < wmNow)
           if (open.nonEmpty) {
             state.update(open)
             // wake when the watermark could close the earliest open session

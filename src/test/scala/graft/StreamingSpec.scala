@@ -66,28 +66,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   test("streaming sessions emit exactly the batch sessions once the watermark closes them") {
     val ev = Tables.events(spark, sfDir)
-    // batch ground truth (a12 semantics: split when delta > gap)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
-    val cum = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val batch = ev
-      .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
-      .withColumn("new_s",
-        when(col("tsu") - lag(col("tsu"), 1).over(w) > 30L * 60000000L, 1).otherwise(0))
-      .withColumn("sid", sum(col("new_s")).over(cum))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"),
-        count(lit(1)).as("n_events"))
+    // batch ground truth: the very operator a12 is gated on
+    val batch = operators.Relational.sessionize(spark, sfDir, 30)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
       .as[(Long, Long, Long, Long)].collect().toSet
 
     val srcDir = tmp("sess-src")
-    // time-range-partitioned files: each micro-batch covers a time slice,
-    // so the watermark trails the data and no event arrives late (range k's
-    // max ≤ range k+1's min ⇒ wm = max − 30min never passes unseen events)
-    ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(srcDir)
+    // time-sliced files WRITTEN SEQUENTIALLY in range order: the file
+    // source orders by modification time, so each micro-batch covers the
+    // next time slice and the watermark trails the data (range k's max ≤
+    // range k+1's min ⇒ wm = max − 30min never passes unseen events). A
+    // single repartitionByRange write would leave file order to parallel
+    // task-commit timing — flaky.
+    val sliced = ev.withColumn("_p",
+      ntile(8).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    (1 to 8).foreach { p =>
+      sliced.where(col("_p") === p).drop("_p").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      Thread.sleep(10) // distinct mod-times preserve the range order
+    }
     val stream = Streams.fileSource(spark, srcDir, ev.schema, maxFilesPerTrigger = 1)
     val q = Streams.streamingSessions(spark, stream)
       .writeStream.format("memory").queryName("sessions_stream")
