@@ -199,6 +199,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(viaAgg == viaWindow && viaAgg.nonEmpty)
   }
 
+  test("top-k heap equals sort-based top-k on seeded random streams") {
+    val rnd = new scala.util.Random(12345)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(8)
+      val xs = Seq.fill(n)((rnd.nextInt(50).toLong, (rnd.nextLong().abs % 1000)))
+      val h = new graft.plans.TopKAgg.Heap(k)
+      xs.foreach { case (v, i) => h.offer(v, i) }
+      val expect = xs.sortBy { case (v, i) => (-v, i) }.take(k)
+      assert(h.toSortedDesc.toSeq == expect, s"n=$n k=$k")
+    }
+  }
+
   test("bounded range join equals the naive inequality join, including window boundaries") {
     val left = Seq((1L, 10L, 1000L), (2L, 10L, 2000L), (3L, 20L, 1500L))
       .toDF("lid", "k", "lt")
