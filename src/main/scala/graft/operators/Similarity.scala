@@ -92,7 +92,10 @@ object Similarity {
         val sampled = e.sample(withReplacement = false, trainFraction, seed = 42L)
         if (sampled.count() >= nCells) sampled else e
       } else e
-    val model = new KMeans().setK(nCells).setSeed(42L)
+    // cap training iterations: coarse-quantizer quality plateaus within a
+    // few Lloyd rounds and probe recall is insensitive to the tail — the
+    // default 20 iterations just multiplies passes over the training set
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").fit(trainSet)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("vn"), col("prediction").as("cell"))
