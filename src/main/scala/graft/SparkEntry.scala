@@ -320,6 +320,20 @@ object SparkEntry {
         cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // incremental index maintenance: pairs involving the "new" half of the
+    // corpus (doc_id >= 400) probed against the persisted signature index
+    // of the existing half — equals the batch run restricted to new-member
+    // pairs, at O(new x collisions) cost
+    "dedup_minhash_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existingSigs = operators.Dedup.minhashTable(
+        docs.where(col("doc_id") < 400), cfg.ngramN, cfg.minhashK)
+      operators.Dedup.minhashPairsIncremental(existingSigs,
+          docs.where(col("doc_id") >= 400),
+          cfg.ngramN, cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       operators.Dedup.simhashPairs(Tables.documents(s, d), cfg.simhashMaxHamming)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -832,6 +846,28 @@ object SparkEntry {
            |SELECT * FROM (
            |  SELECT doc_a, doc_b, CAST(floor((100.0::DOUBLE) * matches / 16 + 0.5) AS BIGINT) AS est_jaccard_x100 FROM est)
            |WHERE est_jaccard_x100 >= 50 ORDER BY doc_a, doc_b""".stripMargin,
+
+      // the batch minhash oracle restricted to pairs with a >= 400 member —
+      // exactly what the incremental index probe must produce
+      "dedup_minhash_incr" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+           |hh AS (SELECT doc_id, ${poly("sh")} AS h FROM sh),
+           |mh AS (SELECT doc_id, i, min(((1000003*(i+1))*h + 12345 + 7919*i) % 1000000007) AS mh
+           |  FROM hh CROSS JOIN range(0, 16) r(i) GROUP BY doc_id, i),
+           |bk AS (SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS bkey
+           |  FROM mh GROUP BY doc_id, i // 4),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x
+           |  JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |est AS (SELECT doc_a, doc_b, sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS matches
+           |  FROM cand JOIN mh ma ON ma.doc_id = doc_a
+           |  JOIN mh mb ON mb.doc_id = doc_b AND mb.i = ma.i
+           |  GROUP BY doc_a, doc_b)
+           |SELECT * FROM (
+           |  SELECT doc_a, doc_b, CAST(floor((100.0::DOUBLE) * matches / 16 + 0.5) AS BIGINT) AS est_jaccard_x100 FROM est)
+           |WHERE est_jaccard_x100 >= 50 AND (doc_a >= 400 OR doc_b >= 400)
+           |ORDER BY doc_a, doc_b""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

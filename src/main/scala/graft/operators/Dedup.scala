@@ -93,25 +93,19 @@ object Dedup {
     * estimate J as the fraction of matching signature rows. Candidate
     * generation is an equi-join on the band key — the crucial scale property
     * (no all-pairs comparison). */
-  def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
-                   minEstX100: Long = 50): DataFrame = {
-    require(k % bands == 0,
-      s"k ($k) must be divisible by bands ($bands) — a ragged band would " +
-        "admit candidates on a single matching permutation")
-    val rows = k / bands
-    val mt = minhashTable(docs, n, k)
-    val bandKeys = mt
-      .withColumn("band", (col("i") / rows).cast("int"))
+  /** LSH band keys for a (doc_id, i, mh) signature table: one row per
+    * (doc, band) keyed by the band's joined signature values. */
+  private def bandKeyTable(mt: DataFrame, rowsPerBand: Int): DataFrame =
+    mt.withColumn("band", (col("i") / rowsPerBand).cast("int"))
       .groupBy(col("doc_id"), col("band"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("i"), col("mh")))),
           x => x.getField("mh").cast("string")), "-").as("bkey"))
-    val cand = bandKeys.alias("x")
-      .join(bandKeys.alias("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+
+  /** Signature-match estimate for candidate pairs given the full signature
+    * table; thresholded on the estimated Jaccard. */
+  private def estimatePairs(cand: DataFrame, mt: DataFrame, k: Int,
+                            minEstX100: Long): DataFrame =
     cand
       .join(mt.select(col("doc_id").as("doc_a"), col("i"), col("mh").as("mh_a")), Seq("doc_a"))
       .join(mt.select(col("doc_id").as("doc_b"), col("i"), col("mh").as("mh_b")), Seq("doc_b", "i"))
@@ -121,6 +115,50 @@ object Dedup {
         floor(lit(100.0) * col("matches") / k + 0.5).cast("long"))
       .where(col("est_jaccard_x100") >= minEstX100)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_x100"))
+
+  def minhashPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                   minEstX100: Long = 50): DataFrame = {
+    require(k % bands == 0,
+      s"k ($k) must be divisible by bands ($bands) — a ragged band would " +
+        "admit candidates on a single matching permutation")
+    val mt = minhashTable(docs, n, k)
+    val bandKeys = bandKeyTable(mt, k / bands)
+    val cand = bandKeys.alias("x")
+      .join(bandKeys.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    estimatePairs(cand, mt, k, minEstX100)
+  }
+
+  /** Incremental near-dup maintenance — the corpus-update path: given the
+    * persisted signature table of the EXISTING corpus (the
+    * [[minhashTable]] shape a deployment keeps as its dedup index) and a
+    * batch of NEW documents, produce exactly the pairs involving a new doc.
+    * Candidate generation joins the new docs' band keys against the whole
+    * index (new side is the small probe side — broadcastable for typical
+    * update batches), so the cost is O(new × collisions) instead of
+    * re-running the corpus-wide self-join: adding 1% new docs costs ~1% of
+    * the batch run. Estimates use the same signatures, so the output equals
+    * [[minhashPairs]] over the merged corpus restricted to pairs with a
+    * new member (OperatorsSpec asserts this). */
+  def minhashPairsIncremental(existingSigs: DataFrame, newDocs: DataFrame,
+                              n: Int = 3, k: Int = 16, bands: Int = 4,
+                              minEstX100: Long = 50): DataFrame = {
+    require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
+    val newSigs = minhashTable(newDocs, n, k)
+    val allSigs = existingSigs.unionByName(newSigs)
+    val newKeys = bandKeyTable(newSigs, k / bands)
+    val allKeys = bandKeyTable(allSigs, k / bands)
+    val cand = newKeys.alias("x")
+      .join(allKeys.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    estimatePairs(cand, allSigs, k, minEstX100)
   }
 
   /** 32-bit SimHash per doc over token hashes weighted by term frequency.

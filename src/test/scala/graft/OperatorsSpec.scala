@@ -43,6 +43,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 100L)))
   }
 
+  test("incremental minhash equals the batch pairs restricted to new-member pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val split = 250L
+    val fullRestricted = Dedup.minhashPairs(docs)
+      .as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => a >= split || b >= split }.toSet
+    val incr = Dedup.minhashPairsIncremental(
+        Dedup.minhashTable(docs.where(col("doc_id") < split), 3, 16),
+        docs.where(col("doc_id") >= split))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incr == fullRestricted && incr.nonEmpty)
+  }
+
   test("simhash of identical docs has hamming 0; disjoint docs are not banded together or far") {
     val a = "one two three four five six seven eight nine ten"
     val got = Dedup.simhashPairs(docsDF(1L -> a, 2L -> a), maxHamming = 3)
