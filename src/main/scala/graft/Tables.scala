@@ -64,4 +64,25 @@ object Schemas {
   /** Media record for the multimodal pipeline (opaque binary + typed metadata). */
   final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
                                mime: String, meta_len: Long)
+
+  /** Article STORAGE document — the sink-side schema the reference commits
+    * to blob storage (FIXTURES.md §1.1; reference `README.md:115-129`,
+    * `src/production_data_processor.py:25-44`): content + per-format
+    * renditions, cleaned categories, normalized pageid, and the nested
+    * processing/page metadata struct. `author` is always null in the
+    * reference (`src/mediawiki_client.py:169`) — kept as Option for schema
+    * fidelity. */
+  final case class PageMetadata(pageid: Long, namespace: Int, revision: Long,
+                                length: Int, touched: java.sql.Timestamp)
+  final case class ArticleMetadata(content_length: Int,
+                                   parsed_content_length: Int,
+                                   plain_text_length: Int, category_count: Int,
+                                   processing_timestamp: java.sql.Timestamp,
+                                   source: String, page_metadata: PageMetadata)
+  final case class ArticleDoc(title: String, url: String, content: String,
+                              parsed_content: Option[String],
+                              plain_text: Option[String],
+                              categories: Seq[String], author: Option[String],
+                              pageid: Long, source: String, format: String,
+                              metadata: Option[ArticleMetadata])
 }

@@ -29,4 +29,27 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     val rt = back.select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(rt == orig)
   }
+
+  test("article storage schema (nested metadata) round-trips through JSON") {
+    import Schemas.{ArticleDoc, ArticleMetadata, PageMetadata}
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // the reference's own fixture articles (FIXTURES.md §1.2)
+    val minimal = ArticleDoc("Test Article",
+      "https://en.wikipedia.org/wiki/Test_Article", "This is test content",
+      None, None, Seq("Test Category"), None, 123L, "mwclient", "wikitext", None)
+    val full = ArticleDoc("Wikitext Article",
+      "https://en.wikipedia.org/wiki/Wikitext_Article",
+      "This is [[wikitext]] content with **bold** and *italic*.",
+      Some("This is wikitext content with bold and italic."),
+      Some("This is wikitext content with bold and italic."),
+      Seq("Test", "Example"), None, 456L, "mwclient", "wikitext",
+      Some(ArticleMetadata(57, 47, 47, 2, ts, "mwclient",
+        PageMetadata(456L, 0, 789L, 50, ts))))
+    val ds = Seq(minimal, full).toDS()
+    val dir = Files.createTempDirectory("articledoc").toString + "/articles"
+    ds.toDF().write.json(dir)
+    val back = spark.read.schema(ds.schema).json(dir).as[ArticleDoc]
+      .collect().sortBy(_.title).toSeq
+    assert(back == Seq(minimal, full).sortBy(_.title))
+  }
 }
