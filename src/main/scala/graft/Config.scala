@@ -42,10 +42,18 @@ case class GraftConfig(
     // similarity search
     annQueries: Int = 10,
     annK: Int = 5,
+    // IVF coarse-quantizer training sample — k-means iterates over its
+    // input, so at scale the quantizer is fit on a corpus subset (cell
+    // ASSIGNMENT still covers every vector); 1.0 = train on everything
+    ivfTrainFraction: Double = 0.25,
     // corpus mixing / packing
     splitTrainPct: Int = 80,
     splitValPct: Int = 90,
-    packTokenBudget: Int = 512)
+    packTokenBudget: Int = 512,
+    // eval-set decontamination: longer shingles than near-dup (a shared
+    // 8-gram is evidence of copying, a 3-gram is shared vocabulary)
+    decontamNgramN: Int = 8,
+    decontamMinOverlapX10000: Long = 5000L)
 
 object GraftConfig {
 
@@ -104,6 +112,7 @@ object GraftConfig {
     def i(k: String, dv: Int): Int = m.get(k).map(_.toInt).getOrElse(dv)
     def l(k: String, dv: Long): Long = m.get(k).map(_.toLong).getOrElse(dv)
     def s(k: String, dv: String): String = m.getOrElse(k, dv)
+    def dbl(k: String, dv: Double): Double = m.get(k).map(_.toDouble).getOrElse(dv)
     GraftConfig(
       batchSize = i("processing.batch_size", d.batchSize),
       checkpointInterval = i("processing.checkpoint_interval", d.checkpointInterval),
@@ -125,9 +134,13 @@ object GraftConfig {
       minCosX1000000 = l("embedding.min_cos_x1000000", d.minCosX1000000),
       annQueries = i("ann.queries", d.annQueries),
       annK = i("ann.k", d.annK),
+      ivfTrainFraction = dbl("ann.ivf_train_fraction", d.ivfTrainFraction),
       splitTrainPct = i("mix.train_pct", d.splitTrainPct),
       splitValPct = i("mix.val_pct", d.splitValPct),
-      packTokenBudget = i("mix.pack_token_budget", d.packTokenBudget))
+      packTokenBudget = i("mix.pack_token_budget", d.packTokenBudget),
+      decontamNgramN = i("decontam.ngram_n", d.decontamNgramN),
+      decontamMinOverlapX10000 =
+        l("decontam.min_overlap_x10000", d.decontamMinOverlapX10000))
   }
 
   /** Load from a file path (missing file → defaults, mirroring the

@@ -387,9 +387,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))),
 
     // IVF ANN (k-means coarse quantizer; rows-only check — no oracle since
-    // k-means isn't reproducible cross-engine)
+    // k-means isn't reproducible cross-engine). Trains on a 25% sample by
+    // default (`ann.ivf_train_fraction`): at scale the 8 Lloyd passes over
+    // the training set are the query's dominant cost, and quantizer quality
+    // needs only a representative sample — assignment still covers all.
     "ann_ivf" -> ((s, d) =>
-      operators.Similarity.ivfTopK(Tables.embeddings(s, d), cfg.annQueries, cfg.annK)
+      operators.Similarity.ivfTopK(Tables.embeddings(s, d), cfg.annQueries, cfg.annK,
+          trainFraction = cfg.ivfTrainFraction)
         .orderBy(col("query_id"), col("rank"))),
 
     // deterministic IVF (fixed hyperplane coarse quantizer + exact
@@ -464,6 +468,26 @@ object SparkEntry {
       operators.Mixing.packSequences(Tables.documents(s, d), cfg.packTokenBudget)
         .orderBy(col("source"), col("seq_no"))),
 
+    // eval-set decontamination: hash-split the corpus, then flag test-split
+    // docs whose 8-gram shingles substantially occur anywhere in the train
+    // split. The synthetic corpus has no cross-split copies, so contaminated
+    // docs are planted (copies of every 7th train doc, id-offset — the
+    // u1/ta_pii pattern): planted docs must flag at overlap 10000, organic
+    // test docs stay near 0 (8-grams, not shared vocabulary).
+    "decontaminate" -> ((s, d) => {
+      val split = operators.Mixing.withSplit(Tables.documents(s, d),
+        trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
+      val train = split.where(col("split") === "train")
+        .select(col("doc_id"), col("text"))
+      val evalDocs = split.where(col("split") === "test")
+        .select(col("doc_id"), col("text"))
+        .unionByName(train.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      operators.Decontaminate.overlapReport(train, evalDocs,
+          cfg.decontamNgramN, cfg.decontamMinOverlapX10000)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- flagship end-to-end pipeline (E1/E2 shape) ----
     "e2e_pipeline" -> ((s, d) =>
       ArticleOps.withMetadata(ArticleOps.validated(Tables.documents(s, d)))
@@ -487,11 +511,13 @@ object SparkEntry {
     def normOf(c: String) = s"trim(regexp_replace($c, '\\s+', ' ', 'g'))"
     val toks = s"string_split($norm, ' ')"
     val wordCnt = s"CASE WHEN $norm = '' THEN 0 ELSE len($toks) END"
-    // distinct word-3-gram shingles from a `toks` list column (mirrors
-    // TextFunctions.shingles with n=3)
-    val shinglesOf =
-      "list_distinct(CASE WHEN len(toks) < 3 THEN [] " +
-        "ELSE list_transform(range(0, len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END)"
+    // distinct word-n-gram shingles from a `toks` list column (mirrors
+    // TextFunctions.shinglesFromToks)
+    def shinglesOfN(n: Int) =
+      s"list_distinct(CASE WHEN len(toks) < $n THEN [] " +
+        s"ELSE list_transform(range(0, len(toks) - ${n - 1}), " +
+        s"i -> ${(1 to n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")}) END)"
+    val shinglesOf = shinglesOfN(3)
     // portable char-polynomial hash (mirrors TextFunctions.charPolyHash)
     def poly(e: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
@@ -1102,6 +1128,36 @@ object SparkEntry {
            |SELECT source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
            |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
            |FROM c GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
+
+      // hash-split mirrors mix_split; planting mirrors the Spark side; the
+      // membership set is the DISTINCT train 8-gram hash universe
+      "decontaminate" ->
+        s"""WITH sp AS (SELECT doc_id, text, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents),
+           |tr AS (SELECT doc_id, text FROM sp WHERE b < 80),
+           |ev AS (SELECT doc_id, text FROM sp WHERE b >= 90
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM tr WHERE doc_id % 7 = 0),
+           |trt AS (SELECT doc_id, $toks AS toks FROM tr),
+           |trs AS (SELECT DISTINCT ${poly("sh")} AS h FROM
+           |  (SELECT unnest(${shinglesOfN(8)}) AS sh FROM trt)),
+           |evt AS (SELECT doc_id, $toks AS toks FROM ev),
+           |evs AS (SELECT doc_id, ${poly("sh")} AS h FROM
+           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM evt)),
+           |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM evs GROUP BY doc_id),
+           |hits AS (SELECT evs.doc_id, count(*)::BIGINT AS n_hit
+           |  FROM evs JOIN trs ON evs.h = trs.h GROUP BY evs.doc_id),
+           |rep AS (SELECT e.doc_id,
+           |    coalesce(sizes.n_sh, 0)::BIGINT AS n_sh,
+           |    coalesce(hits.n_hit, 0)::BIGINT AS n_hit
+           |  FROM (SELECT doc_id FROM ev) e
+           |  LEFT JOIN sizes ON e.doc_id = sizes.doc_id
+           |  LEFT JOIN hits ON e.doc_id = hits.doc_id)
+           |SELECT doc_id, n_sh, n_hit, overlap_x10000,
+           |  (CASE WHEN overlap_x10000 >= 5000 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+           |FROM (SELECT doc_id, n_sh, n_hit,
+           |  CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) AS overlap_x10000
+           |  FROM rep)
+           |ORDER BY doc_id""".stripMargin,
 
       "e2e_pipeline" ->
         s"""SELECT source, count(*)::BIGINT AS doc_count,

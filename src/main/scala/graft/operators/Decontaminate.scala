@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Eval-set decontamination — the gate every training-data pipeline runs
+  * before publishing numbers: an eval document whose n-grams substantially
+  * appear in the training corpus would leak test answers into training, so
+  * it must be flagged (and usually dropped from the eval set, or its train
+  * sources dropped).
+  *
+  * Metric: per-eval-doc overlap fraction = |distinct eval shingles that
+  * occur ANYWHERE in train| / |distinct eval shingles| — membership against
+  * the train shingle universe, not pairwise doc similarity (one eval doc
+  * stitched from three train docs is 100% contaminated despite low pairwise
+  * Jaccard to each). Decontamination shingles are LONGER than near-dup
+  * shingles (default n=8 vs 3): an 8-gram shared with train is evidence of
+  * copying, a 3-gram is just shared vocabulary.
+  *
+  * Scale shape (100 TB train, ~1e4-doc eval): the train side collapses to
+  * its DISTINCT shingle-hash universe (one map-side-combinable aggregate
+  * over the corpus — the same explode→hash→distinct scan the dedup suite
+  * runs), and the eval shingle table is tiny and explicitly broadcast, so
+  * the membership join is map-only against the train scan: no corpus-sized
+  * shuffle, no pairwise comparison. Cost ≈ one pass over train.
+  */
+object Decontaminate {
+
+  /** Per-eval-doc contamination report: (doc_id, n_sh, n_hit,
+    * overlap_x10000, contaminated). Every eval doc appears exactly once;
+    * docs with fewer than n tokens have n_sh = 0 and overlap 0.
+    * `train`/`eval` need (doc_id, text). Overlap is fixed-point
+    * (`floor(1e4·hit/size + 0.5)`) — bit-identical cross-engine. */
+  def overlapReport(train: DataFrame, eval: DataFrame, n: Int,
+                    minOverlapX10000: Long): DataFrame = {
+    // train shingle universe: distinct 64-bit-hash membership set. A hash
+    // collision can only INFLATE one eval doc's hit count by 1 (the oracle
+    // computes the same hash, so parity holds) — same posture as
+    // ngramJaccardPairs' hash join.
+    val trainSh = Dedup.shingleTable(train, n)
+      .select(charPolyHash(col("sh")).as("h")).distinct()
+    val evalSh = Dedup.shingleTable(eval, n)
+      .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+    // eval is the small side by construction — broadcast it so the
+    // membership join is map-only over the train universe scan
+    val hits = trainSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val sizes = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    eval.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap_x10000",
+        floor(lit(10000.0) * col("n_hit") / greatest(col("n_sh"), lit(1L)) + 0.5)
+          .cast("long"))
+      .withColumn("contaminated",
+        when(col("overlap_x10000") >= minOverlapX10000, 1L).otherwise(0L))
+  }
+
+  /** The docs that survive decontamination: eval rows whose overlap stays
+    * below the threshold — `withSplit → overlapReport → keep clean` is the
+    * split-then-decontaminate shape of corpus assembly. */
+  def cleanEval(train: DataFrame, eval: DataFrame, n: Int,
+                minOverlapX10000: Long): DataFrame =
+    eval.join(
+      overlapReport(train, eval, n, minOverlapX10000)
+        .where(col("contaminated") === 0L).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+}

@@ -382,7 +382,20 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v")).distinct()
       .localCheckpoint()
-    var converged = e.isEmpty
+    // order-independent edge-set signature: (count, XOR of xxhash64(u, v))
+    // in ONE map-side-combinable aggregate — the fixpoint test costs one
+    // action per round instead of count + count + except (two jobs + an
+    // anti-join shuffle). Both edge sets are distinct-normalized, so equal
+    // signatures ⇔ equal sets up to a 2^-64-scale hash collision —
+    // negligible next to the corpus-level MinHash/LSH error budget this
+    // feeds. (XOR, not sum: a 64-bit hash sum overflows under ANSI mode.)
+    def edgeSig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = edgeSig(e)
+    var converged = prevSig._1 == 0L
     var i = 0
     while (!converged && i < maxIters) {
       // large-star: for each directed (u, v) with v > u, emit (v, m_u)
@@ -406,8 +419,9 @@ object Dedup {
           least(col("u"), col("v")).as("v")).distinct()
         .localCheckpoint()
       // fixpoint: the (normalized) edge set is unchanged
-      converged = afterSmall.count() == e.count() &&
-        afterSmall.except(e).isEmpty
+      val sig = edgeSig(afterSmall)
+      converged = sig == prevSig
+      prevSig = sig
       e = afterSmall
       i += 1
     }

@@ -359,6 +359,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(ivfAll == top5)
   }
 
+  test("decontamination flags planted copies, spares clean and short docs") {
+    val train = docsDF(
+      1L -> "a b c d e f g h i j",
+      2L -> "k l m n o p q r s t")
+    val eval = docsDF(
+      100L -> "a b c d e f g h i j",              // full copy: overlap 10000
+      101L -> "a b c d e z1 z2 z3 z4 z5",         // 3/8 shingles hit: 3750
+      102L -> "x y",                              // too short: 0 shingles
+      103L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0")    // disjoint: overlap 0
+    val rep = Decontaminate.overlapReport(train, eval, 3, 6000L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rep == Seq(
+      (100L, 8L, 8L, 10000L, 1L),
+      (101L, 8L, 3L, 3750L, 0L),
+      (102L, 0L, 0L, 0L, 0L),
+      (103L, 8L, 0L, 0L, 0L)))
+    // the composed split-then-decontaminate shape: clean eval = all but 100
+    val clean = Decontaminate.cleanEval(train, eval, 3, 6000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(101L, 102L, 103L))
+    // threshold is inclusive: at exactly 3750 doc 101 flips to contaminated
+    val at3750 = Decontaminate.overlapReport(train, eval, 3, 3750L)
+      .where(col("doc_id") === 101L).select("contaminated").as[Long].head()
+    assert(at3750 == 1L)
+  }
+
   test("ivf trained on a sample still ranks candidates by exact cosine") {
     val emb = Tables.embeddings(spark, sfDir)
     val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()

@@ -28,4 +28,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty,
       s"unplanned product join in: ${offenders.mkString(", ")}")
   }
+
+  test("dedupClustersStar fixpoint costs one aggregate action per round") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // chain of 3 + an isolated pair: converges in 2 star rounds
+      val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val got = operators.Dedup.dedupClustersStar(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+      Thread.sleep(1500) // listener bus drains asynchronously
+      // calibrated canary (AQE runs each shuffle stage as its own job, so
+      // the absolute numbers are larger than the action count): the
+      // single-aggregate signature fixpoint measures 29 jobs on this input;
+      // the previous count+count+except fixpoint measured 37. A bound
+      // between the two catches a regression to multi-action detection.
+      assert(jobs.get() <= 32,
+        s"${jobs.get()} jobs — fixpoint test regressed beyond 1 action/round")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
