@@ -464,9 +464,25 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))),
 
+    // packing budgets use the BPE-ish token metric — the count a subword
+    // tokenizer would bill — not whitespace words (MixingSpec covers both)
     "pack_sequences" -> ((s, d) =>
-      operators.Mixing.packSequences(Tables.documents(s, d), cfg.packTokenBudget)
+      operators.Mixing.packSequences(Tables.documents(s, d), cfg.packTokenBudget,
+          metric = "bpe")
         .orderBy(col("source"), col("seq_no"))),
+
+    // exact positional percentiles of doc length per source (nearest-rank,
+    // integer target arithmetic — engine-agnostic like a11's median)
+    "a15_percentiles" -> ((s, d) =>
+      operators.Summaries.lengthPercentiles(Tables.documents(s, d))
+        .orderBy(col("source"), col("pct"))),
+
+    // sketch sibling: approx_percentile's mergeable summary — the 100 TB
+    // form (no oracle: sketch internals differ across engines; accuracy is
+    // spec-gated against the exact form, the a4/a9 pattern)
+    "a15b_approx_percentiles" -> ((s, d) =>
+      operators.Summaries.approxLengthPercentiles(Tables.documents(s, d))
+        .orderBy(col("source"), col("pct"))),
 
     // eval-set decontamination: hash-split the corpus, then flag test-split
     // docs whose 8-gram shingles substantially occur anywhere in the train
@@ -1120,7 +1136,9 @@ object SparkEntry {
            |GROUP BY source ORDER BY source""".stripMargin,
 
       "pack_sequences" ->
-        s"""WITH t AS (SELECT source, doc_id, ($wordCnt)::BIGINT AS tok_cnt FROM documents),
+        s"""WITH t AS (SELECT source, doc_id,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
+           |  FROM documents),
            |c AS (SELECT source, doc_id, tok_cnt,
            |    sum(tok_cnt) OVER (PARTITION BY source ORDER BY doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -1128,6 +1146,20 @@ object SparkEntry {
            |SELECT source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
            |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
            |FROM c GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
+
+      // nearest-rank percentile: value at sorted row (pct*n + 99) // 100 —
+      // integer target arithmetic, bit-identical cross-engine
+      "a15_percentiles" ->
+        """WITH t AS (SELECT source, doc_id, length(text)::BIGINT AS v FROM documents),
+          |r AS (SELECT source, v,
+          |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id)::BIGINT AS rn
+          |  FROM t),
+          |tg AS (SELECT source, pct::BIGINT AS pct, (pct * cnt + 99) // 100 AS rn
+          |  FROM (SELECT source, count(*)::BIGINT AS cnt FROM t GROUP BY source)
+          |  CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct))
+          |SELECT r.source AS source, pct, r.v AS value
+          |FROM r JOIN tg ON r.source = tg.source AND r.rn = tg.rn
+          |ORDER BY 1, 2""".stripMargin,
 
       // hash-split mirrors mix_split; planting mirrors the Spark side; the
       // membership set is the DISTINCT train 8-gram hash universe

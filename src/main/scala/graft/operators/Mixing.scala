@@ -49,23 +49,42 @@ object Mixing {
     docs.where(hashBucket(col(idCol)) < quota)
   }
 
-  /** Contiguous greedy sequence packing: within each source (docs ordered
-    * by id), a doc joins the sequence its running token prefix falls in —
-    * `seq_no = floor(tokens-before-this-doc / budget)`. A doc larger than
-    * the budget gets a sequence of its own. One window per source — the
-    * packing parallelizes across sources; a single giant source would be
-    * range-partitioned into blocks first (same greedy rule per block).
-    * Output: one row per (source, seq_no) with doc/token totals. */
-  def packSequences(docs: DataFrame, tokenBudget: Int): DataFrame = {
+  /** Token-count column for a packing budget metric: `ws` = whitespace
+    * tokens; `bpe` = the BPE-ish regex count (letter runs / digit runs /
+    * single symbols — `TextAnalysis.tokenCounts`' `bpe_tokens`), which
+    * tracks what a subword tokenizer would bill far more closely than
+    * whitespace ("state-of-the-art." is 1 ws token but 6 BPE-ish). */
+  def tokenMetric(metric: String): Column = metric match {
+    case "ws" => wordCount(col("text")).cast("long")
+    case "bpe" =>
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown token metric '$other' (expected 'ws' or 'bpe')")
+  }
+
+  /** Contiguous greedy sequence packing: within each partition group (docs
+    * ordered by id), a doc joins the sequence its running token prefix
+    * falls in — `seq_no = floor(tokens-before-this-doc / budget)`. A doc
+    * larger than the budget gets a sequence of its own. One window per
+    * group — the packing parallelizes across groups; a single giant group
+    * would be range-partitioned into blocks first (same greedy rule per
+    * block). The budget metric should match the downstream tokenizer
+    * (`bpe` for trainer-faithful budgets; `ws` for cheap word budgets).
+    * Output: one row per (partitionCols..., seq_no) with doc/token totals. */
+  def packSequences(docs: DataFrame, tokenBudget: Int,
+                    metric: String = "ws",
+                    partitionCols: Seq[String] = Seq("source")): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val parts = partitionCols.map(col)
+    val w = Window.partitionBy(parts: _*).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(col("source"), col("doc_id"),
-        wordCount(col("text")).cast("long").as("tok_cnt"))
+      .select(parts :+ col("doc_id") :+ tokenMetric(metric).as("tok_cnt"): _*)
       .withColumn("seq_no",
         floor((sum(col("tok_cnt")).over(w) - col("tok_cnt")) / tokenBudget))
-      .groupBy(col("source"), col("seq_no"))
+      .groupBy(parts :+ col("seq_no"): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("seq_tokens"))
   }
 }

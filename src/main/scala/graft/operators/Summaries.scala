@@ -108,4 +108,50 @@ object Summaries {
     docs.groupBy(col("source")).count()
       .agg(map_from_entries(sort_array(collect_list(struct(col("source"), col("count")))))
         .as("sources"))
+
+  /** Exact positional (nearest-rank) percentiles of doc length per source —
+    * the corpus length-distribution report (p50/p90/p99 by default):
+    * percentile q = the value at sorted row ceil(q·n/100), computed in
+    * integer arithmetic (`(q·n + 99) div 100`) so the target rank is
+    * bit-identical cross-engine (generalizes `Relational.medianValue`'s
+    * interpolation-free lower median, which is the q=50 case).
+    *
+    * Plan shape: one window rank over (source) + a per-source count agg
+    * exploded to |pcts| tiny target rows, broadcast-joined back on
+    * (source, rank) — the big ranked table is scanned once and never
+    * row-inflated. At 100 TB the full per-group sort is the intrinsic cost
+    * of EXACT percentiles; [[approxLengthPercentiles]] is the sketch form
+    * that replaces the sort with a mergeable quantile summary. */
+  def lengthPercentiles(docs: DataFrame,
+                        pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles are integers in [1, 100]")
+    val base = docs.select(col("source"), col("doc_id"),
+      length(col("text")).cast("long").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("v"), col("doc_id"))
+    val ranked = base.withColumn("rn", row_number().over(w).cast("long"))
+    val targets = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+      .withColumn("rn", floor((col("pct") * col("cnt") + 99L) / 100L).cast("long"))
+      .select(col("source"), col("pct"), col("rn"))
+    ranked.join(broadcast(targets), Seq("source", "rn"))
+      .select(col("source"), col("pct"), col("v").as("value"))
+  }
+
+  /** Sketch sibling of [[lengthPercentiles]] — `approx_percentile`'s
+    * mergeable KLL-style summary instead of a full per-group sort: the
+    * 100 TB form (no cross-engine oracle; accuracy is spec-gated against
+    * the exact form, the a4/a9 pattern). */
+  def approxLengthPercentiles(docs: DataFrame,
+                              pcts: Seq[Int] = Seq(50, 90, 99),
+                              accuracy: Int = 10000): DataFrame =
+    docs.select(col("source"), length(col("text")).cast("long").as("v"))
+      .groupBy(col("source"))
+      .agg(percentile_approx(col("v"),
+        array(pcts.map(p => lit(p / 100.0)): _*), lit(accuracy)).as("qs"))
+      .select(col("source"), posexplode(col("qs")).as(Seq("i", "approx_value")))
+      .withColumn("pct", element_at(array(pcts.map(p => lit(p.toLong)): _*),
+        col("i") + 1))
+      .select(col("source"), col("pct"), col("approx_value"))
 }

@@ -57,4 +57,37 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
       ("srcX", 1L, 1L, 120L),  // oversized doc alone
       ("srcX", 3L, 1L, 5L)))   // next doc lands past the oversized span
   }
+
+  test("packSequences bpe metric bills punctuation/subwords, ws does not") {
+    // "it's state-of-the-art." = 2 ws tokens but 11 BPE-ish tokens
+    // (it ' s state - of - the - art .  → letter runs + single symbols)
+    val docs = Seq((1L, "it's state-of-the-art.", "s")).toDF("doc_id", "text", "source")
+    val ws = Mixing.packSequences(docs, 512, metric = "ws")
+      .select("seq_tokens").as[Long].head()
+    val bpe = Mixing.packSequences(docs, 512, metric = "bpe")
+      .select("seq_tokens").as[Long].head()
+    assert(ws == 2L)
+    assert(bpe == 11L)
+    intercept[IllegalArgumentException] {
+      Mixing.packSequences(docs, 512, metric = "chars")
+    }
+  }
+
+  test("packSequences packs independently per extra partition column") {
+    val docs = Seq(
+      (1L, "a " * 30, "s", "train"), (2L, "b " * 30, "s", "train"),
+      (3L, "c " * 30, "s", "test"))
+      .map { case (id, t, src, sp) => (id, t.trim, src, sp) }
+      .toDF("doc_id", "text", "source", "split")
+    val got = Mixing.packSequences(docs, 50, metric = "ws",
+        partitionCols = Seq("source", "split"))
+      .orderBy("split", "seq_no")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // test split packs alone from prefix 0; train docs share the greedy
+    // prefix within their own group (doc 2 STARTS at 30 < 50, so it joins
+    // seq 0 — same start-based rule as the per-source reference test)
+    assert(got == Seq(
+      ("s", "test", 0L, 1L, 30L),
+      ("s", "train", 0L, 2L, 60L)))
+  }
 }

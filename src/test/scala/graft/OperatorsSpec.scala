@@ -386,6 +386,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(at3750 == 1L)
   }
 
+  test("length percentiles: nearest-rank exact on a micro corpus, approx within 5%") {
+    // lengths 1, 2, 3, 100 in one source: n=4 →
+    // p50 rank (50·4+99)//100 = 2 → 2; p90 rank (90·4+99)//100 = 4 → 100;
+    // p99 rank 4 → 100
+    val micro = docsDF(1L -> "a", 2L -> "ab", 3L -> "abc", 4L -> ("a" * 100))
+    val got = Summaries.lengthPercentiles(micro).orderBy("pct")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("src0", 50L, 2L), ("src0", 90L, 100L), ("src0", 99L, 100L)))
+    // on the test corpus: approx sketch within 5% of the exact value
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Summaries.lengthPercentiles(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = Summaries.approxLengthPercentiles(docs).collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { r =>
+      val e = exact((r.getString(0), r.getLong(1)))
+      val a = r.getLong(2)
+      assert(math.abs(a - e).toDouble / math.max(e, 1L) <= 0.05,
+        s"approx $a vs exact $e for ${r.getString(0)}/p${r.getLong(1)}")
+    }
+  }
+
   test("ivf trained on a sample still ranks candidates by exact cosine") {
     val emb = Tables.embeddings(spark, sfDir)
     val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
