@@ -504,6 +504,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- flagship corpus-assembly pipeline: the engine's actual purpose
+    // as ONE plan — validate → n-gram near-dup pairs → connected-components
+    // canonical filter (keep one survivor per dup cluster) → hash split →
+    // decontaminate eval vs train (drop leaked eval docs) → pack the
+    // surviving corpus into BPE-token training sequences per (split,
+    // source). Every stage is the already-oracle-checked operator; this
+    // query gates their composition.
+    "e2e_corpus" -> ((s, d) => {
+      val valid = ArticleOps.validated(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"), col("source"))
+      val pairs = operators.Dedup.ngramJaccardPairs(valid, cfg.ngramN,
+        cfg.minJaccardX10000)
+      val clusters = operators.Dedup.dedupClusters(pairs)
+      val canonical = valid.join(
+        clusters.where(col("id") =!= col("canonical_id"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val split = operators.Mixing.withSplit(canonical,
+        trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
+      val train = split.where(col("split") === "train")
+      val evalDocs = split.where(col("split") =!= "train")
+      val cleanEval = operators.Decontaminate.cleanEval(train, evalDocs,
+        cfg.decontamNgramN, cfg.decontamMinOverlapX10000)
+      operators.Mixing.packSequences(train.unionByName(cleanEval),
+          cfg.packTokenBudget, metric = "bpe",
+          partitionCols = Seq("split", "source"))
+        .orderBy(col("split"), col("source"), col("seq_no"))
+    }),
+
     // ---- flagship end-to-end pipeline (E1/E2 shape) ----
     "e2e_pipeline" -> ((s, d) =>
       ArticleOps.withMetadata(ArticleOps.validated(Tables.documents(s, d)))
@@ -1190,6 +1219,62 @@ object SparkEntry {
            |  CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) AS overlap_x10000
            |  FROM rep)
            |ORDER BY doc_id""".stripMargin,
+
+      // the full corpus-assembly chain, stage for stage: validated docs →
+      // ngram-pair graph → recursive-CTE canonical filter → hash split →
+      // 8-gram decontamination → BPE-token greedy packing
+      "e2e_corpus" ->
+        s"""WITH RECURSIVE v AS (SELECT doc_id, text, source FROM documents WHERE $validWhere),
+           |t AS (SELECT doc_id, $toks AS toks FROM v),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000
+           |    FROM common JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jaccard_x10000 >= 5000),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION SELECT doc_b, doc_a FROM pr),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id),
+           |cl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+           |canon AS (SELECT v.doc_id, v.text, v.source FROM v
+           |  LEFT JOIN cl ON v.doc_id = cl.id
+           |  WHERE cl.id IS NULL OR cl.id = cl.canonical_id),
+           |sp AS (SELECT doc_id, text, source, (${poly("'split:' || doc_id")}) % 100 AS b FROM canon),
+           |tr AS (SELECT doc_id, text, source, 'train' AS split FROM sp WHERE b < 80),
+           |ev AS (SELECT doc_id, text, source,
+           |    CASE WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM sp WHERE b >= 80),
+           |trt AS (SELECT doc_id, $toks AS toks FROM tr),
+           |trs AS (SELECT DISTINCT ${poly("sh")} AS h FROM
+           |  (SELECT unnest(${shinglesOfN(8)}) AS sh FROM trt)),
+           |evt AS (SELECT doc_id, $toks AS toks FROM ev),
+           |evs AS (SELECT doc_id, ${poly("sh")} AS h FROM
+           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM evt)),
+           |esz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM evs GROUP BY doc_id),
+           |ehit AS (SELECT evs.doc_id, count(*)::BIGINT AS n_hit
+           |  FROM evs JOIN trs ON evs.h = trs.h GROUP BY evs.doc_id),
+           |contam AS (SELECT esz.doc_id FROM esz JOIN ehit ON esz.doc_id = ehit.doc_id
+           |  WHERE CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) >= 5000),
+           |keep AS (SELECT doc_id, text, source, split FROM tr
+           |  UNION ALL
+           |  SELECT doc_id, text, source, split FROM ev
+           |  WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = ev.doc_id)),
+           |pt AS (SELECT split, source, doc_id,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
+           |  FROM keep),
+           |c AS (SELECT split, source, doc_id, tok_cnt,
+           |    sum(tok_cnt) OVER (PARTITION BY split, source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM pt)
+           |SELECT split, source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
+           |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
+           |FROM c GROUP BY split, source, seq_no ORDER BY split, source, seq_no""".stripMargin,
 
       "e2e_pipeline" ->
         s"""SELECT source, count(*)::BIGINT AS doc_count,
