@@ -443,9 +443,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- multimodal plumbing (binary payload + typed metadata + stub decode) ----
+    // ---- multimodal plumbing: binary payload + typed metadata + REAL
+    // header-parse decode (PNG IHDR / JPEG SOF walk / WAV chunk walk over
+    // planted format-true bytes; Spark round-trips the bytes, the oracle
+    // recomputes expectations from the planting formulas) ----
     "mm_media_features" -> ((s, d) =>
-      operators.Multimodal.mediaFeaturesSql(Tables.documents(s, d))
+      operators.Multimodal.mediaFeatures(s, Tables.documents(s, d))
         .orderBy(col("media_id"))),
 
     // ---- corpus assembly: split / mixture reweighting / packing ----
@@ -1140,15 +1143,20 @@ object SparkEntry {
            |FROM p ORDER BY doc_id""".stripMargin
       },
 
+      // header sizes: PNG 33 (sig + IHDR), JPEG 39 (SOI + APP0 + SOF0),
+      // WAV 44 (RIFF + fmt + data); video stays opaque → parsed = 0
       "mm_media_features" ->
         """SELECT doc_id AS media_id,
           |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-          |  CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-          |  octet_length(encode(text))::BIGINT AS n_bytes,
-          |  md5(text) AS checksum,
-          |  CAST(64 + octet_length(encode(text))::BIGINT % 576 AS INT) AS width,
-          |  CAST(64 + (octet_length(encode(text))::BIGINT * 7) % 416 AS INT) AS height,
-          |  CAST(1 + octet_length(encode(text))::BIGINT % 24 AS INT) AS n_frames
+          |  CASE WHEN doc_id % 6 = 0 THEN 'image/png' WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+          |       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+          |  (octet_length(encode(text)) + CASE WHEN doc_id % 6 = 0 THEN 33 WHEN doc_id % 3 = 0 THEN 39
+          |     WHEN doc_id % 3 = 1 THEN 44 ELSE 0 END)::BIGINT AS n_bytes,
+          |  (CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END)::BIGINT AS parsed,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 500 ELSE -1 END AS INT) AS width,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 400 ELSE -1 END AS INT) AS height,
+          |  (CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 2
+          |     ELSE -1 END)::BIGINT AS n_frames
           |FROM documents ORDER BY media_id""".stripMargin,
 
       "mix_split" ->

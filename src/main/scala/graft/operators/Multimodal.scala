@@ -1,78 +1,197 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 import graft.Schemas.MediaRecord
 
-/** Multimodal column plumbing: opaque `binary` payloads with typed metadata,
-  * batched per-partition decode, and deterministic fake feature extraction.
+/** Multimodal column plumbing: opaque `binary` payloads with typed metadata
+  * and a batched per-partition decode.
   *
-  * The container has no image/audio codecs, so the decode step is a STUB
-  * (`fakeDecode`) — a clearly-marked deterministic stand-in. Everything
-  * around it is the real Spark contract a production decoder would use:
-  * binary column + metadata schema, `mapPartitions` batching (one decoder
-  * init per partition, not per row), and a columnar feature output. Swapping
-  * `fakeDecode` for a real JNI/codec call changes no plumbing.
+  * The container has no native image/audio codecs, but container FORMAT
+  * headers are pure bytes — so the decode step is a real pure-JVM header
+  * parse: PNG IHDR width/height, a JPEG marker walk to SOF0-3, and a WAV
+  * RIFF chunk walk to fmt/data (frame count). The decoder sniffs the
+  * payload bytes (it does NOT trust the `kind` column — same as a real
+  * codec), and unparseable payloads (here: the mp4 stand-in, which would
+  * need a box parser + codec) come back `parsed = 0` instead of failing the
+  * partition. Payload construction plants deterministic dimensions so the
+  * decode is oracle-checkable end to end: Spark builds real format bytes,
+  * parses them back, and DuckDB recomputes the expectation from the
+  * planting formulas.
+  *
+  * Scale posture: `mapPartitions` with one decoder context per partition
+  * (the expensive part for real codecs), constant memory, no driver
+  * involvement — swapping the header parsers for JNI codec calls changes no
+  * plumbing.
   */
 object Multimodal {
 
-  /** Build a media table from the documents corpus: payload = UTF-8 bytes of
-    * the text (the opaque-binary stand-in), mime/kind derived
-    * deterministically. Map-only. */
-  def toMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, lit("image"))
-        .when(col("doc_id") % 3 === 1, lit("audio"))
-        .otherwise(lit("video")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      when(col("doc_id") % 3 === 0, lit("image/png"))
-        .when(col("doc_id") % 3 === 1, lit("audio/wav"))
-        .otherwise(lit("video/mp4")).as("mime"),
-      length(col("text")).cast("long").as("meta_len"))
+  /** Deterministic planted image dimensions for doc id. */
+  def plantedDims(id: Long): (Int, Int) =
+    ((16 + id % 500).toInt, (16 + (id * 7) % 400).toInt)
 
-  /** Feature row produced by the (stub) decoder. */
-  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                                 width: Int, height: Int, n_frames: Int,
-                                 byte_sum: Long)
+  /** WAV sample rate used by the planted audio payloads. */
+  val WavSampleRate = 8000
 
-  /** STUB — stands in for image/audio/video decoding (no codecs in this
-    * container). Deterministic in the payload bytes so tests are stable.
-    * A real implementation would decode `payload` here (e.g. via a native
-    * lib handle created once per partition by `decodeFeatures`). */
-  def fakeDecode(r: MediaRecord): MediaFeatures = {
-    val n = r.payload.length.toLong
-    var sum = 0L
-    var i = 0
-    while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
-    MediaFeatures(r.media_id, r.kind, n,
-      width = (64 + n % 576).toInt, height = (64 + (n * 7) % 416).toInt,
-      n_frames = (1 + n % 24).toInt, byte_sum = sum)
+  // ---- payload builders (planting side) ----
+
+  /** Minimal PNG: 8-byte signature + IHDR chunk (length, type, w, h,
+    * bit-depth/color/compression/filter/interlace, CRC placeholder), body
+    * appended raw. 33 header bytes; the IHDR layout is the real format. */
+  def pngPayload(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(33 + body.length) // big-endian (PNG order)
+    bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes(UTF_8))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(0) // CRC not verified by the dimension parse
+    bb.put(body)
+    bb.array()
   }
 
-  /** Partition-batched decode: the decoder "handle" is initialized once per
+  /** Minimal JPEG: SOI + APP0/JFIF segment + SOF0 frame header (precision,
+    * height, width, 3 components), body appended raw. 39 header bytes. */
+  def jpegPayload(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(39 + body.length)
+    bb.put(0xFF.toByte).put(0xD8.toByte)                    // SOI
+    bb.put(0xFF.toByte).put(0xE0.toByte).putShort(16)       // APP0, len 16
+    bb.put("JFIF".getBytes(UTF_8)).put(0.toByte)
+    bb.put(1.toByte).put(1.toByte)                          // version 1.1
+    bb.put(0.toByte).putShort(1).putShort(1)                // units, density
+    bb.put(0.toByte).put(0.toByte)                          // no thumbnail
+    bb.put(0xFF.toByte).put(0xC0.toByte).putShort(17)       // SOF0, len 17
+    bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    bb.put(3.toByte)                                        // 3 components
+    (1 to 3).foreach { c =>
+      bb.put(c.toByte).put(0x11.toByte).put(0.toByte)
+    }
+    bb.put(body)
+    bb.array()
+  }
+
+  /** Minimal PCM WAV: RIFF/WAVE + fmt chunk (mono, 16-bit, `WavSampleRate`)
+    * + data chunk holding the body. 44 header bytes (little-endian). */
+  def wavPayload(body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(44 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(UTF_8)).putInt(36 + body.length)
+    bb.put("WAVE".getBytes(UTF_8))
+    bb.put("fmt ".getBytes(UTF_8)).putInt(16)
+    bb.putShort(1).putShort(1)                 // PCM, mono
+    bb.putInt(WavSampleRate).putInt(WavSampleRate * 2)
+    bb.putShort(2).putShort(16)                // block align, bits/sample
+    bb.put("data".getBytes(UTF_8)).putInt(body.length)
+    bb.put(body)
+    bb.array()
+  }
+
+  // ---- parsers (decode side; each sniffs its own magic) ----
+
+  /** PNG dimensions from the IHDR chunk (bytes 16..23 after the 8-byte
+    * signature + chunk length/type). */
+  def parsePngDims(p: Array[Byte]): Option[(Int, Int)] =
+    if (p.length >= 24 && (p(0) & 0xff) == 0x89 &&
+        p(1) == 'P'.toByte && p(2) == 'N'.toByte && p(3) == 'G'.toByte) {
+      val bb = ByteBuffer.wrap(p, 16, 8)
+      Some((bb.getInt, bb.getInt))
+    } else None
+
+  /** JPEG dimensions: walk the marker stream from SOI, skipping segments by
+    * their declared length, until a SOF0-SOF3 frame header. */
+  def parseJpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xFF || (p(1) & 0xff) != 0xD8)
+      return None
+    var i = 2
+    while (i + 8 < p.length && (p(i) & 0xff) == 0xFF) {
+      val marker = p(i + 1) & 0xff
+      if (marker >= 0xC0 && marker <= 0xC3) {
+        val h = ((p(i + 5) & 0xff) << 8) | (p(i + 6) & 0xff)
+        val w = ((p(i + 7) & 0xff) << 8) | (p(i + 8) & 0xff)
+        return Some((w, h))
+      }
+      val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      if (len < 2) return None
+      i += 2 + len
+    }
+    None
+  }
+
+  /** WAV frame count: verify RIFF/WAVE, walk chunks to `fmt ` (block align)
+    * and `data` (payload size); frames = data size / block align. */
+  def parseWavFrames(p: Array[Byte]): Option[Long] = {
+    def tag(off: Int) = new String(p, off, 4, UTF_8)
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 12
+    var blockAlign = -1
+    while (i + 8 <= p.length) {
+      val id = tag(i)
+      val size = bb.getInt(i + 4)
+      if (size < 0) return None
+      if (id == "fmt " && i + 8 + 16 <= p.length)
+        blockAlign = bb.getShort(i + 8 + 12).toInt
+      else if (id == "data" && blockAlign > 0)
+        return Some(size.toLong / blockAlign)
+      i += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    None
+  }
+
+  /** Feature row produced by the decoder. Unparsed payloads (unsupported
+    * container, truncated header) carry `parsed = 0` and -1 dimensions. */
+  final case class MediaFeatures(media_id: Long, kind: String, mime: String,
+                                 n_bytes: Long, parsed: Long,
+                                 width: Int, height: Int, n_frames: Long)
+
+  /** Decode one record by sniffing the payload bytes. */
+  def decodeOne(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length.toLong
+    parsePngDims(r.payload).orElse(parseJpegDims(r.payload)) match {
+      case Some((w, h)) =>
+        MediaFeatures(r.media_id, r.kind, r.mime, n, 1L, w, h, 1L)
+      case None => parseWavFrames(r.payload) match {
+        case Some(frames) =>
+          MediaFeatures(r.media_id, r.kind, r.mime, n, 1L, -1, -1, frames)
+        case None =>
+          MediaFeatures(r.media_id, r.kind, r.mime, n, 0L, -1, -1, -1L)
+      }
+    }
+  }
+
+  /** Build the media table from the documents corpus: payload = a REAL
+    * format header (PNG for doc_id ≡ 0 mod 6, JPEG for ≡ 3, WAV for ≡ 1
+    * mod 3) wrapping the text bytes; the mp4 stand-in stays opaque (box
+    * parsing needs a codec). Dimensions are planted via [[plantedDims]] so
+    * the decode is checkable. */
+  def toMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
+      val body = text.getBytes(UTF_8)
+      val (w, h) = plantedDims(id)
+      val (kind, mime, payload) =
+        if (id % 3 == 0) {
+          if (id % 6 == 0) ("image", "image/png", pngPayload(w, h, body))
+          else ("image", "image/jpeg", jpegPayload(w, h, body))
+        } else if (id % 3 == 1) ("audio", "audio/wav", wavPayload(body))
+        else ("video", "video/mp4", body)
+      MediaRecord(id, kind, payload, mime, payload.length.toLong)
+    }
+  }
+
+  /** Partition-batched decode: the decoder context is initialized once per
     * partition (the expensive part for real codecs), then streamed over the
     * iterator — constant memory, no driver involvement. */
   def decodeFeatures(spark: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
     import spark.implicits._
     media.mapPartitions { it =>
       // real pipelines: init codec/native handle here, once per partition
-      it.map(fakeDecode)
+      it.map(decodeOne)
     }.toDF()
   }
 
-  /** SQL-expressible slice of the pipeline (payload size, checksum, fake
-    * decode dims) — the oracle-checkable contract of the plumbing. */
-  def mediaFeaturesSql(docs: DataFrame): DataFrame = {
-    val media = toMediaTable(docs)
-    val n = col("n_bytes")
-    media
-      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
-      .withColumn("checksum", md5(col("payload")))
-      .select(
-        col("media_id"), col("kind"), col("mime"), col("n_bytes"), col("checksum"),
-        (lit(64) + n % 576).cast("int").as("width"),
-        (lit(64) + (n * 7) % 416).cast("int").as("height"),
-        (lit(1) + n % 24).cast("int").as("n_frames"))
-  }
+  /** plant → decode, end to end: the oracle-checkable contract (DuckDB
+    * recomputes every field from the planting formulas while Spark actually
+    * round-trips the bytes). */
+  def mediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeFeatures(spark, toMediaTable(spark, docs))
 }
