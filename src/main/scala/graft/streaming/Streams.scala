@@ -138,6 +138,63 @@ object Streams {
       }
       .start()
 
+  /** Streaming near-dup tier — the streaming sibling of
+    * [[graft.operators.Dedup.minhashPairsIncremental]]: each micro-batch of
+    * new documents (1) probes the PERSISTED MinHash signature index for
+    * near-dup pairs involving the batch's docs — cost O(batch × collisions),
+    * not a corpus re-scan — then (2) appends its own signatures to the
+    * index. This is how a production dedup index absorbs a live crawl: the
+    * index directory is the long-lived artifact, the stream keeps it
+    * current, and accumulated pairs equal the batch [[graft.operators.Dedup
+    * .minhashPairs]] over everything seen (StreamingSpec asserts this).
+    *
+    * Exactly-once on replay: both writes are dynamic-partition overwrites
+    * keyed by micro-batch id (the `ingest` pattern), and the probe reads
+    * the index EXCLUDING the current batch's partition — a replayed batch
+    * whose signatures already landed would otherwise double its signature
+    * rows and corrupt the match estimates. Partition pruning makes the
+    * exclusion free. */
+  def streamingNearDup(spark: SparkSession, docs: DataFrame,
+                       indexDir: String, pairsDir: String,
+                       checkpointDir: String,
+                       n: Int = 3, k: Int = 16, bands: Int = 4,
+                       minEstX100: Long = 50): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val newDocs = batch.toDF().select(col("doc_id"), col("text"))
+        val existingSigs =
+          try spark.read.parquet(indexDir)
+            .where(col("batch_id") =!= lit(batchId))
+            .select(col("doc_id"), col("i"), col("mh"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            // first batch: no index yet
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              new StructType()
+                .add("doc_id", org.apache.spark.sql.types.LongType)
+                .add("i", org.apache.spark.sql.types.IntegerType)
+                .add("mh", org.apache.spark.sql.types.LongType))
+          }
+        def writePartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(dir)
+        // probe FIRST, then append the batch's signatures — the reverse
+        // order would self-join the batch against its own index rows
+        writePartition(
+          graft.operators.Dedup.minhashPairsIncremental(
+            existingSigs, newDocs, n, k, bands, minEstX100),
+          pairsDir)
+        writePartition(
+          graft.operators.Dedup.minhashTable(newDocs, n, k), indexDir)
+        ()
+      }
+      .start()
+
   /** Streaming session windows — the arbitrary-stateful tier
     * (`flatMapGroupsWithState` + event-time timeout) beneath the native
     * `session_window`: per user, open sessions live in state as merged

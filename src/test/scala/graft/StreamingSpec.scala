@@ -64,6 +64,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.json(outDir).count() == afterFirst + 7)
   }
 
+  test("streaming near-dup pairs accumulate to the batch minhash result") {
+    import graft.operators.Dedup
+    // plant near-copies (the corpus alone may have none at this sf): every
+    // 10th doc re-delivered under an offset id
+    val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val docs = docs0.unionByName(
+      docs0.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val srcDir = tmp("ndup-src")
+    val indexDir = tmp("ndup-idx") + "/index"
+    val pairsDir = tmp("ndup-pairs") + "/pairs"
+    val ckDir = tmp("ndup-ck")
+    // several files + maxFilesPerTrigger=1 → several micro-batches, so
+    // pairs must be found across batch boundaries via the persisted index
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.fileSource(spark, srcDir, docs.schema, maxFilesPerTrigger = 1)
+    val q = Streams.streamingNearDup(spark, stream, indexDir, pairsDir, ckDir)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b", "est_jaccard_x100")
+      .distinct().as[(Long, Long, Long)].collect().toSet
+    val batch = Dedup.minhashPairs(docs).as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty) // the planted copies must actually pair up
+    // the index now covers the whole corpus: one signature set per doc
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("streaming sessions emit exactly the batch sessions once the watermark closes them") {
     val ev = Tables.events(spark, sfDir)
     // batch ground truth: the very operator a12 is gated on
