@@ -53,7 +53,8 @@ case class GraftConfig(
     // eval-set decontamination: longer shingles than near-dup (a shared
     // 8-gram is evidence of copying, a 3-gram is shared vocabulary)
     decontamNgramN: Int = 8,
-    decontamMinOverlapX10000: Long = 5000L)
+    decontamMinOverlapX10000: Long = 5000L,
+    decontamMinCommon: Long = 5L)
 
 object GraftConfig {
 
@@ -140,7 +141,8 @@ object GraftConfig {
       packTokenBudget = i("mix.pack_token_budget", d.packTokenBudget),
       decontamNgramN = i("decontam.ngram_n", d.decontamNgramN),
       decontamMinOverlapX10000 =
-        l("decontam.min_overlap_x10000", d.decontamMinOverlapX10000))
+        l("decontam.min_overlap_x10000", d.decontamMinOverlapX10000),
+      decontamMinCommon = l("decontam.min_common", d.decontamMinCommon))
   }
 
   /** Load from a file path (missing file → defaults, mirroring the

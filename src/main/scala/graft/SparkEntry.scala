@@ -443,6 +443,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // repetition signals — the repeated-n-gram quality filter (boilerplate /
+    // machine-generated text repeats itself)
+    "ta_repetition" -> ((s, d) =>
+      operators.TextAnalysis.repetition(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // decontamination forensics: WHICH train doc leaked into which eval doc
+    // (≥ minCommon shared 8-gram shingles) — the info needed to drop train
+    // offenders instead of shrinking the eval set. Same split + planting as
+    // `decontaminate`, so every planted copy must attribute to its source.
+    "decontam_pairs" -> ((s, d) => {
+      val split = operators.Mixing.withSplit(Tables.documents(s, d),
+        trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
+      val train = split.where(col("split") === "train")
+        .select(col("doc_id"), col("text"))
+      val evalDocs = split.where(col("split") === "test")
+        .select(col("doc_id"), col("text"))
+        .unionByName(train.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      operators.Decontaminate.attributionPairs(train, evalDocs,
+          cfg.decontamNgramN, cfg.decontamMinCommon)
+        .orderBy(col("eval_doc"), col("train_doc"))
+    }),
+
     // ---- multimodal plumbing: binary payload + typed metadata + REAL
     // header-parse decode (PNG IHDR / JPEG SOF walk / WAV chunk walk over
     // planted format-true bytes; Spark round-trips the bytes, the oracle
@@ -1183,6 +1207,44 @@ object SparkEntry {
            |SELECT source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
            |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
            |FROM c GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
+
+      // bigrams are NON-distinct here (occurrence counts), unlike the
+      // dedup shingle fragment
+      "ta_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |b AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END AS bgs
+           |  FROM t),
+           |base AS (SELECT doc_id, len(bgs)::BIGINT AS n_bigrams,
+           |    len(list_distinct(bgs))::BIGINT AS n_distinct, bgs FROM b),
+           |cnt AS (SELECT doc_id, bg, count(*)::BIGINT AS cnt
+           |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) GROUP BY doc_id, bg),
+           |top AS (SELECT doc_id, max(cnt)::BIGINT AS top_cnt FROM cnt GROUP BY doc_id)
+           |SELECT base.doc_id AS doc_id, n_bigrams, n_distinct,
+           |  CAST(floor((10000.0::DOUBLE) * (n_bigrams - n_distinct) / greatest(n_bigrams, 1) + 0.5) AS BIGINT) AS dup_bigram_ratio_x10000,
+           |  CAST(floor((10000.0::DOUBLE) * coalesce(top_cnt, 0) / greatest(n_bigrams, 1) + 0.5) AS BIGINT) AS top_bigram_ratio_x10000
+           |FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+           |ORDER BY 1""".stripMargin,
+
+      // same split + planting as `decontaminate`; per-(eval, train) shared
+      // distinct-8-gram counts above the floor
+      "decontam_pairs" ->
+        s"""WITH sp AS (SELECT doc_id, text, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents),
+           |tr AS (SELECT doc_id, text FROM sp WHERE b < 80),
+           |ev AS (SELECT doc_id, text FROM sp WHERE b >= 90
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM tr WHERE doc_id % 7 = 0),
+           |trt AS (SELECT doc_id, $toks AS toks FROM tr),
+           |trs AS (SELECT doc_id AS train_doc, ${poly("sh")} AS h FROM
+           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM trt)),
+           |evt AS (SELECT doc_id, $toks AS toks FROM ev),
+           |evs AS (SELECT doc_id AS eval_doc, ${poly("sh")} AS h FROM
+           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM evt))
+           |SELECT eval_doc, train_doc, count(*)::BIGINT AS n_common
+           |FROM evs JOIN trs ON evs.h = trs.h
+           |GROUP BY eval_doc, train_doc
+           |HAVING count(*) >= 5
+           |ORDER BY eval_doc, train_doc""".stripMargin,
 
       // nearest-rank percentile: value at sorted row (pct*n + 99) // 100 —
       // integer target arithmetic, bit-identical cross-engine

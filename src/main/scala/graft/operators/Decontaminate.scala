@@ -69,4 +69,26 @@ object Decontaminate {
       overlapReport(train, eval, n, minOverlapX10000)
         .where(col("contaminated") === 0L).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+
+  /** Attribution pairs — the forensics behind a contamination flag: WHICH
+    * train docs share at least `minCommon` distinct n-gram shingles with
+    * which eval docs. [[overlapReport]] answers "is this eval doc leaked";
+    * this answers "from where", which is what you need to DROP the
+    * offending train docs instead of shrinking the eval set (the usual
+    * remedy when train data is abundant).
+    *
+    * Same scale shape as the report: the eval shingle table is broadcast,
+    * the join is map-only over one train shingle scan; output is bounded by
+    * true leaks (shared-shingle pairs), not |train|×|eval|. */
+  def attributionPairs(train: DataFrame, eval: DataFrame, n: Int,
+                       minCommon: Long): DataFrame = {
+    val trainSh = Dedup.shingleTable(train, n)
+      .select(col("doc_id").as("train_doc"), charPolyHash(col("sh")).as("h"))
+    val evalSh = Dedup.shingleTable(eval, n)
+      .select(col("doc_id").as("eval_doc"), charPolyHash(col("sh")).as("h"))
+    trainSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("eval_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+  }
 }

@@ -158,4 +158,45 @@ object TextAnalysis {
         when(size(sh) > 0, array_min(shHashes)).otherwise(lit(-1L)).as("min_shingle_hash"),
         when(size(sh) > 0, array_max(shHashes)).otherwise(lit(-1L)).as("max_shingle_hash"))
   }
+
+  /** Repetition signals — the repeated-n-gram quality filter every LLM
+    * curation pipeline runs (machine-generated/boilerplate text repeats
+    * itself; see the Gopher-style repetition rules): per doc,
+    *  - `dup_bigram_ratio`  = fraction of bigram OCCURRENCES that are
+    *    repeats of an earlier bigram (1 − distinct/total), and
+    *  - `top_bigram_ratio`  = fraction taken by the single most frequent
+    *    bigram.
+    * Both fixed-point ×10000. Docs with < 2 tokens report 0s.
+    *
+    * Plan shape: the top frequency needs occurrence COUNTS, so unlike the
+    * map-only analyses above this is explode → one map-side-combinable hash
+    * agg per (doc, bigram) → one per-doc agg, rejoined to the per-doc row
+    * on doc_id (a light equi-join; short docs survive via the left side).
+    * The distinct/total part stays array-side (map-only). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), bigrams.as("bgs"))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast("long").as("n_distinct"),
+        col("bgs"))
+    val top = base
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+    base.drop("bgs")
+      .join(top, Seq("doc_id"), "left") // short docs have no bigram rows
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        floor(lit(10000.0) * (col("n_bigrams") - col("n_distinct")) /
+          greatest(col("n_bigrams"), lit(1L)) + 0.5).cast("long")
+          .as("dup_bigram_ratio_x10000"),
+        floor(lit(10000.0) * coalesce(col("top_cnt"), lit(0L)) /
+          greatest(col("n_bigrams"), lit(1L)) + 0.5).cast("long")
+          .as("top_bigram_ratio_x10000"))
+  }
 }

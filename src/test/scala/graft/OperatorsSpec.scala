@@ -397,6 +397,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val at3750 = Decontaminate.overlapReport(train, eval, 3, 3750L)
       .where(col("doc_id") === 101L).select("contaminated").as[Long].head()
     assert(at3750 == 1L)
+    // attribution: the copy traces to train doc 1 (8 shared trigrams), the
+    // partial copy too (3 shared) once the floor admits it; nothing maps to
+    // train doc 2
+    val pairs = Decontaminate.attributionPairs(train, eval, 3, 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 1L, 8L), (101L, 1L, 3L)))
+  }
+
+  test("repetition ratios: repeats and top-bigram share, short docs at zero") {
+    // "a b a b a b": 5 bigrams, 2 distinct → dup 3/5, top ("a b") 3/5
+    // "x y z": 2 bigrams, both unique → dup 0, top 1/2
+    // "w": no bigrams → all zero
+    val docs = docsDF(1L -> "a b a b a b", 2L -> "x y z", 3L -> "w")
+    val got = TextAnalysis.repetition(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, 6000L, 6000L),
+      (2L, 2L, 2L, 0L, 5000L),
+      (3L, 0L, 0L, 0L, 0L)))
   }
 
   test("length percentiles: nearest-rank exact on a micro corpus, approx within 5%") {
