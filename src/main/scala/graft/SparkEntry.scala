@@ -449,6 +449,11 @@ object SparkEntry {
       operators.TextAnalysis.repetition(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // corpus top-k vocabulary (tokenizer-training precursor): hash agg +
+    // TakeOrderedAndProject — no global sort
+    "ta_vocab" -> ((s, d) =>
+      operators.TextAnalysis.vocabulary(Tables.documents(s, d), 100)),
+
     // decontamination forensics: WHICH train doc leaked into which eval doc
     // (≥ minCommon shared 8-gram shingles) — the info needed to drop train
     // offenders instead of shrinking the eval set. Same split + planting as
@@ -1207,6 +1212,11 @@ object SparkEntry {
            |SELECT source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
            |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
            |FROM c GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
+
+      "ta_vocab" ->
+        s"""SELECT term, count(*)::BIGINT AS cnt
+           |FROM (SELECT unnest($toks) AS term FROM documents)
+           |GROUP BY term ORDER BY cnt DESC, term LIMIT 100""".stripMargin,
 
       // bigrams are NON-distinct here (occurrence counts), unlike the
       // dedup shingle fragment

@@ -159,6 +159,17 @@ object TextAnalysis {
         when(size(sh) > 0, array_max(shHashes)).otherwise(lit(-1L)).as("max_shingle_hash"))
   }
 
+  /** Corpus vocabulary extraction — the tokenizer-training precursor: the
+    * top-k terms by occurrence count, ties broken lexicographically.
+    * Plan shape: explode → map-side-combinable hash agg →
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on the
+    * driver) — no global sort, the only corpus-wide top-k form that
+    * survives 100 TB. */
+  def vocabulary(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+
   /** Repetition signals — the repeated-n-gram quality filter every LLM
     * curation pipeline runs (machine-generated/boilerplate text repeats
     * itself; see the Gopher-style repetition rules): per doc,
@@ -168,34 +179,37 @@ object TextAnalysis {
     *    bigram.
     * Both fixed-point ×10000. Docs with < 2 tokens report 0s.
     *
-    * Plan shape: the top frequency needs occurrence COUNTS, so unlike the
-    * map-only analyses above this is explode → one map-side-combinable hash
-    * agg per (doc, bigram) → one per-doc agg, rejoined to the per-doc row
-    * on doc_id (a light equi-join; short docs survive via the left side).
-    * The distinct/total part stays array-side (map-only). */
+    * Plan shape: one bigram explode → one map-side-combinable hash agg per
+    * (doc, bigram) → one per-doc agg deriving ALL THREE counts (total =
+    * Σcnt, distinct = rows, top = max cnt), rejoined to the doc-id list so
+    * sub-2-token docs report zeros. Everything occurrence-shaped lives in
+    * the aggregation; no array is referenced twice (a multi-referenced
+    * array column gets its builder transform re-inlined per use by
+    * CollapseProject — measured 8× slower on this query's first,
+    * array-side formulation). */
   def repetition(docs: DataFrame): DataFrame = {
     val toks = col("toks")
     val bigrams = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-    val base = docs
+    val perDoc = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), bigrams.as("bgs"))
-      .select(col("doc_id"),
-        size(col("bgs")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bgs"))).cast("long").as("n_distinct"),
-        col("bgs"))
-    val top = base
-      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
-    base.drop("bgs")
-      .join(top, Seq("doc_id"), "left") // short docs have no bigram rows
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left") // short docs have no bigram rows
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         floor(lit(10000.0) * (col("n_bigrams") - col("n_distinct")) /
           greatest(col("n_bigrams"), lit(1L)) + 0.5).cast("long")
           .as("dup_bigram_ratio_x10000"),
-        floor(lit(10000.0) * coalesce(col("top_cnt"), lit(0L)) /
+        floor(lit(10000.0) * col("top_cnt") /
           greatest(col("n_bigrams"), lit(1L)) + 0.5).cast("long")
           .as("top_bigram_ratio_x10000"))
   }

@@ -405,6 +405,16 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((100L, 1L, 8L), (101L, 1L, 3L)))
   }
 
+  test("vocabulary: top-k terms by count, lexicographic ties, no global sort") {
+    val docs = docsDF(1L -> "b b b a a c", 2L -> "a d d")
+    val got = TextAnalysis.vocabulary(docs, 3).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 3L), ("d", 2L)))
+    // scale shape: per-partition top-k merge, not a full sort
+    val plan = TextAnalysis.vocabulary(Tables.documents(spark, sfDir), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("repetition ratios: repeats and top-bigram share, short docs at zero") {
     // "a b a b a b": 5 bigrams, 2 distinct → dup 3/5, top ("a b") 3/5
     // "x y z": 2 bigrams, both unique → dup 0, top 1/2
