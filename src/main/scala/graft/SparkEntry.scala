@@ -30,6 +30,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("e2e_pipeline")(spark, "/root/testdata/sf0.001")
 
+  /** Shared by `decontaminate` and `decontam_pairs` (their oracles mirror
+    * this construction EXACTLY — keep it in one place): hash-split the
+    * corpus, then plant contaminated eval docs as copies of every 7th train
+    * doc under an offset id (the synthetic corpus has no organic cross-split
+    * copies, so planting makes both oracles non-vacuous — the u1/ta_pii
+    * pattern). Returns (train, evalDocs). */
+  private def plantedEvalSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val split = operators.Mixing.withSplit(Tables.documents(s, d),
+      trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
+    val train = split.where(col("split") === "train")
+      .select(col("doc_id"), col("text"))
+    val evalDocs = split.where(col("split") === "test")
+      .select(col("doc_id"), col("text"))
+      .unionByName(train.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    (train, evalDocs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- scans / lookups (S1, S4, F3, F7) ----
@@ -459,14 +477,7 @@ object SparkEntry {
     // offenders instead of shrinking the eval set. Same split + planting as
     // `decontaminate`, so every planted copy must attribute to its source.
     "decontam_pairs" -> ((s, d) => {
-      val split = operators.Mixing.withSplit(Tables.documents(s, d),
-        trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
-      val train = split.where(col("split") === "train")
-        .select(col("doc_id"), col("text"))
-      val evalDocs = split.where(col("split") === "test")
-        .select(col("doc_id"), col("text"))
-        .unionByName(train.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val (train, evalDocs) = plantedEvalSplit(s, d)
       operators.Decontaminate.attributionPairs(train, evalDocs,
           cfg.decontamNgramN, cfg.decontamMinCommon)
         .orderBy(col("eval_doc"), col("train_doc"))
@@ -516,21 +527,12 @@ object SparkEntry {
       operators.Summaries.approxLengthPercentiles(Tables.documents(s, d))
         .orderBy(col("source"), col("pct"))),
 
-    // eval-set decontamination: hash-split the corpus, then flag test-split
-    // docs whose 8-gram shingles substantially occur anywhere in the train
-    // split. The synthetic corpus has no cross-split copies, so contaminated
-    // docs are planted (copies of every 7th train doc, id-offset — the
-    // u1/ta_pii pattern): planted docs must flag at overlap 10000, organic
-    // test docs stay near 0 (8-grams, not shared vocabulary).
+    // eval-set decontamination: flag test-split docs whose 8-gram shingles
+    // substantially occur anywhere in the train split (planted docs must
+    // flag at overlap 10000, organic test docs stay near 0 — 8-grams are
+    // copying evidence, not shared vocabulary)
     "decontaminate" -> ((s, d) => {
-      val split = operators.Mixing.withSplit(Tables.documents(s, d),
-        trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
-      val train = split.where(col("split") === "train")
-        .select(col("doc_id"), col("text"))
-      val evalDocs = split.where(col("split") === "test")
-        .select(col("doc_id"), col("text"))
-        .unionByName(train.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val (train, evalDocs) = plantedEvalSplit(s, d)
       operators.Decontaminate.overlapReport(train, evalDocs,
           cfg.decontamNgramN, cfg.decontamMinOverlapX10000)
         .orderBy(col("doc_id"))
@@ -557,8 +559,11 @@ object SparkEntry {
         trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
       val train = split.where(col("split") === "train")
       val evalDocs = split.where(col("split") =!= "train")
+      // the eval side here is a corpus-scale 20% split, not a curated eval
+      // set — take the shuffle membership join, not the broadcast hint
       val cleanEval = operators.Decontaminate.cleanEval(train, evalDocs,
-        cfg.decontamNgramN, cfg.decontamMinOverlapX10000)
+        cfg.decontamNgramN, cfg.decontamMinOverlapX10000,
+        broadcastEval = false)
       operators.Mixing.packSequences(train.unionByName(cleanEval),
           cfg.packTokenBudget, metric = "bpe",
           partitionCols = Seq("split", "source"))

@@ -31,22 +31,29 @@ object Decontaminate {
     * overlap_x10000, contaminated). Every eval doc appears exactly once;
     * docs with fewer than n tokens have n_sh = 0 and overlap 0.
     * `train`/`eval` need (doc_id, text). Overlap is fixed-point
-    * (`floor(1e4·hit/size + 0.5)`) — bit-identical cross-engine. */
+    * (`floor(1e4·hit/size + 0.5)`) — bit-identical cross-engine.
+    *
+    * `broadcastEval` (default true) fits the usual shape — a hand-curated
+    * eval set of ~1e4 docs whose shingle table rides to every executor and
+    * makes the membership join map-only. Pass false when the eval side is a
+    * corpus-scale SPLIT (e.g. a 20% holdout): an explicit broadcast hint
+    * overrides the size threshold, so a large eval side must take the
+    * shuffle equi-join instead of being collected to the driver. */
   def overlapReport(train: DataFrame, eval: DataFrame, n: Int,
-                    minOverlapX10000: Long): DataFrame = {
+                    minOverlapX10000: Long,
+                    broadcastEval: Boolean = true): DataFrame = {
     // train shingle universe: distinct 64-bit-hash membership set. A hash
     // collision can only INFLATE one eval doc's hit count by 1 (the oracle
     // computes the same hash, so parity holds) — same posture as
     // ngramJaccardPairs' hash join.
     val trainSh = Dedup.shingleTable(train, n)
       .select(charPolyHash(col("sh")).as("h")).distinct()
-    val evalSh = Dedup.shingleTable(eval, n)
+    val evalSh0 = Dedup.shingleTable(eval, n)
       .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
-    // eval is the small side by construction — broadcast it so the
-    // membership join is map-only over the train universe scan
-    val hits = trainSh.join(broadcast(evalSh), Seq("h"))
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    val hits = trainSh.join(evalSh, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    val sizes = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sizes = evalSh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     eval.select(col("doc_id"))
       .join(sizes, Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")
@@ -64,9 +71,10 @@ object Decontaminate {
     * below the threshold — `withSplit → overlapReport → keep clean` is the
     * split-then-decontaminate shape of corpus assembly. */
   def cleanEval(train: DataFrame, eval: DataFrame, n: Int,
-                minOverlapX10000: Long): DataFrame =
+                minOverlapX10000: Long,
+                broadcastEval: Boolean = true): DataFrame =
     eval.join(
-      overlapReport(train, eval, n, minOverlapX10000)
+      overlapReport(train, eval, n, minOverlapX10000, broadcastEval)
         .where(col("contaminated") === 0L).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
@@ -81,12 +89,14 @@ object Decontaminate {
     * the join is map-only over one train shingle scan; output is bounded by
     * true leaks (shared-shingle pairs), not |train|×|eval|. */
   def attributionPairs(train: DataFrame, eval: DataFrame, n: Int,
-                       minCommon: Long): DataFrame = {
+                       minCommon: Long,
+                       broadcastEval: Boolean = true): DataFrame = {
     val trainSh = Dedup.shingleTable(train, n)
       .select(col("doc_id").as("train_doc"), charPolyHash(col("sh")).as("h"))
-    val evalSh = Dedup.shingleTable(eval, n)
+    val evalSh0 = Dedup.shingleTable(eval, n)
       .select(col("doc_id").as("eval_doc"), charPolyHash(col("sh")).as("h"))
-    trainSh.join(broadcast(evalSh), Seq("h"))
+    val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
+    trainSh.join(evalSh, Seq("h"))
       .groupBy(col("eval_doc"), col("train_doc"))
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCommon)

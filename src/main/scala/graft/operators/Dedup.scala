@@ -145,9 +145,18 @@ object Dedup {
     * new member (OperatorsSpec asserts this). */
   def minhashPairsIncremental(existingSigs: DataFrame, newDocs: DataFrame,
                               n: Int = 3, k: Int = 16, bands: Int = 4,
-                              minEstX100: Long = 50): DataFrame = {
+                              minEstX100: Long = 50): DataFrame =
+    minhashPairsIncrementalSigs(existingSigs, minhashTable(newDocs, n, k),
+      k, bands, minEstX100)
+
+  /** [[minhashPairsIncremental]] with the new side's signatures already
+    * computed — for callers that persist the signature table anyway (the
+    * streaming tier writes it to the index, then probes with the same
+    * rows instead of re-running the shingle→hash→MinHash pipeline). */
+  def minhashPairsIncrementalSigs(existingSigs: DataFrame, newSigs: DataFrame,
+                                  k: Int = 16, bands: Int = 4,
+                                  minEstX100: Long = 50): DataFrame = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
-    val newSigs = minhashTable(newDocs, n, k)
     val allSigs = existingSigs.unionByName(newSigs)
     val newKeys = bandKeyTable(newSigs, k / bands)
     val allKeys = bandKeyTable(allSigs, k / bands)

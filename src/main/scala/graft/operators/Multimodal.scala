@@ -127,7 +127,10 @@ object Multimodal {
     while (i + 8 <= p.length) {
       val id = tag(i)
       val size = bb.getInt(i + 4)
-      if (size < 0) return None
+      // a declared chunk size beyond the payload is corruption — and the
+      // offset arithmetic below must never wrap Int (a crafted ~2^31 size
+      // would turn i negative and throw instead of degrading to None)
+      if (size < 0 || size > p.length - i - 8) return None
       if (id == "fmt " && i + 8 + 16 <= p.length)
         blockAlign = bb.getShort(i + 8 + 12).toInt
       else if (id == "data" && blockAlign > 0)

@@ -165,32 +165,26 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val newDocs = batch.toDF().select(col("doc_id"), col("text"))
-        val existingSigs =
-          try spark.read.parquet(indexDir)
-            .where(col("batch_id") =!= lit(batchId))
-            .select(col("doc_id"), col("i"), col("mh"))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            // first batch: no index yet
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              new StructType()
-                .add("doc_id", org.apache.spark.sql.types.LongType)
-                .add("i", org.apache.spark.sql.types.IntegerType)
-                .add("mh", org.apache.spark.sql.types.LongType))
-          }
         def writePartition(df: DataFrame, dir: String): Unit =
           df.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id").parquet(dir)
-        // probe FIRST, then append the batch's signatures — the reverse
-        // order would self-join the batch against its own index rows
-        writePartition(
-          graft.operators.Dedup.minhashPairsIncremental(
-            existingSigs, newDocs, n, k, bands, minEstX100),
-          pairsDir)
+        // append the batch's signatures FIRST, then probe with the
+        // persisted rows — the expensive shingle→hash→MinHash pipeline runs
+        // exactly once per batch, and the probe reads both sides from the
+        // index (its own rows via the batch_id partition, everything else
+        // via the exclusion), so replay stays self-join-safe
         writePartition(
           graft.operators.Dedup.minhashTable(newDocs, n, k), indexDir)
+        val idx = spark.read.parquet(indexDir)
+        val sigCols = Seq(col("doc_id"), col("i"), col("mh"))
+        writePartition(
+          graft.operators.Dedup.minhashPairsIncrementalSigs(
+            idx.where(col("batch_id") =!= lit(batchId)).select(sigCols: _*),
+            idx.where(col("batch_id") === lit(batchId)).select(sigCols: _*),
+            k, bands, minEstX100),
+          pairsDir)
         ()
       }
       .start()

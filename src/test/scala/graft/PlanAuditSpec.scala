@@ -44,7 +44,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       val got = operators.Dedup.dedupClustersStar(pairs)
         .as[(Long, Long)].collect().toSet
       assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
-      Thread.sleep(1500) // listener bus drains asynchronously
+      // the listener bus is asynchronous: poll until the count is stable
+      // for a full second (a fixed sleep can undercount on a loaded host
+      // and pass the bound vacuously), bounded at 15 s
+      var stableSince = System.nanoTime()
+      var last = jobs.get()
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (System.nanoTime() - stableSince < 1_000_000_000L &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+      // jobs must have been delivered at all — a zero count means the
+      // listener never attached and the bound below would pass vacuously
+      assert(jobs.get() >= 10, s"only ${jobs.get()} jobs delivered")
       // calibrated canary (AQE runs each shuffle stage as its own job, so
       // the absolute numbers are larger than the action count): the
       // single-aggregate signature fixpoint measures 29 jobs on this input;
