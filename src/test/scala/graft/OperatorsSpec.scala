@@ -405,6 +405,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((100L, 1L, 8L), (101L, 1L, 3L)))
   }
 
+  test("decontamination broadcast and shuffle join forms agree") {
+    // the broadcastEval switch changes the JOIN STRATEGY only — results
+    // must be identical (e2e_corpus relies on the shuffle form)
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val eval = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .unionByName(train.limit(5)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    def run(b: Boolean) =
+      Decontaminate.overlapReport(train, eval, 8, 5000L, broadcastEval = b)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val bc = run(true)
+    assert(bc == run(false))
+    assert(bc.exists(_._5 == 1L)) // the planted copies must flag either way
+  }
+
   test("vocabulary: top-k terms by count, lexicographic ties, no global sort") {
     val docs = docsDF(1L -> "b b b a a c", 2L -> "a d d")
     val got = TextAnalysis.vocabulary(docs, 3).as[(String, Long)].collect().toSeq
