@@ -479,7 +479,8 @@ object SparkEntry {
     "decontam_pairs" -> ((s, d) => {
       val (train, evalDocs) = plantedEvalSplit(s, d)
       operators.Decontaminate.attributionPairs(train, evalDocs,
-          cfg.decontamNgramN, cfg.decontamMinCommon)
+          cfg.decontamNgramN, cfg.decontamMinCommon,
+          broadcastEval = false) // split-shaped eval side, as above
         .orderBy(col("eval_doc"), col("train_doc"))
     }),
 
@@ -531,10 +532,15 @@ object SparkEntry {
     // substantially occur anywhere in the train split (planted docs must
     // flag at overlap 10000, organic test docs stay near 0 — 8-grams are
     // copying evidence, not shared vocabulary)
+    // broadcastEval = false: this demo's eval side is the corpus's test
+    // SPLIT (grows with the corpus), not a fixed curated eval set — same
+    // scale reasoning as e2e_corpus. The broadcast form is proven
+    // result-identical by the OperatorsSpec parity test.
     "decontaminate" -> ((s, d) => {
       val (train, evalDocs) = plantedEvalSplit(s, d)
       operators.Decontaminate.overlapReport(train, evalDocs,
-          cfg.decontamNgramN, cfg.decontamMinOverlapX10000)
+          cfg.decontamNgramN, cfg.decontamMinOverlapX10000,
+          broadcastEval = false)
         .orderBy(col("doc_id"))
     }),
 

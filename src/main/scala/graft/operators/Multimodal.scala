@@ -127,14 +127,19 @@ object Multimodal {
     while (i + 8 <= p.length) {
       val id = tag(i)
       val size = bb.getInt(i + 4)
-      // a declared chunk size beyond the payload is corruption — and the
-      // offset arithmetic below must never wrap Int (a crafted ~2^31 size
-      // would turn i negative and throw instead of degrading to None)
-      if (size < 0 || size > p.length - i - 8) return None
+      if (size < 0) return None
       if (id == "fmt " && i + 8 + 16 <= p.length)
         blockAlign = bb.getShort(i + 8 + 12).toInt
       else if (id == "data" && blockAlign > 0)
+        // return BEFORE the advancement bound: a truncated recording whose
+        // declared data size exceeds the remaining bytes still reports its
+        // declared frame count
         return Some(size.toLong / blockAlign)
+      // the advancement must never wrap Int (a crafted ~2^31 chunk size
+      // would turn i negative and throw instead of degrading to None) — a
+      // non-final chunk claiming more than the remaining payload is
+      // corruption
+      if (size > p.length - i - 8) return None
       i += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
     }
     None

@@ -177,7 +177,15 @@ object Streams {
         // via the exclusion), so replay stays self-join-safe
         writePartition(
           graft.operators.Dedup.minhashTable(newDocs, n, k), indexDir)
-        val idx = spark.read.parquet(indexDir)
+        // explicit schema: a batch yielding zero signatures (all docs
+        // shorter than n tokens) leaves the dir without parquet files, and
+        // schema INFERENCE would throw and kill the stream
+        val idxSchema = new StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("i", org.apache.spark.sql.types.IntegerType)
+          .add("mh", org.apache.spark.sql.types.LongType)
+          .add("batch_id", org.apache.spark.sql.types.LongType)
+        val idx = spark.read.schema(idxSchema).parquet(indexDir)
         val sigCols = Seq(col("doc_id"), col("i"), col("mh"))
         writePartition(
           graft.operators.Dedup.minhashPairsIncrementalSigs(

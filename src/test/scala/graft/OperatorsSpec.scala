@@ -411,7 +411,7 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     val train = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
     val eval = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
-      .unionByName(train.limit(5)
+      .unionByName(train.where(col("doc_id") % 20 === 0) // deterministic plant
         .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
     def run(b: Boolean) =
       Decontaminate.overlapReport(train, eval, 8, 5000L, broadcastEval = b)

@@ -93,6 +93,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(idx.select("doc_id").distinct().count() == docs.count())
   }
 
+  test("streaming near-dup survives a first batch that yields no signatures") {
+    // docs below the shingle width produce an empty signature table; the
+    // index dir then has no parquet files and schema INFERENCE would kill
+    // the stream — the explicit-schema read must keep it alive
+    val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val srcDir = tmp("ndup0-src")
+    val indexDir = tmp("ndup0-idx") + "/index"
+    val pairsDir = tmp("ndup0-pairs") + "/pairs"
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.fileSource(spark, srcDir, docs.schema)
+    val q = Streams.streamingNearDup(spark, stream, indexDir, pairsDir,
+      tmp("ndup0-ck"))
+    q.awaitTermination() // must complete, not die on schema inference
+    assert(q.exception.isEmpty)
+  }
+
   test("streaming sessions emit exactly the batch sessions once the watermark closes them") {
     val ev = Tables.events(spark, sfDir)
     // batch ground truth: the very operator a12 is gated on
