@@ -515,6 +515,13 @@ object SparkEntry {
           metric = "bpe")
         .orderBy(col("source"), col("seq_no"))),
 
+    // concat-and-chunk packing (docs SPAN sequence boundaries — every
+    // sequence but each source's last holds exactly the budget)
+    "pack_split" -> ((s, d) =>
+      operators.Mixing.packSequencesSplit(Tables.documents(s, d),
+          cfg.packTokenBudget, metric = "bpe")
+        .orderBy(col("source"), col("seq_no"))),
+
     // exact positional percentiles of doc length per source (nearest-rank,
     // integer target arithmetic — engine-agnostic like a11's median)
     "a15_percentiles" -> ((s, d) =>
@@ -1266,6 +1273,26 @@ object SparkEntry {
            |GROUP BY eval_doc, train_doc
            |HAVING count(*) >= 5
            |ORDER BY eval_doc, train_doc""".stripMargin,
+
+      // interval-overlap chunking in integer math: a doc covering tokens
+      // [cum_before, cum_before+tok) touches seqs cum//B .. (cum+tok-1)//B
+      "pack_split" ->
+        s"""WITH t AS (SELECT source, doc_id,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
+           |  FROM documents),
+           |c AS (SELECT source, doc_id, tok_cnt,
+           |    (sum(tok_cnt) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok_cnt)::BIGINT AS cum_before
+           |  FROM t),
+           |e AS (SELECT source, tok_cnt, cum_before,
+           |    unnest(range(cum_before // 512, (cum_before + tok_cnt - 1) // 512 + 1)) AS seq_no
+           |  FROM c WHERE tok_cnt > 0),
+           |x AS (SELECT source, seq_no,
+           |    least((seq_no + 1) * 512, cum_before + tok_cnt) - greatest(seq_no * 512, cum_before) AS tokens_in_seq
+           |  FROM e)
+           |SELECT source, seq_no::BIGINT AS seq_no, count(*)::BIGINT AS n_docs,
+           |  sum(tokens_in_seq)::BIGINT AS seq_tokens
+           |FROM x GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
 
       // nearest-rank percentile: value at sorted row (pct*n + 99) // 100 —
       // integer target arithmetic, bit-identical cross-engine

@@ -87,4 +87,44 @@ object Mixing {
       .groupBy(parts :+ col("seq_no"): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("seq_tokens"))
   }
+
+  /** Concat-and-chunk packing — the form trainers actually use: within each
+    * source the token stream (docs concatenated in id order) is cut every
+    * `tokenBudget` tokens, and a doc SPANS sequence boundaries instead of
+    * opening a fresh one ([[packSequences]] keeps docs whole; this keeps
+    * sequences full). Every sequence except each source's last carries
+    * exactly `tokenBudget` tokens.
+    *
+    * Pure integer math on the running prefix: a doc covering token interval
+    * [cum_before, cum_before + tok) touches sequences
+    * floor(cum_before/B) .. floor((cum_before + tok − 1)/B), contributing
+    * the interval overlap to each — one window prefix sum, one bounded
+    * explode (a doc lands in ≤ tok/B + 1 sequences), one hash agg.
+    * Zero-token docs contribute nothing (and are not counted in `n_docs`).
+    * Output: (partitionCols..., seq_no, n_docs, seq_tokens) where `n_docs`
+    * counts docs TOUCHING the sequence (a spanning doc counts in each). */
+  def packSequencesSplit(docs: DataFrame, tokenBudget: Int,
+                         metric: String = "ws",
+                         partitionCols: Seq[String] = Seq("source")): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val parts = partitionCols.map(col)
+    val b = lit(tokenBudget.toLong)
+    val w = Window.partitionBy(parts: _*).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(parts :+ col("doc_id") :+ tokenMetric(metric).as("tok_cnt"): _*)
+      .withColumn("cum_before", sum(col("tok_cnt")).over(w) - col("tok_cnt"))
+      .where(col("tok_cnt") > 0L)
+      .withColumn("start_seq", floor(col("cum_before") / b))
+      .withColumn("end_seq",
+        floor((col("cum_before") + col("tok_cnt") - 1L) / b))
+      .withColumn("seq_no",
+        explode(sequence(col("start_seq"), col("end_seq"))))
+      .withColumn("tokens_in_seq",
+        least((col("seq_no") + 1L) * b, col("cum_before") + col("tok_cnt")) -
+          greatest(col("seq_no") * b, col("cum_before")))
+      .groupBy(parts :+ col("seq_no"): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens_in_seq")).as("seq_tokens"))
+  }
 }

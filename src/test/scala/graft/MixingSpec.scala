@@ -73,6 +73,25 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("packSequencesSplit chunks the concatenated stream at exact budgets") {
+    // token stream per source s: 10 + 30 + 120 + 5 = 165, budget 50 →
+    // seqs of 50/50/50/15; doc 3 (120 toks at offset 40) spans seqs 0-3
+    val docs = Seq(
+      (1L, "a " * 10), (2L, "b " * 30), (3L, "d " * 120), (4L, "e " * 5),
+      (5L, ""))                                     // zero-token doc vanishes
+      .map { case (id, t) => (id, t.trim, "s") }.toDF("doc_id", "text", "source")
+    val got = Mixing.packSequencesSplit(docs, 50)
+      .orderBy("seq_no").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s", 0L, 3L, 50L),  // docs 1, 2 and the head of doc 3
+      ("s", 1L, 1L, 50L),  // doc 3 alone
+      ("s", 2L, 1L, 50L),  // doc 3 alone
+      ("s", 3L, 2L, 15L))) // doc 3's tail (10) + doc 4 (5)
+    // every seq but the last is exactly full; totals are preserved
+    assert(got.dropRight(1).forall(_._4 == 50L))
+    assert(got.map(_._4).sum == 165L)
+  }
+
   test("packSequences packs independently per extra partition column") {
     val docs = Seq(
       (1L, "a " * 30, "s", "train"), (2L, "b " * 30, "s", "train"),
