@@ -472,6 +472,12 @@ object SparkEntry {
     "ta_vocab" -> ((s, d) =>
       operators.TextAnalysis.vocabulary(Tables.documents(s, d), 100)),
 
+    // composite quality gate (C4/Gopher-style rules): keep/drop + the first
+    // failing rule as an auditable reason
+    "ta_quality_filter" -> ((s, d) =>
+      operators.TextAnalysis.qualityFilter(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     // decontamination forensics: WHICH train doc leaked into which eval doc
     // (≥ minCommon shared 8-gram shingles) — the info needed to drop train
     // offenders instead of shrinking the eval set. Same split + planting as
@@ -1235,6 +1241,37 @@ object SparkEntry {
         s"""SELECT term, count(*)::BIGINT AS cnt
            |FROM (SELECT unnest($toks) AS term FROM documents)
            |GROUP BY term ORDER BY cnt DESC, term LIMIT 100""".stripMargin,
+
+      // signals mirror ta_quality / ta_repetition; the verdict CASE tests
+      // rules in the same order as TextAnalysis.qualityFilter
+      "ta_quality_filter" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+        s"""WITH sig AS (SELECT doc_id,
+           |    ($wordCnt)::BIGINT AS word_cnt,
+           |    CAST(floor((100.0::DOUBLE) * (length($norm) - ($wordCnt) + 1) / greatest(($wordCnt), 1) + 0.5) AS BIGINT) AS avg_word_len_x100,
+           |    CAST(floor((10000.0::DOUBLE) * len(list_filter($toks, t -> t IN ($enWords))) / greatest(($wordCnt), 1) + 0.5) AS BIGINT) AS stopword_ratio_x10000
+           |  FROM documents),
+           |tt AS (SELECT doc_id, $toks AS toks FROM documents),
+           |b AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END AS bgs
+           |  FROM tt),
+           |rep AS (SELECT doc_id,
+           |    CAST(floor((10000.0::DOUBLE) * (len(bgs) - len(list_distinct(bgs))) / greatest(len(bgs), 1) + 0.5) AS BIGINT) AS dup_bigram_ratio_x10000
+           |  FROM b),
+           |v AS (SELECT sig.doc_id AS doc_id, word_cnt, avg_word_len_x100,
+           |    stopword_ratio_x10000, dup_bigram_ratio_x10000,
+           |    CASE WHEN word_cnt < 30 THEN 'too_short'
+           |         WHEN word_cnt > 100000 THEN 'too_long'
+           |         WHEN avg_word_len_x100 < 200 THEN 'words_too_short'
+           |         WHEN avg_word_len_x100 > 1500 THEN 'words_too_long'
+           |         WHEN stopword_ratio_x10000 < 200 THEN 'low_stopwords'
+           |         WHEN dup_bigram_ratio_x10000 > 3000 THEN 'repetitive'
+           |         ELSE '' END AS reason
+           |  FROM sig JOIN rep ON sig.doc_id = rep.doc_id)
+           |SELECT doc_id, (CASE WHEN reason = '' THEN 1 ELSE 0 END)::BIGINT AS keep,
+           |  reason, word_cnt, avg_word_len_x100, stopword_ratio_x10000, dup_bigram_ratio_x10000
+           |FROM v ORDER BY doc_id""".stripMargin
+      },
 
       // bigrams are NON-distinct here (occurrence counts), unlike the
       // dedup shingle fragment

@@ -159,6 +159,42 @@ object TextAnalysis {
         when(size(sh) > 0, array_max(shHashes)).otherwise(lit(-1L)).as("max_shingle_hash"))
   }
 
+  /** Composite quality filter — the C4/Gopher-style keep/drop gate: each
+    * doc is tested against fixed-point thresholds over the quality and
+    * repetition signals, and dropped docs carry the FIRST failing rule as a
+    * reason (rules tested in order: word count bounds, mean word length
+    * bounds, stopword floor, repetition ceiling). The reason column is what
+    * makes a filter auditable at corpus scale — per-reason drop counts are
+    * one groupBy away.
+    *
+    * Plan shape: the signal computation is [[quality]]'s map-only pass plus
+    * [[repetition]]'s one agg chain, joined per doc; the verdict itself is
+    * a codegen'd CASE. */
+  def qualityFilter(docs: DataFrame,
+                    minWords: Long = 30, maxWords: Long = 100000,
+                    minAvgWordLenX100: Long = 200,
+                    maxAvgWordLenX100: Long = 1500,
+                    minStopRatioX10000: Long = 200,
+                    maxDupBigramX10000: Long = 3000): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("word_cnt"),
+      col("avg_word_len_x100"), col("stopword_ratio_x10000"))
+    val r = repetition(docs).select(col("doc_id"), col("dup_bigram_ratio_x10000"))
+    val reason =
+      when(col("word_cnt") < minWords, "too_short")
+        .when(col("word_cnt") > maxWords, "too_long")
+        .when(col("avg_word_len_x100") < minAvgWordLenX100, "words_too_short")
+        .when(col("avg_word_len_x100") > maxAvgWordLenX100, "words_too_long")
+        .when(col("stopword_ratio_x10000") < minStopRatioX10000, "low_stopwords")
+        .when(col("dup_bigram_ratio_x10000") > maxDupBigramX10000, "repetitive")
+        .otherwise("")
+    q.join(r, Seq("doc_id"))
+      .withColumn("reason", reason)
+      .withColumn("keep", when(col("reason") === "", 1L).otherwise(0L))
+      .select(col("doc_id"), col("keep"), col("reason"), col("word_cnt"),
+        col("avg_word_len_x100"), col("stopword_ratio_x10000"),
+        col("dup_bigram_ratio_x10000"))
+  }
+
   /** Corpus vocabulary extraction — the tokenizer-training precursor: the
     * top-k terms by occurrence count, ties broken lexicographically.
     * Plan shape: explode → map-side-combinable hash agg →

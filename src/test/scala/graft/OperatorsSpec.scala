@@ -431,6 +431,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("composite quality filter assigns ordered failure reasons") {
+    val keepDoc = "the cat sat on the mat and the dog ran to the park in a big " +
+      "city with many nice people who like to walk and talk about the " +
+      "weather every single day again"
+    val docs = docsDF(
+      1L -> "a b c",                                  // 3 words
+      2L -> ("the of " * 20).trim,                    // 40 words, 2 distinct bigrams
+      3L -> keepDoc,                                  // passes every rule
+      4L -> (1 to 30).map(i => s"zq$i").mkString(" ")) // 30 words, 0 stopwords
+    val got = TextAnalysis.qualityFilter(docs).orderBy("doc_id")
+      .select("doc_id", "keep", "reason").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, "too_short"),
+      (2L, 0L, "repetitive"),   // stopword-rich, so the repetition rule fires
+      (3L, 1L, ""),
+      (4L, 0L, "low_stopwords")))
+  }
+
   test("repetition ratios: repeats and top-bigram share, short docs at zero") {
     // "a b a b a b": 5 bigrams, 2 distinct → dup 3/5, top ("a b") 3/5
     // "x y z": 2 bigrams, both unique → dup 0, top 1/2
