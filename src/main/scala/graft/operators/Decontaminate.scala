@@ -41,13 +41,25 @@ object Decontaminate {
     * shuffle equi-join instead of being collected to the driver. */
   def overlapReport(train: DataFrame, eval: DataFrame, n: Int,
                     minOverlapX10000: Long,
-                    broadcastEval: Boolean = true): DataFrame = {
-    // train shingle universe: distinct 64-bit-hash membership set. A hash
-    // collision can only INFLATE one eval doc's hit count by 1 (the oracle
-    // computes the same hash, so parity holds) — same posture as
-    // ngramJaccardPairs' hash join.
-    val trainSh = Dedup.shingleTable(train, n)
+                    broadcastEval: Boolean = true): DataFrame =
+    overlapReportAgainstUniverse(shingleUniverse(train, n), eval, n,
+      minOverlapX10000, broadcastEval)
+
+  /** The train side's distinct shingle-hash membership set — the long-lived
+    * artifact a deployment persists once per train corpus and probes many
+    * times (one column `h`). A hash collision can only INFLATE one eval
+    * doc's hit count by 1 (the oracle computes the same hash, so parity
+    * holds) — same posture as ngramJaccardPairs' hash join. */
+  def shingleUniverse(train: DataFrame, n: Int): DataFrame =
+    Dedup.shingleTable(train, n)
       .select(charPolyHash(col("sh")).as("h")).distinct()
+
+  /** [[overlapReport]] against an already-materialized shingle universe —
+    * for callers that persist the universe (the streaming tier probes it
+    * every micro-batch without re-scanning train). */
+  def overlapReportAgainstUniverse(trainSh: DataFrame, eval: DataFrame,
+                                   n: Int, minOverlapX10000: Long,
+                                   broadcastEval: Boolean = true): DataFrame = {
     val evalSh0 = Dedup.shingleTable(eval, n)
       .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
     val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0

@@ -197,6 +197,41 @@ object Streams {
       }
       .start()
 
+  /** Streaming decontamination — the third streaming sibling (after exact
+    * dedup and near-dup): each micro-batch of incoming eval docs is probed
+    * against a PERSISTED train shingle universe
+    * ([[graft.operators.Decontaminate.shingleUniverse]] written once per
+    * train corpus), so a continuously-arriving eval/holdout stream is
+    * contamination-flagged without ever re-scanning train. Per-batch
+    * reports land under the micro-batch id (dynamic-partition overwrite —
+    * replay-idempotent, the `ingest` pattern); each eval doc lives in
+    * exactly one micro-batch, so the accumulated report equals the batch
+    * [[graft.operators.Decontaminate.overlapReport]]. */
+  def streamingDecontaminate(spark: SparkSession, docs: DataFrame,
+                             universeDir: String, reportDir: String,
+                             checkpointDir: String,
+                             n: Int = 8,
+                             minOverlapX10000: Long = 5000): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val universe = spark.read
+          .schema(new StructType().add("h", org.apache.spark.sql.types.LongType))
+          .parquet(universeDir)
+        graft.operators.Decontaminate
+          .overlapReportAgainstUniverse(universe,
+            batch.toDF().select(col("doc_id"), col("text")),
+            n, minOverlapX10000)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(reportDir)
+        ()
+      }
+      .start()
+
   /** Streaming session windows — the arbitrary-stateful tier
     * (`flatMapGroupsWithState` + event-time timeout) beneath the native
     * `session_window`: per user, open sessions live in state as merged

@@ -93,6 +93,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(idx.select("doc_id").distinct().count() == docs.count())
   }
 
+  test("streaming decontamination equals the batch report over all micro-batches") {
+    import graft.operators.Decontaminate
+    val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val train = docs0.where(col("doc_id") % 2 === 0)
+    // eval stream: the odd half plus planted copies of train docs
+    val eval = docs0.where(col("doc_id") % 2 === 1)
+      .unionByName(train.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val universeDir = tmp("dec-uni") + "/u"
+    val srcDir = tmp("dec-src")
+    val reportDir = tmp("dec-rep") + "/r"
+    // the persisted artifact: train's shingle universe, written once
+    Decontaminate.shingleUniverse(train, 8).write.parquet(universeDir)
+    eval.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.fileSource(spark, srcDir, eval.schema, maxFilesPerTrigger = 1)
+    val q = Streams.streamingDecontaminate(spark, stream, universeDir,
+      reportDir, tmp("dec-ck"))
+    q.awaitTermination()
+    val streamed = spark.read.parquet(reportDir)
+      .select("doc_id", "n_sh", "n_hit", "overlap_x10000", "contaminated")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = Decontaminate.overlapReport(train, eval, 8, 5000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(_._5 == 1L)) // planted copies flagged
+  }
+
   test("streaming near-dup survives a first batch that yields no signatures") {
     // docs below the shingle width produce an empty signature table; the
     // index dir then has no parquet files and schema INFERENCE would kill
