@@ -425,6 +425,13 @@ object SparkEntry {
       operators.Similarity.lshTopK(Tables.embeddings(s, d), 10, 5, planes = 4, tables = 2)
         .orderBy(col("query_id"), col("rank"))),
 
+    // int8-quantized ANN (4× smaller vectors; integer dots make the
+    // approximate ranking bit-reproducible, so this one IS oracle-exact)
+    "ann_topk_int8" -> ((s, d) =>
+      operators.Similarity.bruteForceTopKQuantized(Tables.embeddings(s, d),
+          cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))),
+
     // ---- text analysis (lang-id, quality, tokens, fingerprints) ----
     "ta_langid" -> ((s, d) =>
       operators.TextAnalysis.langId(Tables.documents(s, d))
@@ -1085,6 +1092,23 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
            |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // quantized codes: floor(x·127/amax + 0.5), scale = amax/127; the
+      // integer dot is exact in any order, the scale multiplies fixed-order
+      "ann_topk_int8" ->
+        s"""WITH $unitVecCte,
+           |qt AS (SELECT vec_id, vn, list_max(list_transform(vn, x -> abs(x))) AS amax FROM en),
+           |qz AS (SELECT vec_id, amax / 127.0 AS scale,
+           |    list_transform(vn, x -> floor(x * 127.0 / amax + 0.5)) AS dv FROM qt),
+           |q AS (SELECT vec_id AS query_id, dv AS qq, scale AS qs FROM qz WHERE vec_id < 10),
+           |scored AS (SELECT query_id, z.vec_id, ((qs * z.scale) * list_dot_product(qq, z.dv)) AS cos_est
+           |  FROM q JOIN qz z ON query_id <> z.vec_id),
+           |r AS (SELECT query_id, vec_id, cos_est,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_est DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+           |  CAST(floor(cos_est * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_est_x1000000
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       "ann_lsh" ->

@@ -185,6 +185,44 @@ object Similarity {
         floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
   }
 
+  /** Int8 quantization of the unit vectors — the ANN STORAGE lever at
+    * 100 TB: `q[i] = round(127·v[i]/amax)`, `scale = amax/127`, cutting
+    * vector bytes 4× (the index shuffle and executor cache shrink with
+    * them) at a bounded cosine error (≤ ~1/127 per component pair).
+    * Quantized codes are integer-exact cross-engine, and the integer dot
+    * product is order-independent — so unlike raw float sums, the
+    * RANKING of a quantized ANN query is bit-reproducible and
+    * oracle-checkable. Output: (vec_id, qv, scale). */
+  def quantizeUnit(emb: DataFrame): DataFrame =
+    withUnitVector(emb)
+      .withColumn("amax", array_max(transform(col("vn"), x => abs(x))))
+      .withColumn("qv",
+        transform(col("vn"), x => floor(x * 127.0 / col("amax") + 0.5)))
+      .select(col("vec_id"), col("qv"), (col("amax") / 127.0).as("scale"))
+
+  /** Exact-over-quantized top-k: the [[bruteForceTopK]] shape ranked by the
+    * approximate cosine `(scale_q · scale_v) · (q̂ · v̂)` — the integer dot
+    * is exact, the two scale multiplies are fixed-order IEEE. The recall
+    * spec quantifies what the 4× compression costs. */
+  def bruteForceTopKQuantized(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = quantizeUnit(emb)
+      .withColumn("dv", transform(col("qv"), x => x.cast("double")))
+      .select(col("vec_id"), col("dv"), col("scale"))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("dv").as("qq"),
+        col("scale").as("qs"))
+    val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("cos_est", (col("qs") * col("scale")) * dotCol(col("qq"), col("dv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_est").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        floor(col("cos_est") * 1000000.0 + 0.5).cast("long").as("cos_est_x1000000"))
+  }
+
   /** Multi-table LSH ANN top-k: candidates = vectors sharing any
     * (table, bucket) with the query; ranked by exact cosine within the
     * candidate set. Map-only hashing (one row per vector per table), then

@@ -484,6 +484,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("int8-quantized ANN: estimates near true cosine, recall holds up") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteForceTopKQuantized(emb, 5, 5).collect()
+    val qset = quant.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 7-bit codes keep most of the exact top-5
+    assert(qset.intersect(exact).size >= (exact.size * 3) / 5)
+    // and each returned estimate is within 2% of the true cosine
+    val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    quant.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getLong(3) - bf(key)) <= 20000,
+        s"$key: est ${r.getLong(3)} vs true ${bf(key)}")
+    }
+  }
+
   test("ivf trained on a sample still ranks candidates by exact cosine") {
     val emb = Tables.embeddings(spark, sfDir)
     val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
