@@ -48,6 +48,21 @@ object SparkEntry {
     (train, evalDocs)
   }
 
+  /** Exactly 10 whitespace tokens — one full `wordsPerLine = 10` line, so a
+    * planted doc's body chunks stay aligned with its source doc's chunks. */
+  private[graft] val boilerplateLine =
+    "graft boiler plate header line repeated across all planted docs"
+
+  /** Line-dedup planting: every 5th doc gains a copy (`doc_id + 100000`)
+    * prefixed with the shared boilerplate line. Mirrored verbatim in the
+    * `dedup_lines` oracle. */
+  private def plantedBoilerplate(docs: DataFrame): DataFrame =
+    docs.unionByName(
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit(boilerplateLine), lit(" "), col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- scans / lookups (S1, S4, F3, F7) ----
@@ -328,6 +343,17 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       operators.Dedup.exactDuplicates(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+
+    // CCNet/RefinedWeb-style line-level dedup: boilerplate planted onto every
+    // 5th doc (a fixed 10-token header + the full original text) must vanish —
+    // the header survives only its first occurrence, and every body line of a
+    // planted doc duplicates its source doc's lines, so planted docs dedup to
+    // n_kept = 0 while originals are untouched.
+    "dedup_lines" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Dedup.lineDedup(plantedBoilerplate(docs), wordsPerLine = 10)
+        .orderBy(col("doc_id"))
+    }),
 
     "dedup_ngram" -> ((s, d) =>
       operators.Dedup.ngramJaccardPairs(Tables.documents(s, d), cfg.ngramN, cfg.minJaccardX10000)
@@ -946,6 +972,28 @@ object SparkEntry {
         s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY $norm) AS canonical_id,
            |  count(*) OVER (PARTITION BY $norm)::BIGINT AS n_copies
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // line-level dedup: the same chunking (10-token runs of the normalized
+      // token list), first-occurrence rule as a window (the oracle does not
+      // need the agg+join scale shape), reassembly as an ordered string_agg.
+      "dedup_lines" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, '$boilerplateLine' || ' ' || text
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |t AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS toks FROM base),
+           |l0 AS (SELECT doc_id, toks,
+           |  unnest(range(0, (len(toks) + 9) // 10)) AS i FROM t),
+           |l AS (SELECT doc_id, i::BIGINT AS line_no,
+           |  array_to_string(toks[(i*10+1)::INT : (i*10+10)::INT], ' ') AS line FROM l0),
+           |k AS (SELECT doc_id, line_no, line,
+           |  (row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1) AS keep
+           |  FROM l)
+           |SELECT doc_id, count(*)::BIGINT AS n_lines,
+           |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           |  coalesce(string_agg(line, ' ' ORDER BY line_no) FILTER (WHERE keep), '') AS kept_text
+           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "dedup_ngram" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

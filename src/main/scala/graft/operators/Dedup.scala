@@ -462,4 +462,58 @@ object Dedup {
         slice(col("embedding"), 2, dim - 1)).as("embedding"))
     base.unionByName(pert)
   }
+
+  // ------------------------------------------------------------------
+  // Line-level deduplication (CCNet / RefinedWeb style)
+  // ------------------------------------------------------------------
+
+  /** Exploded "lines" of each document: fixed-width runs of `wordsPerLine`
+    * whitespace tokens, `(doc_id, line_no, line)`. The synthetic corpus has
+    * no newlines, so lines are derived by deterministic chunking — on real
+    * web text the same operator runs over `split(text, '\n')` instead.
+    *
+    * Map-only: tokens are materialized once, then each chunk is a `slice`
+    * over the bound array (no re-tokenization per element, no shuffle). */
+  def lineTable(docs: DataFrame, wordsPerLine: Int): DataFrame = {
+    val w = wordsPerLine
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (size(col("toks")) + (w - 1)).divide(w).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"),
+        col("col").as("line"))
+  }
+
+  /** Corpus-wide line-level dedup: a line survives only in its FIRST
+    * occurrence (ordered by `(doc_id, line_no)`); every later copy — the
+    * boilerplate header, the syndicated paragraph — is dropped, and each
+    * document is reassembled from its surviving lines in original order.
+    * Output: `(doc_id, n_lines, n_kept, kept_text)` — a fully-deduplicated
+    * doc has `kept_text = ''` and `n_kept = 0`, it is not silently lost.
+    *
+    * Scale posture (100 TB): first-occurrence is a map-side-combinable
+    * `min(struct(doc_id, line_no))` aggregate + equi-join back on the line —
+    * NOT `row_number() over (partition by line)`, which sorts every copy of
+    * a hot boilerplate line inside one partition. Shuffles: one on the line
+    * key (agg + join share it), one on doc_id for reassembly. At 100 TB join
+    * on `xxhash64(line)` instead of the string to shrink both exchanges. */
+  def lineDedup(docs: DataFrame, wordsPerLine: Int = 10): DataFrame = {
+    val lines = lineTable(docs, wordsPerLine)
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("first"))
+    lines.join(firsts, Seq("line"))
+      .withColumn("keep",
+        col("first.doc_id") === col("doc_id") && col("first.line_no") === col("line_no"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("kept_text"))
+  }
 }

@@ -35,6 +35,36 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(j == math.floor(10000.0 * 7 / (8 + 8 - 7) + 0.5).toLong)
   }
 
+  test("line dedup keeps first occurrence, drops later copies, reassembles in order") {
+    // lines are 3-token chunks here. doc 1 owns both its lines; doc 2 repeats
+    // doc 1's first line (dropped) then adds its own; doc 3 is an exact copy
+    // of doc 1 (fully deduplicated but still present with n_kept = 0); doc 4
+    // repeats a line WITHIN itself (second occurrence dropped too).
+    val docs = docsDF(
+      1L -> "a b c d e f",
+      2L -> "a b c x y z",
+      3L -> "a b c d e f",
+      4L -> "p q r p q r")
+    val got = Dedup.lineDedup(docs, wordsPerLine = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 2L, 0L, ""),
+      (4L, 2L, 1L, "p q r")))
+  }
+
+  test("line dedup ragged tail: last short chunk is its own line") {
+    val docs = docsDF(1L -> "a b c d", 2L -> "z z z d")
+    val got = Dedup.lineDedup(docs, wordsPerLine = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    // doc 1 = ["a b c", "d"]; doc 2 = ["z z z", "d"] — the shared tail "d"
+    // survives only in doc 1.
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "z z z")))
+  }
+
   test("minhash estimates ~1 for identical docs and finds no false pair vs disjoint") {
     val a = "one two three four five six seven eight nine ten"
     val c = "totally different words with no shared trigrams at all"
