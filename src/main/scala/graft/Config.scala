@@ -54,7 +54,10 @@ case class GraftConfig(
     // 8-gram is evidence of copying, a 3-gram is shared vocabulary)
     decontamNgramN: Int = 8,
     decontamMinOverlapX10000: Long = 5000L,
-    decontamMinCommon: Long = 5L)
+    decontamMinCommon: Long = 5L,
+    // shared-span detection: a run of >= minRun consecutive shared 8-grams
+    // (i.e. a verbatim span of minRun + 7 tokens) counts as copying
+    spanMinRun: Int = 5)
 
 object GraftConfig {
 
@@ -142,7 +145,8 @@ object GraftConfig {
       decontamNgramN = i("decontam.ngram_n", d.decontamNgramN),
       decontamMinOverlapX10000 =
         l("decontam.min_overlap_x10000", d.decontamMinOverlapX10000),
-      decontamMinCommon = l("decontam.min_common", d.decontamMinCommon))
+      decontamMinCommon = l("decontam.min_common", d.decontamMinCommon),
+      spanMinRun = i("dedup.span_min_run", d.spanMinRun))
   }
 
   /** Load from a file path (missing file → defaults, mirroring the

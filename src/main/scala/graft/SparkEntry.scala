@@ -63,6 +63,21 @@ object SparkEntry {
           concat(lit(boilerplateLine), lit(" "), col("text")).as("text"),
           col("lang"), col("source"), col("n_chars")))
 
+  /** Span-dedup planting: every 10th doc gains a stitched copy
+    * (`doc_id + 600000`) made of two verbatim token slices of itself
+    * (tokens 1-40 and 61-80, 1-based) — two diagonals of consecutive shared
+    * 8-grams against the source doc, with a boundary that must NOT chain
+    * them into one run. Mirrored verbatim in the `dedup_spans` oracle. */
+  private def plantedSpanCopies(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          concat_ws(" ",
+            concat_ws(" ", slice(toks, 1, 40)),
+            concat_ws(" ", slice(toks, 61, 20))).as("text")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- scans / lookups (S1, S4, F3, F7) ----
@@ -359,6 +374,18 @@ object SparkEntry {
       operators.Dedup.ngramJaccardPairs(Tables.documents(s, d), cfg.ngramN, cfg.minJaccardX10000)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // exact-substring shared-span detection (Lee et al.): every 10th doc
+    // gains a planted doc (`doc_id + 600000`) stitched from two verbatim
+    // token slices of it (tokens 1-40 and 61-80), so each planted pair must
+    // show the two islands (runs of ~33 and ~13 consecutive shared 8-grams,
+    // truncated by short docs) — copying that whole-doc Jaccard cannot see.
+    "dedup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Dedup.sharedSpans(plantedSpanCopies(docs),
+          cfg.decontamNgramN, cfg.spanMinRun)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_minhash" -> ((s, d) =>
       operators.Dedup.minhashPairs(Tables.documents(s, d), cfg.ngramN,
         cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
@@ -587,6 +614,18 @@ object SparkEntry {
       operators.Decontaminate.overlapReport(train, evalDocs,
           cfg.decontamNgramN, cfg.decontamMinOverlapX10000,
           broadcastEval = false)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the Bloom-prefiltered form: a filter built from the eval shingle
+    // universe prunes the train scan BEFORE the distinct/join shuffle (the
+    // explicit runtime-filter pattern). Bit-identical to `decontaminate` —
+    // same planted split, same oracle — because Bloom filters have no false
+    // negatives and the exact join culls the false positives.
+    "decontam_bloom" -> ((s, d) => {
+      val (train, evalDocs) = plantedEvalSplit(s, d)
+      operators.Decontaminate.overlapReportBloom(train, evalDocs,
+          cfg.decontamNgramN, cfg.decontamMinOverlapX10000)
         .orderBy(col("doc_id"))
     }),
 
@@ -994,6 +1033,36 @@ object SparkEntry {
            |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
            |  coalesce(string_agg(line, ' ' ORDER BY line_no) FILTER (WHERE keep), '') AS kept_text
            |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // shared-span detection: positional (non-distinct) 8-gram shingles,
+      // diagonal = pos_a - pos_b, islands via pos_a - row_number(), runs
+      // >= 5 rolled up per pair. Planting mirrors plantedSpanCopies.
+      "dedup_spans" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 600000 AS doc_id,
+           |    -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+           |    coalesce(array_to_string(toks[1:40], ' '), '') || ' ' ||
+           |      coalesce(array_to_string(toks[61:80], ' '), '') AS text
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents) WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS toks FROM base),
+           |p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM t),
+           |ps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sh")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sh
+           |  FROM p0)),
+           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.pos AS pos_a, a.pos - b.pos AS diag
+           |  FROM ps a JOIN ps b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |r AS (SELECT doc_a, doc_b, diag, pos_a,
+           |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+           |  FROM m),
+           |runs AS (SELECT doc_a, doc_b, diag, grp, count(*)::BIGINT AS run_len
+           |  FROM r GROUP BY doc_a, doc_b, diag, grp HAVING count(*) >= 5)
+           |SELECT doc_a, doc_b, count(*)::BIGINT AS n_runs, max(run_len) AS max_run,
+           |  sum(run_len)::BIGINT AS shared_pos, (max(run_len) + 7)::BIGINT AS max_span_tokens
+           |FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
       "dedup_ngram" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -1418,7 +1487,37 @@ object SparkEntry {
           |ORDER BY 1, 2""".stripMargin,
 
       // hash-split mirrors mix_split; planting mirrors the Spark side; the
-      // membership set is the DISTINCT train 8-gram hash universe
+      // membership set is the DISTINCT train 8-gram hash universe.
+      // decontam_bloom shares the oracle verbatim: the Bloom prefilter is
+      // result-invariant (no false negatives; exact join culls the rest).
+      "decontam_bloom" ->
+        s"""WITH sp AS (SELECT doc_id, text, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents),
+           |tr AS (SELECT doc_id, text FROM sp WHERE b < 80),
+           |ev AS (SELECT doc_id, text FROM sp WHERE b >= 90
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM tr WHERE doc_id % 7 = 0),
+           |trt AS (SELECT doc_id, $toks AS toks FROM tr),
+           |trs AS (SELECT DISTINCT ${poly("sh")} AS h FROM
+           |  (SELECT unnest(${shinglesOfN(8)}) AS sh FROM trt)),
+           |evt AS (SELECT doc_id, $toks AS toks FROM ev),
+           |evs AS (SELECT doc_id, ${poly("sh")} AS h FROM
+           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM evt)),
+           |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM evs GROUP BY doc_id),
+           |hits AS (SELECT evs.doc_id, count(*)::BIGINT AS n_hit
+           |  FROM evs JOIN trs ON evs.h = trs.h GROUP BY evs.doc_id),
+           |rep AS (SELECT e.doc_id,
+           |    coalesce(sizes.n_sh, 0)::BIGINT AS n_sh,
+           |    coalesce(hits.n_hit, 0)::BIGINT AS n_hit
+           |  FROM (SELECT doc_id FROM ev) e
+           |  LEFT JOIN sizes ON e.doc_id = sizes.doc_id
+           |  LEFT JOIN hits ON e.doc_id = hits.doc_id)
+           |SELECT doc_id, n_sh, n_hit, overlap_x10000,
+           |  (CASE WHEN overlap_x10000 >= 5000 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+           |FROM (SELECT doc_id, n_sh, n_hit,
+           |  CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) AS overlap_x10000
+           |  FROM rep)
+           |ORDER BY doc_id""".stripMargin,
+
       "decontaminate" ->
         s"""WITH sp AS (SELECT doc_id, text, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents),
            |tr AS (SELECT doc_id, text FROM sp WHERE b < 80),

@@ -79,6 +79,41 @@ object Decontaminate {
         when(col("overlap_x10000") >= minOverlapX10000, 1L).otherwise(0L))
   }
 
+  /** [[overlapReport]] with a Bloom-filter prefilter on the train shingle
+    * scan — the explicit runtime-filter (semi-join reduction) form, for the
+    * canonical deployment shape: a CURATED eval set (its distinct shingle
+    * universe is small and enumerable) against a 100 TB train corpus.
+    *
+    * A Bloom filter over the eval shingle hashes (~1.2 MiB per 10⁶ keys at
+    * 1% fpp — an order of magnitude smaller than the broadcast hash table
+    * of the shingles themselves) rides to every train-scan task and drops
+    * non-eval shingles BEFORE the distinct/join shuffle: the train
+    * exchange shrinks from |train shingle universe| rows to
+    * |eval ∩ train| + fpp·|train| — at fpp 1%, a ~99% shuffle reduction on
+    * the dominant side. Correctness is unaffected: Bloom filters have no
+    * false negatives (every true hit survives), and surviving false
+    * positives are train-only hashes that the exact membership join cannot
+    * match — the report is bit-identical to [[overlapReport]]
+    * (OperatorsSpec asserts equality).
+    *
+    * Building the filter runs one job over the eval side (plus a count when
+    * `expectedItems` is not given) — the small side, by assumption; pass
+    * `expectedItems` when the caller already knows the universe size. */
+  def overlapReportBloom(train: DataFrame, eval: DataFrame, n: Int,
+                         minOverlapX10000: Long, fpp: Double = 0.01,
+                         expectedItems: Option[Long] = None): DataFrame = {
+    val evalUniverse = Dedup.shingleTable(eval, n)
+      .select(charPolyHash(col("sh")).as("h")).distinct()
+    val nKeys = math.max(expectedItems.getOrElse(evalUniverse.count()), 1L)
+    val bloom = evalUniverse.stat.bloomFilter("h", nKeys, fpp)
+    val universe = Dedup.shingleTable(train, n)
+      .select(charPolyHash(col("sh")).as("h"))
+      .where(graft.plans.BloomExpr.mightContain(col("h"), bloom))
+      .distinct()
+    overlapReportAgainstUniverse(universe, eval, n, minOverlapX10000,
+      broadcastEval = false)
+  }
+
   /** The docs that survive decontamination: eval rows whose overlap stays
     * below the threshold — `withSplit → overlapReport → keep clean` is the
     * split-then-decontaminate shape of corpus assembly. */

@@ -516,4 +516,76 @@ object Dedup {
             x => x.getField("line")),
           " ").as("kept_text"))
   }
+
+  /** Positional (non-distinct) word-n-gram shingles: (doc_id, pos, sh) with
+    * `pos` the 0-based token offset of the shingle's first token. The
+    * positional sibling of [[shingleTable]] (which deduplicates and drops
+    * offsets) — span detection needs every occurrence AND its position. */
+  def posShingleTable(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) < n, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
+
+  /** Shared-span detection — the exact-substring dedup signal (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): for each
+    * doc pair, the maximal runs of CONSECUTIVE shared n-gram shingles. A
+    * run of `r` consecutive shared n-grams is a verbatim shared span of
+    * `r + n - 1` tokens — long spans are copying evidence even when
+    * whole-doc Jaccard is low (a quote, a syndicated paragraph, a license
+    * header), which is exactly what set-based near-dup ([[ngramJaccardPairs]],
+    * [[minhashPairs]]) cannot see.
+    *
+    * Algorithm (gaps-and-islands, fully relational): positional shingles →
+    * hash → inverted-index self-join on the shingle hash → matches at
+    * `(pos_a, pos_b)` belong to the same diagonal iff `pos_a - pos_b` is
+    * constant, and consecutive positions on a diagonal form an island
+    * (`pos_a - row_number()` is constant within it). Per island: run length
+    * and start offsets; per pair: the longest run, run count, and total
+    * shared positions — runs shorter than `minRun` are noise (shared
+    * vocabulary) and are dropped before the per-pair rollup.
+    *
+    * Scale shape (100 TB): the join is the same bounded inverted-index
+    * equi-join as [[ngramJaccardPairs]] (use `docFreqCap` to prune hot
+    * shingles — boilerplate diagonals are exactly the skew point); the
+    * island window partitions by `(pair, diagonal)` — bounded by the
+    * matched positions of one pair, never corpus-sized. Output is bounded
+    * by true shared spans, not |docs|².
+    *
+    * Output: (doc_a, doc_b, n_runs, max_run, shared_pos, max_span_tokens).
+    */
+  def sharedSpans(docs: DataFrame, n: Int, minRun: Int,
+                  docFreqCap: Option[Int] = None): DataFrame = {
+    require(n >= 1 && minRun >= 1, "n and minRun must be positive")
+    val sh0 = posShingleTable(docs, n)
+      .select(col("doc_id"), col("pos"), charPolyHash(col("sh")).as("h"))
+    val sh = docFreqCap match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("h")).count()
+          .where(col("count") > cap).select(col("h"))
+        sh0.join(hot, Seq("h"), "left_anti")
+      case None => sh0
+    }
+    val m = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    m.withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"))
+      .where(col("run_len") >= minRun)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run"),
+        sum(col("run_len")).as("shared_pos"))
+      .withColumn("max_span_tokens", col("max_run") + lit(n.toLong) - 1L)
+  }
 }

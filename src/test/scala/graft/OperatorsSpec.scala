@@ -451,6 +451,39 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(bc.exists(_._5 == 1L)) // the planted copies must flag either way
   }
 
+  test("bloom-prefiltered decontamination equals the exact report") {
+    // prefiltering the train scan must be result-invariant: no false
+    // negatives (Bloom), false positives culled by the exact join
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val eval = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .unionByName(train.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    val exact = Decontaminate.overlapReport(train, eval, 8, 5000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // run at a high fpp too: many false positives survive the prefilter,
+    // the exact join must still cull every one of them
+    for (fpp <- Seq(0.01, 0.4)) {
+      val bloomed = Decontaminate.overlapReportBloom(train, eval, 8, 5000L, fpp)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(bloomed == exact, s"fpp=$fpp")
+    }
+    assert(exact.exists(_._5 == 1L))
+  }
+
+  test("bloom might-contain: members always pass, non-members mostly fail") {
+    val keys = (0L until 2000L).map(_ * 7L)
+    val df = keys.toDF("h")
+    val bloom = df.stat.bloomFilter("h", 2000L, 0.01)
+    val probe = (0L until 20000L).toDF("h")
+      .withColumn("hit", graft.plans.BloomExpr.mightContain(col("h"), bloom))
+    val hits = probe.where(col("hit")).select("h").as[Long].collect().toSet
+    assert(keys.forall(hits.contains), "bloom returned a false negative")
+    // 2000 true members among 20000 probes: at fpp 1% expect ~180 false
+    // positives of the 18000 non-members — allow a wide margin
+    assert(hits.size - keys.size <= 1000, s"fp count ${hits.size - keys.size}")
+  }
+
   test("vocabulary: top-k terms by count, lexicographic ties, no global sort") {
     val docs = docsDF(1L -> "b b b a a c", 2L -> "a d d")
     val got = TextAnalysis.vocabulary(docs, 3).as[(String, Long)].collect().toSeq
@@ -530,6 +563,48 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(r.getLong(3) - bf(key)) <= 20000,
         s"$key: est ${r.getLong(3)} vs true ${bf(key)}")
     }
+  }
+
+  test("shared spans: islands split on gaps, runs below minRun drop, span math holds") {
+    // 26 distinct tokens; doc 2 copies tokens 1-10 and 16-24 of doc 1 with a
+    // 'zz' wedge between them — two diagonals, which must NOT chain into one
+    // run. With n=3: run1 = 8 consecutive shared 3-grams (span 10 tokens),
+    // run2 = 7 (span 9). minRun=8 keeps only run1.
+    val t = ('a' to 'z').map(c => s"$c$c$c") // aaa bbb ... zzz
+    val doc1 = t.mkString(" ")
+    val doc2 = (t.slice(0, 10) ++ Seq("zz") ++ t.slice(15, 24)).mkString(" ")
+    val docs = docsDF(1L -> doc1, 2L -> doc2)
+    val both = Dedup.sharedSpans(docs, 3, 1).collect()
+    assert(both.length == 1)
+    val r = both.head
+    assert((r.getAs[Long]("n_runs"), r.getAs[Long]("max_run"),
+      r.getAs[Long]("shared_pos"), r.getAs[Long]("max_span_tokens")) ==
+      (2L, 8L, 15L, 10L))
+    // raising minRun drops the shorter island but keeps the longer one
+    val strict = Dedup.sharedSpans(docs, 3, 8).collect()
+    assert(strict.length == 1 && strict.head.getAs[Long]("n_runs") == 1L &&
+      strict.head.getAs[Long]("shared_pos") == 8L)
+    // above the longest run: no pair survives
+    assert(Dedup.sharedSpans(docs, 3, 9).isEmpty)
+  }
+
+  test("shared spans: docFreqCap prunes boilerplate diagonals") {
+    // the same 12-token boilerplate appears in every doc — with a cap of 2
+    // every boilerplate shingle (doc-frequency 3) is pruned, so only the
+    // genuine 2-doc copy (doc 1 tokens reused in doc 2) survives
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = docsDF(
+      1L -> s"$boiler $shared",
+      2L -> s"$boiler x1 x2 x3 $shared",
+      3L -> s"$boiler y1 y2 y3 y4 y5 y6 y7 y8 y9 y10")
+    val capped = Dedup.sharedSpans(docs, 3, 5, docFreqCap = Some(2))
+      .collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // uncapped, the boilerplate run links every pair
+    val open = Dedup.sharedSpans(docs, 3, 5).collect()
+    assert(open.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
   test("ivf trained on a sample still ranks candidates by exact cosine") {
