@@ -538,6 +538,12 @@ object SparkEntry {
       operators.TextAnalysis.qualityFilter(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // relative quality gate: keep each source's top 60% by quality score
+    // (per-source nearest-rank threshold, ties at the cut survive)
+    "ta_quality_pct" -> ((s, d) =>
+      operators.TextAnalysis.qualityPercentileGate(Tables.documents(s, d), 60)
+        .orderBy(col("doc_id"))),
+
     // decontamination forensics: WHICH train doc leaked into which eval doc
     // (≥ minCommon shared 8-gram shingles) — the info needed to drop train
     // offenders instead of shrinking the eval set. Same split + planting as
@@ -573,6 +579,12 @@ object SparkEntry {
           Map("src0" -> 100, "src1" -> 25), defaultPct = 50)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))),
+
+    // writer-side shard assignment: reproducible hash sharding into 16
+    // output shards + the balance report (docs and BPE tokens per shard)
+    "mix_shards" -> ((s, d) =>
+      operators.Mixing.shardSummary(Tables.documents(s, d), 16, metric = "bpe")
+        .orderBy(col("shard"))),
 
     // packing budgets use the BPE-ish token metric — the count a subword
     // tokenizer would bill — not whitespace words (MixingSpec covers both)
@@ -1366,6 +1378,12 @@ object SparkEntry {
            |WHERE b < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 25 ELSE 50 END
            |GROUP BY source ORDER BY source""".stripMargin,
 
+      "mix_shards" ->
+        s"""SELECT shard, count(*)::BIGINT AS n_docs,
+           |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS shard_tokens
+           |FROM (SELECT text, (${poly("'shard:' || doc_id")}) % 16 AS shard FROM documents)
+           |GROUP BY shard ORDER BY shard""".stripMargin,
+
       "pack_sequences" ->
         s"""WITH t AS (SELECT source, doc_id,
            |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
@@ -1412,6 +1430,29 @@ object SparkEntry {
            |SELECT doc_id, (CASE WHEN reason = '' THEN 1 ELSE 0 END)::BIGINT AS keep,
            |  reason, word_cnt, avg_word_len_x100, stopword_ratio_x10000, dup_bigram_ratio_x10000
            |FROM v ORDER BY doc_id""".stripMargin
+      },
+
+      // per-source nearest-rank threshold at the 40th percentile of the
+      // ta_quality score (keep top 60%); ties at the cut survive (>=)
+      "ta_quality_pct" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+        s"""WITH b AS (SELECT doc_id, source,
+           |    CAST(floor((10000.0::DOUBLE) *
+           |      least(1.0::DOUBLE, (($wordCnt)::DOUBLE) / (200.0::DOUBLE)) *
+           |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+           |        (4.0::DOUBLE) * len(list_filter($toks, t -> t IN ($enWords))) / greatest(($wordCnt), 1))) + 0.5) AS BIGINT) AS quality_x10000
+           |  FROM documents),
+           |r AS (SELECT source, quality_x10000,
+           |    row_number() OVER (PARTITION BY source ORDER BY quality_x10000, doc_id)::BIGINT AS rn
+           |  FROM b),
+           |tg AS (SELECT source, greatest((40 * cnt + 99) // 100, 1) AS rn
+           |  FROM (SELECT source, count(*)::BIGINT AS cnt FROM b GROUP BY source)),
+           |th AS (SELECT r.source AS source, r.quality_x10000 AS q_threshold
+           |  FROM r JOIN tg ON r.source = tg.source AND r.rn = tg.rn)
+           |SELECT b.doc_id AS doc_id, b.source AS source, b.quality_x10000 AS quality_x10000,
+           |  th.q_threshold AS q_threshold
+           |FROM b JOIN th ON b.source = th.source
+           |WHERE b.quality_x10000 >= th.q_threshold ORDER BY doc_id""".stripMargin
       },
 
       // bigrams are NON-distinct here (occurrence counts), unlike the

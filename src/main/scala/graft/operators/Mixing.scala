@@ -63,6 +63,31 @@ object Mixing {
         s"unknown token metric '$other' (expected 'ws' or 'bpe')")
   }
 
+  /** Deterministic output shard assignment — the writer-side op: a 100 TB
+    * corpus ships as K shard files/directories, and the assignment must be
+    * reproducible (re-running the export maps every doc to the same shard)
+    * and independent of partitioning — so it hashes the doc id (salted, like
+    * [[hashBucket]]), never `spark_partition_id` or `monotonically_
+    * increasing_id` (both change with the physical plan). Writing is then
+    * `df.repartition(K, col("shard")).write.partitionBy("shard")` — one
+    * shuffle, one file set per shard. */
+  def withShard(docs: DataFrame, numShards: Int,
+                idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    docs.withColumn("shard",
+      charPolyHash(concat(lit("shard:"), col(idCol).cast("string"))) % numShards)
+  }
+
+  /** Per-shard balance report: doc and token totals per shard — the check
+    * that hash sharding spread the corpus evenly (skewed shards mean skewed
+    * training-data files). Map-only assignment + one hash agg. */
+  def shardSummary(docs: DataFrame, numShards: Int,
+                   metric: String = "bpe"): DataFrame =
+    withShard(docs, numShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenMetric(metric)).as("shard_tokens"))
+
   /** Contiguous greedy sequence packing: within each partition group (docs
     * ordered by id), a doc joins the sequence its running token prefix
     * falls in — `seq_no = floor(tokens-before-this-doc / budget)`. A doc

@@ -195,6 +195,45 @@ object TextAnalysis {
         col("dup_bigram_ratio_x10000"))
   }
 
+  /** Per-source quality percentile gate — the RELATIVE form of corpus
+    * filtering: keep each source's top `keepTopPct`% of docs by
+    * [[quality]] score, instead of one absolute threshold for every source
+    * ([[qualityFilter]]). Sources differ systematically (a curated wiki's
+    * floor is a crawl's ceiling), so production filters cut per-source
+    * quantiles; this is that operator.
+    *
+    * The threshold per source is the nearest-rank `(100-keepTopPct)`th
+    * percentile of the quality score (ordered by `(quality, doc_id)` —
+    * integer arithmetic, bit-identical cross-engine); kept = docs with
+    * `quality >= threshold`, so ties at the cut survive (≥ keepTopPct% kept).
+    *
+    * Scale posture: thresholds are a tiny per-source table (the
+    * [[Summaries.lengthPercentiles]] ranked-join shape) broadcast back for
+    * the filter; the per-source sort is the exact-percentile cost — at
+    * 100 TB swap the threshold computation for `approx_percentile` (the
+    * `a15b` pattern) and keep the same broadcast-filter join. Output:
+    * (doc_id, source, quality_x10000, q_threshold), kept docs only. */
+  def qualityPercentileGate(docs: DataFrame, keepTopPct: Int): DataFrame = {
+    require(keepTopPct >= 1 && keepTopPct <= 100,
+      s"keepTopPct ($keepTopPct) is a percentage in [1, 100]")
+    val base = docs.select(col("doc_id"), col("source"))
+      .join(quality(docs).select(col("doc_id"), col("quality_x10000")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality_x10000"), col("doc_id"))
+    val ranked = base.withColumn("rn", row_number().over(w).cast("long"))
+    val targets = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", greatest(
+        floor((lit(100L - keepTopPct) * col("cnt") + 99L) / 100L), lit(1L))
+        .cast("long"))
+      .select(col("source"), col("rn"))
+    val thresholds = ranked.join(broadcast(targets), Seq("source", "rn"))
+      .select(col("source"), col("quality_x10000").as("q_threshold"))
+    base.join(broadcast(thresholds), Seq("source"))
+      .where(col("quality_x10000") >= col("q_threshold"))
+      .select(col("doc_id"), col("source"), col("quality_x10000"),
+        col("q_threshold"))
+  }
+
   /** Corpus vocabulary extraction — the tokenizer-training precursor: the
     * top-k terms by occurrence count, ties broken lexicographically.
     * Plan shape: explode → map-side-combinable hash agg →

@@ -40,6 +40,29 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("shard assignment is complete, in-range, repartition-stable, and balanced") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val sharded = Mixing.withShard(docs, 16)
+    val byShard = sharded.groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet.forall(s => s >= 0 && s < 16))
+    assert(byShard.values.sum == n)
+    // the same doc lands in the same shard under any partitioning
+    val a = sharded.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Mixing.withShard(docs.repartition(7), 16).select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // hash balance: every shard populated, none more than 2x the mean
+    assert(byShard.size == 16)
+    assert(byShard.values.max <= 2 * (n / 16).max(1L))
+    // the summary aggregates the same assignment
+    val sum16 = Mixing.shardSummary(docs, 16, metric = "ws")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sum16 == byShard)
+  }
+
   test("packSequences matches a sequential greedy reference per source") {
     val budget = 50
     val docs = Seq(

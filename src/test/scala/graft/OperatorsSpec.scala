@@ -484,6 +484,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(hits.size - keys.size <= 1000, s"fp count ${hits.size - keys.size}")
   }
 
+  test("quality percentile gate cuts per source, keeps ties at the cut") {
+    // quality here is proportional to word count (stopword ratio fixed at
+    // 1/2, length fit < 1): wc words of 'the word' pairs → quality =
+    // 10000·wc/200. Source A spans 20..100 words, source B 120..200 — one
+    // absolute threshold would pass all of B or none of A; the per-source
+    // gate cuts each at its own 40th percentile.
+    def doc(wcPairs: Int) = Seq.fill(wcPairs)("the word").mkString(" ")
+    val rows = (1 to 5).map(i => (i.toLong, doc(i * 10), "A")) ++
+      (1 to 5).map(i => (i.toLong + 10L, doc(60 + i * 10), "B"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.qualityPercentileGate(docs, 60)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // rank ceil(0.4·5)=2 per source → A threshold q(40w)=2000, B q(160w)=8000
+    assert(kept.keySet == Set(2L, 3L, 4L, 5L, 12L, 13L, 14L, 15L))
+    assert(kept(2L) == 2000L && kept(12L) == 8000L)
+    // keepTopPct = 100 keeps everything (threshold clamps to the min rank)
+    assert(TextAnalysis.qualityPercentileGate(docs, 100).count() == 10L)
+    // a tie AT the cut survives: duplicate the threshold-rank doc of A
+    val withTie = docs.unionByName(Seq((6L, doc(20), "A")).toDF("doc_id", "text", "source"))
+    val tied = TextAnalysis.qualityPercentileGate(withTie, 60)
+      .where(col("source") === "A").select("doc_id").as[Long].collect().toSet
+    // 6 docs in A → rank ceil(0.4·6)=3 → threshold 2000 (docs 2 and 6 tie)
+    assert(tied == Set(2L, 3L, 4L, 5L, 6L))
+  }
+
   test("vocabulary: top-k terms by count, lexicographic ties, no global sort") {
     val docs = docsDF(1L -> "b b b a a c", 2L -> "a d d")
     val got = TextAnalysis.vocabulary(docs, 3).as[(String, Long)].collect().toSeq
