@@ -386,6 +386,16 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // the doc-level action of span dedup: per-doc fraction of shingle
+    // positions covered by qualifying shared runs (planted stitched docs
+    // approach full coverage, organic docs stay near 0); every doc reports
+    "dedup_span_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Dedup.spanCoverage(plantedSpanCopies(docs),
+          cfg.decontamNgramN, cfg.spanMinRun)
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_minhash" -> ((s, d) =>
       operators.Dedup.minhashPairs(Tables.documents(s, d), cfg.ngramN,
         cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
@@ -579,6 +589,19 @@ object SparkEntry {
           Map("src0" -> 100, "src1" -> 25), defaultPct = 50)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))),
+
+    // leakage-proof split: near-dup clusters (3-gram Jaccard pairs →
+    // connected components) split as ONE unit — a doc and its near-copy
+    // can never straddle train/test
+    "mix_split_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = operators.Dedup.dedupClusters(
+        operators.Dedup.ngramJaccardPairs(docs, cfg.ngramN, cfg.minJaccardX10000))
+      operators.Mixing.withClusterSafeSplit(docs, clusters,
+          trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
 
     // writer-side shard assignment: reproducible hash sharding into 16
     // output shards + the balance report (docs and BPE tokens per shard)
@@ -1076,6 +1099,43 @@ object SparkEntry {
            |  sum(run_len)::BIGINT AS shared_pos, (max(run_len) + 7)::BIGINT AS max_span_tokens
            |FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
+      // same islands pipeline as dedup_spans, then runs explode into their
+      // position intervals (both sides), distinct per doc, over the doc's
+      // shingle-position count
+      "dedup_span_coverage" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 600000 AS doc_id,
+           |    coalesce(array_to_string(toks[1:40], ' '), '') || ' ' ||
+           |      coalesce(array_to_string(toks[61:80], ' '), '') AS text
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents) WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS toks FROM base),
+           |p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM t),
+           |ps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sh")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sh
+           |  FROM p0)),
+           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+           |  FROM ps a JOIN ps b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |r AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+           |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+           |  FROM m),
+           |runs AS (SELECT doc_a, doc_b, diag, grp, count(*)::BIGINT AS run_len,
+           |    min(pos_a) AS start_a, min(pos_b) AS start_b
+           |  FROM r GROUP BY doc_a, doc_b, diag, grp HAVING count(*) >= 5),
+           |cov AS (SELECT DISTINCT doc_id, pos FROM (
+           |  SELECT doc_a AS doc_id, unnest(range(start_a, start_a + run_len)) AS pos FROM runs
+           |  UNION ALL
+           |  SELECT doc_b AS doc_id, unnest(range(start_b, start_b + run_len)) AS pos FROM runs)),
+           |nc AS (SELECT doc_id, count(*)::BIGINT AS n_covered FROM cov GROUP BY doc_id),
+           |sz AS (SELECT doc_id, greatest(len(toks) - 7, 0)::BIGINT AS n_pos FROM t)
+           |SELECT sz.doc_id AS doc_id, n_pos,
+           |  coalesce(n_covered, 0)::BIGINT AS n_covered,
+           |  CAST(floor((10000.0::DOUBLE) * coalesce(n_covered, 0) / greatest(n_pos, 1) + 0.5) AS BIGINT) AS coverage_x10000
+           |FROM sz LEFT JOIN nc ON sz.doc_id = nc.doc_id ORDER BY doc_id""".stripMargin,
+
       "dedup_ngram" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
@@ -1377,6 +1437,35 @@ object SparkEntry {
            |FROM (SELECT source, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents)
            |WHERE b < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 25 ELSE 50 END
            |GROUP BY source ORDER BY source""".stripMargin,
+
+      // near-dup components via the recursive CTE (the dedup_clusters
+      // contract), then the split hash runs on the cluster canonical —
+      // coalesced to the doc's own id outside the pair graph
+      "mix_split_safe" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000
+           |    FROM common JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jaccard_x10000 >= 5000),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION SELECT doc_b, doc_a FROM pr),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id),
+           |cl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+           |k AS (SELECT d.doc_id AS doc_id,
+           |    (${poly("'split:' || coalesce(cl.canonical_id, d.doc_id)")}) % 100 AS b
+           |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)
+           |SELECT doc_id,
+           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM k ORDER BY doc_id""".stripMargin,
 
       "mix_shards" ->
         s"""SELECT shard, count(*)::BIGINT AS n_docs,

@@ -558,7 +558,19 @@ object Dedup {
     * Output: (doc_a, doc_b, n_runs, max_run, shared_pos, max_span_tokens).
     */
   def sharedSpans(docs: DataFrame, n: Int, minRun: Int,
-                  docFreqCap: Option[Int] = None): DataFrame = {
+                  docFreqCap: Option[Int] = None): DataFrame =
+    spanRuns(docs, n, minRun, docFreqCap)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run"),
+        sum(col("run_len")).as("shared_pos"))
+      .withColumn("max_span_tokens", col("max_run") + lit(n.toLong) - 1L)
+
+  /** The qualifying islands behind [[sharedSpans]]: one row per maximal run
+    * of >= `minRun` consecutive shared n-grams —
+    * (doc_a, doc_b, diag, run_len, start_a, start_b). */
+  def spanRuns(docs: DataFrame, n: Int, minRun: Int,
+               docFreqCap: Option[Int] = None): DataFrame = {
     require(n >= 1 && minRun >= 1, "n and minRun must be positive")
     val sh0 = posShingleTable(docs, n)
       .select(col("doc_id"), col("pos"), charPolyHash(col("sh")).as("h"))
@@ -582,10 +594,42 @@ object Dedup {
       .agg(count(lit(1)).as("run_len"),
         min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"))
       .where(col("run_len") >= minRun)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_runs"),
-        max(col("run_len")).as("max_run"),
-        sum(col("run_len")).as("shared_pos"))
-      .withColumn("max_span_tokens", col("max_run") + lit(n.toLong) - 1L)
+      .select(col("doc_a"), col("doc_b"), col("diag"), col("run_len"),
+        col("start_a"), col("start_b"))
+  }
+
+  /** Per-document span coverage — the doc-level ACTION of span dedup (Lee
+    * et al. drop or trim docs whose content is substantially covered by
+    * spans shared with other docs): for each doc, the fraction of its
+    * shingle positions lying inside a qualifying shared run (either side
+    * of any pair). Output: (doc_id, n_pos, n_covered, coverage_x10000) for
+    * EVERY doc — uncovered docs report 0, they are not silently dropped.
+    *
+    * Runs may overlap across partners and diagonals (the same passage
+    * shared with many docs), so coverage counts DISTINCT positions: each
+    * run explodes into its position interval (bounded: `run_len` rows per
+    * run, only for qualifying runs), then a per-doc distinct count. Scale
+    * shape: [[spanRuns]]'s joins + one distinct + one agg, all on bounded
+    * span output — no corpus-sized blowup beyond the shingle join itself. */
+  def spanCoverage(docs: DataFrame, n: Int, minRun: Int,
+                   docFreqCap: Option[Int] = None): DataFrame = {
+    val runs = spanRuns(docs, n, minRun, docFreqCap)
+    val covered = runs
+      .select(col("doc_a").as("doc_id"),
+        explode(sequence(col("start_a"), col("start_a") + col("run_len") - 1L))
+          .as("pos"))
+      .unionByName(runs.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"), col("start_b") + col("run_len") - 1L))
+          .as("pos")))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - n + 1, lit(0)).cast("long").as("n_pos"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("coverage_x10000",
+        floor(lit(10000.0) * col("n_covered") / greatest(col("n_pos"), lit(1L)) + 0.5)
+          .cast("long"))
   }
 }

@@ -63,6 +63,33 @@ object Mixing {
         s"unknown token metric '$other' (expected 'ws' or 'bpe')")
   }
 
+  /** Leakage-proof splitting: hash-split on the near-dup CLUSTER id instead
+    * of the doc id, so every member of a duplicate cluster lands in the
+    * same split. Plain [[withSplit]] can place a doc in train and its
+    * near-copy in test — contamination baked in at split time that
+    * decontamination then has to claw back; splitting on the cluster
+    * canonical removes the leak by construction (pairs → connected
+    * components → one split decision per component).
+    *
+    * `clusters` is [[Dedup.dedupClusters]] output (`id`, `canonical_id`)
+    * over the near-dup pair graph; unclustered docs (no near-dup) fall back
+    * to their own id. Scale shape: one equi-join of the corpus against the
+    * cluster map (bounded by docs that HAVE a near-dup — broadcastable in
+    * clean corpora) + the same map-only hash assignment as [[withSplit]]. */
+  def withClusterSafeSplit(docs: DataFrame, clusters: DataFrame,
+                           idCol: String = "doc_id",
+                           trainPct: Int = 80, valPct: Int = 90): DataFrame = {
+    require(0 < trainPct && trainPct <= valPct && valPct <= 100,
+      s"need 0 < trainPct ($trainPct) <= valPct ($valPct) <= 100")
+    val b = hashBucket(coalesce(col("canonical_id"), col(idCol)))
+    docs
+      .join(clusters.select(col("id").as(idCol), col("canonical_id")),
+        Seq(idCol), "left")
+      .withColumn("split",
+        when(b < trainPct, "train").when(b < valPct, "val").otherwise("test"))
+      .drop("canonical_id")
+  }
+
   /** Deterministic output shard assignment — the writer-side op: a 100 TB
     * corpus ships as K shard files/directories, and the assignment must be
     * reproducible (re-running the export maps every doc to the same shard)

@@ -632,6 +632,48 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("span coverage counts distinct covered positions per doc") {
+    // doc1/doc2 share two runs (8 and 7 matches at n=3); doc3 copies doc2
+    // exactly, so doc2's positions are covered via BOTH partners — the
+    // distinct count must not double-bill them
+    val t = ('a' to 'z').map(c => s"$c$c$c")
+    val doc1 = t.mkString(" ")                                     // 24 positions
+    val doc2 = (t.slice(0, 10) ++ Seq("zz") ++ t.slice(15, 24)).mkString(" ") // 18
+    val cov = Dedup.spanCoverage(docsDF(1L -> doc1, 2L -> doc2, 3L -> doc2), 3, 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc1: runs cover pos 0..7 and 15..21 → 15 of 24
+    assert(cov(1L) == (24L, 15L, math.floor(10000.0 * 15 / 24 + 0.5).toLong))
+    // doc2: 15 positions via doc1 + all 18 via doc3 → distinct 18 of 18
+    assert(cov(2L) == (18L, 18L, 10000L))
+    assert(cov(3L) == (18L, 18L, 10000L))
+    // raising minRun above every run length zeroes coverage but keeps rows
+    val none = Dedup.spanCoverage(docsDF(1L -> doc1), 3, 1).collect()
+    assert(none.length == 1 && none.head.getLong(2) == 0L)
+  }
+
+  test("cluster-safe split keeps every near-dup pair in one split") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 5000L)
+    val clusters = Dedup.dedupClusters(pairs)
+    val split = Mixing.withClusterSafeSplit(docs, clusters)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val prs = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(prs.nonEmpty, "corpus should contain organic near-dup pairs")
+    prs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles splits")
+    }
+    // outside the pair graph the assignment equals the plain split
+    val clustered = clusters.select("id").as[Long].collect().toSet
+    val plain = Mixing.withSplit(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    split.keys.filterNot(clustered).foreach { id =>
+      assert(split(id) == plain(id))
+    }
+  }
+
   test("ivf trained on a sample still ranks candidates by exact cosine") {
     val emb = Tables.embeddings(spark, sfDir)
     val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
