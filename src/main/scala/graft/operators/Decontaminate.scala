@@ -104,8 +104,20 @@ object Decontaminate {
                          expectedItems: Option[Long] = None): DataFrame = {
     val evalUniverse = Dedup.shingleTable(eval, n)
       .select(charPolyHash(col("sh")).as("h")).distinct()
-    val nKeys = math.max(expectedItems.getOrElse(evalUniverse.count()), 1L)
-    val bloom = evalUniverse.stat.bloomFilter("h", nKeys, fpp)
+    // without expectedItems the universe feeds two actions (count + filter
+    // build) — persist it across them instead of recomputing the shingle
+    // scan; it is small by the curated-eval assumption
+    val bloom = expectedItems match {
+      case Some(items) =>
+        evalUniverse.stat.bloomFilter("h", math.max(items, 1L), fpp)
+      case None =>
+        val cached = evalUniverse.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nKeys = math.max(cached.count(), 1L)
+          cached.stat.bloomFilter("h", nKeys, fpp)
+        } finally cached.unpersist(blocking = false)
+    }
     val universe = Dedup.shingleTable(train, n)
       .select(charPolyHash(col("sh")).as("h"))
       .where(graft.plans.BloomExpr.mightContain(col("h"), bloom))

@@ -213,7 +213,15 @@ object TextAnalysis {
     * 100 TB swap the threshold computation for `approx_percentile` (the
     * `a15b` pattern) and keep the same broadcast-filter join. Output:
     * (doc_id, source, quality_x10000, q_threshold), kept docs only. */
-  def qualityPercentileGate(docs: DataFrame, keepTopPct: Int): DataFrame = {
+  def qualityPercentileGate(docs: DataFrame, keepTopPct: Int): DataFrame =
+    gateAgainstThresholds(docs, qualityThresholds(docs, keepTopPct))
+
+  /** The per-source threshold table behind [[qualityPercentileGate]]:
+    * (source, q_threshold). A deployment computes this once on a reference
+    * corpus, persists it, and gates any stream/batch against it
+    * ([[gateAgainstThresholds]]) — the quality sibling of the persisted
+    * decontamination shingle universe. */
+  def qualityThresholds(docs: DataFrame, keepTopPct: Int): DataFrame = {
     require(keepTopPct >= 1 && keepTopPct <= 100,
       s"keepTopPct ($keepTopPct) is a percentage in [1, 100]")
     val base = docs.select(col("doc_id"), col("source"))
@@ -226,13 +234,20 @@ object TextAnalysis {
         floor((lit(100L - keepTopPct) * col("cnt") + 99L) / 100L), lit(1L))
         .cast("long"))
       .select(col("source"), col("rn"))
-    val thresholds = ranked.join(broadcast(targets), Seq("source", "rn"))
+    ranked.join(broadcast(targets), Seq("source", "rn"))
       .select(col("source"), col("quality_x10000").as("q_threshold"))
-    base.join(broadcast(thresholds), Seq("source"))
+  }
+
+  /** Filter docs against an already-computed per-source threshold table —
+    * map-only plus one broadcast join, the shape that gates a 100 TB scan
+    * (or each streaming micro-batch) without re-deriving percentiles. */
+  def gateAgainstThresholds(docs: DataFrame, thresholds: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(quality(docs).select(col("doc_id"), col("quality_x10000")), Seq("doc_id"))
+      .join(broadcast(thresholds), Seq("source"))
       .where(col("quality_x10000") >= col("q_threshold"))
       .select(col("doc_id"), col("source"), col("quality_x10000"),
         col("q_threshold"))
-  }
 
   /** Corpus vocabulary extraction — the tokenizer-training precursor: the
     * top-k terms by occurrence count, ties broken lexicographically.

@@ -232,6 +232,46 @@ object Streams {
       }
       .start()
 
+  /** Streaming corpus curation — the assembly tier: each micro-batch of
+    * incoming docs is quality-gated against a PERSISTED per-source
+    * threshold table ([[graft.operators.TextAnalysis.qualityThresholds]],
+    * computed once on a reference corpus — the same persisted-artifact
+    * pattern as the decontamination shingle universe) and shard-assigned
+    * ([[graft.operators.Mixing.withShard]], hash-stable so replay and
+    * re-partitioning never move a doc). Survivors land partitioned by
+    * (batch_id, shard) with dynamic-partition overwrite — replay-idempotent;
+    * since every doc lives in exactly one micro-batch and the gate +
+    * shard are per-row deterministic against a fixed threshold table, the
+    * accumulated output equals the batch
+    * [[graft.operators.TextAnalysis.gateAgainstThresholds]] + shard run
+    * (StreamingSpec asserts this). */
+  def streamingCurate(spark: SparkSession, docs: DataFrame,
+                      thresholdsDir: String, outDir: String,
+                      checkpointDir: String,
+                      numShards: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val thresholds = spark.read
+          .schema(new StructType()
+            .add("source", org.apache.spark.sql.types.StringType)
+            .add("q_threshold", org.apache.spark.sql.types.LongType))
+          .parquet(thresholdsDir)
+        graft.operators.Mixing.withShard(
+            graft.operators.TextAnalysis.gateAgainstThresholds(
+              batch.toDF().select(col("doc_id"), col("source"), col("text")),
+              thresholds),
+            numShards)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "shard").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming session windows — the arbitrary-stateful tier
     * (`flatMapGroupsWithState` + event-time timeout) beneath the native
     * `session_window`: per user, open sessions live in state as merged

@@ -120,6 +120,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.exists(_._5 == 1L)) // planted copies flagged
   }
 
+  test("streaming curation equals the batch gate + shard over all micro-batches") {
+    import graft.operators.{Mixing, TextAnalysis}
+    val docs0 = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val thrDir = tmp("cur-thr") + "/t"
+    val srcDir = tmp("cur-src")
+    val outDir = tmp("cur-out") + "/o"
+    // the persisted artifact: per-source thresholds from the reference
+    // corpus (here: the corpus itself), written once
+    TextAnalysis.qualityThresholds(docs0, 60).write.parquet(thrDir)
+    docs0.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.fileSource(spark, srcDir, docs0.schema, maxFilesPerTrigger = 1)
+    val q = Streams.streamingCurate(spark, stream, thrDir, outDir, tmp("cur-ck"))
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "source", "quality_x10000", "q_threshold", "shard")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val batch = Mixing.withShard(
+        TextAnalysis.gateAgainstThresholds(docs0,
+          spark.read.parquet(thrDir)), 16)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < docs0.count())
+  }
+
   test("streaming near-dup survives a first batch that yields no signatures") {
     // docs below the shingle width produce an empty signature table; the
     // index dir then has no parquet files and schema INFERENCE would kill
