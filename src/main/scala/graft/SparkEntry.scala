@@ -495,6 +495,15 @@ object SparkEntry {
           cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))),
 
+    // product-quantization ANN: 8 subspaces × 4-bit codes = 64× index
+    // compression, ADC scoring via a broadcast lookup table; deterministic
+    // codebooks (hyperplane cells + exact integer means) and integer ADC
+    // entries make the ranking oracle-exact
+    "ann_pq" -> ((s, d) =>
+      operators.Similarity.pqTopK(Tables.embeddings(s, d),
+          cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))),
+
     // ---- text analysis (lang-id, quality, tokens, fingerprints) ----
     "ta_langid" -> ((s, d) =>
       operators.TextAnalysis.langId(Tables.documents(s, d))
@@ -1276,6 +1285,65 @@ object SparkEntry {
            |scored AS (SELECT query_id, a.vec_id, list_dot_product(qv, a.vn) AS cos
            |  FROM probes JOIN assigned a ON probes.cell = a.cell
            |  WHERE query_id <> a.vec_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+           |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // PQ: subvector cells from 4 hyperplane signs per subspace (seeds
+      // g = s·4 + p over sub-dim 8), exact integer centroid means, one
+      // argmin Lloyd refinement, integer ADC entries → shortlist of 50 →
+      // exact-cosine rerank (the FAISS refine step), bit-stable throughout
+      "ann_pq" ->
+        s"""WITH $unitVecCte,
+           |sub AS (SELECT vec_id, s, vn[(s*8+1)::INT:(s*8+8)::INT] AS sv
+           |  FROM en CROSS JOIN range(0, 8) rs(s)),
+           |pd AS (SELECT vec_id, s, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 8), d ->
+           |      ((((1103515245*((s*4+p)*8+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * sv[d+1])),
+           |    (acc, x) -> acc + x) AS dotp
+           |  FROM sub CROSS JOIN range(0, 4) rp(p)),
+           |codes0 AS (SELECT vec_id, s,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS code
+           |  FROM pd GROUP BY vec_id, s),
+           |comp0 AS (SELECT s, code, d, CAST(floor(sv[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM (SELECT sub.vec_id, sub.s, sv, code
+           |        FROM sub JOIN codes0 ON sub.vec_id = codes0.vec_id AND sub.s = codes0.s)
+           |  CROSS JOIN range(0, 8) r(d)),
+           |centroids0 AS (SELECT s, code, list((sd_::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT s, code, d, sum(xi)::BIGINT AS sd_, count(*)::BIGINT AS cnt
+           |        FROM comp0 GROUP BY s, code, d) GROUP BY s, code),
+           |codes AS (SELECT vec_id, s, code FROM (
+           |    SELECT sub.vec_id, sub.s, c.code,
+           |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+           |        list_dot_product(centroid, centroid) - (2.0::DOUBLE) * list_dot_product(sv, centroid), c.code) AS cr
+           |    FROM sub JOIN centroids0 c ON sub.s = c.s)
+           |  WHERE cr = 1),
+           |comp AS (SELECT s, code, d, CAST(floor(sv[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM (SELECT sub.vec_id, sub.s, sv, code
+           |        FROM sub JOIN codes ON sub.vec_id = codes.vec_id AND sub.s = codes.s)
+           |  CROSS JOIN range(0, 8) r(d)),
+           |centroids AS (SELECT s, code, list((sd_::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT s, code, d, sum(xi)::BIGINT AS sd_, count(*)::BIGINT AS cnt
+           |        FROM comp GROUP BY s, code, d) GROUP BY s, code),
+           |q AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub WHERE vec_id < 10),
+           |lut AS (SELECT query_id, c.s, c.code,
+           |    CAST(floor(list_dot_product(qsv, centroid) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS ci
+           |  FROM q JOIN centroids c ON q.s = c.s),
+           |adc AS (SELECT query_id, codes.vec_id, sum(ci)::BIGINT AS est
+           |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+           |  WHERE query_id <> codes.vec_id
+           |  GROUP BY query_id, codes.vec_id),
+           |short AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY est DESC, vec_id) AS srank
+           |    FROM adc) WHERE srank <= 50),
+           |scored AS (SELECT short.query_id, short.vec_id,
+           |    list_dot_product(eq.vn, ev.vn) AS cos
+           |  FROM short JOIN en eq ON short.query_id = eq.vec_id
+           |  JOIN en ev ON short.vec_id = ev.vec_id),
            |r AS (SELECT query_id, vec_id, cos,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
            |  FROM scored)

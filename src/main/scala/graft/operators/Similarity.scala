@@ -223,6 +223,126 @@ object Similarity {
         floor(col("cos_est") * 1000000.0 + 0.5).cast("long").as("cos_est_x1000000"))
   }
 
+  /** Product-quantization ANN (deterministic) — the ANN COMPRESSION lever
+    * beyond int8: each unit vector splits into `m` subvectors; each
+    * subspace has a 2^`bits`-entry codebook, and a vector is stored as `m`
+    * codebook indices — `m·bits` bits per vector (64 dims × f32 → 8×4 bits
+    * is a 64× index compression; the corpus-side join ships codes, never
+    * floats). Query scoring is ADC (asymmetric distance computation): the
+    * query keeps full precision, a per-(query, subspace, code) lookup
+    * table of partial dots is built against the codebooks (tiny:
+    * `nQueries·m·2^bits` rows, broadcast), and a vector's estimated dot is
+    * the sum of its `m` table entries.
+    *
+    * ADC generates a SHORTLIST which is then re-ranked by exact cosine
+    * over the shortlist's full vectors (the FAISS refine step): at 64×
+    * compression ADC cannot order true neighbors within a cluster — its
+    * job is cheap candidate generation over codes; only `shortlist` rows
+    * per query ever touch floats again.
+    *
+    * Deterministic end to end (so the whole query is oracle-exact):
+    * codebook init from `bits` fixed hyperplane signs per subspace,
+    * `refine` Lloyd rounds with argmin reassignment (the [[ivfTopKDet]]
+    * probe comparison) and exact fixed-point integer re-means, and each
+    * ADC entry rounded to integer ×10⁶ — the per-vector sum of `m`
+    * entries is an ORDER-INDEPENDENT integer sum (a float sum over a hash
+    * aggregation would not be reproducible).
+    *
+    * Plan shape: map-only code assignment → hash aggs (centroids, per
+    * refine round one argmin window + re-mean) → broadcast LUT equi-join
+    * on (subspace, code) → integer-sum agg → shortlist window → exact
+    * re-rank join over `shortlist` rows per query. No cartesian: the LUT
+    * join fans each corpus code row out only to the query rows of the
+    * same (subspace, code). */
+  def pqTopK(emb: DataFrame, nQueries: Int, k: Int,
+             m: Int = 8, bits: Int = 4, dim: Int = 64,
+             refine: Int = 1, shortlist: Int = 50): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    require(bits >= 1 && bits <= 8, "codebook bits in [1, 8]")
+    require(refine >= 0, "refine rounds must be >= 0")
+    val sd = dim / m
+    val S = 1000000.0
+    val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
+    // (vec, subspace) → subvector; initial cell = `bits` hyperplane sign
+    // bits (a deterministic k-means init; signs alone place centroids too
+    // coarsely for ADC ranking — refinement below is what buys recall)
+    val sub = e
+      .select(col("vec_id"), col("vn"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("sv", slice(col("vn"), col("s") * sd + 1, lit(sd)))
+    // exact integer component sums per (subspace, code) → deterministic
+    // centroids (the ivfTopKDet pattern)
+    def centroidsOf(codes: DataFrame): DataFrame =
+      sub.join(codes, Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .withColumn("xi", floor(col("x") * S + 0.5).cast("long"))
+        .groupBy(col("s"), col("code"), col("d"))
+        .agg(sum(col("xi")).as("sd_"), count(lit(1)).as("cnt"))
+        .withColumn("cd", col("sd_").cast("double") / (col("cnt").cast("double") * S))
+        .groupBy(col("s"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+          x => x.getField("cd")).as("centroid"))
+    var codes = sub
+      .select(col("vec_id"), col("s"), col("sv"),
+        explode(sequence(lit(0), lit(bits - 1))).as("p"))
+      .withColumn("dotp", planeDot(col("sv"), col("s") * bits + col("p"), sd))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(sum(when(col("dotp") > 0, pow(lit(2.0), col("p")).cast("long"))
+        .otherwise(0L)).as("code"))
+    var centroids = centroidsOf(codes)
+    // Lloyd refinement, deterministically: reassign each subvector to its
+    // nearest centroid (argmin by |c|² − 2·x·c, ties on code — the ivf
+    // probe comparison), then exact integer re-means. Empty cells drop out
+    // of the rebuilt codebook, so every stored code keeps a centroid.
+    for (_ <- 1 to refine) {
+      val wA = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("dist"), col("code"))
+      codes = sub.join(centroids, Seq("s"))
+        .withColumn("dist",
+          dotCol(col("centroid"), col("centroid")) -
+            lit(2.0) * dotCol(col("sv"), col("centroid")))
+        .withColumn("crank", row_number().over(wA))
+        .where(col("crank") === 1)
+        .select(col("vec_id"), col("s"), col("code"))
+      centroids = centroidsOf(codes)
+    }
+    // ADC lookup table: per (query, subspace, code) the partial dot against
+    // the codebook centroid, rounded to an integer — the per-vector sum of
+    // m integers is then order-independent
+    val q = sub.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+    val lut = q.join(centroids, Seq("s"))
+      .withColumn("ci",
+        floor(dotCol(col("qsv"), col("centroid")) * S + 0.5).cast("long"))
+      .select(col("query_id"), col("s"), col("code"), col("ci"))
+    val adc = codes.join(broadcast(lut), Seq("s", "code"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("ci")).as("est_dot_x1000000"))
+    // ADC shortlist → exact re-rank (the FAISS refine step): the codes-only
+    // scan ranks a SHORTLIST cheaply (m integer adds per vector, floats
+    // never shuffled); only the shortlist's full vectors are touched for
+    // exact cosine. At 64× compression ADC alone cannot order true
+    // neighbors within a cluster — its job is candidate generation.
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("est_dot_x1000000").desc, col("vec_id"))
+    val short = adc.withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val scored = short
+      .join(e.select(col("vec_id").as("query_id"), col("vn").as("qv")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", dotCol(col("qv"), col("vn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
+  }
+
   /** Multi-table LSH ANN top-k: candidates = vectors sharing any
     * (table, bucket) with the query; ranked by exact cosine within the
     * candidate set. Map-only hashing (one row per vector per table), then

@@ -674,6 +674,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pq ANN: ADC shortlist + exact rerank keeps recall; cosines are exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.pqTopK(emb, 10, 5).collect()
+    val pqTop = pq.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(pqTop.keySet == exact.keySet)
+    // every query returns exactly k ranked neighbors
+    assert(pq.length == 50)
+    // aggregate recall@5: the ADC shortlist must keep most true neighbors
+    val hits = exact.keys.toSeq.map(q => pqTop(q).intersect(exact(q)).size).sum
+    println(s"pq recall@5: $hits/50")
+    assert(hits >= 30, s"pq shortlist recall collapsed: $hits/50")
+    // returned cosines are EXACT (rerank over full vectors), so every
+    // returned pair's cosine must match brute force bit for bit
+    val truth = Similarity.bruteForceTopK(emb, 10, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    pq.foreach { r =>
+      assert(truth((r.getLong(0), r.getLong(1))) == r.getLong(3))
+    }
+    // a corpus-sized shortlist degenerates to exact brute force
+    val full = Similarity.pqTopK(emb, 10, 5, shortlist = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(full == exact)
+  }
+
   test("ivf trained on a sample still ranks candidates by exact cosine") {
     val emb = Tables.embeddings(spark, sfDir)
     val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
