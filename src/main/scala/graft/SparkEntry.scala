@@ -551,6 +551,11 @@ object SparkEntry {
     "ta_vocab" -> ((s, d) =>
       operators.TextAnalysis.vocabulary(Tables.documents(s, d), 100)),
 
+    // first BPE merge iteration: adjacent char-pair counts weighted by
+    // word frequency — the tokenizer-training primitive proper
+    "ta_bpe_pairs" -> ((s, d) =>
+      operators.TextAnalysis.bpePairCounts(Tables.documents(s, d), 50)),
+
     // composite quality gate (C4/Gopher-style rules): keep/drop + the first
     // failing rule as an auditable reason
     "ta_quality_filter" -> ((s, d) =>
@@ -700,6 +705,29 @@ object SparkEntry {
         cfg.decontamNgramN, cfg.decontamMinOverlapX10000,
         broadcastEval = false)
       operators.Mixing.packSequences(train.unionByName(cleanEval),
+          cfg.packTokenBudget, metric = "bpe",
+          partitionCols = Seq("split", "source"))
+        .orderBy(col("split"), col("source"), col("seq_no"))
+    }),
+
+    // the complementary assembly POLICY: keep near-duplicates (training
+    // diversity) but make leakage impossible at split time — validate →
+    // per-source quality percentile gate → near-dup clusters → CLUSTER-SAFE
+    // split (a dup cluster is one split unit) → pack. Where e2e_corpus
+    // drops dups then decontaminates, this keeps them and removes the leak
+    // by construction.
+    "e2e_corpus_safe" -> ((s, d) => {
+      val valid = ArticleOps.validated(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"), col("source"))
+      val gated = valid.join(
+        operators.TextAnalysis.qualityPercentileGate(valid, 60)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val clusters = operators.Dedup.dedupClusters(
+        operators.Dedup.ngramJaccardPairs(gated, cfg.ngramN, cfg.minJaccardX10000))
+      operators.Mixing.packSequences(
+          operators.Mixing.withClusterSafeSplit(gated, clusters,
+            trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct),
           cfg.packTokenBudget, metric = "bpe",
           partitionCols = Seq("split", "source"))
         .orderBy(col("split"), col("source"), col("seq_no"))
@@ -1558,6 +1586,16 @@ object SparkEntry {
            |FROM (SELECT unnest($toks) AS term FROM documents)
            |GROUP BY term ORDER BY cnt DESC, term LIMIT 100""".stripMargin,
 
+      "ta_bpe_pairs" ->
+        s"""WITH wf AS (SELECT w, count(*)::BIGINT AS freq
+           |  FROM (SELECT unnest($toks) AS w FROM documents)
+           |  WHERE w <> '' GROUP BY w),
+           |p AS (SELECT substring(w, (i+1)::INT, 2) AS pair, freq
+           |  FROM (SELECT w, freq, unnest(range(0, length(w) - 1)) AS i
+           |        FROM wf WHERE length(w) >= 2))
+           |SELECT pair, sum(freq)::BIGINT AS cnt
+           |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
       // signals mirror ta_quality / ta_repetition; the verdict CASE tests
       // rules in the same order as TextAnalysis.qualityFilter
       "ta_quality_filter" -> {
@@ -1799,6 +1837,65 @@ object SparkEntry {
            |SELECT split, source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
            |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
            |FROM c GROUP BY split, source, seq_no ORDER BY split, source, seq_no""".stripMargin,
+
+      // policy sibling of e2e_corpus: quality gate (40th-pct per-source
+      // threshold over the VALID docs), recursive closure, split hash on
+      // the cluster canonical, pack — near-dups kept, leakage impossible
+      "e2e_corpus_safe" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+        s"""WITH RECURSIVE v AS (SELECT doc_id, text, source FROM documents WHERE $validWhere),
+           |qb AS (SELECT doc_id, source,
+           |    CAST(floor((10000.0::DOUBLE) *
+           |      least(1.0::DOUBLE, (($wordCnt)::DOUBLE) / (200.0::DOUBLE)) *
+           |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+           |        (4.0::DOUBLE) * len(list_filter($toks, w -> w IN ($enWords))) / greatest(($wordCnt), 1))) + 0.5) AS BIGINT) AS q
+           |  FROM v),
+           |qr AS (SELECT source, doc_id, q,
+           |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id)::BIGINT AS rn
+           |  FROM qb),
+           |qtg AS (SELECT source, greatest((40 * cnt + 99) // 100, 1) AS rn
+           |  FROM (SELECT source, count(*)::BIGINT AS cnt FROM qb GROUP BY source)),
+           |qth AS (SELECT qr.source AS source, qr.q AS th
+           |  FROM qr JOIN qtg ON qr.source = qtg.source AND qr.rn = qtg.rn),
+           |g AS (SELECT v.doc_id AS doc_id, v.text AS text, v.source AS source FROM v
+           |  JOIN qb ON v.doc_id = qb.doc_id
+           |  JOIN qth ON v.source = qth.source
+           |  WHERE qb.q >= qth.th),
+           |tk AS (SELECT doc_id, $toks AS toks FROM g),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM tk),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000
+           |    FROM common JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jaccard_x10000 >= 5000),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION SELECT doc_b, doc_a FROM pr),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id),
+           |cl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+           |k AS (SELECT g.doc_id AS doc_id, g.text AS text, g.source AS source,
+           |    (${poly("'split:' || coalesce(cl.canonical_id, g.doc_id)")}) % 100 AS b
+           |  FROM g LEFT JOIN cl ON g.doc_id = cl.id),
+           |ks AS (SELECT doc_id, text, source,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM k),
+           |pt AS (SELECT split, source, doc_id,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
+           |  FROM ks),
+           |c AS (SELECT split, source, doc_id, tok_cnt,
+           |    sum(tok_cnt) OVER (PARTITION BY split, source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM pt)
+           |SELECT split, source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
+           |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
+           |FROM c GROUP BY split, source, seq_no ORDER BY split, source, seq_no""".stripMargin
+      },
 
       "e2e_pipeline" ->
         s"""SELECT source, count(*)::BIGINT AS doc_count,

@@ -87,6 +87,34 @@ object TextAnalysis {
         .cast("long").as("bpe_tokens"),
       length(col("text")).cast("long").as("chars"))
 
+  /** First BPE merge iteration — the step after [[vocabulary]] in tokenizer
+    * training: count adjacent character pairs across the corpus, weighted
+    * by word frequency (BPE training counts pairs over the word-frequency
+    * table, not the raw stream — a word seen 10⁶ times contributes its
+    * pairs 10⁶ times but is processed once). The top pair is the first
+    * merge a BPE trainer would pick; the full trainer is this primitive in
+    * a driver loop (re-segment, re-count) over the frequency table, whose
+    * corpus-sized part never moves again after the first aggregation.
+    *
+    * Plan shape: explode tokens → word-frequency hash agg (the only
+    * corpus-sized shuffle) → bounded pair explode over the vocab (≤ |word|
+    * rows per DISTINCT word) → hash agg → top-k. */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      // guard: sequence(0, -1) would DESCEND, emitting phantom pairs for
+      // 1-char words — short words contribute no pairs
+      .where(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(0), length(col("w")) - 2)).as("i"))
+      .select(col("w").substr(col("i") + 1, lit(2)).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Per-document top-k salient terms by integer-exact TF-IDF:
     * `score = tf · floor(1e6 · nDocs / df)` — the idf factor is a
     * fixed-point integer (no `log`, whose libm rounding differs across

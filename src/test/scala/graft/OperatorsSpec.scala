@@ -509,6 +509,18 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(tied == Set(2L, 3L, 4L, 5L, 6L))
   }
 
+  test("bpe pair counts: frequency-weighted, 1-char words contribute nothing") {
+    // 'ab' appears twice (pair ab x2); 'abc' once (pairs ab, bc);
+    // 'a' is 1-char (no pairs — and must not trip sequence(0,-1) descent)
+    val docs = docsDF(1L -> "ab ab abc a", 2L -> "zz")
+    val got = TextAnalysis.bpePairCounts(docs, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("bc", 1L), ("zz", 1L)))
+    // k truncates after the (cnt desc, pair) order — ties break lexically
+    val top1 = TextAnalysis.bpePairCounts(docs, 1).as[(String, Long)].collect()
+    assert(top1.toSeq == Seq(("ab", 3L)))
+  }
+
   test("vocabulary: top-k terms by count, lexicographic ties, no global sort") {
     val docs = docsDF(1L -> "b b b a a c", 2L -> "a d d")
     val got = TextAnalysis.vocabulary(docs, 3).as[(String, Long)].collect().toSeq
