@@ -343,6 +343,36 @@ object Similarity {
         floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
   }
 
+  /** ANN index evaluation — the harness that closes the loop: given a
+    * ground-truth top-k table (`bruteForceTopK` output shape:
+    * (query_id, neighbor_id, rank, ...)) and an approximate index's
+    * answers in the same shape, per-query retrieval metrics:
+    * recall@k ×10⁴ and reciprocal rank ×10⁴ of the first true neighbor in
+    * the prediction list (0 when none hit). A production pipeline tunes
+    * its index parameters (tables/planes, nProbe, shortlist) against
+    * exactly this query on a sampled ground truth.
+    *
+    * Plan shape: one equi-join on (query_id, neighbor_id) + one agg —
+    * both sides are top-k outputs (nQueries·k rows), so this costs
+    * nothing next to the searches themselves. Fixed-point outputs keep it
+    * engine-exact. */
+  def annEval(truth: DataFrame, pred: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val hits = pred.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(t, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"), min(col("rank")).as("first_hit_rank"))
+    t.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        floor(lit(10000.0) * coalesce(col("n_hit"), lit(0L)) / k + 0.5)
+          .cast("long").as("recall_x10000"),
+        coalesce(floor(lit(10000.0) / col("first_hit_rank") + 0.5).cast("long"),
+          lit(0L)).as("rr_x10000"))
+  }
+
   /** Multi-table LSH ANN top-k: candidates = vectors sharing any
     * (table, bucket) with the query; ranked by exact cosine within the
     * candidate set. Map-only hashing (one row per vector per table), then

@@ -715,6 +715,29 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(full == exact)
   }
 
+  test("ann eval: recall and reciprocal rank, zero-hit and missing queries") {
+    val truth = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 7L, 1L), (1L, 8L, 2L), (1L, 9L, 3L),
+      (2L, 4L, 1L), (2L, 5L, 2L), (2L, 6L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    // q0: hits 2 and 3 at pred ranks 1 and 3; q1: no overlap at all;
+    // q2: absent from pred entirely (the index returned nothing)
+    val pred = Seq((0L, 2L, 1L), (0L, 9L, 2L), (0L, 3L, 3L),
+      (1L, 4L, 1L), (1L, 5L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.annEval(truth, pred, 3).orderBy("query_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 6667L, 10000L),
+      (1L, 0L, 0L, 0L),
+      (2L, 0L, 0L, 0L)))
+    // a perfect index scores 10000/10000 on every query
+    val perfect = Similarity.annEval(truth, truth, 3)
+      .select("recall_x10000", "rr_x10000").distinct()
+      .as[(Long, Long)].collect().toSeq
+    assert(perfect == Seq((10000L, 10000L)))
+  }
+
   test("ivf trained on a sample still ranks candidates by exact cosine") {
     val emb = Tables.embeddings(spark, sfDir)
     val bf = Similarity.bruteForceTopK(emb, 5, 500).collect()
