@@ -64,8 +64,11 @@ object Bench {
         // broadcasts and the JVM unload dead generated classes — with a
         // large heap no GC happens naturally and both pile up (outside the
         // timed window; costs ~0.1 s each)
+        // every 5 (was 10): the round-5 clustering queries (localCheckpoint
+        // iterations) raise inter-GC garbage enough that neighbors measured
+        // 2-4× slower in-suite than isolated; ~0.1 s per GC is cheap
         sinceGc += 1
-        if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
+        if (sinceGc >= 5) { System.gc(); sinceGc = 0 }
         val t0 = System.nanoTime()
         // toRdd forces the full physical plan (projections, sorts) — a bare
         // count() would let Catalyst prune the very operators being measured

@@ -386,6 +386,33 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // within-doc self-copy: every 10th doc gains a sibling (doc_id +
+    // 700000) that LOOPS its first 30 tokens twice — a diag-30 internal
+    // run of ~23 consecutive repeated 8-grams that bigram repetition
+    // ratios can't localize
+    "dedup_self_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = tokens(col("text"))
+      val looped = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"),
+            concat_ws(" ",
+              concat_ws(" ", slice(toks, 1, 30)),
+              concat_ws(" ", slice(toks, 1, 30))).as("text")))
+      operators.Dedup.selfSpans(looped, cfg.decontamNgramN, cfg.spanMinRun)
+        .orderBy(col("doc_id"))
+    }),
+
+    // winnowing (MOSS) fingerprint dedup over the same stitched planting as
+    // dedup_spans: ~2/(w+1) of shingles stored, with GUARANTEED collision
+    // for any shared run of >= w+n-1 tokens (MinHash is only probabilistic)
+    "dedup_winnow" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Dedup.winnowingPairs(plantedSpanCopies(docs),
+          cfg.decontamNgramN, w = 4, minCommon = 2L)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // the doc-level action of span dedup: per-doc fraction of shingle
     // positions covered by qualifying shared runs (planted stitched docs
     // approach full coverage, organic docs stay near 0); every doc reports
@@ -450,6 +477,24 @@ object SparkEntry {
         "vec_a", "vec_b")
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))),
+
+    // the corpus-UPDATE path one stage after dedup_minhash_incr: cluster
+    // the base corpus's pairs first, then fold the planted copies' pairs
+    // into the existing assignment — must equal batch clustering of all
+    // pairs (the same oracle), at |clustered|+|new| edge cost
+    "dedup_clusters_incr" -> ((s, d) => {
+      def pairs = operators.Dedup.embeddingNearDupPairsBanded(
+        operators.Dedup.withNearCopies(Tables.embeddings(s, d)),
+        cfg.minCosX1000000, cfg.lshPlanes, cfg.lshTables, cfg.embeddingDim)
+      val existing = operators.Dedup.dedupClustersStar(
+        pairs.where(col("vec_a") < 1000000L && col("vec_b") < 1000000L),
+        "vec_a", "vec_b")
+      operators.Dedup.dedupClustersIncremental(existing,
+          pairs.where(col("vec_a") >= 1000000L || col("vec_b") >= 1000000L),
+          "vec_a", "vec_b")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
 
     // same clustering contract via the O(log)-round large-star/small-star
     // decomposition — the variant that survives long chains at scale
@@ -1149,6 +1194,62 @@ object SparkEntry {
            |  sum(run_len)::BIGINT AS shared_pos, (max(run_len) + 7)::BIGINT AS max_span_tokens
            |FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
+      // same positional-shingle pipeline, self-join within one doc
+      // (pos_a < pos_b), islands per (doc, diag = pos_b - pos_a)
+      "dedup_self_spans" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 700000 AS doc_id,
+           |    coalesce(array_to_string(toks[1:30], ' '), '') || ' ' ||
+           |      coalesce(array_to_string(toks[1:30], ' '), '') AS text
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents) WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS toks FROM base),
+           |p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM t),
+           |ps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sh")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sh
+           |  FROM p0)),
+           |m AS (SELECT a.doc_id AS doc_id, a.pos AS pos_a, b.pos - a.pos AS diag
+           |  FROM ps a JOIN ps b ON a.doc_id = b.doc_id AND a.h = b.h AND a.pos < b.pos),
+           |r AS (SELECT doc_id, diag, pos_a,
+           |    pos_a - row_number() OVER (PARTITION BY doc_id, diag ORDER BY pos_a) AS grp
+           |  FROM m),
+           |runs AS (SELECT doc_id, diag, grp, count(*)::BIGINT AS run_len
+           |  FROM r GROUP BY doc_id, diag, grp HAVING count(*) >= 5)
+           |SELECT doc_id, count(*)::BIGINT AS n_runs, max(run_len) AS max_run,
+           |  sum(run_len)::BIGINT AS rep_pos
+           |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // winnowing: per trailing window of 4 positions keep the integer-
+      // packed (min h, rightmost pos) key; distinct fingerprints; shared-
+      // fingerprint inverted-index join
+      "dedup_winnow" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 600000 AS doc_id,
+           |    coalesce(array_to_string(toks[1:40], ' '), '') || ' ' ||
+           |      coalesce(array_to_string(toks[61:80], ' '), '') AS text
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents) WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS toks FROM base),
+           |p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM t),
+           |ps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sh")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sh
+           |  FROM p0)),
+           |sel AS (SELECT doc_id, pos,
+           |    max((1000000007 - h) * 1048576 + pos)
+           |      OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selKey
+           |  FROM ps),
+           |fp AS (SELECT DISTINCT doc_id,
+           |    (selKey % 1048576)::BIGINT AS pos,
+           |    (1000000007 - selKey // 1048576)::BIGINT AS h
+           |  FROM sel WHERE pos >= 3)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
+
       // same islands pipeline as dedup_spans, then runs explode into their
       // position intervals (both sides), distinct per doc, over the doc's
       // shingle-position count
@@ -1284,6 +1385,9 @@ object SparkEntry {
           |WHERE cos_x1000000 >= 900000 ORDER BY vec_a, vec_b""".stripMargin,
 
       "dedup_clusters" -> clustersOracle,
+
+      // the incremental fold must reproduce the batch clustering exactly
+      "dedup_clusters_incr" -> clustersOracle,
 
       "dedup_clusters_star" -> clustersOracle,
 

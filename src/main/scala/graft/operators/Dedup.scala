@@ -453,6 +453,25 @@ object Dedup {
     * Precondition: every base `vec_id` must be < `idOffset`, else planted
     * ids collide with base ids and pair identification silently corrupts on
     * BOTH engines (OperatorsSpec asserts this on the test corpus). */
+  /** Incremental connected components — the cluster-maintenance path
+    * (sibling of [[minhashPairsIncremental]] one stage later in the dedup
+    * pipeline): fold NEW near-dup pairs into EXISTING cluster assignments
+    * without re-clustering the corpus. The existing assignment is already
+    * a star (every member points at its canonical), and stars preserve
+    * connectivity — so clustering (existing-as-pairs ∪ new pairs) yields
+    * exactly the batch clustering of (old pairs ∪ new pairs), at the cost
+    * of an edge set sized |clustered nodes| + |new pairs| instead of the
+    * full pair graph, converging in ~1 star round when new pairs only
+    * attach to cluster fringes. Rows with `id = canonical_id` ride along
+    * as self-pairs, keeping singleton nodes in the output. */
+  def dedupClustersIncremental(existing: DataFrame, newPairs: DataFrame,
+                               aCol: String = "doc_a", bCol: String = "doc_b",
+                               maxIters: Int = 25): DataFrame =
+    dedupClustersStar(
+      existing.select(col("id").as(aCol), col("canonical_id").as(bCol))
+        .unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIters)
+
   def withNearCopies(emb: DataFrame, idOffset: Long = 1000000L,
                      dim: Int = 64): DataFrame = {
     val base = emb.select(col("vec_id"),
@@ -596,6 +615,93 @@ object Dedup {
       .where(col("run_len") >= minRun)
       .select(col("doc_a"), col("doc_b"), col("diag"), col("run_len"),
         col("start_a"), col("start_b"))
+  }
+
+  /** Within-doc repeated spans — internal self-copy detection (the
+    * span-granular analog of Gopher's duplicate-paragraph fraction, which
+    * [[graft.operators.TextAnalysis.repetition]] approximates at bigram
+    * granularity): maximal runs of consecutive n-gram positions that
+    * REAPPEAR verbatim later in the SAME doc. A generated or scraped doc
+    * that loops a paragraph shows up as a long internal run; organic prose
+    * doesn't. Same gaps-and-islands machinery as [[spanRuns]], restricted
+    * to one doc with `pos_a < pos_b` (each repeat pairs with its earliest
+    * earlier occurrence once per diagonal).
+    * Output: (doc_id, n_runs, max_run, rep_pos) — docs with no qualifying
+    * internal repeat are absent (join back for a full report). */
+  def selfSpans(docs: DataFrame, n: Int, minRun: Int): DataFrame = {
+    require(n >= 1 && minRun >= 1, "n and minRun must be positive")
+    val sh = posShingleTable(docs, n)
+      .select(col("doc_id"), col("pos"), charPolyHash(col("sh")).as("h"))
+    val m = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.h") === col("b.h") &&
+          col("a.pos") < col("b.pos"))
+      .select(col("a.doc_id").as("doc_id"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_b") - col("pos_a"))
+    val w = Window.partitionBy(col("doc_id"), col("diag")).orderBy(col("pos_a"))
+    m.withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .where(col("run_len") >= minRun)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run"),
+        sum(col("run_len")).as("rep_pos"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., the MOSS algorithm) — the
+    * guaranteed-coverage alternative to MinHash sampling: slide a window
+    * of `w` consecutive shingle-hash positions over each doc and keep the
+    * window's minimum hash (rightmost position on ties). Any shared
+    * substring of length ≥ w + n − 1 tokens is GUARANTEED to contribute at
+    * least one common fingerprint (MinHash gives only probabilistic
+    * coverage), while storing ~2/(w+1) of the shingles. One analytic
+    * window per doc — map-side after a per-doc sort, no shuffle beyond the
+    * doc partitioning.
+    *
+    * The (min h, rightmost pos) selection packs into ONE integer key —
+    * `(HashMod − h)·2²⁰ + pos`, maximized — so the window aggregate and
+    * its cross-engine oracle are plain integer max (a struct/tuple max
+    * orders differently across engines). Supports docs up to 2²⁰ shingle
+    * positions (≈10⁶ tokens; split longer docs upstream).
+    * Output: (doc_id, pos, h) distinct fingerprints. */
+  def winnowingFingerprints(docs: DataFrame, n: Int, w: Int): DataFrame = {
+    require(w >= 1, "window must be >= 1")
+    val K = 1048576L // 2^20
+    val sh = posShingleTable(docs, n)
+      .select(col("doc_id"), col("pos"), charPolyHash(col("sh")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    sh
+      .withColumn("selKey",
+        max((lit(graft.functions.TextFunctions.HashMod) - col("h")) * K + col("pos"))
+          .over(win))
+      // emit only full windows (pos >= w-1): partial leading windows would
+      // over-select early shingles
+      .where(col("pos") >= w - 1)
+      .select(col("doc_id"),
+        (col("selKey") % K).as("pos"),
+        // division by 2^20 is exact in double; cast truncates = floor (>=0)
+        (lit(graft.functions.TextFunctions.HashMod) -
+          (col("selKey") / K).cast("long")).as("h"))
+      .distinct()
+  }
+
+  /** Near-dup pairs from shared winnowing fingerprints: the inverted-index
+    * join of [[ngramJaccardPairs]] running on the winnowed ~2/(w+1)
+    * sample instead of every shingle — with the winnowing guarantee that
+    * any shared run of ≥ w + n − 1 tokens still collides. */
+  def winnowingPairs(docs: DataFrame, n: Int, w: Int,
+                     minCommon: Long): DataFrame = {
+    require(minCommon >= 1, "minCommon must be positive")
+    val fp = winnowingFingerprints(docs, n, w).select(col("doc_id"), col("h"))
+    fp.alias("a")
+      .join(fp.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
   }
 
   /** Per-document span coverage — the doc-level ACTION of span dedup (Lee

@@ -644,6 +644,56 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("incremental clustering equals batch; new pairs can merge old clusters") {
+    // old graph: {1,2} and {10,11} plus singleton 20 (self-pair);
+    // new pairs BRIDGE the two old clusters (2-10) and attach a new node
+    // (11-30) — the incremental fold must re-canonicalize the merged
+    // component to the global min, not keep the old canonicals
+    val oldPairs = Seq((1L, 2L), (10L, 11L), (20L, 20L)).toDF("doc_a", "doc_b")
+    val newPairs = Seq((2L, 10L), (11L, 30L)).toDF("doc_a", "doc_b")
+    val existing = Dedup.dedupClustersStar(oldPairs)
+    val incr = Dedup.dedupClustersIncremental(existing, newPairs)
+      .as[(Long, Long)].collect().toSet
+    val batch = Dedup.dedupClustersStar(oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toSet
+    assert(incr == batch)
+    assert(incr == Set((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L), (30L, 1L),
+      (20L, 20L)))
+  }
+
+  test("self spans find internal loops; clean docs report nothing") {
+    // doc 1 loops a 5-token block: with n=3 the second copy repeats 3
+    // consecutive shingles at diag 5; doc 2 has no internal repeats
+    val block = "aaa bbb ccc ddd eee"
+    val docs = docsDF(1L -> s"$block $block", 2L -> "one two three four five six")
+    val got = Dedup.selfSpans(docs, 3, 3).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getAs[Long]("n_runs"), r.getAs[Long]("max_run"),
+      r.getAs[Long]("rep_pos")) == (1L, 1L, 3L, 3L))
+    // above the run length: nothing qualifies
+    assert(Dedup.selfSpans(docs, 3, 4).isEmpty)
+  }
+
+  test("winnowing: coverage guarantee, compression, and identical-doc pairs") {
+    // doc 2 embeds a 12-token verbatim slice of doc 1 (>= w+n-1 = 6 tokens
+    // at n=3, w=4) — winnowing GUARANTEES at least one shared fingerprint
+    val t = ('a' to 'z').map(c => s"$c$c$c")
+    val doc1 = t.mkString(" ")
+    val doc2 = (Seq("x1", "x2", "x3") ++ t.slice(8, 20) ++ Seq("y1", "y2")).mkString(" ")
+    val pairs = Dedup.winnowingPairs(docsDF(1L -> doc1, 2L -> doc2), 3, 4, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // compression: the winnowed sample is well below the full shingle set
+    val fp1 = Dedup.winnowingFingerprints(docsDF(1L -> doc1), 3, 4).count()
+    val all1 = Dedup.posShingleTable(docsDF(1L -> doc1), 3).count()
+    assert(fp1 < all1 * 3 / 5, s"$fp1 of $all1 shingles kept")
+    // identical docs share their entire fingerprint set
+    val twin = Dedup.winnowingPairs(docsDF(1L -> doc1, 2L -> doc1), 3, 4, 1L)
+      .collect()
+    assert(twin.length == 1 && twin.head.getLong(2) == fp1)
+  }
+
   test("span coverage counts distinct covered positions per doc") {
     // doc1/doc2 share two runs (8 and 7 matches at n=3); doc3 copies doc2
     // exactly, so doc2's positions are covered via BOTH partners — the
