@@ -681,6 +681,16 @@ object SparkEntry {
       operators.Mixing.shardSummary(Tables.documents(s, d), 16, metric = "bpe")
         .orderBy(col("shard"))),
 
+    // token-budget sampling: mixtures are specified in tokens, not docs —
+    // per source, keep docs in salted-hash order until the BPE-token
+    // budget is crossed (src0 gets 1200 tokens, everyone else 600 —
+    // roughly half of each source's ~1400-token volume at sf0.01)
+    "mix_token_budget" -> ((s, d) =>
+      operators.Mixing.sampleByTokenBudget(Tables.documents(s, d),
+          Map("src0" -> 1200L), defaultBudget = 600L, metric = "bpe")
+        .select(col("doc_id"), col("source"), col("tok_cnt"), col("cum_tokens"))
+        .orderBy(col("doc_id"))),
+
     // packing budgets use the BPE-ish token metric — the count a subword
     // tokenizer would bill — not whitespace words (MixingSpec covers both)
     "pack_sequences" -> ((s, d) =>
@@ -694,6 +704,12 @@ object SparkEntry {
       operators.Mixing.packSequencesSplit(Tables.documents(s, d),
           cfg.packTokenBudget, metric = "bpe")
         .orderBy(col("source"), col("seq_no"))),
+
+    // the end-of-run dashboard: per-source doc counts, validity, exact-dup
+    // burden, mean quality, language spread, token volume — one plan
+    "a16_corpus_health" -> ((s, d) =>
+      Summaries.corpusHealth(Tables.documents(s, d))
+        .orderBy(col("source"))),
 
     // exact positional percentiles of doc length per source (nearest-rank,
     // integer target arithmetic — engine-agnostic like a11's median)
@@ -1727,6 +1743,21 @@ object SparkEntry {
            |FROM (SELECT text, (${poly("'shard:' || doc_id")}) % 16 AS shard FROM documents)
            |GROUP BY shard ORDER BY shard""".stripMargin,
 
+      // running token prefix in salted-hash order per source; keep while
+      // the prefix BEFORE the doc is under the source budget
+      "mix_token_budget" ->
+        s"""WITH b AS (SELECT doc_id, source,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt,
+           |    (${poly("'budget:' || doc_id")}) AS hk
+           |  FROM documents),
+           |c AS (SELECT doc_id, source, tok_cnt,
+           |    sum(tok_cnt) OVER (PARTITION BY source ORDER BY hk, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           |  FROM b)
+           |SELECT doc_id, source, tok_cnt, cum_tokens FROM c
+           |WHERE cum_tokens - tok_cnt < CASE source WHEN 'src0' THEN 1200 ELSE 600 END
+           |ORDER BY doc_id""".stripMargin,
+
       "pack_sequences" ->
         s"""WITH t AS (SELECT source, doc_id,
            |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
@@ -1865,6 +1896,37 @@ object SparkEntry {
            |SELECT source, seq_no::BIGINT AS seq_no, count(*)::BIGINT AS n_docs,
            |  sum(tokens_in_seq)::BIGINT AS seq_tokens
            |FROM x GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
+
+      "a16_corpus_health" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+        s"""WITH base AS (SELECT source, count(*)::BIGINT AS n_docs,
+           |    count(DISTINCT lang)::BIGINT AS n_langs,
+           |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS bpe_tokens
+           |  FROM documents GROUP BY source),
+           |v AS (SELECT source, count(*)::BIGINT AS n_valid
+           |  FROM documents WHERE $validWhere GROUP BY source),
+           |dup AS (SELECT source, count(*)::BIGINT AS n_dup_docs FROM (
+           |    SELECT source, doc_id, min(doc_id) OVER (PARTITION BY $norm) AS canonical_id
+           |    FROM documents)
+           |  WHERE doc_id <> canonical_id GROUP BY source),
+           |q AS (SELECT source,
+           |    CAST(floor(sum(CAST(floor((10000.0::DOUBLE) *
+           |      least(1.0::DOUBLE, (($wordCnt)::DOUBLE) / (200.0::DOUBLE)) *
+           |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+           |        (4.0::DOUBLE) * len(list_filter($toks, w -> w IN ($enWords))) / greatest(($wordCnt), 1))) + 0.5) AS BIGINT))::DOUBLE
+           |      / count(*) + 0.5) AS BIGINT) AS mean_quality_x10000
+           |  FROM documents GROUP BY source)
+           |SELECT base.source AS source, n_docs,
+           |  coalesce(n_valid, 0)::BIGINT AS n_valid,
+           |  coalesce(n_dup_docs, 0)::BIGINT AS n_dup_docs,
+           |  coalesce(mean_quality_x10000, 0)::BIGINT AS mean_quality_x10000,
+           |  n_langs, bpe_tokens
+           |FROM base
+           |LEFT JOIN v ON base.source = v.source
+           |LEFT JOIN dup ON base.source = dup.source
+           |LEFT JOIN q ON base.source = q.source
+           |ORDER BY source""".stripMargin
+      },
 
       // nearest-rank percentile: value at sorted row (pct*n + 99) // 100 —
       // integer target arithmetic, bit-identical cross-engine

@@ -63,6 +63,40 @@ object Mixing {
         s"unknown token metric '$other' (expected 'ws' or 'bpe')")
   }
 
+  /** Token-budget sampling — mixtures are specified in TOKENS, not doc
+    * counts (a source of long docs at a 10% doc quota can dominate the
+    * token mix): per source, walk docs in salted-hash order and keep them
+    * while the running token prefix stays under the source's budget; the
+    * doc that crosses the line is kept (budgets are floors, and partial
+    * docs don't train), later docs drop. Hash order makes the kept set a
+    * uniform sample AND reproducible across runs/partitionings — the
+    * [[sampleBySource]] property, metered in tokens.
+    *
+    * One window per source (running sum in hash order). At 100 TB the
+    * per-source sort is the cost — same posture as exact percentiles; the
+    * sketch path would bucket the hash range and binary-search the budget
+    * boundary bucket. Output: the kept docs with (tok_cnt, cum_tokens). */
+  def sampleByTokenBudget(docs: DataFrame, budgetTokens: Map[String, Long],
+                          defaultBudget: Long = Long.MaxValue,
+                          metric: String = "bpe",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val budget = budgetTokens.foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) =>
+        when(col("source") === src, lit(b)).otherwise(acc)
+    }
+    val hk = charPolyHash(concat(lit("budget:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("hk", hk)
+      .withColumn("tok_cnt", tokenMetric(metric))
+      .withColumn("cum_tokens", sum(col("tok_cnt")).over(w))
+      .where(col("cum_tokens") - col("tok_cnt") < budget)
+      .drop("hk")
+  }
+
   /** Leakage-proof splitting: hash-split on the near-dup CLUSTER id instead
     * of the doc id, so every member of a duplicate cluster lands in the
     * same split. Plain [[withSplit]] can place a doc in train and its

@@ -122,6 +122,46 @@ object Summaries {
     * row-inflated. At 100 TB the full per-group sort is the intrinsic cost
     * of EXACT percentiles; [[approxLengthPercentiles]] is the sketch form
     * that replaces the sort with a mergeable quantile summary. */
+  /** Corpus health report — the one-look dashboard a curation run ends
+    * with, per source: doc count, validity, exact-duplicate burden (docs
+    * that are non-canonical copies), mean quality, language spread, and
+    * BPE-token volume. Pure composition of the already-checked signals,
+    * rolled up in one plan: three hash aggregations + one text-hash window
+    * (the dup check) joined on the tiny per-source key. The mean is
+    * integer-sum-then-one-divide ([[fx]] posture), so it is bit-identical
+    * cross-engine. */
+  def corpusHealth(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("bpe",
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("bpe")).as("bpe_tokens"))
+    val valid = ArticleOps.validated(docs).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_valid"))
+    val dups = docs.select(col("doc_id"), col("source"))
+      .join(Dedup.exactDuplicates(docs), Seq("doc_id"))
+      .where(col("doc_id") =!= col("canonical_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+    val quality = docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("quality_x10000")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(floor(sum(col("quality_x10000")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("mean_quality_x10000"))
+    base
+      .join(valid, Seq("source"), "left")
+      .join(dups, Seq("source"), "left")
+      .join(quality, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_valid"), lit(0L)).as("n_valid"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("mean_quality_x10000"), lit(0L)).as("mean_quality_x10000"),
+        col("n_langs"), col("bpe_tokens"))
+  }
+
   def lengthPercentiles(docs: DataFrame,
                         pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),

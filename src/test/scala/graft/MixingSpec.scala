@@ -63,6 +63,36 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(sum16 == byShard)
   }
 
+  test("token-budget sampling meters in tokens, stable across partitioning") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Mixing.sampleByTokenBudget(docs, Map("src0" -> 2000L),
+      defaultBudget = 1000L, metric = "ws")
+    // per source: tokens BEFORE the last kept doc stay under the budget,
+    // and the next doc in hash order would cross it (unless exhausted)
+    val bySrc = kept.groupBy("source")
+      .agg(max(col("cum_tokens") - col("tok_cnt")).as("max_before"),
+        sum(col("tok_cnt")).as("kept_tokens"),
+        count(lit(1)).as("n_kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, (maxBefore, keptTokens, nKept)) =>
+      val budget = if (src == "src0") 2000L else 1000L
+      assert(maxBefore < budget, s"$src overran: $maxBefore")
+      // budgets are floors: unless the source ran out of docs, the kept
+      // tokens reach the budget (the crossing doc is kept)
+      if (nKept < totals(src)) assert(keptTokens >= budget, s"$src under")
+    }
+    // deterministic under repartition
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = Mixing.sampleByTokenBudget(docs.repartition(7), Map("src0" -> 2000L),
+      defaultBudget = 1000L, metric = "ws").select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // zero budget keeps nothing; unlimited keeps everything
+    assert(Mixing.sampleByTokenBudget(docs, Map(), defaultBudget = 0L).count() == 0L)
+    assert(Mixing.sampleByTokenBudget(docs, Map()).count() == docs.count())
+  }
+
   test("packSequences matches a sequential greedy reference per source") {
     val budget = 50
     val docs = Seq(

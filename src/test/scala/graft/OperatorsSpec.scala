@@ -509,6 +509,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(tied == Set(2L, 3L, 4L, 5L, 6L))
   }
 
+  test("corpus health: dup burden, validity, and mean quality per source") {
+    val good = "the quick brown fox jumps over the lazy dog " * 5
+    val docs = Seq(
+      (1L, good, "en", "A"), (2L, good, "en", "A"),      // 2 is a dup of 1
+      (3L, "the other text here now", "de", "A"),
+      (4L, "", "en", "B"),                               // invalid (empty)
+      (5L, good, "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Summaries.corpusHealth(docs).orderBy("source").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getString(0) == "A" && a.getLong(1) == 3 && a.getLong(2) == 3)
+    assert(a.getLong(3) == 1)              // doc 2 is the non-canonical copy
+    assert(a.getAs[Long]("n_langs") == 2)
+    assert(b.getString(0) == "B" && b.getLong(1) == 2 && b.getLong(2) == 1)
+    assert(b.getLong(3) == 1)              // doc 5 dups doc 1 ACROSS sources
+    // mean quality: every doc scored, empty doc scores 0 and drags B's mean
+    assert(a.getAs[Long]("mean_quality_x10000") >
+      b.getAs[Long]("mean_quality_x10000"))
+  }
+
   test("bpe pair counts: frequency-weighted, 1-char words contribute nothing") {
     // 'ab' appears twice (pair ab x2); 'abc' once (pairs ab, bc);
     // 'a' is 1-char (no pairs — and must not trip sequence(0,-1) descent)
