@@ -483,9 +483,12 @@ object SparkEntry {
     // into the existing assignment — must equal batch clustering of all
     // pairs (the same oracle), at |clustered|+|new| edge cost
     "dedup_clusters_incr" -> ((s, d) => {
-      def pairs = operators.Dedup.embeddingNearDupPairsBanded(
+      // both the old-pair and new-pair branches read this — checkpoint so
+      // the banded-LSH pipeline runs once, not once per branch
+      val pairs = operators.Dedup.embeddingNearDupPairsBanded(
         operators.Dedup.withNearCopies(Tables.embeddings(s, d)),
         cfg.minCosX1000000, cfg.lshPlanes, cfg.lshTables, cfg.embeddingDim)
+        .localCheckpoint()
       val existing = operators.Dedup.dedupClustersStar(
         pairs.where(col("vec_a") < 1000000L && col("vec_b") < 1000000L),
         "vec_a", "vec_b")

@@ -300,6 +300,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharPolyHashExpr].getName, "graft_hash"),
       (exprs: Seq[Expression]) => CharPolyHashExpr(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainExpr].getName,
+        "graft_bloom_might_contain"),
+      (exprs: Seq[Expression]) => {
+        val bytes = exprs.head match {
+          case x if x.foldable => x.eval() match {
+            case b: Array[Byte] => b
+            case other => throw new IllegalArgumentException(
+              "graft_bloom_might_contain: filter must be a binary literal, " +
+                s"got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_might_contain: filter must be a binary literal")
+        }
+        BloomMightContainExpr(exprs(1), bytes)
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHashAgg(exprs.head, exprs(1))))

@@ -21,6 +21,26 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(h == hCol)
   }
 
+  test("graft_bloom_might_contain from SQL probes a serialized filter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bloom = (0L until 100L).map(_ * 3L).toDF("h")
+      .stat.bloomFilter("h", 100L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val hex = bos.toByteArray.map(b => f"$b%02X").mkString
+    val got = spark.sql(
+      s"SELECT id, graft_bloom_might_contain(X'$hex', id * 3) AS hit " +
+        "FROM range(100)").where(col("hit")).count()
+    assert(got == 100L, "members must always pass")
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_bloom_might_contain(encode(string(id), 'utf-8'), id) FROM range(1)")
+        .collect()
+    }
+    assert(err.getMessage.contains("binary literal"))
+  }
+
   test("graft_plane_buckets from SQL equals the Column API and rejects non-literal shape args") {
     import org.apache.spark.sql.functions._
     val sqlBks = spark.sql(
