@@ -499,6 +499,17 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // the dedup report headline: clusters by size over the near-dup
+    // component output (planted copies make 2-clusters, organic chains more)
+    "dedup_cluster_sizes" -> ((s, d) =>
+      operators.Dedup.clusterSizeHistogram(
+        operators.Dedup.dedupClusters(
+          operators.Dedup.embeddingNearDupPairsBanded(
+            operators.Dedup.withNearCopies(Tables.embeddings(s, d)),
+            cfg.minCosX1000000, cfg.lshPlanes, cfg.lshTables, cfg.embeddingDim),
+          "vec_a", "vec_b"))
+        .orderBy(col("cluster_size"))),
+
     // same clustering contract via the O(log)-round large-star/small-star
     // decomposition — the variant that survives long chains at scale
     "dedup_clusters_star" -> ((s, d) =>
@@ -617,6 +628,14 @@ object SparkEntry {
     "ta_bpe_pairs" -> ((s, d) =>
       operators.TextAnalysis.bpePairCounts(Tables.documents(s, d), 50)),
 
+    // the full iterative BPE trainer, 5 merge rounds: each round counts
+    // pairs over the checkpointed vocab, picks the (cnt DESC, x, y) top
+    // pair, and greedily re-segments — the merge table IS the tokenizer
+    // artifact; the oracle replays every round
+    "ta_bpe_train" -> ((s, d) =>
+      operators.TextAnalysis.bpeTrain(Tables.documents(s, d), 5)
+        .orderBy(col("merge_no"))),
+
     // composite quality gate (C4/Gopher-style rules): keep/drop + the first
     // failing rule as an auditable reason
     "ta_quality_filter" -> ((s, d) =>
@@ -683,6 +702,13 @@ object SparkEntry {
     "mix_shards" -> ((s, d) =>
       operators.Mixing.shardSummary(Tables.documents(s, d), 16, metric = "bpe")
         .orderBy(col("shard"))),
+
+    // exact-k uniform sample by smallest salted hash (TakeOrderedAndProject
+    // — per-partition heaps, no global sort); deterministic unlike sample()
+    "mix_sample_k" -> ((s, d) =>
+      operators.Mixing.sampleExactK(Tables.documents(s, d), 25)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
 
     // token-budget sampling: mixtures are specified in tokens, not docs —
     // per source, keep docs in salted-hash order until the BPE-token
@@ -1408,6 +1434,12 @@ object SparkEntry {
       // the incremental fold must reproduce the batch clustering exactly
       "dedup_clusters_incr" -> clustersOracle,
 
+      "dedup_cluster_sizes" ->
+        s"""SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+           |  SELECT canonical_id, count(*)::BIGINT AS cluster_size
+           |  FROM ($clustersOracle) GROUP BY canonical_id)
+           |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
       "dedup_clusters_star" -> clustersOracle,
 
       "ann_topk" ->
@@ -1746,6 +1778,12 @@ object SparkEntry {
            |FROM (SELECT text, (${poly("'shard:' || doc_id")}) % 16 AS shard FROM documents)
            |GROUP BY shard ORDER BY shard""".stripMargin,
 
+      "mix_sample_k" ->
+        s"""SELECT doc_id, source, lang FROM (
+           |  SELECT doc_id, source, lang FROM documents
+           |  ORDER BY (${poly("'pick:' || doc_id")}), doc_id LIMIT 25)
+           |ORDER BY doc_id""".stripMargin,
+
       // running token prefix in salted-hash order per source; keep while
       // the prefix BEFORE the doc is under the source budget
       "mix_token_budget" ->
@@ -1787,6 +1825,33 @@ object SparkEntry {
            |        FROM wf WHERE length(w) >= 2))
            |SELECT pair, sum(freq)::BIGINT AS cnt
            |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+      // replay each merge round: top pair by (cnt DESC, x, y), then the
+      // same greedy left-fold re-segmentation (separator-encoded string
+      // accumulator) the Spark side runs
+      "ta_bpe_train" -> {
+        val rounds = 5
+        def roundCtes(k: Int) =
+          s"""p$k AS (SELECT syms[i+1] AS x, syms[i+2] AS y, sum(freq)::BIGINT AS cnt
+             |  FROM (SELECT freq, syms, unnest(range(0, len(syms) - 1)) AS i
+             |        FROM v${k - 1} WHERE len(syms) >= 2)
+             |  GROUP BY 1, 2),
+             |t$k AS (SELECT x, y, cnt FROM p$k ORDER BY cnt DESC, x, y LIMIT 1),
+             |v$k AS (SELECT w, freq, list_filter(string_split(
+             |    list_reduce(list_prepend('', syms), (acc, s) ->
+             |      CASE WHEN ends_with(acc, chr(31) || t$k.x) AND s = t$k.y
+             |           THEN substr(acc, 1, length(acc) - length(t$k.x) - 1) || chr(31) || t$k.x || t$k.y
+             |           ELSE acc || chr(31) || s END), chr(31)), z -> z <> '') AS syms
+             |  FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
+        s"""WITH v0 AS (SELECT w, count(*)::BIGINT AS freq, string_split(w, '') AS syms
+           |  FROM (SELECT unnest($toks) AS w FROM documents)
+           |  WHERE w <> '' GROUP BY w),
+           |${(1 to rounds).map(roundCtes).mkString(",\n")}
+           |${(1 to rounds).map(k =>
+                s"SELECT $k::BIGINT AS merge_no, x, y, cnt FROM t$k")
+                .mkString("\nUNION ALL\n")}
+           |ORDER BY merge_no""".stripMargin
+      },
 
       // signals mirror ta_quality / ta_repetition; the verdict CASE tests
       // rules in the same order as TextAnalysis.qualityFilter

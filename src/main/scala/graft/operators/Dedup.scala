@@ -453,6 +453,16 @@ object Dedup {
     * Precondition: every base `vec_id` must be < `idOffset`, else planted
     * ids collide with base ids and pair identification silently corrupts on
     * BOTH engines (OperatorsSpec asserts this on the test corpus). */
+  /** Cluster-size histogram — the dedup report's headline number: how many
+    * duplicate clusters of each size the corpus carries (size 1 = docs in
+    * the pair graph whose component collapsed to themselves). Two tiny
+    * aggregations over the clustering output. */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Incremental connected components — the cluster-maintenance path
     * (sibling of [[minhashPairsIncremental]] one stage later in the dedup
     * pipeline): fold NEW near-dup pairs into EXISTING cluster assignments

@@ -63,6 +63,22 @@ object Mixing {
         s"unknown token metric '$other' (expected 'ws' or 'bpe')")
   }
 
+  /** Exact-k uniform sample: the k docs with the smallest salted id hash —
+    * reproducible, partition-stable, and plan-friendly (hash is map-only
+    * and the top-k runs as TakeOrderedAndProject: per-partition heaps, a
+    * k-row driver merge, no global sort). The deterministic replacement
+    * for `df.sample()` when an EXACT count is required (sample() is both
+    * approximate and partitioning-dependent). */
+  def sampleExactK(docs: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    docs
+      .withColumn("sample_hk",
+        charPolyHash(concat(lit("pick:"), col(idCol).cast("string"))))
+      .orderBy(col("sample_hk"), col(idCol))
+      .limit(k)
+      .drop("sample_hk")
+  }
+
   /** Token-budget sampling — mixtures are specified in TOKENS, not doc
     * counts (a source of long docs at a 10% doc quota can dominate the
     * token mix): per source, walk docs in salted-hash order and keep them

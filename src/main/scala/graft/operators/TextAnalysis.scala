@@ -115,6 +115,65 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Iterative BPE training — [[bpePairCounts]] run to completion: `nMerges`
+    * rounds of (count adjacent symbol pairs over the frequency-weighted
+    * vocab → pick the top pair → merge it greedily left-to-right in every
+    * word). Returns the merge table (merge_no, x, y, cnt) — THE artifact a
+    * BPE tokenizer ships. The corpus-sized data moves once (the word-
+    * frequency aggregation); every round after that runs on the distinct
+    * vocab, checkpointed between rounds, with one 1-row argmax collected
+    * per round (the k-means-training action pattern).
+    *
+    * Deterministic cross-engine: integer pair counts, (cnt DESC, x, y)
+    * tie-break, and the greedy merge as a sequential left fold over each
+    * word's symbols with a separator-encoded string accumulator (ends-with
+    * check + trim — the same fold shape DuckDB's `list_reduce` runs, so the
+    * oracle reproduces every round bit for bit). Tokens must not contain
+    * U+001F (the accumulator separator) — true of any whitespace-tokenized
+    * text. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val SEP = "\u001F"
+    var vocab = docs.select(explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("w"), ""))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to nMerges if !exhausted) {
+      val top = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("x"),
+              element_at(col("syms"), i + 2).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y, cnt) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((k.toLong, x, y, cnt))
+        val merged = aggregate(col("syms"), lit(""),
+          (acc, s) => when(acc.endsWith(SEP + x) && s === y,
+            concat(acc.substr(lit(1),
+              length(acc) - lit(x.length + 1)), lit(SEP + x + y)))
+            .otherwise(concat(acc, lit(SEP), s)))
+        vocab = vocab
+          .withColumn("syms",
+            filter(split(merged, SEP), z => z =!= ""))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_no", "x", "y", "cnt")
+  }
+
   /** Per-document top-k salient terms by integer-exact TF-IDF:
     * `score = tf · floor(1e6 · nDocs / df)` — the idf factor is a
     * fixed-point integer (no `log`, whose libm rounding differs across

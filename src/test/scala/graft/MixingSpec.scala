@@ -63,6 +63,20 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(sum16 == byShard)
   }
 
+  test("exact-k sample: precise count, repartition-stable, hash-uniform-ish") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Mixing.sampleExactK(docs, 25).select("doc_id").as[Long].collect().toSet
+    assert(a.size == 25)
+    val b = Mixing.sampleExactK(docs.repartition(7), 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // nested property: the k smallest hashes contain the (k-1) smallest
+    val smaller = Mixing.sampleExactK(docs, 24).select("doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(a))
+    // k beyond the corpus returns everything
+    assert(Mixing.sampleExactK(docs, 1000000).count() == docs.count())
+  }
+
   test("token-budget sampling meters in tokens, stable across partitioning") {
     val docs = Tables.documents(spark, sfDir)
     val kept = Mixing.sampleByTokenBudget(docs, Map("src0" -> 2000L),

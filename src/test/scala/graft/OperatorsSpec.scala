@@ -542,6 +542,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(top1.toSeq == Seq(("ab", 3L)))
   }
 
+  test("bpe trainer: greedy merges with exact counts, stops when exhausted") {
+    // vocab: 'abab' x3, 'abc' x2. Round 1: (a,b) count 2*3 + 1*2 = 8 wins;
+    // round 2: (ab,ab) 3; round 3: (ab,c) 2; round 4: no pairs left -> stop
+    val docs = docsDF(1L -> "abab abab abc", 2L -> "abab abc")
+    val merges = TextAnalysis.bpeTrain(docs, 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1L, "a", "b", 8L),
+      (2L, "ab", "ab", 3L),
+      (3L, "ab", "c", 2L)))
+    // greedy left-to-right: 'aaa' merges (a,a) once (the leftover 'a'
+    // cannot pair with the merged 'aa'), so round 2 pairs (aa,a)
+    val odd = TextAnalysis.bpeTrain(docsDF(1L -> "aaa aaa"), 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(odd == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)))
+  }
+
   test("vocabulary: top-k terms by count, lexicographic ties, no global sort") {
     val docs = docsDF(1L -> "b b b a a c", 2L -> "a d d")
     val got = TextAnalysis.vocabulary(docs, 3).as[(String, Long)].collect().toSeq
