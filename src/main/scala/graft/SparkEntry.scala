@@ -636,6 +636,18 @@ object SparkEntry {
       operators.TextAnalysis.bpeTrain(Tables.documents(s, d), 5)
         .orderBy(col("merge_no"))),
 
+    // inference with the trained tokenizer: apply the 5 merges in order to
+    // every token and bill per-doc BPE symbols (the oracle re-trains and
+    // re-applies, so train → segment round-trips cross-engine)
+    "ta_bpe_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = operators.TextAnalysis.bpeTrain(docs, 5)
+        .orderBy(col("merge_no")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.TextAnalysis.bpeSegmentCounts(docs, merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // composite quality gate (C4/Gopher-style rules): keep/drop + the first
     // failing rule as an auditable reason
     "ta_quality_filter" -> ((s, d) =>
@@ -1851,6 +1863,40 @@ object SparkEntry {
                 s"SELECT $k::BIGINT AS merge_no, x, y, cnt FROM t$k")
                 .mkString("\nUNION ALL\n")}
            |ORDER BY merge_no""".stripMargin
+      },
+
+      // re-train (same round CTEs), then apply each merge to every token of
+      // every doc via the same greedy fold, and bill per-doc symbols
+      "ta_bpe_segment" -> {
+        val rounds = 5
+        def roundCtes(k: Int) =
+          s"""p$k AS (SELECT syms[i+1] AS x, syms[i+2] AS y, sum(freq)::BIGINT AS cnt
+             |  FROM (SELECT freq, syms, unnest(range(0, len(syms) - 1)) AS i
+             |        FROM v${k - 1} WHERE len(syms) >= 2)
+             |  GROUP BY 1, 2),
+             |t$k AS (SELECT x, y, cnt FROM p$k ORDER BY cnt DESC, x, y LIMIT 1),
+             |v$k AS (SELECT w, freq, list_filter(string_split(
+             |    list_reduce(list_prepend('', syms), (acc, s) ->
+             |      CASE WHEN ends_with(acc, chr(31) || t$k.x) AND s = t$k.y
+             |           THEN substr(acc, 1, length(acc) - length(t$k.x) - 1) || chr(31) || t$k.x || t$k.y
+             |           ELSE acc || chr(31) || s END), chr(31)), z -> z <> '') AS syms
+             |  FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
+        def segCte(k: Int) =
+          s"""seg$k AS (SELECT doc_id, list_filter(string_split(
+             |    list_reduce(list_prepend('', syms), (acc, s) ->
+             |      CASE WHEN ends_with(acc, chr(31) || t$k.x) AND s = t$k.y
+             |           THEN substr(acc, 1, length(acc) - length(t$k.x) - 1) || chr(31) || t$k.x || t$k.y
+             |           ELSE acc || chr(31) || s END), chr(31)), z -> z <> '') AS syms
+             |  FROM seg${k - 1} CROSS JOIN t$k)""".stripMargin
+        s"""WITH v0 AS (SELECT w, count(*)::BIGINT AS freq, string_split(w, '') AS syms
+           |  FROM (SELECT unnest($toks) AS w FROM documents)
+           |  WHERE w <> '' GROUP BY w),
+           |${(1 to rounds).map(roundCtes).mkString(",\n")},
+           |seg0 AS (SELECT doc_id, string_split(tok, '') AS syms FROM
+           |  (SELECT doc_id, unnest($toks) AS tok FROM documents) WHERE tok <> ''),
+           |${(1 to rounds).map(segCte).mkString(",\n")}
+           |SELECT doc_id, sum(len(syms))::BIGINT AS n_syms
+           |FROM seg$rounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
 
       // signals mirror ta_quality / ta_repetition; the verdict CASE tests

@@ -174,6 +174,37 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_no", "x", "y", "cnt")
   }
 
+  /** Apply a trained merge table: one greedy left-to-right fold per merge,
+    * in merge order — exactly how a BPE tokenizer segments at inference.
+    * `merges` is [[bpeTrain]]'s output collected to (x, y) pairs (tiny: one
+    * row per merge; rides into the plan as literals). Output: per-doc
+    * BPE-symbol count — the trained-tokenizer bill for each doc (compare
+    * `ta_tokens`' regex proxy). Map-only over the corpus plus one count
+    * aggregate; expression depth grows with |merges| (fine for the
+    * demonstration scale; a production segmenter with 10⁴ merges would be
+    * one codegen'd expression holding the merge table as a reference
+    * object, the [[graft.plans.StopwordScoresExpr]] pattern). */
+  def bpeSegmentCounts(docs: DataFrame,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val SEP = "\u001F"
+    def applyMerge(syms: Column, x: String, y: String): Column =
+      filter(split(
+        aggregate(syms, lit(""),
+          (acc, s) => when(acc.endsWith(SEP + x) && s === y,
+            concat(acc.substr(lit(1),
+              length(acc) - lit(x.length + 1)), lit(SEP + x + y)))
+            .otherwise(concat(acc, lit(SEP), s))),
+        SEP), z => z =!= "")
+    val seg = merges.foldLeft(split(col("tok"), ""): Column) {
+      case (acc, (x, y)) => applyMerge(acc, x, y)
+    }
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("syms", seg)
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("syms"))).cast("long").as("n_syms"))
+  }
+
   /** Per-document top-k salient terms by integer-exact TF-IDF:
     * `score = tf · floor(1e6 · nDocs / df)` — the idf factor is a
     * fixed-point integer (no `log`, whose libm rounding differs across

@@ -559,6 +559,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(odd == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)))
   }
 
+  test("bpe segmentation applies trained merges in order; no merges = chars") {
+    val docs = docsDF(1L -> "abab abab abc", 2L -> "abab abc")
+    val merges = TextAnalysis.bpeTrain(docs, 5)
+      .orderBy("merge_no").as[(Long, String, String, Long)].collect()
+      .map(t => (t._2, t._3)).toSeq
+    // after (a,b), (ab,ab), (ab,c): both words collapse to one symbol
+    val seg = TextAnalysis.bpeSegmentCounts(docs, merges)
+      .as[(Long, Long)].collect().toMap
+    assert(seg == Map(1L -> 3L, 2L -> 2L))
+    // no merges: every char is a symbol
+    val raw = TextAnalysis.bpeSegmentCounts(docs, Seq.empty)
+      .as[(Long, Long)].collect().toMap
+    assert(raw == Map(1L -> 11L, 2L -> 7L))
+  }
+
   test("vocabulary: top-k terms by count, lexicographic ties, no global sort") {
     val docs = docsDF(1L -> "b b b a a c", 2L -> "a d d")
     val got = TextAnalysis.vocabulary(docs, 3).as[(String, Long)].collect().toSeq
