@@ -576,6 +576,13 @@ object SparkEntry {
           cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))),
 
+    // sparse text ANN: per-doc top-3 most similar documents by TF-IDF
+    // cosine over 3-gram shingles (inverted-index self-join, df-capped) —
+    // the text-side sibling of the dense-embedding tiers above
+    "sim_tfidf" -> ((s, d) =>
+      operators.Similarity.tfidfNeighbors(Tables.documents(s, d), 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // ---- text analysis (lang-id, quality, tokens, fingerprints) ----
     "ta_langid" -> ((s, d) =>
       operators.TextAnalysis.langId(Tables.documents(s, d))
@@ -645,6 +652,21 @@ object SparkEntry {
         .orderBy(col("merge_no")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       operators.TextAnalysis.bpeSegmentCounts(docs, merges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // bigram LM model table — the persisted artifact a CCNet-style LM
+    // quality filter trains once and scores corpora against
+    "ta_lm_model" -> ((s, d) =>
+      operators.TextAnalysis.bigramModel(Tables.documents(s, d))
+        .orderBy(col("x"), col("y"))),
+
+    // LM quality score: mean fixed-point bigram probability per doc under
+    // the corpus bigram model (+ the most surprising bigram)
+    "ta_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.TextAnalysis.lmScore(docs,
+          operators.TextAnalysis.bigramModel(docs))
         .orderBy(col("doc_id"))
     }),
 
@@ -1827,6 +1849,66 @@ object SparkEntry {
         s"""SELECT term, count(*)::BIGINT AS cnt
            |FROM (SELECT unnest($toks) AS term FROM documents)
            |GROUP BY term ORDER BY cnt DESC, term LIMIT 100""".stripMargin,
+
+      // TF-IDF cosine over 3-gram shingles: integer weights (capped
+      // fixed-point idf), exact BIGINT dot/norms, one IEEE floor at the end
+      "sim_tfidf" ->
+        s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 2),
+           |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS g
+           |  FROM tok),
+           |tf AS (SELECT doc_id, g, count(*)::BIGINT AS tf FROM g GROUP BY doc_id, g),
+           |dfq AS (SELECT g, count(*)::BIGINT AS df FROM tf GROUP BY g
+           |  HAVING count(*) <= 1000),
+           |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+           |w AS (SELECT doc_id, g,
+           |    tf * least(CAST(floor(100.0 * n_docs / df) AS BIGINT), 10000) AS w
+           |  FROM tf JOIN dfq USING (g) CROSS JOIN n),
+           |nrm AS (SELECT doc_id, sum(w*w)::BIGINT AS nsq FROM w GROUP BY doc_id),
+           |dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w*b.w)::BIGINT AS dot
+           |  FROM w a JOIN w b USING (g) WHERE a.doc_id <> b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |c AS (SELECT d1, d2, CAST(floor(1000000.0 * dot /
+           |    (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE)))) AS BIGINT) AS cos_x1e6
+           |  FROM dots JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2),
+           |r AS (SELECT d1, d2, cos_x1e6,
+           |    row_number() OVER (PARTITION BY d1 ORDER BY cos_x1e6 DESC, d2) AS rank
+           |  FROM c)
+           |SELECT d1 AS doc_id, d2 AS neighbor_id, rank::BIGINT AS rank, cos_x1e6
+           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      "ta_lm_model" ->
+        s"""WITH tok AS (SELECT $toks AS toks FROM documents),
+           |pr AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 1),
+           |      i -> {'x': toks[i+1], 'y': toks[i+2]}) END) AS p FROM tok),
+           |big AS (SELECT p.x AS x, p.y AS y, count(*)::BIGINT AS cnt FROM pr GROUP BY 1, 2),
+           |ctx AS (SELECT x, sum(cnt)::BIGINT AS ctx_cnt FROM big GROUP BY x)
+           |SELECT x, y, cnt, ctx_cnt,
+           |  CAST(floor(1000000.0 * cnt / ctx_cnt) AS BIGINT) AS p_x1e6
+           |FROM big JOIN ctx USING (x) ORDER BY x, y""".stripMargin,
+
+      "ta_lm_score" ->
+        s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+           |pr AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 1),
+           |      i -> {'x': toks[i+1], 'y': toks[i+2]}) END) AS p FROM tok),
+           |occ AS (SELECT doc_id, p.x AS x, p.y AS y, count(*)::BIGINT AS tf
+           |  FROM pr GROUP BY 1, 2, 3),
+           |big AS (SELECT x, y, sum(tf)::BIGINT AS cnt FROM occ GROUP BY x, y),
+           |ctx AS (SELECT x, sum(cnt)::BIGINT AS ctx_cnt FROM big GROUP BY x),
+           |mdl AS (SELECT x, y, CAST(floor(1000000.0 * cnt / ctx_cnt) AS BIGINT) AS p_x1e6
+           |  FROM big JOIN ctx USING (x)),
+           |pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+           |    sum(tf * coalesce(p_x1e6, 0))::BIGINT AS sump,
+           |    min(coalesce(p_x1e6, 0))::BIGINT AS min_p
+           |  FROM occ LEFT JOIN mdl USING (x, y) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+           |  coalesce(CAST(floor(CAST(sump AS DOUBLE) / n_bigrams) AS BIGINT), -1) AS lm_score_x1e6,
+           |  coalesce(min_p, -1)::BIGINT AS min_p_x1e6
+           |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       "ta_bpe_pairs" ->
         s"""WITH wf AS (SELECT w, count(*)::BIGINT AS freq

@@ -419,4 +419,72 @@ object Similarity {
         col("rank").cast("long").as("rank"),
         floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
   }
+
+  /** Sparse top-k similar-documents search: TF-IDF cosine over word-n-gram
+    * shingles via an inverted index — the TEXT-side sibling of the dense
+    * embedding ANN above, and the weighted-cosine complement of
+    * [[Dedup.ngramJaccardPairs]]'s set-overlap Jaccard. For each document,
+    * the k most similar others by cosine of its tf·idf shingle vector.
+    *
+    * Exactness (cross-engine, no libm `log`): the idf factor is the capped
+    * fixed-point integer `min(floor(100·nDocs/df), idfCapX100)` (rarer
+    * shingle ⇒ larger factor, the tf-idf ordering semantics); weights and
+    * both norm² sums are exact BIGINTs; the final
+    * `floor(1e6·dot / (sqrt(n1)·sqrt(n2)))` is IEEE-754 arithmetic on
+    * exactly-converted integers — every step correctly rounded, so DuckDB
+    * reproduces it bit-for-bit.
+    *
+    * Plan shape (the all-pairs-similarity canonical form): shingle explode →
+    * tf hash agg → df hash agg with the `maxDf` prune → weight join +
+    * broadcast one-row corpus count → inverted-index self-equi-join on the
+    * shingle (each pair's dot accumulates map-side) → two broadcast-sized
+    * norm joins → per-doc window top-k. The `maxDf` cap is the scale knob:
+    * join fan-out is Σ df² over surviving shingles, so capping df bounds the
+    * candidate volume exactly like [[Dedup.ngramJaccardPairs]]'s
+    * `docFreqCap` — at 100 TB the join keys on a 64-bit shingle hash
+    * instead of the string. Weight-magnitude bound: tf·idfCapX100 per
+    * shingle must keep Σw² under 2^53 (true for any real document at the
+    * default cap; docs are not gigabytes of one repeated shingle). */
+  def tfidfNeighbors(docs: DataFrame, k: Int, n: Int = 3,
+                     maxDf: Long = 1000, idfCapX100: Long = 10000): DataFrame = {
+    val toks = col("toks")
+    // non-distinct shingles: tf counts occurrences (shinglesFromToks dedups)
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    val tf = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf) // hot-shingle prune — bounds join fan-out
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val weights = tf.join(dfT, Seq("g")).crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * least(
+        floor(lit(100.0) * col("n_docs") / col("df")).cast("long"),
+        lit(idfCapX100)))
+      .select(col("doc_id"), col("g"), col("w"))
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("nsq"))
+    // symmetric join (both orientations fall out of one pass) — no union of
+    // the dot subtree, so the weight table is computed once
+    val dots = weights.select(col("doc_id").as("d1"), col("g"), col("w").as("w1"))
+      .join(weights.select(col("doc_id").as("d2"), col("g"), col("w").as("w2")),
+        Seq("g"))
+      .where(col("d1") =!= col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(sum(col("w1") * col("w2")).as("dot"))
+    val withCos = dots
+      .join(norms.select(col("doc_id").as("d1"), col("nsq").as("n1")), Seq("d1"))
+      .join(norms.select(col("doc_id").as("d2"), col("nsq").as("n2")), Seq("d2"))
+      .withColumn("cos_x1e6",
+        floor(lit(1000000.0) * col("dot").cast("double") /
+          (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+          .cast("long"))
+    val w = Window.partitionBy(col("d1")).orderBy(col("cos_x1e6").desc, col("d2"))
+    withCos
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("d1").as("doc_id"), col("d2").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_x1e6"))
+  }
 }

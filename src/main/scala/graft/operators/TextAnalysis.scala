@@ -378,6 +378,71 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(k)
 
+  /** Adjacent-token pairs of a token-array column as (x, y) structs —
+    * shared by [[bigramModel]] / [[lmScore]] / [[repetition]]-style passes.
+    * Docs with < 2 tokens contribute nothing. */
+  private def bigramStructs(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<struct<x:string,y:string>>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("x"),
+          element_at(toks, i + 2).as("y"))))
+
+  /** Train a bigram language model over the corpus: conditional probability
+    * `P(y|x) = cnt(x,y) / Σ_z cnt(x,z)` per adjacent token pair, fixed-point
+    * ×1e6 (`floor(1e6·cnt/ctx)` — IEEE double division of exact integers,
+    * bit-identical cross-engine; no libm `log`). This is the model table a
+    * CCNet-style LM quality filter persists and scores corpora against —
+    * the LM sibling of [[qualityThresholds]]' persisted threshold table.
+    *
+    * Plan shape: bigram explode → ONE corpus-sized map-side-combinable hash
+    * agg; the context marginal and probability derive from the model table
+    * itself (vocab²-bounded — tiny next to the corpus). */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val big = docs.select(tokens(col("text")).as("toks"))
+      .select(explode(bigramStructs(col("toks"))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val ctx = big.groupBy(col("x")).agg(sum(col("cnt")).as("ctx_cnt"))
+    big.join(ctx, Seq("x"))
+      .withColumn("p_x1e6",
+        floor(lit(1000000.0) * col("cnt") / col("ctx_cnt")).cast("long"))
+      .select(col("x"), col("y"), col("cnt"), col("ctx_cnt"), col("p_x1e6"))
+  }
+
+  /** Score each document against a [[bigramModel]]: mean fixed-point bigram
+    * probability over the doc's bigram occurrences (higher = more
+    * model-typical text), plus the most surprising bigram's probability —
+    * the fluency/quality signal an LM filter thresholds on (fixed-point
+    * mean probability instead of log-perplexity, the documented
+    * cross-engine-exact deviation; both order docs identically for a fixed
+    * model when probabilities are well separated). Bigrams absent from the
+    * model score 0 (the unseen floor). Docs with < 2 tokens report
+    * `n_bigrams = 0` and `-1` sentinels.
+    *
+    * Plan shape: one bigram explode + per-(doc,x,y) hash agg → equi-join to
+    * the model (vocab²-bounded ⇒ broadcastable; at 100 TB vocabs, key the
+    * join on a 64-bit pair hash) → per-doc agg → left join back to the doc
+    * list so short docs still report. */
+  def lmScore(docs: DataFrame, model: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(bigramStructs(col("toks"))).as("p"))
+      .groupBy(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("tf"))
+    val p = coalesce(col("p_x1e6"), lit(0L))
+    val perDoc = occ
+      .join(model.select(col("x"), col("y"), col("p_x1e6")), Seq("x", "y"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * p).as("sump"),
+        min(p).as("min_p"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(floor(col("sump").cast("double") / col("n_bigrams")).cast("long"),
+          lit(-1L)).as("lm_score_x1e6"),
+        coalesce(col("min_p"), lit(-1L)).as("min_p_x1e6"))
+  }
+
   /** Repetition signals — the repeated-n-gram quality filter every LLM
     * curation pipeline runs (machine-generated/boilerplate text repeats
     * itself; see the Gopher-style repetition rules): per doc,

@@ -14,6 +14,57 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  test("tfidf neighbors rank the near-copy first and skip disjoint docs") {
+    val a = "one two three four five six seven eight nine ten"
+    val b = "one two three four five six seven eight nine eleven"
+    val c = "totally different words with no shared trigrams at all"
+    val got = Similarity.tfidfNeighbors(docsDF(1L -> a, 2L -> b, 3L -> c), k = 3)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+    // only the overlapping pair produces rows, symmetric, rank 1 each way
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == Seq((1L, 2L, 1L), (2L, 1L, 1L)))
+    assert(got(0)._4 == got(1)._4) // cosine is symmetric
+    assert(got(0)._4 > 500000L && got(0)._4 < 1000000L) // high but < 1
+  }
+
+  test("tfidf neighbors: identical docs score floor(1e6·nsq/sqrt(nsq)²), df cap prunes") {
+    val t = "alpha beta gamma delta epsilon"
+    val pair = Similarity.tfidfNeighbors(docsDF(1L -> t, 2L -> t), k = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pair.length == 2)
+    // expected value via the same IEEE ops the operator runs: 3 shingles,
+    // df=2, nDocs=2 → idf = min(floor(100·2/2), 10000) = 100; w=100 each
+    val nsq = 3.0 * 100 * 100
+    val exp = math.floor(1000000.0 * nsq / (math.sqrt(nsq) * math.sqrt(nsq))).toLong
+    assert(pair.forall(_._4 == exp))
+    // every shared shingle has df 2 — a df cap of 1 leaves no candidates
+    assert(Similarity.tfidfNeighbors(docsDF(1L -> t, 2L -> t), k = 1, maxDf = 1L)
+      .isEmpty)
+  }
+
+  test("bigram LM: model probabilities and per-doc scores, short docs sentinel") {
+    val docs = docsDF(1L -> "a b", 2L -> "a c", 3L -> "x")
+    val model = TextAnalysis.bigramModel(docs)
+    val m = model.orderBy("x", "y")
+      .as[(String, String, Long, Long, Long)].collect()
+    // ctx(a)=2 → P(b|a)=P(c|a)=0.5
+    assert(m.toSeq == Seq(("a", "b", 1L, 2L, 500000L), ("a", "c", 1L, 2L, 500000L)))
+    val s = TextAnalysis.lmScore(docs, model).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(s.toSeq == Seq(
+      (1L, 1L, 500000L, 500000L),
+      (2L, 1L, 500000L, 500000L),
+      (3L, 0L, -1L, -1L))) // no bigrams → sentinels
+  }
+
+  test("bigram LM: bigrams unseen by a held-out model score the zero floor") {
+    val model = TextAnalysis.bigramModel(docsDF(1L -> "p q"))
+    val s = TextAnalysis.lmScore(docsDF(9L -> "a b a b"), model)
+      .as[(Long, Long, Long, Long)].collect()
+    // 3 bigram occurrences ("a b" ×2, "b a"), all unseen → mean 0, min 0
+    assert(s.toSeq == Seq((9L, 3L, 0L, 0L)))
+  }
+
   test("dedup_exact groups whitespace-variant copies under the min id") {
     val docs = docsDF(
       1L -> "alpha beta gamma", 2L -> "  alpha   beta\tgamma ",

@@ -17,7 +17,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_topk_int8" -> "quantized brute-force: broadcast query side x corpus",
     "ann_ivf" -> "query x centroid table product (10 x nCells rows)",
     "ann_ivf_det" -> "query x centroid table product (10 x nCells rows)",
-    "ta_keywords" -> "corpus-size one-row aggregate rides along broadcast")
+    "ta_keywords" -> "corpus-size one-row aggregate rides along broadcast",
+    "sim_tfidf" -> "corpus-size one-row aggregate rides along broadcast (idf)")
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
