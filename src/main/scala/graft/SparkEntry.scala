@@ -583,6 +583,14 @@ object SparkEntry {
       operators.Similarity.tfidfNeighbors(Tables.documents(s, d), 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // embedding-free ANN: feature-hashed (hashing-trick) 64-dim signed
+    // shingle-count vectors, cosine top-5 for the first 10 doc ids —
+    // dense-ANN-shaped similarity with no embedding model in sight
+    "sim_hashed" -> ((s, d) =>
+      operators.Similarity.hashedNeighbors(Tables.documents(s, d),
+          nQueries = 10, k = 5)
+        .orderBy(col("query_id"), col("rank"))),
+
     // ---- text analysis (lang-id, quality, tokens, fingerprints) ----
     "ta_langid" -> ((s, d) =>
       operators.TextAnalysis.langId(Tables.documents(s, d))
@@ -1877,6 +1885,34 @@ object SparkEntry {
            |  FROM c)
            |SELECT d1 AS doc_id, d2 AS neighbor_id, rank::BIGINT AS rank, cos_x1e6
            |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // feature-hashed vectors in sparse long form; the poly hash, idx/sign
+      // bit split, integer entry sums, and final IEEE floor all mirror the
+      // Spark side exactly
+      "sim_hashed" ->
+        s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 2),
+           |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS g
+           |  FROM tok),
+           |hh AS (SELECT doc_id, ${poly("g")} AS h FROM g),
+           |ent AS (SELECT doc_id, h % 64 AS idx,
+           |    sum(CASE WHEN h % 128 >= 64 THEN -1 ELSE 1 END)::BIGINT AS v
+           |  FROM hh GROUP BY doc_id, h % 64 HAVING sum(CASE WHEN h % 128 >= 64 THEN -1 ELSE 1 END) <> 0),
+           |nrm AS (SELECT doc_id, sum(v*v)::BIGINT AS nsq FROM ent GROUP BY doc_id),
+           |dots AS (SELECT q.doc_id AS query_id, e.doc_id AS doc_id,
+           |    sum(q.v * e.v)::BIGINT AS dot
+           |  FROM ent q JOIN ent e USING (idx)
+           |  WHERE q.doc_id < 10 AND q.doc_id <> e.doc_id
+           |  GROUP BY q.doc_id, e.doc_id),
+           |c AS (SELECT dots.query_id, dots.doc_id, CAST(floor(1000000.0 * dot /
+           |    (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE)))) AS BIGINT) AS cos_x1e6
+           |  FROM dots JOIN nrm n1 ON n1.doc_id = dots.query_id JOIN nrm n2 ON n2.doc_id = dots.doc_id),
+           |r AS (SELECT query_id, doc_id, cos_x1e6,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e6 DESC, doc_id) AS rank
+           |  FROM c)
+           |SELECT query_id, doc_id AS neighbor_id, rank::BIGINT AS rank, cos_x1e6
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       "ta_lm_model" ->
         s"""WITH tok AS (SELECT $toks AS toks FROM documents),

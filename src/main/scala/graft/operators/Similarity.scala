@@ -487,4 +487,63 @@ object Similarity {
       .select(col("d1").as("doc_id"), col("d2").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cos_x1e6"))
   }
+
+  /** Embedding-free document vectors via the hashing trick (feature
+    * hashing): every 3-gram shingle occurrence lands in dimension
+    * `hash % dim` with sign `±1` from an independent hash bit, so each doc
+    * becomes a fixed-`dim` integer vector whose inner products are unbiased
+    * estimates of shingle-vector inner products — the classic way to get
+    * dense-ANN-shaped vectors out of raw text with no embedding model.
+    * Neighbors = top-k by cosine of those vectors for each query doc.
+    *
+    * Exactness: the hash is the portable char-polynomial, entries and
+    * norms² are exact BIGINT sums, and the one IEEE
+    * `floor(1e6·dot/(sqrt·sqrt))` is the [[tfidfNeighbors]] pattern —
+    * bit-identical in DuckDB.
+    *
+    * Plan shape: the vectors stay in sparse long form (doc_id, idx, v) —
+    * shingle explode → one hash agg (entries whose signs cancel to 0 drop;
+    * they contribute nothing to dots or norms) → broadcast the query side →
+    * equi-join on `idx` (≤ dim rows per doc) → pair hash agg → norm joins →
+    * per-query window top-k. At 100 TB the query side is the small side by
+    * construction, and the dense-array assembly (one ordered collect_list)
+    * only happens for vectors persisted to feed the LSH/IVF tiers. */
+  def hashedNeighbors(docs: DataFrame, nQueries: Int, k: Int,
+                      dim: Int = 64, n: Int = 3): DataFrame = {
+    val toks = col("toks")
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    val h = graft.functions.TextFunctions.charPolyHash(col("g"))
+    // idx from the low log2(dim) hash bits, sign from the next bit —
+    // independent bits, pure modulo (portable to any SQL engine)
+    val entries = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), pmod(h, lit(dim.toLong)).as("idx"),
+        when(pmod(h, lit(2L * dim)) >= dim, lit(-1L)).otherwise(lit(1L)).as("s"))
+      .groupBy(col("doc_id"), col("idx")).agg(sum(col("s")).as("v"))
+      .where(col("v") =!= 0L)
+    val norms = entries.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("nsq"))
+    val q = entries.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("idx"), col("v").as("qv"))
+    val dots = broadcast(q).join(entries, Seq("idx"))
+      .where(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qv") * col("v")).as("dot"))
+    val withCos = dots
+      .join(norms.select(col("doc_id").as("query_id"), col("nsq").as("n1")), Seq("query_id"))
+      .join(norms.select(col("doc_id"), col("nsq").as("n2")), Seq("doc_id"))
+      .withColumn("cos_x1e6",
+        floor(lit(1000000.0) * col("dot").cast("double") /
+          (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+          .cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_x1e6").desc, col("doc_id"))
+    withCos
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_x1e6"))
+  }
 }

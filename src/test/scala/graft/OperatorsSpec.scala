@@ -42,6 +42,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .isEmpty)
   }
 
+  test("hashed neighbors: identical docs are mutual rank-1, disjoint docs still project") {
+    val a = "one two three four five six seven eight nine ten"
+    val c = "totally different words with no shared trigrams at all"
+    val got = Similarity.hashedNeighbors(
+        docsDF(1L -> a, 2L -> a, 3L -> c), nQueries = 10, k = 1)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // 1 and 2 hash to identical vectors: mutual rank-1; their cosine is the
+    // same IEEE floor(1e6·nsq/sqrt(nsq)²) both ways. 3 shares no shingle
+    // with them, but random projection can still land nonzero dots — only
+    // assert the identical pair dominates.
+    val m = got.map(r => (r._1, (r._2, r._4))).toMap
+    assert(m(1L)._1 == 2L && m(2L)._1 == 1L)
+    assert(m(1L)._2 == m(2L)._2 && m(1L)._2 > 999990L)
+  }
+
+  test("hashed neighbors: sign-cancelled dimensions drop without changing cosine") {
+    // one doc, one shingle → exactly one nonzero entry of ±1; a query doc
+    // identical to it must see cosine floor(1e6·1/sqrt(1)²) = 1000000
+    val t = "alpha beta gamma"
+    val got = Similarity.hashedNeighbors(docsDF(1L -> t, 2L -> t), 10, 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 2 && got.forall(_._4 == 1000000L))
+  }
+
   test("bigram LM: model probabilities and per-doc scores, short docs sentinel") {
     val docs = docsDF(1L -> "a b", 2L -> "a c", 3L -> "x")
     val model = TextAnalysis.bigramModel(docs)
