@@ -78,6 +78,20 @@ object SparkEntry {
             concat_ws(" ", slice(toks, 61, 20))).as("text")))
   }
 
+  /** Snapshot-v2 planting for the versioning queries: drop every 10th doc,
+    * append a drift marker to every 7th's text, re-add every 13th under a
+    * shifted id. Mirrored verbatim in the `ver_diff` / `ver_drift`
+    * oracles. */
+  private def snapshotV2(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" drifted marker token")))
+          .otherwise(col("text")))
+      .unionByName(
+        docs.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- scans / lookups (S1, S4, F3, F7) ----
@@ -775,6 +789,29 @@ object SparkEntry {
       operators.Mixing.packSequencesSplit(Tables.documents(s, d),
           cfg.packTokenBudget, metric = "bpe")
         .orderBy(col("source"), col("seq_no"))),
+
+    // sliding-window chunking (the training/RAG long-doc splitter): 32-token
+    // windows every 24 tokens — map-only, zero shuffle
+    "pack_chunks" -> ((s, d) =>
+      operators.Mixing.chunkDocuments(Tables.documents(s, d),
+          chunkTokens = 32, strideTokens = 24)
+        .orderBy(col("doc_id"), col("chunk_no"))),
+
+    // snapshot diff against a deterministically perturbed v2 (drop 10%,
+    // drift every 7th doc's text, re-add every 13th under a shifted id) —
+    // the dataset release-notes query
+    "ver_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Versioning.corpusDiff(docs, snapshotV2(docs))
+        .orderBy(col("doc_id"))
+    }),
+
+    // term-distribution drift between the same two snapshots: top-50 movers
+    // by absolute per-million rate change
+    "ver_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Versioning.termDrift(docs, snapshotV2(docs), 50)
+    }),
 
     // the end-of-run dashboard: per-source doc counts, validity, exact-dup
     // burden, mean quality, language spread, token volume — one plan
@@ -2128,6 +2165,62 @@ object SparkEntry {
            |SELECT source, seq_no::BIGINT AS seq_no, count(*)::BIGINT AS n_docs,
            |  sum(tokens_in_seq)::BIGINT AS seq_tokens
            |FROM x GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
+
+      // sliding-window chunking: windows of 32 every 24 tokens; last chunk
+      // short; 1 + ceil(max(0, len-32)/24) chunks per doc
+      "pack_chunks" ->
+        s"""WITH tok AS (SELECT doc_id, $toks AS toks, ($wordCnt)::BIGINT AS len
+           |  FROM documents),
+           |c AS (SELECT doc_id, toks, len,
+           |    unnest(range(0, 1 + CAST(floor((greatest(len - 32, 0) + 24 - 1) / 24) AS BIGINT))) AS chunk_no
+           |  FROM tok WHERE len > 0)
+           |SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+           |  (least(chunk_no * 24 + 32, len) - chunk_no * 24)::BIGINT AS n_tokens,
+           |  array_to_string(toks[(chunk_no * 24 + 1)::INT : (least(chunk_no * 24 + 32, len))::INT], ' ') AS chunk_text
+           |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+      // shared v2-snapshot CTE for the versioning oracles (mirrors
+      // SparkEntry.snapshotV2)
+      "ver_diff" ->
+        s"""WITH newd AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' drifted marker token'
+           |         ELSE text END AS text
+           |  FROM documents WHERE doc_id % 10 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+           |oh AS (SELECT doc_id, ${poly(norm)} AS old_hash FROM documents),
+           |nh AS (SELECT doc_id, ${poly(norm)} AS new_hash FROM newd)
+           |SELECT doc_id, old_hash, new_hash,
+           |  CASE WHEN old_hash IS NULL THEN 'added'
+           |       WHEN new_hash IS NULL THEN 'removed'
+           |       WHEN old_hash = new_hash THEN 'unchanged'
+           |       ELSE 'changed' END AS status
+           |FROM oh FULL JOIN nh USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      "ver_drift" ->
+        s"""WITH newd AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' drifted marker token'
+           |         ELSE text END AS text
+           |  FROM documents WHERE doc_id % 10 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+           |oc AS (SELECT term, count(*)::BIGINT AS cnt FROM
+           |  (SELECT unnest($toks) AS term FROM documents) WHERE term <> '' GROUP BY term),
+           |nc AS (SELECT term, count(*)::BIGINT AS cnt FROM
+           |  (SELECT unnest($toks) AS term FROM newd) WHERE term <> '' GROUP BY term),
+           |m AS (SELECT term, coalesce(oc.cnt, 0)::BIGINT AS cnt_old,
+           |    coalesce(nc.cnt, 0)::BIGINT AS cnt_new
+           |  FROM oc FULL JOIN nc USING (term)),
+           |t AS (SELECT sum(cnt_old)::BIGINT AS tot_old, sum(cnt_new)::BIGINT AS tot_new FROM m),
+           |r AS (SELECT term, cnt_old, cnt_new,
+           |    CAST(floor(1000000.0 * cnt_old / tot_old) AS BIGINT) AS rate_old_ppm,
+           |    CAST(floor(1000000.0 * cnt_new / tot_new) AS BIGINT) AS rate_new_ppm
+           |  FROM m CROSS JOIN t)
+           |SELECT term, cnt_old, cnt_new, rate_old_ppm, rate_new_ppm,
+           |  (rate_new_ppm - rate_old_ppm) AS drift_ppm
+           |FROM r ORDER BY abs(rate_new_ppm - rate_old_ppm) DESC, term LIMIT 50""".stripMargin,
 
       "a16_corpus_health" -> {
         val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")

@@ -190,6 +190,42 @@ object Mixing {
       .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("seq_tokens"))
   }
 
+  /** Sliding-window document chunking — the splitter every training/RAG
+    * pipeline runs on long documents: cut each doc's token stream into
+    * windows of `chunkTokens` starting every `strideTokens` (overlap =
+    * chunk − stride), stopping at the first window that reaches the end —
+    * so every token is covered, the last chunk may be short, and no chunk
+    * is a suffix of a previous one. A doc shorter than one chunk yields
+    * exactly one chunk; zero-word docs yield none.
+    *
+    * Map-only: tokenize → bounded explode (≤ len/stride + 1 chunks per
+    * doc) → slice + rejoin. No shuffle at all — the shape that chunks a
+    * 100 TB corpus in one pass. Output: (doc_id, chunk_no, n_tokens,
+    * chunk_text). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int,
+                     strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"strideTokens ($strideTokens) must be in [1, chunkTokens ($chunkTokens)]")
+    val ck = lit(chunkTokens.toLong)
+    val st = lit(strideTokens.toLong)
+    val len = col("len")
+    // 1 + ceil(max(0, len - chunk) / stride), as portable double-floor math
+    val nChunks =
+      lit(1L) + floor((greatest(len - ck, lit(0L)) + st - 1L) / st).cast("long")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        wordCount(col("text")).cast("long").as("len"))
+      .where(len > 0L)
+      .withColumn("chunk_no", explode(sequence(lit(0L), nChunks - 1L)))
+      .withColumn("start", col("chunk_no") * st)
+      .withColumn("end", least(col("start") + ck, len))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("end") - col("start")).as("n_tokens"),
+        array_join(slice(col("toks"), (col("start") + 1L).cast("int"),
+          (col("end") - col("start")).cast("int")), " ").as("chunk_text"))
+  }
+
   /** Concat-and-chunk packing — the form trainers actually use: within each
     * source the token stream (docs concatenated in id order) is cut every
     * `tokenBudget` tokens, and a doc SPANS sequence boundaries instead of

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus snapshot versioning — the dataset-diff layer of a training-data
+  * pipeline: corpora ship as versioned snapshots, and both the release
+  * notes ("what changed since v1?") and the drift monitors ("did the token
+  * distribution move?") are first-class queries, not ad-hoc scripts.
+  *
+  * Everything is content-hash based (the portable char-polynomial over
+  * normalized text), so two snapshots diff without any text join — one
+  * map-only hash pass per side plus an id equi-join.
+  */
+object Versioning {
+
+  /** Content identity of a doc: portable hash of whitespace-normalized
+    * text (formatting-only churn does not count as a change). */
+  private def contentHash: Column = charPolyHash(normalizeWhitespace(col("text")))
+
+  /** Row-level snapshot diff of two corpus versions keyed by doc id:
+    * `added` (id only in new), `removed` (id only in old), `changed`
+    * (both, content hash differs), `unchanged`. The full-outer id
+    * equi-join is the only shuffle; both inputs reduce to (id, hash)
+    * before it moves — at 100 TB that's two slim map passes and one
+    * 16-byte-row join, never the text. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String = "doc_id"): DataFrame =
+    oldDocs.select(col(idCol), contentHash.as("old_hash"))
+      .join(newDocs.select(col(idCol), contentHash.as("new_hash")),
+        Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed"))
+
+  /** The diff rolled up to per-status counts — the release-notes headline. */
+  def diffSummary(oldDocs: DataFrame, newDocs: DataFrame,
+                  idCol: String = "doc_id"): DataFrame =
+    corpusDiff(oldDocs, newDocs, idCol)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+
+  /** Term-distribution drift between two snapshots: for each term, its
+    * occurrence rate (fixed-point parts-per-million of the snapshot's
+    * token volume — rates, not raw counts, so a corpus that doubled in
+    * size doesn't read as 100% drift) in old vs new, ranked by absolute
+    * rate change; the top-k movers are the drift monitor's output.
+    *
+    * Plan shape: one explode + hash agg per side → full-outer term
+    * equi-join (vocabulary-sized, tiny next to the corpora) → two one-row
+    * total aggregates riding along broadcast (the `ta_keywords` pattern) →
+    * TakeOrderedAndProject top-k. */
+  def termDrift(oldDocs: DataFrame, newDocs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    def counts(docs: DataFrame, c: String) =
+      docs.select(explode(tokens(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as(c))
+    val merged = counts(oldDocs, "cnt_old")
+      .join(counts(newDocs, "cnt_new"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+    val totals = merged.agg(sum(col("cnt_old")).as("tot_old"),
+      sum(col("cnt_new")).as("tot_new"))
+    merged
+      .crossJoin(broadcast(totals))
+      .withColumn("rate_old_ppm",
+        floor(lit(1000000.0) * col("cnt_old") / col("tot_old")).cast("long"))
+      .withColumn("rate_new_ppm",
+        floor(lit(1000000.0) * col("cnt_new") / col("tot_new")).cast("long"))
+      .withColumn("drift_ppm", col("rate_new_ppm") - col("rate_old_ppm"))
+      .orderBy(abs(col("drift_ppm")).desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("cnt_old"), col("cnt_new"),
+        col("rate_old_ppm"), col("rate_new_ppm"), col("drift_ppm"))
+  }
+}

@@ -24,6 +24,29 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("chunkDocuments: sliding windows cover every token, tail short, no suffix chunk") {
+    val docs = Seq(
+      (1L, "t01 t02 t03 t04 t05 t06 t07 t08 t09 t10"), // 10 toks
+      (2L, "a b c"),                                    // <= chunk: one chunk
+      (3L, ""))                                         // zero words: none
+      .toDF("doc_id", "text")
+    val got = Mixing.chunkDocuments(docs, chunkTokens = 8, strideTokens = 4)
+      .orderBy("doc_id", "chunk_no")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 8L, "t01 t02 t03 t04 t05 t06 t07 t08"),
+      (1L, 1L, 6L, "t05 t06 t07 t08 t09 t10"), // covers to the end, stops
+      (2L, 0L, 3L, "a b c")))
+  }
+
+  test("chunkDocuments: stride == chunk gives non-overlapping chunks with ragged tail") {
+    val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text") // 7 toks
+    val got = Mixing.chunkDocuments(docs, 3, 3).orderBy("chunk_no")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.map(c => (c._3, c._4)).toSeq ==
+      Seq((3L, "a b c"), (3L, "d e f"), (1L, "g")))
+  }
+
   test("sampleBySource keeps a deterministic per-source subset honoring quotas") {
     val docs = Tables.documents(spark, sfDir)
     val kept = Mixing.sampleBySource(docs, Map("src0" -> 100, "src1" -> 0), defaultPct = 50)

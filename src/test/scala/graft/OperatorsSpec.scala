@@ -90,6 +90,34 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(s.toSeq == Seq((9L, 3L, 0L, 0L)))
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged; formatting churn is unchanged") {
+    val old = docsDF(1L -> "same text", 2L -> "will change", 3L -> "will vanish")
+    val nw = docsDF(1L -> "  same   text ", 2L -> "has changed", 4L -> "brand new")
+    val got = Versioning.corpusDiff(old, nw).orderBy("doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "unchanged"), // whitespace-only difference hashes identically
+      (2L, "changed"), (3L, "removed"), (4L, "added")))
+    val summary = Versioning.diffSummary(old, nw)
+      .as[(String, Long)].collect().toMap
+    assert(summary == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("termDrift ranks rate movers, not raw-count movers") {
+    // old: 'a' 2/4, 'b' 1/4, 'c' 1/4. new: 'a' 2/4 (rate flat even though
+    // the corpus re-shuffled), 'b' 0, 'd' 2/4 new arrival.
+    val old = docsDF(1L -> "a a b c")
+    val nw = docsDF(1L -> "a a d d", 2L -> "c")
+    val got = Versioning.termDrift(old, nw, 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val byTerm = got.map(r => r._1 -> r).toMap
+    assert(byTerm("a")._6 == 400000L - 500000L) // 2/5 vs 2/4
+    assert(byTerm("b")._6 == -250000L)          // vanished
+    assert(byTerm("d")._6 == 400000L)           // arrived: biggest mover
+    assert(got.head._1 == "d")                  // ranked by |drift|
+  }
+
   test("dedup_exact groups whitespace-variant copies under the min id") {
     val docs = docsDF(
       1L -> "alpha beta gamma", 2L -> "  alpha   beta\tgamma ",
