@@ -373,6 +373,19 @@ object SparkEntry {
       operators.Dedup.exactDuplicates(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // which sources duplicate which: a planted 'mirror' source copying
+    // every 5th doc lights up one off-diagonal cell per victim source —
+    // the de-weighting signal before mixing
+    "dedup_source_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.unionByName(
+        docs.where(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("source", lit("mirror")))
+      operators.Dedup.crossSourceDupMatrix(planted)
+        .orderBy(col("dup_source"), col("canonical_source"))
+    }),
+
     // CCNet/RefinedWeb-style line-level dedup: boilerplate planted onto every
     // 5th doc (a fixed 10-token header + the full original text) must vanish —
     // the header survives only its first occurrence, and every body line of a
@@ -1265,6 +1278,23 @@ object SparkEntry {
         s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY $norm) AS canonical_id,
            |  count(*) OVER (PARTITION BY $norm)::BIGINT AS n_copies
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // planted 'mirror' source copying every 5th doc; each dup copy
+      // contributes one (its source, canonical's source) observation
+      "dedup_source_matrix" ->
+        s"""WITH p AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id, text, 'mirror' AS source
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |g AS (SELECT doc_id, source,
+           |    min(doc_id) OVER (PARTITION BY $norm) AS canonical_id FROM p),
+           |d AS (SELECT g.source AS dup_source, c.source AS canonical_source
+           |  FROM g JOIN (SELECT doc_id, source FROM p) c ON c.doc_id = g.canonical_id
+           |  WHERE g.doc_id <> g.canonical_id)
+           |SELECT dup_source, canonical_source, count(*)::BIGINT AS n_dup_docs
+           |FROM d GROUP BY dup_source, canonical_source
+           |ORDER BY dup_source, canonical_source""".stripMargin,
 
       // line-level dedup: the same chunking (10-token runs of the normalized
       // token list), first-occurrence rule as a window (the oracle does not

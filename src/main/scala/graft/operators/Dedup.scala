@@ -30,6 +30,28 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("n_copies"))
   }
 
+  /** Cross-source duplication matrix — the curation question behind source
+    * weighting: which sources duplicate which? For every duplicate copy (a
+    * doc whose normalized content already exists under a smaller id), one
+    * (copy's source, canonical's source) observation; the matrix is the
+    * per-cell count. A crawl that mirrors a curated source lights up one
+    * off-diagonal cell — the signal to de-weight it before mixing.
+    *
+    * Plan shape: [[exactDuplicates]]' one shuffle + two slim doc_id
+    * equi-joins to attach sources (at 100 TB both join inputs are the
+    * (id, source) projection, never text). */
+  def crossSourceDupMatrix(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    exactDuplicates(docs)
+      .where(col("doc_id") =!= col("canonical_id"))
+      .join(src, Seq("doc_id"))
+      .withColumnRenamed("source", "dup_source")
+      .join(src.select(col("doc_id").as("canonical_id"),
+        col("source").as("canonical_source")), Seq("canonical_id"))
+      .groupBy(col("dup_source"), col("canonical_source"))
+      .agg(count(lit(1)).as("n_dup_docs"))
+  }
+
   /** Exploded distinct word-n-gram shingles: (doc_id, sh). Tokens are
     * materialized as a column first so the shingle lambda reads a bound
     * attribute instead of re-tokenizing per element. */

@@ -127,6 +127,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 3L, 1L), (4L, 1L, 3L)))
   }
 
+  test("crossSourceDupMatrix counts copy-to-canonical source cells") {
+    val docs = Seq(
+      (1L, "shared text", "wiki"),
+      (2L, "shared  text ", "crawl"), // whitespace-variant copy of 1
+      (3L, "other text", "crawl"),
+      (4L, "other text", "crawl"),    // same-source copy of 3
+      (5L, "unique here", "wiki"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(docs)
+      .orderBy("dup_source", "canonical_source")
+      .as[(String, String, Long)].collect()
+    assert(got.toSeq == Seq(("crawl", "crawl", 1L), ("crawl", "wiki", 1L)))
+  }
+
   test("ngram jaccard finds the overlapping pair and respects the threshold") {
     val a = "one two three four five six seven eight nine ten"
     val b = "one two three four five six seven eight nine eleven" // 7/11 shared 3-grams
