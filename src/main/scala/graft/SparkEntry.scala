@@ -680,13 +680,15 @@ object SparkEntry {
 
     // inference with the trained tokenizer: apply the 5 merges in order to
     // every token and bill per-doc BPE symbols (the oracle re-trains and
-    // re-applies, so train → segment round-trips cross-engine)
+    // re-applies, so train → segment round-trips cross-engine). Runs the
+    // codegen'd one-expression segmenter; the fold-equivalence spec pins
+    // it to the composed form the oracle mirrors.
     "ta_bpe_segment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = operators.TextAnalysis.bpeTrain(docs, 5)
         .orderBy(col("merge_no")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      operators.TextAnalysis.bpeSegmentCounts(docs, merges)
+      operators.TextAnalysis.bpeSegmentCountsFast(docs, merges)
         .orderBy(col("doc_id"))
     }),
 

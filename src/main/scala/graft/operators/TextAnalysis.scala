@@ -205,6 +205,22 @@ object TextAnalysis {
       .agg(sum(size(col("syms"))).cast("long").as("n_syms"))
   }
 
+  /** [[bpeSegmentCounts]] as ONE codegen'd expression per doc
+    * ([[graft.plans.BpeSegmentCountExpr]]): the merge table rides as a
+    * referenced object instead of |merges| stacked interpreted folds, and
+    * the explode + hash agg disappear — pure map, zero shuffle, constant
+    * plan size however large the tokenizer. Same output contract (docs
+    * with at least one word; identical counts — the fold-equivalence
+    * spec pins it). This is the form a production 10⁴-merge tokenizer
+    * needs; the composed sibling stays as the oracle-shaped reference. */
+  def bpeSegmentCountsFast(docs: DataFrame,
+                           merges: Seq[(String, String)]): DataFrame =
+    docs
+      .where(wordCount(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.plans.ArrayExpressions
+          .bpeSegmentCount(tokens(col("text")), merges).as("n_syms"))
+
   /** Per-document top-k salient terms by integer-exact TF-IDF:
     * `score = tf · floor(1e6 · nDocs / df)` — the idf factor is a
     * fixed-point integer (no `log`, whose libm rounding differs across

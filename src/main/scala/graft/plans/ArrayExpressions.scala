@@ -251,6 +251,95 @@ case class MultiPlaneBucketsExpr(child: Expression, planes: Int, tables: Int,
     copy(child = newChild)
 }
 
+/** Trained-BPE segmentation bill for a whole token array, in one pass.
+  *
+  * Replaces the composed form in `TextAnalysis.bpeSegmentCounts` — one
+  * `aggregate(...)` fold per merge, so expression depth grows with
+  * |merges| and every fold step is an interpreted lambda — with a single
+  * expression that carries the merge table as a referenced object (the
+  * [[StopwordScoresExpr]] pattern). A production tokenizer's 10⁴-entry
+  * merge table becomes one `String[]` in the task binary and one virtual
+  * call per row, instead of 10⁴ stacked CodegenFallback folds.
+  *
+  * Semantics are identical to the composed form (and to the DuckDB oracle
+  * replay): per non-empty token, split into code-point symbols, then for
+  * each merge (x, y) IN ORDER one greedy left-to-right pass — a symbol `y`
+  * merges iff the previously-written symbol is exactly `x`; the merged
+  * `x+y` immediately becomes eligible for later positions of the SAME
+  * pass and for later merges. Output: Σ surviving symbols over all
+  * tokens; empty tokens contribute 0.
+  */
+case class BpeSegmentCountExpr(tokens: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def child: Expression = tokens
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_count"
+
+  // flat (x0, y0, x1, y1, ...) — rebuilt after executor ship
+  @transient private lazy val m: Array[String] = {
+    val a = new Array[String](merges.length * 2)
+    var i = 0
+    merges.foreach { case (x, y) => a(i) = x; a(i + 1) = y; i += 2 }
+    a
+  }
+
+  /** Called from generated code. */
+  def count(toks: ArrayData): Long = {
+    var total = 0L
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val tok = toks.getUTF8String(t).toString
+        if (tok.nonEmpty) {
+          // initial symbols: one per code point
+          var syms = new Array[String](tok.codePointCount(0, tok.length))
+          var i = 0
+          var k = 0
+          while (i < tok.length) {
+            val cp = tok.codePointAt(i)
+            val w = Character.charCount(cp)
+            syms(k) = tok.substring(i, i + w)
+            k += 1
+            i += w
+          }
+          var len = syms.length
+          var mi = 0
+          while (mi < m.length) {
+            val x = m(mi); val y = m(mi + 1)
+            var w = 0
+            var r = 0
+            while (r < len) {
+              if (w > 0 && syms(r) == y && syms(w - 1) == x) syms(w - 1) = x + y
+              else { syms(w) = syms(r); w += 1 }
+              r += 1
+            }
+            len = w
+            mi += 2
+          }
+          total += len
+        }
+      }
+      t += 1
+    }
+    total
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeSegmenter", this,
+      classOf[BpeSegmentCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(tokens = newChild)
+}
+
 /** Column wrappers (the library-facing surface). */
 object ArrayExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
@@ -266,6 +355,9 @@ object ArrayExpressions {
 
   def planeBuckets(vn: Column, planes: Int, tables: Int, dim: Int): Column =
     column(MultiPlaneBucketsExpr(expression(vn), planes, tables, dim))
+
+  def bpeSegmentCount(toks: Column, merges: Seq[(String, String)]): Column =
+    column(BpeSegmentCountExpr(expression(toks), merges))
 }
 
 /** SessionExtensions hook: `spark.sql("SELECT graft_dot(a, b)")` etc.
@@ -315,6 +407,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft_bloom_might_contain: filter must be a binary literal")
         }
         BloomMightContainExpr(exprs(1), bytes)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeSegmentCountExpr].getName, "graft_bpe_count"),
+      (exprs: Seq[Expression]) => {
+        val pairs = exprs.drop(1).map {
+          case x if x.foldable => x.eval() match {
+            case s: UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_count: merge entries must be string literals, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_bpe_count: merge entries must be string literals")
+        }
+        require(pairs.length % 2 == 0,
+          "graft_bpe_count: merges come as (x, y) literal pairs")
+        BpeSegmentCountExpr(exprs.head,
+          pairs.grouped(2).map(p => (p(0), p(1))).toSeq)
       }))
     e.injectFunction((
       FunctionIdentifier("graft_simhash"),

@@ -58,6 +58,18 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("graft_bpe_count from SQL segments with literal merge pairs") {
+    val n = spark.sql(
+      "SELECT graft_bpe_count(array('aaa', 'abab'), 'a', 'a', 'a', 'b')")
+      .head().getLong(0)
+    // aaa → [aa, a] = 2; abab → [ab, ab] = 2
+    assert(n == 4L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_count(array('x'), 'a')").head()
+    }
+    assert(err.getMessage.contains("pairs"))
+  }
+
   test("graft_simhash and graft_minhash aggregates run from SQL") {
     import spark.implicits._
     Seq((1L, 5L, 3L), (1L, 9L, 1L)).toDF("id", "h", "cnt")

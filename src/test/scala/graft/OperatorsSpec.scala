@@ -90,6 +90,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(s.toSeq == Seq((9L, 3L, 0L, 0L)))
   }
 
+  test("codegen'd BPE segment count equals the composed fold form, hand-checked") {
+    val docs = docsDF(1L -> "aaa abab banana", 2L -> "a", 3L -> "abcabc abc")
+    // chained merges: 'ab' from merge 2 must be eligible for merge 3
+    val merges = Seq(("a", "a"), ("a", "b"), ("ab", "c"))
+    val fold = TextAnalysis.bpeSegmentCounts(docs, merges).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    val fast = TextAnalysis.bpeSegmentCountsFast(docs, merges).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(fold.toSeq == fast.toSeq)
+    // aaa → [aa, a] = 2; abab → [ab, ab] = 2; banana stays 6 → 10
+    // abcabc → [ab, c, ab, c] → [abc, abc] = 2; abc → 1
+    assert(fast.toSeq == Seq((1L, 10L), (2L, 1L), (3L, 3L)))
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged; formatting churn is unchanged") {
     val old = docsDF(1L -> "same text", 2L -> "will change", 3L -> "will vanish")
     val nw = docsDF(1L -> "  same   text ", 2L -> "has changed", 4L -> "brand new")
