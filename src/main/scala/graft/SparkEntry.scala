@@ -692,6 +692,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Count-Min sketch term counts probed at the exact top-20 vocabulary:
+    // the frequency sketch (HLL=a9, KLL=a15b siblings); sum-merged
+    // counters make it partitioning-independent, hence oracle-EXACT
+    "a17_cms_counts" -> ((s, d) =>
+      operators.TextAnalysis.cmsTermCounts(Tables.documents(s, d))),
+
     // bigram LM model table — the persisted artifact a CCNet-style LM
     // quality filter trains once and scores corpora against
     "ta_lm_model" -> ((s, d) =>
@@ -1982,6 +1988,23 @@ object SparkEntry {
            |  FROM c)
            |SELECT query_id, doc_id AS neighbor_id, rank::BIGINT AS rank, cos_x1e6
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // CMS: group token occurrences by the same salted-hash buckets the
+      // sketch uses; estimate = min over the probe term's d buckets
+      "a17_cms_counts" ->
+        s"""WITH tk AS (SELECT term FROM
+           |    (SELECT unnest($toks) AS term FROM documents) WHERE term <> ''),
+           |probes AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM tk
+           |  GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 20),
+           |occ AS (SELECT i, ${poly("'cms' || i || ':' || term")} % 1024 AS bucket
+           |  FROM tk CROSS JOIN range(0, 4) r(i)),
+           |cnts AS (SELECT i, bucket, count(*)::BIGINT AS c FROM occ GROUP BY i, bucket),
+           |pb AS (SELECT p.term, p.exact_cnt, r.i AS i,
+           |    ${poly("'cms' || r.i || ':' || p.term")} % 1024 AS bucket
+           |  FROM probes p CROSS JOIN range(0, 4) r(i))
+           |SELECT term, exact_cnt, min(c)::BIGINT AS est_cnt
+           |FROM pb JOIN cnts USING (i, bucket)
+           |GROUP BY term, exact_cnt ORDER BY exact_cnt DESC, term""".stripMargin,
 
       "ta_lm_model" ->
         s"""WITH tok AS (SELECT $toks AS toks FROM documents),

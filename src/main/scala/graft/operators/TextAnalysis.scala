@@ -459,6 +459,32 @@ object TextAnalysis {
         coalesce(col("min_p"), lit(-1L)).as("min_p_x1e6"))
   }
 
+  /** Count-Min-sketch term-frequency estimates, probed at the exact top-k
+    * vocabulary: the frequency member of the sketch trio (HLL distinct →
+    * `a9`, KLL-ish percentiles → `a15b`, CMS counts → here). At 100 TB the
+    * exact vocabulary aggregate is itself huge; the sketch build moves one
+    * d×w counter buffer per partition ([[graft.plans.CmsAgg]]) and any
+    * term's estimate is d probes of the broadcast sketch. Counter merges
+    * are elementwise sums, so unlike Misra-Gries summaries the estimates
+    * are partitioning-independent — and therefore oracle-EXACT (DuckDB
+    * groups occurrences by the same salted-hash buckets relationally).
+    * `est_cnt >= exact_cnt` always; overcount = bucket collisions. */
+  def cmsTermCounts(docs: DataFrame, k: Int = 20,
+                    d: Int = 4, w: Int = 1024): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+    val sketch = toks.agg(graft.plans.CmsAgg.sketch(col("term"), d, w).as("sk"))
+    val est = array_min(transform(sequence(lit(0), lit(d - 1)),
+      i => element_at(col("sk"),
+        (i * w + pmod(charPolyHash(
+          concat(lit("cms"), i.cast("string"), lit(":"), col("term"))),
+          lit(w.toLong)) + 1L).cast("int"))))
+    vocabulary(docs, k)
+      .crossJoin(broadcast(sketch))
+      .select(col("term"), col("cnt").as("exact_cnt"), est.as("est_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
   /** Repetition signals — the repeated-n-gram quality filter every LLM
     * curation pipeline runs (machine-generated/boilerplate text repeats
     * itself; see the Gopher-style repetition rules): per doc,

@@ -90,6 +90,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(s.toSeq == Seq((9L, 3L, 0L, 0L)))
   }
 
+  test("CMS estimates upper-bound exact counts and are partitioning-independent") {
+    val docs = docsDF(
+      1L -> "apple apple apple banana cherry",
+      2L -> "apple banana banana date elder fig grape")
+    val got = TextAnalysis.cmsTermCounts(docs, k = 7, d = 4, w = 512)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 7)
+    got.foreach { case (_, exact, est) => assert(est >= exact) }
+    // 7 terms into 512 buckets × 4 rows: no full-row collision → exact
+    assert(got.forall { case (_, exact, est) => est == exact })
+    val re = TextAnalysis.cmsTermCounts(
+      docs.repartition(7), k = 7, d = 4, w = 512)
+      .as[(String, Long, Long)].collect()
+    assert(re.toSeq == got.toSeq) // sum-merged counters: layout-independent
+  }
+
+  test("CMS collisions only overcount (never undercount) at a tiny width") {
+    val docs = docsDF(1L -> "a b c d e f g h i j a a")
+    val got = TextAnalysis.cmsTermCounts(docs, k = 10, d = 2, w = 4)
+      .as[(String, Long, Long)].collect()
+    // 10 terms in 4 buckets: collisions guaranteed; bound must still hold
+    got.foreach { case (_, exact, est) => assert(est >= exact) }
+    assert(got.exists { case (_, exact, est) => est > exact })
+  }
+
   test("codegen'd BPE segment count equals the composed fold form, hand-checked") {
     val docs = docsDF(1L -> "aaa abab banana", 2L -> "a", 3L -> "abcabc abc")
     // chained merges: 'ab' from merge 2 must be eligible for merge 3

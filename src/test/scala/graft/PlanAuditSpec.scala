@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_ivf_det" -> "query x centroid table product (10 x nCells rows)",
     "ta_keywords" -> "corpus-size one-row aggregate rides along broadcast",
     "sim_tfidf" -> "corpus-size one-row aggregate rides along broadcast (idf)",
-    "ver_drift" -> "token-total one-row aggregate rides along broadcast")
+    "ver_drift" -> "token-total one-row aggregate rides along broadcast",
+    "a17_cms_counts" -> "one-row CMS sketch rides along broadcast")
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
