@@ -19,6 +19,12 @@ object Versioning {
     * text (formatting-only churn does not count as a change). */
   private def contentHash: Column = charPolyHash(normalizeWhitespace(col("text")))
 
+  /** The persisted baseline artifact a deployment diffs against: one
+    * (id, old_hash) row per doc — what [[graft.streaming.Streams
+    * .streamingSnapshotDiff]] probes per micro-batch. */
+  def hashIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), contentHash.as("old_hash"))
+
   /** Row-level snapshot diff of two corpus versions keyed by doc id:
     * `added` (id only in new), `removed` (id only in old), `changed`
     * (both, content hash differs), `unchanged`. The full-outer id

@@ -272,6 +272,46 @@ object Streams {
       }
       .start()
 
+  /** Streaming snapshot diff — the streaming sibling of
+    * [[graft.operators.Versioning.corpusDiff]]: the OLD snapshot's content
+    * hashes are persisted once as the baseline
+    * ([[graft.operators.Versioning.hashIndex]]); each micro-batch of the
+    * NEW snapshot probes it (one broadcast-friendly id equi-join — the
+    * baseline is (id, hash), never text) and lands per-doc
+    * added/changed/unchanged statuses under its micro-batch id
+    * (dynamic-partition overwrite — replay-idempotent). `removed` is
+    * inherently not a streaming event — absence never arrives — so it
+    * stays the one end-of-stream reconciliation: an anti-join of the
+    * baseline against the accumulated seen ids (StreamingSpec runs it and
+    * checks the combined result equals the batch diff). */
+  def streamingSnapshotDiff(spark: SparkSession, newDocs: DataFrame,
+                            baselineDir: String, reportDir: String,
+                            checkpointDir: String): StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val baseline = spark.read
+          .schema(new StructType()
+            .add("doc_id", org.apache.spark.sql.types.LongType)
+            .add("old_hash", org.apache.spark.sql.types.LongType))
+          .parquet(baselineDir)
+        graft.operators.Versioning.hashIndex(batch.toDF(), "doc_id")
+          .withColumnRenamed("old_hash", "new_hash")
+          .join(baseline, Seq("doc_id"), "left")
+          .withColumn("status",
+            when(col("old_hash").isNull, "added")
+              .when(col("old_hash") === col("new_hash"), "unchanged")
+              .otherwise("changed"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(reportDir)
+        ()
+      }
+      .start()
+
   /** Streaming session windows — the arbitrary-stateful tier
     * (`flatMapGroupsWithState` + event-time timeout) beneath the native
     * `session_window`: per user, open sessions live in state as merged

@@ -120,6 +120,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.exists(_._5 == 1L)) // planted copies flagged
   }
 
+  test("streaming snapshot diff + end-of-stream reconciliation equals the batch diff") {
+    import graft.operators.Versioning
+    val old = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val nw = old.where(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" changed")))
+          .otherwise(col("text")))
+      .unionByName(old.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val baseDir = tmp("ver-base") + "/b"
+    val srcDir = tmp("ver-src")
+    val repDir = tmp("ver-rep") + "/r"
+    // the persisted artifact: the old snapshot's hash index, written once
+    Versioning.hashIndex(old).write.parquet(baseDir)
+    nw.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.fileSource(spark, srcDir, nw.schema, maxFilesPerTrigger = 1)
+    val q = Streams.streamingSnapshotDiff(spark, stream, baseDir, repDir,
+      tmp("ver-ck"))
+    q.awaitTermination()
+    val streamed = spark.read.parquet(repDir).select("doc_id", "status")
+      .as[(Long, String)].collect().toSet
+    // removed never arrives as an event: reconcile baseline vs seen ids once
+    val seen = spark.read.parquet(repDir).select("doc_id")
+    val removed = spark.read.parquet(baseDir)
+      .join(seen, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet.map((id: Long) => id -> "removed")
+    val batch = Versioning.corpusDiff(old, nw).select("doc_id", "status")
+      .as[(Long, String)].collect().toSet
+    assert((streamed ++ removed) == batch)
+    assert(streamed.exists(_._2 == "added") && streamed.exists(_._2 == "changed")
+      && removed.nonEmpty)
+  }
+
   test("streaming curation equals the batch gate + shard over all micro-batches") {
     import graft.operators.{Mixing, TextAnalysis}
     val docs0 = Tables.documents(spark, sfDir)
