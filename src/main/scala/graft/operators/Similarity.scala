@@ -508,22 +508,46 @@ object Similarity {
     * per-query window top-k. At 100 TB the query side is the small side by
     * construction, and the dense-array assembly (one ordered collect_list)
     * only happens for vectors persisted to feed the LSH/IVF tiers. */
-  def hashedNeighbors(docs: DataFrame, nQueries: Int, k: Int,
-                      dim: Int = 64, n: Int = 3): DataFrame = {
+  /** The sparse (doc_id, idx, v) long form behind [[hashedNeighbors]] and
+    * [[hashedDocVectors]]: each 3-gram shingle occurrence lands in
+    * dimension `hash % dim` with sign ±1 from the next hash bit
+    * (independent bits, pure modulo — portable to any SQL engine);
+    * sign-cancelled entries drop. */
+  def hashedEntries(docs: DataFrame, dim: Int, n: Int): DataFrame = {
     val toks = col("toks")
     val grams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
     val h = graft.functions.TextFunctions.charPolyHash(col("g"))
-    // idx from the low log2(dim) hash bits, sign from the next bit —
-    // independent bits, pure modulo (portable to any SQL engine)
-    val entries = docs
+    docs
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), pmod(h, lit(dim.toLong)).as("idx"),
         when(pmod(h, lit(2L * dim)) >= dim, lit(-1L)).otherwise(lit(1L)).as("s"))
       .groupBy(col("doc_id"), col("idx")).agg(sum(col("s")).as("v"))
       .where(col("v") =!= 0L)
+  }
+
+  /** Dense assembly of the feature-hashed vectors — the bridge into the
+    * dense ANN tiers: one ordered collect_list per doc turns the sparse
+    * long form into a `dim`-wide `array<double>` `embedding` column with
+    * the embeddings-table shape, so [[bruteForceTopK]] / [[lshTopK]] /
+    * [[ivfTopK]] run unchanged over text that never saw an embedding
+    * model (the HashedVectorsSpec pins brute-force-over-assembled ==
+    * [[hashedNeighbors]]). Docs whose entries all cancel (or with no
+    * shingles) are absent, matching the sparse form. */
+  def hashedDocVectors(docs: DataFrame, dim: Int = 64, n: Int = 3): DataFrame = {
+    val dense = transform(sequence(lit(0), lit(dim - 1)),
+      i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)).cast("double"))
+    hashedEntries(docs, dim, n)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("v")))).as("m"))
+      .select(col("doc_id").as("vec_id"), dense.as("embedding"))
+  }
+
+  def hashedNeighbors(docs: DataFrame, nQueries: Int, k: Int,
+                      dim: Int = 64, n: Int = 3): DataFrame = {
+    val entries = hashedEntries(docs, dim, n)
     val norms = entries.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("nsq"))
     val q = entries.where(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("idx"), col("v").as("qv"))

@@ -67,6 +67,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == 2 && got.forall(_._4 == 1000000L))
   }
 
+  test("dense-assembled hashed vectors feed bruteForceTopK with identical rankings") {
+    val docs = docsDF(
+      1L -> "one two three four five six seven eight nine ten",
+      2L -> "one two three four five six seven eight nine eleven",
+      3L -> "totally different words with no shared trigrams at all",
+      4L -> "yet another clump of fully distinct vocabulary right here")
+    val sparse = Similarity.hashedNeighbors(docs, nQueries = 10, k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    val dense = Similarity.bruteForceTopK(
+        Similarity.hashedDocVectors(docs), nQueries = 10, k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    assert(sparse.keySet == dense.keySet)
+    sparse.foreach { case (key, (nbr, cos)) =>
+      assert(dense(key)._1 == nbr) // same neighbor at every (query, rank)
+      // integer-exact path vs normalize-then-fold: ±2 fixed-point ulps
+      assert(math.abs(dense(key)._2 - cos) <= 2L)
+    }
+  }
+
   test("bigram LM: model probabilities and per-doc scores, short docs sentinel") {
     val docs = docsDF(1L -> "a b", 2L -> "a c", 3L -> "x")
     val model = TextAnalysis.bigramModel(docs)
