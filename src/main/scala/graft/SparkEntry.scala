@@ -660,6 +660,12 @@ object SparkEntry {
       operators.TextAnalysis.repetition(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // per-doc 8-gram novelty: fraction of a doc's distinct shingles found
+    // nowhere else in the corpus — the doc-level memorization-risk signal
+    "ta_novelty" -> ((s, d) =>
+      operators.TextAnalysis.novelty(Tables.documents(s, d), 8)
+        .orderBy(col("doc_id"))),
+
     // corpus top-k vocabulary (tokenizer-training precursor): hash agg +
     // TakeOrderedAndProject — no global sort
     "ta_vocab" -> ((s, d) =>
@@ -795,6 +801,14 @@ object SparkEntry {
       operators.Mixing.sampleByTokenBudget(Tables.documents(s, d),
           Map("src0" -> 1200L), defaultBudget = 600L, metric = "bpe")
         .select(col("doc_id"), col("source"), col("tok_cnt"), col("cum_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // per-source doc cap (the per-domain cap): at most 10 docs per source
+    // survive, chosen by salted hash — the one-pass bounded heap compacts
+    // each map task to <= k entries per source, no corpus-wide window sort
+    "mix_source_cap" -> ((s, d) =>
+      operators.Mixing.capPerSource(Tables.documents(s, d), 10)
+        .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
     // packing budgets use the BPE-ish token metric — the count a subword
@@ -1916,6 +1930,17 @@ object SparkEntry {
            |WHERE cum_tokens - tok_cnt < CASE source WHEN 'src0' THEN 1200 ELSE 600 END
            |ORDER BY doc_id""".stripMargin,
 
+      // per-source cap: k smallest salted hashes per source survive; the
+      // window form here mirrors the heap's (hash ASC, id ASC) kept-set order
+      "mix_source_cap" ->
+        s"""WITH h AS (SELECT doc_id, source,
+           |    (${poly("'cap:' || doc_id")}) AS hk FROM documents),
+           |r AS (SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+           |  FROM h)
+           |SELECT doc_id, source FROM r WHERE rn <= 10
+           |ORDER BY doc_id""".stripMargin,
+
       "pack_sequences" ->
         s"""WITH t AS (SELECT source, doc_id,
            |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
@@ -2165,6 +2190,26 @@ object SparkEntry {
 
       // bigrams are NON-distinct here (occurrence counts), unlike the
       // dedup shingle fragment
+      // per-doc 8-gram novelty: df over the char-poly shingle hash (same
+      // hash both engines, so a collision cancels), -1 sentinel for docs
+      // too short to shingle
+      "ta_novelty" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM t),
+           |h AS (SELECT doc_id, ${poly("sh")} AS h FROM s),
+           |dfq AS (SELECT h, count(*)::BIGINT AS df FROM h GROUP BY h),
+           |p AS (SELECT doc_id, count(*)::BIGINT AS n_shingles,
+           |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS unique_shingles
+           |  FROM h JOIN dfq USING (h) GROUP BY doc_id)
+           |SELECT d.doc_id AS doc_id,
+           |  coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+           |  coalesce(unique_shingles, 0)::BIGINT AS unique_shingles,
+           |  CASE WHEN coalesce(n_shingles, 0) = 0 THEN -1::BIGINT
+           |    ELSE CAST(floor((1000000.0::DOUBLE) * unique_shingles / n_shingles) AS BIGINT)
+           |  END AS novelty_x1e6
+           |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+           |ORDER BY 1""".stripMargin,
+
       "ta_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |b AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN []

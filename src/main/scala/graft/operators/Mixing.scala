@@ -79,6 +79,32 @@ object Mixing {
       .drop("sample_hk")
   }
 
+  /** Per-source doc cap — "no source contributes more than k documents",
+    * the per-domain cap web-corpus pipelines apply so one mirror-heavy
+    * domain can't dominate the mix. Which k survive is decided by salted
+    * hash order (a uniform, reproducible sample — the [[sampleBySource]]
+    * property), NOT arrival order.
+    *
+    * Plan shape: the k survivors per source come from the ONE-PASS bounded
+    * heap ([[graft.plans.TopKAgg]]) — value = negated hash so "top-k" =
+    * k smallest hashes — so partial aggregation compacts every map task to
+    * ≤ k (source, id) entries before the exchange; the winners list
+    * (sources × k ids, slim) then semi-joins the corpus back. No per-source
+    * sort of the full corpus, no window: at 100 TB the window form
+    * shuffles+sorts every row of every source, this shuffles k ids per
+    * source plus one hash-partitioned semi-join. */
+  def capPerSource(docs: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val withH = docs.withColumn("cap_hk",
+      charPolyHash(concat(lit("cap:"), col(idCol).cast("string"))))
+    val kept = withH
+      .groupBy(col("source"))
+      .agg(graft.plans.TopKAgg.topK(-col("cap_hk"), col(idCol), k).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e.id").as(idCol))
+    withH.join(kept, Seq("source", idCol), "left_semi").drop("cap_hk")
+  }
+
   /** Token-budget sampling — mixtures are specified in TOKENS, not doc
     * counts (a source of long docs at a 10% doc quota can dominate the
     * token mix): per source, walk docs in salted-hash order and keep them

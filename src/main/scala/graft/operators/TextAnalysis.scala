@@ -528,4 +528,41 @@ object TextAnalysis {
           greatest(col("n_bigrams"), lit(1L)) + 0.5).cast("long")
           .as("top_bigram_ratio_x10000"))
   }
+
+  /** Per-doc n-gram novelty: what fraction of a doc's distinct n-gram
+    * shingles appear NOWHERE else in the corpus (df = 1)? Low novelty means
+    * the doc is assembled from phrases the corpus already has — boilerplate,
+    * mirrors, templated text — and is the doc-level memorization-risk signal
+    * training-data audits report next to dup rate. Complements pairwise
+    * dedup: a doc can be 30% novel without having any single near-dup
+    * partner above a Jaccard threshold.
+    *
+    * Docs too short to have an n-gram (< n tokens) report `-1` novelty
+    * (unknown, not perfectly-novel).
+    *
+    * Plan shape: the [[Dedup.shingleTable]] explode keyed by the 64-bit
+    * char-poly hash (O(1) compares, ~3× smaller exchange than the shingle
+    * string — the `dedup_ngram` trick), one df hash agg on `h`, one h
+    * equi-join back, one per-doc agg, one slim (doc_id)-only left join so
+    * shingle-less docs still report. A hash collision merges two shingles'
+    * df on both engines identically, so oracle parity is unaffected. */
+  def novelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = Dedup.shingleTable(docs, n)
+      .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("unique_shingles"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left") // short docs have no shingle rows
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("unique_shingles"), lit(0L)).as("unique_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("unique_shingles"),
+        when(col("n_shingles") === 0L, lit(-1L))
+          .otherwise(floor(lit(1000000.0) * col("unique_shingles") /
+            col("n_shingles")).cast("long"))
+          .as("novelty_x1e6"))
+  }
 }

@@ -100,6 +100,34 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(Mixing.sampleExactK(docs, 1000000).count() == docs.count())
   }
 
+  test("capPerSource keeps exactly k per oversized source, all of small ones, stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val k = 5
+    val capped = Mixing.capPerSource(docs, k)
+    // every source capped at k; sources with <= k docs keep everything
+    val before = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (src, n) =>
+      assert(after.getOrElse(src, 0L) == math.min(n, k.toLong),
+        s"source $src: $n docs before, ${after.getOrElse(src, 0L)} after cap $k")
+    }
+    // survivors match the window formulation (hash ASC, id ASC rank <= k)
+    val hk = graft.functions.TextFunctions.charPolyHash(
+      concat(lit("cap:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(hk.asc, col("doc_id").asc)
+    val windowIds = docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).select("doc_id").as[Long].collect().toSet
+    val heapIds = capped.select("doc_id").as[Long].collect().toSet
+    assert(heapIds == windowIds)
+    // repartition-stable: same survivors under a different partitioning
+    val again = Mixing.capPerSource(docs.repartition(7), k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == heapIds)
+  }
+
   test("token-budget sampling meters in tokens, stable across partitioning") {
     val docs = Tables.documents(spark, sfDir)
     val kept = Mixing.sampleByTokenBudget(docs, Map("src0" -> 2000L),

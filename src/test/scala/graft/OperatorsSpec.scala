@@ -793,6 +793,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("novelty: unique-shingle fraction, shared phrases lower it, short docs get -1") {
+    // with n=3: doc 1 and doc 2 share the run "a b c d" → shingles
+    // "a b c" and "b c d" have df=2; each doc's remaining shingles unique.
+    // doc 1 "a b c d e": 3 shingles, 1 unique ("c d e") → 333333
+    // doc 2 "z a b c d": 3 shingles, 1 unique ("z a b") → 333333
+    // doc 3 "p q r":     1 shingle, unique → 1000000
+    // doc 4 "x y":       too short → -1
+    val docs = docsDF(
+      1L -> "a b c d e", 2L -> "z a b c d", 3L -> "p q r", 4L -> "x y")
+    val got = TextAnalysis.novelty(docs, 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 333333L),
+      (2L, 3L, 1L, 333333L),
+      (3L, 1L, 1L, 1000000L),
+      (4L, 0L, 0L, -1L)))
+  }
+
   test("length percentiles: nearest-rank exact on a micro corpus, approx within 5%") {
     // lengths 1, 2, 3, 100 in one source: n=4 →
     // p50 rank (50·4+99)//100 = 2 → 2; p90 rank (90·4+99)//100 = 4 → 100;
