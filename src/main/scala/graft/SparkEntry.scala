@@ -666,6 +666,13 @@ object SparkEntry {
       operators.TextAnalysis.novelty(Tables.documents(s, d), 8)
         .orderBy(col("doc_id"))),
 
+    // TextRank: fixed-point integer PageRank over the word co-occurrence
+    // graph, 10 damped rounds — graph-centrality keyword ranking; the
+    // oracle replays the identical integer recurrence as unrolled CTEs
+    "ta_textrank" -> ((s, d) =>
+      operators.TextAnalysis.textRank(Tables.documents(s, d),
+        vocabCap = 500, iters = 10, k = 50)),
+
     // corpus top-k vocabulary (tokenizer-training precursor): hash agg +
     // TakeOrderedAndProject — no global sort
     "ta_vocab" -> ((s, d) =>
@@ -2190,6 +2197,36 @@ object SparkEntry {
 
       // bigrams are NON-distinct here (occurrence counts), unlike the
       // dedup shingle fragment
+      // TextRank: the same fixed-point integer PageRank recurrence the
+      // Spark loop runs, unrolled one CTE per round (DuckDB `//` and Spark
+      // `DIV` agree on non-negative BIGINTs; sums cast back from HUGEINT)
+      "ta_textrank" -> {
+        val rounds = (1 to 10).map { i =>
+          s"r$i AS (SELECT e.dst AS term,\n" +
+            s"    CAST(150000 + (85 * sum((r.rank * e.w) // d.wdeg)) // 100 AS BIGINT) AS rank\n" +
+            s"  FROM edges e JOIN r${i - 1} r ON e.src = r.term\n" +
+            s"  JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT $toks AS toks FROM documents),
+           |pr AS (SELECT a, b FROM (
+           |    SELECT unnest(list_transform(range(0, len(toks) - 1), i -> toks[i+1])) AS a,
+           |      unnest(list_transform(range(0, len(toks) - 1), i -> toks[i+2])) AS b
+           |    FROM t WHERE len(toks) >= 2)
+           |  WHERE a <> b),
+           |vocab AS (SELECT term FROM (SELECT unnest(toks) AS term FROM t)
+           |  GROUP BY term ORDER BY count(*) DESC, term LIMIT 500),
+           |e0 AS (SELECT least(a, b) AS x, greatest(a, b) AS y, count(*)::BIGINT AS w
+           |  FROM pr WHERE a IN (SELECT term FROM vocab) AND b IN (SELECT term FROM vocab)
+           |  GROUP BY x, y),
+           |edges AS (SELECT x AS src, y AS dst, w FROM e0
+           |  UNION ALL SELECT y AS src, x AS dst, w FROM e0),
+           |deg AS (SELECT src, sum(w)::BIGINT AS wdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT src AS term, 1000000::BIGINT AS rank FROM deg),
+           |$rounds
+           |SELECT term, rank AS rank_x1e6 FROM r10
+           |ORDER BY rank DESC, term LIMIT 50""".stripMargin
+      },
+
       // per-doc 8-gram novelty: df over the char-poly shingle hash (same
       // hash both engines, so a collision cancels), -1 sentinel for docs
       // too short to shingle

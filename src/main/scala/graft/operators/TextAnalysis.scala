@@ -546,6 +546,73 @@ object TextAnalysis {
     * equi-join back, one per-doc agg, one slim (doc_id)-only left join so
     * shingle-less docs still report. A hash collision merges two shingles'
     * df on both engines identically, so oracle parity is unaffected. */
+  /** TextRank (Mihalcea & Tarau 2004): PageRank over the word co-occurrence
+    * graph — the graph-centrality sibling of TF-IDF keyword ranking
+    * ([[keywords]]). A term matters not because it is frequent but because
+    * it co-occurs with other terms that matter; on a corpus it surfaces the
+    * load-bearing vocabulary the way raw counts can't (a rare term glued to
+    * hub terms outranks a frequent-but-peripheral one).
+    *
+    * Graph: nodes = the top-`vocabCap` terms by (count DESC, term); edges =
+    * undirected token adjacencies between kept terms, weighted by
+    * occurrence count. `iters` damped-PageRank rounds, d = 0.85, in FIXED-
+    * POINT integer arithmetic (rank ×1e6; per-edge contribution
+    * `(rank*w) DIV wdeg`, update `150000 + (85*Σ) DIV 100`) so the fixpoint
+    * is bit-identical cross-engine — the DuckDB oracle replays the same
+    * integer recurrence with unrolled CTEs. Because the graph is
+    * undirected, every node has in-edges and the iteration never drops
+    * nodes; isolated vocab terms (no kept-vocab neighbor) have no rank.
+    *
+    * Plan shape: corpus-sized work is ONE adjacency explode + two hash
+    * aggs (vocab count, edge count); the iteration runs on the vocab-bounded
+    * edge list (≤ vocabCap² but Zipf-sparse in practice) — per round one
+    * equi-join + one map-combinable sum, `localCheckpoint` lineage cuts,
+    * exactly the [[Dedup.dedupClusters]] iterative shape. At 100 TB the
+    * corpus passes dominate and the graph stays vocab-bounded — the reason
+    * TextRank scales where pairwise doc similarity doesn't. */
+  def textRank(docs: DataFrame, vocabCap: Int = 500, iters: Int = 10,
+               k: Int = 50): DataFrame = {
+    val SCALE = 1000000L
+    // adjacent-token pairs (occurrences, not distinct), self-loops dropped
+    val toksCol = col("toks")
+    val adj = when(size(toksCol) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(transform(sequence(lit(0), size(toksCol) - 2),
+        i => struct(element_at(toksCol, i + 1).as("a"),
+          element_at(toksCol, i + 2).as("b"))))
+    val pairs = docs.select(tokens(col("text")).as("toks"))
+      .select(explode(adj).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+    // vocab restriction: top-V terms by (cnt DESC, term) — deterministic cut
+    val vocab = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocabCap)
+      .select(col("term"))
+    // canonical undirected edges between kept terms, then both directions
+    val canon = pairs
+      .join(vocab.withColumnRenamed("term", "a"), Seq("a"), "left_semi")
+      .join(vocab.withColumnRenamed("term", "b"), Seq("b"), "left_semi")
+      .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+    val edges = canon.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .unionByName(canon.select(col("y").as("src"), col("x").as("dst"), col("w")))
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val edgeN = edges.join(deg, Seq("src")).localCheckpoint() // reused per round
+    var ranks = deg.select(col("src").as("term"), lit(SCALE).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = edgeN
+        .join(ranks, edgeN("src") === ranks("term"))
+        .select(col("dst"), expr("(rank * w) DIV wdeg").as("contrib"))
+        .groupBy(col("dst").as("term"))
+        .agg(expr("150000L + (85 * sum(contrib)) DIV 100").as("rank"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("rank").desc, col("term")).limit(k)
+      .select(col("term"), col("rank").as("rank_x1e6"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 8): DataFrame = {
     val sh = Dedup.shingleTable(docs, n)
       .select(col("doc_id"), charPolyHash(col("sh")).as("h"))

@@ -811,6 +811,49 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (4L, 0L, 0L, -1L)))
   }
 
+  test("textRank matches an independent reference implementation of the recurrence") {
+    // hub structure: "h" co-occurs with everything; "x"/"y" only with "h"
+    val docs = docsDF(
+      1L -> "h x h y h x",
+      2L -> "y h x h",
+      3L -> "p q p q p")
+    val got = TextAnalysis.textRank(docs, vocabCap = 500, iters = 10, k = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+
+    // reference: same graph + same fixed-point recurrence in plain Scala
+    val toks = Seq(
+      Seq("h", "x", "h", "y", "h", "x"),
+      Seq("y", "h", "x", "h"),
+      Seq("p", "q", "p", "q", "p"))
+    val occ = toks.flatMap(ts => ts.zip(ts.tail)).filter { case (a, b) => a != b }
+    val w = occ.groupBy { case (a, b) => (Seq(a, b).min, Seq(a, b).max) }
+      .view.mapValues(_.size.toLong).toMap
+    val edges = w.toSeq.flatMap { case ((x, y), c) => Seq((x, y, c), (y, x, c)) }
+    val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var rank: Map[String, Long] = wdeg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 10) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, c) => rank(src) * c / wdeg(src) }.sum
+      }
+      rank = in.map { case (t, s) => t -> (150000L + 85L * s / 100L) }
+    }
+    val expect = rank.toSeq.sortBy { case (t, r) => (-r, t) }
+    assert(got.toSeq == expect)
+    // the hub outranks its spokes
+    val m = got.toMap
+    assert(m("h") > m("x") && m("h") > m("y"))
+  }
+
+  test("textRank vocab cap prunes edges at the (count DESC, term) cut") {
+    // vocab cap 2 keeps the two most frequent terms only — "p" (5) and
+    // "h" (4); all "h x"/"h y"/"p q" adjacencies die with their endpoints,
+    // leaving only the h-p edges
+    val docs = docsDF(1L -> "h p h p h p p h p x y q")
+    val got = TextAnalysis.textRank(docs, vocabCap = 2, iters = 5, k = 10)
+      .collect().map(r => r.getString(0)).toSet
+    assert(got == Set("h", "p"))
+  }
+
   test("length percentiles: nearest-rank exact on a micro corpus, approx within 5%") {
     // lengths 1, 2, 3, 100 in one source: n=4 →
     // p50 rank (50·4+99)//100 = 2 → 2; p90 rank (90·4+99)//100 = 4 → 100;
