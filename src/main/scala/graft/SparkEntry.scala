@@ -666,6 +666,16 @@ object SparkEntry {
       operators.TextAnalysis.novelty(Tables.documents(s, d), 8)
         .orderBy(col("doc_id"))),
 
+    // redirect-chain resolution (the set form of the reference's F5
+    // redirect hop): planted chains doc_id → doc_id-1 within each 8-block,
+    // resolved to the chain end by O(log) pointer doubling
+    "p12_redirect_resolve" -> ((s, d) => {
+      val redirects = Tables.documents(s, d)
+        .where(col("doc_id") % 8 =!= 0)
+        .select(col("doc_id").as("id"), (col("doc_id") - 1).as("target"))
+      ArticleOps.resolveRedirects(redirects).orderBy(col("id"))
+    }),
+
     // TextRank: fixed-point integer PageRank over the word co-occurrence
     // graph, 10 damped rounds — graph-centrality keyword ranking; the
     // oracle replays the identical integer recurrence as unrolled CTEs
@@ -2197,6 +2207,21 @@ object SparkEntry {
 
       // bigrams are NON-distinct here (occurrence counts), unlike the
       // dedup shingle fragment
+      // redirect chains: same planted mapping, resolved by a recursive CTE
+      // (one hop per recursion level); final rows = targets outside the
+      // redirect domain
+      "p12_redirect_resolve" ->
+        """WITH RECURSIVE
+          |r AS (SELECT doc_id AS id, doc_id - 1 AS target FROM documents
+          |  WHERE doc_id % 8 <> 0),
+          |chain(id, target, hops) AS (
+          |  SELECT id, target, 1::BIGINT AS hops FROM r
+          |  UNION ALL
+          |  SELECT c.id, r2.target, c.hops + 1 FROM chain c JOIN r r2 ON c.target = r2.id)
+          |SELECT id, target AS final_id, hops FROM chain
+          |WHERE target NOT IN (SELECT id FROM r)
+          |ORDER BY id""".stripMargin,
+
       // TextRank: the same fixed-point integer PageRank recurrence the
       // Spark loop runs, unrolled one CTE per round (DuckDB `//` and Spark
       // `DIV` agree on non-negative BIGINTs; sums cast back from HUGEINT)

@@ -109,4 +109,42 @@ object ArticleOps {
     * (reference `src/data_processor.py:85-103`). */
   def toStorageJson(docs: DataFrame, cols: Seq[String]): DataFrame =
     docs.withColumn("json", to_json(struct(cols.map(col): _*)))
+
+  /** Redirect-chain resolution by POINTER DOUBLING — the set-level form of
+    * the reference's per-article redirect hop (F5; a redirect's target can
+    * itself be a redirect, so storage canonicalization needs the CHAIN's
+    * end, not one hop). Input: the redirect mapping `(id, target)`; output:
+    * `(id, final_id, hops)` for every redirect source, where `final_id` is
+    * the first non-redirect reached.
+    *
+    * Each round composes the mapping with itself (`f := f ∘ f` via one
+    * self-equi-join + coalesce for already-final targets), so resolved
+    * chain length DOUBLES per round: O(log maxChain) rounds, vs the O(chain)
+    * rounds of one-hop-at-a-time — at 100 TB a 1000-hop pathological chain
+    * is 10 joins, not 1000. `hops` accumulates exactly (each composition
+    * adds the tail's hop count). A redirect CYCLE (a→b→a) never leaves the
+    * domain and fails LOUDLY after `maxIters` (2^20-length chains) rather
+    * than returning half-resolved targets. */
+  def resolveRedirects(redirects: DataFrame, maxIters: Int = 20): DataFrame = {
+    var f = redirects.select(col("id"), col("target"), lit(1L).as("hops"))
+      .localCheckpoint()
+    val domain = redirects.select(col("id").as("g_id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val g = f.select(col("id").as("g_id"), col("target").as("g_target"),
+        col("hops").as("g_hops"))
+      f = f.alias("f").join(g, col("f.target") === col("g_id"), "left")
+        .select(col("f.id").as("id"),
+          coalesce(col("g_target"), col("f.target")).as("target"),
+          (col("f.hops") + coalesce(col("g_hops"), lit(0L))).as("hops"))
+        .localCheckpoint()
+      converged = f.join(domain, f("target") === domain("g_id"), "left_semi").isEmpty
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"redirect resolution did not converge after $maxIters doubling rounds " +
+        "— the mapping contains a cycle")
+    f.select(col("id"), col("target").as("final_id"), col("hops"))
+  }
 }

@@ -811,6 +811,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (4L, 0L, 0L, -1L)))
   }
 
+  test("resolveRedirects follows chains to the end in log rounds, cycles fail loudly") {
+    import spark.implicits._
+    // chain 5→4→3→1 (3 is a redirect to 1; 1 is final), plus isolated 9→7
+    val r = Seq((5L, 4L), (4L, 3L), (3L, 1L), (9L, 7L))
+      .toDF("id", "target")
+    val got = graft.operators.ArticleOps.resolveRedirects(r)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 1L, 1L), (4L, 1L, 2L), (5L, 1L, 3L), (9L, 7L, 1L)))
+    // a 2-cycle must throw, not return intermediate targets
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("id", "target")
+    val e = intercept[IllegalStateException] {
+      graft.operators.ArticleOps.resolveRedirects(cyc, maxIters = 4)
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("textRank matches an independent reference implementation of the recurrence") {
     // hub structure: "h" co-occurs with everything; "x"/"y" only with "h"
     val docs = docsDF(
