@@ -666,6 +666,18 @@ object SparkEntry {
       operators.TextAnalysis.novelty(Tables.documents(s, d), 8)
         .orderBy(col("doc_id"))),
 
+    // lake layout round-trip: write the corpus lang-partitioned +
+    // length-sorted, read it back through partition pruning (the scan
+    // only opens lang=en/ — PlanAuditSpec proves the file count)
+    "layout_pruned_scan" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-layout-").toString
+      sources.LakeLayout.writeOptimized(Tables.documents(s, d), dir)
+      sources.LakeLayout.read(s, dir)
+        .where(col("lang") === "en")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // redirect-chain resolution (the set form of the reference's F5
     // redirect hop): planted chains doc_id → doc_id-1 within each 8-block,
     // resolved to the chain end by O(log) pointer doubling
@@ -2207,6 +2219,12 @@ object SparkEntry {
 
       // bigrams are NON-distinct here (occurrence counts), unlike the
       // dedup shingle fragment
+      // lake layout: the round-trip must be lossless, so the oracle is the
+      // same filter on the source table directly
+      "layout_pruned_scan" ->
+        """SELECT doc_id, source, n_chars FROM documents
+          |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
       // redirect chains: same planted mapping, resolved by a recursive CTE
       // (one hop per recursion level); final rows = targets outside the
       // redirect domain

@@ -73,4 +73,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         s"${jobs.get()} jobs — fixpoint test regressed beyond 1 action/round")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("lake layout: partition pruning opens only the filtered directory") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-spec-").toString
+    val docs = Tables.documents(spark, sfDir)
+    sources.LakeLayout.writeOptimized(docs, dir,
+      partitionCols = Seq("lang"), sortCols = Seq("n_chars"),
+      filesPerPartition = 2)
+    val filtered = sources.LakeLayout.read(spark, dir)
+      .where(col("lang") === "en")
+    // the plan prunes on the partition column, before any file I/O
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition filter in plan:\n$plan")
+    // only lang=en files are touched: every file path read carries lang=en,
+    // and the bucketed write bounds them at filesPerPartition
+    val files = filtered.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")), files.toSeq)
+    assert(files.length <= 2, s"${files.length} files for one partition value")
+    // a sort-column predicate reaches the parquet scan (row-group pruning)
+    val ranged = sources.LakeLayout.read(spark, dir).where(col("n_chars") < 50L)
+    val rplan = ranged.queryExecution.executedPlan.toString
+    assert(rplan.contains("PushedFilters") && rplan.contains("LessThan(n_chars"),
+      s"n_chars not pushed:\n$rplan")
+    // and the round-trip is lossless
+    val back = sources.LakeLayout.read(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs.select("doc_id", "text", "lang", "source", "n_chars"))
+      .isEmpty)
+  }
 }
