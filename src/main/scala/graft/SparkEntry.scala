@@ -832,6 +832,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tok_cnt"), col("cum_tokens"))
         .orderBy(col("doc_id"))),
 
+    // contrastive triplets: near-dup pairs become (anchor, positive) with
+    // a hash-ring-bucketed deterministic negative — embedding-training
+    // data mined straight from the dedup pair graph
+    "mix_triplets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = operators.Dedup.ngramJaccardPairs(docs, cfg.ngramN, cfg.minJaccardX10000)
+      operators.Mixing.contrastiveTriplets(docs, pairs, numBuckets = 64)
+        .orderBy(col("anchor_id"), col("positive_id"))
+    }),
+
     // per-source doc cap (the per-domain cap): at most 10 docs per source
     // survive, chosen by salted hash — the one-pass bounded heap compacts
     // each map task to <= k entries per source, no corpus-wide window sort
@@ -1958,6 +1968,34 @@ object SparkEntry {
            |SELECT doc_id, source, tok_cnt, cum_tokens FROM c
            |WHERE cum_tokens - tok_cnt < CASE source WHEN 'src0' THEN 1200 ELSE 600 END
            |ORDER BY doc_id""".stripMargin,
+
+      // triplets: the dedup_ngram pair CTEs + the bucketed negative pick
+      // (row_number mirrors min(struct(cand_h, cand_id)))
+      "mix_triplets" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jx
+           |    FROM common
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jx >= 5000),
+           |cb AS (SELECT doc_id AS cand_id, ${poly("'neg:' || doc_id")} AS cand_h,
+           |    (${poly("'neg:' || doc_id")}) % 64 AS bucket FROM documents),
+           |pb AS (SELECT doc_a AS anchor_id, doc_b AS positive_id,
+           |    (${poly("'probe:' || doc_a || ':' || doc_b")}) % 64 AS bucket FROM pr),
+           |j AS (SELECT anchor_id, positive_id, cand_id,
+           |    row_number() OVER (PARTITION BY anchor_id, positive_id
+           |      ORDER BY cand_h, cand_id) AS rn
+           |  FROM pb JOIN cb USING (bucket)
+           |  WHERE cand_id <> anchor_id AND cand_id <> positive_id)
+           |SELECT anchor_id, positive_id, cand_id AS negative_id FROM j WHERE rn = 1
+           |ORDER BY anchor_id, positive_id""".stripMargin,
 
       // per-source cap: k smallest salted hashes per source survive; the
       // window form here mirrors the heap's (hash ASC, id ASC) kept-set order

@@ -105,6 +105,41 @@ object Mixing {
     withH.join(kept, Seq("source", idCol), "left_semi").drop("cap_hk")
   }
 
+  /** Contrastive triplet mining — turn near-dup PAIRS into (anchor,
+    * positive, negative) training triplets for embedding models: the
+    * positive is the anchor's near-copy, the negative a pseudo-random
+    * other doc. The negative pick is RNG-free: every doc hashes onto one
+    * of `numBuckets` ring buckets, every pair hashes to a probe bucket,
+    * and the negative is the bucket's (hash, id)-minimal doc that isn't
+    * the anchor or positive — reproducible across runs, engines, and
+    * partitionings, unlike `rand()`-ordered sampling.
+    *
+    * Plan shape: one equi-join on the bucket (fan-out = pairs × docs /
+    * numBuckets — size `numBuckets` ~ docs/16 to bound it) + one
+    * map-combinable min(struct) per pair. A pair whose probe bucket holds
+    * no eligible doc drops out (with corpus-sized buckets this needs every
+    * bucket doc to be the pair itself — vanishingly rare; the spec pins the
+    * behavior). */
+  def contrastiveTriplets(docs: DataFrame, pairs: DataFrame,
+                          numBuckets: Int = 64,
+                          aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(numBuckets >= 1, "numBuckets must be positive")
+    val cand = docs.select(col("doc_id").as("cand_id"),
+        charPolyHash(concat(lit("neg:"), col("doc_id").cast("string"))).as("cand_h"))
+      .withColumn("bucket", col("cand_h") % numBuckets)
+    val probes = pairs.select(col(aCol).as("anchor_id"), col(bCol).as("positive_id"))
+      .withColumn("bucket",
+        charPolyHash(concat(lit("probe:"), col("anchor_id").cast("string"),
+          lit(":"), col("positive_id").cast("string"))) % numBuckets)
+    probes.join(cand, Seq("bucket"))
+      .where(col("cand_id") =!= col("anchor_id") &&
+        col("cand_id") =!= col("positive_id"))
+      .groupBy(col("anchor_id"), col("positive_id"))
+      .agg(min(struct(col("cand_h"), col("cand_id"))).as("m"))
+      .select(col("anchor_id"), col("positive_id"),
+        col("m").getField("cand_id").as("negative_id"))
+  }
+
   /** Token-budget sampling — mixtures are specified in TOKENS, not doc
     * counts (a source of long docs at a 10% doc quota can dominate the
     * token mix): per source, walk docs in salted-hash order and keep them

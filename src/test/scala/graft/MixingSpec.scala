@@ -128,6 +128,35 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(again == heapIds)
   }
 
+  test("contrastiveTriplets: one negative per pair, never the pair itself, stable") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Seq((1L, 2L), (3L, 4L), (10L, 20L)).toDF("doc_a", "doc_b")
+    val t = Mixing.contrastiveTriplets(docs, pairs, numBuckets = 8)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // with 500 docs over 8 buckets no probe bucket can be empty
+    assert(t.map(x => (x._1, x._2)) == Seq((1L, 2L), (3L, 4L), (10L, 20L)))
+    t.foreach { case (a, p, n) =>
+      assert(n != a && n != p, s"negative $n collides with pair ($a, $p)")
+    }
+    // deterministic under repartitioning
+    val again = Mixing.contrastiveTriplets(docs.repartition(7), pairs.repartition(3),
+      numBuckets = 8).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(again == t)
+    // the negative is the (hash, id)-minimal eligible doc of the probe bucket:
+    // cross-check one pair against a brute-force recomputation
+    val hk = graft.functions.TextFunctions.charPolyHash(
+      concat(lit("neg:"), col("doc_id").cast("string")))
+    val withH = docs.select(col("doc_id"), hk.as("h"), (hk % 8).as("bucket"))
+      .as[(Long, Long, Long)].collect()
+    val probeBucket = graft.functions.TextFunctions.charPolyHash(
+      concat(lit("probe:"), lit(1L).cast("string"), lit(":"), lit(2L).cast("string")))
+    val pb = spark.range(1).select((probeBucket % 8).as("b")).as[Long].head()
+    val expectNeg = withH.filter(x => x._3 == pb && x._1 != 1L && x._1 != 2L)
+      .minBy(x => (x._2, x._1))._1
+    assert(t.find(x => x._1 == 1L && x._2 == 2L).get._3 == expectNeg)
+  }
+
   test("token-budget sampling meters in tokens, stable across partitioning") {
     val docs = Tables.documents(spark, sfDir)
     val kept = Mixing.sampleByTokenBudget(docs, Map("src0" -> 2000L),
