@@ -733,6 +733,25 @@ object SparkEntry {
     "a17_cms_counts" -> ((s, d) =>
       operators.TextAnalysis.cmsTermCounts(Tables.documents(s, d))),
 
+    // ordered funnel: view → click-after-view → purchase-after-that-click,
+    // per-user earliest-time frontier; k slim user-level joins, never an
+    // events-with-events self-join
+    "a18_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      operators.Relational.funnel(ev, Seq("view", "click", "purchase"))
+        .orderBy(col("step_no"))
+    }),
+
+    // weekly retention triangle: cohort = first-active epoch-week,
+    // activity counted on the DISTINCT (user, week) frame
+    "a19_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      operators.Relational.retentionCohorts(ev)
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // bigram LM model table — the persisted artifact a CCNet-style LM
     // quality filter trains once and scores corpora against
     "ta_lm_model" -> ((s, d) =>
@@ -2097,6 +2116,33 @@ object SparkEntry {
            |SELECT term, exact_cnt, min(c)::BIGINT AS est_cnt
            |FROM pb JOIN cnts USING (i, bucket)
            |GROUP BY term, exact_cnt ORDER BY exact_cnt DESC, term""".stripMargin,
+
+      // funnel: per-step earliest-time frontier, strictly-after ordering
+      "a18_funnel" ->
+        """WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events),
+          |s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE et = 'view' GROUP BY u),
+          |s2 AS (SELECT ev.u AS u, min(t) AS t2 FROM ev JOIN s1 ON ev.u = s1.u
+          |  WHERE et = 'click' AND t > t1 GROUP BY ev.u),
+          |s3 AS (SELECT ev.u AS u, min(t) AS t3 FROM ev JOIN s2 ON ev.u = s2.u
+          |  WHERE et = 'purchase' AND t > t2 GROUP BY ev.u)
+          |SELECT * FROM (VALUES
+          |  (1::BIGINT, 'view', (SELECT count(*) FROM s1)::BIGINT),
+          |  (2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT),
+          |  (3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT))
+          |  AS v(step_no, step, users)
+          |ORDER BY step_no""".stripMargin,
+
+      // retention: integer epoch-week buckets over the distinct
+      // (user, week) frame
+      "a19_retention" ->
+        """WITH uw AS (SELECT DISTINCT user_id AS u,
+          |    epoch_us(ts) // 604800000000 AS week FROM events),
+          |c AS (SELECT u, min(week) AS cohort_week FROM uw GROUP BY u)
+          |SELECT cohort_week, week - cohort_week AS week_offset,
+          |  count(*)::BIGINT AS active_users
+          |FROM uw JOIN c USING (u)
+          |GROUP BY cohort_week, week_offset
+          |ORDER BY cohort_week, week_offset""".stripMargin,
 
       "ta_lm_model" ->
         s"""WITH tok AS (SELECT $toks AS toks FROM documents),

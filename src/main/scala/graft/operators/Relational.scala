@@ -229,6 +229,65 @@ object Relational {
         coalesce(col("n"), lit(0L)).as("n_clicks_5m"))
   }
 
+  /** Ordered funnel analysis: how many users performed step 1, then step 2
+    * strictly after their first step 1, then step 3 strictly after that
+    * earliest step 2, … The ORDER constraint is what distinguishes a funnel
+    * from k semi-joins — a user who purchased before ever viewing does not
+    * convert.
+    *
+    * Per step i: one equi-join of the user-level frontier (u, tᵢ₋₁) — at
+    * 100 TB a users-sized table, orders of magnitude smaller than events —
+    * against only that step's events, one map-combinable min per user.
+    * Steps are sequential by nature (tᵢ needs tᵢ₋₁), so the plan is k
+    * slim joins, not a self-join of events with events. Output: one row
+    * per step with the surviving-user count. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             tsCol: String = "tsu", userCol: String = "user_id",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("t"))
+    var acc = ev.where(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("t1"))
+    for (i <- 2 to steps.length) {
+      val prev = s"t${i - 1}"
+      val ti = acc.select(col("u"), col(prev))
+        .join(ev.where(col("et") === steps(i - 1)), Seq("u"))
+        .where(col("t") > col(prev))
+        .groupBy(col("u")).agg(min(col("t")).as(s"t$i"))
+        .select(col("u"), col(s"t$i"))
+      acc = acc.join(ti, Seq("u"), "left")
+    }
+    val counts = acc.agg(
+      count(col("t1")).as("c1"),
+      (2 to steps.length).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"${i + 1}L, '$s', c${i + 1}" }
+      .mkString(", ")
+    counts.select(expr(
+      s"stack(${steps.length}, $stackArgs) as (step_no, step, users)"))
+  }
+
+  /** Weekly retention cohorts: users grouped by first-active week, counted
+    * in each later week they return — the (cohort, offset) retention
+    * triangle. Weeks are integer epoch-week indexes (`µs DIV week-µs`), so
+    * the bucketing is exact cross-engine.
+    *
+    * Plan shape: events reduce to DISTINCT (user, week) FIRST (one hash
+    * agg — the only pass over the full log), cohorts are a users-sized min
+    * agg, and the final count groups the slim distinct frame. */
+  def retentionCohorts(events: DataFrame, tsCol: String = "tsu",
+                       userCol: String = "user_id"): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val uw = events
+      .select(col(userCol).as("u"), expr(s"$tsCol DIV ${weekUs}L").as("week"))
+      .distinct()
+    val cohorts = uw.groupBy(col("u")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohorts, Seq("u"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** JSON-props extraction over events (reference parses JSON at
     * `src/azure_manager.py:133`): per-type sum of a JSON field. */
   def propsSummary(spark: SparkSession, dir: String): DataFrame =

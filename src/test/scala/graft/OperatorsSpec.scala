@@ -811,6 +811,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (4L, 0L, 0L, -1L)))
   }
 
+  test("funnel enforces strict step ordering per user") {
+    import spark.implicits._
+    // u1 converts fully; u2 purchased BEFORE clicking (their post-view
+    // click still counts for step 2, but no purchase follows it — no
+    // step-3 credit); u3 clicked before viewing (that click doesn't
+    // count; the re-click after view does); u4 never viewed
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "view", 100L), (2L, "purchase", 150L), (2L, "click", 200L),
+      (3L, "click", 50L), (3L, "view", 100L), (3L, "click", 180L),
+      (4L, "click", 100L), (4L, "purchase", 200L))
+      .toDF("user_id", "event_type", "tsu")
+    val got = Relational.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("step_no").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 3L), (2L, "click", 3L), (3L, "purchase", 1L)))
+  }
+
+  test("retention cohorts count distinct user-weeks against the first-active week") {
+    import spark.implicits._
+    val wk = 604800000000L
+    // u1 active weeks 0,1,3; u2 active weeks 1,1 (dup events, one credit);
+    // u3 active week 3 only
+    val ev = Seq(
+      (1L, 0L * wk + 5L), (1L, 1L * wk + 9L), (1L, 3L * wk),
+      (2L, 1L * wk + 1L), (2L, 1L * wk + 2L),
+      (3L, 3L * wk + 7L))
+      .toDF("user_id", "tsu")
+    val got = Relational.retentionCohorts(ev)
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L),
+      (3L, 0L, 1L)))
+  }
+
   test("resolveRedirects follows chains to the end in log rounds, cycles fail loudly") {
     import spark.implicits._
     // chain 5→4→3→1 (3 is a redirect to 1; 1 is final), plus isolated 9→7
