@@ -899,6 +899,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MERGE a changeset into the snapshot: planted replace (%10=1 →
+    // uppercased), insert (%10=2 under a new id), delete (%10=0); the
+    // base anti-joins the slim change-id list, untouched docs never move
+    "ver_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reps = docs.where(col("doc_id") % 10 === 1)
+        .withColumn("text", upper(col("text"))).withColumn("op", lit("upsert"))
+      val adds = docs.where(col("doc_id") % 10 === 2)
+        .withColumn("doc_id", col("doc_id") + 700000L)
+        .withColumn("text", concat(lit("new: "), col("text")))
+        .withColumn("op", lit("upsert"))
+      val dels = docs.where(col("doc_id") % 10 === 0).withColumn("op", lit("delete"))
+      operators.Versioning
+        .applyChanges(docs, reps.unionByName(adds).unionByName(dels))
+        .select(col("doc_id"), charPolyHash(col("text")).as("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // term-distribution drift between the same two snapshots: top-50 movers
     // by absolute per-million rate change
     "ver_drift" -> ((s, d) => {
@@ -2461,6 +2479,19 @@ object SparkEntry {
            |       WHEN old_hash = new_hash THEN 'unchanged'
            |       ELSE 'changed' END AS status
            |FROM oh FULL JOIN nh USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // upsert: kept = base minus changed ids; result = kept + upsert rows
+      "ver_apply" ->
+        s"""WITH kept AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 10 NOT IN (0, 1)),
+           |ups AS (SELECT doc_id, upper(text) AS text FROM documents
+           |    WHERE doc_id % 10 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 700000 AS doc_id, 'new: ' || text AS text
+           |    FROM documents WHERE doc_id % 10 = 2),
+           |app AS (SELECT * FROM kept UNION ALL SELECT * FROM ups)
+           |SELECT doc_id, ${poly("text")} AS text_hash FROM app
+           |ORDER BY doc_id""".stripMargin,
 
       "ver_drift" ->
         s"""WITH newd AS (

@@ -48,6 +48,25 @@ object Versioning {
     corpusDiff(oldDocs, newDocs, idCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
 
+  /** Apply a CHANGESET to a snapshot — the MERGE/upsert step that produces
+    * corpus v(N+1) from vN plus a (much smaller) batch of edits, without
+    * rewriting untouched docs' content: `changes` carries full doc rows
+    * plus an `op` column (`upsert` = insert-or-replace, `delete`).
+    * Precondition: at most one change row per id (a delete and an upsert
+    * for the same id would be order-ambiguous).
+    *
+    * Plan shape: ONE anti-join of the base against the change-id list —
+    * slim, and broadcast by AQE at real change-set sizes, so the 100 TB
+    * base never shuffles — plus a union with the upsert rows. Paired with
+    * [[corpusDiff]], `corpusDiff(base, applyChanges(base, ch))` recovers
+    * exactly the changeset — the round-trip the spec pins. */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+                   idCol: String = "doc_id", opCol: String = "op"): DataFrame = {
+    val ids = changes.select(col(idCol)).distinct()
+    val kept = base.join(ids, Seq(idCol), "left_anti")
+    kept.unionByName(changes.where(col(opCol) === "upsert").drop(opCol))
+  }
+
   /** Term-distribution drift between two snapshots: for each term, its
     * occurrence rate (fixed-point parts-per-million of the snapshot's
     * token volume — rates, not raw counts, so a corpus that doubled in

@@ -164,6 +164,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("applyChanges: upserts replace, inserts add, deletes drop; diff recovers the changeset") {
+    val base = docsDF(1L -> "one", 2L -> "two", 3L -> "three")
+    val changes = docsDF(2L -> "two prime", 4L -> "four", 3L -> "three")
+      .withColumn("op",
+        when(col("doc_id") === 3L, "delete").otherwise("upsert"))
+    val applied = Versioning.applyChanges(base, changes)
+    val got = applied.select("doc_id", "text").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, "one"), (2L, "two prime"), (4L, "four")))
+    // the round-trip: diffing base against the applied corpus yields
+    // exactly the changeset's effect
+    val diff = Versioning.corpusDiff(base, applied)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(diff == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("termDrift ranks rate movers, not raw-count movers") {
     // old: 'a' 2/4, 'b' 1/4, 'c' 1/4. new: 'a' 2/4 (rate flat even though
     // the corpus re-shuffled), 'b' 0, 'd' 2/4 new arrival.
