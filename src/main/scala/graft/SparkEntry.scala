@@ -733,6 +733,21 @@ object SparkEntry {
     "a17_cms_counts" -> ((s, d) =>
       operators.TextAnalysis.cmsTermCounts(Tables.documents(s, d))),
 
+    // common user journeys: top-20 time-ordered event-type trigrams
+    "a20_event_paths" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      operators.Relational.eventPaths(ev, n = 3, k = 20)
+    }),
+
+    // daily volume anomalies per event type: integer-exact 2-sigma flags
+    "a21_volume_anomaly" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      operators.Relational.volumeAnomalies(ev)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ordered funnel: view → click-after-view → purchase-after-that-click,
     // per-user earliest-time frontier; k slim user-level joins, never an
     // events-with-events self-join
@@ -2134,6 +2149,32 @@ object SparkEntry {
            |SELECT term, exact_cnt, min(c)::BIGINT AS est_cnt
            |FROM pb JOIN cnts USING (i, bucket)
            |GROUP BY term, exact_cnt ORDER BY exact_cnt DESC, term""".stripMargin,
+
+      // event paths: lead() over the same (ts, event_id) per-user order
+      "a20_event_paths" ->
+        """WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t,
+          |    event_id AS eid FROM events),
+          |l AS (SELECT et AS s0,
+          |    lead(et, 1) OVER (PARTITION BY u ORDER BY t, eid) AS s1,
+          |    lead(et, 2) OVER (PARTITION BY u ORDER BY t, eid) AS s2
+          |  FROM ev)
+          |SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path, count(*)::BIGINT AS cnt
+          |FROM l WHERE s2 IS NOT NULL
+          |GROUP BY path ORDER BY cnt DESC, path LIMIT 20""".stripMargin,
+
+      // volume anomalies: the same division-free integer 2-sigma test
+      "a21_volume_anomaly" ->
+        """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          |    count(*)::BIGINT AS n
+          |  FROM events GROUP BY event_type, day),
+          |st AS (SELECT event_type, count(*)::BIGINT AS d_days,
+          |    sum(n)::BIGINT AS s_sum, sum(n*n)::BIGINT AS q_sumsq
+          |  FROM daily GROUP BY event_type)
+          |SELECT daily.event_type AS event_type, day, n,
+          |  (n * d_days - s_sum) * (n * d_days - s_sum) >
+          |    4 * (q_sumsq * d_days - s_sum * s_sum) AS anomalous
+          |FROM daily JOIN st ON daily.event_type = st.event_type
+          |ORDER BY event_type, day""".stripMargin,
 
       // funnel: per-step earliest-time frontier, strictly-after ordering
       "a18_funnel" ->

@@ -288,6 +288,59 @@ object Relational {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Common user journeys: sliding n-grams over each user's time-ordered
+    * event-type sequence, counted corpus-wide, top-k paths. The sequence
+    * order ties on (ts, event_id) so the paths are deterministic.
+    *
+    * Plan shape: one window per user (lead(i) over the per-user sort — the
+    * per-user partition is what a 100 TB event log is already bucketed by;
+    * a bot-sized user would call for the [[Skew]] salting) + one hash agg
+    * on the path + TakeOrderedAndProject. */
+  def eventPaths(events: DataFrame, n: Int = 3, k: Int = 20,
+                 tsCol: String = "tsu", userCol: String = "user_id",
+                 typeCol: String = "event_type",
+                 idCol: String = "event_id"): DataFrame = {
+    require(n >= 2, "a path needs at least 2 steps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val stepCols = (0 until n).map(i =>
+      lead(col(typeCol), i).over(w).as(s"s$i"))
+    events.select(stepCols: _*)
+      .where(col(s"s${n - 1}").isNotNull) // windows running off the tail
+      .select(concat_ws(" > ", (0 until n).map(i => col(s"s$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Daily volume anomaly flags per event type: a day is anomalous when its
+    * count sits more than 2 standard deviations from that type's daily
+    * mean. The z-test is INTEGER-EXACT: z² > 4 ⟺ (n·D − S)² > 4·(Q·D − S²)
+    * with D = days observed, S = Σn, Q = Σn² — no division, no sqrt, no
+    * float, so the flags are bit-identical cross-engine (a double z-score's
+    * ulp can flip a boundary day).
+    *
+    * Plan shape: one (type, day) hash agg over the log, one type-level agg
+    * of (D, S, Q), one slim equi-join back — the monitoring query shape
+    * that stays two aggs at any scale. */
+  def volumeAnomalies(events: DataFrame, tsCol: String = "tsu",
+                      typeCol: String = "event_type"): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        expr(s"$tsCol DIV ${dayUs}L").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("d_days"), sum(col("n")).as("s_sum"),
+      sum(col("n") * col("n")).as("q_sumsq"))
+    daily.join(stats, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        ((col("n") * col("d_days") - col("s_sum")) *
+          (col("n") * col("d_days") - col("s_sum")) >
+          lit(4L) * (col("q_sumsq") * col("d_days") -
+            col("s_sum") * col("s_sum"))).as("anomalous"))
+  }
+
   /** JSON-props extraction over events (reference parses JSON at
     * `src/azure_manager.py:133`): per-type sum of a JSON field. */
   def propsSummary(spark: SparkSession, dir: String): DataFrame =

@@ -845,6 +845,46 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, "view", 3L), (2L, "click", 3L), (3L, "purchase", 1L)))
   }
 
+  test("eventPaths counts per-user ordered trigrams, never crossing users") {
+    import spark.implicits._
+    // u1: a b c d → paths "a>b>c", "b>c>d"; u2: a b c → "a>b>c";
+    // u3 has only 2 events — no trigram, and no path may borrow u1's tail
+    val ev = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "c", 3L), (1L, 40L, "d", 4L),
+      (2L, 10L, "a", 5L), (2L, 20L, "b", 6L), (2L, 30L, "c", 7L),
+      (3L, 10L, "x", 8L), (3L, 20L, "y", 9L))
+      .toDF("user_id", "tsu", "event_type", "event_id")
+    val got = Relational.eventPaths(ev, n = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a > b > c", 2L), ("b > c > d", 1L)))
+  }
+
+  test("volumeAnomalies flags exactly the >2-sigma days with integer arithmetic") {
+    import spark.implicits._
+    val day = 86400000000L
+    // note a single outlier among D days maxes out at z = (D−1)/√D, so
+    // D ≥ 6 is the smallest corpus where one spike CAN cross 2σ.
+    // "e": five days of 10, then 30 → D=6, S=80, Q=1400; day 5:
+    //   (180−80)² = 10000 > 4·(8400−6400) = 8000 → flagged; a 10-day:
+    //   (60−80)² = 400 → not.
+    // "f": 10,10,10,10,20,20 → S=80, Q=1200; n=20: (120−80)² = 1600 vs
+    //   4·(7200−6400) = 3200 → nothing flagged (two spikes share the blame).
+    // "g": constant volume → variance 0, never flagged.
+    val rows =
+      (0 until 5).flatMap(d => Seq.fill(10)(("e", d))) ++ Seq.fill(30)(("e", 5)) ++
+      (0 until 4).flatMap(d => Seq.fill(10)(("f", d))) ++
+        (4 until 6).flatMap(d => Seq.fill(20)(("f", d))) ++
+      (0 until 3).flatMap(d => Seq.fill(7)(("g", d)))
+    val ev = rows.zipWithIndex
+      .map { case ((t, d), i) => (t, d * day + i) }
+      .toDF("event_type", "tsu")
+    val got = Relational.volumeAnomalies(ev)
+      .orderBy("event_type", "day")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got.filter(_._4).map(r => (r._1, r._2)) == Seq(("e", 5L)))
+    assert(got.count(!_._4) == got.size - 1)
+  }
+
   test("retention cohorts count distinct user-weeks against the first-active week") {
     import spark.implicits._
     val wk = 604800000000L
