@@ -601,13 +601,16 @@ object TextAnalysis {
     val edgeN = edges.join(deg, Seq("src")).localCheckpoint() // reused per round
     var ranks = deg.select(col("src").as("term"), lit(SCALE).as("rank"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = edgeN
         .join(ranks, edgeN("src") === ranks("term"))
         .select(col("dst"), expr("(rank * w) DIV wdeg").as("contrib"))
         .groupBy(col("dst").as("term"))
         .agg(expr("150000L + (85 * sum(contrib)) DIV 100").as("rank"))
-        .localCheckpoint()
+      // a checkpoint per round costs a materialization each; every 3rd is
+      // enough to keep the plan bounded (3 chained join+agg rounds) while
+      // the eager cut still stops lineage-exponential re-execution
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ranks.orderBy(col("rank").desc, col("term")).limit(k)
       .select(col("term"), col("rank").as("rank_x1e6"))
