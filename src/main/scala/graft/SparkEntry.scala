@@ -695,6 +695,28 @@ object SparkEntry {
       operators.TextAnalysis.textRank(Tables.documents(s, d),
         vocabCap = 500, iters = 10, k = 50)),
 
+    // general graphRank over a planted doc graph (per-source hub stars +
+    // a hub ring): hubs must outrank leaves; the full rank vector is
+    // hash-gated against the unrolled-CTE replay
+    "graph_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hubs = docs.groupBy(col("source")).agg(min(col("doc_id")).as("hub"))
+      val mem = docs.join(hubs, Seq("source"))
+        .where(col("doc_id") =!= col("hub"))
+        .select(col("doc_id").as("x"), col("hub").as("y"))
+      val star = mem.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(mem.select(col("y").as("src"), col("x").as("dst")))
+      val hw = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+      val ring0 = hubs.withColumn("nxt", lead(col("hub"), 1).over(hw))
+        .where(col("nxt").isNotNull)
+        .select(col("hub").as("src"), col("nxt").as("dst"))
+      val ring = ring0.unionByName(
+        ring0.select(col("dst").as("src"), col("src").as("dst")))
+      operators.Graphs
+        .graphRank(star.unionByName(ring).withColumn("w", lit(1L)), iters = 10)
+        .orderBy(col("node"))
+    }),
+
     // corpus top-k vocabulary (tokenizer-training precursor): hash agg +
     // TakeOrderedAndProject — no global sort
     "ta_vocab" -> ((s, d) =>
@@ -1075,6 +1097,15 @@ object SparkEntry {
     def poly(e: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
         s"c -> unicode(c)::BIGINT)), (a, b) -> (a*31 + b) % 1000000007)"
+    // unrolled fixed-point PageRank rounds (Graphs.graphRank's recurrence):
+    // needs CTEs `edges` (src, dst, w) and `deg` (src, wdeg); emits r1..rN
+    // building on r0 (nodeCol, rank)
+    def prRounds(n: Int, nodeCol: String) = (1 to n).map { i =>
+      s"r$i AS (SELECT e.dst AS $nodeCol,\n" +
+        s"    CAST(150000 + (85 * sum((r.rank * e.w) // d.wdeg)) // 100 AS BIGINT) AS rank\n" +
+        s"  FROM edges e JOIN r${i - 1} r ON e.src = r.$nodeCol\n" +
+        s"  JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+    }.mkString(",\n")
     // unit-normalized embedding CTEs (mirrors Dedup.withUnitVector): DuckDB
     // list_dot_product folds sequentially — verified bit-identical to
     // Spark's index left-fold. cosine(a,b) = dot of unit vectors.
@@ -2368,6 +2399,25 @@ object SparkEntry {
         """SELECT doc_id, source, n_chars FROM documents
           |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
+      // graphRank over the planted hub-star + hub-ring doc graph; same
+      // shared unrolled recurrence, node ids instead of terms
+      "graph_rank" -> {
+        val rounds = prRounds(10, "node")
+        s"""WITH hubs AS (SELECT source, min(doc_id) AS hub FROM documents GROUP BY source),
+           |mem AS (SELECT d.doc_id AS x, h.hub AS y FROM documents d
+           |  JOIN hubs h ON d.source = h.source WHERE d.doc_id <> h.hub),
+           |ring0 AS (SELECT hub AS src, lead(hub, 1) OVER (ORDER BY source) AS dst FROM hubs),
+           |ringe AS (SELECT src, dst FROM ring0 WHERE dst IS NOT NULL),
+           |edges AS (SELECT x AS src, y AS dst, 1::BIGINT AS w FROM mem
+           |  UNION ALL SELECT y AS src, x AS dst, 1::BIGINT AS w FROM mem
+           |  UNION ALL SELECT src, dst, 1::BIGINT AS w FROM ringe
+           |  UNION ALL SELECT dst AS src, src AS dst, 1::BIGINT AS w FROM ringe),
+           |deg AS (SELECT src, sum(w)::BIGINT AS wdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT src AS node, 1000000::BIGINT AS rank FROM deg),
+           |$rounds
+           |SELECT node, rank AS rank_x1e6 FROM r10 ORDER BY node""".stripMargin
+      },
+
       // redirect chains: same planted mapping, resolved by a recursive CTE
       // (one hop per recursion level); final rows = targets outside the
       // redirect domain
@@ -2385,14 +2435,11 @@ object SparkEntry {
 
       // TextRank: the same fixed-point integer PageRank recurrence the
       // Spark loop runs, unrolled one CTE per round (DuckDB `//` and Spark
-      // `DIV` agree on non-negative BIGINTs; sums cast back from HUGEINT)
+      // `DIV` agree on non-negative BIGINTs; sums cast back from HUGEINT).
+      // `prRounds` is shared with graph_rank: it assumes CTEs `edges`
+      // (src, dst, w) and `deg` (src, wdeg) and emits r1..rN from r0.
       "ta_textrank" -> {
-        val rounds = (1 to 10).map { i =>
-          s"r$i AS (SELECT e.dst AS term,\n" +
-            s"    CAST(150000 + (85 * sum((r.rank * e.w) // d.wdeg)) // 100 AS BIGINT) AS rank\n" +
-            s"  FROM edges e JOIN r${i - 1} r ON e.src = r.term\n" +
-            s"  JOIN deg d ON d.src = e.src GROUP BY e.dst)"
-        }.mkString(",\n")
+        val rounds = prRounds(10, "term")
         s"""WITH t AS (SELECT $toks AS toks FROM documents),
            |pr AS (SELECT a, b FROM (
            |    SELECT unnest(list_transform(range(0, len(toks) - 1), i -> toks[i+1])) AS a,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** General graph centrality over an arbitrary weighted edge list — the
+  * engine behind [[TextAnalysis.textRank]], exposed so any graph a pipeline
+  * materializes (doc citation/link graphs, near-dup pair graphs, user
+  * interaction graphs) can be ranked with the same machinery.
+  */
+object Graphs {
+
+  /** Damped PageRank (d = 0.85) in FIXED-POINT integer arithmetic over a
+    * weighted directed edge list `(src, dst, w)` — feed both directions for
+    * an undirected graph. Ranks are ×1e6; each round a node sends
+    * `(rank·w) DIV wdeg` along each out-edge and collects
+    * `150000 + (85·Σ) DIV 100`. Integer ops make the fixpoint
+    * bit-identical cross-engine and partitioning-independent — a double
+    * formulation's sum order would not be.
+    *
+    * Nodes with no in-edges drop out after round 1 (rank mass flows only
+    * along edges); on an undirected (symmetrized) graph every node keeps
+    * both in- and out-edges, so nothing drops — the [[TextAnalysis
+    * .textRank]] setting. Output: `(node, rank_x1e6)`.
+    *
+    * Plan shape: the per-round cost is ONE equi-join of the edge list with
+    * the rank frame + one map-combinable sum — the [[Dedup.dedupClusters]]
+    * iterative shape; `localCheckpoint` every 3rd round bounds the plan
+    * while capping materializations. At 100 TB the edge list dominates: it
+    * is checkpointed once (with its out-degree attached) and re-joined per
+    * round, shuffling only the node-sized rank frame. */
+  def graphRank(edges: DataFrame, iters: Int = 10,
+                srcCol: String = "src", dstCol: String = "dst",
+                wCol: String = "w"): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).as("w"))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val edgeN = e.join(deg, Seq("src")).localCheckpoint() // reused per round
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      ranks = edgeN
+        .join(ranks, edgeN("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * w) DIV wdeg").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("150000L + (85 * sum(contrib)) DIV 100").as("rank"))
+      // a checkpoint per round costs a materialization each; every 3rd is
+      // enough to keep the plan bounded (3 chained join+agg rounds) while
+      // the eager cut still stops lineage-exponential re-execution
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank").as("rank_x1e6"))
+  }
+}

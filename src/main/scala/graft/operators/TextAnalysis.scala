@@ -572,7 +572,6 @@ object TextAnalysis {
     * TextRank scales where pairwise doc similarity doesn't. */
   def textRank(docs: DataFrame, vocabCap: Int = 500, iters: Int = 10,
                k: Int = 50): DataFrame = {
-    val SCALE = 1000000L
     // adjacent-token pairs (occurrences, not distinct), self-loops dropped
     val toksCol = col("toks")
     val adj = when(size(toksCol) < 2, array().cast("array<struct<a:string,b:string>>"))
@@ -597,23 +596,9 @@ object TextAnalysis {
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
     val edges = canon.select(col("x").as("src"), col("y").as("dst"), col("w"))
       .unionByName(canon.select(col("y").as("src"), col("x").as("dst"), col("w")))
-    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val edgeN = edges.join(deg, Seq("src")).localCheckpoint() // reused per round
-    var ranks = deg.select(col("src").as("term"), lit(SCALE).as("rank"))
-      .localCheckpoint()
-    for (i <- 1 to iters) {
-      ranks = edgeN
-        .join(ranks, edgeN("src") === ranks("term"))
-        .select(col("dst"), expr("(rank * w) DIV wdeg").as("contrib"))
-        .groupBy(col("dst").as("term"))
-        .agg(expr("150000L + (85 * sum(contrib)) DIV 100").as("rank"))
-      // a checkpoint per round costs a materialization each; every 3rd is
-      // enough to keep the plan bounded (3 chained join+agg rounds) while
-      // the eager cut still stops lineage-exponential re-execution
-      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
-    }
-    ranks.orderBy(col("rank").desc, col("term")).limit(k)
-      .select(col("term"), col("rank").as("rank_x1e6"))
+    Graphs.graphRank(edges, iters)
+      .orderBy(col("rank_x1e6").desc, col("node")).limit(k)
+      .select(col("node").as("term"), col("rank_x1e6"))
   }
 
   def novelty(docs: DataFrame, n: Int = 8): DataFrame = {

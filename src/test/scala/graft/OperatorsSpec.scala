@@ -920,6 +920,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("graphRank on a crafted weighted digraph matches hand-rolled iteration") {
+    import spark.implicits._
+    // 1 → 2 (w 3), 1 → 3 (w 1), 2 → 3 (w 1), 3 → 1 (w 1): weighted,
+    // directed, asymmetric — exercises the wdeg split and damping
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = operators.Graphs.graphRank(edges, iters = 7)
+      .as[(Long, Long)].collect().toMap
+    // reference: same integer recurrence in plain Scala
+    val es = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+    val wdeg = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var rank: Map[Long, Long] = wdeg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 7) {
+      val in = es.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.flatMap { case (s, _, w) =>
+          rank.get(s).map(r => r * w / wdeg(s)) }.sum
+      }
+      rank = in.map { case (nd, s) => nd -> (150000L + 85L * s / 100L) }
+    }
+    assert(got == rank)
+    // weighted flow: node 3 collects from everyone, node 2 gets 3/4 of
+    // node 1's mass — both outrank the damped-only return path to 1
+    assert(got(3L) > got(1L))
+  }
+
   test("textRank matches an independent reference implementation of the recurrence") {
     // hub structure: "h" co-occurs with everything; "x"/"y" only with "h"
     val docs = docsDF(
