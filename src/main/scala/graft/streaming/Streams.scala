@@ -377,6 +377,75 @@ object Streams {
       }
   }
 
+  /** Streaming funnel — the incremental sibling of [[graft.operators
+    * .Relational.funnel]]: per user, emit `(user, step_no, step_ts)` the
+    * moment a funnel step becomes REACHED-AND-FINAL. Exactness under
+    * out-of-order arrival is the whole problem: "earliest step-2 strictly
+    * after the earliest step-1" can be invalidated by a late-arriving
+    * earlier step-1, so events are BUFFERED in state until the watermark
+    * passes them, then folded into the per-user frontier in event-time
+    * order (ties by step index) — at that point no in-watermark event can
+    * precede them, so every emitted row is final and Append-safe; events
+    * later than the watermark are dropped (the [[streamingSessions]]
+    * late-data policy). State per user: k frontier longs + the
+    * watermark-bounded pending buffer.
+    *
+    * Semantics match the batch operator exactly over the matured prefix:
+    * the spec drives the full corpus through, flushes with a far-future
+    * sentinel, and checks per-step counts equal `Relational.funnel`'s. */
+  final case class FunnelHit(user_id: Long, step_no: Int, step_ts: Long)
+  final case class FunnelState(frontier: List[Long], pending: List[(Int, Long)])
+
+  def streamingFunnel(spark: SparkSession, events: DataFrame,
+                      steps: Seq[String],
+                      watermark: String = "10 minutes"): Dataset[FunnelHit] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "need at least one funnel step")
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.length
+    events
+      .withColumn("tsc", col("ts").cast("timestamp"))
+      .withWatermark("tsc", watermark)
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long").as("_1"),
+        col("event_type").as("_2"), unix_micros(col("tsc")).as("_3"),
+        col("tsc").as("_4"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[FunnelState]) =>
+          val st = state.getOption
+            .getOrElse(FunnelState(List.fill(k)(Long.MaxValue), Nil))
+          val wmNow = state.getCurrentWatermarkMs() * 1000L
+          val incoming = rows
+            .map { case (_, et, tsu, _) => (stepIdx(et), tsu) }
+            .filter(_._2 >= wmNow) // late beyond watermark: drop, like sessions
+            .toList
+          val (mature, pending) =
+            (st.pending ++ incoming).partition(_._2 < wmNow)
+          val frontier = st.frontier.toArray
+          val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+          // ascending event time ⇒ when an event folds, every earlier
+          // in-watermark event has already folded: the strict-after check
+          // against frontier(i-1) is final
+          mature.sortBy { case (i, t) => (t, i) }.foreach { case (i, t) =>
+            val prevOk = i == 0 || frontier(i - 1) < t
+            if (prevOk && t < frontier(i)) {
+              frontier(i) = t
+              hits += FunnelHit(user, i + 1, t)
+            }
+          }
+          if (pending.nonEmpty || frontier.exists(_ != Long.MaxValue)) {
+            state.update(FunnelState(frontier.toList, pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._2).min / 1000L + 1L)
+          } else state.remove()
+          hits.iterator
+      }
+  }
+
   /** Per-key running counters via mapGroupsWithState — the reference's
     * `total_processed`/`total_failed` checkpoint counters
     * (`src/checkpoint_manager.py:9-17`) as managed state. */

@@ -231,6 +231,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"streamed sessions not in batch: ${streamed.diff(batch).take(3)}")
   }
 
+  test("streaming funnel equals the batch funnel once a sentinel flushes the watermark") {
+    val ev = Tables.events(spark, sfDir)
+    val steps = Seq("view", "click", "purchase")
+    val batch = operators.Relational.funnel(
+        ev.withColumn("tsu", unix_micros(col("ts").cast("timestamp"))), steps)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+
+    val srcDir = tmp("funnel-src")
+    // time-sliced sequential files (see the sessions test) + one final
+    // sentinel event a day past the end: the last micro-batch's watermark
+    // then clears every real event, so every funnel hit is emitted
+    val sliced = ev.withColumn("_p",
+      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    (1 to 4).foreach { p =>
+      sliced.where(col("_p") === p).drop("_p").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      Thread.sleep(10)
+    }
+    ev.limit(1)
+      .withColumn("ts", (col("ts").cast("timestamp") + expr("INTERVAL 1 DAY"))
+        .cast(ev.schema("ts").dataType))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("view"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    val stream = Streams.fileSource(spark, srcDir, ev.schema, maxFilesPerTrigger = 1)
+    val q = Streams.streamingFunnel(spark, stream, steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val hits = spark.table("funnel_stream")
+      .as[Streams.FunnelHit].collect().filter(_.user_id >= 0)
+    // each (user, step) is emitted at most once — Append-safety
+    assert(hits.groupBy(h => (h.user_id, h.step_no)).values.forall(_.size == 1))
+    val streamedCounts = hits.groupBy(_.step_no)
+      .map { case (s, hs) => s.toLong -> hs.size.toLong }
+    assert(streamedCounts == batch.map { case (s, n) => s -> n },
+      s"stream $streamedCounts vs batch $batch")
+  }
+
   test("stream-stream attribution join equals the batch bounded range join") {
     val ev = Tables.events(spark, sfDir)
     // batch ground truth: inner matches of the same (user, trailing-5m) rule
