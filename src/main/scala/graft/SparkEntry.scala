@@ -755,6 +755,13 @@ object SparkEntry {
     "a17_cms_counts" -> ((s, d) =>
       operators.TextAnalysis.cmsTermCounts(Tables.documents(s, d))),
 
+    // Misra-Gries heavy hitters (rows-only: the survivor set below the
+    // guarantee line is merge-order dependent — MgSpec pins the
+    // undercount bound and the must-survive guarantee)
+    "a22_mg_heavy_hitters" -> ((s, d) =>
+      operators.TextAnalysis.mgHeavyHitters(Tables.documents(s, d), 32)
+        .orderBy(col("est_cnt").desc, col("term"))),
+
     // common user journeys: top-20 time-ordered event-type trigrams
     "a20_event_paths" -> ((s, d) => {
       val ev = Tables.events(s, d)

@@ -546,6 +546,21 @@ object TextAnalysis {
     * equi-join back, one per-doc agg, one slim (doc_id)-only left join so
     * shingle-less docs still report. A hash collision merges two shingles'
     * df on both engines identically, so oracle parity is unaffected. */
+  /** Misra-Gries heavy hitters over the corpus vocabulary: WHICH terms are
+    * frequent, in one pass and O(k) memory per partition — the
+    * candidate-finding sibling of the CMS count estimator
+    * ([[cmsTermCounts]]); see [[graft.plans.MgAgg]] for the guarantee. The
+    * survivor SET below the N/(k+1) frequency line is merge-order
+    * dependent, so the registered query is rows-only and the guarantee
+    * specs are the gate. */
+  def mgHeavyHitters(docs: DataFrame, k: Int = 32): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .agg(graft.plans.MgAgg.summary(col("term"), k).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e").getField("term").as("term"),
+        col("e").getField("cnt").as("est_cnt"))
+
   /** TextRank (Mihalcea & Tarau 2004): PageRank over the word co-occurrence
     * graph — the graph-centrality sibling of TF-IDF keyword ranking
     * ([[keywords]]). A term matters not because it is frequent but because

@@ -920,6 +920,37 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("Misra-Gries summary honors the undercount bound and never overcounts") {
+    val docs = Tables.documents(spark, sfDir)
+    val k = 32
+    val exact = docs.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val got = TextAnalysis.mgHeavyHitters(docs, k)
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty && got.length <= k)
+    got.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overcounted: $est > ${exact(t)}")
+      assert(exact(t) - est <= n / (k + 1),
+        s"$t undercounted past the bound: $est vs ${exact(t)} (N=$n)")
+    }
+    // every term more frequent than N/(k+1) must survive
+    val mustSurvive = exact.filter(_._2 > n / (k + 1)).keySet
+    val survivors = got.map(_._1).toSet
+    assert(mustSurvive.subsetOf(survivors),
+      s"missing guaranteed hitters: ${mustSurvive.diff(survivors)}")
+    // skewed micro corpus: the single heavy term dominates and survives
+    val micro = docsDF(
+      1L -> (Seq.fill(60)("heavy").mkString(" ") + " x y z"),
+      2L -> "p q r s t u v w")
+    val m = TextAnalysis.mgHeavyHitters(micro, 4)
+      .as[(String, Long)].collect().toMap
+    assert(m.contains("heavy") && m("heavy") >= 60L - (71L / 5L))
+  }
+
   test("graphRank on a crafted weighted digraph matches hand-rolled iteration") {
     import spark.implicits._
     // 1 → 2 (w 3), 1 → 3 (w 1), 2 → 3 (w 1), 3 → 1 (w 1): weighted,
