@@ -895,6 +895,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tok_cnt"), col("cum_tokens"))
         .orderBy(col("doc_id"))),
 
+    // length-bucketed batches: power-of-two token-length bands, salted-hash
+    // batch fill, per-batch padding-waste accounting
+    "pack_batches" -> ((s, d) =>
+      operators.Mixing.lengthBucketedBatches(Tables.documents(s, d),
+          batchSize = 8, metric = "bpe")
+        .orderBy(col("band"), col("batch_no"))),
+
     // contrastive triplets: near-dup pairs become (anchor, positive) with
     // a hash-ring-bucketed deterministic negative — embedding-training
     // data mined straight from the dedup pair graph
@@ -2058,6 +2065,23 @@ object SparkEntry {
            |SELECT doc_id, source, tok_cnt, cum_tokens FROM c
            |WHERE cum_tokens - tok_cnt < CASE source WHEN 'src0' THEN 1200 ELSE 600 END
            |ORDER BY doc_id""".stripMargin,
+
+      // length-banded batches: len(bin(n)) = floor(log2)+1 on both engines
+      "pack_batches" ->
+        s"""WITH b AS (SELECT doc_id,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt,
+           |    (${poly("'batch:' || doc_id")}) AS hk
+           |  FROM documents),
+           |f AS (SELECT doc_id, tok_cnt, length(bin(tok_cnt))::BIGINT AS band, hk
+           |  FROM b WHERE tok_cnt > 0),
+           |r AS (SELECT band, tok_cnt,
+           |    (row_number() OVER (PARTITION BY band ORDER BY hk, doc_id) - 1) // 8 AS batch_no
+           |  FROM f)
+           |SELECT band, batch_no, count(*)::BIGINT AS n_docs,
+           |  max(tok_cnt)::BIGINT AS max_tokens, sum(tok_cnt)::BIGINT AS sum_tokens,
+           |  (count(*) * max(tok_cnt) - sum(tok_cnt))::BIGINT AS padding_waste
+           |FROM r GROUP BY band, batch_no
+           |ORDER BY band, batch_no""".stripMargin,
 
       // triplets: the dedup_ngram pair CTEs + the bucketed negative pick
       // (row_number mirrors min(struct(cand_h, cand_id)))

@@ -105,6 +105,38 @@ object Mixing {
     withH.join(kept, Seq("source", idCol), "left_semi").drop("cap_hk")
   }
 
+  /** Length-bucketed batch assembly — group docs of similar token length
+    * into fixed-size batches so per-batch padding (every sequence pads to
+    * the batch max) stays small: the batching step before inference or
+    * packed-attention training. Buckets are power-of-two length bands
+    * (`band = len(bin(tok_cnt))` = floor(log2)+1 — no global quantile pass,
+    * deterministic at any scale); within a band docs batch in salted-hash
+    * order (reproducible, not arrival-ordered). Reports per batch the
+    * padding waste `n·max − Σ` the band structure is there to minimize.
+    *
+    * Plan shape: map-only banding, one per-band window (the packing
+    * posture: per-band sort is the scale cost), one hash agg. */
+  def lengthBucketedBatches(docs: DataFrame, batchSize: Int = 8,
+                            metric: String = "bpe",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val withB = docs.select(col(idCol), tokenMetric(metric).as("tok_cnt"))
+      .where(col("tok_cnt") > 0)
+      .withColumn("band", length(bin(col("tok_cnt"))).cast("long"))
+      .withColumn("bk_hk",
+        charPolyHash(concat(lit("batch:"), col(idCol).cast("string"))))
+    val w = Window.partitionBy(col("band")).orderBy(col("bk_hk"), col(idCol))
+    withB
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_no", expr(s"(rn - 1) DIV $batchSize"))
+      .groupBy(col("band"), col("batch_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("tok_cnt")).as("max_tokens"),
+        sum(col("tok_cnt")).as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   /** Contrastive triplet mining — turn near-dup PAIRS into (anchor,
     * positive, negative) training triplets for embedding models: the
     * positive is the anchor's near-copy, the negative a pseudo-random

@@ -128,6 +128,25 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(again == heapIds)
   }
 
+  test("lengthBucketedBatches bands by log2 length and bounds batch size and waste") {
+    val docs = Tables.documents(spark, sfDir)
+    val batches = Mixing.lengthBucketedBatches(docs, batchSize = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(batches.nonEmpty)
+    batches.foreach { case (band, _, n, maxT, sumT, waste) =>
+      assert(n >= 1 && n <= 8)
+      // every doc in a band has the same bit length ⇒ max < 2·min ⇒ the
+      // worst padding is under (n−1)·max/2
+      assert(maxT < (1L << band) && maxT >= (1L << (band - 1)))
+      assert(waste == n * maxT - sumT && waste < n * maxT / 2 + maxT)
+    }
+    // all docs with tokens are batched exactly once
+    val total = batches.map(_._3).sum
+    val expected = docs
+      .where(Mixing.tokenMetric("bpe") > 0).count()
+    assert(total == expected)
+  }
+
   test("contrastiveTriplets: one negative per pair, never the pair itself, stable") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
