@@ -755,6 +755,12 @@ object SparkEntry {
     "a17_cms_counts" -> ((s, d) =>
       operators.TextAnalysis.cmsTermCounts(Tables.documents(s, d))),
 
+    // quality calibration: per (source, within-source quality quartile),
+    // dup burden + quality/char mass — does the score separate the corpus?
+    "ta_quality_calibration" -> ((s, d) =>
+      operators.TextAnalysis.qualityCalibration(Tables.documents(s, d))
+        .orderBy(col("source"), col("quartile"))),
+
     // Misra-Gries heavy hitters (rows-only: the survivor set below the
     // guarantee line is merge-order dependent — MgSpec pins the
     // undercount bound and the must-survive guarantee)
@@ -2237,6 +2243,33 @@ object SparkEntry {
           |    4 * (q_sumsq * d_days - s_sum * s_sum) AS anomalous
           |FROM daily JOIN st ON daily.event_type = st.event_type
           |ORDER BY event_type, day""".stripMargin,
+
+      // quality calibration: the ta_quality score formula + the
+      // exact-dup window + per-source ntile quartiles
+      "ta_quality_calibration" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH q AS (SELECT doc_id, source, n_chars,
+           |    CAST(floor((10000.0::DOUBLE) *
+           |      least(1.0::DOUBLE, (word_cnt::DOUBLE) / (200.0::DOUBLE)) *
+           |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+           |        (4.0::DOUBLE) * stop_hits / greatest(word_cnt, 1))) + 0.5) AS BIGINT)
+           |      AS quality_x10000,
+           |    CASE WHEN count(*) OVER (PARTITION BY $norm) > 1 THEN 1 ELSE 0 END AS is_dup
+           |  FROM (SELECT doc_id, source, n_chars, text,
+           |      ($wordCnt)::BIGINT AS word_cnt,
+           |      len(list_filter($toks, t -> t IN ($enWords)))::BIGINT AS stop_hits
+           |    FROM documents)),
+           |t AS (SELECT source, n_chars, quality_x10000, is_dup,
+           |    ntile(4) OVER (PARTITION BY source ORDER BY quality_x10000, doc_id)::BIGINT AS quartile
+           |  FROM q)
+           |SELECT source, quartile, count(*)::BIGINT AS n_docs,
+           |  sum(is_dup)::BIGINT AS n_dup_docs,
+           |  sum(quality_x10000)::BIGINT AS sum_quality_x10000,
+           |  sum(n_chars)::BIGINT AS sum_chars
+           |FROM t GROUP BY source, quartile
+           |ORDER BY source, quartile""".stripMargin
+      },
 
       // funnel: per-step earliest-time frontier, strictly-after ordering
       "a18_funnel" ->

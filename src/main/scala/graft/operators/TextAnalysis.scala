@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -546,6 +547,33 @@ object TextAnalysis {
     * equi-join back, one per-doc agg, one slim (doc_id)-only left join so
     * shingle-less docs still report. A hash collision merges two shingles'
     * df on both engines identically, so oracle parity is unaffected. */
+  /** Quality-calibration report: per (source, within-source quality
+    * quartile), doc count, exact-duplicate burden, quality mass, and
+    * character volume — the sanity check that the quality score actually
+    * separates the corpus (low quartiles should carry the dup burden; a
+    * flat dup rate across quartiles means the score is noise for this
+    * source). Quartiles are within-source (`ntile(4)` over the per-source
+    * (quality, id) order — relative filtering, like
+    * [[qualityPercentileGate]], because sources differ systematically).
+    *
+    * Plan shape: the [[Dedup.exactDuplicates]] norm-hash window + one
+    * quality map pass + one per-source ntile window + one hash agg. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("quality_x10000"))
+    val dup = Dedup.exactDuplicates(docs)
+      .select(col("doc_id"), (col("n_copies") > 1).cast("long").as("is_dup"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_x10000"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(q, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("source"), col("quartile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        sum(col("quality_x10000")).as("sum_quality_x10000"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** Misra-Gries heavy hitters over the corpus vocabulary: WHICH terms are
     * frequent, in one pass and O(k) memory per partition — the
     * candidate-finding sibling of the CMS count estimator

@@ -920,6 +920,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("qualityCalibration partitions each source into quartiles covering every doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val cal = TextAnalysis.qualityCalibration(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // quartiles 1..4 per source, covering all docs exactly once
+    assert(cal.map(_._3).sum == docs.count())
+    assert(cal.forall(r => r._2 >= 1 && r._2 <= 4))
+    val bySource = cal.groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._2).toSet == Set(1L, 2L, 3L, 4L), s"$src quartiles")
+      // ntile balance: sizes differ by at most 1
+      val sizes = rows.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$src sizes ${sizes.toSeq}")
+    }
+    // dup totals agree with the dedup operator
+    val dupTotal = operators.Dedup.exactDuplicates(docs)
+      .where(col("n_copies") > 1).count()
+    assert(cal.map(_._4).sum == dupTotal)
+  }
+
   test("Misra-Gries summary honors the undercount bound and never overcounts") {
     val docs = Tables.documents(spark, sfDir)
     val k = 32
