@@ -666,6 +666,17 @@ object SparkEntry {
       operators.TextAnalysis.novelty(Tables.documents(s, d), 8)
         .orderBy(col("doc_id"))),
 
+    // ORC round-trip: the corpus through the other columnar format —
+    // write + schema-enforced read must be lossless
+    "src_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+      sources.Formats.write(docs, dir, "orc")
+      sources.Formats.read(s, dir, "orc", docs.schema)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // lake layout round-trip: write the corpus lang-partitioned +
     // length-sorted, read it back through partition pruning (the scan
     // only opens lang=en/ — PlanAuditSpec proves the file count)
@@ -2457,6 +2468,11 @@ object SparkEntry {
 
       // bigrams are NON-distinct here (occurrence counts), unlike the
       // dedup shingle fragment
+      // ORC: lossless round-trip ⇒ the oracle reads the source directly
+      "src_orc_roundtrip" ->
+        """SELECT doc_id, source, n_chars FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
       // lake layout: the round-trip must be lossless, so the oracle is the
       // same filter on the source table directly
       "layout_pruned_scan" ->
