@@ -666,6 +666,18 @@ object SparkEntry {
       operators.TextAnalysis.novelty(Tables.documents(s, d), 8)
         .orderBy(col("doc_id"))),
 
+    // lake compaction plan over a manifest proxy (dir = source, file =
+    // zero-padded doc id, bytes = n_chars): greedy contiguous byte-budget
+    // groups per directory
+    "layout_compaction" -> ((s, d) =>
+      sources.LakeLayout.compactionPlan(
+          Tables.documents(s, d).select(
+            col("source").as("dir"),
+            lpad(col("doc_id").cast("string"), 6, "0").as("file"),
+            col("n_chars").as("bytes")),
+          targetBytes = 2000L)
+        .orderBy(col("dir"), col("group_no"))),
+
     // ORC round-trip: the corpus through the other columnar format —
     // write + schema-enforced read must be lossless
     "src_orc_roundtrip" -> ((s, d) => {
@@ -2468,6 +2480,21 @@ object SparkEntry {
 
       // bigrams are NON-distinct here (occurrence counts), unlike the
       // dedup shingle fragment
+      // compaction plan: same prefix-sum grouping in file-name order
+      "layout_compaction" ->
+        """WITH m AS (SELECT source AS dir,
+          |    lpad(doc_id::VARCHAR, 6, '0') AS file, n_chars AS bytes
+          |  FROM documents),
+          |c AS (SELECT dir, file, bytes,
+          |    sum(bytes) OVER (PARTITION BY dir ORDER BY file
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM m)
+          |SELECT dir, (cum - bytes) // 2000 AS group_no,
+          |  count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS group_bytes,
+          |  min(file) AS first_file, max(file) AS last_file
+          |FROM c GROUP BY dir, group_no
+          |ORDER BY dir, group_no""".stripMargin,
+
       // ORC: lossless round-trip ⇒ the oracle reads the source directly
       "src_orc_roundtrip" ->
         """SELECT doc_id, source, n_chars FROM documents

@@ -105,4 +105,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(back.exceptAll(docs.select("doc_id", "text", "lang", "source", "n_chars"))
       .isEmpty)
   }
+
+  test("compaction plan groups real listed files contiguously under the byte target") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // a deliberately fragmented layout: 4 files per partition directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    sources.LakeLayout.writeOptimized(Tables.documents(spark, sfDir), dir,
+      partitionCols = Seq("lang"), sortCols = Seq("n_chars"),
+      filesPerPartition = 4)
+    // the real manifest: (partition dir, file name, bytes) off the disk
+    val manifest = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => (p.getParent.getFileName.toString, p.getFileName.toString,
+        java.nio.file.Files.size(p)))
+      .toSeq
+    val perDir = manifest.groupBy(_._1)
+    assert(perDir.nonEmpty && perDir.forall(_._2.size <= 4))
+    assert(perDir.exists(_._2.size > 1), "layout produced no fragmentation")
+    val target = manifest.map(_._3).max + 1 // every group must take >= 2 files
+    val plan = sources.LakeLayout.compactionPlan(
+        manifest.toDF("dir", "file", "bytes"), target)
+      .as[(String, Long, Long, Long, String, String)].collect()
+    // full coverage, contiguity, and the budget rule: a group's size stays
+    // under target + one file (only the boundary-crossing member overshoots)
+    assert(plan.map(_._3).sum == manifest.size)
+    val maxFile = manifest.map(_._3).max
+    plan.groupBy(_._1).foreach { case (d, groups) =>
+      val sorted = groups.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"$d groups overlap")
+        case _ =>
+      }
+      sorted.foreach(g => assert(g._4 <= target + maxFile,
+        s"$d group ${g._2} oversize: ${g._4}"))
+    }
+  }
 }
