@@ -701,6 +701,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // unicode cleanup over planted dirty text (curly quotes, long dash,
+    // NBSP, zero-width, a control char): canonicalization before
+    // hash-based dedup
+    "p13_normalize_unicode" -> ((s, d) => {
+      val dirty = concat(lit("\u201Cquoted\u201D \u2013 "), col("text"),
+        lit("\u00A0tail\u200B\u0007"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          normalizeUnicode(dirty).as("clean"))
+        .select(col("doc_id"), charPolyHash(col("clean")).as("clean_hash"),
+          length(col("clean")).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // redirect-chain resolution (the set form of the reference's F5
     // redirect hop): planted chains doc_id → doc_id-1 within each 8-block,
     // resolved to the chain end by O(log) pointer doubling
@@ -2505,6 +2519,24 @@ object SparkEntry {
       "layout_pruned_scan" ->
         """SELECT doc_id, source, n_chars FROM documents
           |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+      // unicode cleanup: same planted dirt, same explicit codepoint
+      // classes (RE2 \\x{...} spelling of the Java \\uXXXX classes)
+      "p13_normalize_unicode" ->
+        s"""WITH dirty AS (SELECT doc_id,
+           |    chr(8220) || 'quoted' || chr(8221) || ' ' || chr(8211) || ' ' || text ||
+           |      chr(160) || 'tail' || chr(8203) || chr(7) AS t
+           |  FROM documents),
+           |c1 AS (SELECT doc_id, regexp_replace(t, '[\\x{2018}\\x{2019}\\x{201A}\\x{201B}]', '''', 'g') AS t FROM dirty),
+           |c2 AS (SELECT doc_id, regexp_replace(t, '[\\x{201C}\\x{201D}\\x{201E}]', '"', 'g') AS t FROM c1),
+           |c3 AS (SELECT doc_id, regexp_replace(t, '[\\x{2013}\\x{2014}\\x{2015}]', '-', 'g') AS t FROM c2),
+           |c4 AS (SELECT doc_id, regexp_replace(t, '[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{3000}]', ' ', 'g') AS t FROM c3),
+           |c5 AS (SELECT doc_id, regexp_replace(t, '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g') AS t FROM c4),
+           |c6 AS (SELECT doc_id, regexp_replace(t, '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', '', 'g') AS t FROM c5),
+           |n AS (SELECT doc_id, ${normOf("t")} AS clean FROM c6)
+           |SELECT doc_id, ${poly("clean")} AS clean_hash,
+           |  length(clean)::BIGINT AS clean_len
+           |FROM n ORDER BY doc_id""".stripMargin,
 
       // graphRank over the planted hub-star + hub-ring doc graph; same
       // shared unrolled recurrence, node ids instead of terms

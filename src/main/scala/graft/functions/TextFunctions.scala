@@ -20,6 +20,26 @@ object TextFunctions {
   def tokens(c: Column): Column =
     split(normalizeWhitespace(c), " ")
 
+  /** Unicode cleanup — the punctuation/space canonicalization pass web
+    * corpora need before any hash-based dedup (a curly quote makes two
+    * otherwise-identical docs distinct): curly quotes → straight, long
+    * dashes → hyphen, exotic spaces → plain space, zero-width and control
+    * characters → removed, then whitespace-normalized. Every class is an
+    * explicit codepoint list (no locale-dependent regex classes — Java and
+    * RE2 must agree char for char). Map-only, codegen'd, idempotent. */
+  def normalizeUnicode(c: Column): Column = {
+    val singles = regexp_replace(c, "[\u2018\u2019\u201A\u201B]", "'")
+    val doubles = regexp_replace(singles, "[\u201C\u201D\u201E]", "\"")
+    val dashes = regexp_replace(doubles, "[\u2013\u2014\u2015]", "-")
+    val spaces = regexp_replace(dashes,
+      "[\u00A0\u2000-\u200A\u202F\u3000]", " ")
+    val zeroWidth = regexp_replace(spaces,
+      "[\u200B\u200C\u200D\uFEFF]", "")
+    val controls = regexp_replace(zeroWidth,
+      "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]", "")
+    normalizeWhitespace(controls)
+  }
+
   /** P8 category cleanup — drop falsy, strip `Category:` prefix, trim, drop
     * empties; reference `src/data_processor.py:68-83`. Pure higher-order
     * array functions, no shuffle, no UDF. */

@@ -32,6 +32,17 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("unicode cleanup canonicalizes quotes/dashes/spaces, strips invisibles, idempotent") {
+    val dirty = "\u201CHi\u201D \u2018there\u2019 \u2014 a\u00A0b c" +
+      "\u200Bd\u0007 ef\u2003g"
+    val got = eval1(normalizeUnicode(col("s")), dirty)
+    assert(got == "\"Hi\" 'there' - a b cd ef g")
+    // idempotent: a second pass changes nothing
+    assert(eval1(normalizeUnicode(lit(got)), "x") == got)
+    // clean ASCII passes through untouched (modulo whitespace collapse)
+    assert(eval1(normalizeUnicode(col("s")), "plain  text") == "plain text")
+  }
+
   test("P8 category cleanup strips prefix, trims, drops empties") {
     val got = Seq(Seq("Category:Science", " Category:Art ", "", "Category:  ", "Plain"))
       .toDF("cats")
