@@ -792,6 +792,12 @@ object SparkEntry {
     "a17_cms_counts" -> ((s, d) =>
       operators.TextAnalysis.cmsTermCounts(Tables.documents(s, d))),
 
+    // language-consistency audit: per (source, declared lang), classifier
+    // agreement / abstention / mismatch counts
+    "ta_lang_mismatch" -> ((s, d) =>
+      operators.TextAnalysis.langMismatchReport(Tables.documents(s, d))
+        .orderBy(col("source"), col("actual_lang"))),
+
     // quality calibration: per (source, within-source quality quartile),
     // dup burden + quality/char mass — does the score separate the corpus?
     "ta_quality_calibration" -> ((s, d) =>
@@ -2280,6 +2286,31 @@ object SparkEntry {
           |    4 * (q_sumsq * d_days - s_sum * s_sum) AS anomalous
           |FROM daily JOIN st ON daily.event_type = st.event_type
           |ORDER BY event_type, day""".stripMargin,
+
+      // language audit: the ta_langid prediction CASE + a (source, lang)
+      // rollup
+      "ta_lang_mismatch" -> {
+        val langs = operators.TextAnalysis.stopwords
+        val scoreCols = langs.map { case (l, ws) =>
+          s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))::BIGINT AS score_$l"
+        }.mkString(",\n  ")
+        val names = langs.map(_._1)
+        val pred = names.map { l =>
+          val isMax = names.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+          s"WHEN $isMax AND score_$l > 0 THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH p AS (SELECT source, actual_lang, $pred AS predicted_lang
+           |  FROM (SELECT source, lang AS actual_lang,
+           |    $scoreCols
+           |  FROM documents))
+           |SELECT source, actual_lang, count(*)::BIGINT AS n_docs,
+           |  sum(CASE WHEN predicted_lang = actual_lang THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+           |  sum(CASE WHEN predicted_lang = 'und' THEN 1 ELSE 0 END)::BIGINT AS n_undetermined,
+           |  sum(CASE WHEN predicted_lang <> actual_lang AND predicted_lang <> 'und'
+           |    THEN 1 ELSE 0 END)::BIGINT AS n_mismatch
+           |FROM p GROUP BY source, actual_lang
+           |ORDER BY source, actual_lang""".stripMargin
+      },
 
       // quality calibration: the ta_quality score formula + the
       // exact-dup window + per-source ntile quartiles

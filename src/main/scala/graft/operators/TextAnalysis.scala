@@ -46,6 +46,23 @@ object TextAnalysis {
         Seq(pred.as("predicted_lang"), col("lang").as("actual_lang")): _*)
   }
 
+  /** Language-consistency audit: per (source, declared lang), how many docs
+    * does the [[langId]] classifier agree with, disagree with, or abstain
+    * on (`und`)? A source whose mismatch rate spikes is mislabeled or mixed
+    * — the signal that routes it to re-tagging before language-filtered
+    * training mixes are drawn. One classifier pass + one hash agg. */
+  def langMismatchReport(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("actual_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted_lang") === col("actual_lang"), 1L)
+          .otherwise(0L)).as("n_agree"),
+        sum(when(col("predicted_lang") === "und", 1L).otherwise(0L))
+          .as("n_undetermined"),
+        sum(when(col("predicted_lang") =!= col("actual_lang") &&
+          col("predicted_lang") =!= "und", 1L).otherwise(0L)).as("n_mismatch"))
+
   /** Quality scoring: length/punctuation/stopword/digit signals + a combined
     * fixed-point score. Mirrors the heuristics LLM-corpus filters use
     * (length fit, symbol density, stopword density). */

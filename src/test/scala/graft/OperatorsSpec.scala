@@ -920,6 +920,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("langMismatchReport counts partition agree/abstain/mismatch completely") {
+    val docs = Tables.documents(spark, sfDir)
+    val rep = TextAnalysis.langMismatchReport(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // the three buckets partition every group
+    rep.foreach { case (src, lang, n, agree, und, mis) =>
+      assert(agree + und + mis == n, s"($src, $lang) buckets don't sum")
+    }
+    assert(rep.map(_._3).sum == docs.count())
+    // crafted rows: an en doc in stopword-rich German is a mismatch, one
+    // with no stopwords at all is undetermined
+    val crafted = docsDF(
+      1L -> "the cat of the hat is a cat",  // en-scoring
+      2L -> "der hund und die katze ist ein hund", // de-scoring
+      3L -> "zzz qqq www")                  // no stopword hits
+    val got = TextAnalysis.langMismatchReport(crafted)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("src0", "en", 3L, 1L, 1L, 1L)))
+  }
+
   test("qualityCalibration partitions each source into quartiles covering every doc") {
     val docs = Tables.documents(spark, sfDir)
     val cal = TextAnalysis.qualityCalibration(docs)
