@@ -951,6 +951,13 @@ object SparkEntry {
           batchSize = 8, metric = "bpe")
         .orderBy(col("band"), col("batch_no"))),
 
+    // BM25 lexical retrieval: docs 0-4 as query bags over the inverted
+    // index, fixed-point integer scoring, df-capped postings
+    "sim_bm25" -> ((s, d) =>
+      operators.Similarity.bm25TopK(Tables.documents(s, d),
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))),
+
     // contrastive triplets: near-dup pairs become (anchor, positive) with
     // a hash-ring-bucketed deterministic negative — embedding-training
     // data mined straight from the dedup pair graph
@@ -2131,6 +2138,33 @@ object SparkEntry {
            |  (count(*) * max(tok_cnt) - sum(tok_cnt))::BIGINT AS padding_waste
            |FROM r GROUP BY band, batch_no
            |ORDER BY band, batch_no""".stripMargin,
+
+      // BM25: same fixed-point recurrence — capped integer idf, every
+      // division an explicit floor DIV at a fixed scale
+      "sim_bm25" ->
+        s"""WITH tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM
+           |    (SELECT doc_id, unnest($toks) AS t FROM documents)
+           |  WHERE t <> '' GROUP BY doc_id, t),
+           |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+           |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_len FROM dl),
+           |dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t
+           |  HAVING count(*) <= 1000),
+           |q AS (SELECT DISTINCT doc_id AS query_id, t FROM tf
+           |  WHERE doc_id IN (0, 1, 2, 3, 4)),
+           |sc AS (SELECT q.query_id, tf.doc_id,
+           |    least(CAST(floor((100.0::DOUBLE) * n_docs / df) AS BIGINT), 10000) *
+           |      ((tf.tf * 2200 * 1000) // (tf.tf * 1000 +
+           |        (1200 * (250 + (750 * dl.dl * 1000) // ((1000 * tot_len) // n_docs))) // 1000))
+           |      AS contrib
+           |  FROM q JOIN tf USING (t) JOIN dfq USING (t)
+           |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+           |  WHERE tf.doc_id <> q.query_id),
+           |r AS (SELECT query_id, doc_id, sum(contrib)::BIGINT AS score_x1e5,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sum(contrib) DESC, doc_id) AS rank
+           |  FROM sc GROUP BY query_id, doc_id)
+           |SELECT query_id, doc_id, rank::BIGINT AS rank, score_x1e5
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       // triplets: the dedup_ngram pair CTEs + the bucketed negative pick
       // (row_number mirrors min(struct(cand_h, cand_id)))

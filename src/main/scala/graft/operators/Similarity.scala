@@ -570,4 +570,64 @@ object Similarity {
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cos_x1e6"))
   }
+
+  /** BM25 top-k retrieval — THE lexical ranking function (Robertson et al.;
+    * what Lucene/Elasticsearch score with), here as a distributed inverted-
+    * index query in pure FIXED-POINT integer arithmetic so rankings are
+    * bit-identical cross-engine: per matched term,
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avdl))`, with the same capped
+    * integer idf as [[tfidfNeighbors]] (`min(⌊100·N/df⌋, cap)` — the
+    * documented deviation from the ln form; ranking-equivalent
+    * monotonicity) and every division an explicit `DIV` at a fixed scale.
+    * Query docs' DISTINCT terms form the query bag (classic query-side
+    * tf = 1); the query doc itself is excluded from its results.
+    *
+    * Plan shape: one tokenize+tf agg over the corpus, df with the `maxDf`
+    * hot-term cap (bounds join fan-out — the `docFreqCap` lever), the
+    * query-term table is tiny and drives an inverted-index equi-join on the
+    * term, one (query, doc) sum agg, one per-query window top-k. The
+    * length/total stats ride along as a broadcast one-row aggregate (the
+    * `ta_keywords` pattern). */
+  def bm25TopK(docs: DataFrame, queryIds: Seq[Long], k: Int,
+               maxDf: Long = 1000, idfCapX100: Long = 10000,
+               k1X10: Long = 12, bX100: Long = 75): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "need query docs and positive k")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val qTerms = tf.where(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val scored = qTerms
+      .join(tf.join(dfT, Seq("t")), Seq("t"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_x100", least(
+        floor(lit(100.0) * col("n_docs") / col("df")).cast("long"),
+        lit(idfCapX100)))
+      .withColumn("avdl_x1000", expr("(1000 * tot_len) DIV n_docs"))
+      .withColumn("norm_x1000",
+        lit(1000L - 10L * bX100) +
+          expr(s"(${10L * bX100} * dl * 1000) DIV avdl_x1000"))
+      .withColumn("tfc_x1000", expr(
+        s"(tf * ${(k1X10 + 10L) * 100L} * 1000) DIV " +
+          s"(tf * 1000 + (${k1X10 * 100L} * norm_x1000) DIV 1000)"))
+      .withColumn("contrib", col("idf_x100") * col("tfc_x1000"))
+    val ranked = scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_x1e5"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_x1e5").desc, col("doc_id"))
+    ranked
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score_x1e5"))
+  }
 }

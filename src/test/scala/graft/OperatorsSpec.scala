@@ -920,6 +920,29 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("bm25 ranks lexical overlap, favors shorter docs at equal tf, skips self") {
+    // query doc 1: "alpha beta". doc 2 and doc 3 both contain "alpha" once;
+    // doc 3 is much longer → length normalization must rank doc 2 first.
+    // doc 4 shares nothing → absent. doc 5 has "alpha" twice but is long.
+    val docs = docsDF(
+      1L -> "alpha beta",
+      2L -> "alpha x y",
+      3L -> ("alpha " + (1 to 30).map(i => s"w$i").mkString(" ")),
+      4L -> "nothing shared here",
+      5L -> ("alpha alpha " + (1 to 30).map(i => s"v$i").mkString(" ")))
+    val got = Similarity.bm25TopK(docs, Seq(1L), k = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val ids = got.map(_._2)
+    assert(!ids.contains(1L) && !ids.contains(4L))
+    assert(ids.toSet == Set(2L, 3L, 5L))
+    val score = got.map(g => g._2 -> g._4).toMap
+    assert(score(2L) > score(3L), s"length norm failed: $score")
+    // tf saturation + length: twice-alpha in a long doc still beats
+    // once-alpha in an equally long doc
+    assert(score(5L) > score(3L), s"tf failed: $score")
+  }
+
   test("langMismatchReport counts partition agree/abstain/mismatch completely") {
     val docs = Tables.documents(spark, sfDir)
     val rep = TextAnalysis.langMismatchReport(docs)
