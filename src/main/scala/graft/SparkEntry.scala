@@ -958,6 +958,19 @@ object SparkEntry {
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))),
 
+    // hybrid retrieval: RRF-fuse the BM25 lexical ranking with the
+    // feature-hashed vector ranking for the same query docs
+    "sim_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lex = operators.Similarity.bm25TopK(docs,
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vec = operators.Similarity.hashedNeighbors(docs, nQueries = 5, k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      operators.Similarity.rrfFuse(Seq(lex, vec), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // contrastive triplets: near-dup pairs become (anchor, positive) with
     // a hash-ring-bucketed deterministic negative — embedding-training
     // data mined straight from the dedup pair graph
@@ -2138,6 +2151,69 @@ object SparkEntry {
            |  (count(*) * max(tok_cnt) - sum(tok_cnt))::BIGINT AS padding_waste
            |FROM r GROUP BY band, batch_no
            |ORDER BY band, batch_no""".stripMargin,
+
+      // RRF: both retrieval pipelines as namespaced CTEs + the integer
+      // 100000 // (60 + rank) fusion
+      "sim_rrf" ->
+        s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+           |bt AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM
+           |    (SELECT doc_id, unnest(toks) AS t FROM tok)
+           |  WHERE t <> '' GROUP BY doc_id, t),
+           |bdl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM bt GROUP BY doc_id),
+           |bst AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_len FROM bdl),
+           |bdf AS (SELECT t, count(*)::BIGINT AS df FROM bt GROUP BY t
+           |  HAVING count(*) <= 1000),
+           |bq AS (SELECT DISTINCT doc_id AS query_id, t FROM bt
+           |  WHERE doc_id IN (0, 1, 2, 3, 4)),
+           |bsc AS (SELECT bq.query_id, bt.doc_id,
+           |    least(CAST(floor((100.0::DOUBLE) * n_docs / df) AS BIGINT), 10000) *
+           |      ((bt.tf * 2200 * 1000) // (bt.tf * 1000 +
+           |        (1200 * (250 + (750 * bdl.dl * 1000) // ((1000 * tot_len) // n_docs))) // 1000))
+           |      AS contrib
+           |  FROM bq JOIN bt USING (t) JOIN bdf USING (t)
+           |    JOIN bdl ON bdl.doc_id = bt.doc_id CROSS JOIN bst
+           |  WHERE bt.doc_id <> bq.query_id),
+           |br AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sum(contrib) DESC, doc_id) AS rank
+           |  FROM bsc GROUP BY query_id, doc_id),
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 2),
+           |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS g
+           |  FROM tok),
+           |hh AS (SELECT doc_id, ${poly("g")} AS h FROM g),
+           |ent AS (SELECT doc_id, h % 64 AS idx,
+           |    sum(CASE WHEN h % 128 >= 64 THEN -1 ELSE 1 END)::BIGINT AS v
+           |  FROM hh GROUP BY doc_id, h % 64
+           |  HAVING sum(CASE WHEN h % 128 >= 64 THEN -1 ELSE 1 END) <> 0),
+           |nrm AS (SELECT doc_id, sum(v*v)::BIGINT AS nsq FROM ent GROUP BY doc_id),
+           |hdots AS (SELECT q.doc_id AS query_id, e.doc_id AS doc_id,
+           |    sum(q.v * e.v)::BIGINT AS dot
+           |  FROM ent q JOIN ent e USING (idx)
+           |  WHERE q.doc_id < 5 AND q.doc_id <> e.doc_id
+           |  GROUP BY q.doc_id, e.doc_id),
+           |hc AS (SELECT hdots.query_id, hdots.doc_id, CAST(floor(1000000.0 * dot /
+           |    (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE)))) AS BIGINT) AS cos_x1e6
+           |  FROM hdots JOIN nrm n1 ON n1.doc_id = hdots.query_id
+           |    JOIN nrm n2 ON n2.doc_id = hdots.doc_id),
+           |hr AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos_x1e6 DESC, doc_id) AS rank
+           |  FROM hc),
+           |u AS (SELECT query_id, doc_id, 100000 // (60 + rank) AS c
+           |    FROM br WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT query_id, doc_id, 100000 // (60 + rank) AS c
+           |    FROM hr WHERE rank <= 10),
+           |f AS (SELECT query_id, doc_id, sum(c)::BIGINT AS rrf_x1e5,
+           |    count(*)::BIGINT AS n_systems
+           |  FROM u GROUP BY query_id, doc_id),
+           |fr AS (SELECT query_id, doc_id, rrf_x1e5, n_systems,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_x1e5 DESC, doc_id) AS rank
+           |  FROM f)
+           |SELECT query_id, doc_id, rank::BIGINT AS rank, rrf_x1e5, n_systems
+           |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
       // BM25: same fixed-point recurrence — capped integer idf, every
       // division an explicit floor DIV at a fixed scale

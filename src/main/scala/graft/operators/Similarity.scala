@@ -630,4 +630,31 @@ object Similarity {
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("score_x1e5"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.) — hybrid retrieval's standard
+    * combiner: each system's ranked list `(query_id, doc_id, rank)`
+    * contributes `1/(K + rank)` and the fused order is by the sum. Rank-
+    * based, so systems with incomparable score scales (BM25 vs cosine)
+    * fuse without calibration. Fixed point: `100000 DIV (K + rank)` —
+    * integer, cross-engine exact. Also reports how many systems surfaced
+    * each doc (`n_systems` — the agreement signal).
+    *
+    * Plan shape: union of the (already small) top-k lists, one hash agg,
+    * one per-query window — the fusion itself is free next to the
+    * underlying retrievals. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty && k >= 1, "need rankings and positive k")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"100000 DIV ($rrfK + rank)").as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_x1e5"), count(lit(1)).as("n_systems"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_x1e5").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("rrf_x1e5"), col("n_systems"))
+  }
 }

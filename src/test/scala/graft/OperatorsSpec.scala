@@ -943,6 +943,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(score(5L) > score(3L), s"tf failed: $score")
   }
 
+  test("rrfFuse sums reciprocal ranks and rewards cross-system agreement") {
+    import spark.implicits._
+    // q1: system A ranks docs 10,20,30; system B ranks 20,40. doc 20 is
+    // the only two-system doc: 100000/62 + 100000/61 = 1612 + 1639 = 3251,
+    // beating A's rank-1 doc 10 (100000/61 = 1639)
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 40L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 20L, 1L, 3251L, 2L),
+      (1L, 10L, 2L, 1639L, 1L),
+      (1L, 40L, 3L, 1612L, 1L),
+      (1L, 30L, 4L, 1587L, 1L)))
+  }
+
   test("langMismatchReport counts partition agree/abstain/mismatch completely") {
     val docs = Tables.documents(spark, sfDir)
     val rep = TextAnalysis.langMismatchReport(docs)
