@@ -725,6 +725,14 @@ object SparkEntry {
       ArticleOps.resolveRedirects(redirects).orderBy(col("id"))
     }),
 
+    // per-node triangle counts over the near-dup pair graph: clique
+    // (template family) vs chain (drift) — the dedup-report distinction
+    "graph_triangles" -> ((s, d) => {
+      val pairs = operators.Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        cfg.ngramN, cfg.minJaccardX10000)
+      operators.Graphs.triangleCounts(pairs).orderBy(col("node"))
+    }),
+
     // TextRank: fixed-point integer PageRank over the word co-occurrence
     // graph, 10 damped rounds — graph-centrality keyword ranking; the
     // oracle replays the identical integer recurrence as unrolled CTEs
@@ -2678,6 +2686,29 @@ object SparkEntry {
            |SELECT doc_id, ${poly("clean")} AS clean_hash,
            |  length(clean)::BIGINT AS clean_len
            |FROM n ORDER BY doc_id""".stripMargin,
+
+      // triangles: dedup_ngram's pair CTEs + the canonical a<b<c join
+      "graph_triangles" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a AS a, doc_b AS b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jx
+           |    FROM common
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jx >= 5000),
+           |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+           |  FROM pr e1 JOIN pr e2 ON e1.b = e2.a
+           |  WHERE EXISTS (SELECT 1 FROM pr e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+           |nodes AS (SELECT a AS node FROM tri
+           |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+           |SELECT node, count(*)::BIGINT AS triangles
+           |FROM nodes GROUP BY node ORDER BY node""".stripMargin,
 
       // graphRank over the planted hub-star + hub-ring doc graph; same
       // shared unrolled recurrence, node ids instead of terms

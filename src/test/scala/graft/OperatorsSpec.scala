@@ -1032,6 +1032,18 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(m.contains("heavy") && m("heavy") >= 60L - (71L / 5L))
   }
 
+  test("triangleCounts: cliques count, chains don't, duplicates and orientation ignored") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} → C(3,2)=3 triangles per node; chain 10-11-12 → none;
+    // edges arrive in mixed orientation with a duplicate
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (b, a) // reversed
+    val pairs = (k4 ++ Seq((10L, 11L), (11L, 12L), (1L, 2L)))
+      .toDF("doc_a", "doc_b")
+    val got = operators.Graphs.triangleCounts(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("graphRank on a crafted weighted digraph matches hand-rolled iteration") {
     import spark.implicits._
     // 1 → 2 (w 3), 1 → 3 (w 1), 2 → 3 (w 1), 3 → 1 (w 1): weighted,
