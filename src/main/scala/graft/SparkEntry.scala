@@ -800,6 +800,16 @@ object SparkEntry {
     "a17_cms_counts" -> ((s, d) =>
       operators.TextAnalysis.cmsTermCounts(Tables.documents(s, d))),
 
+    // sentence-shape stats over planted sentence boundaries (the corpus
+    // text has none): Gopher-style document-form signals
+    "ta_sentences" -> ((s, d) => {
+      val planted = Tables.documents(s, d).withColumn("text",
+        regexp_replace(
+          regexp_replace(col("text"), " (spark|data|join) ", ". $1 "),
+          " (table|row) ", "! $1 "))
+      operators.TextAnalysis.sentenceStats(planted).orderBy(col("doc_id"))
+    }),
+
     // language-consistency audit: per (source, declared lang), classifier
     // agreement / abstention / mismatch counts
     "ta_lang_mismatch" -> ((s, d) =>
@@ -2404,6 +2414,33 @@ object SparkEntry {
           |    4 * (q_sumsq * d_days - s_sum * s_sum) AS anomalous
           |FROM daily JOIN st ON daily.event_type = st.event_type
           |ORDER BY event_type, day""".stripMargin,
+
+      // sentence stats: same planted boundaries (DuckDB backrefs are \1
+      // where Spark's are $1), same split + fixed-point means
+      "ta_sentences" ->
+        s"""WITH p AS (SELECT doc_id,
+           |    regexp_replace(regexp_replace(text,
+           |      ' (spark|data|join) ', '. \\1 ', 'g'),
+           |      ' (table|row) ', '! \\1 ', 'g') AS text
+           |  FROM documents),
+           |segs AS (SELECT doc_id, list_filter(
+           |    list_transform(string_split_regex(text, '[.!?]+'),
+           |      s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))),
+           |    s -> s <> '') AS sent FROM p),
+           |lens AS (SELECT doc_id,
+           |    list_transform(sent, s -> len(string_split(s, ' '))) AS lens
+           |  FROM segs)
+           |SELECT doc_id, len(lens)::BIGINT AS n_sentences,
+           |  CASE WHEN len(lens) = 0 THEN 0::BIGINT
+           |    ELSE CAST(floor((100.0::DOUBLE) *
+           |      list_reduce(list_prepend(0::BIGINT, lens), (a, b) -> a + b) /
+           |      len(lens)) AS BIGINT) END AS mean_sentence_len_x100,
+           |  coalesce(list_max(lens), 0)::BIGINT AS max_sentence_len,
+           |  CASE WHEN len(lens) = 0 THEN 0::BIGINT
+           |    ELSE CAST(floor((10000.0::DOUBLE) *
+           |      len(list_filter(lens, x -> x = 1)) / len(lens)) AS BIGINT)
+           |  END AS one_word_frac_x10000
+           |FROM lens ORDER BY doc_id""".stripMargin,
 
       // language audit: the ta_langid prediction CASE + a (source, lang)
       // rollup

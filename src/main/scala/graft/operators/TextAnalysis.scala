@@ -46,6 +46,34 @@ object TextAnalysis {
         Seq(pred.as("predicted_lang"), col("lang").as("actual_lang")): _*)
   }
 
+  /** Sentence statistics — the Gopher-style document-shape signals word
+    * counts can't see: sentence count, mean/max sentence length in words
+    * (×100 fixed point), and the fraction of one-word "sentences"
+    * (bullet-point debris). Sentences split on `[.!?]+` runs; segments
+    * with no word characters don't count. Map-only; DuckDB mirrors the
+    * same regex split. */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val segs = split(col("text"), "[.!?]+")
+    val sent = filter(
+      transform(segs, s => normalizeWhitespace(s)),
+      s => s =!= "")
+    val lens = col("lens")
+    docs
+      .select(col("doc_id"),
+        transform(sent, s => size(split(s, " "))).as("lens"))
+      .select(col("doc_id"),
+        size(lens).cast("long").as("n_sentences"),
+        when(size(lens) === 0, lit(0L))
+          .otherwise(floor(lit(100.0) *
+            aggregate(lens, lit(0L), (a, x) => a + x) / size(lens)).cast("long"))
+          .as("mean_sentence_len_x100"),
+        coalesce(array_max(lens), lit(0)).cast("long").as("max_sentence_len"),
+        when(size(lens) === 0, lit(0L))
+          .otherwise(floor(lit(10000.0) *
+            size(filter(lens, x => x === 1)) / size(lens)).cast("long"))
+          .as("one_word_frac_x10000"))
+  }
+
   /** Language-consistency audit: per (source, declared lang), how many docs
     * does the [[langId]] classifier agree with, disagree with, or abstain
     * on (`und`)? A source whose mismatch rate spikes is mislabeled or mixed

@@ -943,6 +943,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(score(5L) > score(3L), s"tf failed: $score")
   }
 
+  test("sentenceStats splits on terminators, scores shape signals") {
+    // "One two. Three! Four five six? x" → sentences of 2, 1, 3, 1 words:
+    // n=4, mean = 175 (×100), max = 3, one-word frac = 5000 (×10000)
+    val docs = docsDF(
+      1L -> "One two. Three! Four five six? x",
+      2L -> "no terminators at all",
+      3L -> "...")
+    val got = TextAnalysis.sentenceStats(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 175L, 3L, 5000L),
+      (2L, 1L, 400L, 4L, 0L),
+      (3L, 0L, 0L, 0L, 0L)))
+  }
+
   test("rrfFuse sums reciprocal ranks and rewards cross-system agreement") {
     import spark.implicits._
     // q1: system A ranks docs 10,20,30; system B ranks 20,40. doc 20 is
