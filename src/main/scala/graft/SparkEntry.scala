@@ -976,6 +976,14 @@ object SparkEntry {
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))),
 
+    // snippet extraction: the 10-token window with the most query-term
+    // hits per doc (earliest on ties) — retrieval's display half
+    "sim_snippets" -> ((s, d) =>
+      operators.Similarity.snippets(
+          Tables.documents(s, d).where(col("doc_id") < 50),
+          queryTerms = Seq("spark", "join", "data"), windowTokens = 10)
+        .orderBy(col("doc_id"))),
+
     // hybrid retrieval: RRF-fuse the BM25 lexical ranking with the
     // feature-hashed vector ranking for the same query docs
     "sim_rrf" -> ((s, d) => {
@@ -2169,6 +2177,26 @@ object SparkEntry {
            |  (count(*) * max(tok_cnt) - sum(tok_cnt))::BIGINT AS padding_waste
            |FROM r GROUP BY band, batch_no
            |ORDER BY band, batch_no""".stripMargin,
+
+      // snippets: same window scan via list slicing (both engines 1-based,
+      // clamped, first-match argmax)
+      "sim_snippets" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents
+           |  WHERE doc_id < 50),
+           |h AS (SELECT doc_id, toks, list_transform(toks,
+           |    x -> CASE WHEN x IN ('spark', 'join', 'data') THEN 1 ELSE 0 END) AS hits
+           |  FROM t),
+           |w AS (SELECT doc_id, toks, list_transform(
+           |    range(0, greatest(len(toks) - 10, 0) + 1),
+           |    i -> list_reduce(list_prepend(0, hits[i+1:i+10]), (a, b) -> a + b)) AS wins
+           |  FROM h),
+           |b AS (SELECT doc_id, toks,
+           |    list_position(wins, list_max(wins))::BIGINT AS start_pos,
+           |    list_max(wins)::BIGINT AS window_hits
+           |  FROM w)
+           |SELECT doc_id, start_pos, window_hits,
+           |  array_to_string(toks[start_pos:start_pos + 9], ' ') AS snippet
+           |FROM b ORDER BY doc_id""".stripMargin,
 
       // RRF: both retrieval pipelines as namespaced CTEs + the integer
       // 100000 // (60 + rank) fusion

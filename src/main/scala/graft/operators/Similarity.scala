@@ -631,6 +631,38 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("score_x1e5"))
   }
 
+  /** Snippet extraction — the display half of retrieval: for each doc, the
+    * `windowTokens`-token window with the most query-term hits (earliest
+    * window on ties), its position, and its hit count. Pure array
+    * expressions over the materialized token column: per doc O(len·W) adds,
+    * no shuffle, no UDF — the per-hit inner loop stays in codegen.
+    * Cross-engine: Spark `slice`/`array_position` and DuckDB bracket
+    * slicing / `list_position` agree on 1-based, clamped, first-match
+    * semantics, so the picked window is bit-identical. */
+  def snippets(docs: DataFrame, queryTerms: Seq[String],
+               windowTokens: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty && windowTokens >= 1,
+      "need query terms and a positive window")
+    val w = windowTokens
+    val hitsCol = transform(col("toks"),
+      t => when(t.isin(queryTerms: _*), 1).otherwise(0))
+    val winsCol = transform(
+      sequence(lit(0), greatest(size(col("toks")) - w, lit(0))),
+      i => aggregate(slice(col("hits"), i + 1, lit(w)), lit(0), (a, x) => a + x))
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("hits", hitsCol)
+      .withColumn("wins", winsCol)
+      .select(col("doc_id"),
+        array_position(col("wins"), array_max(col("wins"))).as("start_pos"),
+        array_max(col("wins")).cast("long").as("window_hits"),
+        col("toks"))
+      .select(col("doc_id"), col("start_pos"), col("window_hits"),
+        concat_ws(" ", slice(col("toks"), col("start_pos").cast("int"), lit(w)))
+          .as("snippet"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.) — hybrid retrieval's standard
     * combiner: each system's ranked list `(query_id, doc_id, rank)`
     * contributes `1/(K + rank)` and the fused order is by the sum. Rank-

@@ -958,6 +958,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("snippets pick the densest window, earliest on ties, clamped for short docs") {
+    val docs = docsDF(
+      // hits at positions 6,7,9 cluster in the tail; window 3 starting at 6
+      // ("q q x" with 2 hits) loses to 7 ("q x q" ... ) — compute: tokens
+      // f f f f f q x q q f? design: hits at 6,8,9 → best 3-window = [8,9,?]
+      1L -> "f1 f2 f3 f4 f5 q f6 q q f7",
+      2L -> "q a",           // shorter than the window: single clamped window
+      3L -> "z1 z2 z3 z4")   // no hits: earliest window wins
+    val got = Similarity.snippets(docs, Seq("q"), windowTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 2L, "q f6 q"),  // windows at 6 and 8 both score 2; earliest
+      (2L, 1L, 1L, "q a"),
+      (3L, 1L, 0L, "z1 z2 z3")))
+  }
+
   test("rrfFuse sums reciprocal ranks and rewards cross-system agreement") {
     import spark.implicits._
     // q1: system A ranks docs 10,20,30; system B ranks 20,40. doc 20 is
