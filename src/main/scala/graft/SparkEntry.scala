@@ -1007,6 +1007,15 @@ object SparkEntry {
         .orderBy(col("anchor_id"), col("positive_id"))
     }),
 
+    // hard-negative triplets: anchor's top BM25 hit outside its dup
+    // cluster — the dense-retrieval negative-mining recipe
+    "mix_hard_triplets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = operators.Dedup.ngramJaccardPairs(docs, cfg.ngramN, cfg.minJaccardX10000)
+      operators.Mixing.hardNegativeTriplets(docs, pairs, bmK = 20)
+        .orderBy(col("anchor_id"), col("positive_id"))
+    }),
+
     // per-source doc cap (the per-domain cap): at most 10 docs per source
     // survive, chosen by salted hash — the one-pass bounded heap compacts
     // each map task to <= k entries per source, no corpus-wide window sort
@@ -2314,6 +2323,64 @@ object SparkEntry {
            |  FROM pb JOIN cb USING (bucket)
            |  WHERE cand_id <> anchor_id AND cand_id <> positive_id)
            |SELECT anchor_id, positive_id, cand_id AS negative_id FROM j WHERE rn = 1
+           |ORDER BY anchor_id, positive_id""".stripMargin,
+
+      // hard negatives: ngram pair CTEs + recursive min-reachable closure
+      // + the BM25 pipeline queried at the anchors + cluster exclusion
+      "mix_hard_triplets" ->
+        s"""WITH RECURSIVE
+           |tok AS (SELECT doc_id, $toks AS toks FROM documents),
+           |sg AS (SELECT doc_id, $shinglesOf AS shs FROM tok),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM sg),
+           |shh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM sg)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a AS a, doc_b AS b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jx
+           |    FROM common
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jx >= 5000),
+           |edges AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM (SELECT DISTINCT src AS id FROM edges)
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |canon AS (SELECT id, min(r)::BIGINT AS canonical_id FROM reach GROUP BY id),
+           |bt AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM
+           |    (SELECT doc_id, unnest(toks) AS t FROM tok)
+           |  WHERE t <> '' GROUP BY doc_id, t),
+           |bdl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM bt GROUP BY doc_id),
+           |bst AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_len FROM bdl),
+           |bdf AS (SELECT t, count(*)::BIGINT AS df FROM bt GROUP BY t
+           |  HAVING count(*) <= 1000),
+           |anchors AS (SELECT DISTINCT a AS qid FROM pr),
+           |bq AS (SELECT DISTINCT bt.doc_id AS query_id, t FROM bt
+           |  JOIN anchors ON bt.doc_id = anchors.qid),
+           |bsc AS (SELECT bq.query_id, bt.doc_id,
+           |    least(CAST(floor((100.0::DOUBLE) * n_docs / df) AS BIGINT), 10000) *
+           |      ((bt.tf * 2200 * 1000) // (bt.tf * 1000 +
+           |        (1200 * (250 + (750 * bdl.dl * 1000) // ((1000 * tot_len) // n_docs))) // 1000))
+           |      AS contrib
+           |  FROM bq JOIN bt USING (t) JOIN bdf USING (t)
+           |    JOIN bdl ON bdl.doc_id = bt.doc_id CROSS JOIN bst
+           |  WHERE bt.doc_id <> bq.query_id),
+           |br AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sum(contrib) DESC, doc_id) AS rank
+           |  FROM bsc GROUP BY query_id, doc_id),
+           |ex AS (SELECT br.query_id, br.doc_id, br.rank FROM br
+           |  LEFT JOIN canon cq ON cq.id = br.query_id
+           |  LEFT JOIN canon cd ON cd.id = br.doc_id
+           |  WHERE br.rank <= 20
+           |    AND coalesce(cq.canonical_id, br.query_id) <> coalesce(cd.canonical_id, br.doc_id)),
+           |neg AS (SELECT query_id, doc_id FROM (
+           |    SELECT query_id, doc_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY rank, doc_id) AS rn
+           |    FROM ex) WHERE rn = 1)
+           |SELECT pr.a AS anchor_id, pr.b AS positive_id, neg.doc_id AS hard_negative_id
+           |FROM pr JOIN neg ON neg.query_id = pr.a
            |ORDER BY anchor_id, positive_id""".stripMargin,
 
       // per-source cap: k smallest salted hashes per source survive; the

@@ -172,6 +172,43 @@ object Mixing {
         col("m").getField("cand_id").as("negative_id"))
   }
 
+  /** HARD-negative triplet mining — the upgrade of [[contrastiveTriplets]]
+    * embedding training actually wants: the negative is not a random doc
+    * but the anchor's top BM25 retrieval OUTSIDE its duplicate cluster —
+    * lexically close enough to be confusable, provably not a copy. Random
+    * negatives quickly become trivial for the model; hard negatives carry
+    * the gradient (the standard dense-retrieval recipe: mine negatives
+    * with BM25, exclude positives by clustering).
+    *
+    * Per anchor: BM25 top-`bmK` ([[Similarity.bm25TopKFor]], anchors as a
+    * data-driven query table), anti-filtered against the pair graph's
+    * connected components ([[Dedup.dedupClusters]] — a doc outside any
+    * pair is its own singleton cluster), earliest surviving rank wins.
+    * Anchors whose whole top-`bmK` sits inside their own cluster drop out
+    * (no honest hard negative in range). */
+  def hardNegativeTriplets(docs: DataFrame, pairs: DataFrame,
+                           bmK: Int = 20,
+                           aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val clusters = Dedup.dedupClusters(pairs, aCol, bCol)
+    val anchors = pairs.select(col(aCol).as("qid")).distinct()
+    val ranked = Similarity.bm25TopKFor(docs, anchors, bmK)
+    val qc = clusters.select(col("id").as("query_id"), col("canonical_id").as("qc"))
+    val dc = clusters.select(col("id").as("doc_id"), col("canonical_id").as("dc"))
+    val neg = ranked
+      .join(qc, Seq("query_id"), "left")
+      .join(dc, Seq("doc_id"), "left")
+      .where(coalesce(col("qc"), col("query_id")) =!=
+        coalesce(col("dc"), col("doc_id")))
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("rank"), col("doc_id"))).as("m"))
+      .select(col("query_id").as(aCol),
+        col("m").getField("doc_id").as("hard_negative_id"))
+    pairs.select(col(aCol), col(bCol))
+      .join(neg, Seq(aCol))
+      .select(col(aCol).as("anchor_id"), col(bCol).as("positive_id"),
+        col("hard_negative_id"))
+  }
+
   /** Token-budget sampling — mixtures are specified in TOKENS, not doc
     * counts (a source of long docs at a 10% doc quota can dominate the
     * token mix): per source, walk docs in salted-hash order and keep them

@@ -591,7 +591,20 @@ object Similarity {
   def bm25TopK(docs: DataFrame, queryIds: Seq[Long], k: Int,
                maxDf: Long = 1000, idfCapX100: Long = 10000,
                k1X10: Long = 12, bX100: Long = 75): DataFrame = {
-    require(queryIds.nonEmpty && k >= 1, "need query docs and positive k")
+    require(queryIds.nonEmpty, "need query docs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bm25TopKFor(docs, queryIds.toDF("qid"), k, maxDf, idfCapX100, k1X10, bX100)
+  }
+
+  /** [[bm25TopK]] with a DATA-DRIVEN query set: `queryIds` is a one-column
+    * (`qid`) DataFrame — the form batch mining jobs need (e.g. every dedup
+    * anchor as a query). Same plan; the query table semi-joins the tf
+    * table instead of an `isin` literal. */
+  def bm25TopKFor(docs: DataFrame, queryIds: DataFrame, k: Int,
+                  maxDf: Long = 1000, idfCapX100: Long = 10000,
+                  k1X10: Long = 12, bX100: Long = 75): DataFrame = {
+    require(k >= 1, "need positive k")
     val tf = docs
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
@@ -601,7 +614,8 @@ object Similarity {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
     val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
-    val qTerms = tf.where(col("doc_id").isin(queryIds: _*))
+    val qTerms = tf
+      .join(queryIds.select(col("qid").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("query_id"), col("t")).distinct()
     val scored = qTerms
       .join(tf.join(dfT, Seq("t")), Seq("t"))

@@ -9,6 +9,11 @@ import graft.operators.Mixing
 class MixingSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   test("split partitions the corpus completely and is repartition-stable") {
     val docs = Tables.documents(spark, sfDir)
     val split = Mixing.withSplit(docs)
@@ -145,6 +150,28 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     val expected = docs
       .where(Mixing.tokenMetric("bpe") > 0).count()
     assert(total == expected)
+  }
+
+  test("hard negatives come from outside the cluster, by best surviving rank") {
+    import spark.implicits._
+    // docs 1,2,3 are a dup cluster sharing "alpha beta gamma"; doc 4 shares
+    // "alpha beta" (confusable, NOT a dup); doc 5 is unrelated. For anchor
+    // 1 (pairs 1-2, 1-3) the hard negative must be 4 — the top BM25 hit
+    // outside cluster {1,2,3} — never 2 or 3.
+    val docs = docsDF(
+      1L -> "alpha beta gamma one",
+      2L -> "alpha beta gamma two",
+      3L -> "alpha beta gamma three",
+      4L -> "alpha beta unrelated tail words here",
+      5L -> "totally different content z")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Mixing.hardNegativeTriplets(docs, pairs, bmK = 10)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got.map(x => (x._1, x._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    got.foreach { case (a, p, n) =>
+      assert(!Set(1L, 2L, 3L).contains(n), s"negative $n inside the cluster ($a,$p)")
+    }
+    assert(got.forall(_._3 == 4L), s"expected doc 4 as the hard negative: $got")
   }
 
   test("contrastiveTriplets: one negative per pair, never the pair itself, stable") {

@@ -19,6 +19,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_ivf_det" -> "query x centroid table product (10 x nCells rows)",
     "ta_keywords" -> "corpus-size one-row aggregate rides along broadcast",
     "sim_tfidf" -> "corpus-size one-row aggregate rides along broadcast (idf)",
+    "sim_bm25" -> "one-row (n_docs, tot_len) stats ride along broadcast",
+    "sim_rrf" -> "embeds sim_bm25's one-row stats broadcast",
+    "mix_hard_triplets" -> "embeds sim_bm25's one-row stats broadcast",
     "ver_drift" -> "token-total one-row aggregate rides along broadcast",
     "a17_cms_counts" -> "one-row CMS sketch rides along broadcast")
 
