@@ -450,6 +450,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the per-doc KEEP/DROP verdict: exact dup → near-dup cluster →
+    // span-copy coverage, first failing reason wins (auditable)
+    "dedup_verdict" -> ((s, d) =>
+      operators.Dedup.dedupVerdict(Tables.documents(s, d),
+          cfg.ngramN, cfg.minJaccardX10000,
+          cfg.decontamNgramN, cfg.spanMinRun)
+        .orderBy(col("doc_id"))),
+
     "dedup_minhash" -> ((s, d) =>
       operators.Dedup.minhashPairs(Tables.documents(s, d), cfg.ngramN,
         cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
@@ -1702,6 +1710,72 @@ object SparkEntry {
            |  coalesce(n_covered, 0)::BIGINT AS n_covered,
            |  CAST(floor((10000.0::DOUBLE) * coalesce(n_covered, 0) / greatest(n_pos, 1) + 0.5) AS BIGINT) AS coverage_x10000
            |FROM sz LEFT JOIN nc ON sz.doc_id = nc.doc_id ORDER BY doc_id""".stripMargin,
+
+      // verdict: exact-dup window + recursive ngram closure + raw-corpus
+      // span coverage, folded into the first-failing-reason CASE
+      "dedup_verdict" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ${normOf("text")})
+           |    AS exact_canonical FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a AS a, doc_b AS b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jx
+           |    FROM common
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jx >= 5000),
+           |edges AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM (SELECT DISTINCT src AS id FROM edges)
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |canon AS (SELECT id, min(r)::BIGINT AS canonical_id FROM reach GROUP BY id),
+           |p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM t),
+           |ps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sg")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sg
+           |  FROM p0)),
+           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+           |  FROM ps a JOIN ps b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |r AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+           |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+           |  FROM m),
+           |runs AS (SELECT doc_a, doc_b, diag, grp, count(*)::BIGINT AS run_len,
+           |    min(pos_a) AS start_a, min(pos_b) AS start_b
+           |  FROM r GROUP BY doc_a, doc_b, diag, grp HAVING count(*) >= 5),
+           |cv AS (SELECT DISTINCT doc_id, pos FROM (
+           |  SELECT doc_a AS doc_id, unnest(range(start_a, start_a + run_len)) AS pos FROM runs
+           |  UNION ALL
+           |  SELECT doc_b AS doc_id, unnest(range(start_b, start_b + run_len)) AS pos FROM runs)),
+           |nc AS (SELECT doc_id, count(*)::BIGINT AS n_covered FROM cv GROUP BY doc_id),
+           |sz AS (SELECT doc_id, greatest(len(toks) - 7, 0)::BIGINT AS n_pos FROM t),
+           |cov AS (SELECT sz.doc_id AS doc_id,
+           |    CAST(floor((10000.0::DOUBLE) * coalesce(n_covered, 0) / greatest(n_pos, 1) + 0.5) AS BIGINT) AS coverage_x10000
+           |  FROM sz LEFT JOIN nc ON sz.doc_id = nc.doc_id),
+           |v AS (SELECT d.doc_id AS doc_id, ex.exact_canonical,
+           |    coalesce(canon.canonical_id, d.doc_id) AS cluster_canonical,
+           |    cov.coverage_x10000
+           |  FROM documents d
+           |  JOIN ex ON ex.doc_id = d.doc_id
+           |  LEFT JOIN canon ON canon.id = d.doc_id
+           |  JOIN cov ON cov.doc_id = d.doc_id)
+           |SELECT doc_id,
+           |  CASE WHEN exact_canonical <> doc_id THEN 0
+           |       WHEN cluster_canonical <> doc_id THEN 0
+           |       WHEN coverage_x10000 >= 5000 THEN 0 ELSE 1 END::BIGINT AS keep,
+           |  CASE WHEN exact_canonical <> doc_id THEN 'exact_duplicate'
+           |       WHEN cluster_canonical <> doc_id THEN 'near_duplicate'
+           |       WHEN coverage_x10000 >= 5000 THEN 'span_copy'
+           |       ELSE '' END AS reason,
+           |  exact_canonical, cluster_canonical, coverage_x10000
+           |FROM v ORDER BY doc_id""".stripMargin,
 
       "dedup_ngram" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

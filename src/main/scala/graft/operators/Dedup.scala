@@ -749,6 +749,46 @@ object Dedup {
     * run, only for qualifying runs), then a per-doc distinct count. Scale
     * shape: [[spanRuns]]'s joins + one distinct + one agg, all on bounded
     * span output — no corpus-sized blowup beyond the shingle join itself. */
+  /** The dedup VERDICT table — the one output downstream actually
+    * consumes: per doc, KEEP or DROP with the first-failing reason, in
+    * fixed priority order (the [[graft.operators.TextAnalysis
+    * .qualityFilter]] auditable-reasons pattern):
+    *
+    *  1. `exact_duplicate` — normalized text already exists under a
+    *     smaller id ([[exactDuplicates]]);
+    *  2. `near_duplicate` — non-canonical member of an n-gram Jaccard
+    *     cluster ([[ngramJaccardPairs]] → [[dedupClusters]]);
+    *  3. `span_copy` — too much of the doc sits inside verbatim shared
+    *     runs ([[spanCoverage]] ≥ the threshold) even though no single
+    *     partner crossed the Jaccard bar — the stitched-copy case.
+    *
+    * Each signal also ships raw (canonical ids, coverage), so a report can
+    * re-cut at different thresholds without re-running the pipeline. */
+  def dedupVerdict(docs: DataFrame, ngramN: Int, minJaccardX10000: Long,
+                   spanN: Int, spanMinRun: Int,
+                   maxSpanCoverageX10000: Long = 5000L): DataFrame = {
+    val exact = exactDuplicates(docs)
+      .select(col("doc_id"), col("canonical_id").as("exact_canonical"))
+    val clusters = dedupClusters(ngramJaccardPairs(docs, ngramN, minJaccardX10000))
+      .select(col("id").as("doc_id"), col("canonical_id").as("cluster_canonical"))
+    val cov = spanCoverage(docs, spanN, spanMinRun)
+      .select(col("doc_id"), col("coverage_x10000"))
+    docs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"), "left") // unpaired docs: own cluster
+      .join(cov, Seq("doc_id"))
+      .withColumn("cluster_canonical",
+        coalesce(col("cluster_canonical"), col("doc_id")))
+      .withColumn("reason",
+        when(col("exact_canonical") =!= col("doc_id"), "exact_duplicate")
+          .when(col("cluster_canonical") =!= col("doc_id"), "near_duplicate")
+          .when(col("coverage_x10000") >= maxSpanCoverageX10000, "span_copy")
+          .otherwise(""))
+      .withColumn("keep", (col("reason") === "").cast("long"))
+      .select(col("doc_id"), col("keep"), col("reason"),
+        col("exact_canonical"), col("cluster_canonical"), col("coverage_x10000"))
+  }
+
   def spanCoverage(docs: DataFrame, n: Int, minRun: Int,
                    docFreqCap: Option[Int] = None): DataFrame = {
     val runs = spanRuns(docs, n, minRun, docFreqCap)

@@ -958,6 +958,41 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("dedupVerdict applies reasons in priority order with auditable signals") {
+    // doc 2 = exact copy of 1 (whitespace churn only); doc 3 near-dups 1
+    // (high trigram jaccard, different enough to not be exact); doc 4 is a
+    // stitched copy of 5's two halves (span_copy through coverage, no
+    // single whole-doc jaccard partner above the bar); docs 5, 6 keep
+    // halves of 12 tokens carry the >= 12-token verbatim runs; 45 filler
+    // tokens keep doc5 big enough that the (4,5) whole-doc trigram jaccard
+    // stays under 0.5 (20 shared / 69 union) — span_copy must fire where
+    // near-dup can't
+    val half1 = (1 to 12).map(i => s"a$i").mkString(" ")
+    val half2 = (1 to 12).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 45).map(i => s"f$i").mkString(" ")
+    val base = "one two three four five six seven eight nine ten"
+    val docs = docsDF(
+      1L -> base,
+      2L -> ("  " + base + " "),
+      3L -> (base + " eleven"),
+      4L -> (half1 + " " + half2),
+      5L -> (half1 + " " + filler + " " + half2),
+      6L -> "totally unrelated content with nothing shared at all")
+    val got = Dedup.dedupVerdict(docs, ngramN = 3, minJaccardX10000 = 5000,
+        spanN = 8, spanMinRun = 5, maxSpanCoverageX10000 = 5000)
+      .orderBy("doc_id")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 1L && byId(1L)._3 == "")
+    assert(byId(2L)._2 == 0L && byId(2L)._3 == "exact_duplicate" && byId(2L)._4 == 1L)
+    assert(byId(3L)._2 == 0L && byId(3L)._3 == "near_duplicate" && byId(3L)._5 == 1L)
+    assert(byId(4L)._2 == 0L && byId(4L)._3 == "span_copy",
+      s"doc 4: ${byId(4L)}")
+    // doc 5 shares the same spans but is longer — under the 50% bar
+    assert(byId(5L)._2 == 1L && byId(5L)._3 == "", s"doc 5: ${byId(5L)}")
+    assert(byId(6L)._2 == 1L)
+  }
+
   test("snippets pick the densest window, earliest on ties, clamped for short docs") {
     val docs = docsDF(
       // hits at positions 6,7,9 cluster in the tail; window 3 starting at 6
