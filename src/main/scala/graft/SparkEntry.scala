@@ -733,6 +733,29 @@ object SparkEntry {
       ArticleOps.resolveRedirects(redirects).orderBy(col("id"))
     }),
 
+    // personalized PageRank on the same planted doc graph, seeded at the
+    // doc-0 hub: rank mass must concentrate around the seed's community
+    "graph_ppr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hubs = docs.groupBy(col("source")).agg(min(col("doc_id")).as("hub"))
+      val mem = docs.join(hubs, Seq("source"))
+        .where(col("doc_id") =!= col("hub"))
+        .select(col("doc_id").as("x"), col("hub").as("y"))
+      val star = mem.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(mem.select(col("y").as("src"), col("x").as("dst")))
+      val hw = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+      val ring0 = hubs.withColumn("nxt", lead(col("hub"), 1).over(hw))
+        .where(col("nxt").isNotNull)
+        .select(col("hub").as("src"), col("nxt").as("dst"))
+      val ring = ring0.unionByName(
+        ring0.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = star.unionByName(ring).withColumn("w", lit(1L))
+      val seeds = docs.where(col("doc_id") === 0L)
+        .select(col("doc_id").as("node"))
+      operators.Graphs.graphRankPersonalized(edges, seeds, iters = 10)
+        .orderBy(col("node"))
+    }),
+
     // per-node triangle counts over the near-dup pair graph: clique
     // (template family) vs chain (drift) — the dedup-report distinction
     "graph_triangles" -> ((s, d) => {
@@ -1231,6 +1254,15 @@ object SparkEntry {
         s"    CAST(150000 + (85 * sum((r.rank * e.w) // d.wdeg)) // 100 AS BIGINT) AS rank\n" +
         s"  FROM edges e JOIN r${i - 1} r ON e.src = r.$nodeCol\n" +
         s"  JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+    }.mkString(",\n")
+    // personalized variant: per-node reset from a `rst` CTE (node, reset);
+    // nodes can receive zero flow, so each round left-joins from `rst`
+    def pprRounds(n: Int) = (1 to n).map { i =>
+      s"r$i AS (SELECT rst.node AS node,\n" +
+        s"    CAST(rst.reset + coalesce((85 * f.flow) // 100, 0) AS BIGINT) AS rank\n" +
+        s"  FROM rst LEFT JOIN (SELECT e.dst AS node, sum((r.rank * e.w) // d.wdeg) AS flow\n" +
+        s"    FROM edges e JOIN r${i - 1} r ON e.src = r.node\n" +
+        s"    JOIN deg d ON d.src = e.src GROUP BY e.dst) f ON f.node = rst.node)"
     }.mkString(",\n")
     // unit-normalized embedding CTEs (mirrors Dedup.withUnitVector): DuckDB
     // list_dot_product folds sequentially — verified bit-identical to
@@ -2892,6 +2924,28 @@ object SparkEntry {
            |SELECT doc_id, ${poly("clean")} AS clean_hash,
            |  length(clean)::BIGINT AS clean_len
            |FROM n ORDER BY doc_id""".stripMargin,
+
+      // personalized PageRank: same graph CTEs, seed-only reset/init via
+      // the shared pprRounds recurrence
+      "graph_ppr" -> {
+        val rounds = pprRounds(10)
+        s"""WITH hubs AS (SELECT source, min(doc_id) AS hub FROM documents GROUP BY source),
+           |mem AS (SELECT d.doc_id AS x, h.hub AS y FROM documents d
+           |  JOIN hubs h ON d.source = h.source WHERE d.doc_id <> h.hub),
+           |ring0 AS (SELECT hub AS src, lead(hub, 1) OVER (ORDER BY source) AS dst FROM hubs),
+           |ringe AS (SELECT src, dst FROM ring0 WHERE dst IS NOT NULL),
+           |edges AS (SELECT x AS src, y AS dst, 1::BIGINT AS w FROM mem
+           |  UNION ALL SELECT y AS src, x AS dst, 1::BIGINT AS w FROM mem
+           |  UNION ALL SELECT src, dst, 1::BIGINT AS w FROM ringe
+           |  UNION ALL SELECT dst AS src, src AS dst, 1::BIGINT AS w FROM ringe),
+           |deg AS (SELECT src, sum(w)::BIGINT AS wdeg FROM edges GROUP BY src),
+           |rst AS (SELECT src AS node,
+           |    CASE WHEN src = 0 THEN 150000 ELSE 0 END::BIGINT AS reset FROM deg),
+           |r0 AS (SELECT src AS node,
+           |    CASE WHEN src = 0 THEN 1000000 ELSE 0 END::BIGINT AS rank FROM deg),
+           |$rounds
+           |SELECT node, rank AS rank_x1e6 FROM r10 ORDER BY node""".stripMargin
+      },
 
       // triangles: dedup_ngram's pair CTEs + the canonical a<b<c join
       "graph_triangles" ->

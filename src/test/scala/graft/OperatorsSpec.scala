@@ -1099,6 +1099,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(m.contains("heavy") && m("heavy") >= 60L - (71L / 5L))
   }
 
+  test("personalized PageRank concentrates mass around the seed's community") {
+    import spark.implicits._
+    // two 4-node stars (hubs 1 and 10) joined by a single bridge 1-10;
+    // seeding at 1 must rank every A-community node above every B leaf
+    val starA = Seq((2L, 1L), (3L, 1L), (4L, 1L))
+    val starB = Seq((11L, 10L), (12L, 10L), (13L, 10L))
+    val all = (starA ++ starB ++ Seq((1L, 10L)))
+      .flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = operators.Graphs.graphRankPersonalized(all, seeds, iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) > got(10L), s"seed hub must dominate: $got")
+    Seq(2L, 3L, 4L).foreach(a =>
+      Seq(11L, 12L, 13L).foreach(b =>
+        assert(got(a) > got(b), s"A-leaf $a vs B-leaf $b: $got")))
+    // and unlike the uniform walk, an unreached-without-teleport node keeps
+    // only flowed mass: B leaves still get SOME rank through the bridge
+    assert(Seq(11L, 12L, 13L).forall(b => got(b) > 0L))
+  }
+
   test("triangleCounts: cliques count, chains don't, duplicates and orientation ignored") {
     import spark.implicits._
     // K4 on {1,2,3,4} → C(3,2)=3 triangles per node; chain 10-11-12 → none;
