@@ -733,6 +733,24 @@ object SparkEntry {
       ArticleOps.resolveRedirects(redirects).orderBy(col("id"))
     }),
 
+    // 2-core of the hub-star + hub-CYCLE doc graph: every leaf peels, the
+    // closed hub cycle survives at degree 2 (a path would peel to nothing)
+    "graph_kcore" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hubs = docs.groupBy(col("source")).agg(min(col("doc_id")).as("hub"))
+      val mem = docs.join(hubs, Seq("source"))
+        .where(col("doc_id") =!= col("hub"))
+        .select(col("doc_id").as("doc_a"), col("hub").as("doc_b"))
+      val hw = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+      val ring = hubs.withColumn("nxt", lead(col("hub"), 1).over(hw))
+        .where(col("nxt").isNotNull)
+        .select(col("hub").as("doc_a"), col("nxt").as("doc_b"))
+      val wrap = hubs.agg(expr("max_by(hub, source)").as("doc_a"),
+        expr("min_by(hub, source)").as("doc_b"))
+      operators.Graphs.kCore(mem.unionByName(ring).unionByName(wrap), k = 2)
+        .orderBy(col("node"))
+    }),
+
     // personalized PageRank on the same planted doc graph, seeded at the
     // doc-0 hub: rank mass must concentrate around the seed's community
     "graph_ppr" -> ((s, d) => {
@@ -2924,6 +2942,31 @@ object SparkEntry {
            |SELECT doc_id, ${poly("clean")} AS clean_hash,
            |  length(clean)::BIGINT AS clean_len
            |FROM n ORDER BY doc_id""".stripMargin,
+
+      // 2-core: two unrolled peel rounds (the cycle construction converges
+      // structurally in one — the second proves the fixpoint)
+      "graph_kcore" ->
+        """WITH hubs AS (SELECT source, min(doc_id) AS hub FROM documents GROUP BY source),
+          |mem AS (SELECT d.doc_id AS a, h.hub AS b FROM documents d
+          |  JOIN hubs h ON d.source = h.source WHERE d.doc_id <> h.hub),
+          |ring0 AS (SELECT hub AS a, lead(hub, 1) OVER (ORDER BY source) AS b FROM hubs),
+          |ringe AS (SELECT a, b FROM ring0 WHERE b IS NOT NULL),
+          |wrap AS (SELECT max_by(hub, source) AS a, min_by(hub, source) AS b FROM hubs),
+          |pe AS (SELECT a, b FROM mem UNION ALL SELECT a, b FROM ringe
+          |  UNION ALL SELECT a, b FROM wrap),
+          |cn AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM pe WHERE a <> b),
+          |e0 AS (SELECT a AS src, b AS dst FROM cn UNION ALL SELECT b AS src, a AS dst FROM cn),
+          |d1 AS (SELECT src, count(*)::BIGINT AS degree FROM e0 GROUP BY src),
+          |k1 AS (SELECT src FROM d1 WHERE degree >= 2),
+          |e1 AS (SELECT e0.src, e0.dst FROM e0
+          |  JOIN k1 x ON e0.src = x.src JOIN k1 y ON e0.dst = y.src),
+          |d2 AS (SELECT src, count(*)::BIGINT AS degree FROM e1 GROUP BY src),
+          |k2 AS (SELECT src FROM d2 WHERE degree >= 2),
+          |e2 AS (SELECT e1.src, e1.dst FROM e1
+          |  JOIN k2 x ON e1.src = x.src JOIN k2 y ON e1.dst = y.src),
+          |d3 AS (SELECT src, count(*)::BIGINT AS degree FROM e2 GROUP BY src)
+          |SELECT src AS node, degree FROM d3 WHERE degree >= 2
+          |ORDER BY node""".stripMargin,
 
       // personalized PageRank: same graph CTEs, seed-only reset/init via
       // the shared pprRounds recurrence

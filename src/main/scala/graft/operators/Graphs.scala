@@ -91,6 +91,50 @@ object Graphs {
     ranks.select(col("node"), col("rank").as("rank_x1e6"))
   }
 
+  /** k-core decomposition (peeling): repeatedly drop nodes with degree
+    * < k until stable; what survives is the k-core — the graph's load-
+    * bearing skeleton. On a near-dup graph the 2-core separates real
+    * template families (cycles/cliques survive) from incidental pairwise
+    * matches (trees peel away completely) — a cheaper structural cut than
+    * triangle counting when only the verdict is needed.
+    *
+    * Per round: one degree agg + two semi-joins (edges to surviving
+    * endpoints) + localCheckpoint — the [[Dedup.dedupClusters]] iterative
+    * shape; rounds ≤ peel depth (tiny on near-dup graphs, the iteration
+    * cap fails LOUDLY rather than returning a half-peeled graph). Output:
+    * surviving `(node, degree)`. */
+  def kCore(pairs: DataFrame, k: Int, maxIters: Int = 30,
+            aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val canon = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var e = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    var lastDeg: DataFrame = null
+    while (!converged && i < maxIters) {
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      val keep = deg.where(col("degree") >= k).select(col("node")).localCheckpoint()
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      converged = e2.count() == e.count()
+      lastDeg = deg.where(col("degree") >= k)
+      e = e2
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"k-core peel did not converge after $maxIters rounds")
+    if (lastDeg == null) e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    else lastDeg
+  }
+
   /** Per-node triangle counts over an undirected pair list — the local
     * clustering signal: in a near-dup graph, triangle-rich nodes sit inside
     * CLIQUES (template families, mirror farms — every copy matches every

@@ -1099,6 +1099,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(m.contains("heavy") && m("heavy") >= 60L - (71L / 5L))
   }
 
+  test("kCore peels cascading trees away and keeps cycles; caps loudly") {
+    import spark.implicits._
+    // triangle {1,2,3} with a pendant path 3-4-5: the path peels in
+    // cascading rounds (5 first, then 4), the triangle survives at deg 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = operators.Graphs.kCore(pairs, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a pure path has no 2-core: empty, and convergence is reached (no throw)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(operators.Graphs.kCore(path, k = 2).isEmpty)
+    // the loud cap: a long path with maxIters too small must throw
+    val long = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      operators.Graphs.kCore(long, k = 2, maxIters = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("personalized PageRank concentrates mass around the seed's community") {
     import spark.implicits._
     // two 4-node stars (hubs 1 and 10) joined by a single bridge 1-10;
