@@ -2480,8 +2480,14 @@ object SparkEntry {
            |bdf AS (SELECT t, count(*)::BIGINT AS df FROM bt GROUP BY t
            |  HAVING count(*) <= 1000),
            |anchors AS (SELECT DISTINCT a AS qid FROM pr),
-           |bq AS (SELECT DISTINCT bt.doc_id AS query_id, t FROM bt
+           |bq0 AS (SELECT DISTINCT bt.doc_id AS query_id, t FROM bt
            |  JOIN anchors ON bt.doc_id = anchors.qid),
+           |bq AS (SELECT query_id, t FROM (
+           |    SELECT bq0.query_id, bq0.t,
+           |      row_number() OVER (PARTITION BY bq0.query_id
+           |        ORDER BY bdf.df, bq0.t) AS qrn
+           |    FROM bq0 JOIN bdf USING (t))
+           |  WHERE qrn <= 8),
            |bsc AS (SELECT bq.query_id, bt.doc_id,
            |    least(CAST(floor((100.0::DOUBLE) * n_docs / df) AS BIGINT), 10000) *
            |      ((bt.tf * 2200 * 1000) // (bt.tf * 1000 +

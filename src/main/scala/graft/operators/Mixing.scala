@@ -187,11 +187,12 @@ object Mixing {
     * Anchors whose whole top-`bmK` sits inside their own cluster drop out
     * (no honest hard negative in range). */
   def hardNegativeTriplets(docs: DataFrame, pairs: DataFrame,
-                           bmK: Int = 20,
+                           bmK: Int = 20, maxQueryTerms: Int = 8,
                            aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     val clusters = Dedup.dedupClusters(pairs, aCol, bCol)
     val anchors = pairs.select(col(aCol).as("qid")).distinct()
-    val ranked = Similarity.bm25TopKFor(docs, anchors, bmK)
+    val ranked = Similarity.bm25TopKFor(docs, anchors, bmK,
+      maxQueryTerms = maxQueryTerms)
     val qc = clusters.select(col("id").as("query_id"), col("canonical_id").as("qc"))
     val dc = clusters.select(col("id").as("doc_id"), col("canonical_id").as("dc"))
     val neg = ranked

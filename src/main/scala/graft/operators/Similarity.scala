@@ -600,11 +600,15 @@ object Similarity {
   /** [[bm25TopK]] with a DATA-DRIVEN query set: `queryIds` is a one-column
     * (`qid`) DataFrame — the form batch mining jobs need (e.g. every dedup
     * anchor as a query). Same plan; the query table semi-joins the tf
-    * table instead of an `isin` literal. */
+    * table instead of an `isin` literal. `maxQueryTerms` prunes each query
+    * bag to its rarest (lowest-df, then alphabetical) terms — standard
+    * query-term pruning: the rare terms carry the idf mass, and the
+    * postings fan-out drops from Σ df(all terms) to Σ df(m rare ones). */
   def bm25TopKFor(docs: DataFrame, queryIds: DataFrame, k: Int,
                   maxDf: Long = 1000, idfCapX100: Long = 10000,
-                  k1X10: Long = 12, bX100: Long = 75): DataFrame = {
-    require(k >= 1, "need positive k")
+                  k1X10: Long = 12, bX100: Long = 75,
+                  maxQueryTerms: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1 && maxQueryTerms >= 1, "need positive k and term budget")
     val tf = docs
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
@@ -614,9 +618,19 @@ object Similarity {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
     val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
-    val qTerms = tf
+    val allQTerms = tf
       .join(queryIds.select(col("qid").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val qTerms =
+      if (maxQueryTerms == Int.MaxValue) allQTerms
+      else {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("df"), col("t"))
+        allQTerms.join(dfT, Seq("t"))
+          .withColumn("qrn", row_number().over(w))
+          .where(col("qrn") <= maxQueryTerms)
+          .select(col("query_id"), col("t"))
+      }
     val scored = qTerms
       .join(tf.join(dfT, Seq("t")), Seq("t"))
       .where(col("doc_id") =!= col("query_id"))
