@@ -450,6 +450,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cluster labels: top-3 cluster-tf × corpus-idf terms per near-dup
+    // cluster — the readable line of the dedup report
+    "dedup_cluster_labels" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = operators.Dedup.dedupClusters(
+        operators.Dedup.ngramJaccardPairs(docs, cfg.ngramN, cfg.minJaccardX10000))
+      operators.Dedup.clusterLabels(docs, clusters, 3)
+        .orderBy(col("cluster_id"), col("rank"))
+    }),
+
     // the per-doc KEEP/DROP verdict: exact dup → near-dup cluster →
     // span-copy coverage, first failing reason wins (auditable)
     "dedup_verdict" -> ((s, d) =>
@@ -1760,6 +1770,46 @@ object SparkEntry {
            |  coalesce(n_covered, 0)::BIGINT AS n_covered,
            |  CAST(floor((10000.0::DOUBLE) * coalesce(n_covered, 0) / greatest(n_pos, 1) + 0.5) AS BIGINT) AS coverage_x10000
            |FROM sz LEFT JOIN nc ON sz.doc_id = nc.doc_id ORDER BY doc_id""".stripMargin,
+
+      // cluster labels: the ngram closure + cluster-tf × integer idf +
+      // per-cluster window top-3
+      "dedup_cluster_labels" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a AS a, doc_b AS b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jx
+           |    FROM common
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jx >= 5000),
+           |edges AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM (SELECT DISTINCT src AS id FROM edges)
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |canon AS (SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id),
+           |ct AS (SELECT cluster_id, term, count(*)::BIGINT AS tf FROM (
+           |    SELECT canon.cluster_id, unnest(t.toks) AS term
+           |    FROM t JOIN canon ON canon.id = t.doc_id)
+           |  WHERE term <> '' GROUP BY cluster_id, term),
+           |dfq AS (SELECT term, count(*)::BIGINT AS df FROM (
+           |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+           |  WHERE term <> '' GROUP BY term),
+           |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+           |sc AS (SELECT cluster_id, term,
+           |    tf * least(CAST(floor((100.0::DOUBLE) * n_docs / df) AS BIGINT), 10000) AS score
+           |  FROM ct JOIN dfq USING (term) CROSS JOIN n),
+           |r AS (SELECT cluster_id, term, score,
+           |    row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, term) AS rank
+           |  FROM sc)
+           |SELECT cluster_id, rank::BIGINT AS rank, term, score
+           |FROM r WHERE rank <= 3 ORDER BY cluster_id, rank""".stripMargin,
 
       // verdict: exact-dup window + recursive ngram closure + raw-corpus
       // span coverage, folded into the first-failing-reason CASE

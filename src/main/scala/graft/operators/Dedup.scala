@@ -749,6 +749,44 @@ object Dedup {
     * run, only for qualifying runs), then a per-doc distinct count. Scale
     * shape: [[spanRuns]]'s joins + one distinct + one agg, all on bounded
     * span output — no corpus-sized blowup beyond the shingle join itself. */
+  /** Cluster labels — the human-facing line of the dedup report: for each
+    * near-dup cluster (≥ 2 members), its top `k` distinguishing terms by
+    * cluster-tf × corpus-idf (the [[graft.operators.TextAnalysis
+    * .keywords]] integer fixed-point idf — no libm, oracle-exact). "278
+    * docs, label: 'invoice payment reminder'" reads; a bare canonical id
+    * doesn't.
+    *
+    * Plan shape: the pair-graph closure ([[dedupClusters]]) is reused as
+    * given; member docs explode once, one (cluster, term) agg, a term
+    * equi-join against the corpus df table, one per-cluster window top-k. */
+  def clusterLabels(docs: DataFrame, clusters: DataFrame, k: Int = 3,
+                    idfCapX100: Long = 10000): DataFrame = {
+    val members = clusters.select(col("id").as("doc_id"),
+      col("canonical_id").as("cluster_id"))
+    val terms = docs
+      .join(members, Seq("doc_id"))
+      .select(col("cluster_id"), explode(tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("cluster_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = terms.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * least(
+        floor(lit(100.0) * col("n_docs") / col("df")).cast("long"),
+        lit(idfCapX100)))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("cluster_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("score"))
+  }
+
   /** The dedup VERDICT table — the one output downstream actually
     * consumes: per doc, KEEP or DROP with the first-failing reason, in
     * fixed priority order (the [[graft.operators.TextAnalysis

@@ -958,6 +958,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("clusterLabels surface rare cluster-specific terms over common filler") {
+    import spark.implicits._
+    // cluster {1,2}: cluster tf — the 6, invoice 2, payment 2, overdue 1,
+    // reminder 1. Corpus of 12 docs all containing 'the': idf(the) = 100
+    // → score 600; idf(invoice|payment) = 100·12/2 = 600 → score 1200;
+    // idf(overdue|reminder) = 1200 → score 1200. Top-2 by (score DESC,
+    // term): invoice, then overdue — the everywhere-filler 'the' loses
+    // despite triple the term frequency.
+    val docs = docsDF(Seq(
+      1L -> "the the invoice payment overdue the",
+      2L -> "the the invoice payment reminder the") ++
+      (3L to 12L).map(i => i -> s"the filler$i words$i"): _*)
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "canonical_id")
+    val got = Dedup.clusterLabels(docs, clusters, k = 2)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, "invoice", 1200L), (1L, 2L, "overdue", 1200L)))
+  }
+
   test("dedupVerdict applies reasons in priority order with auditable signals") {
     // doc 2 = exact copy of 1 (whitespace churn only); doc 3 near-dups 1
     // (high trigram jaccard, different enough to not be exact); doc 4 is a

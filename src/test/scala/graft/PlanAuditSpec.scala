@@ -22,6 +22,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "sim_bm25" -> "one-row (n_docs, tot_len) stats ride along broadcast",
     "sim_rrf" -> "embeds sim_bm25's one-row stats broadcast",
     "mix_hard_triplets" -> "embeds sim_bm25's one-row stats broadcast",
+    "dedup_cluster_labels" -> "corpus-size one-row aggregate rides along broadcast (idf)",
     "ver_drift" -> "token-total one-row aggregate rides along broadcast",
     "a17_cms_counts" -> "one-row CMS sketch rides along broadcast")
 
