@@ -2267,12 +2267,12 @@ object SparkEntry {
           |  CASE WHEN doc_id % 6 = 0 THEN 'image/png' WHEN doc_id % 3 = 0 THEN 'image/jpeg'
           |       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
           |  (octet_length(encode(text)) + CASE WHEN doc_id % 6 = 0 THEN 33 WHEN doc_id % 3 = 0 THEN 39
-          |     WHEN doc_id % 3 = 1 THEN 44 ELSE 0 END)::BIGINT AS n_bytes,
-          |  (CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END)::BIGINT AS parsed,
+          |     WHEN doc_id % 3 = 1 THEN 44 ELSE 140 END)::BIGINT AS n_bytes,
+          |  1::BIGINT AS parsed,
           |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 500 ELSE -1 END AS INT) AS width,
           |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 400 ELSE -1 END AS INT) AS height,
           |  (CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 2
-          |     ELSE -1 END)::BIGINT AS n_frames
+          |     ELSE (doc_id % 997) + 100 END)::BIGINT AS n_frames
           |FROM documents ORDER BY media_id""".stripMargin,
 
       "mix_split" ->

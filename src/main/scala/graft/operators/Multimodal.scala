@@ -145,6 +145,57 @@ object Multimodal {
     None
   }
 
+  /** Planted MP4 movie duration (ticks at timescale 1000) for doc id. */
+  def plantedDuration(id: Long): Long = (id % 997) + 100
+
+  /** Minimal MP4: `ftyp` (isom) + `moov` holding a version-0 `mvhd`
+    * (timescale 1000, planted duration) + `mdat` wrapping the body —
+    * the real ISO-BMFF box layout, parseable by any demuxer. */
+  def mp4Payload(durationTicks: Long, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 + 116 + 8 + body.length) // big-endian
+    bb.putInt(16); bb.put("ftyp".getBytes(UTF_8))
+    bb.put("isom".getBytes(UTF_8)); bb.putInt(0)
+    bb.putInt(116); bb.put("moov".getBytes(UTF_8))
+    bb.putInt(108); bb.put("mvhd".getBytes(UTF_8))
+    bb.putInt(0)                    // version + flags
+    bb.putInt(0); bb.putInt(0)      // creation, modification
+    bb.putInt(1000)                 // timescale
+    bb.putInt(durationTicks.toInt)  // duration
+    bb.put(new Array[Byte](108 - 8 - 20)) // rate..next_track, zeroed
+    bb.putInt(8 + body.length); bb.put("mdat".getBytes(UTF_8)); bb.put(body)
+    bb.array()
+  }
+
+  /** MP4 duration: verify `ftyp`, walk top-level boxes to `moov`, walk its
+    * children to `mvhd`, read (timescale, duration). Size fields are
+    * bounds-checked; truncated or lying boxes return None. */
+  def parseMp4Duration(p: Array[Byte]): Option[Long] = {
+    def tag(off: Int) = new String(p, off, 4, UTF_8)
+    def be32(off: Int) = ByteBuffer.wrap(p, off, 4).getInt
+    if (p.length < 16 || tag(4) != "ftyp") return None
+    var i = 0
+    while (i + 8 <= p.length) {
+      val size = be32(i)
+      if (size < 8 || size > p.length - i) return None
+      if (tag(i + 4) == "moov") {
+        var j = i + 8
+        while (j + 8 <= i + size) {
+          val cs = be32(j)
+          if (cs < 8 || cs > i + size - j) return None
+          if (tag(j + 4) == "mvhd" && cs >= 32) {
+            val timescale = be32(j + 20)
+            val duration = be32(j + 24)
+            return if (timescale > 0) Some(duration.toLong) else None
+          }
+          j += cs
+        }
+        return None
+      }
+      i += size
+    }
+    None
+  }
+
   /** Feature row produced by the decoder. Unparsed payloads (unsupported
     * container, truncated header) carry `parsed = 0` and -1 dimensions. */
   final case class MediaFeatures(media_id: Long, kind: String, mime: String,
@@ -160,17 +211,21 @@ object Multimodal {
       case None => parseWavFrames(r.payload) match {
         case Some(frames) =>
           MediaFeatures(r.media_id, r.kind, r.mime, n, 1L, -1, -1, frames)
-        case None =>
-          MediaFeatures(r.media_id, r.kind, r.mime, n, 0L, -1, -1, -1L)
+        case None => parseMp4Duration(r.payload) match {
+          case Some(ticks) =>
+            MediaFeatures(r.media_id, r.kind, r.mime, n, 1L, -1, -1, ticks)
+          case None =>
+            MediaFeatures(r.media_id, r.kind, r.mime, n, 0L, -1, -1, -1L)
+        }
       }
     }
   }
 
   /** Build the media table from the documents corpus: payload = a REAL
-    * format header (PNG for doc_id ≡ 0 mod 6, JPEG for ≡ 3, WAV for ≡ 1
-    * mod 3) wrapping the text bytes; the mp4 stand-in stays opaque (box
-    * parsing needs a codec). Dimensions are planted via [[plantedDims]] so
-    * the decode is checkable. */
+    * format container (PNG for doc_id ≡ 0 mod 6, JPEG for ≡ 3, WAV for
+    * ≡ 1 mod 3, ISO-BMFF MP4 for ≡ 2) wrapping the text bytes.
+    * Dimensions/durations are planted via [[plantedDims]] /
+    * [[plantedDuration]] so the decode is checkable. */
   def toMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
@@ -181,7 +236,7 @@ object Multimodal {
           if (id % 6 == 0) ("image", "image/png", pngPayload(w, h, body))
           else ("image", "image/jpeg", jpegPayload(w, h, body))
         } else if (id % 3 == 1) ("audio", "audio/wav", wavPayload(body))
-        else ("video", "video/mp4", body)
+        else ("video", "video/mp4", mp4Payload(plantedDuration(id), body))
       MediaRecord(id, kind, payload, mime, payload.length.toLong)
     }
   }

@@ -333,7 +333,7 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.last.getString(3) == "batch_002/article_000024.json")
   }
 
-  test("multimodal decode parses real PNG/JPEG/WAV headers, flags the rest") {
+  test("multimodal decode parses real PNG/JPEG/WAV/MP4 containers, flags corruption") {
     val body = "hello media payload".getBytes("UTF-8")
     // fixture round-trips: build real format bytes, parse the dims back
     assert(Multimodal.parsePngDims(Multimodal.pngPayload(640, 480, body))
@@ -342,10 +342,16 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .contains((515, 415)))
     assert(Multimodal.parseWavFrames(Multimodal.wavPayload(body))
       .contains(body.length.toLong / 2))
+    assert(Multimodal.parseMp4Duration(Multimodal.mp4Payload(4242L, body))
+      .contains(4242L))
     // corrupt / unsupported payloads degrade to None, never throw
     assert(Multimodal.parsePngDims(body).isEmpty)
     assert(Multimodal.parseJpegDims(Array[Byte]()).isEmpty)
     assert(Multimodal.parseWavFrames(body).isEmpty)
+    assert(Multimodal.parseMp4Duration(body).isEmpty)
+    // a truncated moov (size field past the payload) degrades, not throws
+    assert(Multimodal.parseMp4Duration(
+      Multimodal.mp4Payload(7L, body).take(40)).isEmpty)
     // decoders sniff magic bytes, not the kind column
     assert(Multimodal.decodeOne(graft.Schemas.MediaRecord(
       9L, "video", Multimodal.pngPayload(5, 7, body), "video/mp4",
@@ -360,8 +366,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(feats(3L).getAs[Int]("width") == 19 &&
       feats(3L).getAs[Int]("height") == 37)             // JPEG, 16+3 / 16+21
     assert(feats(1L).getAs[Long]("n_frames") == len1.toLong / 2) // WAV
-    assert(feats(2L).getAs[Long]("parsed") == 0L &&
-      feats(2L).getAs[Int]("width") == -1)              // opaque mp4 stand-in
+    assert(feats(2L).getAs[Long]("parsed") == 1L &&
+      feats(2L).getAs[Int]("width") == -1 &&
+      feats(2L).getAs[Long]("n_frames") == Multimodal.plantedDuration(2L)) // MP4
   }
 
   test("anti-join + idempotent union behave as set operations") {
