@@ -1028,6 +1028,11 @@ object SparkEntry {
           batchSize = 8, metric = "bpe")
         .orderBy(col("band"), col("batch_no"))),
 
+    // per-dimension embedding stats: the embedding-space drift monitor
+    "ann_dim_stats" -> ((s, d) =>
+      operators.Similarity.embeddingStats(Tables.embeddings(s, d))
+        .orderBy(col("dim"))),
+
     // BM25 lexical retrieval: docs 0-4 as query bags over the inverted
     // index, fixed-point integer scoring, df-capped postings
     "sim_bm25" -> ((s, d) =>
@@ -2443,6 +2448,19 @@ object SparkEntry {
            |  FROM f)
            |SELECT query_id, doc_id, rank::BIGINT AS rank, rrf_x1e5, n_systems
            |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // dim stats: 0-based dim via struct-unnest, per-element fixed point,
+      // double division for the mean (exact at these magnitudes)
+      "ann_dim_stats" ->
+        """WITH e AS (SELECT unnest(list_transform(range(1, len(embedding) + 1),
+          |    i -> {'dim': i - 1, 'x': embedding[i]})) AS u FROM embeddings),
+          |f AS (SELECT (u.dim)::BIGINT AS dim,
+          |    CAST(floor(CAST(u.x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xf
+          |  FROM e)
+          |SELECT dim, count(*)::BIGINT AS n, sum(xf)::BIGINT AS sum_x1e6,
+          |  min(xf)::BIGINT AS min_x1e6, max(xf)::BIGINT AS max_x1e6,
+          |  CAST(floor(CAST(sum(xf) AS DOUBLE) / count(*)) AS BIGINT) AS mean_x1e6
+          |FROM f GROUP BY dim ORDER BY dim""".stripMargin,
 
       // BM25: same fixed-point recurrence — capped integer idf, every
       // division an explicit floor DIV at a fixed scale

@@ -691,6 +691,28 @@ object Similarity {
           .as("snippet"))
   }
 
+  /** Per-dimension embedding-space statistics — the drift monitor for an
+    * embedding pipeline: when the encoder, preprocessing, or upstream
+    * corpus shifts, dimension means move first (a global cosine metric
+    * hides which dimensions drifted). Values go through the standard
+    * fixed-point gate (per-element `floor(x·1e6 + 0.5)` then integer
+    * aggregation) so every statistic is order-independent and
+    * cross-engine exact; the mean divides as a double (exact for these
+    * magnitudes) and floors.
+    *
+    * Plan shape: one posexplode + one map-combinable hash agg on the
+    * dimension index — dims × (n, sum, min, max), corpus-sized scan, tiny
+    * result. */
+  def embeddingStats(emb: DataFrame): DataFrame =
+    emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xf", floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long"))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xf")).as("sum_x1e6"),
+        min(col("xf")).as("min_x1e6"), max(col("xf")).as("max_x1e6"))
+      .withColumn("mean_x1e6",
+        floor(col("sum_x1e6").cast("double") / col("n")).cast("long"))
+
   /** Reciprocal-rank fusion (Cormack et al.) — hybrid retrieval's standard
     * combiner: each system's ranked list `(query_id, doc_id, rank)`
     * contributes `1/(K + rank)` and the fused order is by the sum. Rank-

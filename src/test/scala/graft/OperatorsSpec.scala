@@ -927,6 +927,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("embeddingStats: per-dim fixed-point moments on a crafted matrix") {
+    import spark.implicits._
+    // vectors (1.0, -0.5), (3.0, 0.25): dim 0 → n 2, sum 4e6, mean 2e6;
+    // dim 1 → sum -250000, mean floor(-125000.0) = -125000
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f), 0),
+      (2L, Array(3.0f, 0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingStats(emb).orderBy("dim")
+      .select("dim", "n", "sum_x1e6", "min_x1e6", "max_x1e6", "mean_x1e6")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 4000000L, 1000000L, 3000000L, 2000000L),
+      (1L, 2L, -250000L, -500000L, 250000L, -125000L)))
+  }
+
   test("bm25 ranks lexical overlap, favors shorter docs at equal tf, skips self") {
     // query doc 1: "alpha beta". doc 2 and doc 3 both contain "alpha" once;
     // doc 3 is much longer → length normalization must rank doc 2 first.
