@@ -1071,6 +1071,13 @@ object SparkEntry {
         .orderBy(col("anchor_id"), col("positive_id"))
     }),
 
+    // round-robin interleave: training order dealing one doc per source
+    // per round, hash-shuffled within each source
+    "mix_interleave" -> ((s, d) =>
+      operators.Mixing.interleaveSources(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("rr_rank"))
+        .orderBy(col("rr_rank"), col("source"), col("doc_id"))),
+
     // hard-negative triplets: anchor's top BM25 hit outside its dup
     // cluster — the dense-retrieval negative-mining recipe
     "mix_hard_triplets" -> ((s, d) => {
@@ -2516,6 +2523,14 @@ object SparkEntry {
            |  WHERE cand_id <> anchor_id AND cand_id <> positive_id)
            |SELECT anchor_id, positive_id, cand_id AS negative_id FROM j WHERE rn = 1
            |ORDER BY anchor_id, positive_id""".stripMargin,
+
+      // interleave: per-source salted-hash rank
+      "mix_interleave" ->
+        s"""SELECT doc_id, source,
+           |  row_number() OVER (PARTITION BY source
+           |    ORDER BY (${poly("'order:' || doc_id")}), doc_id)::BIGINT AS rr_rank
+           |FROM documents
+           |ORDER BY rr_rank, source, doc_id""".stripMargin,
 
       // hard negatives: ngram pair CTEs + recursive min-reachable closure
       // + the BM25 pipeline queried at the anchors + cluster exclusion

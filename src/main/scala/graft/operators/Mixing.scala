@@ -172,6 +172,20 @@ object Mixing {
         col("m").getField("cand_id").as("negative_id"))
   }
 
+  /** Round-robin source interleaving — the training ORDER primitive: a
+    * corpus written source-by-source trains source-by-source (catastrophic
+    * for mixing); sorting by `(rr_rank, source, id)` instead deals one doc
+    * per source per round, each source's docs in salted-hash order
+    * (reproducible shuffle within the source). The operator emits the
+    * per-source rank; consumers sort or range-partition by the triple —
+    * no global row numbering, no single-partition window.
+    */
+  def interleaveSources(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val hk = charPolyHash(concat(lit("order:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(hk, col(idCol))
+    docs.withColumn("rr_rank", row_number().over(w).cast("long"))
+  }
+
   /** HARD-negative triplet mining — the upgrade of [[contrastiveTriplets]]
     * embedding training actually wants: the negative is not a random doc
     * but the anchor's top BM25 retrieval OUTSIDE its duplicate cluster —

@@ -152,6 +152,27 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(total == expected)
   }
 
+  test("interleaveSources deals one doc per source per round, hash-shuffled, stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val ordered = Mixing.interleaveSources(docs)
+      .orderBy("rr_rank", "source", "doc_id")
+      .select("doc_id", "source", "rr_rank")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(ordered.size == docs.count())
+    val nSources = docs.select("source").distinct().count().toInt
+    // while every source still has docs, each full round covers all sources
+    val minPerSource = ordered.groupBy(_._2).map(_._2.map(_._3).max).min
+    (1L to minPerSource).foreach { r =>
+      val round = ordered.filter(_._3 == r).map(_._2)
+      assert(round.size == nSources && round.toSet.size == nSources,
+        s"round $r covers ${round.toSet.size}/$nSources sources")
+    }
+    // stable under repartitioning
+    val again = Mixing.interleaveSources(docs.repartition(7))
+      .select("doc_id", "rr_rank").as[(Long, Long)].collect().toMap
+    assert(ordered.map(o => o._1 -> o._3).toMap == again)
+  }
+
   test("hard negatives come from outside the cluster, by best surviving rank") {
     import spark.implicits._
     // docs 1,2,3 are a dup cluster sharing "alpha beta gamma"; doc 4 shares
