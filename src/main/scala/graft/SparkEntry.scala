@@ -1048,6 +1048,16 @@ object SparkEntry {
           queryTerms = Seq("spark", "join", "data"), windowTokens = 10)
         .orderBy(col("doc_id"))),
 
+    // the BM25 index as a persisted artifact: build postings/doclen/stats
+    // once, query without touching the corpus — must equal sim_bm25 exactly
+    "sim_bm25_index" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-").toString
+      operators.Similarity.buildBm25Index(Tables.documents(s, d), dir)
+      operators.Similarity.bm25QueryIndex(s, dir,
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // hybrid retrieval: RRF-fuse the BM25 lexical ranking with the
     // feature-hashed vector ranking for the same query docs
     "sim_rrf" -> ((s, d) => {
@@ -1304,6 +1314,33 @@ object SparkEntry {
         s"    FROM edges e JOIN r${i - 1} r ON e.src = r.node\n" +
         s"    JOIN deg d ON d.src = e.src GROUP BY e.dst) f ON f.node = rst.node)"
     }.mkString(",\n")
+    // shared by sim_bm25 and sim_bm25_index (the artifact form must
+    // return the identical ranking)
+    val bm25OracleSql =
+  s"""WITH tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM
+           |    (SELECT doc_id, unnest($toks) AS t FROM documents)
+           |  WHERE t <> '' GROUP BY doc_id, t),
+           |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+           |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_len FROM dl),
+           |dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t
+           |  HAVING count(*) <= 1000),
+           |q AS (SELECT DISTINCT doc_id AS query_id, t FROM tf
+           |  WHERE doc_id IN (0, 1, 2, 3, 4)),
+           |sc AS (SELECT q.query_id, tf.doc_id,
+           |    least(CAST(floor((100.0::DOUBLE) * n_docs / df) AS BIGINT), 10000) *
+           |      ((tf.tf * 2200 * 1000) // (tf.tf * 1000 +
+           |        (1200 * (250 + (750 * dl.dl * 1000) // ((1000 * tot_len) // n_docs))) // 1000))
+           |      AS contrib
+           |  FROM q JOIN tf USING (t) JOIN dfq USING (t)
+           |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+           |  WHERE tf.doc_id <> q.query_id),
+           |r AS (SELECT query_id, doc_id, sum(contrib)::BIGINT AS score_x1e5,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sum(contrib) DESC, doc_id) AS rank
+           |  FROM sc GROUP BY query_id, doc_id)
+           |SELECT query_id, doc_id, rank::BIGINT AS rank, score_x1e5
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
     // unit-normalized embedding CTEs (mirrors Dedup.withUnitVector): DuckDB
     // list_dot_product folds sequentially — verified bit-identical to
     // Spark's index left-fold. cosine(a,b) = dot of unit vectors.
@@ -2471,30 +2508,10 @@ object SparkEntry {
 
       // BM25: same fixed-point recurrence — capped integer idf, every
       // division an explicit floor DIV at a fixed scale
-      "sim_bm25" ->
-        s"""WITH tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM
-           |    (SELECT doc_id, unnest($toks) AS t FROM documents)
-           |  WHERE t <> '' GROUP BY doc_id, t),
-           |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
-           |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_len FROM dl),
-           |dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t
-           |  HAVING count(*) <= 1000),
-           |q AS (SELECT DISTINCT doc_id AS query_id, t FROM tf
-           |  WHERE doc_id IN (0, 1, 2, 3, 4)),
-           |sc AS (SELECT q.query_id, tf.doc_id,
-           |    least(CAST(floor((100.0::DOUBLE) * n_docs / df) AS BIGINT), 10000) *
-           |      ((tf.tf * 2200 * 1000) // (tf.tf * 1000 +
-           |        (1200 * (250 + (750 * dl.dl * 1000) // ((1000 * tot_len) // n_docs))) // 1000))
-           |      AS contrib
-           |  FROM q JOIN tf USING (t) JOIN dfq USING (t)
-           |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-           |  WHERE tf.doc_id <> q.query_id),
-           |r AS (SELECT query_id, doc_id, sum(contrib)::BIGINT AS score_x1e5,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY sum(contrib) DESC, doc_id) AS rank
-           |  FROM sc GROUP BY query_id, doc_id)
-           |SELECT query_id, doc_id, rank::BIGINT AS rank, score_x1e5
-           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "sim_bm25" -> bm25OracleSql,
+
+      "sim_bm25_index" -> bm25OracleSql,
+
 
       // triplets: the dedup_ngram pair CTEs + the bucketed negative pick
       // (row_number mirrors min(struct(cand_h, cand_id)))

@@ -691,6 +691,69 @@ object Similarity {
           .as("snippet"))
   }
 
+  /** Build the BM25 index as a PERSISTED ARTIFACT — the serving-side
+    * pattern (the [[graft.operators.TextAnalysis.qualityThresholds]] /
+    * minhash-index family): one corpus pass writes `postings/` (term, doc,
+    * tf, df — df-capped), `doclen/`, and the one-row `stats/`; queries then
+    * run against the artifact without touching the corpus. At 100 TB the
+    * index builds once per snapshot and serves every retrieval after. */
+  def buildBm25Index(docs: DataFrame, path: String, maxDf: Long = 1000): Unit = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    tf.join(dfT, Seq("t"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Query a [[buildBm25Index]] artifact: identical scoring to
+    * [[bm25TopKFor]], but every input is an index read — the corpus is
+    * never scanned. Query bags come from the query docs' own postings. */
+  def bm25QueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queryIds: Seq[Long], k: Int,
+                     idfCapX100: Long = 10000,
+                     k1X10: Long = 12, bX100: Long = 75): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "need query docs and positive k")
+    val postings = spark.read.parquet(s"$path/postings")
+    val dl = spark.read.parquet(s"$path/doclen")
+    val stats = spark.read.parquet(s"$path/stats")
+    val qTerms = postings.where(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val scored = qTerms
+      .join(postings, Seq("t"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_x100", least(
+        floor(lit(100.0) * col("n_docs") / col("df")).cast("long"),
+        lit(idfCapX100)))
+      .withColumn("avdl_x1000", expr("(1000 * tot_len) DIV n_docs"))
+      .withColumn("norm_x1000",
+        lit(1000L - 10L * bX100) +
+          expr(s"(${10L * bX100} * dl * 1000) DIV avdl_x1000"))
+      .withColumn("tfc_x1000", expr(
+        s"(tf * ${(k1X10 + 10L) * 100L} * 1000) DIV " +
+          s"(tf * 1000 + (${k1X10 * 100L} * norm_x1000) DIV 1000)"))
+      .withColumn("contrib", col("idf_x100") * col("tfc_x1000"))
+    val ranked = scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_x1e5"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_x1e5").desc, col("doc_id"))
+    ranked
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score_x1e5"))
+  }
+
   /** Per-dimension embedding-space statistics — the drift monitor for an
     * embedding pipeline: when the encoder, preprocessing, or upstream
     * corpus shifts, dimension means move first (a global cosine metric

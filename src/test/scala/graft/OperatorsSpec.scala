@@ -1051,6 +1051,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (3L, 1L, 0L, "z1 z2 z3")))
   }
 
+  test("the persisted BM25 index returns the direct pipeline's exact ranking") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-spec-").toString
+    Similarity.buildBm25Index(docs, dir)
+    // the artifact parts exist on disk
+    Seq("postings", "doclen", "stats").foreach { part =>
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$dir/$part")), s"missing $part")
+    }
+    val direct = Similarity.bm25TopK(docs, Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val indexed = Similarity.bm25QueryIndex(spark, dir, Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(indexed == direct)
+  }
+
   test("rrfFuse sums reciprocal ranks and rewards cross-system agreement") {
     import spark.implicits._
     // q1: system A ranks docs 10,20,30; system B ranks 20,40. doc 20 is

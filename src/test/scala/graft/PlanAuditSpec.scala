@@ -21,6 +21,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "sim_tfidf" -> "corpus-size one-row aggregate rides along broadcast (idf)",
     "sim_bm25" -> "one-row (n_docs, tot_len) stats ride along broadcast",
     "sim_rrf" -> "embeds sim_bm25's one-row stats broadcast",
+    "sim_bm25_index" -> "one-row index stats artifact rides along broadcast",
     "mix_hard_triplets" -> "embeds sim_bm25's one-row stats broadcast",
     "dedup_cluster_labels" -> "corpus-size one-row aggregate rides along broadcast (idf)",
     "ver_drift" -> "token-total one-row aggregate rides along broadcast",
