@@ -1028,6 +1028,17 @@ object SparkEntry {
           batchSize = 8, metric = "bpe")
         .orderBy(col("band"), col("batch_no"))),
 
+    // semantic decontamination: planted near-copy eval vectors must be
+    // flagged against their train sources by banded cross-side LSH +
+    // exact cosine (the paraphrase leak n-grams can't see)
+    "decontam_semantic" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+      val evalSide = operators.Dedup.withNearCopies(base)
+        .where(col("vec_id") >= 1000000L)
+      operators.Decontaminate.semanticOverlap(base, evalSide, 900000L)
+        .orderBy(col("eval_id"), col("train_id"))
+    }),
+
     // per-dimension embedding stats: the embedding-space drift monitor
     "ann_dim_stats" -> ((s, d) =>
       operators.Similarity.embeddingStats(Tables.embeddings(s, d))
@@ -2492,6 +2503,24 @@ object SparkEntry {
            |  FROM f)
            |SELECT query_id, doc_id, rank::BIGINT AS rank, rrf_x1e5, n_systems
            |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // semantic decontamination: exact cross-side all-pairs cosine (the
+      // banded Spark side's recall against it is the dedup_embedding_lsh
+      // property, re-pinned by its spec)
+      "decontam_semantic" ->
+        """WITH b0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |ev0 AS (SELECT vec_id + 1000000 AS vec_id,
+          |    list_concat([v[1]*(1.05::DOUBLE)], v[2:]) AS v FROM b0),
+          |t1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM b0),
+          |tn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM t1),
+          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev0),
+          |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1),
+          |p AS (SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+          |    CAST(floor(list_dot_product(e.vn, t.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+          |  FROM en e CROSS JOIN tn t)
+          |SELECT eval_id, train_id, cos_x1000000 FROM p
+          |WHERE cos_x1000000 >= 900000
+          |ORDER BY eval_id, train_id""".stripMargin,
 
       // dim stats: 0-based dim via struct-unnest, per-element fixed point,
       // double division for the mean (exact at these magnitudes)

@@ -160,4 +160,37 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCommon)
   }
+
+  /** SEMANTIC decontamination — the leak n-gram overlap cannot see: a
+    * paraphrased eval answer shares no 8-gram with its train source but
+    * sits right next to it in embedding space. Flags every (eval, train)
+    * vector pair with cosine ≥ the threshold, via the banded random-
+    * hyperplane LSH machinery ([[Dedup.embeddingNearDupPairsBanded]]'s
+    * one-expression bucketer) run ASYMMETRICALLY: both sides bucket with
+    * the SAME plane matrix, candidates come from an (table, bucket)
+    * equi-join across sides — never an eval × train product — and the
+    * exact cosine verifies inline.
+    *
+    * Output: `(eval_id, train_id, cos_x1000000)`, one row per flagged
+    * pair. Empty result = clean eval set. */
+  def semanticOverlap(train: DataFrame, evalVecs: DataFrame,
+                      minCosX1000000: Long,
+                      planes: Int = 16, tables: Int = 8,
+                      dim: Int = 64): DataFrame = {
+    def sideBuckets(emb: DataFrame) = Dedup.withUnitVector(emb)
+      .select(col("vec_id"), col("vn"),
+        posexplode(graft.plans.ArrayExpressions.planeBuckets(
+          col("vn"), planes, tables, dim)).as(Seq("t", "bucket")))
+    val tr = sideBuckets(train).select(col("vec_id").as("train_id"),
+      col("vn").as("tvn"), col("t"), col("bucket"))
+    val ev = sideBuckets(evalVecs).select(col("vec_id").as("eval_id"),
+      col("vn").as("evn"), col("t"), col("bucket"))
+    ev.join(tr, Seq("t", "bucket"))
+      .withColumn("cos_x1000000",
+        floor(Dedup.dotCol(col("evn"), col("tvn")) * 1000000.0 + 0.5)
+          .cast("long"))
+      .where(col("cos_x1000000") >= minCosX1000000)
+      .select(col("eval_id"), col("train_id"), col("cos_x1000000"))
+      .distinct() // a pair may collide in several tables — emit it once
+  }
 }

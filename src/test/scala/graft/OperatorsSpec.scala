@@ -927,6 +927,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("semanticOverlap flags every planted paraphrase pair (banded == exact)") {
+    val base = Tables.embeddings(spark, sfDir)
+    val evalSide = Dedup.withNearCopies(base).where(col("vec_id") >= 1000000L)
+    val banded = graft.operators.Decontaminate
+      .semanticOverlap(base, evalSide, 900000L)
+      .as[(Long, Long, Long)].collect().toSet
+    // exact cross-side all-pairs ground truth via the existing unit-vector
+    // machinery: every pair the banding returns must be real, and every
+    // exact pair must be found (the 100%-recall property the lsh dedup
+    // query already pins)
+    val tn = Dedup.withUnitVector(base)
+      .select(col("vec_id").as("train_id"), col("vn").as("tvn"))
+    val en = Dedup.withUnitVector(evalSide)
+      .select(col("vec_id").as("eval_id"), col("vn").as("evn"))
+    val exact = en.crossJoin(tn)
+      .withColumn("cos_x1000000",
+        floor(Dedup.dotCol(col("evn"), col("tvn")) * 1000000.0 + 0.5).cast("long"))
+      .where(col("cos_x1000000") >= 900000L)
+      .select("eval_id", "train_id", "cos_x1000000")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == exact)
+    // each planted copy is flagged against its own source
+    val selfPairs = banded.filter { case (e, t, _) => e == t + 1000000L }
+    assert(selfPairs.size == base.count())
+  }
+
   test("embeddingStats: per-dim fixed-point moments on a crafted matrix") {
     import spark.implicits._
     // vectors (1.0, -0.5), (3.0, 0.25): dim 0 → n 2, sum 4e6, mean 2e6;
