@@ -450,6 +450,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // quality-aware survivor per near-dup cluster: keep the cleanest copy,
+    // not the smallest id
+    "dedup_best_survivor" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = operators.Dedup.dedupClusters(
+        operators.Dedup.ngramJaccardPairs(docs, cfg.ngramN, cfg.minJaccardX10000))
+      operators.Dedup.bestSurvivors(docs, clusters)
+        .orderBy(col("cluster_id"))
+    }),
+
     // cluster labels: top-3 cluster-tf × corpus-idf terms per near-dup
     // cluster — the readable line of the dedup report
     "dedup_cluster_labels" -> ((s, d) => {
@@ -1830,6 +1840,52 @@ object SparkEntry {
            |  coalesce(n_covered, 0)::BIGINT AS n_covered,
            |  CAST(floor((10000.0::DOUBLE) * coalesce(n_covered, 0) / greatest(n_pos, 1) + 0.5) AS BIGINT) AS coverage_x10000
            |FROM sz LEFT JOIN nc ON sz.doc_id = nc.doc_id ORDER BY doc_id""".stripMargin,
+
+      // best survivor: ngram closure + the ta_quality score + per-cluster
+      // (quality DESC, id) argmin
+      "dedup_best_survivor" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a AS a, doc_b AS b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jx
+           |    FROM common
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jx >= 5000),
+           |edges AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM (SELECT DISTINCT src AS id FROM edges)
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |canon AS (SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id),
+           |q AS (SELECT doc_id,
+           |    CAST(floor((10000.0::DOUBLE) *
+           |      least(1.0::DOUBLE, (word_cnt::DOUBLE) / (200.0::DOUBLE)) *
+           |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+           |        (4.0::DOUBLE) * stop_hits / greatest(word_cnt, 1))) + 0.5) AS BIGINT)
+           |      AS quality_x10000
+           |  FROM (SELECT doc_id, ($wordCnt)::BIGINT AS word_cnt,
+           |      len(list_filter($toks, t2 -> t2 IN ($enWords)))::BIGINT AS stop_hits
+           |    FROM documents)),
+           |m AS (SELECT canon.cluster_id, canon.id AS doc_id, q.quality_x10000
+           |  FROM canon JOIN q ON q.doc_id = canon.id),
+           |r AS (SELECT cluster_id, doc_id, quality_x10000,
+           |    row_number() OVER (PARTITION BY cluster_id
+           |      ORDER BY quality_x10000 DESC, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+           |  FROM m)
+           |SELECT cluster_id, doc_id AS survivor_id,
+           |  quality_x10000 AS survivor_quality_x10000, n_members::BIGINT AS n_members
+           |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+      },
 
       // cluster labels: the ngram closure + cluster-tf × integer idf +
       // per-cluster window top-3

@@ -749,6 +749,26 @@ object Dedup {
     * run, only for qualifying runs), then a per-doc distinct count. Scale
     * shape: [[spanRuns]]'s joins + one distinct + one agg, all on bounded
     * span output — no corpus-sized blowup beyond the shingle join itself. */
+  /** Quality-aware survivor selection — WHICH copy to keep: min-id
+    * canonicals are arbitrary; a curation pipeline keeps each cluster's
+    * highest-QUALITY member (the cleanest scrape of the mirrored page),
+    * with id as the tie-break. One slim join of the cluster assignment
+    * against the quality scores + one map-combinable min(struct) per
+    * cluster. Output: `(cluster_id, survivor_id, survivor_quality_x10000,
+    * n_members)`. */
+  def bestSurvivors(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_x10000"))
+    clusters.select(col("id").as("doc_id"), col("canonical_id").as("cluster_id"))
+      .join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("quality_x10000")).as("nq"), col("doc_id").as("id")))
+        .as("m"), count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("m").getField("id").as("survivor_id"),
+        (-col("m").getField("nq")).as("survivor_quality_x10000"),
+        col("n_members"))
+  }
+
   /** Cluster labels — the human-facing line of the dedup report: for each
     * near-dup cluster (≥ 2 members), its top `k` distinguishing terms by
     * cluster-tf × corpus-idf (the [[graft.operators.TextAnalysis

@@ -1007,6 +1007,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("bestSurvivors keep the highest-quality member, ties toward smaller id") {
+    import spark.implicits._
+    // cluster {1,2,3}: doc 2 has more words and more stopwords → higher
+    // quality score; cluster {7,8}: identical text → tie → smaller id 7
+    val docs = docsDF(
+      1L -> "alpha beta",
+      2L -> "the alpha of the beta is a gamma in the delta",
+      3L -> "alpha gamma",
+      7L -> "same words here",
+      8L -> "same words here")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "canonical_id")
+    val got = Dedup.bestSurvivors(docs, clusters).orderBy("cluster_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(g => (g._1, g._2, g._4)) == Seq((1L, 2L, 3L), (7L, 7L, 2L)))
+    // the survivor's reported quality equals the quality operator's score
+    val q = TextAnalysis.quality(docs).select("doc_id", "quality_x10000")
+      .as[(Long, Long)].collect().toMap
+    got.foreach(g => assert(g._3 == q(g._2)))
+  }
+
   test("clusterLabels surface rare cluster-specific terms over common filler") {
     import spark.implicits._
     // cluster {1,2}: cluster tf — the 6, invoice 2, payment 2, overdue 1,
