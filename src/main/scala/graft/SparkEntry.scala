@@ -450,6 +450,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // jaccard decile histogram: the threshold-tuning curve over all
+    // shingle-sharing candidate pairs (no cutoff)
+    "dedup_sim_histogram" -> ((s, d) =>
+      operators.Dedup.jaccardHistogram(Tables.documents(s, d), cfg.ngramN)
+        .orderBy(col("decile"))),
+
     // quality-aware survivor per near-dup cluster: keep the cleanest copy,
     // not the smallest id
     "dedup_best_survivor" -> ((s, d) => {
@@ -1840,6 +1846,26 @@ object SparkEntry {
            |  coalesce(n_covered, 0)::BIGINT AS n_covered,
            |  CAST(floor((10000.0::DOUBLE) * coalesce(n_covered, 0) / greatest(n_pos, 1) + 0.5) AS BIGINT) AS coverage_x10000
            |FROM sz LEFT JOIN nc ON sz.doc_id = nc.doc_id ORDER BY doc_id""".stripMargin,
+
+      // similarity histogram: unthresholded pair jx, capped deciles
+      "dedup_sim_histogram" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sh0 AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |hot AS (SELECT h FROM (SELECT h, count(*)::BIGINT AS df FROM sh0 GROUP BY h)
+           |  WHERE df > 1000),
+           |sh AS (SELECT doc_id, h FROM sh0 WHERE h NOT IN (SELECT h FROM hot)),
+           |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |j AS (SELECT CAST(floor((10000.0::DOUBLE) * n_common /
+           |      (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jx
+           |  FROM common
+           |  JOIN sizes na ON na.doc_id = doc_a
+           |  JOIN sizes nb ON nb.doc_id = doc_b)
+           |SELECT least(jx // 1000, 9) AS decile, count(*)::BIGINT AS n_pairs,
+           |  min(jx)::BIGINT AS min_jx, max(jx)::BIGINT AS max_jx
+           |FROM j GROUP BY decile ORDER BY decile""".stripMargin,
 
       // best survivor: ngram closure + the ta_quality score + per-cluster
       // (quality DESC, id) argmin

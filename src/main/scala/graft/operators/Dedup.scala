@@ -749,6 +749,40 @@ object Dedup {
     * run, only for qualifying runs), then a per-doc distinct count. Scale
     * shape: [[spanRuns]]'s joins + one distinct + one agg, all on bounded
     * span output — no corpus-sized blowup beyond the shingle join itself. */
+  /** Jaccard similarity histogram — the THRESHOLD-TUNING curve: how many
+    * candidate pairs sit at each similarity decile? Cutting at 0.5 vs 0.8
+    * changes the drop count by whatever lives between the buckets, and
+    * this is the query that shows it before anyone commits to a number.
+    * Same inverted-index candidate generation as [[ngramJaccardPairs]]
+    * (df-capped), WITHOUT the threshold; each pair lands in
+    * `min(jx DIV 1000, 9)` (so bucket 9 is [0.9, 1.0] inclusive).
+    * Output per decile: pair count, min/max jx. */
+  def jaccardHistogram(docs: DataFrame, n: Int,
+                       docFreqCap: Long = 1000): DataFrame = {
+    val sh0 = shingleTable(docs, n)
+      .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+    val hot = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > docFreqCap).select(col("h"))
+    val sh = sh0.join(hot, Seq("h"), "left_anti")
+    // sizes from the SAME capped universe as the intersections — the
+    // ngramJaccardPairs consistency rule
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jx", floor(lit(10000.0) * col("n_common") /
+        (col("na") + col("nb") - col("n_common")) + 0.5).cast("long"))
+      .withColumn("decile", least(expr("jx DIV 1000"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("jx")).as("min_jx"),
+        max(col("jx")).as("max_jx"))
+  }
+
   /** Quality-aware survivor selection — WHICH copy to keep: min-id
     * canonicals are arbitrary; a curation pipeline keeps each cluster's
     * highest-QUALITY member (the cleanest scrape of the mirrored page),

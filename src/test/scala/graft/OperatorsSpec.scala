@@ -1007,6 +1007,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("jaccardHistogram buckets pairs by decile, identical pair in bucket 9") {
+    // docs 1,2 identical (jx 10000 → decile 9); 1,3 share half-ish; 4 disjoint
+    val docs = docsDF(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f",
+      3L -> "a b c d z z",
+      4L -> "p q r s t u")
+    val got = Dedup.jaccardHistogram(docs, 3).orderBy("decile")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 1-2: 4 common of 4 → 10000 (decile 9); 1-3 and 2-3: trigram sets
+    // {abc,bcd,cde,def} vs {abc,bcd,cdz,dzz}: 2/6 → 3333 (decile 3)
+    assert(got == Seq((3L, 2L, 3333L, 3333L), (9L, 1L, 10000L, 10000L)))
+    // histogram totals = total candidate pairs
+    assert(got.map(_._2).sum == 3L)
+  }
+
   test("bestSurvivors keep the highest-quality member, ties toward smaller id") {
     import spark.implicits._
     // cluster {1,2,3}: doc 2 has more words and more stopwords → higher
