@@ -621,6 +621,18 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // position-sensitive index evaluation: binary nDCG@k of the LSH index
+    // vs the exact baseline, precomputed integer log-discount weights
+    "ann_ndcg" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.Similarity.ndcgEval(
+          operators.Similarity.bruteForceTopK(emb, cfg.annQueries, cfg.annK),
+          operators.Similarity.lshTopK(emb, cfg.annQueries, cfg.annK,
+            planes = 4, tables = 2),
+          cfg.annK)
+        .orderBy(col("query_id"))
+    }),
+
     // int8-quantized ANN (4× smaller vectors; integer dots make the
     // approximate ranking bit-reproducible, so this one IS oracle-exact)
     "ann_topk_int8" -> ((s, d) =>
@@ -2215,6 +2227,51 @@ object SparkEntry {
            |FROM (SELECT DISTINCT query_id FROM truth) tq
            |LEFT JOIN hits ON tq.query_id = hits.query_id
            |ORDER BY query_id""".stripMargin,
+
+      // nDCG: same truth/pred pipelines as ann_eval + the literal
+      // log-discount weight CASE (identical constants both engines)
+      "ann_ndcg" -> {
+        val wCase = operators.Similarity.NdcgWeightsX1e6.take(5).zipWithIndex
+          .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+          .mkString("CASE pred.rank ", " ", " ELSE 0 END")
+        val idcg = operators.Similarity.NdcgWeightsX1e6.take(5).sum
+        s"""WITH $unitVecCte,
+           |q AS (SELECT vec_id AS query_id, vn AS qv FROM en WHERE vec_id < 10),
+           |tsc AS (SELECT query_id, en.vec_id, list_dot_product(qv, vn) AS cos
+           |  FROM q JOIN en ON query_id <> en.vec_id),
+           |truth AS (SELECT query_id, vec_id AS neighbor_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |    FROM tsc) WHERE rank <= 5),
+           |pd AS (SELECT vec_id, t, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), d ->
+           |      ((((1103515245*((t*4+p)*64+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * vn[d+1])),
+           |    (s, x) -> s + x) AS dotp
+           |  FROM en CROSS JOIN range(0, 2) r(t) CROSS JOIN range(0, 4) rp(p)),
+           |buckets AS (SELECT vec_id, t,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS bucket
+           |  FROM pd GROUP BY vec_id, t),
+           |cand AS (SELECT DISTINCT bq.vec_id AS query_id, b.vec_id
+           |  FROM buckets bq JOIN buckets b ON bq.t = b.t AND bq.bucket = b.bucket
+           |  WHERE bq.vec_id < 10 AND bq.vec_id <> b.vec_id),
+           |psc AS (SELECT query_id, cand.vec_id, list_dot_product(eq.vn, ec.vn) AS cos
+           |  FROM cand JOIN en eq ON eq.vec_id = query_id JOIN en ec ON ec.vec_id = cand.vec_id),
+           |pred AS (SELECT query_id, vec_id AS neighbor_id, rank FROM (
+           |    SELECT query_id, vec_id, cos,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |    FROM psc) WHERE rank <= 5),
+           |dcg AS (SELECT pred.query_id, sum($wCase)::BIGINT AS dcg
+           |  FROM pred JOIN truth ON pred.query_id = truth.query_id
+           |    AND pred.neighbor_id = truth.neighbor_id
+           |  GROUP BY pred.query_id)
+           |SELECT tq.query_id AS query_id,
+           |  coalesce(dcg, 0)::BIGINT AS dcg_x1e6,
+           |  $idcg::BIGINT AS idcg_x1e6,
+           |  CAST(floor((10000.0::DOUBLE) * coalesce(dcg, 0) / $idcg + 0.5) AS BIGINT) AS ndcg_x10000
+           |FROM (SELECT DISTINCT query_id FROM truth) tq
+           |LEFT JOIN dcg ON tq.query_id = dcg.query_id
+           |ORDER BY query_id""".stripMargin
+      },
 
       // PQ: subvector cells from 4 hyperplane signs per subspace (seeds
       // g = s·4 + p over sub-dim 8), exact integer centroid means, one

@@ -373,6 +373,41 @@ object Similarity {
           lit(0L)).as("rr_x10000"))
   }
 
+  /** Binary-relevance nDCG@k weights ×1e6: `⌊1e6 / log2(r+1)⌋` for rank
+    * r = 1..10, PRECOMPUTED as literals so both engines use identical
+    * constants (a runtime `log` would be libm-dependent). */
+  val NdcgWeightsX1e6: Array[Long] = Array(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** nDCG@k of an approximate index against the exact baseline — the
+    * position-sensitive sibling of [[annEval]]'s recall/MRR: recall can't
+    * see WHERE in the list the hits sit; nDCG discounts each hit by
+    * `1/log2(rank+1)`. Binary relevance (a predicted neighbor is in the
+    * truth set or not); ideal DCG = all k truth entries up top. Integer
+    * DCG sums of the precomputed weights; the one double division floors
+    * identically cross-engine. */
+  def ndcgEval(truth: DataFrame, pred: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgWeightsX1e6.length,
+      s"k must be in [1, ${NdcgWeightsX1e6.length}]")
+    val idcg = NdcgWeightsX1e6.take(k).sum
+    val wCase = expr(NdcgWeightsX1e6.take(k).zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}L" }
+      .mkString("CASE rank ", " ", " ELSE 0L END"))
+    val hits = pred.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(truth.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .withColumn("w", wCase)
+      .groupBy(col("query_id")).agg(sum(col("w")).as("dcg"))
+    truth.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_x1e6"),
+        lit(idcg).as("idcg_x1e6"),
+        floor(lit(10000.0) * coalesce(col("dcg"), lit(0L)) / idcg + 0.5)
+          .cast("long").as("ndcg_x10000"))
+  }
+
   /** Multi-table LSH ANN top-k: candidates = vectors sharing any
     * (table, bucket) with the query; ranked by exact cosine within the
     * candidate set. Map-only hashing (one row per vector per table), then

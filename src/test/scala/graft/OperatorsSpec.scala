@@ -927,6 +927,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("ndcgEval discounts late hits; perfect and empty lists hit the bounds") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("query_id", "neighbor_id")
+    // q1: both hits, in order → ndcg 10000; q2: one hit at rank 2 →
+    // dcg 630929 / idcg 1630929; q3: no rows in pred at all → 0
+    val pred = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 99L, 1L), (2L, 20L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.ndcgEval(truth, pred, k = 2).orderBy("query_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val idcg = 1000000L + 630929L
+    assert(got == Seq(
+      (1L, idcg, idcg, 10000L),
+      (2L, 630929L, idcg, math.floor(10000.0 * 630929L / idcg + 0.5).toLong),
+      (3L, 0L, idcg, 0L)))
+    // a rank-1-only hit beats a rank-2-only hit (position sensitivity —
+    // recall@k alone cannot tell them apart)
+    val p1 = Seq((1L, 10L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val p2 = Seq((1L, 10L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val n1 = Similarity.ndcgEval(truth.where(col("query_id") === 1L), p1, 2)
+      .select("ndcg_x10000").as[Long].head()
+    val n2 = Similarity.ndcgEval(truth.where(col("query_id") === 1L), p2, 2)
+      .select("ndcg_x10000").as[Long].head()
+    assert(n1 > n2)
+  }
+
   test("semanticOverlap flags every planted paraphrase pair (banded == exact)") {
     val base = Tables.embeddings(spark, sfDir)
     val evalSide = Dedup.withNearCopies(base).where(col("vec_id") >= 1000000L)
