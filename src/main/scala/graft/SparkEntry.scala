@@ -881,6 +881,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility per source: BPE symbols per whitespace word —
+    // the multilingual-fairness metric (trained merges, codegen'd apply)
+    "ta_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = operators.TextAnalysis.bpeTrain(docs, 5)
+        .orderBy(col("merge_no")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.TextAnalysis.bpeFertility(docs, merges)
+        .orderBy(col("source"))
+    }),
+
     // Count-Min sketch term counts probed at the exact top-20 vocabulary:
     // the frequency sketch (HLL=a9, KLL=a15b siblings); sum-merged
     // counters make it partitioning-independent, hence oracle-EXACT
@@ -1353,6 +1364,37 @@ object SparkEntry {
         s"    FROM edges e JOIN r${i - 1} r ON e.src = r.node\n" +
         s"    JOIN deg d ON d.src = e.src GROUP BY e.dst) f ON f.node = rst.node)"
     }.mkString(",\n")
+    // the iterative-BPE replay shared by ta_bpe_segment and
+    // ta_bpe_fertility: v0 + `n` merge rounds + seg0..segN application CTEs
+    def bpeSegCtes(rounds: Int): String = {
+      def roundCtes(k: Int) =
+        s"""p$k AS (SELECT syms[i+1] AS x, syms[i+2] AS y, sum(freq)::BIGINT AS cnt
+           |  FROM (SELECT freq, syms, unnest(range(0, len(syms) - 1)) AS i
+           |        FROM v${k - 1} WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |t$k AS (SELECT x, y, cnt FROM p$k ORDER BY cnt DESC, x, y LIMIT 1),
+           |v$k AS (SELECT w, freq, list_filter(string_split(
+           |    list_reduce(list_prepend('', syms), (acc, s) ->
+           |      CASE WHEN ends_with(acc, chr(31) || t$k.x) AND s = t$k.y
+           |           THEN substr(acc, 1, length(acc) - length(t$k.x) - 1) || chr(31) || t$k.x || t$k.y
+           |           ELSE acc || chr(31) || s END), chr(31)), z -> z <> '') AS syms
+           |  FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
+      def segCte(k: Int) =
+        s"""seg$k AS (SELECT doc_id, list_filter(string_split(
+           |    list_reduce(list_prepend('', syms), (acc, s) ->
+           |      CASE WHEN ends_with(acc, chr(31) || t$k.x) AND s = t$k.y
+           |           THEN substr(acc, 1, length(acc) - length(t$k.x) - 1) || chr(31) || t$k.x || t$k.y
+           |           ELSE acc || chr(31) || s END), chr(31)), z -> z <> '') AS syms
+           |  FROM seg${k - 1} CROSS JOIN t$k)""".stripMargin
+      s"""v0 AS (SELECT w, count(*)::BIGINT AS freq, string_split(w, '') AS syms
+         |  FROM (SELECT unnest($toks) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |${(1 to rounds).map(roundCtes).mkString(",\n")},
+         |seg0 AS (SELECT doc_id, string_split(tok, '') AS syms FROM
+         |  (SELECT doc_id, unnest($toks) AS tok FROM documents) WHERE tok <> ''),
+         |${(1 to rounds).map(segCte).mkString(",\n")}""".stripMargin
+    }
+
     // shared by sim_bm25 and sim_bm25_index (the artifact form must
     // return the identical ranking)
     val bm25OracleSql =
@@ -3085,37 +3127,27 @@ object SparkEntry {
 
       // re-train (same round CTEs), then apply each merge to every token of
       // every doc via the same greedy fold, and bill per-doc symbols
-      "ta_bpe_segment" -> {
-        val rounds = 5
-        def roundCtes(k: Int) =
-          s"""p$k AS (SELECT syms[i+1] AS x, syms[i+2] AS y, sum(freq)::BIGINT AS cnt
-             |  FROM (SELECT freq, syms, unnest(range(0, len(syms) - 1)) AS i
-             |        FROM v${k - 1} WHERE len(syms) >= 2)
-             |  GROUP BY 1, 2),
-             |t$k AS (SELECT x, y, cnt FROM p$k ORDER BY cnt DESC, x, y LIMIT 1),
-             |v$k AS (SELECT w, freq, list_filter(string_split(
-             |    list_reduce(list_prepend('', syms), (acc, s) ->
-             |      CASE WHEN ends_with(acc, chr(31) || t$k.x) AND s = t$k.y
-             |           THEN substr(acc, 1, length(acc) - length(t$k.x) - 1) || chr(31) || t$k.x || t$k.y
-             |           ELSE acc || chr(31) || s END), chr(31)), z -> z <> '') AS syms
-             |  FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
-        def segCte(k: Int) =
-          s"""seg$k AS (SELECT doc_id, list_filter(string_split(
-             |    list_reduce(list_prepend('', syms), (acc, s) ->
-             |      CASE WHEN ends_with(acc, chr(31) || t$k.x) AND s = t$k.y
-             |           THEN substr(acc, 1, length(acc) - length(t$k.x) - 1) || chr(31) || t$k.x || t$k.y
-             |           ELSE acc || chr(31) || s END), chr(31)), z -> z <> '') AS syms
-             |  FROM seg${k - 1} CROSS JOIN t$k)""".stripMargin
-        s"""WITH v0 AS (SELECT w, count(*)::BIGINT AS freq, string_split(w, '') AS syms
-           |  FROM (SELECT unnest($toks) AS w FROM documents)
-           |  WHERE w <> '' GROUP BY w),
-           |${(1 to rounds).map(roundCtes).mkString(",\n")},
-           |seg0 AS (SELECT doc_id, string_split(tok, '') AS syms FROM
-           |  (SELECT doc_id, unnest($toks) AS tok FROM documents) WHERE tok <> ''),
-           |${(1 to rounds).map(segCte).mkString(",\n")}
+      "ta_bpe_segment" ->
+        s"""WITH ${bpeSegCtes(5)}
            |SELECT doc_id, sum(len(syms))::BIGINT AS n_syms
-           |FROM seg$rounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      },
+           |FROM seg5 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // fertility: the same 5-round replay, rolled up to BPE symbols per
+      // whitespace word per source (wordless docs excluded on both sides,
+      // mirroring bpeSegmentCountsFast's filter)
+      "ta_bpe_fertility" ->
+        s"""WITH ${bpeSegCtes(5)},
+           |sy AS (SELECT doc_id, sum(len(syms))::BIGINT AS n_syms
+           |  FROM seg5 GROUP BY doc_id),
+           |ws AS (SELECT doc_id, source, ($wordCnt)::BIGINT AS ws_words
+           |  FROM documents WHERE ($wordCnt) > 0)
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  sum(n_syms)::BIGINT AS total_syms,
+           |  sum(ws_words)::BIGINT AS total_words,
+           |  CAST(floor((10000.0::DOUBLE) * sum(n_syms) /
+           |    greatest(sum(ws_words), 1)) AS BIGINT) AS fertility_x10000
+           |FROM sy JOIN ws USING (doc_id)
+           |GROUP BY source ORDER BY source""".stripMargin,
 
       // signals mirror ta_quality / ta_repetition; the verdict CASE tests
       // rules in the same order as TextAnalysis.qualityFilter

@@ -267,6 +267,24 @@ object TextAnalysis {
         graft.plans.ArrayExpressions
           .bpeSegmentCount(tokens(col("text")), merges).as("n_syms"))
 
+  /** Tokenizer FERTILITY per source — the multilingual-fairness metric:
+    * BPE symbols billed per whitespace word (×10000). A tokenizer trained
+    * on one source's distribution bills other sources more symbols per
+    * word — those corpora pay more compute per token budget and get less
+    * context. Per source: Σ segmented symbols / Σ words, via the
+    * codegen'd one-expression segmenter ([[bpeSegmentCountsFast]]). */
+  def bpeFertility(docs: DataFrame,
+                   merges: Seq[(String, String)]): DataFrame =
+    bpeSegmentCountsFast(docs, merges)
+      .join(docs.select(col("doc_id"), col("source"),
+        wordCount(col("text")).cast("long").as("ws_words")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_syms")).as("total_syms"),
+        sum(col("ws_words")).as("total_words"))
+      .withColumn("fertility_x10000",
+        floor(lit(10000.0) * col("total_syms") /
+          greatest(col("total_words"), lit(1L))).cast("long"))
+
   /** Per-document top-k salient terms by integer-exact TF-IDF:
     * `score = tf · floor(1e6 · nDocs / df)` — the idf factor is a
     * fixed-point integer (no `log`, whose libm rounding differs across

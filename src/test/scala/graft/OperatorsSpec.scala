@@ -927,6 +927,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("bpeFertility bills symbols per word, untrained sources pay more") {
+    // merges built for "aa"-family words compress doc 1's source; source
+    // src9 (planted via custom frame) stays character-level
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa", "en", "srcA", 14L),
+      (2L, "xyz qrs", "en", "srcB", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = TextAnalysis.bpeTrain(docs, 3)
+      .orderBy("merge_no").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeFertility(docs, merges)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val bySrc = got.map(g => g._1 -> g).toMap
+    // srcA's "aaaa" compresses under the trained merges (< 4 syms/word);
+    // srcB gets only the tie-break third merge (q,r): xyz = 3 syms,
+    // qrs = 2 → 5 symbols over 2 words = 25000
+    assert(bySrc("srcA")._5 < 40000L, s"srcA: ${bySrc("srcA")}")
+    assert(bySrc("srcB")._5 == 25000L, s"srcB: ${bySrc("srcB")}")
+    assert(bySrc("srcA")._2 == 1L && bySrc("srcB")._4 == 2L)
+  }
+
   test("ndcgEval discounts late hits; perfect and empty lists hit the bounds") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
