@@ -435,5 +435,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       (exprs: Seq[Expression]) =>
         MinHashAgg(exprs.head, intLit(exprs(1), "graft_minhash", "k"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (exprs: Seq[Expression]) =>
+        TopKAgg(exprs.head, exprs(1), intLit(exprs(2), "graft_topk", "k"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "graft_cms"),
+      (exprs: Seq[Expression]) => CmsAgg(exprs.head,
+        intLit(exprs(1), "graft_cms", "d"), intLit(exprs(2), "graft_cms", "w"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_mg"),
+      new ExpressionInfo(classOf[MgAgg].getName, "graft_mg"),
+      (exprs: Seq[Expression]) =>
+        MgAgg(exprs.head, intLit(exprs(1), "graft_mg", "k"))))
   }
 }

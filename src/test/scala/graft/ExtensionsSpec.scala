@@ -82,4 +82,23 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       .head().getSeq[Long](0)
     assert(mh.length == 4)
   }
+
+  test("graft_topk, graft_cms, graft_mg aggregates run from SQL") {
+    import spark.implicits._
+    Seq((1L, 10L, 100L), (1L, 30L, 101L), (1L, 20L, 102L))
+      .toDF("g", "v", "id").createOrReplaceTempView("ext_vals")
+    // top-2 by value: (30, 101) then (20, 102)
+    val top = spark.sql(
+      "SELECT graft_topk(v, id, 2) FROM ext_vals GROUP BY g")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getLong(0), r.getLong(1))) == Seq((30L, 101L), (20L, 102L)))
+    Seq("a", "a", "b").toDF("t").createOrReplaceTempView("ext_terms")
+    val cms = spark.sql("SELECT graft_cms(t, 2, 16) FROM ext_terms")
+      .head().getSeq[Long](0)
+    assert(cms.length == 32 && cms.sum == 6L) // 3 occurrences × 2 rows
+    val mg = spark.sql("SELECT graft_mg(t, 4) FROM ext_terms")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
+  }
 }
