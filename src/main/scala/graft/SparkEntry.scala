@@ -1210,6 +1210,12 @@ object SparkEntry {
       operators.Versioning.termDrift(docs, snapshotV2(docs), 50)
     }),
 
+    // modality coverage: per source, valid-text and embedding-join
+    // completeness — the audit every embedding-based stage depends on
+    "mm_coverage" -> ((s, d) =>
+      Summaries.modalityCoverage(Tables.documents(s, d), Tables.embeddings(s, d))
+        .orderBy(col("source"))),
+
     // the end-of-run dashboard: per-source doc counts, validity, exact-dup
     // burden, mean quality, language spread, token volume — one plan
     "a16_corpus_health" -> ((s, d) =>
@@ -2684,6 +2690,22 @@ object SparkEntry {
            |  FROM f)
            |SELECT query_id, doc_id, rank::BIGINT AS rank, rrf_x1e5, n_systems
            |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // modality coverage: validity predicate + embedding id left join
+      "mm_coverage" ->
+        """WITH hv AS (SELECT DISTINCT vec_id AS doc_id, 1 AS has_vec FROM embeddings),
+          |d AS (SELECT doc_id, source,
+          |    CASE WHEN text IS NOT NULL AND text <> ''
+          |      AND lang IS NOT NULL AND lang <> ''
+          |      AND source IS NOT NULL AND source <> '' THEN 1 ELSE 0 END AS valid_text
+          |  FROM documents)
+          |SELECT source, count(*)::BIGINT AS n_docs,
+          |  sum(valid_text)::BIGINT AS n_valid_text,
+          |  sum(coalesce(has_vec, 0))::BIGINT AS n_with_embedding,
+          |  CAST(floor((10000.0::DOUBLE) * sum(coalesce(has_vec, 0)) /
+          |    greatest(count(*), 1) + 0.5) AS BIGINT) AS embedding_coverage_x10000
+          |FROM d LEFT JOIN hv ON d.doc_id = hv.doc_id
+          |GROUP BY source ORDER BY source""".stripMargin,
 
       // semantic decontamination: exact cross-side all-pairs cosine (the
       // banded Spark side's recall against it is the dedup_embedding_lsh

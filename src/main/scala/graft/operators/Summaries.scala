@@ -16,6 +16,30 @@ import graft.functions.TextFunctions._
   */
 object Summaries {
 
+  /** Modality coverage — the multimodal-completeness audit: per source,
+    * how many docs have valid text, and how many have an embedding row
+    * (the join every downstream similarity/ANN stage silently depends
+    * on). A source at 60% embedding coverage under-represents itself in
+    * every embedding-based dedup and retrieval pass — the report makes
+    * the gap visible before the pipeline bakes it in. One validated map
+    * pass + one slim (id)-keyed left join + one agg. */
+  def modalityCoverage(docs: org.apache.spark.sql.DataFrame,
+                       embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions.isValid
+    val hasVec = embeddings.select(col("vec_id").as("doc_id"))
+      .distinct().withColumn("has_vec", lit(1L))
+    docs.select(col("doc_id"), col("source"),
+        isValid(col("text"), col("lang"), col("source")).cast("long").as("valid_text"))
+      .join(hasVec, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("valid_text")).as("n_valid_text"),
+        sum(coalesce(col("has_vec"), lit(0L))).as("n_with_embedding"))
+      .withColumn("embedding_coverage_x10000",
+        floor(lit(10000.0) * col("n_with_embedding") /
+          greatest(col("n_docs"), lit(1L)) + 0.5).cast("long"))
+  }
+
   /** Per-row scaled fixed-point value: floor(x*scale + 0.5) as BIGINT. */
   def fx(c: Column, scale: Long): Column =
     floor(c * scale + lit(0.5)).cast("long")

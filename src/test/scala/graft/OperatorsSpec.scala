@@ -927,6 +927,18 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("modalityCoverage counts valid text and embedding joins per source") {
+    import spark.implicits._
+    val docs = docsDF(1L -> "text one", 2L -> "", 3L -> "three")
+    val emb = Seq((1L, Array(1.0f), 0), (9L, Array(2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Summaries.modalityCoverage(docs, emb)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // 3 docs: doc 2's empty text is invalid; only doc 1 has a vector
+    // (vec 9 matches no doc) → coverage 1/3 = 3333
+    assert(got == Seq(("src0", 3L, 2L, 1L, 3333L)))
+  }
+
   test("bpeFertility bills symbols per word, untrained sources pay more") {
     // merges built for "aa"-family words compress doc 1's source; source
     // src9 (planted via custom frame) stays character-level
