@@ -14,6 +14,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "dedup_embedding" -> "all-pairs regime by design (allowQuadratic opt-in)",
     "ann_topk" -> "brute-force baseline: broadcast query side x corpus",
     "ann_eval" -> "embeds the ann_topk brute-force ground truth (broadcast product)",
+    "ann_ndcg" -> "embeds the ann_topk brute-force ground truth (broadcast product)",
     "ann_topk_int8" -> "quantized brute-force: broadcast query side x corpus",
     "ann_ivf" -> "query x centroid table product (10 x nCells rows)",
     "ann_ivf_det" -> "query x centroid table product (10 x nCells rows)",
