@@ -1131,6 +1131,12 @@ object SparkEntry {
         .orderBy(col("anchor_id"), col("positive_id"))
     }),
 
+    // temperature (α = ½) mixture weights: the multilingual upsampling
+    // formula, exact cross-engine via integer ⌊√tokens⌋ before the sum
+    "mix_temperature" -> ((s, d) =>
+      operators.Mixing.temperatureWeights(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
     // round-robin interleave: training order dealing one doc per source
     // per round, hash-shuffled within each source
     "mix_interleave" -> ((s, d) =>
@@ -2772,6 +2778,21 @@ object SparkEntry {
            |  WHERE cand_id <> anchor_id AND cand_id <> positive_id)
            |SELECT anchor_id, positive_id, cand_id AS negative_id FROM j WHERE rn = 1
            |ORDER BY anchor_id, positive_id""".stripMargin,
+
+      // temperature weights: IEEE sqrt then integer floor, both engines
+      "mix_temperature" ->
+        s"""WITH c AS (SELECT source,
+           |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS tokens
+           |  FROM documents GROUP BY source),
+           |i AS (SELECT source, tokens,
+           |    CAST(floor(sqrt(tokens::DOUBLE)) AS BIGINT) AS isqrt FROM c),
+           |t AS (SELECT sum(tokens)::BIGINT AS tot_tokens,
+           |    sum(isqrt)::BIGINT AS tot_isqrt FROM i)
+           |SELECT source, tokens, isqrt,
+           |  CAST(floor((1000000.0::DOUBLE) * isqrt / tot_isqrt) AS BIGINT) AS weight_ppm,
+           |  CAST(floor((10000.0::DOUBLE) * isqrt * tot_tokens /
+           |    (tot_isqrt * tokens)) AS BIGINT) AS vs_proportional_x10000
+           |FROM i CROSS JOIN t ORDER BY source""".stripMargin,
 
       // interleave: per-source salted-hash rank
       "mix_interleave" ->

@@ -79,6 +79,34 @@ object Mixing {
       .drop("sample_hk")
   }
 
+  /** Temperature-sampled mixture weights at α = ½ — the multilingual
+    * upsampling formula (sample source s with probability ∝ n_s^α): α = 1
+    * is proportional (big sources drown small ones), α = 0 is uniform
+    * (tiny sources over-trained); √n is the standard compromise. α = ½ is
+    * also the one non-trivial temperature computable EXACTLY cross-engine:
+    * IEEE sqrt is correctly rounded everywhere, each source's `⌊√tokens⌋`
+    * is an integer BEFORE the normalizing sum, so no float accumulation
+    * order exists. Output per source: token count, √-weight, the ppm
+    * sampling weight, and the implied up/down-sampling factor ×10000 vs
+    * proportional. */
+  def temperatureWeights(docs: DataFrame,
+                         metric: String = "bpe"): DataFrame = {
+    val counts = docs
+      .select(col("source"), tokenMetric(metric).as("tok_cnt"))
+      .groupBy(col("source")).agg(sum(col("tok_cnt")).as("tokens"))
+      .withColumn("isqrt", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val totals = counts.agg(sum(col("tokens")).as("tot_tokens"),
+      sum(col("isqrt")).as("tot_isqrt"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("tokens"), col("isqrt"),
+        floor(lit(1000000.0) * col("isqrt") / col("tot_isqrt")).cast("long")
+          .as("weight_ppm"),
+        // factor = (isqrt/tot_isqrt) / (tokens/tot_tokens), ×10000
+        floor(lit(10000.0) * col("isqrt") * col("tot_tokens") /
+          (col("tot_isqrt") * col("tokens"))).cast("long")
+          .as("vs_proportional_x10000"))
+  }
+
   /** Per-source doc cap — "no source contributes more than k documents",
     * the per-domain cap web-corpus pipelines apply so one mirror-heavy
     * domain can't dominate the mix. Which k survive is decided by salted

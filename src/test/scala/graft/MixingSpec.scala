@@ -152,6 +152,27 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(total == expected)
   }
 
+  test("temperatureWeights upsample small sources and downsample big ones") {
+    val docs = Tables.documents(spark, sfDir)
+    val w = Mixing.temperatureWeights(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // weights form a distribution (ppm, floor rounding leaves a remainder)
+    val total = w.map(_._4).sum
+    assert(total <= 1000000L && total > 1000000L - w.length)
+    // sqrt flattening: the biggest source's weight share shrinks vs its
+    // token share, the smallest source's grows
+    val biggest = w.maxBy(_._2)
+    val smallest = w.minBy(_._2)
+    if (biggest._2 > smallest._2) {
+      assert(biggest._5 <= 10000L, s"big source not downsampled: $biggest")
+      assert(smallest._5 >= 10000L, s"small source not upsampled: $smallest")
+    }
+    // exact integer sqrt per source
+    w.foreach { case (_, tokens, isqrt, _, _) =>
+      assert(isqrt * isqrt <= tokens && (isqrt + 1) * (isqrt + 1) > tokens)
+    }
+  }
+
   test("interleaveSources deals one doc per source per round, hash-shuffled, stable") {
     val docs = Tables.documents(spark, sfDir)
     val ordered = Mixing.interleaveSources(docs)
