@@ -1137,6 +1137,12 @@ object SparkEntry {
       operators.Mixing.temperatureWeights(Tables.documents(s, d))
         .orderBy(col("source"))),
 
+    // the training plan: a 100k-token budget allocated by the temperature
+    // weights, with per-source epoch counts (>1.0 epoch = repeats)
+    "mix_epoch_plan" -> ((s, d) =>
+      operators.Mixing.epochPlan(Tables.documents(s, d), budgetTokens = 100000L)
+        .orderBy(col("source"))),
+
     // round-robin interleave: training order dealing one doc per source
     // per round, hash-shuffled within each source
     "mix_interleave" -> ((s, d) =>
@@ -2793,6 +2799,24 @@ object SparkEntry {
            |  CAST(floor((10000.0::DOUBLE) * isqrt * tot_tokens /
            |    (tot_isqrt * tokens)) AS BIGINT) AS vs_proportional_x10000
            |FROM i CROSS JOIN t ORDER BY source""".stripMargin,
+
+      // epoch plan: the same sqrt counts, integer budget allocation
+      "mix_epoch_plan" ->
+        s"""WITH c AS (SELECT source,
+           |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS tokens
+           |  FROM documents GROUP BY source),
+           |i AS (SELECT source, tokens,
+           |    CAST(floor(sqrt(tokens::DOUBLE)) AS BIGINT) AS isqrt FROM c),
+           |t AS (SELECT sum(isqrt)::BIGINT AS tot_isqrt FROM i),
+           |a AS (SELECT source, tokens, isqrt, tot_isqrt,
+           |    (100000 * isqrt) // tot_isqrt AS allocated_tokens
+           |  FROM i CROSS JOIN t)
+           |SELECT source, tokens AS available_tokens,
+           |  CAST(floor((1000000.0::DOUBLE) * isqrt / tot_isqrt) AS BIGINT) AS weight_ppm,
+           |  allocated_tokens::BIGINT AS allocated_tokens,
+           |  CAST(floor((10000.0::DOUBLE) * allocated_tokens /
+           |    greatest(tokens, 1)) AS BIGINT) AS epochs_x10000
+           |FROM a ORDER BY source""".stripMargin,
 
       // interleave: per-source salted-hash rank
       "mix_interleave" ->

@@ -89,8 +89,9 @@ object Mixing {
     * order exists. Output per source: token count, √-weight, the ppm
     * sampling weight, and the implied up/down-sampling factor ×10000 vs
     * proportional. */
-  def temperatureWeights(docs: DataFrame,
-                         metric: String = "bpe"): DataFrame = {
+  /** Per-source (tokens, ⌊√tokens⌋) counts + one-row totals — shared by
+    * [[temperatureWeights]] and [[epochPlan]]. */
+  private def sqrtCounts(docs: DataFrame, metric: String): DataFrame = {
     val counts = docs
       .select(col("source"), tokenMetric(metric).as("tok_cnt"))
       .groupBy(col("source")).agg(sum(col("tok_cnt")).as("tokens"))
@@ -98,6 +99,11 @@ object Mixing {
     val totals = counts.agg(sum(col("tokens")).as("tot_tokens"),
       sum(col("isqrt")).as("tot_isqrt"))
     counts.crossJoin(broadcast(totals))
+  }
+
+  def temperatureWeights(docs: DataFrame,
+                         metric: String = "bpe"): DataFrame =
+    sqrtCounts(docs, metric)
       .select(col("source"), col("tokens"), col("isqrt"),
         floor(lit(1000000.0) * col("isqrt") / col("tot_isqrt")).cast("long")
           .as("weight_ppm"),
@@ -105,6 +111,25 @@ object Mixing {
         floor(lit(10000.0) * col("isqrt") * col("tot_tokens") /
           (col("tot_isqrt") * col("tokens"))).cast("long")
           .as("vs_proportional_x10000"))
+
+  /** Training-epoch plan — [[temperatureWeights]] turned into the artifact
+    * a trainer consumes: given a total token budget, each source's
+    * allocated tokens (`⌊budget · isqrt / Σisqrt⌋`, integer) and the
+    * implied epoch count ×10000 (allocation / available — over 1.0 means
+    * the source repeats; the standard upsampling consequence worth seeing
+    * BEFORE the run, since high epoch counts mean memorization risk). */
+  def epochPlan(docs: DataFrame, budgetTokens: Long,
+                metric: String = "bpe"): DataFrame = {
+    require(budgetTokens >= 1, "budget must be positive")
+    sqrtCounts(docs, metric)
+      .withColumn("weight_ppm",
+        floor(lit(1000000.0) * col("isqrt") / col("tot_isqrt")).cast("long"))
+      .withColumn("allocated_tokens",
+        expr(s"(${budgetTokens}L * isqrt) DIV tot_isqrt"))
+      .select(col("source"), col("tokens").as("available_tokens"),
+        col("weight_ppm"), col("allocated_tokens"),
+        floor(lit(10000.0) * col("allocated_tokens") /
+          greatest(col("tokens"), lit(1L))).cast("long").as("epochs_x10000"))
   }
 
   /** Per-source doc cap — "no source contributes more than k documents",

@@ -173,6 +173,22 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("epochPlan allocates the budget by sqrt weight; epochs read off repeats") {
+    val docs = Tables.documents(spark, sfDir)
+    val budget = 100000L
+    val plan = Mixing.epochPlan(docs, budget)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // allocations never exceed the budget and integer-floor near it
+    val allocated = plan.map(_._4).sum
+    assert(allocated <= budget && allocated > budget - plan.length * 2)
+    // epochs = allocation / available, floored at 1e4 scale
+    plan.foreach { case (_, avail, _, alloc, epochs) =>
+      assert(epochs == math.floor(10000.0 * alloc / math.max(avail, 1L)).toLong)
+    }
+    // the budget dwarfs this corpus: every source repeats (epochs > 1)
+    assert(plan.forall(_._5 > 10000L))
+  }
+
   test("interleaveSources deals one doc per source per round, hash-shuffled, stable") {
     val docs = Tables.documents(spark, sfDir)
     val ordered = Mixing.interleaveSources(docs)
