@@ -48,6 +48,32 @@ object SparkEntry {
     (train, evalDocs)
   }
 
+  /** The e2e_corpus assembly downstream of the pair graph: connected-
+    * components canonical filter → hash split → decontaminate eval vs
+    * train → pack into BPE-token sequences. Shared by `e2e_corpus` (pairs
+    * computed in-plan) and `e2e_corpus_from_artifact` (pairs read from the
+    * persisted parquet artifact) — both must produce identical results. */
+  private def e2eCorpusFromPairs(valid: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = operators.Dedup.dedupClusters(pairs)
+    val canonical = valid.join(
+      clusters.where(col("id") =!= col("canonical_id"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val split = operators.Mixing.withSplit(canonical,
+      trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
+    val train = split.where(col("split") === "train")
+    val evalDocs = split.where(col("split") =!= "train")
+    // the eval side here is a corpus-scale 20% split, not a curated eval
+    // set — take the shuffle membership join, not the broadcast hint
+    val cleanEval = operators.Decontaminate.cleanEval(train, evalDocs,
+      cfg.decontamNgramN, cfg.decontamMinOverlapX10000,
+      broadcastEval = false)
+    operators.Mixing.packSequences(train.unionByName(cleanEval),
+        cfg.packTokenBudget, metric = "bpe",
+        partitionCols = Seq("split", "source"))
+      .orderBy(col("split"), col("source"), col("seq_no"))
+  }
+
   /** Exactly 10 whitespace tokens — one full `wordsPerLine = 10` line, so a
     * planted doc's body chunks stay aligned with its source doc's chunks. */
   private[graft] val boilerplateLine =
@@ -400,6 +426,21 @@ object SparkEntry {
     "dedup_ngram" -> ((s, d) =>
       operators.Dedup.ngramJaccardPairs(Tables.documents(s, d), cfg.ngramN, cfg.minJaccardX10000)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // the near-dup pair graph as a persisted artifact (the sim_bm25_index
+    // pattern): build once over the validated corpus, read the parquet back
+    // — the shared prefix every downstream consumer (clustering, safe
+    // splits, triplet mining, verdict) can fan out from without redoing
+    // the shingle self-join
+    "dedup_pairs_artifact" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pairs-").toString
+      operators.Dedup.buildPairsArtifact(
+        ArticleOps.validated(Tables.documents(s, d))
+          .select(col("doc_id"), col("text"), col("source")),
+        dir, cfg.ngramN, cfg.minJaccardX10000)
+      operators.Dedup.pairsFromArtifact(s, dir)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // exact-substring shared-span detection (Lee et al.): every 10th doc
     // gains a planted doc (`doc_id + 600000`) stitched from two verbatim
@@ -1287,24 +1328,22 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("source"))
       val pairs = operators.Dedup.ngramJaccardPairs(valid, cfg.ngramN,
         cfg.minJaccardX10000)
-      val clusters = operators.Dedup.dedupClusters(pairs)
-      val canonical = valid.join(
-        clusters.where(col("id") =!= col("canonical_id"))
-          .select(col("id").as("doc_id")),
-        Seq("doc_id"), "left_anti")
-      val split = operators.Mixing.withSplit(canonical,
-        trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
-      val train = split.where(col("split") === "train")
-      val evalDocs = split.where(col("split") =!= "train")
-      // the eval side here is a corpus-scale 20% split, not a curated eval
-      // set — take the shuffle membership join, not the broadcast hint
-      val cleanEval = operators.Decontaminate.cleanEval(train, evalDocs,
-        cfg.decontamNgramN, cfg.decontamMinOverlapX10000,
-        broadcastEval = false)
-      operators.Mixing.packSequences(train.unionByName(cleanEval),
-          cfg.packTokenBudget, metric = "bpe",
-          partitionCols = Seq("split", "source"))
-        .orderBy(col("split"), col("source"), col("seq_no"))
+      e2eCorpusFromPairs(valid, pairs)
+    }),
+
+    // e2e_corpus with the pair graph consumed from the persisted artifact
+    // instead of recomputed in-plan — the shared-prefix reuse path: at
+    // 100 TB the shingle self-join is the pipeline's most expensive stage,
+    // so it runs once per corpus snapshot and every consumer (this
+    // assembly, triplet mining, the verdict) reads the parquet. Must equal
+    // e2e_corpus exactly (same oracle; artifact==direct spec in
+    // OperatorsSpec).
+    "e2e_corpus_from_artifact" -> ((s, d) => {
+      val valid = ArticleOps.validated(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"), col("source"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-pairs-e2e-").toString
+      operators.Dedup.buildPairsArtifact(valid, dir, cfg.ngramN, cfg.minJaccardX10000)
+      e2eCorpusFromPairs(valid, operators.Dedup.pairsFromArtifact(s, dir))
     }),
 
     // the complementary assembly POLICY: keep near-duplicates (training
@@ -1473,6 +1512,63 @@ object SparkEntry {
     val validWhere =
       "text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> '' " +
         "AND source IS NOT NULL AND source <> '' AND lower(text) NOT LIKE '#redirect%'"
+
+    // the full corpus-assembly chain, stage for stage: validated docs →
+    // ngram-pair graph → recursive-CTE canonical filter → hash split →
+    // 8-gram decontamination → BPE-token greedy packing; shared by
+    // e2e_corpus and e2e_corpus_from_artifact
+    val e2eCorpusOracleSql =
+      s"""WITH RECURSIVE v AS (SELECT doc_id, text, source FROM documents WHERE $validWhere),
+           |t AS (SELECT doc_id, $toks AS toks FROM v),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |pr AS (SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000
+           |    FROM common JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jaccard_x10000 >= 5000),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION SELECT doc_b, doc_a FROM pr),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id),
+           |cl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+           |canon AS (SELECT v.doc_id, v.text, v.source FROM v
+           |  LEFT JOIN cl ON v.doc_id = cl.id
+           |  WHERE cl.id IS NULL OR cl.id = cl.canonical_id),
+           |sp AS (SELECT doc_id, text, source, (${poly("'split:' || doc_id")}) % 100 AS b FROM canon),
+           |tr AS (SELECT doc_id, text, source, 'train' AS split FROM sp WHERE b < 80),
+           |ev AS (SELECT doc_id, text, source,
+           |    CASE WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM sp WHERE b >= 80),
+           |trt AS (SELECT doc_id, $toks AS toks FROM tr),
+           |trs AS (SELECT DISTINCT ${poly("sh")} AS h FROM
+           |  (SELECT unnest(${shinglesOfN(8)}) AS sh FROM trt)),
+           |evt AS (SELECT doc_id, $toks AS toks FROM ev),
+           |evs AS (SELECT doc_id, ${poly("sh")} AS h FROM
+           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM evt)),
+           |esz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM evs GROUP BY doc_id),
+           |ehit AS (SELECT evs.doc_id, count(*)::BIGINT AS n_hit
+           |  FROM evs JOIN trs ON evs.h = trs.h GROUP BY evs.doc_id),
+           |contam AS (SELECT esz.doc_id FROM esz JOIN ehit ON esz.doc_id = ehit.doc_id
+           |  WHERE CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) >= 5000),
+           |keep AS (SELECT doc_id, text, source, split FROM tr
+           |  UNION ALL
+           |  SELECT doc_id, text, source, split FROM ev
+           |  WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = ev.doc_id)),
+           |pt AS (SELECT split, source, doc_id,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
+           |  FROM keep),
+           |c AS (SELECT split, source, doc_id, tok_cnt,
+           |    sum(tok_cnt) OVER (PARTITION BY split, source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM pt)
+           |SELECT split, source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
+           |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
+           |FROM c GROUP BY split, source, seq_no ORDER BY split, source, seq_no""".stripMargin
 
     Map(
       "s1_scan_stubs" ->
@@ -2599,7 +2695,7 @@ object SparkEntry {
            |    sum(tok_cnt) OVER (PARTITION BY source ORDER BY hk, doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
            |  FROM b)
-           |SELECT doc_id, source, tok_cnt, cum_tokens FROM c
+           |SELECT doc_id, source, tok_cnt, cum_tokens::BIGINT AS cum_tokens FROM c
            |WHERE cum_tokens - tok_cnt < CASE source WHEN 'src0' THEN 1200 ELSE 600 END
            |ORDER BY doc_id""".stripMargin,
 
@@ -3281,7 +3377,7 @@ object SparkEntry {
           |    sum(bytes) OVER (PARTITION BY dir ORDER BY file
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           |  FROM m)
-          |SELECT dir, (cum - bytes) // 2000 AS group_no,
+          |SELECT dir, ((cum - bytes) // 2000)::BIGINT AS group_no,
           |  count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS group_bytes,
           |  min(file) AS first_file, max(file) AS last_file
           |FROM c GROUP BY dir, group_no
@@ -3700,58 +3796,30 @@ object SparkEntry {
       // the full corpus-assembly chain, stage for stage: validated docs →
       // ngram-pair graph → recursive-CTE canonical filter → hash split →
       // 8-gram decontamination → BPE-token greedy packing
-      "e2e_corpus" ->
-        s"""WITH RECURSIVE v AS (SELECT doc_id, text, source FROM documents WHERE $validWhere),
+      "e2e_corpus" -> e2eCorpusOracleSql,
+
+      // identical pipeline; the Spark side reads the pair graph from the
+      // persisted artifact — results must be bit-identical to e2e_corpus
+      "e2e_corpus_from_artifact" -> e2eCorpusOracleSql,
+
+      // the validated-corpus near-dup pair list (what the artifact holds):
+      // dedup_ngram's shape restricted to valid docs
+      "dedup_pairs_artifact" ->
+        s"""WITH v AS (SELECT doc_id, text FROM documents WHERE $validWhere),
            |t AS (SELECT doc_id, $toks AS toks FROM v),
            |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
            |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
            |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
            |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
-           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
-           |pr AS (SELECT doc_a, doc_b FROM (
-           |    SELECT doc_a, doc_b,
-           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000
-           |    FROM common JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b)
-           |  WHERE jaccard_x10000 >= 5000),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION SELECT doc_b, doc_a FROM pr),
-           |nodes AS (SELECT DISTINCT src AS id FROM edges),
-           |reach(id, r) AS (
-           |  SELECT id, id FROM nodes
-           |  UNION
-           |  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id),
-           |cl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
-           |canon AS (SELECT v.doc_id, v.text, v.source FROM v
-           |  LEFT JOIN cl ON v.doc_id = cl.id
-           |  WHERE cl.id IS NULL OR cl.id = cl.canonical_id),
-           |sp AS (SELECT doc_id, text, source, (${poly("'split:' || doc_id")}) % 100 AS b FROM canon),
-           |tr AS (SELECT doc_id, text, source, 'train' AS split FROM sp WHERE b < 80),
-           |ev AS (SELECT doc_id, text, source,
-           |    CASE WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM sp WHERE b >= 80),
-           |trt AS (SELECT doc_id, $toks AS toks FROM tr),
-           |trs AS (SELECT DISTINCT ${poly("sh")} AS h FROM
-           |  (SELECT unnest(${shinglesOfN(8)}) AS sh FROM trt)),
-           |evt AS (SELECT doc_id, $toks AS toks FROM ev),
-           |evs AS (SELECT doc_id, ${poly("sh")} AS h FROM
-           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM evt)),
-           |esz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM evs GROUP BY doc_id),
-           |ehit AS (SELECT evs.doc_id, count(*)::BIGINT AS n_hit
-           |  FROM evs JOIN trs ON evs.h = trs.h GROUP BY evs.doc_id),
-           |contam AS (SELECT esz.doc_id FROM esz JOIN ehit ON esz.doc_id = ehit.doc_id
-           |  WHERE CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) >= 5000),
-           |keep AS (SELECT doc_id, text, source, split FROM tr
-           |  UNION ALL
-           |  SELECT doc_id, text, source, split FROM ev
-           |  WHERE NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = ev.doc_id)),
-           |pt AS (SELECT split, source, doc_id,
-           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
-           |  FROM keep),
-           |c AS (SELECT split, source, doc_id, tok_cnt,
-           |    sum(tok_cnt) OVER (PARTITION BY split, source ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           |  FROM pt)
-           |SELECT split, source, CAST(floor((cum - tok_cnt) / 512) AS BIGINT) AS seq_no,
-           |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
-           |FROM c GROUP BY split, source, seq_no ORDER BY split, source, seq_no""".stripMargin,
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT * FROM (
+           |  SELECT doc_a, doc_b,
+           |    CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000
+           |  FROM common
+           |  JOIN sizes na ON na.doc_id = doc_a
+           |  JOIN sizes nb ON nb.doc_id = doc_b)
+           |WHERE jaccard_x10000 >= 5000 ORDER BY doc_a, doc_b""".stripMargin,
+
 
       // policy sibling of e2e_corpus: quality gate (40th-pct per-source
       // threshold over the VALID docs), recursive closure, split hash on

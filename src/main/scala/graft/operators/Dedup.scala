@@ -96,6 +96,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard_x10000"))
   }
 
+  /** Persist the near-dup pair graph as a reusable artifact (the
+    * [[Similarity.buildBm25Index]] pattern): the `(doc_a, doc_b,
+    * jaccard_x10000)` table is the shared prefix of every downstream
+    * curation consumer — clustering, cluster-safe splits, triplet mining,
+    * the dedup verdict — and at 100 TB the shingle self-join that produces
+    * it is the single most expensive stage in the pipeline. Building it
+    * once per corpus snapshot and fanning consumers out over the parquet
+    * artifact turns N recomputations into one; the columnar pair table is
+    * tiny next to the corpus (pairs ≪ docs² by construction of the
+    * threshold). */
+  def buildPairsArtifact(docs: DataFrame, dir: String, n: Int,
+                         minJaccardX10000: Long,
+                         docFreqCap: Option[Int] = None): Unit =
+    ngramJaccardPairs(docs, n, minJaccardX10000, docFreqCap)
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+
+  /** Read a pair graph persisted by [[buildPairsArtifact]]. Column pruning
+    * and predicate pushdown apply as for any parquet scan, so a consumer
+    * that only needs `(doc_a, doc_b)` never deserializes the scores. */
+  def pairsFromArtifact(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs")
+
   /** MinHash signature table: (doc_id, i, mh) for i in 0..k-1 —
     * mh = min over shingles of the i-th permuted shingle hash. One-pass
     * custom aggregate ([[graft.plans.MinHashAgg]]) holding the k minima in a

@@ -113,6 +113,17 @@ object Graphs {
     var e = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    // O(1)-action fixpoint (the [[Dedup.dedupClustersStar]] pattern): the
+    // directed edge set is distinct by construction and semi-joins only
+    // remove rows, so an order-independent (count, XOR of xxhash64) signature
+    // detects "nothing peeled this round" in ONE map-side-combinable
+    // aggregate instead of two count jobs over old + new edges.
+    def edgeSig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = edgeSig(e)
     var converged = false
     var i = 0
     var lastDeg: DataFrame = null
@@ -123,7 +134,9 @@ object Graphs {
         .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint()
-      converged = e2.count() == e.count()
+      val sig = edgeSig(e2)
+      converged = sig == prevSig
+      prevSig = sig
       lastDeg = deg.where(col("degree") >= k)
       e = e2
       i += 1

@@ -150,40 +150,48 @@ object Summaries {
     * with, per source: doc count, validity, exact-duplicate burden (docs
     * that are non-canonical copies), mean quality, language spread, and
     * BPE-token volume. Pure composition of the already-checked signals,
-    * rolled up in one plan: three hash aggregations + one text-hash window
-    * (the dup check) joined on the tiny per-source key. The mean is
-    * integer-sum-then-one-divide ([[fx]] posture), so it is bit-identical
-    * cross-engine. */
+    * rolled up in ONE scan: every signal except the dup check is a map-only
+    * expression on the row itself, so the whole report is scan → one window
+    * over the normalized text (the exact-dup canonical) → one per-source
+    * conditional aggregation. No corpus self-joins: validity and quality
+    * were previously computed in separate legs and equi-joined back on
+    * `doc_id` — two corpus-vs-corpus sort-merge joins for columns the row
+    * already had. The mean is integer-sum-then-one-divide ([[fx]] posture),
+    * so it is bit-identical cross-engine. */
   def corpusHealth(docs: DataFrame): DataFrame = {
-    val base = docs
-      .withColumn("bpe",
+    import graft.functions.TextFunctions.{isRedirect, tokens}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm"))
+    val wc = wordCount(col("text")).cast("long")
+    val wcDen = greatest(wc, lit(1L))
+    val stopHits = graft.plans.ArrayExpressions
+      .stopwordScores(tokens(col("text")),
+        Seq(TextAnalysis.stopwords.head._2))(0).cast("long")
+    // same formula as TextAnalysis.quality — inlined so it rides the scan
+    val qualityX = floor(lit(10000.0) *
+      least(lit(1.0), wc.cast("double") / 200.0) *
+      (lit(0.5) + lit(0.5) * least(lit(1.0), lit(4.0) * stopHits / wcDen)) + 0.5)
+      .cast("long")
+    docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("norm", normalizeWhitespace(col("text")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("source"), col("lang"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
-          .cast("long"))
+          .cast("long").as("bpe"),
+        (isValid(col("text"), col("lang"), col("source")) &&
+          !isRedirect(col("text"))).cast("long").as("valid"),
+        (col("doc_id") =!= col("canonical_id")).cast("long").as("is_dup"),
+        qualityX.as("q"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
+        sum(col("valid")).as("n_valid"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        floor(sum(col("q")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("mean_quality_x10000"),
         countDistinct(col("lang")).as("n_langs"),
         sum(col("bpe")).as("bpe_tokens"))
-    val valid = ArticleOps.validated(docs).groupBy(col("source"))
-      .agg(count(lit(1)).as("n_valid"))
-    val dups = docs.select(col("doc_id"), col("source"))
-      .join(Dedup.exactDuplicates(docs), Seq("doc_id"))
-      .where(col("doc_id") =!= col("canonical_id"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
-    val quality = docs.select(col("doc_id"), col("source"))
-      .join(TextAnalysis.quality(docs)
-        .select(col("doc_id"), col("quality_x10000")), Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(floor(sum(col("quality_x10000")).cast("double") / count(lit(1)) + 0.5)
-        .cast("long").as("mean_quality_x10000"))
-    base
-      .join(valid, Seq("source"), "left")
-      .join(dups, Seq("source"), "left")
-      .join(quality, Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_valid"), lit(0L)).as("n_valid"),
-        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
-        coalesce(col("mean_quality_x10000"), lit(0L)).as("mean_quality_x10000"),
-        col("n_langs"), col("bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_valid"), col("n_dup_docs"),
+        col("mean_quality_x10000"), col("n_langs"), col("bpe_tokens"))
   }
 
   def lengthPercentiles(docs: DataFrame,

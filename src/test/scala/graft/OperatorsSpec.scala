@@ -1190,6 +1190,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(indexed == direct)
   }
 
+  test("the persisted pair-graph artifact returns the direct pipeline's exact pairs") {
+    val cfg = SparkEntry.cfg
+    val valid = ArticleOps.validated(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("text"), col("source"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pairs-spec-").toString
+    Dedup.buildPairsArtifact(valid, dir, cfg.ngramN, cfg.minJaccardX10000)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/pairs")), "missing pairs part")
+    val direct = Dedup.ngramJaccardPairs(valid, cfg.ngramN, cfg.minJaccardX10000)
+      .as[(Long, Long, Long)].collect().toSet
+    val art = Dedup.pairsFromArtifact(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(art == direct)
+  }
+
   test("rrfFuse sums reciprocal ranks and rewards cross-system agreement") {
     import spark.implicits._
     // q1: system A ranks docs 10,20,30; system B ranks 20,40. doc 20 is

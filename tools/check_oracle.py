@@ -32,6 +32,18 @@ def main(sf_dir, out_dir):
         if gc != ec:
             print(f"FAIL {name}: cols {gc} != {ec}"); n_fail += 1; continue
         got, exp = got[gc], exp[ec]
+        # the driver's hash is TYPE-sensitive: a DuckDB HUGEINT (object dtype
+        # in pandas) where Spark emits int64 fails the gate even when values
+        # match. Reproduce that here: any integer-family dtype divergence is
+        # a FAIL (the oracle SQL needs a ::BIGINT cast).
+        dtype_bad = [
+            (c, str(got[c].dtype), str(exp[c].dtype)) for c in gc
+            if str(got[c].dtype) != str(exp[c].dtype)
+            and not (got[c].dtype.kind == "f" and exp[c].dtype.kind == "f")
+        ]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch {dtype_bad} "
+                  f"(uncast HUGEINT/oracle-type drift?)"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
         g = got.sort_values(by=gc, ignore_index=True)
