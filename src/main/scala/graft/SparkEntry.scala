@@ -530,6 +530,61 @@ object SparkEntry {
         cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // the SQL extension surface end-to-end: the MinHash-LSH near-dup
+    // pipeline written entirely in spark.sql(...) against the registered
+    // graft_hash + graft_minhash functions — a SQL-only user must get the
+    // byte-identical oracle result the Scala API (dedup_minhash) gets.
+    // The signature table is materialized as a LAZILY-cached temp view:
+    // the banding and both estimate legs reference it, and CTE refs plan
+    // as separate subtrees (no exchange reuse across CTERelationRefs), so
+    // an uncached chain would re-run tokenize→shingle→minhash 4× — measured
+    // 79 s vs ~2 s at sf0.1. Caching the k-longs-per-doc signatures is the
+    // persisted-dedup-index posture (~0.1% of corpus size at 100 TB).
+    "sql_minhash_pairs" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_docs_sql")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY VIEW graft_mh_sql AS
+        WITH t AS (SELECT doc_id,
+            split(trim(regexp_replace(text, '\\s+', ' ')), ' ') AS toks
+          FROM graft_docs_sql),
+        sg AS (SELECT doc_id, array_distinct(CASE WHEN size(toks) < 3
+              THEN CAST(array() AS array<string>)
+              ELSE transform(sequence(0, size(toks) - 3),
+                i -> concat_ws(' ', element_at(toks, i + 1),
+                  element_at(toks, i + 2), element_at(toks, i + 3))) END) AS shs
+          FROM t),
+        hh AS (SELECT doc_id, graft_hash(sh) AS h
+          FROM (SELECT doc_id, explode(shs) AS sh FROM sg)),
+        sig AS (SELECT doc_id, graft_minhash(h, 16) AS sig
+          FROM hh GROUP BY doc_id)
+        SELECT doc_id, pe.i, pe.mh
+        FROM sig LATERAL VIEW posexplode(sig) pe AS i, mh
+      """)
+      s.sql("CACHE LAZY TABLE graft_mh_sql")
+      s.sql("""
+        WITH mh AS (SELECT doc_id, i, mh FROM graft_mh_sql),
+        bk AS (SELECT doc_id, CAST(i / 4 AS INT) AS band,
+            array_join(transform(array_sort(collect_list(struct(i, mh))),
+              x -> CAST(x.mh AS STRING)), '-') AS bkey
+          FROM mh GROUP BY doc_id, CAST(i / 4 AS INT)),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bk x JOIN bk y
+            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        est AS (SELECT doc_a, doc_b,
+            sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS matches
+          FROM cand
+          JOIN mh ma ON ma.doc_id = doc_a
+          JOIN mh mb ON mb.doc_id = doc_b AND mb.i = ma.i
+          GROUP BY doc_a, doc_b)
+        SELECT doc_a, doc_b,
+          CAST(floor(100.0 * matches / 16 + 0.5) AS BIGINT) AS est_jaccard_x100
+        FROM est
+        WHERE CAST(floor(100.0 * matches / 16 + 0.5) AS BIGINT) >= 50
+        ORDER BY doc_a, doc_b
+      """)
+    }),
+
     // incremental index maintenance: pairs involving the "new" half of the
     // corpus (doc_id >= 400) probed against the persisted signature index
     // of the existing half — equals the batch run restricted to new-member
@@ -1513,6 +1568,27 @@ object SparkEntry {
       "text IS NOT NULL AND text <> '' AND lang IS NOT NULL AND lang <> '' " +
         "AND source IS NOT NULL AND source <> '' AND lower(text) NOT LIKE '#redirect%'"
 
+    // MinHash-LSH near-dup pairs: shared by dedup_minhash (Scala API) and
+    // sql_minhash_pairs (the spark.sql + graft_* function surface)
+    val minhashOracleSql =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+         |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+         |hh AS (SELECT doc_id, ${poly("sh")} AS h FROM sh),
+         |mh AS (SELECT doc_id, i, min(((1000003*(i+1))*h + 12345 + 7919*i) % 1000000007) AS mh
+         |  FROM hh CROSS JOIN range(0, 16) r(i) GROUP BY doc_id, i),
+         |bk AS (SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS bkey
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x
+         |  JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |est AS (SELECT doc_a, doc_b, sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS matches
+         |  FROM cand JOIN mh ma ON ma.doc_id = doc_a
+         |  JOIN mh mb ON mb.doc_id = doc_b AND mb.i = ma.i
+         |  GROUP BY doc_a, doc_b)
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b, CAST(floor((100.0::DOUBLE) * matches / 16 + 0.5) AS BIGINT) AS est_jaccard_x100 FROM est)
+         |WHERE est_jaccard_x100 >= 50 ORDER BY doc_a, doc_b""".stripMargin
+
     // the full corpus-assembly chain, stage for stage: validated docs →
     // ngram-pair graph → recursive-CTE canonical filter → hash split →
     // 8-gram decontamination → BPE-token greedy packing; shared by
@@ -2202,24 +2278,11 @@ object SparkEntry {
            |  JOIN sizes nb ON nb.doc_id = doc_b)
            |WHERE jaccard_x10000 >= 5000 ORDER BY doc_a, doc_b""".stripMargin,
 
-      "dedup_minhash" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
-           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s),
-           |hh AS (SELECT doc_id, ${poly("sh")} AS h FROM sh),
-           |mh AS (SELECT doc_id, i, min(((1000003*(i+1))*h + 12345 + 7919*i) % 1000000007) AS mh
-           |  FROM hh CROSS JOIN range(0, 16) r(i) GROUP BY doc_id, i),
-           |bk AS (SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS bkey
-           |  FROM mh GROUP BY doc_id, i // 4),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x
-           |  JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-           |est AS (SELECT doc_a, doc_b, sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS matches
-           |  FROM cand JOIN mh ma ON ma.doc_id = doc_a
-           |  JOIN mh mb ON mb.doc_id = doc_b AND mb.i = ma.i
-           |  GROUP BY doc_a, doc_b)
-           |SELECT * FROM (
-           |  SELECT doc_a, doc_b, CAST(floor((100.0::DOUBLE) * matches / 16 + 0.5) AS BIGINT) AS est_jaccard_x100 FROM est)
-           |WHERE est_jaccard_x100 >= 50 ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash" -> minhashOracleSql,
+
+      // the SQL-surface sibling computes the identical pipeline through
+      // spark.sql + graft_hash/graft_minhash — same oracle byte for byte
+      "sql_minhash_pairs" -> minhashOracleSql,
 
       // the batch minhash oracle restricted to pairs with a >= 400 member —
       // exactly what the incremental index probe must produce

@@ -362,7 +362,22 @@ object ArrayExpressions {
 
 /** SessionExtensions hook: `spark.sql("SELECT graft_dot(a, b)")` etc.
   * Wire with `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`; for a session that
+  * already exists (driver-owned, notebooks), [[GraftExtensions.register]]
+  * installs the same functions imperatively. */
+object GraftExtensions {
+  /** Register every graft_* SQL function into an existing session —
+    * the same (identifier, info, builder) triples the extensions hook
+    * injects at build time, installed via the bridge into the session's
+    * function registry. Idempotent: re-registration overwrites with
+    * identical builders. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftColumnBridge.registerExtensionFunctions(ext, spark)
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case x if x.foldable => x.eval() match {

@@ -35,4 +35,15 @@ object GraftColumnBridge {
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** Install the functions injected into a [[SparkSessionExtensions]] into
+    * an EXISTING session's function registry (private[sql]
+    * `registerFunctions`) — lets driver-owned sessions (no
+    * `spark.sql.extensions` config) use the graft_* SQL surface. */
+  def registerExtensionFunctions(ext: SparkSessionExtensions,
+                                 spark: SparkSession): Unit = {
+    ext.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
+    ()
+  }
 }

@@ -21,6 +21,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(h == hCol)
   }
 
+  test("GraftExtensions.register installs the SQL surface imperatively, idempotently") {
+    // the Verify-owned session proves the plain-session path end-to-end
+    // (sql_minhash_pairs); here: registering over an already-extended
+    // session must overwrite cleanly, and the functions must still work
+    graft.plans.GraftExtensions.register(spark)
+    graft.plans.GraftExtensions.register(spark)
+    val h = spark.sql("SELECT graft_hash('alpha beta')").head().getLong(0)
+    assert(h > 0L)
+    val sig = spark.sql("SELECT graft_minhash(id, 4) FROM range(10)")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4 && sig.forall(_ >= 0L))
+  }
+
   test("graft_bloom_might_contain from SQL probes a serialized filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -82,6 +82,53 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("corpusHealth reads the corpus exactly once — no self-joins") {
+    val plan = operators.Summaries.corpusHealth(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, found $scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"one-scan report must not join the corpus against itself:\n$plan")
+  }
+
+  test("kCore peel fixpoint costs one aggregate action per round") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // chain 1-2-3-4 peels away in two rounds under k=2; triangle
+      // 10-11-12 is the 2-core that survives
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+        (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+      val got = operators.Graphs.kCore(pairs, k = 2)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 2L), (11L, 2L), (12L, 2L)))
+      var stableSince = System.nanoTime()
+      var last = jobs.get()
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (System.nanoTime() - stableSince < 1_000_000_000L &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+      assert(jobs.get() >= 5, s"only ${jobs.get()} jobs delivered")
+      // calibrated like the clustering canary: the signature fixpoint
+      // measures 24 jobs on this input; the previous per-round
+      // count(old)+count(new) pair adds one action (plus its AQE stage
+      // jobs) per round. A bound between the two catches a regression to
+      // multi-action convergence detection.
+      assert(jobs.get() <= 27,
+        s"${jobs.get()} jobs — peel fixpoint regressed beyond 1 action/round")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("lake layout: partition pruning opens only the filtered directory") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-layout-spec-").toString
