@@ -1104,6 +1104,23 @@ object SparkEntry {
       operators.Multimodal.mediaFeatures(s, Tables.documents(s, d))
         .orderBy(col("media_id"))),
 
+    // image resize over the binary column: real header parse → integer
+    // fit-inside plan → real container re-encode → re-parse proof; the
+    // oracle recomputes the plan from the planting formulas while Spark
+    // actually rewrites the bytes
+    "mm_resize" -> ((s, d) =>
+      operators.Multimodal.resizeImages(s,
+          operators.Multimodal.toMediaTable(s, Tables.documents(s, d)),
+          maxW = 128, maxH = 128)
+        .orderBy(col("media_id"))),
+
+    // uniform frame-sampling schedule parsed from the real ISO-BMFF
+    // duration: k integer ticks per video, bounded explode
+    "mm_frame_sample" -> ((s, d) =>
+      operators.Multimodal.sampleFrames(s,
+          operators.Multimodal.toMediaTable(s, Tables.documents(s, d)), k = 8)
+        .orderBy(col("media_id"), col("frame_idx"))),
+
     // ---- corpus assembly: split / mixture reweighting / packing ----
     // all RNG-free (portable hash of the doc id), so assignment is stable
     // across runs, engines, and partitionings — the reproducibility a
@@ -2692,6 +2709,30 @@ object SparkEntry {
           |  (CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 2
           |     ELSE (doc_id % 997) + 100 END)::BIGINT AS n_frames
           |FROM documents ORDER BY media_id""".stripMargin,
+
+      // fit-inside at 128×128: height binds iff w <= h (equal bounds);
+      // integer-floored scaling mirrors Multimodal.fitInside exactly
+      "mm_resize" ->
+        """WITH img AS (SELECT doc_id AS media_id,
+          |    CAST(16 + doc_id % 500 AS INT) AS w,
+          |    CAST(16 + (doc_id * 7) % 400 AS INT) AS h
+          |  FROM documents WHERE doc_id % 3 = 0)
+          |SELECT media_id, w AS width, h AS height,
+          |  CAST(CASE WHEN w <= 128 AND h <= 128 THEN w
+          |    WHEN w <= h THEN (w * 128) // h ELSE 128 END AS INT) AS out_w,
+          |  CAST(CASE WHEN w <= 128 AND h <= 128 THEN h
+          |    WHEN w <= h THEN 128 ELSE (h * 128) // w END AS INT) AS out_h,
+          |  (CASE WHEN w <= 128 AND h <= 128 THEN 0 ELSE 1 END)::BIGINT AS resized,
+          |  1::BIGINT AS parsed
+          |FROM img ORDER BY media_id""".stripMargin,
+
+      // tick_i = (i * duration) // k over the planted (id % 997) + 100
+      // duration the MP4 container actually carries
+      "mm_frame_sample" ->
+        """SELECT doc_id AS media_id, i::BIGINT AS frame_idx,
+          |  ((i * ((doc_id % 997) + 100)) // 8)::BIGINT AS tick
+          |FROM documents CROSS JOIN range(0, 8) r(i)
+          |WHERE doc_id % 3 = 2 ORDER BY media_id, frame_idx""".stripMargin,
 
       "mix_split" ->
         s"""SELECT source,

@@ -257,4 +257,75 @@ object Multimodal {
     * round-trips the bytes). */
   def mediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeFeatures(spark, toMediaTable(spark, docs))
+
+  /** Aspect-preserving fit-inside target dimensions in pure integer math
+    * (identical on any engine): no upscaling; otherwise the binding axis
+    * hits the bound and the other scales by the same integer-floored
+    * ratio. */
+  def fitInside(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH <= h.toLong * maxW) // height is the binding axis
+      (((w.toLong * maxH) / h).toInt, maxH)
+    else (maxW, ((h.toLong * maxW) / w).toInt)
+
+  final case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                                out_w: Int, out_h: Int, resized: Long,
+                                parsed: Long)
+
+  /** Image resize over the binary column: parse the real container header,
+    * compute the fit-inside plan, RE-ENCODE a real container at the target
+    * dimensions, and re-parse the produced bytes to prove the round trip
+    * (`parsed`). The pixel transform itself is the deterministic stand-in
+    * the environment allows (the body bytes pass through unscaled — a real
+    * deployment swaps `resampleBody` for a raster library); everything
+    * Spark-side — schema, per-partition batching, constant memory, binary
+    * in/binary out — is the real 100 TB plumbing. Non-image payloads are
+    * dropped (audio/video do not resize). */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRecord],
+                   maxW: Int, maxH: Int): DataFrame = {
+    import spark.implicits._
+    def resampleBody(b: Array[Byte]): Array[Byte] = b // stand-in, see doc
+    media.mapPartitions { it =>
+      // real pipelines: init the raster codec here, once per partition
+      it.flatMap { r =>
+        val png = parsePngDims(r.payload).map(d => ("png", d))
+        val dims = png.orElse(parseJpegDims(r.payload).map(d => ("jpeg", d)))
+        dims.map { case (fmt, (w, h)) =>
+          val (ow, oh) = fitInside(w, h, maxW, maxH)
+          val headerLen = if (fmt == "png") 33 else 39
+          val body = resampleBody(r.payload.drop(headerLen))
+          val out = if (fmt == "png") pngPayload(ow, oh, body)
+                    else jpegPayload(ow, oh, body)
+          val back = parsePngDims(out).orElse(parseJpegDims(out))
+          ResizedMedia(r.media_id, w, h, ow, oh,
+            if (ow != w || oh != h) 1L else 0L,
+            if (back.contains((ow, oh))) 1L else 0L)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class FrameSample(media_id: Long, frame_idx: Long, tick: Long)
+
+  /** Uniform frame sampling over the video payloads: parse the real
+    * ISO-BMFF duration from the bytes, then emit k sample timestamps
+    * `tick_i = ⌊i·duration/k⌋` per video — the frame-extraction plan a
+    * real decoder executes per partition (seek + decode per tick). Pure
+    * integer arithmetic, so the schedule is engine-exact; non-video
+    * payloads are dropped. Output is (media_id, frame_idx, tick), bounded
+    * at k rows per video — the explode is capped by construction. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord],
+                   k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real pipelines: init the video demuxer here, once per partition
+      it.flatMap { r =>
+        parseMp4Duration(r.payload).iterator.flatMap { dur =>
+          (0 until k).iterator.map(i =>
+            FrameSample(r.media_id, i.toLong, i.toLong * dur / k))
+        }
+      }
+    }.toDF()
+  }
 }

@@ -333,6 +333,46 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.last.getString(3) == "batch_002/article_000024.json")
   }
 
+  test("fitInside never upscales, preserves aspect by integer floor, resize re-encodes") {
+    import graft.Schemas.MediaRecord
+    // no upscaling: already inside the box → unchanged
+    assert(Multimodal.fitInside(100, 50, 128, 128) == ((100, 50)))
+    // height binds (w <= h at square bounds): out_h hits the bound
+    assert(Multimodal.fitInside(200, 400, 128, 128) == ((64, 128)))
+    // width binds: out_w hits the bound
+    assert(Multimodal.fitInside(400, 200, 128, 128) == ((128, 64)))
+    // extreme ratio floors to >= 1, never 0 (16/415 at 128 box)
+    val (ew, eh) = Multimodal.fitInside(16, 415, 128, 128)
+    assert(ew >= 1 && eh == 128)
+    // the re-encoded container really carries the target dims (round trip)
+    val body = "pixels".getBytes("UTF-8")
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", Multimodal.pngPayload(515, 100, body), "image/png", 0L),
+      MediaRecord(2L, "image", Multimodal.jpegPayload(90, 300, body), "image/jpeg", 0L),
+      MediaRecord(3L, "audio", Multimodal.wavPayload(body), "audio/wav", 0L)))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = Multimodal.resizeImages(spark, media, 128, 128)
+      .orderBy("media_id")
+      .as[(Long, Int, Int, Int, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 515, 100, 128, 24, 1L, 1L),   // width binds: 100*128/515 = 24
+      (2L, 90, 300, 38, 128, 1L, 1L)))   // height binds: 90*128/300 = 38
+    // audio dropped; parsed = 1 proves the rewritten header parses back
+  }
+
+  test("sampleFrames emits k integer ticks per video from the real container duration") {
+    import graft.Schemas.MediaRecord
+    val body = "frames".getBytes("UTF-8")
+    val media = spark.createDataset(Seq(
+      MediaRecord(5L, "video", Multimodal.mp4Payload(1000L, body), "video/mp4", 0L),
+      MediaRecord(6L, "image", Multimodal.pngPayload(8, 8, body), "image/png", 0L)))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = Multimodal.sampleFrames(spark, media, k = 4)
+      .orderBy("media_id", "frame_idx")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 0L, 0L), (5L, 1L, 250L), (5L, 2L, 500L), (5L, 3L, 750L)))
+  }
+
   test("multimodal decode parses real PNG/JPEG/WAV/MP4 containers, flags corruption") {
     val body = "hello media payload".getBytes("UTF-8")
     // fixture round-trips: build real format bytes, parse the dims back
