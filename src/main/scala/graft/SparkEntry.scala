@@ -543,31 +543,49 @@ object SparkEntry {
     "sql_minhash_pairs" -> ((s, d) => {
       graft.plans.GraftExtensions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("graft_docs_sql")
+      // CACHE TABLE ... AS with NESTED subqueries, not CTEs: WITH-CTE ids
+      // are renumbered per analysis, so a CTE-bearing cached view never
+      // sameResult-matches its own references (observed: the full
+      // tokenize→shingle→minhash chain re-planned per reference, and the
+      // inferred explode filter pushed the whole shingle expression into
+      // the scan — computed twice per row). The nested form cache-hits,
+      // so the corpus chain runs once and every reference reads memory.
+      s.sql("UNCACHE TABLE IF EXISTS graft_mh_sql")
       s.sql("""
-        CREATE OR REPLACE TEMPORARY VIEW graft_mh_sql AS
-        WITH t AS (SELECT doc_id,
-            split(trim(regexp_replace(text, '\\s+', ' ')), ' ') AS toks
-          FROM graft_docs_sql),
-        sg AS (SELECT doc_id, array_distinct(CASE WHEN size(toks) < 3
-              THEN CAST(array() AS array<string>)
-              ELSE transform(sequence(0, size(toks) - 3),
-                i -> concat_ws(' ', element_at(toks, i + 1),
-                  element_at(toks, i + 2), element_at(toks, i + 3))) END) AS shs
-          FROM t),
-        hh AS (SELECT doc_id, graft_hash(sh) AS h
-          FROM (SELECT doc_id, explode(shs) AS sh FROM sg)),
-        sig AS (SELECT doc_id, graft_minhash(h, 16) AS sig
-          FROM hh GROUP BY doc_id)
+        CACHE TABLE graft_mh_sql AS
         SELECT doc_id, pe.i, pe.mh
-        FROM sig LATERAL VIEW posexplode(sig) pe AS i, mh
+        FROM (
+          SELECT doc_id, graft_minhash(h, 16) AS sig
+          FROM (
+            SELECT doc_id, graft_hash(sh) AS h
+            FROM (
+              SELECT doc_id, explode(shs) AS sh
+              FROM (
+                SELECT doc_id, array_distinct(CASE WHEN size(toks) < 3
+                    THEN CAST(array() AS array<string>)
+                    ELSE transform(sequence(0, size(toks) - 3),
+                      i -> concat_ws(' ', element_at(toks, i + 1),
+                        element_at(toks, i + 2), element_at(toks, i + 3))) END) AS shs
+                FROM (
+                  SELECT doc_id,
+                    split(trim(regexp_replace(text, '\\s+', ' ')), ' ') AS toks
+                  FROM graft_docs_sql))))
+          GROUP BY doc_id)
+        LATERAL VIEW posexplode(sig) pe AS i, mh
       """)
-      s.sql("CACHE LAZY TABLE graft_mh_sql")
+      // the band-key table is cached too: the candidate self-join reads it
+      // twice, and an uncached reference would re-aggregate per side
+      s.sql("UNCACHE TABLE IF EXISTS graft_bk_sql")
       s.sql("""
-        WITH mh AS (SELECT doc_id, i, mh FROM graft_mh_sql),
-        bk AS (SELECT doc_id, CAST(i / 4 AS INT) AS band,
+        CACHE TABLE graft_bk_sql AS
+        SELECT doc_id, CAST(i / 4 AS INT) AS band,
             array_join(transform(array_sort(collect_list(struct(i, mh))),
               x -> CAST(x.mh AS STRING)), '-') AS bkey
-          FROM mh GROUP BY doc_id, CAST(i / 4 AS INT)),
+        FROM graft_mh_sql GROUP BY doc_id, CAST(i / 4 AS INT)
+      """)
+      s.sql("""
+        WITH mh AS (SELECT doc_id, i, mh FROM graft_mh_sql),
+        bk AS (SELECT doc_id, band, bkey FROM graft_bk_sql),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           FROM bk x JOIN bk y
             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
