@@ -1268,6 +1268,17 @@ object SparkEntry {
       operators.Mixing.temperatureWeights(Tables.documents(s, d))
         .orderBy(col("source"))),
 
+    // DSIR-style importance reweighting: src0 plays the curated target
+    // corpus; every other doc is scored by its hashed-bigram likelihood
+    // ratio against src0's distribution, top-100 kept per source
+    "mix_importance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Mixing.importanceWeights(
+          raw = docs.where(col("source") =!= "src0"),
+          target = docs.where(col("source") === "src0"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the training plan: a 100k-token budget allocated by the temperature
     // weights, with per-source epoch counts (>1.0 epoch = repeats)
     "mix_epoch_plan" -> ((s, d) =>
@@ -3004,6 +3015,37 @@ object SparkEntry {
            |ORDER BY anchor_id, positive_id""".stripMargin,
 
       // temperature weights: IEEE sqrt then integer floor, both engines
+      // hashed-bigram likelihood-ratio scoring vs the src0 target; every
+      // step BIGINT (// for the capped smoothed ratio), one IEEE floor
+      // for the per-doc mean
+      "mix_importance" ->
+        s"""WITH tok AS (SELECT doc_id, source, $toks AS toks FROM documents),
+           |pr AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) < 2 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 1),
+           |      i -> toks[i+1] || ' ' || toks[i+2]) END) AS ng FROM tok),
+           |occ AS (SELECT doc_id, source, (${poly("'ng:' || ng")}) % 4096 AS b FROM pr),
+           |tgt AS (SELECT b, count(*)::BIGINT AS tgt_cnt FROM occ WHERE source = 'src0' GROUP BY b),
+           |rawo AS (SELECT doc_id, source, b FROM occ WHERE source <> 'src0'),
+           |rawc AS (SELECT b, count(*)::BIGINT AS raw_cnt FROM rawo GROUP BY b),
+           |tots AS (SELECT (SELECT count(*) FROM occ WHERE source = 'src0')::BIGINT AS n_tgt,
+           |    (SELECT count(*) FROM rawo)::BIGINT AS n_raw),
+           |w AS (SELECT coalesce(t.b, r.b) AS b,
+           |    least(100000::BIGINT, (10000 * (coalesce(tgt_cnt, 0) + 1) * n_raw)
+           |      // ((coalesce(raw_cnt, 0) + 1) * n_tgt)) AS w_x10000
+           |  FROM tgt t FULL JOIN rawc r ON t.b = r.b CROSS JOIN tots),
+           |tf AS (SELECT doc_id, source, b, count(*)::BIGINT AS tf FROM rawo GROUP BY 1, 2, 3),
+           |sc AS (SELECT doc_id, source, sum(tf)::BIGINT AS n_ngrams,
+           |    sum(tf * w_x10000)::BIGINT AS sw
+           |  FROM tf JOIN w USING (b) GROUP BY 1, 2),
+           |rk AS (SELECT doc_id, source, n_ngrams,
+           |    CAST(floor(sw::DOUBLE / n_ngrams) AS BIGINT) AS importance_x10000
+           |  FROM sc),
+           |rr AS (SELECT *, row_number() OVER (PARTITION BY source
+           |      ORDER BY importance_x10000 DESC, doc_id)::BIGINT AS rank FROM rk)
+           |SELECT doc_id, source, n_ngrams, importance_x10000, rank,
+           |  (CASE WHEN rank <= 100 THEN 1 ELSE 0 END)::BIGINT AS selected
+           |FROM rr ORDER BY doc_id""".stripMargin,
+
       "mix_temperature" ->
         s"""WITH c AS (SELECT source,
            |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS tokens

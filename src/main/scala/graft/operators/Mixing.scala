@@ -311,6 +311,67 @@ object Mixing {
       .drop("hk")
   }
 
+  /** DSIR-style hashed n-gram importance reweighting (after Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw doc by how target-like its hashed-bigram distribution
+    * is, then keep the top-k per source. Feature space = bigram
+    * occurrences hashed into `buckets` buckets; per-bucket weight is the
+    * add-one-smoothed integer likelihood ratio
+    * `w(b) = ⌊10⁴·(tgt(b)+1)·N_raw / ((raw(b)+1)·N_tgt)⌋`, capped — all
+    * BIGINT arithmetic, bit-identical cross-engine (documented deviation
+    * from DSIR: fixed-point ratio weights averaged per doc instead of
+    * summed log-ratios; no transcendental ops cross engines).
+    *
+    * Plan shape (the 100 TB posture): the weight table is bounded by the
+    * hashed feature space (≤ `buckets` rows — broadcast), the one-row
+    * totals ride along broadcast (no driver action), and the corpus moves
+    * once: bigram explode → (doc, bucket) tf agg → broadcast weight join →
+    * per-doc agg → per-source window top-k. The target side is typically
+    * the small curated corpus. Docs with < 2 tokens have no features and
+    * are not scored. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        buckets: Int = 4096, keepPerSource: Int = 100,
+                        capX10000: Long = 100000L): DataFrame = {
+    require(buckets >= 2 && keepPerSource >= 1 && capX10000 >= 10000L,
+      "need buckets >= 2, keepPerSource >= 1, cap >= 1.0")
+    def occ(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.bigramStructs(col("toks"))).as("p"))
+      .select(col("doc_id"), col("source"),
+        (charPolyHash(concat(lit("ng:"), col("p.x"), lit(" "), col("p.y")))
+          % buckets.toLong).as("b"))
+    val tgtOcc = occ(target).select(col("b"))
+    val rawOcc = occ(raw)
+    val tgtCnt = tgtOcc.groupBy(col("b")).agg(count(lit(1)).as("tgt_cnt"))
+    val rawCnt = rawOcc.groupBy(col("b")).agg(count(lit(1)).as("raw_cnt"))
+    val totals = tgtOcc.agg(count(lit(1)).as("n_tgt"))
+      .crossJoin(rawOcc.agg(count(lit(1)).as("n_raw")))
+    // weight table: bounded by the bucket space, broadcast to the tf join
+    val w = tgtCnt.join(rawCnt, Seq("b"), "full")
+      .na.fill(0L, Seq("tgt_cnt", "raw_cnt"))
+      .crossJoin(broadcast(totals))
+      // integral `div`, not `/`: the numerator reaches ~4e16, past double's
+      // 2^53 exact-integer range, so fp division would drift off the oracle
+      .select(col("b"), least(lit(capX10000),
+        expr("(10000 * (tgt_cnt + 1) * n_raw) div ((raw_cnt + 1) * n_tgt)"))
+        .as("w_x10000"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(col("importance_x10000").desc, col("doc_id"))
+    rawOcc.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("n_ngrams"),
+        sum(col("tf") * col("w_x10000")).as("sw"))
+      .withColumn("importance_x10000",
+        floor(col("sw").cast("double") / col("n_ngrams")).cast("long"))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_ngrams"),
+        col("importance_x10000"), col("rank"),
+        (col("rank") <= keepPerSource.toLong).cast("long").as("selected"))
+  }
+
   /** Leakage-proof splitting: hash-split on the near-dup CLUSTER id instead
     * of the doc id, so every member of a duplicate cluster lands in the
     * same split. Plain [[withSplit]] can place a doc in train and its

@@ -461,7 +461,7 @@ object TextAnalysis {
   /** Adjacent-token pairs of a token-array column as (x, y) structs —
     * shared by [[bigramModel]] / [[lmScore]] / [[repetition]]-style passes.
     * Docs with < 2 tokens contribute nothing. */
-  private def bigramStructs(toks: Column): Column =
+  private[operators] def bigramStructs(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<struct<x:string,y:string>>"))
       .otherwise(transform(sequence(lit(0), size(toks) - 2),
         i => struct(element_at(toks, i + 1).as("x"),

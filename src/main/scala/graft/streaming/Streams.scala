@@ -272,6 +272,33 @@ object Streams {
       }
       .start()
 
+  /** Streaming multimodal decode — the streaming sibling of
+    * [[graft.operators.Multimodal.decodeFeatures]]: media records (binary
+    * payload + typed metadata) arrive as micro-batches, each batch runs
+    * the same per-partition header decode, and features land under the
+    * micro-batch id (dynamic-partition overwrite — replay-idempotent).
+    * The decode is map-only, so the streaming form carries NO state:
+    * ingest-time feature extraction, which is how a 100 TB media crawl
+    * avoids a second full pass over the binary columns. */
+  def streamingMediaDecode(spark: SparkSession, media: DataFrame,
+                           outDir: String,
+                           checkpointDir: String): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Multimodal.decodeFeatures(spark,
+            batch.toDF().as[graft.Schemas.MediaRecord](
+              org.apache.spark.sql.Encoders.product[graft.Schemas.MediaRecord]))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming snapshot diff — the streaming sibling of
     * [[graft.operators.Versioning.corpusDiff]]: the OLD snapshot's content
     * hashes are persisted once as the baseline

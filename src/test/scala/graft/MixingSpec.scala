@@ -14,6 +14,34 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
       .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  test("importance reweighting ranks target-like docs above target-unlike docs") {
+    def srcDF(src: String, rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit(src))
+    val target = srcDF("tgt",
+      1L -> "alpha beta gamma delta alpha beta gamma delta",
+      2L -> "alpha beta gamma delta epsilon")
+    val raw = srcDF("crawl",
+      10L -> "alpha beta gamma delta",          // target-like bigrams
+      11L -> "zonk quux blarg wibble nothing",  // disjoint bigrams
+      12L -> "single")                          // < 2 tokens: unscored
+    val got = Mixing.importanceWeights(raw, target, buckets = 4096,
+        keepPerSource = 1)
+      .orderBy(col("rank"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(10L, 11L)) // doc 12 has no bigrams
+    val Seq(like, unlike) = got
+    assert(like._4 > unlike._4, s"target-like must outscore: $got")
+    assert(like._5 == 1L && like._6 == 1L)  // rank 1, selected
+    assert(unlike._6 == 0L)                 // past keepPerSource
+    // repartition-stable: hashed features, no RNG
+    val again = Mixing.importanceWeights(raw.repartition(5), target,
+        buckets = 4096, keepPerSource = 1)
+      .orderBy(col("rank"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
   test("split partitions the corpus completely and is repartition-stable") {
     val docs = Tables.documents(spark, sfDir)
     val split = Mixing.withSplit(docs)

@@ -120,6 +120,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.exists(_._5 == 1L)) // planted copies flagged
   }
 
+  test("streaming media decode equals the batch features over all micro-batches") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val media = Multimodal.toMediaTable(spark, docs)
+    val srcDir = tmp("mm-src")
+    val outDir = tmp("mm-out") + "/o"
+    media.toDF().repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = Streams.fileSource(spark, srcDir, media.toDF().schema,
+      maxFilesPerTrigger = 1)
+    val q = Streams.streamingMediaDecode(spark, stream, outDir, tmp("mm-ck"))
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .select("media_id", "kind", "mime", "n_bytes", "parsed", "width",
+        "height", "n_frames")
+      .as[(Long, String, String, Long, Long, Int, Int, Long)].collect().toSet
+    val batch = Multimodal.mediaFeatures(spark, docs)
+      .as[(Long, String, String, Long, Long, Int, Int, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.forall(_._5 == 1L)) // every planted container parses
+  }
+
   test("streaming snapshot diff + end-of-stream reconciliation equals the batch diff") {
     import graft.operators.Versioning
     val old = Tables.documents(spark, sfDir).select("doc_id", "text")
