@@ -219,6 +219,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("label"), col("content_length"))
         .orderBy(col("doc_id"))),
 
+    // hot-key salting: docs join a tiny per-lang dim on the (very skewed)
+    // lang key with the large side salted and the dim replicated per salt
+    // — row-identical to the plain join (the oracle runs the plain join);
+    // the manual fallback for keys too hot even for AQE skew splitting
+    "skew_salted_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val langStats = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("lang_docs"),
+          sum(length(col("text")).cast("long")).as("lang_chars"))
+      operators.Skew.saltedJoin(docs.select(col("doc_id"), col("lang")),
+          langStats, "lang", salts = 8)
+        .select(col("doc_id"), col("lang"), col("lang_docs"), col("lang_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- aggregations (A1-A3, A7) ----
     "a1_corpus_summary" -> ((s, d) =>
       Summaries.corpusSummary(Tables.documents(s, d))),
@@ -995,6 +1010,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the tokenizer as a persisted artifact: train once, write the merge
+    // table, segment anywhere from the parquet — the production tokenizer
+    // lifecycle (the sim_bm25_index pattern); must equal ta_bpe_segment
+    "ta_bpe_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-bpe-").toString
+      operators.TextAnalysis.saveBpeMerges(
+        operators.TextAnalysis.bpeTrain(docs, 5), dir)
+      operators.TextAnalysis.bpeSegmentCountsFast(docs,
+          operators.TextAnalysis.loadBpeMerges(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // tokenizer fertility per source: BPE symbols per whitespace word —
     // the multilingual-fairness metric (trained merges, codegen'd apply)
     "ta_bpe_fertility" -> ((s, d) => {
@@ -1766,6 +1794,15 @@ object SparkEntry {
       "j3_enrich_join" ->
         """SELECT e.vec_id AS doc_id, d.lang, e.label, length(d.text)::BIGINT AS content_length
           |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      // the salted join must be row-identical to the plain join
+      "skew_salted_join" ->
+        """WITH ls AS (SELECT lang, count(*)::BIGINT AS lang_docs,
+          |    sum(length(text))::BIGINT AS lang_chars
+          |  FROM documents GROUP BY lang)
+          |SELECT doc_id, d.lang AS lang, lang_docs, lang_chars
+          |FROM documents d JOIN ls ON d.lang = ls.lang
           |ORDER BY doc_id""".stripMargin,
 
       "a1_corpus_summary" ->
@@ -3455,6 +3492,12 @@ object SparkEntry {
       // re-train (same round CTEs), then apply each merge to every token of
       // every doc via the same greedy fold, and bill per-doc symbols
       "ta_bpe_segment" ->
+        s"""WITH ${bpeSegCtes(5)}
+           |SELECT doc_id, sum(len(syms))::BIGINT AS n_syms
+           |FROM seg5 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the artifact round-trip must not change a single count
+      "ta_bpe_artifact" ->
         s"""WITH ${bpeSegCtes(5)}
            |SELECT doc_id, sum(len(syms))::BIGINT AS n_syms
            |FROM seg5 GROUP BY doc_id ORDER BY doc_id""".stripMargin,

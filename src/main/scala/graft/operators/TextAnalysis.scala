@@ -230,6 +230,21 @@ object TextAnalysis {
     * demonstration scale; a production segmenter with 10⁴ merges would be
     * one codegen'd expression holding the merge table as a reference
     * object, the [[graft.plans.StopwordScoresExpr]] pattern). */
+  /** Persist a trained merge table ([[bpeTrain]] output) as the tokenizer
+    * artifact — train once per corpus snapshot, segment anywhere from the
+    * parquet (the [[Similarity.buildBm25Index]] lifecycle). */
+  def saveBpeMerges(merges: DataFrame, dir: String): Unit =
+    merges.write.mode("overwrite").parquet(s"$dir/merges")
+
+  /** Load a persisted merge table back into the ordered in-memory form the
+    * segmenter compiles into its codegen'd expression. The merge list is
+    * vocabulary-bounded (tens of thousands of rows at production vocab
+    * sizes) — a driver-side collect of a tokenizer, not of data. */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$dir/merges").orderBy(col("merge_no"))
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y"))).toSeq
+
   def bpeSegmentCounts(docs: DataFrame,
                        merges: Seq[(String, String)]): DataFrame = {
     val SEP = "\u001F"
