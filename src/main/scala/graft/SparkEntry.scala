@@ -40,7 +40,7 @@ object SparkEntry {
     val split = operators.Mixing.withSplit(Tables.documents(s, d),
       trainPct = cfg.splitTrainPct, valPct = cfg.splitValPct)
     val train = split.where(col("split") === "train")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"), col("source"))
     val evalDocs = split.where(col("split") === "test")
       .select(col("doc_id"), col("text"))
       .unionByName(train.where(col("doc_id") % 7 === 0)
@@ -102,6 +102,24 @@ object SparkEntry {
           concat_ws(" ",
             concat_ws(" ", slice(toks, 1, 40)),
             concat_ws(" ", slice(toks, 61, 20))).as("text")))
+  }
+
+  /** LSH-eval planting: every 4th doc (with ≥ 20 tokens) gains a PREFIX
+    * copy (`doc_id + 800000`) keeping 4..9 tenths of its tokens (tenths
+    * cycle with ⌊doc_id/4⌋), so the exact-Jaccard truth set spans bands
+    * ~3..9 instead of the synthetic corpus's all-or-nothing 0/9 split —
+    * the S-curve needs pairs on BOTH sides of the LSH threshold to be
+    * informative. A prefix's shingles are a subset of the full doc's, so
+    * J = (p-2)/(L-2) ≈ the kept fraction, deterministically. Mirrored
+    * verbatim in the `dedup_lsh_eval` oracle. */
+  private def plantedPrefixCopies(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val tenths = lit(4L) + pmod(floor(col("doc_id") / 4).cast("long"), lit(6L))
+    val p = floor(size(toks) * tenths / 10).cast("int")
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.where(col("doc_id") % 4 === 0 && size(toks) >= 20)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), p)).as("text")))
   }
 
   /** Snapshot-v2 planting for the versioning queries: drop every 10th doc,
@@ -632,6 +650,18 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // the measured LSH S-curve: candidate recall of the banded MinHash
+    // probe against exact n-gram Jaccard truth, per Jaccard decile — the
+    // (k, bands) tuning evidence you read BEFORE committing a 100 TB dedup
+    // run. Truth threshold 3000, well below the 5000 dedup cut, and the
+    // planted prefix copies spread true pairs across bands ~3..9, so the
+    // curve's knee (recall rising through the threshold) is visible.
+    "dedup_lsh_eval" -> ((s, d) =>
+      operators.Dedup.lshCandidateEval(
+          plantedPrefixCopies(Tables.documents(s, d)), cfg.ngramN,
+          cfg.minhashK, cfg.minhashBands, minJaccardX10000 = 3000)
+        .orderBy(col("jaccard_band"))),
+
     "dedup_simhash" -> ((s, d) =>
       operators.Dedup.simhashPairs(Tables.documents(s, d), cfg.simhashMaxHamming)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -840,6 +870,13 @@ object SparkEntry {
     "ta_novelty" -> ((s, d) =>
       operators.TextAnalysis.novelty(Tables.documents(s, d), 8)
         .orderBy(col("doc_id"))),
+
+    // per-source n-gram type–token diversity: the boilerplate detector —
+    // a templated source collapses distinct/total even when doc-level
+    // dup signals stay quiet
+    "ta_diversity" -> ((s, d) =>
+      operators.TextAnalysis.ngramDiversity(Tables.documents(s, d), cfg.ngramN)
+        .orderBy(col("source"))),
 
     // lake compaction plan over a manifest proxy (dir = source, file =
     // zero-padded doc id, bytes = n_chars): greedy contiguous byte-budget
@@ -1142,6 +1179,18 @@ object SparkEntry {
         .orderBy(col("eval_doc"), col("train_doc"))
     }),
 
+    // the remedy-deciding rollup over the attribution pairs: which SOURCE
+    // is leaking the benchmark (drop/de-weight the source) vs isolated
+    // per-doc copies (drop the docs) — per source, flagged-doc counts,
+    // touched eval docs, shared-shingle mass, and flagged_ppm
+    "decontam_by_source" -> ((s, d) => {
+      val (train, evalDocs) = plantedEvalSplit(s, d)
+      operators.Decontaminate.contaminationBySource(train, evalDocs,
+          cfg.decontamNgramN, cfg.decontamMinCommon,
+          broadcastEval = false)
+        .orderBy(col("source"))
+    }),
+
     // ---- multimodal plumbing: binary payload + typed metadata + REAL
     // header-parse decode (PNG IHDR / JPEG SOF walk / WAV chunk walk over
     // planted format-true bytes; Spark round-trips the bytes, the oracle
@@ -1319,6 +1368,14 @@ object SparkEntry {
       operators.Mixing.interleaveSources(Tables.documents(s, d))
         .select(col("doc_id"), col("source"), col("rr_rank"))
         .orderBy(col("rr_rank"), col("source"), col("doc_id"))),
+
+    // curriculum order: interleave upgraded with a quality phase — the
+    // best within-source quartile deals first, sources still interleaved
+    // within each phase; quality is the inlined map-only score (no
+    // corpus self-join), both windows partition by source
+    "mix_curriculum" -> ((s, d) =>
+      operators.Mixing.curriculumOrder(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
 
     // hard-negative triplets: anchor's top BM25 hit outside its dup
     // cluster — the dense-retrieval negative-mining recipe
@@ -2367,6 +2424,43 @@ object SparkEntry {
       // spark.sql + graft_hash/graft_minhash — same oracle byte for byte
       "sql_minhash_pairs" -> minhashOracleSql,
 
+      // LSH S-curve: exact-Jaccard truth (threshold 3000) LEFT JOIN the
+      // banded candidate set, recall per decile band; d0 mirrors
+      // plantedPrefixCopies (prefix copies at 4..9 tenths of the tokens)
+      "dedup_lsh_eval" ->
+        s"""WITH d0 AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 800000 AS doc_id,
+           |    array_to_string(($toks)[1:((len($toks) * (4 + (doc_id // 4) % 6)) // 10)], ' ') AS text
+           |  FROM documents WHERE doc_id % 4 = 0 AND len($toks) >= 20),
+           |t AS (SELECT doc_id, $toks AS toks FROM d0),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |truth AS (SELECT doc_a, doc_b, jaccard_x10000 FROM (
+           |    SELECT doc_a, doc_b,
+           |      CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000
+           |    FROM common
+           |    JOIN sizes na ON na.doc_id = doc_a
+           |    JOIN sizes nb ON nb.doc_id = doc_b)
+           |  WHERE jaccard_x10000 >= 3000),
+           |mh AS (SELECT doc_id, i, min(((1000003*(i+1))*h + 12345 + 7919*i) % 1000000007) AS mh
+           |  FROM sh CROSS JOIN range(0, 16) r(i) GROUP BY doc_id, i),
+           |bk AS (SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS bkey
+           |  FROM mh GROUP BY doc_id, i // 4),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x
+           |  JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |j AS (SELECT truth.jaccard_x10000,
+           |    CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+           |  FROM truth LEFT JOIN cand
+           |    ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b)
+           |SELECT (jaccard_x10000 // 1000)::BIGINT AS jaccard_band,
+           |  count(*)::BIGINT AS n_true, sum(caught)::BIGINT AS n_caught,
+           |  CAST(floor((1000000.0::DOUBLE) * sum(caught) / count(*) + 0.5) AS BIGINT) AS recall_ppm
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
       // the batch minhash oracle restricted to pairs with a >= 400 member —
       // exactly what the incremental index probe must produce
       "dedup_minhash_incr" ->
@@ -3123,6 +3217,28 @@ object SparkEntry {
            |FROM documents
            |ORDER BY rr_rank, source, doc_id""".stripMargin,
 
+      // curriculum order: within-source quality quartile (ntile over the
+      // same total order) + salted-hash row number within (source, phase);
+      // quality arithmetic identical to ta_quality's score column
+      "mix_curriculum" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH q AS (SELECT doc_id, source,
+           |    CAST(floor((10000.0::DOUBLE) *
+           |      least(1.0::DOUBLE, (($wordCnt)::DOUBLE) / (200.0::DOUBLE)) *
+           |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+           |        (4.0::DOUBLE) * len(list_filter($toks, t -> t IN ($enWords))) / greatest(($wordCnt), 1))) + 0.5) AS BIGINT) AS quality_x10000
+           |  FROM documents),
+           |p AS (SELECT doc_id, source, quality_x10000,
+           |    ntile(4) OVER (PARTITION BY source
+           |      ORDER BY quality_x10000 DESC, doc_id) AS phase
+           |  FROM q)
+           |SELECT doc_id, source, quality_x10000, phase::BIGINT AS phase,
+           |  (row_number() OVER (PARTITION BY source, phase
+           |    ORDER BY (${poly("'curriculum:' || doc_id")}), doc_id))::BIGINT AS rr_rank
+           |FROM p ORDER BY doc_id""".stripMargin
+      },
+
       // hard negatives: ngram pair CTEs + recursive min-reachable closure
       // + the BM25 pipeline queried at the anchors + cluster exclusion
       "mix_hard_triplets" ->
@@ -3770,6 +3886,18 @@ object SparkEntry {
            |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
            |ORDER BY 1""".stripMargin,
 
+      // per-source n-gram type–token ratio: (source, hash) pre-aggregate,
+      // then the per-source rollup — same hash universe as the dedup suite
+      "ta_diversity" ->
+        s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+           |s AS (SELECT source, unnest($shinglesOf) AS sh FROM t),
+           |g AS (SELECT source, ${poly("sh")} AS h, count(*)::BIGINT AS cnt
+           |  FROM s GROUP BY 1, 2)
+           |SELECT source, count(*)::BIGINT AS distinct_ngrams,
+           |  sum(cnt)::BIGINT AS total_ngrams,
+           |  CAST(floor((1000000.0::DOUBLE) * count(*) / greatest(sum(cnt), 1) + 0.5) AS BIGINT) AS diversity_ppm
+           |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
       "ta_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |b AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN []
@@ -3805,6 +3933,39 @@ object SparkEntry {
            |GROUP BY eval_doc, train_doc
            |HAVING count(*) >= 5
            |ORDER BY eval_doc, train_doc""".stripMargin,
+
+      // the attribution pairs rolled up to the source level (same split
+      // and planting as decontam_pairs), plus per-source totals
+      "decontam_by_source" ->
+        s"""WITH sp AS (SELECT doc_id, text, source, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents),
+           |tr AS (SELECT doc_id, text, source FROM sp WHERE b < 80),
+           |ev AS (SELECT doc_id, text FROM sp WHERE b >= 90
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM tr WHERE doc_id % 7 = 0),
+           |trt AS (SELECT doc_id, $toks AS toks FROM tr),
+           |trs AS (SELECT doc_id AS train_doc, ${poly("sh")} AS h FROM
+           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM trt)),
+           |evt AS (SELECT doc_id, $toks AS toks FROM ev),
+           |evs AS (SELECT doc_id AS eval_doc, ${poly("sh")} AS h FROM
+           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM evt)),
+           |pairs AS (SELECT eval_doc, train_doc, count(*)::BIGINT AS n_common
+           |  FROM evs JOIN trs ON evs.h = trs.h
+           |  GROUP BY eval_doc, train_doc
+           |  HAVING count(*) >= 5),
+           |bysrc AS (SELECT tr.source,
+           |    count(DISTINCT p.train_doc)::BIGINT AS flagged_train_docs,
+           |    count(DISTINCT p.eval_doc)::BIGINT AS eval_docs_touched,
+           |    sum(p.n_common)::BIGINT AS shared_shingles
+           |  FROM pairs p JOIN tr ON tr.doc_id = p.train_doc
+           |  GROUP BY tr.source),
+           |tot AS (SELECT source, count(*)::BIGINT AS n_train_docs FROM tr GROUP BY source)
+           |SELECT tot.source AS source, n_train_docs,
+           |  coalesce(flagged_train_docs, 0)::BIGINT AS flagged_train_docs,
+           |  coalesce(eval_docs_touched, 0)::BIGINT AS eval_docs_touched,
+           |  coalesce(shared_shingles, 0)::BIGINT AS shared_shingles,
+           |  CAST(floor((1000000.0::DOUBLE) * coalesce(flagged_train_docs, 0) / n_train_docs + 0.5) AS BIGINT) AS flagged_ppm
+           |FROM tot LEFT JOIN bysrc ON tot.source = bysrc.source
+           |ORDER BY source""".stripMargin,
 
       // interval-overlap chunking in integer math: a doc covering tokens
       // [cum_before, cum_before+tok) touches seqs cum//B .. (cum+tok-1)//B

@@ -161,6 +161,46 @@ object Decontaminate {
       .where(col("n_common") >= minCommon)
   }
 
+  /** Contamination-by-source rollup — the report that decides the REMEDY:
+    * [[overlapReport]] says which eval docs are leaked, [[attributionPairs]]
+    * says from which train docs; this aggregates the pairs to the level a
+    * curation decision is actually made at — the SOURCE. A source whose
+    * flagged_ppm is high is mirroring the benchmark (drop or de-weight the
+    * source); isolated flagged docs across many sources are individual
+    * copies (drop the docs). `train` needs (doc_id, text, source).
+    *
+    * Output per source: n_train_docs (size), flagged_train_docs (distinct
+    * train docs sharing ≥ `minCommon` shingles with any eval doc),
+    * eval_docs_touched, shared_shingles (total pair overlap mass), and
+    * flagged_ppm = flagged/size.
+    *
+    * Scale shape: [[attributionPairs]]' broadcast membership join + two
+    * tiny aggregates; the source attach joins the slim (doc_id, source)
+    * projection against pair-bounded rows, never the corpus against
+    * itself. */
+  def contaminationBySource(train: DataFrame, eval: DataFrame, n: Int,
+                            minCommon: Long,
+                            broadcastEval: Boolean = true): DataFrame = {
+    val pairs = attributionPairs(train.select(col("doc_id"), col("text")),
+      eval, n, minCommon, broadcastEval)
+    val bySource = pairs
+      .join(train.select(col("doc_id").as("train_doc"), col("source")),
+        Seq("train_doc"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("train_doc")).as("flagged_train_docs"),
+        countDistinct(col("eval_doc")).as("eval_docs_touched"),
+        sum(col("n_common")).as("shared_shingles"))
+    train.groupBy(col("source")).agg(count(lit(1)).as("n_train_docs"))
+      .join(bySource, Seq("source"), "left")
+      .select(col("source"), col("n_train_docs"),
+        coalesce(col("flagged_train_docs"), lit(0L)).as("flagged_train_docs"),
+        coalesce(col("eval_docs_touched"), lit(0L)).as("eval_docs_touched"),
+        coalesce(col("shared_shingles"), lit(0L)).as("shared_shingles"))
+      .withColumn("flagged_ppm",
+        floor(lit(1000000.0) * col("flagged_train_docs") / col("n_train_docs")
+          + 0.5).cast("long"))
+  }
+
   /** SEMANTIC decontamination — the leak n-gram overlap cannot see: a
     * paraphrased eval answer shares no 8-gram with its train source but
     * sits right next to it in embedding space. Flags every (eval, train)

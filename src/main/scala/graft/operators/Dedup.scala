@@ -215,6 +215,47 @@ object Dedup {
     estimatePairs(cand, allSigs, k, minEstX100)
   }
 
+  /** MinHash-LSH candidate-recall evaluation — the dedup analog of the ANN
+    * eval harness: how many TRUE near-dup pairs (exact n-gram Jaccard ≥
+    * `minJaccardX10000`, computed by [[ngramJaccardPairs]]) does the banded
+    * candidate generation of [[minhashPairs]] actually surface, per Jaccard
+    * decile band? LSH theory gives P(candidate) = 1-(1-J^r)^b, but the
+    * achieved recall on THIS corpus's shingle distribution is what decides
+    * whether (k, bands) is enough before committing a 100 TB dedup run —
+    * measure, don't guess. Set the truth threshold well BELOW the dedup cut
+    * so the curve's knee is visible (recall should be ~0 far below the cut
+    * and ~1 above it; a sagging top band means more bands are needed).
+    *
+    * Output: (jaccard_band, n_true, n_caught, recall_ppm), band =
+    * ⌊J×10⌋ ∈ [minJ/1000 .. 10].
+    *
+    * Scale shape: truth is the audited inverted-index self-join; candidates
+    * are the banded equi-join; the two meet in ONE left join on the
+    * (doc_a, doc_b) pair key, and the rollup output is ≤ 11 rows. Nothing
+    * here costs more than the dedup run it de-risks. */
+  def lshCandidateEval(docs: DataFrame, n: Int = 3, k: Int = 16,
+                       bands: Int = 4, minJaccardX10000: Long = 3000,
+                       docFreqCap: Option[Int] = None): DataFrame = {
+    require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
+    val truth = ngramJaccardPairs(docs, n, minJaccardX10000, docFreqCap)
+    val bandKeys = bandKeyTable(minhashTable(docs, n, k), k / bands)
+    val cand = bandKeys.alias("x")
+      .join(bandKeys.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("caught", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jaccard_x10000") / 1000).cast("long")
+        .as("jaccard_band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("recall_ppm",
+        floor(lit(1000000.0) * col("n_caught") / col("n_true") + 0.5)
+          .cast("long"))
+  }
+
   /** 32-bit SimHash per doc over token hashes weighted by term frequency.
     * One-pass custom aggregate ([[graft.plans.SimHashAgg]]): the 32 bit
     * votes live in a mutable buffer, so the plan is two hash aggregations

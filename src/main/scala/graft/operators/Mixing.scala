@@ -239,6 +239,36 @@ object Mixing {
     docs.withColumn("rr_rank", row_number().over(w).cast("long"))
   }
 
+  /** Curriculum training order — [[interleaveSources]] upgraded with a
+    * quality phase: deal the highest-quality quartile first (the standard
+    * easy/clean-first curriculum), sources still interleaved WITHIN each
+    * phase so no phase trains source-by-source. Phase = within-source
+    * quality quartile via ntile (1 = best; within-source, so one source's
+    * score scale can't monopolize early phases), rank = salted-hash row
+    * number within (source, phase) — reproducible shuffle, no RNG.
+    * Consumers sort or range-partition by (phase, rr_rank, source, id).
+    *
+    * Scale shape: the quality score is ONE inlined map-only expression
+    * ([[TextAnalysis.qualityX10000Col]] — no corpus self-join), and both
+    * windows partition by source (and phase): per-source-sized partitions,
+    * never a global window. */
+  def curriculumOrder(docs: DataFrame, phases: Int = 4,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(phases >= 1, "phases must be positive")
+    val wq = Window.partitionBy(col("source"))
+      .orderBy(col("quality_x10000").desc, col(idCol))
+    val hk = charPolyHash(concat(lit("curriculum:"), col(idCol).cast("string")))
+    val wr = Window.partitionBy(col("source"), col("phase"))
+      .orderBy(hk, col(idCol))
+    docs
+      .withColumn("quality_x10000",
+        graft.operators.TextAnalysis.qualityX10000Col)
+      .withColumn("phase", ntile(phases).over(wq).cast("long"))
+      .withColumn("rr_rank", row_number().over(wr).cast("long"))
+      .select(col(idCol), col("source"), col("quality_x10000"),
+        col("phase"), col("rr_rank"))
+  }
+
   /** HARD-negative triplet mining — the upgrade of [[contrastiveTriplets]]
     * embedding training actually wants: the negative is not a random doc
     * but the anchor's top BM25 retrieval OUTSIDE its duplicate cluster —

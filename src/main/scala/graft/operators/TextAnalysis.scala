@@ -94,6 +94,23 @@ object TextAnalysis {
   /** Quality scoring: length/punctuation/stopword/digit signals + a combined
     * fixed-point score. Mirrors the heuristics LLM-corpus filters use
     * (length fit, symbol density, stopword density). */
+  /** The composite quality score as ONE inlineable Column over `text` —
+    * for consumers that need the score BESIDE their own columns (e.g.
+    * [[Mixing.curriculumOrder]]'s phase assignment) without joining
+    * [[quality]]'s output back on doc_id: a map-only expression never
+    * justifies a corpus self-join. Same arithmetic as [[quality]]'s
+    * `quality_x10000` column, bit for bit. */
+  def qualityX10000Col: Column = {
+    val wc = wordCount(col("text")).cast("long")
+    val wcDen = greatest(wc, lit(1L))
+    val stopHits = graft.plans.ArrayExpressions
+      .stopwordScores(tokens(col("text")), Seq(stopwords.head._2))(0).cast("long")
+    floor(lit(10000.0) *
+      least(lit(1.0), wc.cast("double") / 200.0) *
+      (lit(0.5) + lit(0.5) * least(lit(1.0), lit(4.0) * stopHits / wcDen)) + 0.5)
+      .cast("long")
+  }
+
   def quality(docs: DataFrame): DataFrame = {
     val norm = normalizeWhitespace(col("text"))
     val wc = wordCount(col("text")).cast("long")
@@ -117,11 +134,33 @@ object TextAnalysis {
       floor(lit(10000.0) * stopHits / wcDen + 0.5).cast("long")
         .as("stopword_ratio_x10000"),
       // quality = length-fit (cap at 200 words) × (0.5 + 0.5·stopword density·4 capped)
-      floor(lit(10000.0) *
-        least(lit(1.0), wc.cast("double") / 200.0) *
-        (lit(0.5) + lit(0.5) * least(lit(1.0), lit(4.0) * stopHits / wcDen)) + 0.5)
-        .cast("long").as("quality_x10000"))
+      qualityX10000Col.as("quality_x10000"))
   }
+
+  /** n-gram diversity (type–token ratio over word shingles) per source —
+    * the boilerplate detector: a templated source (product pages, license
+    * stubs, mirrored headers) repeats the same n-grams over and over, so
+    * distinct/total collapses even when exact/near-dup DOC-level signals
+    * stay quiet (every page differs in a few slots). Sits beside
+    * [[novelty]] (per-doc, vs the rest of the corpus) as the per-SOURCE
+    * aggregate a mixing decision reads.
+    *
+    * Output: (source, distinct_ngrams, total_ngrams, diversity_ppm). Two
+    * map-combinable aggregations over one corpus scan — the (source, hash)
+    * pre-aggregate does the heavy dedup before the per-source rollup; hash
+    * collisions merge two shingle types (p≈n²·1e-9) identically on both
+    * engines. */
+  def ngramDiversity(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("source"),
+        explode(shinglesFromToks(tokens(col("text")), n)).as("sh"))
+      .select(col("source"), charPolyHash(col("sh")).as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("distinct_ngrams"),
+        sum(col("cnt")).as("total_ngrams"))
+      .withColumn("diversity_ppm",
+        floor(lit(1000000.0) * col("distinct_ngrams") /
+          greatest(col("total_ngrams"), lit(1L)) + 0.5).cast("long"))
 
   /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs /
     * digit runs / single symbols), and characters. */

@@ -388,4 +388,30 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
       ("s", "test", 0L, 1L, 30L),
       ("s", "train", 0L, 2L, 60L)))
   }
+
+  test("curriculumOrder: quality-descending phases, contiguous ranks, stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Mixing.curriculumOrder(docs)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got.length == docs.count())
+    assert(got.forall(r => r._4 >= 1 && r._4 <= 4))
+    // within each source: phases are quality-descending (no doc in a later
+    // phase outscores a doc in an earlier one), ranks contiguous per phase
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val byPhase = rows.groupBy(_._4)
+      byPhase.toSeq.sortBy(_._1).sliding(2).foreach {
+        case Seq((_, hi), (_, lo)) =>
+          assert(hi.map(_._3).min >= lo.map(_._3).max,
+            "phase boundary must not invert quality")
+        case _ => ()
+      }
+      byPhase.values.foreach { ph =>
+        assert(ph.map(_._5).sorted == (1L to ph.length).toSeq)
+      }
+    }
+    // repartition-stable: salted hash, no RNG
+    val again = Mixing.curriculumOrder(docs.repartition(7))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(again.sortBy(_._1) == got.sortBy(_._1))
+  }
 }

@@ -1694,4 +1694,68 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       assert(bf.contains(key) && bf(key) == r.getLong(3))
     }
   }
+
+  test("lshCandidateEval: exact copies land in the top band with full recall") {
+    val t = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = docsDF(1L -> t, 2L -> t, // J = 1.0 — every band must catch it
+      3L -> "totally unrelated words that share no trigram with anything here",
+      4L -> "some other filler text that is not a duplicate of any document")
+    val got = Dedup.lshCandidateEval(docs, n = 3, k = 16, bands = 4,
+        minJaccardX10000 = 3000)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // exactly one true pair (1,2) at J=1.0 → band 10, caught (identical
+    // signatures collide in every band)
+    assert(got == Seq((10L, 1L, 1L, 1000000L)))
+  }
+
+  test("lshCandidateEval: n_caught bounded by n_true, bands within range") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Dedup.lshCandidateEval(docs, minJaccardX10000 = 3000)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (band, nTrue, nCaught, ppm) =>
+      assert(band >= 3 && band <= 10)
+      assert(nCaught >= 0 && nCaught <= nTrue)
+      assert(ppm == math.floor(1000000.0 * nCaught / nTrue + 0.5).toLong)
+    }
+  }
+
+  test("contaminationBySource flags the leaking source, leaves clean sources at zero") {
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    def src(s: String, rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").withColumn("source", lit(s))
+    val train = src("mirror", 1L -> leaked, 2L -> leaked)
+      .unionByName(src("clean",
+        3L -> "completely different training content with its own vocabulary here today",
+        4L -> "another clean document that shares nothing with the evaluation set"))
+    val eval = Seq(100L -> leaked).toDF("doc_id", "text")
+    val got = Decontaminate.contaminationBySource(train, eval, n = 8,
+        minCommon = 2)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val Seq(clean, mirror) = got
+    assert(clean == (("clean", 2L, 0L, 0L, 0L, 0L)))
+    assert(mirror._1 == "mirror" && mirror._2 == 2L &&
+      mirror._3 == 2L && mirror._4 == 1L) // both mirror docs flagged, 1 eval doc
+    assert(mirror._5 > 0L && mirror._6 == 1000000L) // all of the source leaked
+  }
+
+  test("ngramDiversity: a templated source scores below a varied one") {
+    val varied = (0 until 8).map(i =>
+      (i.toLong, s"unique sentence number $i with words w${i}a w${i}b w${i}c w${i}d"))
+    val templated = (10 until 18).map(i =>
+      (i.toLong, s"the same boilerplate header always repeats here item $i"))
+    val docs = varied.toDF("doc_id", "text").withColumn("source", lit("varied"))
+      .unionByName(templated.toDF("doc_id", "text")
+        .withColumn("source", lit("templated")))
+    val got = TextAnalysis.ngramDiversity(docs, n = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the templated source repeats its 3-grams 8×; the varied one never does
+    assert(got("templated")._4 < got("varied")._4)
+    got.values.foreach { case (_, distinct, total, ppm) =>
+      assert(distinct <= total)
+      assert(ppm == math.floor(1000000.0 * distinct / math.max(total, 1L) + 0.5).toLong)
+    }
+  }
 }
