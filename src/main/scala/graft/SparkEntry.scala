@@ -113,13 +113,14 @@ object SparkEntry {
     * J = (p-2)/(L-2) ≈ the kept fraction, deterministically. Mirrored
     * verbatim in the `dedup_lsh_eval` oracle. */
   private def plantedPrefixCopies(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
     val tenths = lit(4L) + pmod(floor(col("doc_id") / 4).cast("long"), lit(6L))
-    val p = floor(size(toks) * tenths / 10).cast("int")
+    val p = floor(size(col("toks")) * tenths / 10).cast("int")
     docs.select(col("doc_id"), col("text")).unionByName(
-      docs.where(col("doc_id") % 4 === 0 && size(toks) >= 20)
+      docs.where(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 20)
         .select((col("doc_id") + 800000L).as("doc_id"),
-          concat_ws(" ", slice(toks, lit(1), p)).as("text")))
+          concat_ws(" ", slice(col("toks"), lit(1), p)).as("text")))
   }
 
   /** Snapshot-v2 planting for the versioning queries: drop every 10th doc,
@@ -567,23 +568,42 @@ object SparkEntry {
     // pipeline written entirely in spark.sql(...) against the registered
     // graft_hash + graft_minhash functions — a SQL-only user must get the
     // byte-identical oracle result the Scala API (dedup_minhash) gets.
-    // The signature table is materialized as a LAZILY-cached temp view:
-    // the banding and both estimate legs reference it, and CTE refs plan
-    // as separate subtrees (no exchange reuse across CTERelationRefs), so
-    // an uncached chain would re-run tokenize→shingle→minhash 4× — measured
-    // 79 s vs ~2 s at sf0.1. Caching the k-longs-per-doc signatures is the
-    // persisted-dedup-index posture (~0.1% of corpus size at 100 TB).
+    // The signature table is materialized as an eagerly-cached temp view
+    // (nested subqueries, not CTEs: WITH-CTE ids are renumbered per
+    // analysis, so a CTE-bearing cached view never sameResult-matches its
+    // own references — the banding and both estimate legs would each
+    // re-run the corpus chain, measured 79 s vs ~2 s at sf0.1). Caching
+    // the k-longs-per-doc signatures is the persisted-dedup-index posture
+    // (~0.1% of corpus size at 100 TB).
     "sql_minhash_pairs" -> ((s, d) => {
       graft.plans.GraftExtensions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("graft_docs_sql")
-      // CACHE TABLE ... AS with NESTED subqueries, not CTEs: WITH-CTE ids
-      // are renumbered per analysis, so a CTE-bearing cached view never
-      // sameResult-matches its own references (observed: the full
-      // tokenize→shingle→minhash chain re-planned per reference, and the
-      // inferred explode filter pushed the whole shingle expression into
-      // the scan — computed twice per row). The nested form cache-hits,
-      // so the corpus chain runs once and every reference reads memory.
-      s.sql("UNCACHE TABLE IF EXISTS graft_mh_sql")
+      // drop views BEFORE re-caching: UNCACHE alone leaves the temp view
+      // behind and the next CACHE TABLE AS throws TempTableAlreadyExists
+      // (re-invocation in one session — the interactive-user path)
+      Seq("graft_shs_sql", "graft_mh_sql", "graft_bk_sql").foreach { v =>
+        s.sql(s"UNCACHE TABLE IF EXISTS $v"); s.catalog.dropTempView(v)
+      }
+      // STAGE the shingle ARRAY behind its own eager cache before anything
+      // explodes it: Generate's inferred `size(shs) > 0` filter substitutes
+      // its child expressions when pushed down, so an inline chain re-runs
+      // split/regexp per shingle ELEMENT inside the filter — measured 22 s
+      // for the signature build vs 0.8 s for the identical Scala chain at
+      // sf0.1. The cache boundary makes the filter read a materialized
+      // column instead. (The Scala path dodges this by binding `toks` as
+      // an attribute — Dedup.shingleTable's two-projection shape.)
+      s.sql("""
+        CACHE TABLE graft_shs_sql AS
+        SELECT doc_id, array_distinct(CASE WHEN size(toks) < 3
+            THEN CAST(array() AS array<string>)
+            ELSE transform(sequence(0, size(toks) - 3),
+              i -> concat_ws(' ', element_at(toks, i + 1),
+                element_at(toks, i + 2), element_at(toks, i + 3))) END) AS shs
+        FROM (
+          SELECT doc_id,
+            split(trim(regexp_replace(text, '\\s+', ' ')), ' ') AS toks
+          FROM graft_docs_sql)
+      """)
       s.sql("""
         CACHE TABLE graft_mh_sql AS
         SELECT doc_id, pe.i, pe.mh
@@ -593,22 +613,12 @@ object SparkEntry {
             SELECT doc_id, graft_hash(sh) AS h
             FROM (
               SELECT doc_id, explode(shs) AS sh
-              FROM (
-                SELECT doc_id, array_distinct(CASE WHEN size(toks) < 3
-                    THEN CAST(array() AS array<string>)
-                    ELSE transform(sequence(0, size(toks) - 3),
-                      i -> concat_ws(' ', element_at(toks, i + 1),
-                        element_at(toks, i + 2), element_at(toks, i + 3))) END) AS shs
-                FROM (
-                  SELECT doc_id,
-                    split(trim(regexp_replace(text, '\\s+', ' ')), ' ') AS toks
-                  FROM graft_docs_sql))))
+              FROM graft_shs_sql))
           GROUP BY doc_id)
         LATERAL VIEW posexplode(sig) pe AS i, mh
       """)
       // the band-key table is cached too: the candidate self-join reads it
       // twice, and an uncached reference would re-aggregate per side
-      s.sql("UNCACHE TABLE IF EXISTS graft_bk_sql")
       s.sql("""
         CACHE TABLE graft_bk_sql AS
         SELECT doc_id, CAST(i / 4 AS INT) AS band,
@@ -616,6 +626,9 @@ object SparkEntry {
               x -> CAST(x.mh AS STRING)), '-') AS bkey
         FROM graft_mh_sql GROUP BY doc_id, CAST(i / 4 AS INT)
       """)
+      // the staging cache fed the two eager builds above; the final select
+      // reads only mh/bk, so free it before returning
+      s.sql("UNCACHE TABLE IF EXISTS graft_shs_sql")
       s.sql("""
         WITH mh AS (SELECT doc_id, i, mh FROM graft_mh_sql),
         bk AS (SELECT doc_id, band, bkey FROM graft_bk_sql),
@@ -1360,6 +1373,14 @@ object SparkEntry {
     // weights, with per-source epoch counts (>1.0 epoch = repeats)
     "mix_epoch_plan" -> ((s, d) =>
       operators.Mixing.epochPlan(Tables.documents(s, d), budgetTokens = 100000L)
+        .orderBy(col("source"))),
+
+    // UniMax allocation: uniform budget spread capped at 2 epochs per
+    // source — closed-form waterfilling; the budget is sized so small
+    // sources cap out and the remainder re-spreads (non-trivial level)
+    "mix_unimax" -> ((s, d) =>
+      operators.Mixing.unimaxPlan(Tables.documents(s, d),
+          budgetTokens = 52000L, maxEpochs = 2)
         .orderBy(col("source"))),
 
     // round-robin interleave: training order dealing one doc per source
@@ -3208,6 +3229,30 @@ object SparkEntry {
            |  CAST(floor((10000.0::DOUBLE) * allocated_tokens /
            |    greatest(tokens, 1)) AS BIGINT) AS epochs_x10000
            |FROM a ORDER BY source""".stripMargin,
+
+      // UniMax waterfilling: capacity-sorted shares, the first source that
+      // can absorb its share fixes the fill level (LIMIT 1 threshold row)
+      "mix_unimax" ->
+        s"""WITH c AS (SELECT source,
+           |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS tokens
+           |  FROM documents GROUP BY source),
+           |w AS (SELECT source, tokens, (tokens * 2)::BIGINT AS capacity,
+           |    row_number() OVER (ORDER BY tokens * 2, source) AS i,
+           |    coalesce(sum(tokens * 2) OVER (ORDER BY tokens * 2, source
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cap,
+           |    count(*) OVER () AS m
+           |  FROM c),
+           |s AS (SELECT source, tokens, capacity, i,
+           |    greatest(52000 - prev_cap, 0) // (m - i + 1) AS share FROM w),
+           |lvl AS (SELECT i AS t_i, share AS t_share FROM s
+           |  WHERE capacity > share ORDER BY i LIMIT 1)
+           |SELECT source, tokens AS available_tokens, capacity,
+           |  (CASE WHEN t_i IS NULL OR i < t_i THEN capacity ELSE t_share END)::BIGINT AS allocated_tokens,
+           |  CAST(floor((10000.0::DOUBLE) *
+           |    (CASE WHEN t_i IS NULL OR i < t_i THEN capacity ELSE t_share END) /
+           |    greatest(tokens, 1)) AS BIGINT) AS epochs_x10000
+           |FROM s LEFT JOIN lvl ON true
+           |ORDER BY source""".stripMargin,
 
       // interleave: per-source salted-hash rank
       "mix_interleave" ->

@@ -132,6 +132,57 @@ object Mixing {
           greatest(col("tokens"), lit(1L))).cast("long").as("epochs_x10000"))
   }
 
+  /** UniMax budget allocation (after Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling"): spread the token budget
+    * UNIFORMLY across sources, capped at `maxEpochs` passes of each
+    * source — the published alternative to temperature sampling that
+    * upweights small sources WITHOUT unbounded repetition (the
+    * memorization-risk knob is explicit, not emergent). Waterfilling in
+    * closed form over the capacity-sorted source list: a source too small
+    * to absorb the uniform share fills to its cap (maxEpochs × tokens) and
+    * the rest of the budget re-spreads over the remaining sources; the
+    * first source that CAN absorb its share fixes the fill level for
+    * everyone after it. All integer floor-division (remainders stay
+    * unallocated and visible in the epoch column, never smeared), so the
+    * DuckDB oracle is bit-exact.
+    *
+    * Plan shape: one map-combinable per-source token aggregate, then
+    * windows over the SOURCE LIST — rows = number of sources, a planning
+    * artifact, so the unpartitioned window is over a broadcast-sized
+    * table, not the corpus. */
+  def unimaxPlan(docs: DataFrame, budgetTokens: Long, maxEpochs: Int = 4,
+                 metric: String = "bpe"): DataFrame = {
+    require(budgetTokens >= 1, "budget must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be positive")
+    val counts = docs.select(col("source"), tokenMetric(metric).as("tok_cnt"))
+      .groupBy(col("source")).agg(sum(col("tok_cnt")).as("tokens"))
+      .withColumn("capacity", col("tokens") * maxEpochs)
+    val m = counts.agg(count(lit(1)).as("m"))
+    val ord = Window.orderBy(col("capacity"), col("source"))
+    val tbl = counts.crossJoin(broadcast(m))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("prev_cap",
+        coalesce(sum(col("capacity")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // share if every smaller source is capped; rem ≥ 0 holds for every
+      // row up to and including the threshold (induction over the fill),
+      // the greatest() only sanitizes the never-selected rows past it
+      .withColumn("share",
+        expr(s"greatest(${budgetTokens}L - prev_cap, 0L) DIV (m - i + 1)"))
+    // the threshold row: first source whose capacity exceeds its share —
+    // its share is the fill level for itself and everything larger
+    val level = tbl.where(col("capacity") > col("share"))
+      .agg(min(struct(col("i"), col("share"))).as("ts"))
+    tbl.crossJoin(broadcast(level))
+      .withColumn("allocated_tokens",
+        when(col("ts").isNull || col("i") < col("ts.i"), col("capacity"))
+          .otherwise(col("ts.share")))
+      .select(col("source"), col("tokens").as("available_tokens"),
+        col("capacity"), col("allocated_tokens"),
+        floor(lit(10000.0) * col("allocated_tokens") /
+          greatest(col("tokens"), lit(1L))).cast("long").as("epochs_x10000"))
+  }
+
   /** Per-source doc cap — "no source contributes more than k documents",
     * the per-domain cap web-corpus pipelines apply so one mirror-heavy
     * domain can't dominate the mix. Which k survive is decided by salted

@@ -151,8 +151,13 @@ object TextAnalysis {
     * collisions merge two shingle types (p≈n²·1e-9) identically on both
     * engines. */
   def ngramDiversity(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("source"),
-        explode(shinglesFromToks(tokens(col("text")), n)).as("sh"))
+    // tokens materialized as a bound column FIRST (the Dedup.shingleTable
+    // posture): explode's inferred size()>0 filter substitutes its child
+    // expressions, and an inlined tokenize would re-run the regexp per
+    // shingle element inside that filter — measured 15.8 s vs 1-2 s at
+    // sf0.1 for this exact query
+    docs.select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(shinglesFromToks(col("toks"), n)).as("sh"))
       .select(col("source"), charPolyHash(col("sh")).as("h"))
       .groupBy(col("source"), col("h")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("source"))

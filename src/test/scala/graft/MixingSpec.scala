@@ -389,6 +389,30 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
       ("s", "train", 0L, 2L, 60L)))
   }
 
+  test("unimaxPlan: waterfilling caps small sources, spreads the rest uniformly") {
+    // ws tokens per source: a=2, b=10, c=16 → capacities ×2 = 4, 20, 32.
+    // budget 30: i=1 share 30/3=10 ≥ 4 → a capped at 4; i=2 share
+    // (30-4)/2=13 < 20 → level 13; b and c get 13 each. Σ = 4+13+13 = 30.
+    def src(s: String, id: Long, text: String) =
+      Seq((id, text)).toDF("doc_id", "text").withColumn("source", lit(s))
+    val docs = src("a", 1L, "t1 t2")
+      .unionByName(src("b", 2L, (1 to 10).map("b" + _).mkString(" ")))
+      .unionByName(src("c", 3L, (1 to 16).map("c" + _).mkString(" ")))
+    val got = Mixing.unimaxPlan(docs, budgetTokens = 30L, maxEpochs = 2,
+        metric = "ws")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 4L, 4L, 20000L),     // capped: 2 full epochs
+      ("b", 10L, 20L, 13L, 13000L),  // fill level 13 → 1.3 epochs
+      ("c", 16L, 32L, 13L, 8125L)))  // same level, bigger source
+    // budget beyond total capacity: everyone caps at maxEpochs
+    val all = Mixing.unimaxPlan(docs, budgetTokens = 1000L, maxEpochs = 2,
+        metric = "ws")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(all.forall(r => r._4 == r._3 && r._5 == 20000L))
+  }
+
   test("curriculumOrder: quality-descending phases, contiguous ranks, stable") {
     val docs = Tables.documents(spark, sfDir)
     val got = Mixing.curriculumOrder(docs)
