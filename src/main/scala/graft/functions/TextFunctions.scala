@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level scalar layer (SURVEY.md §2.2 / §2.6).
@@ -19,6 +19,19 @@ object TextFunctions {
   /** Whitespace tokenizer over normalized text (basis of P11/U-layer ops). */
   def tokens(c: Column): Column =
     split(normalizeWhitespace(c), " ")
+
+  /** One (keep..., `tokAlias`) row per token of `text` — the token array
+    * is materialized as a BOUND column before the explode (the
+    * Dedup.shingleTable posture): Generate's inferred `size(...) > 0`
+    * filter substitutes its child expressions when pushed down, so an
+    * inline `explode(tokens(text))` runs the regexp tokenizer twice per
+    * row (filter + generate), and anything with a per-element lambda over
+    * an inlined tokenize re-runs it per ELEMENT. Every corpus-wide token
+    * explode should go through here. */
+  def explodeTokens(docs: DataFrame, tokAlias: String,
+                    keep: Column*): DataFrame =
+    docs.select(keep :+ tokens(col("text")).as("__toks"): _*)
+      .select(keep :+ explode(col("__toks")).as(tokAlias): _*)
 
   /** Unicode cleanup — the punctuation/space canonicalization pass web
     * corpora need before any hash-based dedup (a curly quote makes two

@@ -263,7 +263,7 @@ object Dedup {
     * integer sums — order-independent, so the relational DuckDB oracle
     * (explode bits → per-bit vote → regroup) matches bit-for-bit. */
   def simhashTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    explodeTokens(docs, "tok", col("doc_id"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       // charPolyHash < 1e9+7 < 2^30 would leave bits 30-31 permanently
       // unset (weakening the top blocking band); an LCG step mod the prime
@@ -881,13 +881,13 @@ object Dedup {
                     idfCapX100: Long = 10000): DataFrame = {
     val members = clusters.select(col("id").as("doc_id"),
       col("canonical_id").as("cluster_id"))
-    val terms = docs
-      .join(members, Seq("doc_id"))
-      .select(col("cluster_id"), explode(tokens(col("text"))).as("term"))
+    val terms = explodeTokens(docs.join(members, Seq("doc_id")),
+        "term", col("cluster_id"))
       .where(col("term") =!= "")
       .groupBy(col("cluster_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfT = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("dts"))
+      .select(col("doc_id"), explode(col("dts")).as("term"))
       .where(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))

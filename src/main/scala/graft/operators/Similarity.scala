@@ -644,9 +644,8 @@ object Similarity {
                   k1X10: Long = 12, bX100: Long = 75,
                   maxQueryTerms: Int = Int.MaxValue): DataFrame = {
     require(k >= 1 && maxQueryTerms >= 1, "need positive k and term budget")
-    val tf = docs
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+    val tf = graft.functions.TextFunctions
+      .explodeTokens(docs, "t", col("doc_id"))
       .where(col("t") =!= "")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -733,9 +732,8 @@ object Similarity {
     * run against the artifact without touching the corpus. At 100 TB the
     * index builds once per snapshot and serves every retrieval after. */
   def buildBm25Index(docs: DataFrame, path: String, maxDf: Long = 1000): Unit = {
-    val tf = docs
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+    val tf = graft.functions.TextFunctions
+      .explodeTokens(docs, "t", col("doc_id"))
       .where(col("t") =!= "")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

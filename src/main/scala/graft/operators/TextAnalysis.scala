@@ -190,7 +190,7 @@ object TextAnalysis {
     * corpus-sized shuffle) → bounded pair explode over the vocab (≤ |word|
     * rows per DISTINCT word) → hash agg → top-k. */
   def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
-    val words = docs.select(explode(tokens(col("text"))).as("w"))
+    val words = explodeTokens(docs, "w")
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     words
@@ -226,7 +226,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val SEP = "\u001F"
-    var vocab = docs.select(explode(tokens(col("text"))).as("w"))
+    var vocab = explodeTokens(docs, "w")
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(col("w"), ""))
@@ -303,7 +303,7 @@ object TextAnalysis {
     val seg = merges.foldLeft(split(col("tok"), ""): Column) {
       case (acc, (x, y)) => applyMerge(acc, x, y)
     }
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    explodeTokens(docs, "tok", col("doc_id"))
       .where(col("tok") =!= "")
       .withColumn("syms", seg)
       .groupBy(col("doc_id"))
@@ -358,8 +358,7 @@ object TextAnalysis {
     * docs, i.e. stopwords) is the standard pruning when the term join
     * itself skews. */
   def keywords(docs: DataFrame, k: Int = 5): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = explodeTokens(docs, "term", col("doc_id"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -513,7 +512,7 @@ object TextAnalysis {
     * driver) — no global sort, the only corpus-wide top-k form that
     * survives 100 TB. */
   def vocabulary(docs: DataFrame, k: Int): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("term"))
+    explodeTokens(docs, "term")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(k)
 
@@ -594,7 +593,7 @@ object TextAnalysis {
     * `est_cnt >= exact_cnt` always; overcount = bucket collisions. */
   def cmsTermCounts(docs: DataFrame, k: Int = 20,
                     d: Int = 4, w: Int = 1024): DataFrame = {
-    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    val toks = explodeTokens(docs, "term")
       .where(col("term") =!= "")
     val sketch = toks.agg(graft.plans.CmsAgg.sketch(col("term"), d, w).as("sk"))
     val est = array_min(transform(sequence(lit(0), lit(d - 1)),
@@ -704,7 +703,7 @@ object TextAnalysis {
     * dependent, so the registered query is rows-only and the guarantee
     * specs are the gate. */
   def mgHeavyHitters(docs: DataFrame, k: Int = 32): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("term"))
+    explodeTokens(docs, "term")
       .where(col("term") =!= "")
       .agg(graft.plans.MgAgg.summary(col("term"), k).as("s"))
       .select(explode(col("s")).as("e"))
@@ -748,7 +747,7 @@ object TextAnalysis {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .where(col("a") =!= col("b"))
     // vocab restriction: top-V terms by (cnt DESC, term) — deterministic cut
-    val vocab = docs.select(explode(tokens(col("text"))).as("term"))
+    val vocab = explodeTokens(docs, "term")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
       .limit(vocabCap)
