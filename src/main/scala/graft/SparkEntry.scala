@@ -1470,6 +1470,15 @@ object SparkEntry {
       operators.Versioning.termDrift(docs, snapshotV2(docs), 50)
     }),
 
+    // length-distribution drift: per (source, decile), exact nearest-rank
+    // length quantiles of v1 vs v2 — the KS-style monitor term drift
+    // can't see (same planting as ver_diff/ver_drift)
+    "ver_length_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Versioning.lengthDrift(docs, snapshotV2(docs))
+        .orderBy(col("source"), col("decile"))
+    }),
+
     // modality coverage: per source, valid-text and embedding-join
     // completeness — the audit every embedding-based stage depends on
     "mm_coverage" -> ((s, d) =>
@@ -4100,6 +4109,39 @@ object SparkEntry {
            |SELECT term, cnt_old, cnt_new, rate_old_ppm, rate_new_ppm,
            |  (rate_new_ppm - rate_old_ppm) AS drift_ppm
            |FROM r ORDER BY abs(rate_new_ppm - rate_old_ppm) DESC, term LIMIT 50""".stripMargin,
+
+      // exact nearest-rank length deciles per source, v1 vs v2; the
+      // nearest-rank pick (d*n + 9) // 10 is all-integer on both engines
+      "ver_length_drift" ->
+        """WITH v2 AS (
+          |  SELECT doc_id, source,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' drifted marker token'
+          |         ELSE text END AS text
+          |  FROM documents WHERE doc_id % 10 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents WHERE doc_id % 13 = 0),
+          |o1 AS (SELECT source, doc_id, length(text)::BIGINT AS len FROM documents),
+          |o2 AS (SELECT source, doc_id, length(text)::BIGINT AS len FROM v2),
+          |r1 AS (SELECT source, len,
+          |    row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY source) AS n
+          |  FROM o1),
+          |r2 AS (SELECT source, len,
+          |    row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY source) AS n
+          |  FROM o2),
+          |ds AS (SELECT unnest(range(1, 10)) AS decile),
+          |q1 AS (SELECT source, decile, len AS q_old FROM r1 JOIN ds
+          |  ON rn = (decile * n + 9) // 10),
+          |q2 AS (SELECT source, decile, len AS q_new FROM r2 JOIN ds
+          |  ON rn = (decile * n + 9) // 10)
+          |SELECT coalesce(q1.source, q2.source) AS source,
+          |  coalesce(q1.decile, q2.decile)::BIGINT AS decile,
+          |  coalesce(q_old, -1)::BIGINT AS q_old_chars,
+          |  coalesce(q_new, -1)::BIGINT AS q_new_chars,
+          |  (coalesce(q_new, -1) - coalesce(q_old, -1))::BIGINT AS shift_chars
+          |FROM q1 FULL JOIN q2 ON q1.source = q2.source AND q1.decile = q2.decile
+          |ORDER BY source, decile""".stripMargin,
 
       "a16_corpus_health" -> {
         val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")

@@ -80,7 +80,7 @@ object Versioning {
   def termDrift(oldDocs: DataFrame, newDocs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     def counts(docs: DataFrame, c: String) =
-      docs.select(explode(tokens(col("text"))).as("term"))
+      explodeTokens(docs, "term")
         .where(col("term") =!= "")
         .groupBy(col("term")).agg(count(lit(1)).as(c))
     val merged = counts(oldDocs, "cnt_old")
@@ -101,5 +101,46 @@ object Versioning {
       .limit(k)
       .select(col("term"), col("cnt_old"), col("cnt_new"),
         col("rate_old_ppm"), col("rate_new_ppm"), col("drift_ppm"))
+  }
+
+  /** Length-distribution drift between snapshots — the KS-style monitor
+    * [[termDrift]]'s vocabulary view can't see: a source whose docs got
+    * uniformly truncated (a crawler change, a bad extraction release)
+    * keeps its term MIX while every quantile of its length distribution
+    * moves. Per (source, decile 1..9): the EXACT nearest-rank decile of
+    * text length in old vs new and the shift in characters; a decile
+    * missing on one side (source appeared/vanished) reports -1.
+    *
+    * Exact, not sketched: per-source window sort — per-source-sized
+    * partitions, the packing posture, never a global sort. The nine
+    * target ranks per source come from an explode over the per-source
+    * COUNT table (sources × 9 rows, no product join anywhere), and the
+    * pick is a hash equi-join on (source, rn); the nearest-rank formula
+    * `rn == (d·n + 9) DIV 10` is all-integer with a (len, id) total
+    * order, so the DuckDB oracle matches bit for bit. */
+  def lengthDrift(oldDocs: DataFrame, newDocs: DataFrame,
+                  idCol: String = "doc_id"): DataFrame = {
+    def deciles(docs: DataFrame, qCol: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("len"), col(idCol))
+      val ranked = docs.select(col("source"), col(idCol),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val targets = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("source"), col("n"),
+          explode(sequence(lit(1L), lit(9L))).as("decile"))
+        .select(col("source"), col("decile"),
+          expr("(decile * n + 9) DIV 10").as("rn"))
+      ranked.join(targets, Seq("source", "rn"))
+        .select(col("source"), col("decile"), col("len").as(qCol))
+    }
+    deciles(oldDocs, "q_old")
+      .join(deciles(newDocs, "q_new"), Seq("source", "decile"), "full_outer")
+      .select(col("source"), col("decile"),
+        coalesce(col("q_old"), lit(-1L)).as("q_old_chars"),
+        coalesce(col("q_new"), lit(-1L)).as("q_new_chars"),
+        (coalesce(col("q_new"), lit(-1L)) - coalesce(col("q_old"), lit(-1L)))
+          .as("shift_chars"))
   }
 }

@@ -1740,6 +1740,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(mirror._5 > 0L && mirror._6 == 1000000L) // all of the source leaked
   }
 
+  test("lengthDrift: exact nearest-rank deciles, -1 for a vanished source") {
+    // source "s": lengths 1..10 in v1 → decile d picks rank ⌈d·10/10⌉ = d,
+    // so q_old = length d. v2 doubles every doc's text (+1 separator char:
+    // 2·len+1). Source "gone" exists only in v1 → v2 side reports -1.
+    def mk(src: String, rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").withColumn("source", lit(src))
+    val v1docs = (1 to 10).map(i => (i.toLong, "x" * i))
+    val old = mk("s", v1docs: _*).unionByName(mk("gone", 100L -> "zzz"))
+    val nw = mk("s", v1docs.map { case (id, t) => (id, t + " " + t) }: _*)
+    val got = Versioning.lengthDrift(old, nw)
+      .orderBy("source", "decile")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val gone = got.filter(_._1 == "gone")
+    assert(gone.map(_._2) == (1L to 9L) &&
+      gone.forall(r => r._3 == 3L && r._4 == -1L && r._5 == -4L))
+    val s = got.filter(_._1 == "s")
+    assert(s.map(_._2) == (1L to 9L))
+    s.foreach { case (_, d, qOld, qNew, shift) =>
+      assert(qOld == d)                 // rank d of lengths 1..10
+      assert(qNew == 2 * d + 1)         // doubled text + 1 separator
+      assert(shift == qNew - qOld)
+    }
+  }
+
   test("ngramDiversity: a templated source scores below a varied one") {
     val varied = (0 until 8).map(i =>
       (i.toLong, s"unique sentence number $i with words w${i}a w${i}b w${i}c w${i}d"))
