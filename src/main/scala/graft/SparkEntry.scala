@@ -580,9 +580,12 @@ object SparkEntry {
       Tables.documents(s, d).createOrReplaceTempView("graft_docs_sql")
       // drop views BEFORE re-caching: UNCACHE alone leaves the temp view
       // behind and the next CACHE TABLE AS throws TempTableAlreadyExists
-      // (re-invocation in one session — the interactive-user path)
-      Seq("graft_shs_sql", "graft_mh_sql", "graft_bk_sql").foreach { v =>
-        s.sql(s"UNCACHE TABLE IF EXISTS $v"); s.catalog.dropTempView(v)
+      // (re-invocation in one session — the interactive-user path).
+      // REVERSE dependency order (bk reads mh, mh reads shs): resolving a
+      // view whose upstream is already gone fails analysis, so dependents
+      // go first; dropTempView also uncaches, no UNCACHE round needed.
+      Seq("graft_bk_sql", "graft_mh_sql", "graft_shs_sql").foreach { v =>
+        s.catalog.dropTempView(v)
       }
       // STAGE the shingle ARRAY behind its own eager cache before anything
       // explodes it: Generate's inferred `size(shs) > 0` filter substitutes

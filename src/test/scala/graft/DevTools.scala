@@ -23,7 +23,8 @@ object DevTools {
   * the executed plan. */
 object DebugMain {
   def main(args: Array[String]): Unit = {
-    val spark = DevTools.session(8)
+    val spark = DevTools.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     args.foreach { q =>
       val df = DevTools.query(q)(spark,
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))

@@ -114,4 +114,14 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(mg.map(r => (r.getString(0), r.getLong(1))).toMap ==
       Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("sql_minhash_pairs is re-invocable in one session with identical results") {
+    // regression: UNCACHE alone leaves the temp view registered, so the
+    // second invocation's CACHE TABLE AS threw TempTableAlreadyExists
+    // until the query dropped the views first — the interactive-user path
+    val fn = SparkEntry.queries("sql_minhash_pairs")
+    val first = fn(spark, sfDir).collect().toSeq
+    val second = fn(spark, sfDir).collect().toSeq
+    assert(first.nonEmpty && first == second)
+  }
 }
