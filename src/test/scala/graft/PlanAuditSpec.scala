@@ -199,4 +199,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         s"$d group ${g._2} oversize: ${g._4}"))
     }
   }
+
+  test("no tokenizer regexp inside a lambda in token/shingle explode plans") {
+    // the explode-filter pitfall's regression net: Generate's inferred
+    // size()>0 filter substitutes child expressions when pushed down. The
+    // per-ROW duplicates it creates are collapsed by whole-stage codegen's
+    // subexpression elimination, but CSE cannot hoist INTO a higher-order
+    // function's lambda — a tokenize that lands inside `lambdafunction`
+    // re-runs per array ELEMENT (measured 27× on the shingle chain).
+    // Every plan node line with a lambda must therefore be regexp-free,
+    // and total tokenize mentions stay bounded (the broken SQL chain
+    // carried 12).
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    def audit(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      p.linesIterator.foreach { line =>
+        assert(!(line.contains("lambdafunction") &&
+            line.contains("regexp_replace")),
+          s"$tag: tokenizer inlined into a lambda (per-element re-run):\n" +
+            line.take(800))
+      }
+      val n = "regexp_replace".r.findAllIn(p).length
+      assert(n <= 4, s"$tag: $n tokenize mentions in the plan (CSE bound)")
+    }
+    audit("explodeTokens",
+      TextFunctions.explodeTokens(docs, "t", col("doc_id")))
+    audit("shingleTable", operators.Dedup.shingleTable(docs, 3))
+    audit("ngramDiversity", operators.TextAnalysis.ngramDiversity(docs, 3))
+    audit("minhashTable", operators.Dedup.minhashTable(docs, 3, 16))
+  }
 }
