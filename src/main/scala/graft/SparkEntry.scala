@@ -1195,6 +1195,22 @@ object SparkEntry {
         .orderBy(col("eval_doc"), col("train_doc"))
     }),
 
+    // canary-string audit: benchmark sentinel GUIDs planted into every
+    // 50th / 77th doc (the u1 planting pattern — the synthetic corpus has
+    // no organic canaries); substring match, per (source, canary) counts
+    "decontam_canary" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("source"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" CANARY-GUID-aa11bb22")))
+          .when(col("doc_id") % 77 === 0,
+            concat(col("text"), lit(" CANARY-GUID-cc33dd44")))
+          .otherwise(col("text")).as("text"))
+      operators.Decontaminate.canaryScan(planted,
+          Seq("CANARY-GUID-aa11bb22", "CANARY-GUID-cc33dd44"))
+        .orderBy(col("source"), col("canary"))
+    }),
+
     // the remedy-deciding rollup over the attribution pairs: which SOURCE
     // is leaking the benchmark (drop/de-weight the source) vs isolated
     // per-doc copies (drop the docs) — per source, flagged-doc counts,
@@ -3990,6 +4006,21 @@ object SparkEntry {
            |GROUP BY eval_doc, train_doc
            |HAVING count(*) >= 5
            |ORDER BY eval_doc, train_doc""".stripMargin,
+
+      // same planting, same substring probe
+      "decontam_canary" ->
+        """WITH p AS (SELECT source,
+          |    CASE WHEN doc_id % 50 = 0 THEN text || ' CANARY-GUID-aa11bb22'
+          |         WHEN doc_id % 77 = 0 THEN text || ' CANARY-GUID-cc33dd44'
+          |         ELSE text END AS text
+          |  FROM documents),
+          |e AS (SELECT source, text,
+          |    unnest(['CANARY-GUID-aa11bb22', 'CANARY-GUID-cc33dd44']) AS canary
+          |  FROM p)
+          |SELECT source, canary, count(*)::BIGINT AS n_docs
+          |FROM e WHERE contains(text, canary)
+          |GROUP BY source, canary
+          |ORDER BY source, canary""".stripMargin,
 
       // the attribution pairs rolled up to the source level (same split
       // and planting as decontam_pairs), plus per-source totals

@@ -161,6 +161,26 @@ object Decontaminate {
       .where(col("n_common") >= minCommon)
   }
 
+  /** Canary-string audit — the cheapest decontamination check there is:
+    * benchmark suites embed sentinel strings (canary GUIDs) precisely so
+    * a training corpus can be grepped for them; a hit means the benchmark
+    * itself (not a paraphrase) was swallowed. Substring match, not
+    * tokenized overlap — canaries are designed to survive formatting.
+    *
+    * Output: one (source, canary, n_docs) row per source × canary with at
+    * least one hit. Map-only: each row explodes the (tiny, literal)
+    * canary list and keeps contains() hits — no join, no shuffle beyond
+    * the final per-source count; at 100 TB this is one pass over the
+    * corpus with a k-way literal probe per row. */
+  def canaryScan(docs: DataFrame, canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "need at least one canary string")
+    docs.select(col("source"), col("text"),
+        explode(array(canaries.map(lit): _*)).as("canary"))
+      .where(col("text").contains(col("canary")))
+      .groupBy(col("source"), col("canary"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Contamination-by-source rollup — the report that decides the REMEDY:
     * [[overlapReport]] says which eval docs are leaked, [[attributionPairs]]
     * says from which train docs; this aggregates the pairs to the level a

@@ -1764,6 +1764,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("canaryScan counts exactly the planted sentinel hits per source") {
+    val docs = Seq(
+      (1L, "clean text", "a"),
+      (2L, "has GUID-X inside", "a"),
+      (3L, "GUID-X and also GUID-Y", "b"),   // one doc, both canaries
+      (4L, "GUID-X again GUID-X twice", "b") // doc counted once per canary
+    ).toDF("doc_id", "text", "source")
+    val got = Decontaminate.canaryScan(docs, Seq("GUID-X", "GUID-Y"))
+      .orderBy("source", "canary")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "GUID-X", 1L), ("b", "GUID-X", 2L),
+      ("b", "GUID-Y", 1L)))
+  }
+
   test("ngramDiversity: a templated source scores below a varied one") {
     val varied = (0 until 8).map(i =>
       (i.toLong, s"unique sentence number $i with words w${i}a w${i}b w${i}c w${i}d"))
