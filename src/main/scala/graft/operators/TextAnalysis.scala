@@ -190,7 +190,14 @@ object TextAnalysis {
     * corpus-sized shuffle) → bounded pair explode over the vocab (≤ |word|
     * rows per DISTINCT word) → hash agg → top-k. */
   def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
-    val words = explodeTokens(docs, "w")
+    // Direct explode, NOT explodeTokens: this shape is a single-column
+    // explode straight into a distinct-word hash agg — the inferred
+    // size()>0 filter's double-tokenize is cheaper than the extra binding
+    // projection here (A/B measured 0.45 s direct vs 3.0 s bound at
+    // sf0.1; the per-ELEMENT re-run pitfall needs a lambda over the
+    // inlined array, which this plan has none of).
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     words
@@ -226,7 +233,11 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val SEP = "\u001F"
-    var vocab = explodeTokens(docs, "w")
+    // Direct explode for the same reason as [[bpePairCounts]]: one
+    // corpus-sized explode→agg with no per-element lambda; the bound-array
+    // form measured 6.7× slower at this shape.
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(col("w"), ""))
@@ -331,12 +342,22 @@ object TextAnalysis {
     * on one source's distribution bills other sources more symbols per
     * word — those corpora pay more compute per token budget and get less
     * context. Per source: Σ segmented symbols / Σ words, via the
-    * codegen'd one-expression segmenter ([[bpeSegmentCountsFast]]). */
+    * codegen'd one-expression segmenter ([[BpeSegmentCountExpr]]).
+    *
+    * ONE map-only projection: `n_syms`, `ws_words`, and `source` are all
+    * derivations of the same row, so they come out of a single pass over
+    * the bound token array — no `doc_id` self-join back to the corpus
+    * (the round-5 `corpusHealth` defect class; a PlanAuditSpec canary
+    * pins the join-free shape). */
   def bpeFertility(docs: DataFrame,
                    merges: Seq[(String, String)]): DataFrame =
-    bpeSegmentCountsFast(docs, merges)
-      .join(docs.select(col("doc_id"), col("source"),
-        wordCount(col("text")).cast("long").as("ws_words")), Seq("doc_id"))
+    docs
+      .where(wordCount(col("text")) > 0)
+      .select(col("source"), tokens(col("text")).as("__toks"))
+      .select(col("source"),
+        graft.plans.ArrayExpressions
+          .bpeSegmentCount(col("__toks"), merges).as("n_syms"),
+        size(col("__toks")).cast("long").as("ws_words"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_syms")).as("total_syms"),
         sum(col("ws_words")).as("total_words"))

@@ -39,6 +39,18 @@ object DebugMain {
   }
 }
 
+/** Driver-contract smoke: `SparkEntry.entry` must return >0 rows at
+  * sf0.001 (the same check the driver runs). */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = DevTools.session(4)
+    val n = SparkEntry.entry(spark).count()
+    println(s"entry rows=$n")
+    assert(n > 0, "entry returned 0 rows")
+    spark.stop()
+  }
+}
+
 /** Prints the formatted plan of each named query at sf0.01. */
 object ExplainDump {
   def main(args: Array[String]): Unit = {

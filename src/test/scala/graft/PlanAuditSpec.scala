@@ -94,6 +94,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"one-scan report must not join the corpus against itself:\n$plan")
   }
 
+  test("bpeFertility is one corpus scan with no join — n_syms/ws_words/source " +
+    "come from a single projection") {
+    val plan = operators.TextAnalysis.bpeFertility(
+      Tables.documents(spark, sfDir), Seq(("t", "h"), ("th", "e")))
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan") && l.contains("parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, found $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"fertility must not join the corpus back to itself on doc_id:\n$plan")
+  }
+
   test("kCore peel fixpoint costs one aggregate action per round") {
     import spark.implicits._
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
