@@ -30,6 +30,12 @@ object Bench {
   private def r3(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Queries that write (or stage-and-read) filesystem artifacts in-query;
+    * their timings get median-of-3 treatment in [[main]]. */
+  private val artifactQueries = Set(
+    "ta_bpe_artifact", "dedup_pairs_artifact", "sim_bm25_index",
+    "src_orc_roundtrip", "layout_pruned_scan", "e2e_corpus_from_artifact")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,12 +75,19 @@ object Bench {
         // 2-4× slower in-suite than isolated; ~0.1 s per GC is cheap
         sinceGc += 1
         if (sinceGc >= 5) { System.gc(); sinceGc = 0 }
-        val t0 = System.nanoTime()
+        // artifact queries write/read filesystem state, so a single timing
+        // is mostly I/O scheduling noise (ta_bpe_artifact measured
+        // 3.8 ↔ 15.7 s across identical runs) — report the median of 3
+        val reps = if (artifactQueries(name)) 3 else 1
         // toRdd forces the full physical plan (projections, sorts) — a bare
         // count() would let Catalyst prune the very operators being measured
         try {
-          fn(spark, dir).queryExecution.toRdd.count()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          Some(name -> times(times.length / 2))
         } catch { case _: Throwable => failed ::= name; None }
       }.toMap
       spark.stop()

@@ -27,11 +27,21 @@ object TextFunctions {
     * inline `explode(tokens(text))` runs the regexp tokenizer twice per
     * row (filter + generate), and anything with a per-element lambda over
     * an inlined tokenize re-runs it per ELEMENT. Every corpus-wide token
-    * explode should go through here. */
+    * explode with a per-element lambda downstream should go through here
+    * (pure explode→agg shapes are FASTER direct — the binding projection
+    * is not free; A/B per site).
+    *
+    * `keep` is column NAMES, not Columns: the kept columns are selected in
+    * BOTH the binding projection and the explode projection, which is only
+    * well-defined for plain attribute references — an aliased or computed
+    * Column would resolve against the wrong input in the second select, so
+    * the signature forbids it. */
   def explodeTokens(docs: DataFrame, tokAlias: String,
-                    keep: Column*): DataFrame =
-    docs.select(keep :+ tokens(col("text")).as("__toks"): _*)
-      .select(keep :+ explode(col("__toks")).as(tokAlias): _*)
+                    keep: String*): DataFrame = {
+    val keepCols = keep.map(col)
+    docs.select(keepCols :+ tokens(col("text")).as("__toks"): _*)
+      .select(keepCols :+ explode(col("__toks")).as(tokAlias): _*)
+  }
 
   /** Unicode cleanup — the punctuation/space canonicalization pass web
     * corpora need before any hash-based dedup (a curly quote makes two

@@ -263,7 +263,7 @@ object Dedup {
     * integer sums — order-independent, so the relational DuckDB oracle
     * (explode bits → per-bit vote → regroup) matches bit-for-bit. */
   def simhashTable(docs: DataFrame): DataFrame =
-    explodeTokens(docs, "tok", col("doc_id"))
+    explodeTokens(docs, "tok", "doc_id")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       // charPolyHash < 1e9+7 < 2^30 would leave bits 30-31 permanently
       // unset (weakening the top blocking band); an LCG step mod the prime
@@ -882,7 +882,7 @@ object Dedup {
     val members = clusters.select(col("id").as("doc_id"),
       col("canonical_id").as("cluster_id"))
     val terms = explodeTokens(docs.join(members, Seq("doc_id")),
-        "term", col("cluster_id"))
+        "term", "cluster_id")
       .where(col("term") =!= "")
       .groupBy(col("cluster_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfT = docs

@@ -645,7 +645,7 @@ object Similarity {
                   maxQueryTerms: Int = Int.MaxValue): DataFrame = {
     require(k >= 1 && maxQueryTerms >= 1, "need positive k and term budget")
     val tf = graft.functions.TextFunctions
-      .explodeTokens(docs, "t", col("doc_id"))
+      .explodeTokens(docs, "t", "doc_id")
       .where(col("t") =!= "")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -733,7 +733,7 @@ object Similarity {
     * index builds once per snapshot and serves every retrieval after. */
   def buildBm25Index(docs: DataFrame, path: String, maxDf: Long = 1000): Unit = {
     val tf = graft.functions.TextFunctions
-      .explodeTokens(docs, "t", col("doc_id"))
+      .explodeTokens(docs, "t", "doc_id")
       .where(col("t") =!= "")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

@@ -314,7 +314,7 @@ object TextAnalysis {
     val seg = merges.foldLeft(split(col("tok"), ""): Column) {
       case (acc, (x, y)) => applyMerge(acc, x, y)
     }
-    explodeTokens(docs, "tok", col("doc_id"))
+    explodeTokens(docs, "tok", "doc_id")
       .where(col("tok") =!= "")
       .withColumn("syms", seg)
       .groupBy(col("doc_id"))
@@ -379,7 +379,7 @@ object TextAnalysis {
     * docs, i.e. stopwords) is the standard pruning when the term join
     * itself skews. */
   def keywords(docs: DataFrame, k: Int = 5): DataFrame = {
-    val tf = explodeTokens(docs, "term", col("doc_id"))
+    val tf = explodeTokens(docs, "term", "doc_id")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))

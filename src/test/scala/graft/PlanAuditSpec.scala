@@ -237,7 +237,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       assert(n <= 4, s"$tag: $n tokenize mentions in the plan (CSE bound)")
     }
     audit("explodeTokens",
-      TextFunctions.explodeTokens(docs, "t", col("doc_id")))
+      TextFunctions.explodeTokens(docs, "t", "doc_id"))
     audit("shingleTable", operators.Dedup.shingleTable(docs, 3))
     audit("ngramDiversity", operators.TextAnalysis.ngramDiversity(docs, 3))
     audit("minhashTable", operators.Dedup.minhashTable(docs, 3, 16))
