@@ -1285,6 +1285,53 @@ object SparkEntry {
           operators.Multimodal.toMediaTable(s, Tables.documents(s, d)), k = 8)
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    // ---- streaming pipelines, driven end-to-end (AvailableNow) ----
+    // These RUN the Structured Streaming foreachBatch pipelines — file
+    // source split into micro-batches, checkpointed, output read back —
+    // so their bench rows track the streaming legs' throughput, not just
+    // the batch operators they compose (the stream==batch StreamingSpec
+    // cases prove the equivalence these oracles rely on).
+
+    // streaming near-dup: per-batch MinHash signatures appended to the
+    // persisted index, new-vs-all band probe per micro-batch; the pair
+    // stream over all batches must equal the one-shot batch minhashPairs
+    "stream_near_dup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val stage = stagedDir("stream-ndup", d, "n3k16b4", fresh = true)
+      docs.repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      streaming.Streams.streamingNearDup(s,
+          streaming.Streams.fileSource(s, s"$stage/src", docs.schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/pairs", s"$stage/ck")
+        .awaitTermination()
+      s.read.parquet(s"$stage/pairs")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard_x100"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // streaming curation: per-source quality thresholds persisted once,
+    // each micro-batch gated against them and hash-sharded on the way to
+    // partitioned parquet — the continuous-ingest shape of ta_quality_pct
+    "stream_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = stagedDir("stream-curate", d, "p60s16", fresh = true)
+      operators.TextAnalysis.qualityThresholds(docs, 60)
+        .write.parquet(s"$stage/thresholds")
+      docs.repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      streaming.Streams.streamingCurate(s,
+          streaming.Streams.fileSource(s, s"$stage/src", docs.schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/thresholds", s"$stage/out", s"$stage/ck", numShards = 16)
+        .awaitTermination()
+      s.read.parquet(s"$stage/out")
+        // shard comes back via partition-column inference (int32) — re-cast
+        // to the BIGINT the operator emitted
+        .select(col("doc_id"), col("source"), col("quality_x10000"),
+          col("q_threshold"), col("shard").cast("long").as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus assembly: split / mixture reweighting / packing ----
     // all RNG-free (portable hash of the doc id), so assignment is stable
     // across runs, engines, and partitionings — the reproducibility a
@@ -2531,6 +2578,34 @@ object SparkEntry {
       // the SQL-surface sibling computes the identical pipeline through
       // spark.sql + graft_hash/graft_minhash — same oracle byte for byte
       "sql_minhash_pairs" -> minhashOracleSql,
+
+      // the streamed micro-batch pipeline must converge to the one-shot
+      // batch pair set (StreamingSpec proves it batch-for-batch)
+      "stream_near_dup" -> minhashOracleSql,
+
+      // ta_quality_pct's gate + the mix_shards hash-shard assignment —
+      // what the curation stream emits once every micro-batch has landed
+      "stream_curate" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+        s"""WITH b AS (SELECT doc_id, source,
+           |    CAST(floor((10000.0::DOUBLE) *
+           |      least(1.0::DOUBLE, (($wordCnt)::DOUBLE) / (200.0::DOUBLE)) *
+           |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+           |        (4.0::DOUBLE) * len(list_filter($toks, t -> t IN ($enWords))) / greatest(($wordCnt), 1))) + 0.5) AS BIGINT) AS quality_x10000
+           |  FROM documents),
+           |r AS (SELECT source, quality_x10000,
+           |    row_number() OVER (PARTITION BY source ORDER BY quality_x10000, doc_id)::BIGINT AS rn
+           |  FROM b),
+           |tg AS (SELECT source, greatest((40 * cnt + 99) // 100, 1) AS rn
+           |  FROM (SELECT source, count(*)::BIGINT AS cnt FROM b GROUP BY source)),
+           |th AS (SELECT r.source AS source, r.quality_x10000 AS q_threshold
+           |  FROM r JOIN tg ON r.source = tg.source AND r.rn = tg.rn)
+           |SELECT b.doc_id AS doc_id, b.source AS source, b.quality_x10000 AS quality_x10000,
+           |  th.q_threshold AS q_threshold,
+           |  (${poly("'shard:' || b.doc_id")}) % 16 AS shard
+           |FROM b JOIN th ON b.source = th.source
+           |WHERE b.quality_x10000 >= th.q_threshold ORDER BY doc_id""".stripMargin
+      },
 
       // LSH S-curve: exact-Jaccard truth (threshold 3000) LEFT JOIN the
       // banded candidate set, recall per decile band; d0 mirrors
