@@ -39,6 +39,85 @@ object DebugMain {
   }
 }
 
+/** Times queries with the SAME window Bench uses — fn invocation included,
+  * so operators that run actions inside the builder (iterative trainers,
+  * in-query artifact writes) are fully counted. DebugMain, by contrast,
+  * times only the returned plan's execution (its warm-repeat A/B use). */
+object TimeFull {
+  def main(args: Array[String]): Unit = {
+    val spark = DevTools.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.foreach { q =>
+      val fn = DevTools.query(q)
+      val t0 = System.nanoTime()
+      fn(spark, dir).queryExecution.toRdd.count()
+      println(f"===== $q%s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}
+
+/** Synthetic scale-up replica for SCALING MEASUREMENTS ONLY (never for
+  * correctness — oracles run on the driver's own sf dirs). Writes an
+  * N-copy replica of the sf0.1 `documents`/`embeddings` tables:
+  *
+  *  - copy 0 is verbatim; copy k>0 suffixes every token with `qk<k>` and
+  *    offsets doc_id by k·10⁷, so the replica's near-dup/shingle/vocab
+  *    structure stays WITHIN each copy (cross-copy Jaccard 0, vocabulary
+  *    grows with the corpus — what genuinely new data does; 10 verbatim
+  *    copies would instead make every pair query quadratic in copies);
+  *  - embeddings rotate components by k (near-orthogonal to the original
+  *    for this synthetic distribution), so cosine-pair structure also
+  *    stays within-copy.
+  *
+  * Usage: `tools/run.sh graft.ScaleUp [outDir] [copies]` then point
+  * `SPARK_GRAFT_SF_DIR` at outDir for DebugMain timing runs. */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val out = args.headOption.getOrElse("/tmp/graft-sf1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val spark = DevTools.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+    val src = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docReps = (0 until copies).map { k =>
+      if (k == 0) docs
+      else {
+        val t = regexp_replace(col("text"), "(\\S+)", s"$$1qk$k")
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          t.as("text"), col("lang"), col("source"),
+          length(t).cast("long").as("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+    docReps.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val embReps = (0 until copies).map { k =>
+      if (k == 0) emb
+      else emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k)).as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    embReps.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    // the relational/event tables ride along verbatim so Tables.load and
+    // the Bench warmup loop keep working against the replica dir (via
+    // Tables.load — events needs the nanos handling; the re-written
+    // timestamps come out µs, which load handles identically)
+    graft.Tables.names.filterNot(Set("documents", "embeddings")).foreach { n =>
+      graft.Tables.load(spark, src, n)
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    println(s"wrote ${copies}x replica to $out: " +
+      s"${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors")
+    spark.stop()
+  }
+}
+
 /** Driver-contract smoke: `SparkEntry.entry` must return >0 rows at
   * sf0.001 (the same check the driver runs). */
 object EntrySmoke {
