@@ -562,6 +562,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the span-dedup ACTION: cut the copied tokens out of the LATER doc
+    // (keep-first), leave everything else in place — each planted stitched
+    // copy (doc_id + 600000) must lose its two verbatim islands while its
+    // source doc comes through untouched
+    "dedup_span_removal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Dedup.removeSharedSpans(plantedSpanCopies(docs),
+          cfg.decontamNgramN, cfg.spanMinRun)
+        .orderBy(col("doc_id"))
+    }),
+
     // jaccard decile histogram: the threshold-tuning curve over all
     // shingle-sharing candidate pairs (no cutoff)
     "dedup_sim_histogram" -> ((s, d) =>
@@ -2385,6 +2396,50 @@ object SparkEntry {
            |  coalesce(n_covered, 0)::BIGINT AS n_covered,
            |  CAST(floor((10000.0::DOUBLE) * coalesce(n_covered, 0) / greatest(n_pos, 1) + 0.5) AS BIGINT) AS coverage_x10000
            |FROM sz LEFT JOIN nc ON sz.doc_id = nc.doc_id ORDER BY doc_id""".stripMargin,
+
+      // keep-first span removal: same planted base + runs chain as
+      // dedup_span_coverage, but only doc_b's side is cut, token ranges
+      // (run_len + 7 tokens per 8-gram run), rebuilt in position order
+      "dedup_span_removal" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 600000 AS doc_id,
+           |    coalesce(array_to_string(toks[1:40], ' '), '') || ' ' ||
+           |      coalesce(array_to_string(toks[61:80], ' '), '') AS text
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents) WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS toks FROM base),
+           |p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM t),
+           |ps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sh")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sh
+           |  FROM p0)),
+           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+           |  FROM ps a JOIN ps b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |r AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+           |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+           |  FROM m),
+           |runs AS (SELECT doc_a, doc_b, diag, grp, count(*)::BIGINT AS run_len,
+           |    min(pos_a) AS start_a, min(pos_b) AS start_b
+           |  FROM r GROUP BY doc_a, doc_b, diag, grp HAVING count(*) >= 5),
+           |cut AS (SELECT DISTINCT doc_b AS doc_id, unnest(range(start_b, start_b + run_len + 7)) AS p
+           |  FROM runs),
+           |tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS p FROM t),
+           |kept AS (SELECT tk.doc_id AS doc_id, tk.p AS p
+           |  FROM tk LEFT JOIN cut ON tk.doc_id = cut.doc_id AND tk.p = cut.p
+           |  WHERE cut.p IS NULL),
+           |rebuilt AS (SELECT kept.doc_id AS doc_id,
+           |    string_agg(t.toks[(kept.p + 1)::INT], ' ' ORDER BY kept.p) AS clean_text
+           |  FROM kept JOIN t ON t.doc_id = kept.doc_id GROUP BY kept.doc_id),
+           |nrem AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cut GROUP BY doc_id)
+           |SELECT t.doc_id AS doc_id,
+           |  coalesce(rebuilt.clean_text, '') AS clean_text,
+           |  coalesce(nrem.n_removed, 0)::BIGINT AS n_removed
+           |FROM t
+           |LEFT JOIN rebuilt ON rebuilt.doc_id = t.doc_id
+           |LEFT JOIN nrem ON nrem.doc_id = t.doc_id
+           |ORDER BY doc_id""".stripMargin,
 
       // similarity histogram: unthresholded pair jx, capped deciles
       "dedup_sim_histogram" ->

@@ -945,6 +945,46 @@ object Dedup {
         col("exact_canonical"), col("cluster_canonical"), col("coverage_x10000"))
   }
 
+  /** The exact-substring dedup ACTION (Lee et al. §4: remove the duplicated
+    * span, keep the document) — where [[dedupVerdict]] drops whole docs by
+    * span COVERAGE, this surgically cuts the copied tokens out of the text,
+    * keeping the FIRST occurrence: for every qualifying shared run between
+    * `doc_a < doc_b`, `doc_b` loses the run's tokens (a run of r shared
+    * n-grams spans r+n−1 tokens from its 0-based start), `doc_a` keeps
+    * them. Overlapping runs union their positions, so nothing double-cuts.
+    *
+    * Output: (doc_id, clean_text, n_removed) for EVERY input doc —
+    * untouched docs pass through with n_removed 0 (their clean_text is the
+    * whitespace-normalized original, the same canonical form every
+    * downstream op tokenizes).
+    *
+    * Plan shape for 100 TB: [[spanRuns]] (the one expensive stage — the
+    * positional inverted-index self-join, docFreqCap-prunable) → bounded
+    * explode of run ranges → distinct → per-doc position-set agg (ONLY
+    * docs that lost spans — corpus-sparse) → left join back → ONE map-only
+    * indexed-lambda filter over the bound token array. The corpus text
+    * moves once and is never re-grouped: reconstruction happens in the
+    * row, not in a shuffle. */
+  def removeSharedSpans(docs: DataFrame, n: Int, minRun: Int,
+                        docFreqCap: Option[Int] = None): DataFrame = {
+    val cuts = spanRuns(docs, n, minRun, docFreqCap)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("run_len") + lit(n.toLong - 2L))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("cut_ps"))
+    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("cut_ps",
+        coalesce(col("cut_ps"), array().cast("array<long>")))
+      .select(col("doc_id"),
+        array_join(filter(col("__toks"),
+          (_, i) => !array_contains(col("cut_ps"), i.cast("long"))), " ")
+          .as("clean_text"),
+        size(col("cut_ps")).cast("long").as("n_removed"))
+  }
+
   def spanCoverage(docs: DataFrame, n: Int, minRun: Int,
                    docFreqCap: Option[Int] = None): DataFrame = {
     val runs = spanRuns(docs, n, minRun, docFreqCap)

@@ -1608,6 +1608,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(none.length == 1 && none.head.getLong(2) == 0L)
   }
 
+  test("span removal cuts the later doc's copied tokens, keeps the first") {
+    // same construction as the coverage spec: doc2 copies doc1's tokens
+    // 0-9 and 15-23 around its own "zz"; doc3 copies doc2 exactly
+    val t = ('a' to 'z').map(c => s"$c$c$c")
+    val doc1 = t.mkString(" ")
+    val doc2 = (t.slice(0, 10) ++ Seq("zz") ++ t.slice(15, 24)).mkString(" ")
+    val rem = Dedup.removeSharedSpans(docsDF(1L -> doc1, 2L -> doc2, 3L -> doc2), 3, 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc1 is the first occurrence everywhere — untouched
+    assert(rem(1L) == (doc1, 0L))
+    // doc2: runs vs doc1 cut tokens 0..9 (8 shingles + n−1) and 11..19
+    // (7 shingles + n−1); only its own "zz" survives. Its matches vs doc3
+    // don't cut it — doc2 is the earlier side there.
+    assert(rem(2L) == ("zz", 19L))
+    // doc3 duplicates doc2 wholesale → loses every token
+    assert(rem(3L) == ("", 20L))
+  }
+
   test("cluster-safe split keeps every near-dup pair in one split") {
     val docs = Tables.documents(spark, sfDir)
     val pairs = Dedup.ngramJaccardPairs(docs, 3, 5000L)
