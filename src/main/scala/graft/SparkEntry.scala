@@ -562,6 +562,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental span maintenance: the originals' persisted positional
+    // index probed by the planted copies as the "new" batch — must equal
+    // the batch spans restricted to pairs with a new member
+    "dedup_spans_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = plantedSpanCopies(docs)
+      val existing = operators.Dedup.spanIndex(
+        planted.where(col("doc_id") < 600000L), cfg.decontamNgramN)
+      operators.Dedup.sharedSpansIncremental(existing,
+          planted.where(col("doc_id") >= 600000L),
+          cfg.decontamNgramN, cfg.spanMinRun)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // the span-dedup ACTION: cut the copied tokens out of the LATER doc
     // (keep-first), leave everything else in place — each planted stitched
     // copy (doc_id + 600000) must lose its two verbatim islands while its
@@ -2303,6 +2317,35 @@ object SparkEntry {
            |SELECT doc_a, doc_b, count(*)::BIGINT AS n_runs, max(run_len) AS max_run,
            |  sum(run_len)::BIGINT AS shared_pos, (max(run_len) + 7)::BIGINT AS max_span_tokens
            |FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
+      // the batch spans oracle restricted to pairs with a planted (new)
+      // member — exactly what the incremental index probe must produce
+      "dedup_spans_incr" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 600000 AS doc_id,
+           |    coalesce(array_to_string(toks[1:40], ' '), '') || ' ' ||
+           |      coalesce(array_to_string(toks[61:80], ' '), '') AS text
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents) WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS toks FROM base),
+           |p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM t),
+           |ps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sh")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sh
+           |  FROM p0)),
+           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.pos AS pos_a, a.pos - b.pos AS diag
+           |  FROM ps a JOIN ps b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |r AS (SELECT doc_a, doc_b, diag, pos_a,
+           |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+           |  FROM m),
+           |runs AS (SELECT doc_a, doc_b, diag, grp, count(*)::BIGINT AS run_len
+           |  FROM r GROUP BY doc_a, doc_b, diag, grp HAVING count(*) >= 5)
+           |SELECT doc_a, doc_b, count(*)::BIGINT AS n_runs, max(run_len) AS max_run,
+           |  sum(run_len)::BIGINT AS shared_pos, (max(run_len) + 7)::BIGINT AS max_span_tokens
+           |FROM runs GROUP BY doc_a, doc_b
+           |HAVING doc_b >= 600000 ORDER BY doc_a, doc_b""".stripMargin,
 
       // same positional-shingle pipeline, self-join within one doc
       // (pos_a < pos_b), islands per (doc, diag = pos_b - pos_a)

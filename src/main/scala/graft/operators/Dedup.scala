@@ -945,6 +945,56 @@ object Dedup {
         col("exact_canonical"), col("cluster_canonical"), col("coverage_x10000"))
   }
 
+  /** The persistable positional-shingle index behind the span family —
+    * (doc_id, pos, h): what a deployment keeps on disk per corpus snapshot
+    * (the [[minhashTable]] lifecycle) so span maintenance probes an index
+    * instead of re-running the corpus self-join. */
+  def spanIndex(docs: DataFrame, n: Int): DataFrame =
+    posShingleTable(docs, n)
+      .select(col("doc_id"), col("pos"), charPolyHash(col("sh")).as("h"))
+
+  /** Incremental span maintenance — the corpus-update path for exact-
+    * substring dedup, completing the incremental tier ([[minhashPairsIncremental]],
+    * [[dedupClustersIncremental]]) for the span family: given the persisted
+    * [[spanIndex]] of the EXISTING corpus and a batch of NEW docs, produce
+    * exactly [[sharedSpans]] over the merged corpus restricted to pairs
+    * with a new member. The new docs' shingles probe the merged index on
+    * the hash (new side is the small probe side), so cost is
+    * O(new × collisions), never O(corpus²); every h-match for a qualifying
+    * pair is present (the probe sees the full index), so run detection is
+    * bit-identical to the batch form. New-new pairs surface from both
+    * probe directions — the 4-tuple distinct collapses them to the batch
+    * row set. */
+  def sharedSpansIncremental(existingIndex: DataFrame, newDocs: DataFrame,
+                             n: Int, minRun: Int): DataFrame = {
+    require(n >= 1 && minRun >= 1, "n and minRun must be positive")
+    val newSh = spanIndex(newDocs, n)
+    val all = existingIndex.unionByName(newSh)
+    val m = newSh.alias("x")
+      .join(all.alias("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        when(col("x.doc_id") < col("y.doc_id"), col("x.pos"))
+          .otherwise(col("y.pos")).as("pos_a"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.pos"))
+          .otherwise(col("x.pos")).as("pos_b"))
+      .distinct()
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    m.withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .where(col("run_len") >= minRun)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run"),
+        sum(col("run_len")).as("shared_pos"))
+      .withColumn("max_span_tokens", col("max_run") + lit(n.toLong) - 1L)
+  }
+
   /** The exact-substring dedup ACTION (Lee et al. §4: remove the duplicated
     * span, keep the document) — where [[dedupVerdict]] drops whole docs by
     * span COVERAGE, this surgically cuts the copied tokens out of the text,

@@ -1608,6 +1608,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(none.length == 1 && none.head.getLong(2) == 0L)
   }
 
+  test("incremental span probe equals batch spans restricted to new docs") {
+    val t = ('a' to 'z').map(c => s"$c$c$c")
+    val doc1 = t.mkString(" ")
+    val doc2 = (t.slice(0, 10) ++ Seq("zz") ++ t.slice(15, 24)).mkString(" ")
+    val all = docsDF(1L -> doc1, 2L -> doc2, 3L -> doc2)
+    // existing corpus {1, 2} persisted as the span index; {3} arrives new
+    val incr = Dedup.sharedSpansIncremental(
+        Dedup.spanIndex(all.where(col("doc_id") < 3), 3),
+        all.where(col("doc_id") === 3), 3, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val batchNew = Dedup.sharedSpans(all, 3, 1)
+      .where(col("doc_b") === 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(incr == batchNew && incr.nonEmpty)
+    // the old-old pair (1, 2) must NOT be recomputed by the probe
+    assert(!incr.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
   test("span removal cuts the later doc's copied tokens, keeps the first") {
     // same construction as the coverage spec: doc2 copies doc1's tokens
     // 0-9 and 15-23 around its own "zz"; doc3 copies doc2 exactly
