@@ -107,6 +107,12 @@ object SparkEntry {
       .orderBy(col("split"), col("source"), col("seq_no"))
   }
 
+  /** SemDeDup cluster count = 2^semanticPlanes. One shared constant so the
+    * `dedup_semantic` Spark call and its oracle SQL cannot drift (the
+    * dedup_lsh_eval lesson); not a GraftConfig knob because the oracle
+    * requires the default config anyway. */
+  private val semanticPlanes = 6
+
   /** Exactly 10 whitespace tokens — one full `wordsPerLine = 10` line, so a
     * planted doc's body chunks stay aligned with its source doc's chunks. */
   private[graft] val boilerplateLine =
@@ -763,6 +769,18 @@ object SparkEntry {
         cfg.minCosX1000000, cfg.lshPlanes, cfg.lshTables, cfg.embeddingDim)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // SemDeDup (Abbas et al. 2023): deterministic k-means (hyperplane seed
+    // + one exact-integer Lloyd round) scopes the cosine check WITHIN each
+    // cluster — Σ|c|² pair cost instead of n², the published semantic-dedup
+    // recipe at web scale. Survivor rank = farthest-from-centroid; planted
+    // near-copies supply the ≥0.9-cos regime. Fully oracle-mirrored,
+    // k-means and all (same planted corpus as dedup_embedding_lsh).
+    "dedup_semantic" -> ((s, d) =>
+      operators.Dedup.semanticDedup(
+        operators.Dedup.withNearCopies(Tables.embeddings(s, d)),
+        cfg.minCosX1000000, planes = semanticPlanes, dim = cfg.embeddingDim)
+        .orderBy(col("vec_id"))),
+
     // connected components over the banded near-dup pairs: the transitive
     // closure that turns pairwise matches into per-cluster canonical ids —
     // the keep/drop decision of a dedup pipeline. Oracle: recursive-CTE
@@ -1176,6 +1194,42 @@ object SparkEntry {
     "ta_quality_calibration" -> ((s, d) =>
       operators.TextAnalysis.qualityCalibration(Tables.documents(s, d))
         .orderBy(col("source"), col("quartile"))),
+
+    // closed-form model TRAINING in one aggregation pass: 3×3 integer
+    // normal equations solved exactly by Cramer's rule — the distillation
+    // step of a quality-filter pipeline, with training itself
+    // oracle-checked bit for bit (no SGD loop, no floats, no learning rate)
+    "ta_train_lsq" -> ((s, d) =>
+      operators.Classifier.leastSquaresFit(
+        operators.Classifier.shapeFeatures(Tables.documents(s, d)))),
+
+    // the trained model scoring its training corpus (broadcast one-row
+    // model): per-doc margin, prediction, correctness
+    "ta_train_lsq_score" -> ((s, d) => {
+      val feats = operators.Classifier.shapeFeatures(Tables.documents(s, d))
+      operators.Classifier.leastSquaresScore(feats,
+          operators.Classifier.leastSquaresFit(feats))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the model card: per-source accuracy of the distilled classifier
+    "ta_train_lsq_eval" -> ((s, d) => {
+      val feats = operators.Classifier.shapeFeatures(Tables.documents(s, d))
+      operators.Classifier.accuracyBySource(
+          operators.Classifier.leastSquaresScore(feats,
+            operators.Classifier.leastSquaresFit(feats)))
+        .orderBy(col("source"))
+    }),
+
+    // decision-stump training: the exact best keep/drop threshold on the
+    // cheap word-count signal against the teacher label, all candidates
+    // evaluated in one prefix-sum pass over the distinct-value table
+    "ta_train_stump" -> ((s, d) =>
+      operators.Classifier.stumpFit(
+        Tables.documents(s, d).select(
+          graft.functions.TextFunctions.wordCount(col("text")).cast("long")
+            .as("f"),
+          operators.Classifier.qualityLabel().as("y")))),
 
     // Misra-Gries heavy hitters (rows-only: the survivor set below the
     // guarantee line is merge-order dependent — MgSpec pins the
@@ -1769,6 +1823,56 @@ object SparkEntry {
     def poly(e: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
         s"c -> unicode(c)::BIGINT)), (a, b) -> (a*31 + b) % 1000000007)"
+    // teacher label for the trainable-classifier family (mirrors
+    // Classifier.qualityLabel at the default 2000 threshold)
+    val labelY = {
+      val enW = operators.TextAnalysis.stopwords.head._2
+        .map(w => s"'$w'").mkString(",")
+      s"""(CASE WHEN CAST(floor((10000.0::DOUBLE) *
+         |      least(1.0::DOUBLE, (($wordCnt)::DOUBLE) / (200.0::DOUBLE)) *
+         |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+         |        (4.0::DOUBLE) * len(list_filter($toks, t9 -> t9 IN ($enW)))
+         |          / greatest(($wordCnt), 1))) + 0.5) AS BIGINT) >= 2000
+         |    THEN 1 ELSE 0 END)::BIGINT""".stripMargin
+    }
+    // shape features + the closed-form least-squares model (mirrors
+    // Classifier.shapeFeatures / leastSquaresFit): shared by the three
+    // ta_train_lsq* oracles
+    val lsqModelCtes = {
+      val enW = operators.TextAnalysis.stopwords.head._2
+        .map(w => s"'$w'").mkString(",")
+      s"""sf AS (SELECT doc_id, source,
+         |    (least(word_cnt, 200) // 8)::BIGINT AS x1,
+         |    (least(100, CAST(floor((400.0::DOUBLE) * stop_hits /
+         |        greatest(word_cnt, 1)) AS BIGINT)) // 4)::BIGINT AS x2,
+         |    (CASE WHEN CAST(floor((10000.0::DOUBLE) *
+         |      least(1.0::DOUBLE, (word_cnt::DOUBLE) / (200.0::DOUBLE)) *
+         |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+         |        (4.0::DOUBLE) * stop_hits / greatest(word_cnt, 1))) + 0.5)
+         |      AS BIGINT) >= 2000 THEN 1 ELSE 0 END)::BIGINT AS y
+         |  FROM (SELECT doc_id, source, ($wordCnt)::BIGINT AS word_cnt,
+         |      len(list_filter($toks, t9 -> t9 IN ($enW)))::BIGINT AS stop_hits
+         |    FROM documents)),
+         |ag AS (SELECT count(*)::BIGINT AS n,
+         |    sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+         |    sum(x1*x1)::BIGINT AS s11, sum(x1*x2)::BIGINT AS s12,
+         |    sum(x2*x2)::BIGINT AS s22, sum(y)::BIGINT AS sy,
+         |    sum(x1*y)::BIGINT AS sy1, sum(x2*y)::BIGINT AS sy2 FROM sf),
+         |gm AS (SELECT n, 100::BIGINT AS a00,
+         |    (100*s1)//n AS a01, (100*s2)//n AS a02,
+         |    (100*s11)//n AS a11, (100*s12)//n AS a12, (100*s22)//n AS a22,
+         |    (100*sy)//n AS b0, (100*sy1)//n AS b1, (100*sy2)//n AS b2
+         |  FROM ag),
+         |model AS (SELECT n, a11, a12, a22,
+         |  (a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)
+         |    + a02*(a01*a12 - a11*a02))::BIGINT AS det,
+         |  ((a11*a22 - a12*a12)*b0 - (a01*a22 - a02*a12)*b1
+         |    + (a01*a12 - a02*a11)*b2)::BIGINT AS w0_num,
+         |  (-(a01*a22 - a12*a02)*b0 + (a00*a22 - a02*a02)*b1
+         |    - (a00*a12 - a02*a01)*b2)::BIGINT AS w1_num,
+         |  ((a01*a12 - a11*a02)*b0 - (a00*a12 - a01*a02)*b1
+         |    + (a00*a11 - a01*a01)*b2)::BIGINT AS w2_num FROM gm)""".stripMargin
+    }
     // unrolled fixed-point PageRank rounds (Graphs.graphRank's recurrence):
     // needs CTEs `edges` (src, dst, w) and `deg` (src, wdeg); emits r1..rN
     // building on r0 (nodeCol, rank)
@@ -2805,6 +2909,61 @@ object SparkEntry {
           |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
           |WHERE cos_x1000000 >= 900000 ORDER BY vec_a, vec_b""".stripMargin,
 
+      // full SemDeDup replay: planted unit vectors → hyperplane seed cells
+      // → exact-integer centroids → one argmin Lloyd round → re-centroid →
+      // farthest-first rank → dominated rule. The k-means is the
+      // ann_ivf_det machinery (proven parity); only the final
+      // floor(cos·1e6+0.5) touches IEEE rounding.
+      "dedup_semantic" ->
+        s"""WITH b0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |u0 AS (SELECT vec_id, v FROM b0
+           |  UNION ALL
+           |  SELECT vec_id + 1000000 AS vec_id, list_concat([v[1]*(1.05::DOUBLE)], v[2:]) AS v FROM b0),
+           |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u0),
+           |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1),
+           |pd AS (SELECT vec_id, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), d ->
+           |      ((((1103515245*(p*64+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * vn[d+1])),
+           |    (s, x) -> s + x) AS dotp
+           |  FROM en CROSS JOIN range(0, $semanticPlanes) r(p)),
+           |c0 AS (SELECT vec_id,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS cell
+           |  FROM pd GROUP BY vec_id),
+           |a0 AS (SELECT en.vec_id, vn, cell FROM en JOIN c0 ON en.vec_id = c0.vec_id),
+           |comp0 AS (SELECT cell, d, CAST(floor(vn[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM a0 CROSS JOIN range(0, 64) r(d)),
+           |cs0 AS (SELECT cell, d, sum(xi)::BIGINT AS sd, count(*)::BIGINT AS cnt
+           |  FROM comp0 GROUP BY cell, d),
+           |cent0 AS (SELECT cell, list((sd::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM cs0 GROUP BY cell),
+           |a1 AS (SELECT vec_id, vn, cell FROM (
+           |    SELECT a0.vec_id, a0.vn, c.cell,
+           |      row_number() OVER (PARTITION BY a0.vec_id ORDER BY
+           |        list_dot_product(c.centroid, c.centroid) - (2.0::DOUBLE) * list_dot_product(a0.vn, c.centroid), c.cell) AS rr
+           |    FROM a0 CROSS JOIN cent0 c) WHERE rr = 1),
+           |comp1 AS (SELECT cell, d, CAST(floor(vn[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM a1 CROSS JOIN range(0, 64) r(d)),
+           |cs1 AS (SELECT cell, d, sum(xi)::BIGINT AS sd, count(*)::BIGINT AS cnt
+           |  FROM comp1 GROUP BY cell, d),
+           |cent1 AS (SELECT cell, list((sd::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM cs1 GROUP BY cell),
+           |rk AS (SELECT vec_id, vn, a1.cell AS cell,
+           |    row_number() OVER (PARTITION BY a1.cell ORDER BY
+           |      (list_dot_product(c.centroid, c.centroid) - (2.0::DOUBLE) * list_dot_product(vn, c.centroid)) DESC,
+           |      vec_id)::BIGINT AS cent_rank
+           |  FROM a1 JOIN cent1 c ON a1.cell = c.cell),
+           |dom AS (SELECT id_b, id_a FROM (
+           |    SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+           |      row_number() OVER (PARTITION BY b.vec_id ORDER BY a.cent_rank, a.vec_id) AS rn
+           |    FROM rk a JOIN rk b ON a.cell = b.cell AND a.cent_rank < b.cent_rank
+           |    WHERE CAST(floor(list_dot_product(a.vn, b.vn) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) >= ${cfg.minCosX1000000}
+           |  ) WHERE rn = 1)
+           |SELECT rk.vec_id AS vec_id, cell, cent_rank,
+           |  (CASE WHEN dom.id_a IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep,
+           |  coalesce(dom.id_a, -1)::BIGINT AS dup_of
+           |FROM rk LEFT JOIN dom ON rk.vec_id = dom.id_b
+           |ORDER BY rk.vec_id""".stripMargin,
+
       "dedup_clusters" -> clustersOracle,
 
       // the incremental fold must reproduce the batch clustering exactly
@@ -3813,6 +3972,59 @@ object SparkEntry {
            |FROM t GROUP BY source, quartile
            |ORDER BY source, quartile""".stripMargin
       },
+
+      // closed-form least-squares training replay: shape features → 9
+      // integer sums → floor-div-by-n Gram entries → Cramer expansion.
+      // Every intermediate is BIGINT (training is bit-reproducible).
+      "ta_train_lsq" -> s"WITH $lsqModelCtes SELECT * FROM model",
+
+      "ta_train_lsq_score" ->
+        s"""WITH $lsqModelCtes,
+           |sc AS (SELECT doc_id, source, y,
+           |    2*(w0_num + w1_num*x1 + w2_num*x2) AS s2, det
+           |  FROM sf CROSS JOIN model)
+           |SELECT doc_id, source, y AS label, (s2 - det)::BIGINT AS margin2,
+           |  predicted,
+           |  (CASE WHEN predicted = y THEN 1 ELSE 0 END)::BIGINT AS correct
+           |FROM (SELECT *,
+           |  (CASE WHEN (det > 0 AND s2 > det) OR (det < 0 AND s2 < det)
+           |    THEN 1 ELSE 0 END)::BIGINT AS predicted FROM sc)
+           |ORDER BY doc_id""".stripMargin,
+
+      "ta_train_lsq_eval" ->
+        s"""WITH $lsqModelCtes,
+           |sc AS (SELECT source, y,
+           |    (CASE WHEN (det > 0 AND 2*(w0_num + w1_num*x1 + w2_num*x2) > det)
+           |        OR (det < 0 AND 2*(w0_num + w1_num*x1 + w2_num*x2) < det)
+           |      THEN 1 ELSE 0 END)::BIGINT AS predicted
+           |  FROM sf CROSS JOIN model)
+           |SELECT source, count(*)::BIGINT AS n,
+           |  sum(CASE WHEN predicted = y THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           |  CAST(floor((10000.0::DOUBLE) *
+           |    sum(CASE WHEN predicted = y THEN 1 ELSE 0 END) / count(*) + 0.5)
+           |    AS BIGINT) AS acc_x10000
+           |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+
+      // stump training: per-distinct-value label counts → prefix sums →
+      // best (max correct, min threshold), plus the all-negative sentinel
+      "ta_train_stump" ->
+        s"""WITH lab AS (SELECT ($wordCnt)::BIGINT AS f, $labelY AS y FROM documents),
+           |bv AS (SELECT f, sum(y)::BIGINT AS npos,
+           |    (count(*) - sum(y))::BIGINT AS nneg FROM lab GROUP BY f),
+           |tt AS (SELECT sum(y)::BIGINT AS tot_pos,
+           |    (count(*) - sum(y))::BIGINT AS tot_neg, count(*)::BIGINT AS n,
+           |    (max(f) + 1)::BIGINT AS f_max1 FROM lab),
+           |cands AS (SELECT f AS threshold,
+           |    (tt.tot_pos
+           |      - coalesce(sum(npos) OVER (ORDER BY f
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      + coalesce(sum(nneg) OVER (ORDER BY f
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+           |      AS n_correct, tt.n AS n
+           |  FROM bv CROSS JOIN tt
+           |  UNION ALL SELECT f_max1, tot_neg, n FROM tt)
+           |SELECT threshold, n_correct, n FROM cands
+           |ORDER BY n_correct DESC, threshold LIMIT 1""".stripMargin,
 
       // funnel: per-step earliest-time frontier, strictly-after ordering
       "a18_funnel" ->

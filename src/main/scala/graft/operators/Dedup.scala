@@ -1056,4 +1056,111 @@ object Dedup {
         floor(lit(10000.0) * col("n_covered") / greatest(col("n_pos"), lit(1L)) + 0.5)
           .cast("long"))
   }
+
+  // ------------------------------------------------------------------
+  // SemDeDup — cluster-scoped semantic deduplication
+  // ------------------------------------------------------------------
+
+  /** SemDeDup (after Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): embedding
+    * near-dup pruning scoped WITHIN k-means clusters. Where
+    * [[embeddingNearDupPairs]] pays n² and [[embeddingNearDupPairsBanded]]
+    * buckets by random hyperplane signs alone, SemDeDup first partitions the
+    * space with k-means, then runs the pairwise cosine check only inside
+    * each cluster — pair cost Σ|c|² with |c| ≈ n/k, the published recipe for
+    * semantic dedup at web scale (k grows with n to bound cluster size).
+    *
+    * Clustering is the deterministic k-means of
+    * [[Similarity.ivfTopKDet]]/[[Similarity.pqTopK]]: fixed integer-derived
+    * hyperplane signs seed 2^`planes` cells, exact BIGINT component sums
+    * give the centroids, and ONE Lloyd round reassigns each vector to its
+    * nearest centroid by `|c|² − 2·x·c` (ties on cell id) — reproducible
+    * cross-engine, so the whole operator is oracle-checkable, unlike
+    * library k-means with random init.
+    *
+    * Within each refined cluster, members are ranked FARTHEST-from-centroid
+    * first (the paper's diversity-preserving keeper choice; ties on vec_id),
+    * and a member is a duplicate iff some higher-ranked member of the same
+    * cluster has cosine ≥ the threshold with it (the dominated rule — one
+    * EXISTS, no greedy chaining; documented deviation from the paper's
+    * sequential sweep, same ε-ball semantics for transitive groups).
+    *
+    * Output: one row per vector — `(vec_id, cell, cent_rank, keep 0/1,
+    * dup_of)` with `dup_of` = the highest-ranked dominator (−1 for keepers;
+    * a sentinel, not NULL — nullable BIGINTs decay to doubles in both
+    * engines' parquet/pandas paths and weaken the driver's hash compare).
+    * Cross-cluster near-dups are invisible by design (the documented
+    * SemDeDup recall trade-off).
+    *
+    * Plan shape (100 TB posture): unit-normalize (map-only) → plane-sign
+    * cell assignment (map-only) → centroid hash agg (map-side combinable
+    * integer sums, ≤ 2^planes·dim rows) → broadcast-centroid argmin
+    * reassign → second centroid agg → within-cluster pair equi-join on
+    * `cell` (the bounded quadratic term) → dominator agg → left join back.
+    * Centroid tables are broadcast both times; nothing driver-side. */
+  def semanticDedup(emb: DataFrame, minCosX1000000: Long,
+                    planes: Int = 6, dim: Int = 64): DataFrame = {
+    val S = 1000000.0
+    // checkpointed: every later stage (both centroid aggs, the rank, the
+    // pair join) re-reads the assignment — without the lineage cut the
+    // normalize + plane-sign subtree re-executes once per consumer
+    val init = withUnitVector(emb)
+      .select(col("vec_id"), col("vn"))
+      .withColumn("cell",
+        element_at(graft.plans.ArrayExpressions.planeBuckets(
+          col("vn"), planes, 1, dim), 1))
+      .localCheckpoint()
+    // exact integer component sums per cell → deterministic centroids;
+    // |c|² rides along so per-vector consumers never re-fold it
+    def centroidsOf(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell"), posexplode(col("vn")).as(Seq("d", "x")))
+      .withColumn("xi", floor(col("x") * S + 0.5).cast("long"))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("xi")).as("sd"), count(lit(1)).as("cnt"))
+      .withColumn("cd", col("sd").cast("double") / (col("cnt").cast("double") * S))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+        x => x.getField("cd")).as("centroid"))
+      .withColumn("csq", dotCol(col("centroid"), col("centroid")))
+    // one Lloyd round: argmin |c|²−2·x·c over all centroids, ties on cell.
+    // min(struct) not a window — map-side combinable, and the pre-agg
+    // projection drops `vn` so the exchange carries (vec_id, cdist, cell),
+    // not 64-double arrays
+    val best0 = init.select(col("vec_id"), col("vn"))
+      .crossJoin(broadcast(centroidsOf(init)))
+      .select(col("vec_id"), struct(
+        (col("csq") - lit(2.0) * dotCol(col("vn"), col("centroid")))
+          .as("cdist"),
+        col("cell")).as("sc"))
+      .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m").getField("cell").as("cell"))
+    val refined = init.drop("cell").join(best0, Seq("vec_id"))
+      .localCheckpoint()
+    // rank within the refined cluster: farthest from centroid first
+    val wRank = Window.partitionBy(col("cell"))
+      .orderBy(col("cdist").desc, col("vec_id"))
+    val ranked = refined.join(broadcast(centroidsOf(refined)), Seq("cell"))
+      .withColumn("cdist",
+        col("csq") - lit(2.0) * dotCol(col("vn"), col("centroid")))
+      .withColumn("cent_rank", row_number().over(wRank).cast("long"))
+      .select(col("vec_id"), col("vn"), col("cell"), col("cent_rank"))
+      .localCheckpoint()
+    // dominated rule: the within-cluster pair join (the bounded quadratic)
+    val a = ranked.select(col("cell"), col("vec_id").as("id_a"),
+      col("vn").as("vn_a"), col("cent_rank").as("rank_a"))
+    val b = ranked.select(col("cell"), col("vec_id").as("id_b"),
+      col("vn").as("vn_b"), col("cent_rank").as("rank_b"))
+    val dominators = a.join(b, Seq("cell"))
+      .where(col("rank_a") < col("rank_b"))
+      .where(floor(dotCol(col("vn_a"), col("vn_b")) * S + 0.5).cast("long")
+        >= minCosX1000000)
+      .groupBy(col("id_b"))
+      .agg(min(struct(col("rank_a"), col("id_a"))).as("m"))
+      .select(col("id_b").as("vec_id"), col("m").getField("id_a").as("dup_of"))
+    ranked
+      .join(dominators, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_rank"),
+        when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("keep"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
 }

@@ -565,6 +565,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(banded.nonEmpty) // the planted copies must actually qualify
   }
 
+  test("semantic dedup kills planted near-copies within clusters, keeps the rest") {
+    val out = Dedup.semanticDedup(
+      Dedup.withNearCopies(Tables.embeddings(spark, sfDir)), 900000L)
+      .select(col("vec_id"), col("cell"), col("cent_rank"), col("keep"),
+        col("dup_of"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val n = out.length
+    assert(n % 2 == 0 && n > 0) // base corpus + one planted copy each
+    // every kill names a real dominator: its planted partner (the only
+    // cos >= 0.9 structure in the corpus) — and keepers carry the sentinel
+    val killed = out.filter(_._4 == 0L)
+    assert(killed.nonEmpty)
+    assert(killed.forall { case (id, _, _, _, dupOf) =>
+      dupOf == id - 1000000L || dupOf == id + 1000000L })
+    assert(out.filter(_._4 == 1L).forall(_._5 == -1L))
+    // cluster-scoped recall: nearly every planted pair must co-cluster
+    // (the documented trade-off allows a boundary pair or two to split)
+    assert(killed.length >= (n / 2) * 9 / 10,
+      s"only ${killed.length} of ${n / 2} planted pairs were caught")
+    // exactly one side of each caught pair dies — never both
+    val killedIds = killed.map(_._1).toSet
+    assert(killed.forall { case (id, _, _, _, dupOf) => !killedIds(dupOf) })
+    // within a cluster, ranks are the dense 1..|c| sequence
+    out.groupBy(_._2).foreach { case (cell, members) =>
+      assert(members.map(_._3).sorted.toSeq == (1L to members.length).toSeq,
+        s"cell $cell ranks are not dense")
+    }
+  }
+
   test("dedup clusters form the transitive closure with the min id as canonical") {
     // chain 1-2-3 needs two propagation rounds (3 learns 1 via 2)
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
