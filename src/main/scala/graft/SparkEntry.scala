@@ -986,6 +986,18 @@ object SparkEntry {
           targetBytes = 2000L)
         .orderBy(col("dir"), col("group_no"))),
 
+    // Z-order vs linear layout, measured: bucketize (n_chars, doc_id) to
+    // 8 bits each, assign every doc its file under both layouts (Morton
+    // key prefix vs n_chars-range), and report files/rows a mid-range box
+    // predicate on EITHER dimension would touch. Linear prunes its sort
+    // key only (8/64 files on the length box, all 64 on the id box);
+    // Z-order prunes both (16/64 each) — the multi-dimension layout
+    // decision quantified from the manifest alone
+    "layout_zorder" -> ((s, d) =>
+      sources.LakeLayout.zorderSkippingReport(
+          Tables.documents(s, d), "n_chars", "doc_id")
+        .orderBy(col("layout"), col("box"))),
+
     // ORC round-trip: the corpus through the other columnar format —
     // write + schema-enforced read must be lossless
     "src_orc_roundtrip" -> ((s, d) => {
@@ -1286,6 +1298,13 @@ object SparkEntry {
           operators.TextAnalysis.bigramModel(docs))
         .orderBy(col("doc_id"))
     }),
+
+    // CCNet bucketing: per-LANGUAGE LM-score tertiles (head/middle/tail) —
+    // the published keep-head-and-middle curation policy's input column;
+    // per-language cuts so weakly-modeled languages aren't under-selected
+    "ta_ccnet_buckets" -> ((s, d) =>
+      operators.TextAnalysis.ccnetBuckets(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
 
     // composite quality gate (C4/Gopher-style rules): keep/drop + the first
     // failing rule as an auditable reason
@@ -4085,6 +4104,34 @@ object SparkEntry {
            |  coalesce(min_p, -1)::BIGINT AS min_p_x1e6
            |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+      // CCNet buckets: the ta_lm_score CTE chain + a per-language ntile(3)
+      // over (score DESC, doc_id) — SQL-standard ntile remainder handling
+      // matches Spark's, so the assignment is exact
+      "ta_ccnet_buckets" ->
+        s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+           |pr AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 1),
+           |      i -> {'x': toks[i+1], 'y': toks[i+2]}) END) AS p FROM tok),
+           |occ AS (SELECT doc_id, p.x AS x, p.y AS y, count(*)::BIGINT AS tf
+           |  FROM pr GROUP BY 1, 2, 3),
+           |big AS (SELECT x, y, sum(tf)::BIGINT AS cnt FROM occ GROUP BY x, y),
+           |ctx AS (SELECT x, sum(cnt)::BIGINT AS ctx_cnt FROM big GROUP BY x),
+           |mdl AS (SELECT x, y, CAST(floor(1000000.0 * cnt / ctx_cnt) AS BIGINT) AS p_x1e6
+           |  FROM big JOIN ctx USING (x)),
+           |pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+           |    sum(tf * coalesce(p_x1e6, 0))::BIGINT AS sump
+           |  FROM occ LEFT JOIN mdl USING (x, y) GROUP BY doc_id),
+           |sc AS (SELECT d.doc_id, d.lang,
+           |    coalesce(CAST(floor(CAST(sump AS DOUBLE) / n_bigrams) AS BIGINT), -1) AS lm_score_x1e6
+           |  FROM documents d LEFT JOIN pd USING (doc_id)),
+           |nt AS (SELECT doc_id, lang, lm_score_x1e6,
+           |    ntile(3) OVER (PARTITION BY lang
+           |      ORDER BY lm_score_x1e6 DESC, doc_id) AS t
+           |  FROM sc)
+           |SELECT doc_id, lang, lm_score_x1e6,
+           |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM nt ORDER BY doc_id""".stripMargin,
+
       "ta_bpe_pairs" ->
         s"""WITH wf AS (SELECT w, count(*)::BIGINT AS freq
            |  FROM (SELECT unnest($toks) AS w FROM documents)
@@ -4222,6 +4269,45 @@ object SparkEntry {
           |  min(file) AS first_file, max(file) AS last_file
           |FROM c GROUP BY dir, group_no
           |ORDER BY dir, group_no""".stripMargin,
+
+      // Z-order skipping report: same bucketize → Morton interleave →
+      // file assignment → per-file min/max → box-intersection test; the
+      // interleave is the same shift/mask sum, generated here so Spark and
+      // SQL cannot drift bit by bit
+      "layout_zorder" -> {
+        val zIlv = (0 until 8).map(i =>
+          s"((((ab >> $i) & 1) << ${2 * i + 1}) + (((bb >> $i) & 1) << ${2 * i}))")
+          .mkString(" + ")
+        s"""WITH mm AS (SELECT min(n_chars)::BIGINT AS amin, max(n_chars)::BIGINT AS amax,
+           |    min(doc_id)::BIGINT AS bmin, max(doc_id)::BIGINT AS bmax FROM documents),
+           |bk AS (SELECT ((n_chars - amin) * 256) // (amax - amin + 1) AS ab,
+           |    ((doc_id - bmin) * 256) // (bmax - bmin + 1) AS bb
+           |  FROM documents, mm),
+           |asg AS (SELECT ab, bb, ($zIlv) // 1024 AS zfile, ab // 4 AS lfile FROM bk),
+           |st AS (
+           |  SELECT 'zorder' AS layout, zfile AS file_no, count(*)::BIGINT AS n_rows,
+           |      min(ab) AS fa_min, max(ab) AS fa_max,
+           |      min(bb) AS fb_min, max(bb) AS fb_max
+           |    FROM asg GROUP BY zfile
+           |  UNION ALL
+           |  SELECT 'linear', lfile, count(*)::BIGINT,
+           |      min(ab), max(ab), min(bb), max(bb)
+           |    FROM asg GROUP BY lfile)
+           |SELECT layout, 'a' AS box, count(*)::BIGINT AS files_total,
+           |    sum(CASE WHEN fa_max >= 64 AND fa_min <= 95
+           |      AND fb_max >= 0 AND fb_min <= 255 THEN 1 ELSE 0 END)::BIGINT AS files_hit,
+           |    sum(CASE WHEN fa_max >= 64 AND fa_min <= 95
+           |      AND fb_max >= 0 AND fb_min <= 255 THEN n_rows ELSE 0 END)::BIGINT AS rows_hit
+           |  FROM st GROUP BY layout
+           |UNION ALL
+           |SELECT layout, 'b', count(*)::BIGINT,
+           |    sum(CASE WHEN fa_max >= 0 AND fa_min <= 255
+           |      AND fb_max >= 64 AND fb_min <= 95 THEN 1 ELSE 0 END)::BIGINT,
+           |    sum(CASE WHEN fa_max >= 0 AND fa_min <= 255
+           |      AND fb_max >= 64 AND fb_min <= 95 THEN n_rows ELSE 0 END)::BIGINT
+           |  FROM st GROUP BY layout
+           |ORDER BY layout, box""".stripMargin
+      },
 
       // ORC: lossless round-trip ⇒ the oracle reads the source directly
       "src_orc_roundtrip" ->

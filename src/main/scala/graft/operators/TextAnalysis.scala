@@ -602,6 +602,38 @@ object TextAnalysis {
         coalesce(col("min_p"), lit(-1L)).as("min_p_x1e6"))
   }
 
+  /** CCNet-style per-language LM buckets (after Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * score every doc against the corpus [[bigramModel]] and cut each
+    * LANGUAGE's score distribution into tertiles — `head` (most
+    * model-typical third), `middle`, `tail`. CCNet's downstream policy
+    * keeps head+middle for pretraining and routes tail to re-filtering;
+    * the bucket column is that policy's input. Per-language (not global)
+    * cuts are the operator's point: a global threshold under-selects
+    * whichever languages the LM models worse.
+    *
+    * Tertile = `ntile(3)` over (score DESC, doc_id) — the deterministic
+    * total order makes the assignment reproducible and oracle-exact
+    * (SQL-standard ntile distributes remainders to the leading buckets in
+    * both engines). Docs too short to score (the `-1` sentinel) sort last
+    * and land in `tail`, which is also the right policy call. Plan shape:
+    * the [[lmScore]] passes + one per-language window sort — the same
+    * posture as [[qualityPercentileGate]]; at 100 TB swap the exact
+    * window for approx-quantile thresholds per language (the `a15b`
+    * sketch pattern) and the assignment becomes a map-only comparison. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScore(docs, bigramModel(docs))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_score_x1e6").desc, col("doc_id"))
+    scored
+      .withColumn("tertile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("lm_score_x1e6"),
+        when(col("tertile") === 1, "head")
+          .when(col("tertile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Count-Min-sketch term-frequency estimates, probed at the exact top-k
     * vocabulary: the frequency member of the sketch trio (HLL distinct →
     * `a9`, KLL-ish percentiles → `a15b`, CMS counts → here). At 100 TB the

@@ -53,6 +53,103 @@ object LakeLayout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Morton (Z-order) key: interleave the bits of two already-bucketized
+    * dimensions (each in `[0, 2^bits)`) so that ranges of EITHER dimension
+    * map to a bounded number of key-prefix ranges. Bit `i` of `a` lands at
+    * key position `2i+1`, bit `i` of `b` at `2i` — the key's top bit pair
+    * is (a's MSB, b's MSB). Pure integer shifts/masks: codegen-friendly in
+    * Spark and replayed exactly by the same expression in SQL. */
+  def zorderKey2(a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i)
+    }.reduce(_ + _)
+  }
+
+  /** File-skipping report comparing a LINEAR layout (files = ranges of
+    * dimension `a` only — what a 1-D sort gives you) against a Z-ORDER
+    * layout (files = Morton-key prefix ranges) for two box predicates: a
+    * mid-range slice of `a` (all `b`) and a mid-range slice of `b` (all
+    * `a`). This is the manifest-level simulation (the [[compactionPlan]]
+    * pattern — never touches data bytes): every doc is assigned its file
+    * under each layout, per-file min/max bucket stats are aggregated
+    * exactly the way parquet row-group stats would be, and a file is HIT
+    * when its [min,max] box intersects the predicate box — the same
+    * interval test a scan planner runs against footer stats.
+    *
+    * The point at 100 TB: a 1-D sort prunes perfectly on its sort key and
+    * not at all on anything else; Z-order pays a constant factor on the
+    * first dimension to make EVERY interleaved dimension prunable. The
+    * physical path is `repartitionByRange(zkey) + sortWithinPartitions
+    * (zkey)` at write time ([[writeOptimized]]'s slot-in replacement when
+    * queries filter on more than one column); this report is the
+    * skipping evidence computed relationally, so it oracle-checks exactly.
+    *
+    * Output: one row per (layout, box): total files, files hit, and rows
+    * inside hit files (the bytes a scan would actually read). */
+  def zorderSkippingReport(docs: DataFrame, aCol: String, bCol: String,
+                           bits: Int = 8, zFileShift: Int = 10,
+                           linFileShift: Int = 2,
+                           boxLoBucket: Int = 64, boxHiBucket: Int = 95): DataFrame = {
+    require(bits >= 1 && bits <= 15, "bits must be in [1, 15]")
+    val n = 1L << bits
+    val mm = docs.agg(
+      min(col(aCol)).as("amin"), max(col(aCol)).as("amax"),
+      min(col(bCol)).as("bmin"), max(col(bCol)).as("bmax"))
+    // equal-width bucketize onto [0, 2^bits): ((v - vmin) * 2^bits) DIV
+    // (vmax - vmin + 1) — exact BIGINT floor-div, no clamp needed (the
+    // numerator stays strictly below 2^bits * (span + 1)); the one-row
+    // min/max aggregate broadcasts against the corpus
+    val withB = docs.select(col(aCol).as("va"), col(bCol).as("vb"))
+      .crossJoin(broadcast(mm))
+      .select(
+        ((col("va") - col("amin")) * n).as("na"),
+        (col("amax") - col("amin") + 1).as("da"),
+        ((col("vb") - col("bmin")) * n).as("nb"),
+        (col("bmax") - col("bmin") + 1).as("db"))
+      .select(expr("na DIV da").as("ab"), expr("nb DIV db").as("bb"))
+    val zkey = zorderKey2(col("ab"), col("bb"), bits)
+    val assigned = withB.select(
+      col("ab"), col("bb"),
+      shiftright(zkey, zFileShift).as("zfile"),
+      shiftright(col("ab"), linFileShift).as("lfile"))
+    // unpivot to (layout, file_no) rows BEFORE aggregating: one corpus
+    // scan and one shuffle produce both layouts' file stats
+    val stats = assigned
+      .select(explode(array(
+          struct(lit("zorder").as("layout"), col("zfile").as("file_no")),
+          struct(lit("linear").as("layout"), col("lfile").as("file_no")))).as("lf"),
+        col("ab"), col("bb"))
+      .groupBy(col("lf.layout").as("layout"), col("lf.file_no").as("file_no"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ab")).as("fa_min"), max(col("ab")).as("fa_max"),
+        min(col("bb")).as("fb_min"), max(col("bb")).as("fb_max"))
+    // both boxes against every file row in ONE aggregation: cross the
+    // (layouts × files)-sized stats table with the 2-row literal box table
+    // (a broadcast of constants, not data) so the corpus is scanned once,
+    // not once per box
+    val spark = docs.sparkSession
+    val maxBucket = (1 << bits) - 1
+    val boxes = Seq(
+      ("a", boxLoBucket, boxHiBucket, 0, maxBucket),
+      ("b", 0, maxBucket, boxLoBucket, boxHiBucket))
+    val boxesDf = boxes.map { case (bx, alo, ahi, blo, bhi) =>
+      spark.range(1).select(lit(bx).as("box"), lit(alo).as("alo"),
+        lit(ahi).as("ahi"), lit(blo).as("blo"), lit(bhi).as("bhi"))
+    }.reduce(_ unionByName _)
+    val hit = col("fa_max") >= col("alo") && col("fa_min") <= col("ahi") &&
+      col("fb_max") >= col("blo") && col("fb_min") <= col("bhi")
+    stats.crossJoin(broadcast(boxesDf))
+      .groupBy(col("layout"), col("box"))
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+        sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_hit"))
+      .select(col("layout"), col("box"), col("files_total"),
+        col("files_hit"), col("rows_hit"))
+  }
+
   /** Compaction plan over a file manifest `(dir, file, bytes)` — the
     * OPTIMIZE step of lake maintenance: small files accrete per directory
     * (streaming appends, changeset MERGEs), and scan cost degrades with

@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "a17_cms_counts" -> "one-row CMS sketch rides along broadcast",
     "ta_train_lsq_score" -> "one-row trained model rides along broadcast",
     "ta_train_lsq_eval" -> "one-row trained model rides along broadcast",
-    "ta_train_stump" -> "one-row totals + one-row best-threshold broadcasts")
+    "ta_train_stump" -> "one-row totals + one-row best-threshold broadcasts",
+    "layout_zorder" -> "one-row dim min/max + 2-row literal box table ride along broadcast")
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
