@@ -1306,11 +1306,32 @@ object SparkEntry {
       operators.TextAnalysis.ccnetBuckets(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    // PMI collocations: top adjacent-token pairs by fixed-point likelihood
+    // ratio cnt·N/(c(x)·c(y)) — the multiword-expression detector; min-count
+    // floor kills the rare-pair pathology
+    "ta_pmi" -> ((s, d) =>
+      operators.TextAnalysis.pmiCollocations(Tables.documents(s, d),
+        minCount = 5L, k = 50)),
+
+    // blocklist scrub: per-doc occurrence count + matched terms + keep/flag/
+    // drop verdict for a literal wordlist (the C4-style content gate)
+    "ta_blocklist" -> ((s, d) =>
+      operators.TextAnalysis.blocklistScrub(Tables.documents(s, d),
+          terms = Seq("dup", "slow", "unsafe"))
+        .orderBy(col("doc_id"))),
+
     // composite quality gate (C4/Gopher-style rules): keep/drop + the first
     // failing rule as an auditable reason
     "ta_quality_filter" -> ((s, d) =>
       operators.TextAnalysis.qualityFilter(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+
+    // per-rule gate ablation: marginal violations, sole-blocker counts (the
+    // docs a rule ALONE costs), and first-match attribution — the
+    // threshold-tuning instrument read before touching qualityFilter knobs
+    "ta_gate_ablation" -> ((s, d) =>
+      operators.TextAnalysis.gateAblation(Tables.documents(s, d))
+        .orderBy(col("rule"))),
 
     // relative quality gate: keep each source's top 60% by quality score
     // (per-source nearest-rank threshold, ties at the cut survive)
@@ -1584,6 +1605,14 @@ object SparkEntry {
           budgetTokens = 52000L, maxEpochs = 2)
         .orderBy(col("source"))),
 
+    // DoReMi-style domain reweighting: 5 multiplicative-weights rounds from
+    // the token-share reference mixture, upweighting domains whose mean
+    // quality deficit exceeds the corpus mean (the deterministic excess-loss
+    // proxy) — linearized MW update, floor-renormalized to ppm per round
+    "mix_doremi" -> ((s, d) =>
+      operators.Mixing.doremiWeights(Tables.documents(s, d), steps = 5)
+        .orderBy(col("source"))),
+
     // round-robin interleave: training order dealing one doc per source
     // per round, hash-shuffled within each source
     "mix_interleave" -> ((s, d) =>
@@ -1629,6 +1658,13 @@ object SparkEntry {
       operators.Mixing.packSequencesSplit(Tables.documents(s, d),
           cfg.packTokenBudget, metric = "bpe")
         .orderBy(col("source"), col("seq_no"))),
+
+    // doc-boundary offsets inside packed sequences — the block-diagonal
+    // attention-mask artifact (one row per (sequence, contributing doc))
+    "pack_boundaries" -> ((s, d) =>
+      operators.Mixing.packBoundaries(Tables.documents(s, d),
+          cfg.packTokenBudget, metric = "bpe")
+        .orderBy(col("source"), col("seq_no"), col("doc_id"))),
 
     // sliding-window chunking (the training/RAG long-doc splitter): 32-token
     // windows every 24 tokens — map-only, zero shuffle
@@ -3692,6 +3728,46 @@ object SparkEntry {
            |FROM s LEFT JOIN lvl ON true
            |ORDER BY source""".stripMargin,
 
+      // DoReMi reweighting: per-source stats once, then 5 unrolled
+      // multiplicative-weights rounds (the graph-replay oracle pattern) —
+      // quality arithmetic identical to ta_quality's score column
+      "mix_doremi" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2
+          .map(w => s"'$w'").mkString(",")
+        val rounds = 5
+        def stepCte(k: Int) = {
+          val prev = if (k == 1) "b1" else s"i${k - 1}"
+          s"""i$k AS (SELECT source, w0_ppm, e, f,
+             |    CAST(floor((1000000.0::DOUBLE) * w * f /
+             |      (SELECT sum(w * f) FROM $prev)) AS BIGINT) AS w FROM $prev)"""
+            .stripMargin
+        }
+        s"""WITH per AS (SELECT source,
+           |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS tokens,
+           |    sum(10000 - q)::BIGINT AS sum_def,
+           |    count(*)::BIGINT AS n
+           |  FROM (SELECT source, text,
+           |      CAST(floor((10000.0::DOUBLE) *
+           |        least(1.0::DOUBLE, (($wordCnt)::DOUBLE) / (200.0::DOUBLE)) *
+           |        ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+           |          (4.0::DOUBLE) * len(list_filter($toks, t -> t IN ($enWords))) / greatest(($wordCnt), 1))) + 0.5) AS BIGINT) AS q
+           |    FROM documents)
+           |  GROUP BY source),
+           |tot AS (SELECT sum(tokens)::BIGINT AS tt, sum(sum_def)::BIGINT AS td,
+           |    sum(n)::BIGINT AS tn FROM per),
+           |b0 AS (SELECT source,
+           |    CAST(floor((1000000.0::DOUBLE) * tokens / tt) AS BIGINT) AS w0_ppm,
+           |    (CAST(floor((sum_def::DOUBLE) / n) AS BIGINT) -
+           |     CAST(floor((td::DOUBLE) / tn) AS BIGINT)) AS e
+           |  FROM per CROSS JOIN tot),
+           |b1 AS (SELECT source, w0_ppm, e,
+           |    (1000 + CAST(floor((e::DOUBLE) / (20.0::DOUBLE)) AS BIGINT))::BIGINT AS f,
+           |    w0_ppm AS w FROM b0),
+           |${(1 to rounds).map(stepCte).mkString(",\n")}
+           |SELECT source, w0_ppm, e AS excess_x10000, w AS doremi_ppm
+           |FROM i$rounds ORDER BY source""".stripMargin
+      },
+
       // interleave: per-source salted-hash rank
       "mix_interleave" ->
         s"""SELECT doc_id, source,
@@ -4132,6 +4208,39 @@ object SparkEntry {
            |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
            |FROM nt ORDER BY doc_id""".stripMargin,
 
+      // PMI collocations: bigram counts + positional marginals + the one-row
+      // total; ranked by the fixed-point likelihood ratio (log-free PMI
+      // ordering), min-count 5, deterministic (ratio DESC, x, y) top-50
+      "ta_pmi" ->
+        s"""WITH tok AS (SELECT $toks AS toks FROM documents),
+           |pr AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 1),
+           |      i -> {'x': toks[i+1], 'y': toks[i+2]}) END) AS p FROM tok),
+           |big AS (SELECT p.x AS x, p.y AS y, count(*)::BIGINT AS cnt
+           |  FROM pr GROUP BY 1, 2),
+           |cxs AS (SELECT x, sum(cnt)::BIGINT AS cx FROM big GROUP BY x),
+           |cys AS (SELECT y, sum(cnt)::BIGINT AS cy FROM big GROUP BY y),
+           |nb AS (SELECT sum(cnt)::BIGINT AS n_big FROM big)
+           |SELECT x, y, cnt, cx, cy,
+           |  CAST(floor((10000.0::DOUBLE) * cnt * n_big / (cx * cy)) AS BIGINT) AS pmi_ratio_x10000
+           |FROM big JOIN cxs USING (x) JOIN cys USING (y) CROSS JOIN nb
+           |WHERE cnt >= 5
+           |ORDER BY pmi_ratio_x10000 DESC, x, y LIMIT 50""".stripMargin,
+
+      // blocklist scrub: occurrence count + sorted distinct matched terms +
+      // the keep/flag/drop verdict at flagMax=3
+      "ta_blocklist" ->
+        s"""WITH h AS (SELECT doc_id, source,
+           |    len(list_filter($toks, t -> t IN ('dup','slow','unsafe')))::BIGINT AS n_hits,
+           |    coalesce(array_to_string(list_sort(list_distinct(
+           |      list_filter($toks, t -> t IN ('dup','slow','unsafe')))), ','), '') AS matched
+           |  FROM documents)
+           |SELECT doc_id, source, n_hits, matched,
+           |  CASE WHEN n_hits = 0 THEN 'keep'
+           |       WHEN n_hits <= 3 THEN 'flag'
+           |       ELSE 'drop' END AS verdict
+           |FROM h ORDER BY doc_id""".stripMargin,
+
       "ta_bpe_pairs" ->
         s"""WITH wf AS (SELECT w, count(*)::BIGINT AS freq
            |  FROM (SELECT unnest($toks) AS w FROM documents)
@@ -4228,6 +4337,47 @@ object SparkEntry {
            |SELECT doc_id, (CASE WHEN reason = '' THEN 1 ELSE 0 END)::BIGINT AS keep,
            |  reason, word_cnt, avg_word_len_x100, stopword_ratio_x10000, dup_bigram_ratio_x10000
            |FROM v ORDER BY doc_id""".stripMargin
+      },
+
+      // gate ablation: the ta_quality_filter signal CTEs + six flag
+      // columns, then one aggregate per rule (marginal / sole-blocker /
+      // first-match attribution) UNION ALL'd into the 6-row report
+      "ta_gate_ablation" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+        val rules = Seq(
+          "too_short" -> "word_cnt < 30",
+          "too_long" -> "word_cnt > 100000",
+          "words_too_short" -> "avg_word_len_x100 < 200",
+          "words_too_long" -> "avg_word_len_x100 > 1500",
+          "low_stopwords" -> "stopword_ratio_x10000 < 200",
+          "repetitive" -> "dup_bigram_ratio_x10000 > 3000")
+        val ruleRows = rules.map { case (name, cond) =>
+          s"""SELECT '$name' AS rule,
+             |  sum(CASE WHEN $cond THEN 1 ELSE 0 END)::BIGINT AS violations,
+             |  sum(CASE WHEN ($cond) AND n_viol = 1 THEN 1 ELSE 0 END)::BIGINT AS sole_blockers,
+             |  sum(CASE WHEN reason = '$name' THEN 1 ELSE 0 END)::BIGINT AS first_reason_cnt
+             |FROM v""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH sig AS (SELECT doc_id,
+           |    ($wordCnt)::BIGINT AS word_cnt,
+           |    CAST(floor((100.0::DOUBLE) * (length($norm) - ($wordCnt) + 1) / greatest(($wordCnt), 1) + 0.5) AS BIGINT) AS avg_word_len_x100,
+           |    CAST(floor((10000.0::DOUBLE) * len(list_filter($toks, t -> t IN ($enWords))) / greatest(($wordCnt), 1) + 0.5) AS BIGINT) AS stopword_ratio_x10000
+           |  FROM documents),
+           |tt AS (SELECT doc_id, $toks AS toks FROM documents),
+           |bg AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN []
+           |    ELSE list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END AS bgs
+           |  FROM tt),
+           |rep AS (SELECT doc_id,
+           |    CAST(floor((10000.0::DOUBLE) * (len(bgs) - len(list_distinct(bgs))) / greatest(len(bgs), 1) + 0.5) AS BIGINT) AS dup_bigram_ratio_x10000
+           |  FROM bg),
+           |v AS (SELECT sig.doc_id AS doc_id, word_cnt, avg_word_len_x100,
+           |    stopword_ratio_x10000, dup_bigram_ratio_x10000,
+           |    ${rules.map { case (_, c) => s"(CASE WHEN $c THEN 1 ELSE 0 END)" }
+                  .mkString(" + ")} AS n_viol,
+           |    CASE ${rules.map { case (n, c) => s"WHEN $c THEN '$n'" }.mkString(" ")}
+           |         ELSE '' END AS reason
+           |  FROM sig JOIN rep ON sig.doc_id = rep.doc_id)
+           |SELECT * FROM ($ruleRows) ORDER BY rule""".stripMargin
       },
 
       // per-source nearest-rank threshold at the 40th percentile of the
@@ -4604,6 +4754,25 @@ object SparkEntry {
            |SELECT source, seq_no::BIGINT AS seq_no, count(*)::BIGINT AS n_docs,
            |  sum(tokens_in_seq)::BIGINT AS seq_tokens
            |FROM x GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
+
+      // boundary offsets inside packed sequences: the pack_split CTE chain
+      // minus the rollup — one row per (sequence, doc) with the doc's
+      // in-sequence token interval (end exclusive)
+      "pack_boundaries" ->
+        s"""WITH t AS (SELECT source, doc_id,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
+           |  FROM documents),
+           |c AS (SELECT source, doc_id, tok_cnt,
+           |    (sum(tok_cnt) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok_cnt)::BIGINT AS cum_before
+           |  FROM t),
+           |e AS (SELECT source, doc_id, tok_cnt, cum_before,
+           |    unnest(range(cum_before // 512, (cum_before + tok_cnt - 1) // 512 + 1)) AS seq_no
+           |  FROM c WHERE tok_cnt > 0)
+           |SELECT source, seq_no::BIGINT AS seq_no, doc_id,
+           |  (greatest(seq_no * 512, cum_before) - seq_no * 512)::BIGINT AS start_tok,
+           |  (least((seq_no + 1) * 512, cum_before + tok_cnt) - seq_no * 512)::BIGINT AS end_tok
+           |FROM e ORDER BY source, seq_no, doc_id""".stripMargin,
 
       // sliding-window chunking: windows of 32 every 24 tokens; last chunk
       // short; 1 + ceil(max(0, len-32)/24) chunks per doc

@@ -13,10 +13,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Timestamp columns stored as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read them as Long (nanos) via the
-    * `nanosAsLong` legacy conf and truncate to micros — the same ns→µs
-    * truncation DuckDB applies, so both engines see identical values. */
+  /** Timestamp columns that have shipped as parquet TIMESTAMP(NANOS) in
+    * some testdata generations — a physical type Spark's vectorized reader
+    * rejects, read as Long (nanos) via the `nanosAsLong` legacy conf and
+    * truncated to micros (the same ns→µs truncation DuckDB applies). Later
+    * generations write plain TIMESTAMP(MICROS), which loads as a native
+    * timestamp column. The loader sniffs the LOADED dtype and normalizes
+    * both generations to the same `timestamp_ntz` — never keyed off the
+    * file name, so a regenerated dataset cannot silently break every
+    * consumer of the table. */
   private val nanoTsCols: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"))
 
@@ -24,10 +29,16 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     nanoTsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      df.withColumn(c,
-        org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr(s"$c div 1000"))
-          .cast("timestamp_ntz"))
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) files
+          df.withColumn(c,
+            org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr(s"$c div 1000"))
+              .cast("timestamp_ntz"))
+        case _ => // native TIMESTAMP(MICROS) files
+          df.withColumn(c,
+            org.apache.spark.sql.functions.col(c).cast("timestamp_ntz"))
+      }
     }
   }
 

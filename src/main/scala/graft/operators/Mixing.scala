@@ -453,6 +453,68 @@ object Mixing {
         (col("rank") <= keepPerSource.toLong).cast("long").as("selected"))
   }
 
+  /** DoReMi-style domain reweighting (after Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining"): start from the
+    * reference mixture (token share per source) and run multiplicative-
+    * weights steps that upweight domains with EXCESS LOSS — domains the
+    * current model handles worse than average get more of the next token
+    * budget. DoReMi's excess loss comes from a trained proxy model; the
+    * deterministic data-side analog here uses each domain's mean quality
+    * DEFICIT (`10000 − quality_x10000`, the [[TextAnalysis.quality]]
+    * arithmetic) relative to the corpus mean — harder-looking domains carry
+    * positive excess. The update is the linearized MW step
+    * `w ← w·(1 + η·excess)` with floor renormalization to ppm each round
+    * (same regret family as the exponential form, and — unlike `exp` — free
+    * of transcendental ops, so every step is bit-identical cross-engine:
+    * the documented deviation).
+    *
+    * All arithmetic is bounded-integer / exact-double: weights live in ppm
+    * (≤ 10⁶), the per-domain factor `f = 1000 + ⌊excess/20⌋` in [500, 1500],
+    * so every product stays < 2⁵³ and IEEE division + floor reproduce
+    * exactly in any engine. Plan shape (the 100 TB posture): ONE corpus
+    * scan (map-only quality deficit + token count → per-source agg); the
+    * `steps` MW rounds then iterate on the domain table — rows = number of
+    * sources, inherently tiny — with one-row sums riding along broadcast
+    * and `localCheckpoint` cutting lineage per round (the [[Graphs]]
+    * fixpoint posture; corpus-sized data never moves again). */
+  def doremiWeights(docs: DataFrame, steps: Int = 5,
+                    metric: String = "bpe"): DataFrame = {
+    require(steps >= 1 && steps <= 50, s"steps must be in [1, 50], got $steps")
+    val per = docs
+      .select(col("source"), tokenMetric(metric).as("tok_cnt"),
+        (lit(10000L) - TextAnalysis.qualityX10000Col).as("deficit"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok_cnt")).as("tokens"),
+        sum(col("deficit")).as("sum_def"),
+        count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("tokens")).as("tot_tokens"),
+      sum(col("sum_def")).as("tot_def"), sum(col("n_docs")).as("tot_n"))
+    // excess in quality-deficit points (×10⁴, can be negative); factor f is
+    // per-domain constant across rounds (static excess — the closed-loop
+    // variant would re-score under the updated mixture each round)
+    var cur = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(lit(1000000.0) * col("tokens") / col("tot_tokens"))
+          .cast("long").as("w0_ppm"),
+        (floor(col("sum_def").cast("double") / col("n_docs")).cast("long") -
+          floor(col("tot_def").cast("double") / col("tot_n")).cast("long"))
+          .as("excess_x10000"))
+      .withColumn("f",
+        lit(1000L) + floor(col("excess_x10000").cast("double") / 20.0).cast("long"))
+      .withColumn("w", col("w0_ppm"))
+      .localCheckpoint() // corpus agg runs ONCE; rounds iterate on |sources| rows
+    for (_ <- 1 to steps) {
+      val sw = cur.agg(sum(col("w") * col("f")).as("sw"))
+      cur = cur.crossJoin(broadcast(sw))
+        .withColumn("w",
+          floor(lit(1000000.0) * col("w") * col("f") / col("sw")).cast("long"))
+        .drop("sw")
+        .localCheckpoint()
+    }
+    cur.select(col("source"), col("w0_ppm"), col("excess_x10000"),
+      col("w").as("doremi_ppm"))
+  }
+
   /** Leakage-proof splitting: hash-split on the near-dup CLUSTER id instead
     * of the doc id, so every member of a duplicate cluster lands in the
     * same split. Plain [[withSplit]] can place a doc in train and its
@@ -604,5 +666,38 @@ object Mixing {
           greatest(col("seq_no") * b, col("cum_before")))
       .groupBy(parts :+ col("seq_no"): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens_in_seq")).as("seq_tokens"))
+  }
+
+  /** Document-boundary table for packed sequences — [[packSequencesSplit]]
+    * WITHOUT the final rollup: one row per (sequence, contributing doc)
+    * with the doc's token interval INSIDE that sequence. This is the
+    * attention-mask artifact concat-and-chunk training needs: packing
+    * unrelated docs into one sequence without boundary offsets lets
+    * attention bleed across documents, so trainers consume exactly this
+    * table to build block-diagonal masks (and to attribute loss spans back
+    * to source docs). Same prefix-sum + bounded-explode plan as the
+    * rollup — one window, one ≤ tok/B+1 explode per doc, no extra shuffle;
+    * `end_tok` is exclusive, `0 ≤ start_tok < end_tok ≤ tokenBudget`. */
+  def packBoundaries(docs: DataFrame, tokenBudget: Int,
+                     metric: String = "ws",
+                     partitionCols: Seq[String] = Seq("source")): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val parts = partitionCols.map(col)
+    val b = lit(tokenBudget.toLong)
+    val w = Window.partitionBy(parts: _*).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(parts :+ col("doc_id") :+ tokenMetric(metric).as("tok_cnt"): _*)
+      .withColumn("cum_before", sum(col("tok_cnt")).over(w) - col("tok_cnt"))
+      .where(col("tok_cnt") > 0L)
+      .withColumn("seq_no", explode(sequence(
+        floor(col("cum_before") / b),
+        floor((col("cum_before") + col("tok_cnt") - 1L) / b))))
+      .select(parts ++ Seq(col("seq_no"), col("doc_id"),
+        (greatest(col("seq_no") * b, col("cum_before")) - col("seq_no") * b)
+          .as("start_tok"),
+        (least((col("seq_no") + 1L) * b, col("cum_before") + col("tok_cnt")) -
+          col("seq_no") * b).as("end_tok")): _*)
   }
 }

@@ -472,6 +472,60 @@ object TextAnalysis {
         col("dup_bigram_ratio_x10000"))
   }
 
+  /** Ablation report over [[qualityFilter]]'s rules — what a filter-tuning
+    * pass reads before touching a threshold. Per rule: how many docs
+    * VIOLATE it at all (marginal), how many it is the SOLE blocker for
+    * (the docs this rule alone costs the corpus — relax it and exactly
+    * these come back), and how many report it as their first-match
+    * `reason` (the [[qualityFilter]] attribution, order-dependent).
+    * `sole_blockers` is the number that matters: a rule with many
+    * violations but few sole-blocks is redundant with its neighbors.
+    *
+    * Plan shape: the same one-pass signal derivation as [[qualityFilter]],
+    * then EIGHTEEN conditional sums in ONE corpus aggregate (3 counters ×
+    * 6 rules) reshaped from the single result row into 6 rule rows — no
+    * per-rule corpus explode, no second scan; constant-size output however
+    * large the corpus. */
+  def gateAblation(docs: DataFrame,
+                   minWords: Long = 30, maxWords: Long = 100000,
+                   minAvgWordLenX100: Long = 200,
+                   maxAvgWordLenX100: Long = 1500,
+                   minStopRatioX10000: Long = 200,
+                   maxDupBigramX10000: Long = 3000): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("word_cnt"),
+      col("avg_word_len_x100"), col("stopword_ratio_x10000"))
+    val r = repetition(docs).select(col("doc_id"), col("dup_bigram_ratio_x10000"))
+    val flags: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("word_cnt") < minWords),
+      "too_long" -> (col("word_cnt") > maxWords),
+      "words_too_short" -> (col("avg_word_len_x100") < minAvgWordLenX100),
+      "words_too_long" -> (col("avg_word_len_x100") > maxAvgWordLenX100),
+      "low_stopwords" -> (col("stopword_ratio_x10000") < minStopRatioX10000),
+      "repetitive" -> (col("dup_bigram_ratio_x10000") > maxDupBigramX10000))
+    val nViol = flags.map { case (_, c) => c.cast("long") }.reduce(_ + _)
+    val firstReason = flags.foldRight(lit("")) { case ((name, c), acc) =>
+      when(c, name).otherwise(acc)
+    }
+    val sums = flags.flatMap { case (name, c) => Seq(
+      sum(c.cast("long")).as(s"v__$name"),
+      sum((c && col("n_viol") === 1L).cast("long")).as(s"s__$name"),
+      sum((col("first_reason") === name).cast("long")).as(s"f__$name"))
+    }
+    val one = q.join(r, Seq("doc_id"))
+      .withColumn("n_viol", nViol)
+      .withColumn("first_reason", firstReason)
+      .agg(sums.head, sums.tail: _*)
+    one.select(explode(array(flags.map { case (name, _) =>
+        struct(lit(name).as("rule"),
+          col(s"v__$name").as("violations"),
+          col(s"s__$name").as("sole_blockers"),
+          col(s"f__$name").as("first_reason_cnt"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.violations").as("violations"),
+        col("r.sole_blockers").as("sole_blockers"),
+        col("r.first_reason_cnt").as("first_reason_cnt"))
+  }
+
   /** Per-source quality percentile gate — the RELATIVE form of corpus
     * filtering: keep each source's top `keepTopPct`% of docs by
     * [[quality]] score, instead of one absolute threshold for every source
@@ -632,6 +686,77 @@ object TextAnalysis {
         when(col("tertile") === 1, "head")
           .when(col("tertile") === 2, "middle")
           .otherwise("tail").as("bucket"))
+  }
+
+  /** PMI collocation mining: the top-k adjacent-token pairs whose observed
+    * co-occurrence most exceeds what their marginals predict —
+    * `PMI(x,y) = log P(x,y) / (P(x)·P(y))`. The canonical multiword-
+    * expression detector ("new york", "machine learning") a tokenizer or
+    * phrase-merging pass reads before training. Ranked by the fixed-point
+    * LIKELIHOOD RATIO `⌊10⁴ · cnt(x,y)·N / (c(x)·c(y))⌋` instead of its
+    * log — the same ordering (log is monotone), zero transcendental ops,
+    * bit-identical cross-engine (the [[Mixing.importanceWeights]]
+    * deviation pattern). Marginals are positional (`c(x)` = pairs with x
+    * on the left, `c(y)` = y on the right), the standard bigram-PMI
+    * convention. `minCount` floors away the unstable low-frequency tail
+    * (PMI's known pathology: a pair seen once between two rare words
+    * maxes the ratio).
+    *
+    * Plan shape: ONE corpus-sized bigram explode + hash agg
+    * (`localCheckpoint` pins it — vocab²-bounded, tiny); marginals and the
+    * one-row total derive from that table, rejoined vocab²-to-vocab with
+    * the one-row total riding along broadcast; top-k runs as
+    * TakeOrderedAndProject. Exactness bound: `10⁴·cnt·N < 2⁵³` holds to
+    * ~10⁹-token aggregates per pair; past that, swap the floor-double for
+    * BIGINT `div` (the [[Mixing.importanceWeights]] posture). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
+                      k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be positive")
+    val big = docs.select(tokens(col("text")).as("toks"))
+      .select(explode(bigramStructs(col("toks"))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // corpus explode runs ONCE; 3 consumers below
+    val cx = big.groupBy(col("x")).agg(sum(col("cnt")).as("cx"))
+    val cy = big.groupBy(col("y")).agg(sum(col("cnt")).as("cy"))
+    val nTot = big.agg(sum(col("cnt")).as("n_big"))
+    big.where(col("cnt") >= minCount)
+      .join(cx, Seq("x")).join(cy, Seq("y"))
+      .crossJoin(broadcast(nTot))
+      .select(col("x"), col("y"), col("cnt"), col("cx"), col("cy"),
+        floor(lit(10000.0) * col("cnt") * col("n_big") /
+          (col("cx") * col("cy"))).cast("long").as("pmi_ratio_x10000"))
+      .orderBy(col("pmi_ratio_x10000").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** Blocklist scrub — the wordlist-based content gate every production
+    * curation pipeline runs (C4 dropped any page containing a "List of
+    * Dirty, Naughty…" term; refined pipelines count hits and threshold).
+    * Per doc: total blocklist-token OCCURRENCES, the distinct matched
+    * terms (sorted, comma-joined — the audit trail), and a three-way
+    * verdict: `keep` (no hits), `flag` (1..flagMax — route to review),
+    * `drop` (saturated). Map-only over the corpus — the blocklist rides
+    * into the plan as a literal array (at real blocklist sizes, a
+    * broadcast join against the exploded tokens or an Aho-Corasick-style
+    * codegen'd expression takes over; the plumbing is identical). Token
+    * array is bound ONCE before the lambdas (the [[ngramDiversity]]
+    * posture). */
+  def blocklistScrub(docs: DataFrame, terms: Seq[String],
+                     flagMax: Int = 3): DataFrame = {
+    require(terms.nonEmpty, "blocklist must be non-empty")
+    require(flagMax >= 1, "flagMax must be positive")
+    val tl = array(terms.distinct.sorted.map(lit): _*)
+    docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(filter(col("toks"), t => array_contains(tl, t)))
+          .cast("long").as("n_hits"),
+        concat_ws(",", sort_array(array_distinct(
+          filter(col("toks"), t => array_contains(tl, t))))).as("matched"))
+      .withColumn("verdict",
+        when(col("n_hits") === 0, "keep")
+          .when(col("n_hits") <= flagMax.toLong, "flag")
+          .otherwise("drop"))
   }
 
   /** Count-Min-sketch term-frequency estimates, probed at the exact top-k

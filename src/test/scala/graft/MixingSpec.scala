@@ -42,6 +42,66 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(again == got)
   }
 
+  test("packBoundaries: in-sequence intervals tile each doc and each sequence") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5"),        // 5 ws tokens
+      (2L, "u1 u2 u3 u4"),           // 4 — spans seq 0→1 at budget 8
+      (3L, "v1 v2 v3 v4 v5 v6"))     // 6
+      .toDF("doc_id", "text").withColumn("source", lit("src0"))
+    val got = Mixing.packBoundaries(docs, tokenBudget = 8, metric = "ws")
+      .orderBy("seq_no", "doc_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("src0", 0L, 1L, 0L, 5L),
+      ("src0", 0L, 2L, 5L, 8L),  // first 3 tokens of doc 2 close seq 0
+      ("src0", 1L, 2L, 0L, 1L),  // its 4th token opens seq 1
+      ("src0", 1L, 3L, 1L, 7L)))
+    // every doc's intervals sum to its token count; sequences tile [0, B)
+    val perDoc = got.groupBy(_._3).view.mapValues(_.map(r => r._5 - r._4).sum)
+    assert(perDoc.toMap == Map(1L -> 5L, 2L -> 4L, 3L -> 6L))
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 == 0L) // each sequence starts at offset 0
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4) // contiguous, no gaps
+        case _ =>
+      }
+    }
+  }
+
+  test("doremiWeights: harder domains gain weight, ppm mass conserved, stable") {
+    def srcDF(src: String, rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit(src))
+    // "rich": long stopword-dense docs (high quality → low deficit);
+    // "junk": short stopword-free docs (low quality → high deficit)
+    val rich = (1L to 4L).map(i =>
+      i -> ("the and is in to of a for on with " * 25).trim)
+    val junk = (11L to 14L).map(i => i -> "zonk quux blarg")
+    val docs = srcDF("rich", rich: _*).unionByName(srcDF("junk", junk: _*))
+    val got = Mixing.doremiWeights(docs, steps = 5)
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val bySrc = got.map(r => r._1 -> r).toMap
+    // excess signs: junk above corpus mean deficit, rich below
+    assert(bySrc("junk")._3 > 0L && bySrc("rich")._3 < 0L)
+    // MW direction: the hard domain gains vs its token-share reference
+    assert(bySrc("junk")._4 > bySrc("junk")._2)
+    assert(bySrc("rich")._4 < bySrc("rich")._2)
+    // ppm mass conserved up to per-domain floor loss
+    val mass = got.map(_._4).sum
+    assert(mass <= 1000000L && mass >= 1000000L - got.length)
+    // repartition-stable (hash-free arithmetic, one deterministic agg)
+    val again = Mixing.doremiWeights(docs.repartition(7), steps = 5)
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+    // degenerate single domain: the mixture is that domain, exactly
+    val solo = Mixing.doremiWeights(srcDF("only", rich: _*), steps = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(solo.map(_._4) == Seq(1000000L))
+  }
+
   test("split partitions the corpus completely and is repartition-stable") {
     val docs = Tables.documents(spark, sfDir)
     val split = Mixing.withSplit(docs)

@@ -111,6 +111,60 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(s.toSeq == Seq((9L, 3L, 0L, 0L)))
   }
 
+  test("PMI collocations: hand-computed ratios, tie-break, min-count floor") {
+    val docs = docsDF(1L -> "b c b c b c", 2L -> "a a a a")
+    // bigrams: (b,c)×3, (c,b)×2, (a,a)×3 → N=8; cx: a=3,b=3,c=2; cy: a=3,b=2,c=3
+    val got = TextAnalysis.pmiCollocations(docs, minCount = 1L, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      ("c", "b", 2L, 2L, 2L, 40000L),   // 1e4·2·8/(2·2)
+      ("a", "a", 3L, 3L, 3L, 26666L),   // 1e4·3·8/(3·3); ties break on x
+      ("b", "c", 3L, 3L, 3L, 26666L)))
+    // min-count floor drops the cnt=2 pair
+    val floored = TextAnalysis.pmiCollocations(docs, minCount = 3L, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(floored.map(r => (r._1, r._2)).toSeq == Seq(("a", "a"), ("b", "c")))
+  }
+
+  test("gateAblation agrees with qualityFilter attribution; sole blocker isolated") {
+    val docs = docsDF(
+      1L -> "hi",                                    // too_short (+ low_stopwords)
+      2L -> ("the of and to a in is " * 10).trim,    // repetitive ONLY (70 words)
+      3L -> ("the quick brown fox jumps over a lazy dog near the riverbank " * 5).trim)
+    val ab = TextAnalysis.gateAblation(docs).orderBy("rule")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(ab.map(_._1) == Seq("low_stopwords", "repetitive", "too_long",
+      "too_short", "words_too_long", "words_too_short"))
+    val byRule = ab.map(r => r._1 -> r).toMap
+    // cross-check first-match attribution against qualityFilter itself
+    val reasons = TextAnalysis.qualityFilter(docs)
+      .where(col("reason") =!= "").groupBy("reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ab.foreach { case (rule, viol, sole, first) =>
+      assert(first == reasons.getOrElse(rule, 0L), s"attribution for $rule")
+      assert(sole <= viol && first <= viol)
+    }
+    // doc 2 is long and stopword-dense but maximally repetitive: the
+    // repetitive rule alone blocks it
+    assert(byRule("repetitive")._3 >= 1L)
+    // doc 1 violates two rules at once: sole-blocker must not count it
+    assert(byRule("too_short")._2 == 1L && byRule("too_short")._3 == 0L)
+  }
+
+  test("blocklistScrub: keep/flag/drop verdicts and the sorted audit trail") {
+    val docs = docsDF(
+      1L -> "good text only",
+      2L -> "bad good bad",
+      3L -> "bad evil bad evil bad")
+    val got = TextAnalysis.blocklistScrub(docs, Seq("evil", "bad"), flagMax = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, String, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "src0", 0L, "", "keep"),
+      (2L, "src0", 2L, "bad", "flag"),
+      (3L, "src0", 5L, "bad,evil", "drop")))
+  }
+
   test("CMS estimates upper-bound exact counts and are partitioning-independent") {
     val docs = docsDF(
       1L -> "apple apple apple banana cherry",

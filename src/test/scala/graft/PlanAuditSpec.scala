@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "mix_epoch_plan" -> "one-row totals aggregate rides along broadcast",
     "mix_unimax" -> "one-row (m, fill-level) aggregates ride along broadcast",
     "ver_drift" -> "token-total one-row aggregate rides along broadcast",
+    "ta_pmi" -> "one-row bigram-total aggregate rides along broadcast",
     "a17_cms_counts" -> "one-row CMS sketch rides along broadcast",
     "ta_train_lsq_score" -> "one-row trained model rides along broadcast",
     "ta_train_lsq_eval" -> "one-row trained model rides along broadcast",
