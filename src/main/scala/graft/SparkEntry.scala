@@ -1757,6 +1757,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SURGICAL decontamination: cut the verbatim eval-overlapping spans out
+    // of train docs (8-gram runs of >= 5) instead of dropping whole docs —
+    // the planted full-copy train docs come back nearly empty, organically
+    // overlapping docs lose only the leaked span
+    "decontam_span_removal" -> ((s, d) => {
+      val (train, evalDocs) = plantedEvalSplit(s, d)
+      operators.Decontaminate.removeContaminatedSpans(train, evalDocs,
+          cfg.decontamNgramN, minRun = 5, broadcastEval = false)
+        .orderBy(col("doc_id"))
+    }),
+
     // the Bloom-prefiltered form: a filter built from the eval shingle
     // universe prunes the train scan BEFORE the distinct/join shuffle (the
     // explicit runtime-filter pattern). Bit-identical to `decontaminate` —
@@ -4979,6 +4990,54 @@ object SparkEntry {
            |FROM (SELECT doc_id, n_sh, n_hit,
            |  CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) AS overlap_x10000
            |  FROM rep)
+           |ORDER BY doc_id""".stripMargin,
+
+      // surgical decontamination: the decontaminate split + planting, the
+      // dedup_span_removal gaps-and-islands span SQL run train-joins-eval
+      // (no doc ordering constraint), cuts applied to the TRAIN side only
+      "decontam_span_removal" ->
+        s"""WITH sp AS (SELECT doc_id, text, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents),
+           |tr AS (SELECT doc_id, text FROM sp WHERE b < 80),
+           |ev AS (SELECT doc_id, text FROM sp WHERE b >= 90
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM tr WHERE doc_id % 7 = 0),
+           |tt AS (SELECT doc_id, $toks AS toks FROM tr),
+           |et AS (SELECT doc_id, $toks AS toks FROM ev),
+           |tp AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM tt),
+           |tps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sh")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sh
+           |  FROM tp)),
+           |ep AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM et),
+           |eps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sh")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sh
+           |  FROM ep)),
+           |m AS (SELECT t.doc_id AS t_id, e.doc_id AS e_id,
+           |    t.pos AS pos_t, t.pos - e.pos AS diag
+           |  FROM tps t JOIN eps e ON t.h = e.h),
+           |r AS (SELECT t_id, e_id, diag, pos_t,
+           |    pos_t - row_number() OVER (PARTITION BY t_id, e_id, diag ORDER BY pos_t) AS grp
+           |  FROM m),
+           |runs AS (SELECT t_id, e_id, diag, grp, count(*)::BIGINT AS run_len,
+           |    min(pos_t) AS start_t
+           |  FROM r GROUP BY t_id, e_id, diag, grp HAVING count(*) >= 5),
+           |cut AS (SELECT DISTINCT t_id AS doc_id, unnest(range(start_t, start_t + run_len + 7)) AS p
+           |  FROM runs),
+           |tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS p FROM tt),
+           |kept AS (SELECT tk.doc_id AS doc_id, tk.p AS p
+           |  FROM tk LEFT JOIN cut ON tk.doc_id = cut.doc_id AND tk.p = cut.p
+           |  WHERE cut.p IS NULL),
+           |rebuilt AS (SELECT kept.doc_id AS doc_id,
+           |    string_agg(tt.toks[(kept.p + 1)::INT], ' ' ORDER BY kept.p) AS clean_text
+           |  FROM kept JOIN tt ON tt.doc_id = kept.doc_id GROUP BY kept.doc_id),
+           |nrem AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cut GROUP BY doc_id)
+           |SELECT tt.doc_id AS doc_id,
+           |  coalesce(rebuilt.clean_text, '') AS clean_text,
+           |  coalesce(nrem.n_removed, 0)::BIGINT AS n_removed
+           |FROM tt
+           |LEFT JOIN rebuilt ON rebuilt.doc_id = tt.doc_id
+           |LEFT JOIN nrem ON nrem.doc_id = tt.doc_id
            |ORDER BY doc_id""".stripMargin,
 
       // the full corpus-assembly chain, stage for stage: validated docs →

@@ -253,4 +253,73 @@ object Decontaminate {
       .select(col("eval_id"), col("train_id"), col("cos_x1000000"))
       .distinct() // a pair may collide in several tables — emit it once
   }
+
+  /** SURGICAL decontamination — [[Dedup.removeSharedSpans]]' span-cut
+    * action applied cross-corpus: instead of DROPPING every train doc that
+    * overlaps the eval set (the [[overlapReport]]-then-drop policy, which
+    * throws away a whole document over one leaked paragraph), cut exactly
+    * the verbatim eval-overlapping token spans out of the train text and
+    * keep the rest. The eval side is never modified.
+    *
+    * A span is a maximal run of ≥ `minRun` consecutive train n-gram
+    * positions that appear consecutively in SOME eval doc (the
+    * [[Dedup.spanRuns]] gaps-and-islands diagonal argument, with the
+    * inverted-index self-join replaced by a train⋈eval equi-join on the
+    * shingle hash). A run of r shared n-grams cuts r+n−1 tokens;
+    * overlapping runs union their positions, so nothing double-cuts.
+    *
+    * Output: (doc_id, clean_text, n_removed) for EVERY train doc —
+    * untouched docs pass through with n_removed 0 and their whitespace-
+    * normalized text (the same canonical form downstream ops tokenize).
+    *
+    * Scale shape (100 TB train, curated eval): the eval positional shingle
+    * table is eval-sized — broadcast by default, so the match join is
+    * map-only over the train scan; `docFreqCap` prunes boilerplate
+    * shingles on the train side before the join (the skew point). The
+    * island window partitions by (train doc, eval doc, diagonal) — bounded
+    * by one pair's matches, never corpus-sized. Train text moves once;
+    * reconstruction is one map-only indexed-lambda filter. Pass
+    * `broadcastEval = false` when the eval side is a corpus-scale split. */
+  def removeContaminatedSpans(train: DataFrame, evalDocs: DataFrame,
+                              n: Int, minRun: Int,
+                              docFreqCap: Option[Int] = None,
+                              broadcastEval: Boolean = true): DataFrame = {
+    require(n >= 1 && minRun >= 1, "n and minRun must be positive")
+    val shT0 = Dedup.posShingleTable(train, n)
+      .select(col("doc_id").as("t_id"), col("pos").as("pos_t"),
+        charPolyHash(col("sh")).as("h"))
+    val shT = docFreqCap match {
+      case Some(cap) =>
+        val hot = shT0.groupBy(col("h")).count()
+          .where(col("count") > cap).select(col("h"))
+        shT0.join(hot, Seq("h"), "left_anti")
+      case None => shT0
+    }
+    val shE = Dedup.posShingleTable(evalDocs, n)
+      .select(col("doc_id").as("e_id"), col("pos").as("pos_e"),
+        charPolyHash(col("sh")).as("h"))
+    val m = shT.join(if (broadcastEval) broadcast(shE) else shE, Seq("h"))
+      .select(col("t_id"), col("e_id"), col("pos_t"),
+        (col("pos_t") - col("pos_e")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t_id"), col("e_id"), col("diag")).orderBy(col("pos_t"))
+    val cuts = m.withColumn("grp", col("pos_t") - row_number().over(w))
+      .groupBy(col("t_id"), col("e_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"), min(col("pos_t")).as("start_t"))
+      .where(col("run_len") >= minRun)
+      .select(col("t_id").as("doc_id"),
+        explode(sequence(col("start_t"),
+          col("start_t") + col("run_len") + lit(n.toLong - 2L))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cut_ps"))
+    train.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("cut_ps",
+        coalesce(col("cut_ps"), array().cast("array<long>")))
+      .select(col("doc_id"),
+        array_join(filter(col("__toks"),
+          (_, i) => !array_contains(col("cut_ps"), i.cast("long"))), " ")
+          .as("clean_text"),
+        size(col("cut_ps")).cast("long").as("n_removed"))
+  }
 }

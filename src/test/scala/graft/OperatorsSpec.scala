@@ -760,6 +760,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((100L, 1L, 8L), (101L, 1L, 3L)))
   }
 
+  test("removeContaminatedSpans cuts exactly the leaked span, eval untouched") {
+    val train = docsDF(
+      1L -> "aa bb cc dd ee ff gg hh",  // leaks "aa bb cc dd" into eval 100
+      2L -> "zz ww vv")                 // clean (and too short to shingle)
+    val eval = docsDF(100L -> "xx aa bb cc dd yy")
+    // 3-gram runs of >= 2: t-positions 0,1 match e-positions 1,2 on one
+    // diagonal -> cut tokens 0..3, keep the tail
+    val got = Decontaminate.removeContaminatedSpans(train, eval,
+        n = 3, minRun = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "ee ff gg hh", 4L),
+      (2L, "zz ww vv", 0L)))
+    // a stricter minRun leaves the text alone (run of 2 < 3)
+    val strict = Decontaminate.removeContaminatedSpans(train, eval,
+        n = 3, minRun = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(strict.map(_._3) == Seq(0L, 0L))
+    // join-strategy switch changes nothing
+    val shuffled = Decontaminate.removeContaminatedSpans(train, eval,
+        n = 3, minRun = 2, broadcastEval = false)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(shuffled == got)
+  }
+
   test("decontamination broadcast and shuffle join forms agree") {
     // the broadcastEval switch changes the JOIN STRATEGY only — results
     // must be identical (e2e_corpus relies on the shuffle form)
