@@ -397,6 +397,32 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // TPC-H Q4-shaped EXISTS, executed as a LEFT SEMI join: the probe side
+    // short-circuits on first match inside the join — no distinct-then-join
+    // double shuffle, and the returnflag predicate is pushed to the scan
+    "q4_priority_semijoin" -> ((s, d) => Relational.priorityReturns(s, d)),
+
+    // correlated scalar subqueries through spark.sql: Catalyst decorrelates
+    // the two per-customer aggregates into ONE grouped self-join (the plan
+    // a hand-decorrelated DataFrame build would produce — .explain shows a
+    // single Aggregate feeding both subquery legs). The above-average test
+    // is all-BIGINT (2·p·n > 3·Σp at ×100 scale), so the boundary rows are
+    // engine-exact — a float avg() comparison would hash-flap on ties.
+    "q2_above_avg_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_sql")
+      s.sql("""
+        SELECT o.o_custkey, count(*) AS n_above,
+               max(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS max_price_x100
+        FROM graft_orders_sql o
+        WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 2 *
+              (SELECT count(*) FROM graft_orders_sql i WHERE i.o_custkey = o.o_custkey)
+            > 3 * (SELECT sum(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT))
+                   FROM graft_orders_sql i WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o.o_custkey
+        ORDER BY o.o_custkey
+      """)
+    }),
+
     // second-order stats from exact integer sums (fixed-point technique)
     "a10_correlation" -> ((s, d) =>
       Relational.valueCorrelation(s, d).orderBy(col("event_type"))),
@@ -2329,6 +2355,30 @@ object SparkEntry {
           |  FROM t)
           |SELECT o_custkey, rn::BIGINT AS rn, o_totalprice_x100, o_orderkey
           |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+      // EXISTS mirrors the left-semi join; count(*) cast keeps both LONG
+      "q4_priority_semijoin" ->
+        """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+          |FROM orders o
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      // the same correlated-subquery text the Spark side runs via
+      // spark.sql — both engines decorrelate it; the all-BIGINT boundary
+      // test keeps the above-average cut engine-exact
+      "q2_above_avg_subquery" ->
+        """SELECT o.o_custkey, count(*)::BIGINT AS n_above,
+          |  max(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS max_price_x100
+          |FROM orders o
+          |WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 2 *
+          |      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          |    > 3 * (SELECT sum(CAST(floor(i.o_totalprice * 100 + 0.5) AS BIGINT))
+          |           FROM orders i WHERE i.o_custkey = o.o_custkey)
+          |GROUP BY o.o_custkey
+          |ORDER BY o.o_custkey""".stripMargin,
 
       "a10_correlation" ->
         """WITH t AS (SELECT event_type,

@@ -69,9 +69,20 @@ object Dedup {
     * At scale, cap shingle document-frequency (`docFreqCap`) to keep hot
     * shingles from exploding the join (standard candidate pruning). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccardX10000: Long,
-                        docFreqCap: Option[Int] = None): DataFrame = {
-    val sh0 = shingleTable(docs, n)
-      .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+                        docFreqCap: Option[Int] = None): DataFrame =
+    ngramJaccardPairsFromHashes(
+      shingleTable(docs, n)
+        .select(col("doc_id"), charPolyHash(col("sh")).as("h")),
+      minJaccardX10000, docFreqCap)
+
+  /** [[ngramJaccardPairs]] from a pre-built hashed shingle table
+    * (doc_id, h) — the entry point for pipelines that already hold the
+    * hashes (e.g. [[lshCandidateEval]], which shares ONE materialized
+    * shingle scan between its truth and minhash legs; this plan consumes
+    * its input three times — sizes + both self-join sides). */
+  private[operators] def ngramJaccardPairsFromHashes(
+      sh0: DataFrame, minJaccardX10000: Long,
+      docFreqCap: Option[Int] = None): DataFrame = {
     val sh = docFreqCap match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("h")).count().where(col("count") > cap).select(col("h"))
@@ -127,9 +138,12 @@ object Dedup {
     * The equivalent built-in form is explode(0..k-1) → minhashPerm →
     * groupBy(doc, i).min — which is what the DuckDB oracle runs. */
   def minhashTable(docs: DataFrame, n: Int, k: Int): DataFrame =
-    shingleTable(docs, n)
-      .withColumn("h", charPolyHash(col("sh")))
-      .groupBy(col("doc_id"))
+    minhashTableFromHashes(
+      shingleTable(docs, n).withColumn("h", charPolyHash(col("sh"))), k)
+
+  /** [[minhashTable]] from a pre-hashed shingle table (doc_id, h). */
+  private[operators] def minhashTableFromHashes(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(graft.plans.MinHashAgg.minhashSignature(col("h"), k).as("sig"))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "mh")))
 
@@ -237,8 +251,17 @@ object Dedup {
                        bands: Int = 4, minJaccardX10000: Long = 3000,
                        docFreqCap: Option[Int] = None): DataFrame = {
     require(k % bands == 0, s"k ($k) must be divisible by bands ($bands)")
-    val truth = ngramJaccardPairs(docs, n, minJaccardX10000, docFreqCap)
-    val bandKeys = bandKeyTable(minhashTable(docs, n, k), k / bands)
+    // ONE materialized shingle scan feeds both legs: the truth side reads
+    // it three times (sizes + both self-join sides) and the minhash side
+    // once — without the checkpoint the tokenize→shingle→hash chain (and
+    // the planted-copy union above it) re-runs per consumer. (doc_id, h)
+    // is ~1% of corpus bytes — the persisted-dedup-index posture at
+    // 100 TB.
+    val sh0 = shingleTable(docs, n)
+      .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+      .localCheckpoint()
+    val truth = ngramJaccardPairsFromHashes(sh0, minJaccardX10000, docFreqCap)
+    val bandKeys = bandKeyTable(minhashTableFromHashes(sh0, k), k / bands)
     val cand = bandKeys.alias("x")
       .join(bandKeys.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -823,8 +846,13 @@ object Dedup {
     * Output per decile: pair count, min/max jx. */
   def jaccardHistogram(docs: DataFrame, n: Int,
                        docFreqCap: Long = 1000): DataFrame = {
+    // materialized once: the hashed shingle table feeds the df-cap
+    // aggregate, the anti-join probe side, and (through `sh`) the sizes
+    // aggregate and both self-join sides — uncheckpointed, the
+    // tokenize→shingle→hash chain re-runs per consumer
     val sh0 = shingleTable(docs, n)
       .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+      .localCheckpoint()
     val hot = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > docFreqCap).select(col("h"))
     val sh = sh0.join(hot, Seq("h"), "left_anti")

@@ -250,12 +250,16 @@ object Mixing {
     * the anchor or positive — reproducible across runs, engines, and
     * partitionings, unlike `rand()`-ordered sampling.
     *
-    * Plan shape: one equi-join on the bucket (fan-out = pairs × docs /
-    * numBuckets — size `numBuckets` ~ docs/16 to bound it) + one
-    * map-combinable min(struct) per pair. A pair whose probe bucket holds
-    * no eligible doc drops out (with corpus-sized buckets this needs every
-    * bucket doc to be the pair itself — vanishingly rare; the spec pins the
-    * behavior). */
+    * Plan shape: every pair excludes at most TWO specific docs (its own
+    * anchor and positive), so the bucket's minimal ELIGIBLE doc is always
+    * among the bucket's 3 smallest (hash, id) — each bucket reduces to ≤3
+    * rows (one per-bucket top-3 window over the docs scan) before the
+    * pair join ever happens. Join fan-out is ≤3 per pair at ANY corpus
+    * size — the naive bucket join's pairs × docs/numBuckets blow-up
+    * (measured 25× on a 10× scale-up) never materializes, and the ≤
+    * 3·numBuckets candidate table broadcasts. A pair whose probe bucket
+    * holds no eligible doc drops out (needs every bucket doc to be the
+    * pair itself — vanishingly rare; the spec pins the behavior). */
   def contrastiveTriplets(docs: DataFrame, pairs: DataFrame,
                           numBuckets: Int = 64,
                           aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
@@ -263,11 +267,18 @@ object Mixing {
     val cand = docs.select(col("doc_id").as("cand_id"),
         charPolyHash(concat(lit("neg:"), col("doc_id").cast("string"))).as("cand_h"))
       .withColumn("bucket", col("cand_h") % numBuckets)
+    // ≤2 exclusions per probe ⇒ the eligible minimum is in the bucket's
+    // top-3; the window partitions are docs/numBuckets rows — scale
+    // numBuckets with the corpus to keep them (and negative variety) sane
+    val wb = Window.partitionBy(col("bucket"))
+      .orderBy(col("cand_h"), col("cand_id"))
+    val top3 = cand.withColumn("rn", row_number().over(wb))
+      .where(col("rn") <= 3).drop("rn")
     val probes = pairs.select(col(aCol).as("anchor_id"), col(bCol).as("positive_id"))
       .withColumn("bucket",
         charPolyHash(concat(lit("probe:"), col("anchor_id").cast("string"),
           lit(":"), col("positive_id").cast("string"))) % numBuckets)
-    probes.join(cand, Seq("bucket"))
+    probes.join(broadcast(top3), Seq("bucket"))
       .where(col("cand_id") =!= col("anchor_id") &&
         col("cand_id") =!= col("positive_id"))
       .groupBy(col("anchor_id"), col("positive_id"))

@@ -79,6 +79,23 @@ object Relational {
       .agg(sum(fx(col("l_extendedprice") * col("l_discount"), 10000L))
         .as("revenue_x10000"), count(lit(1)).as("n_items"))
 
+  /** TPC-H Q4-shaped EXISTS: count orders per priority having at least one
+    * returned line item in a date window. The EXISTS executes as a LEFT
+    * SEMI join — the probe side short-circuits on first match inside the
+    * join (no `distinct`-then-inner-join double shuffle), and the
+    * `l_returnflag` predicate is pushed to the lineitem parquet scan so
+    * only the returned fraction ever shuffles. */
+  def priorityReturns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val l = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Window ranking: each customer's top-revenue order (row_number over a
     * per-customer window) — the partitioned-window shape (shuffle on the
     * partition key only; no global sort). */

@@ -266,10 +266,14 @@ object Similarity {
     // (vec, subspace) → subvector; initial cell = `bits` hyperplane sign
     // bits (a deterministic k-means init; signs alone place centroids too
     // coarsely for ADC ranking — refinement below is what buys recall)
+    // localCheckpoint: `sub` feeds the code init, every refine round's
+    // reassignment AND re-mean, and the query-side LUT — without it each
+    // consumer re-runs the scan + normalize + explode chain from parquet
     val sub = e
       .select(col("vec_id"), col("vn"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
       .withColumn("sv", slice(col("vn"), col("s") * sd + 1, lit(sd)))
+      .localCheckpoint()
     // exact integer component sums per (subspace, code) → deterministic
     // centroids (the ivfTopKDet pattern)
     def centroidsOf(codes: DataFrame): DataFrame =
@@ -295,15 +299,16 @@ object Similarity {
     // probe comparison), then exact integer re-means. Empty cells drop out
     // of the rebuilt codebook, so every stored code keeps a centroid.
     for (_ <- 1 to refine) {
-      val wA = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("dist"), col("code"))
+      // argmin as a map-combinable min(struct(dist, code)) hash agg — the
+      // same (dist, code)-ordered pick a row_number window makes, without
+      // the per-(vec, s) sort shuffle
       codes = sub.join(centroids, Seq("s"))
         .withColumn("dist",
           dotCol(col("centroid"), col("centroid")) -
             lit(2.0) * dotCol(col("sv"), col("centroid")))
-        .withColumn("crank", row_number().over(wA))
-        .where(col("crank") === 1)
-        .select(col("vec_id"), col("s"), col("code"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("dist"), col("code"))).as("m"))
+        .select(col("vec_id"), col("s"), col("m").getField("code").as("code"))
       centroids = centroidsOf(codes)
     }
     // ADC lookup table: per (query, subspace, code) the partial dot against

@@ -111,6 +111,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"fertility must not join the corpus back to itself on doc_id:\n$plan")
   }
 
+  test("priorityReturns executes the EXISTS as a LEFT SEMI join (no " +
+    "distinct-then-inner-join double shuffle)") {
+    val plan = operators.Relational.priorityReturns(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must plan as a semi join:\n$plan")
+    assert(!plan.toLowerCase.contains("distinct"),
+      s"semi join must not be emulated via distinct+inner:\n$plan")
+  }
+
+  test("contrastiveTriplets joins pairs against a top-3-per-bucket " +
+    "candidate table, not the whole bucketed corpus") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val plan = operators.Mixing.contrastiveTriplets(docs, pairs, numBuckets = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=3/bucket candidate side must broadcast:\n$plan")
+    // the top-3 reduction runs BEFORE the join: a window bounds each
+    // bucket's contribution so join fan-out is <=3 per pair at any scale
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"expected the per-bucket top-3 window below the join:\n$plan")
+  }
+
   test("kCore peel fixpoint costs one aggregate action per round") {
     import spark.implicits._
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
