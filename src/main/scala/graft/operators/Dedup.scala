@@ -438,10 +438,15 @@ object Dedup {
     * fixpoint). */
   def dedupClusters(pairs: DataFrame, aCol: String = "doc_a",
                     bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair input ONCE before the symmetrize union reads it
+    // twice — callers pass the raw near-dup pair QUERY (a shingle
+    // self-join), and an unmaterialized lineage would re-run that whole
+    // chain per union leg
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint() // reused every round: compute the pair query once
+      .localCheckpoint() // reused every round: compute the edge set once
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -488,13 +493,16 @@ object Dedup {
     * oracle): (id, canonical_id) for every node appearing in a pair. */
   def dedupClustersStar(pairs: DataFrame, aCol: String = "doc_a",
                         bCol: String = "doc_b", maxIters: Int = 25): DataFrame = {
+    // materialize the pair QUERY before the three reads below (both node
+    // union legs + the edge normalization) — the dedupClusters rule
+    val p = pairs.localCheckpoint()
     // same node universe as dedupClusters: every id appearing in a pair —
     // including self-pairs, whose nodes must still come out as their own
     // canonical even though the (a, a) edge itself carries no information
-    val nodes = pairs.select(col(aCol).as("id"))
-      .unionByName(pairs.select(col(bCol).as("id"))).distinct()
+    val nodes = p.select(col(aCol).as("id"))
+      .unionByName(p.select(col(bCol).as("id"))).distinct()
       .localCheckpoint()
-    var e = pairs
+    var e = p
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),

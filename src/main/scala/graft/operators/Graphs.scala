@@ -33,8 +33,11 @@ object Graphs {
                 srcCol: String = "src", dstCol: String = "dst",
                 wCol: String = "w"): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // materialize the edge QUERY once: callers pass corpus-derived edge
+    // chains (textRank's adjacency explode, the doc link graph), and `e`
+    // feeds both the degree aggregate and the normalized-edge join
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).as("w"))
+      col(wCol).as("w")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val edgeN = e.join(deg, Seq("src")).localCheckpoint() // reused per round
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
@@ -66,8 +69,10 @@ object Graphs {
                             srcCol: String = "src", dstCol: String = "dst",
                             wCol: String = "w"): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // same entry materialization as graphRank: `e` feeds the degree
+    // aggregate, the normalized-edge join, and (through deg) the node set
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).as("w"))
+      col(wCol).as("w")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val edgeN = e.join(deg, Seq("src")).localCheckpoint()
     val nodes = deg.select(col("src").as("node"))
@@ -106,10 +111,13 @@ object Graphs {
   def kCore(pairs: DataFrame, k: Int, maxIters: Int = 30,
             aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     require(k >= 1, "k must be positive")
+    // canon materialized before the symmetrize union reads it twice — the
+    // caller's pair QUERY (a shingle self-join or similar) must run once
     val canon = pairs
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
     var e = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
@@ -169,11 +177,16 @@ object Graphs {
     * Output: `(node, triangles)` for nodes in ≥ 1 triangle. */
   def triangleCounts(pairs: DataFrame, aCol: String = "doc_a",
                      bCol: String = "doc_b"): DataFrame = {
+    // e is read three times (both degree union legs + the orientation
+    // join) and dir three more (both path-join sides + the closing
+    // semi-join) — materialize each once so the caller's pair query and
+    // the orientation join run exactly once
     val e = pairs
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val dir = e
@@ -185,6 +198,7 @@ object Graphs {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
     val paths = dir.select(col("u"), col("v"))
       .join(dir.select(col("u").as("v"), col("v").as("w")), Seq("v"))
     val tri = paths

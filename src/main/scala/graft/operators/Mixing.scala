@@ -348,8 +348,13 @@ object Mixing {
   def hardNegativeTriplets(docs: DataFrame, pairs: DataFrame,
                            bmK: Int = 20, maxQueryTerms: Int = 8,
                            aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val clusters = Dedup.dedupClusters(pairs, aCol, bCol)
-    val anchors = pairs.select(col(aCol).as("qid")).distinct()
+    // the pair input feeds clustering, the anchor set, AND the final
+    // (anchor, positive) join — materialize once so the caller's pair
+    // QUERY (typically the ngram shingle self-join) doesn't re-run per
+    // consumer
+    val p = pairs.localCheckpoint()
+    val clusters = Dedup.dedupClusters(p, aCol, bCol)
+    val anchors = p.select(col(aCol).as("qid")).distinct()
     val ranked = Similarity.bm25TopKFor(docs, anchors, bmK,
       maxQueryTerms = maxQueryTerms)
     val qc = clusters.select(col("id").as("query_id"), col("canonical_id").as("qc"))
@@ -363,7 +368,7 @@ object Mixing {
       .agg(min(struct(col("rank"), col("doc_id"))).as("m"))
       .select(col("query_id").as(aCol),
         col("m").getField("doc_id").as("hard_negative_id"))
-    pairs.select(col(aCol), col(bCol))
+    p.select(col(aCol), col(bCol))
       .join(neg, Seq(aCol))
       .select(col(aCol).as("anchor_id"), col(bCol).as("positive_id"),
         col("hard_negative_id"))

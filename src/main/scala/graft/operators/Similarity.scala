@@ -499,11 +499,16 @@ object Similarity {
     val dfT = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf) // hot-shingle prune — bounds join fan-out
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // materialized once: the weight table feeds the norms aggregate and
+    // both sides of the dot self-join — uncheckpointed, the tokenize →
+    // gram explode → tf/df agg chain re-runs per consumer (the self-join
+    // sides sameResult-share one exchange, the norms leg does not)
     val weights = tf.join(dfT, Seq("g")).crossJoin(broadcast(nDocs))
       .withColumn("w", col("tf") * least(
         floor(lit(100.0) * col("n_docs") / col("df")).cast("long"),
         lit(idfCapX100)))
       .select(col("doc_id"), col("g"), col("w"))
+      .localCheckpoint()
     val norms = weights.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("nsq"))
     // symmetric join (both orientations fall out of one pass) — no union of

@@ -930,12 +930,17 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term"))
       .limit(vocabCap)
       .select(col("term"))
-    // canonical undirected edges between kept terms, then both directions
+    // canonical undirected edges between kept terms, then both directions.
+    // Materialized once: the union below reads canon twice, and each read
+    // would otherwise re-run the corpus adjacency explode + BOTH vocab
+    // semi-joins (the vocab subtree is itself a corpus-scale aggregate —
+    // its two semi-join uses ride inside canon)
     val canon = pairs
       .join(vocab.withColumnRenamed("term", "a"), Seq("a"), "left_semi")
       .join(vocab.withColumnRenamed("term", "b"), Seq("b"), "left_semi")
       .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val edges = canon.select(col("x").as("src"), col("y").as("dst"), col("w"))
       .unionByName(canon.select(col("y").as("src"), col("x").as("dst"), col("w")))
     Graphs.graphRank(edges, iters)
@@ -944,8 +949,11 @@ object TextAnalysis {
   }
 
   def novelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    // materialized once: the hashed shingle table feeds the df aggregate
+    // AND the per-doc join side — the lshCandidateEval rule
     val sh = Dedup.shingleTable(docs, n)
       .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+      .localCheckpoint()
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val perDoc = sh.join(df, Seq("h"))
       .groupBy(col("doc_id"))
