@@ -403,11 +403,13 @@ object SparkEntry {
     "q4_priority_semijoin" -> ((s, d) => Relational.priorityReturns(s, d)),
 
     // correlated scalar subqueries through spark.sql: Catalyst decorrelates
-    // the two per-customer aggregates into ONE grouped self-join (the plan
-    // a hand-decorrelated DataFrame build would produce — .explain shows a
-    // single Aggregate feeding both subquery legs). The above-average test
-    // is all-BIGINT (2·p·n > 3·Σp at ×100 scale), so the boundary rows are
-    // engine-exact — a float avg() comparison would hash-flap on ties.
+    // each per-customer aggregate into a grouped aggregate + broadcast
+    // equi-join (.explain: two HashAggregate legs, both joined broadcast —
+    // a hand-fused DataFrame build would compute sum+count in ONE agg; the
+    // point of this query is the SQL surface, not the minimal plan). The
+    // above-average test is all-BIGINT (2·p·n > 3·Σp at ×100 scale), so
+    // the boundary rows are engine-exact — a float avg() comparison would
+    // hash-flap on ties.
     "q2_above_avg_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_orders_sql")
       s.sql("""
