@@ -774,6 +774,16 @@ object SparkEntry {
           cfg.minhashK, cfg.minhashBands, minJaccardX10000 = 3000)
         .orderBy(col("jaccard_band"))),
 
+    // asymmetric containment scoring over the prefix-planted corpus: the
+    // planted prefix copies score containment 10000 (their shingles are a
+    // strict subset of the source doc's) while Jaccard reads only the kept
+    // fraction — the gap Jaccard-threshold dedup structurally misses
+    "dedup_containment" -> ((s, d) =>
+      operators.Dedup.containmentPairs(
+          plantedPrefixCopies(Tables.documents(s, d)), cfg.ngramN,
+          minContainX10000 = 8000)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "dedup_simhash" -> ((s, d) =>
       operators.Dedup.simhashPairs(Tables.documents(s, d), cfg.simhashMaxHamming)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -1000,6 +1010,34 @@ object SparkEntry {
     // dup signals stay quiet
     "ta_diversity" -> ((s, d) =>
       operators.TextAnalysis.ngramDiversity(Tables.documents(s, d), cfg.ngramN)
+        .orderBy(col("source"))),
+
+    // per-source unigram Gini impurity: token-distribution CONCENTRATION
+    // (ta_diversity measures type breadth; this measures how evenly the
+    // mass spreads) — pure rational arithmetic, no libm log
+    "ta_gini" -> ((s, d) =>
+      operators.TextAnalysis.tokenGini(Tables.documents(s, d))
+        .orderBy(col("source"))),
+
+    // rank-frequency readout at power-of-two ranks — the Zipf-naturalness
+    // instrument (natural text halves ratio_ppm per row; templated text
+    // flattens or cliffs)
+    "ta_zipf" -> ((s, d) =>
+      operators.TextAnalysis.zipfRanks(Tables.documents(s, d), maxExp = 10)
+        .orderBy(col("rank"))),
+
+    // WordPiece-style substring vocabulary: top-200 substrings (len <= 4)
+    // of distinct words, scored by corpus occurrences — the OTHER
+    // tokenizer-training family next to ta_bpe_train
+    "ta_wordpiece_vocab" -> ((s, d) =>
+      operators.TextAnalysis.wordpieceVocab(Tables.documents(s, d), 200, 4)
+        .orderBy(col("term"))),
+
+    // greedy longest-match fertility per source under that vocabulary —
+    // the tokenizer bake-off row against ta_bpe_fertility; segmentation
+    // runs on DISTINCT words only, the corpus is billed via a count join
+    "ta_wordpiece_fertility" -> ((s, d) =>
+      operators.TextAnalysis.wordpieceFertility(Tables.documents(s, d), 200, 4)
         .orderBy(col("source"))),
 
     // lake compaction plan over a manifest proxy (dir = source, file =
@@ -1513,6 +1551,32 @@ object SparkEntry {
     "mix_shards" -> ((s, d) =>
       operators.Mixing.shardSummary(Tables.documents(s, d), 16, metric = "bpe")
         .orderBy(col("shard"))),
+
+    // one-row shard-balance verdict: max/min/mean tokens per shard and the
+    // max/mean skew ratio — the straggler bound a 100 TB shard-out reads
+    "mix_shard_skew" -> ((s, d) =>
+      operators.Mixing.shardSkew(Tables.documents(s, d), 16, metric = "bpe")),
+
+    // the compute bill of three batch-formation policies (naive hash order
+    // vs power-of-two length bands vs exact length order): batches, useful
+    // tokens, billed cost n×max, padding ppm — why length bucketing exists
+    "pack_waste" -> ((s, d) =>
+      operators.Mixing.batchPaddingReport(Tables.documents(s, d), 8, "bpe")
+        .orderBy(col("policy"))),
+
+    // the dataset card in ONE long-format plan: per source, the volume /
+    // quality / concentration / diversity instruments side by side —
+    // the artifact a corpus snapshot publishes next to its data
+    "e2e_dataset_card" -> ((s, d) =>
+      operators.Summaries.datasetCard(Tables.documents(s, d), cfg.ngramN)
+        .orderBy(col("source"), col("metric"))),
+
+    // token-concentration Lorenz deciles per source: cumulative token share
+    // of the top-d/10 docs by length — the inequality curve a length-cap /
+    // chunking-policy review reads
+    "mix_lorenz" -> ((s, d) =>
+      operators.Mixing.lorenzDeciles(Tables.documents(s, d), metric = "ws")
+        .orderBy(col("source"), col("decile"))),
 
     // exact-k uniform sample by smallest salted hash (TakeOrderedAndProject
     // — per-partition heaps, no global sort); deterministic unlike sample()
@@ -2964,6 +3028,32 @@ object SparkEntry {
            |  CAST(floor((1000000.0::DOUBLE) * sum(caught) / count(*) + 0.5) AS BIGINT) AS recall_ppm
            |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // containment scoring over the prefix-planted corpus (d0 mirrors
+      // plantedPrefixCopies): same inverted-index overlap core as the
+      // Jaccard pairs, scored |∩|/min(|A|,|B|) with the Jaccard column kept
+      // for the asymmetry readout
+      "dedup_containment" ->
+        s"""WITH d0 AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |    array_to_string(($toks)[1:((len($toks) * (4 + (doc_id // 4) % 6)) // 10)], ' ') AS text
+           |  FROM documents WHERE doc_id % 4 = 0 AND len($toks) >= 20),
+           |t AS (SELECT doc_id, $toks AS toks FROM d0),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sc AS (SELECT doc_a, doc_b,
+           |    CAST(floor((10000.0::DOUBLE) * n_common / least(na.n_sh, nb.n_sh) + 0.5) AS BIGINT) AS containment_x10000,
+           |    CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000,
+           |    (CASE WHEN na.n_sh < nb.n_sh THEN doc_a
+           |      WHEN nb.n_sh < na.n_sh THEN doc_b ELSE -1 END)::BIGINT AS contained_doc
+           |  FROM common JOIN sizes na ON na.doc_id = doc_a
+           |  JOIN sizes nb ON nb.doc_id = doc_b)
+           |SELECT doc_a, doc_b, containment_x10000, jaccard_x10000, contained_doc
+           |FROM sc WHERE containment_x10000 >= 8000 ORDER BY doc_a, doc_b""".stripMargin,
+
       // the batch minhash oracle restricted to pairs with a >= 400 member —
       // exactly what the incremental index probe must produce
       "dedup_minhash_incr" ->
@@ -3499,6 +3589,127 @@ object SparkEntry {
            |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS shard_tokens
            |FROM (SELECT text, (${poly("'shard:' || doc_id")}) % 16 AS shard FROM documents)
            |GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // one-row rollup of the mix_shards balance report: straggler bound =
+      // max/mean token skew, ppm
+      "mix_shard_skew" ->
+        s"""WITH ss AS (SELECT shard, count(*)::BIGINT AS n_docs,
+           |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS shard_tokens
+           |  FROM (SELECT text, (${poly("'shard:' || doc_id")}) % 16 AS shard FROM documents)
+           |  GROUP BY shard)
+           |SELECT count(*)::BIGINT AS n_shards,
+           |  min(n_docs)::BIGINT AS min_docs, max(n_docs)::BIGINT AS max_docs,
+           |  min(shard_tokens)::BIGINT AS min_tokens,
+           |  max(shard_tokens)::BIGINT AS max_tokens,
+           |  sum(shard_tokens)::BIGINT AS total_tokens,
+           |  CAST(floor((1000000.0::DOUBLE) * max(shard_tokens) * count(*)
+           |    / greatest(sum(shard_tokens), 1)) AS BIGINT) AS skew_ppm
+           |FROM ss""".stripMargin,
+
+      // three batch-formation policies over one projection: per-policy
+      // window (band / source partitions), per-batch n/max/sum, rollup
+      "pack_waste" ->
+        s"""WITH b AS (SELECT doc_id, source,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt,
+           |    (${poly("'batch:' || doc_id")}) AS hk
+           |  FROM documents),
+           |f AS (SELECT doc_id, source, tok_cnt,
+           |    length(bin(tok_cnt))::BIGINT AS band, hk
+           |  FROM b WHERE tok_cnt > 0),
+           |bk AS (SELECT 'bucketed' AS policy, band::VARCHAR AS g, tok_cnt,
+           |    (row_number() OVER (PARTITION BY band ORDER BY hk, doc_id) - 1) // 8 AS batch_no
+           |  FROM f
+           |  UNION ALL
+           |  SELECT 'naive' AS policy, source AS g, tok_cnt,
+           |    (row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) - 1) // 8 AS batch_no
+           |  FROM f
+           |  UNION ALL
+           |  SELECT 'sorted' AS policy, source AS g, tok_cnt,
+           |    (row_number() OVER (PARTITION BY source ORDER BY tok_cnt, doc_id) - 1) // 8 AS batch_no
+           |  FROM f),
+           |pb AS (SELECT policy, g, batch_no, count(*)::BIGINT AS n_docs,
+           |    max(tok_cnt)::BIGINT AS max_tokens, sum(tok_cnt)::BIGINT AS sum_tokens
+           |  FROM bk GROUP BY policy, g, batch_no)
+           |SELECT policy, count(*)::BIGINT AS n_batches,
+           |  sum(sum_tokens)::BIGINT AS useful_tokens,
+           |  sum(n_docs * max_tokens)::BIGINT AS token_cost,
+           |  CAST(floor((1000000.0::DOUBLE) * (sum(n_docs * max_tokens) - sum(sum_tokens))
+           |    / greatest(sum(n_docs * max_tokens), 1)) AS BIGINT) AS pad_ppm
+           |FROM pb GROUP BY policy ORDER BY policy""".stripMargin,
+
+      // the dataset card: six instrument legs unioned long-format — each
+      // leg mirrors its standalone oracle (quality mean, gini, diversity,
+      // lorenz decile 1) over one corpus snapshot
+      "e2e_dataset_card" -> {
+        val enWords = operators.TextAnalysis.stopwords.head._2
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH base AS (SELECT source, count(*)::BIGINT AS n_docs,
+           |    sum(($wordCnt))::BIGINT AS ws_tokens,
+           |    sum(CAST(floor((10000.0::DOUBLE) *
+           |      least(1.0::DOUBLE, (($wordCnt)::DOUBLE) / (200.0::DOUBLE)) *
+           |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
+           |        (4.0::DOUBLE) * len(list_filter($toks, tq -> tq IN ($enWords)))
+           |        / greatest(($wordCnt), 1))) + 0.5) AS BIGINT))::BIGINT AS sq
+           |  FROM documents GROUP BY source),
+           |tokw AS (SELECT source, unnest($toks) AS w FROM documents),
+           |gg AS (SELECT source, w, count(*)::BIGINT AS cnt FROM tokw
+           |  WHERE w <> '' GROUP BY source, w),
+           |gr AS (SELECT source, sum(cnt)::BIGINT AS n_tokens,
+           |    sum(cnt*cnt)::BIGINT AS s2 FROM gg GROUP BY source),
+           |gini AS (SELECT source,
+           |    CAST(floor((1000000.0::DOUBLE) * (n_tokens*n_tokens - s2)::DOUBLE
+           |      / (n_tokens*n_tokens)::DOUBLE + 0.5) AS BIGINT) AS v FROM gr),
+           |td AS (SELECT source, $toks AS toks FROM documents),
+           |ts AS (SELECT source, unnest($shinglesOf) AS sh FROM td),
+           |tg AS (SELECT source, ${poly("sh")} AS h, count(*)::BIGINT AS cnt
+           |  FROM ts GROUP BY 1, 2),
+           |dv AS (SELECT source, CAST(floor((1000000.0::DOUBLE) * count(*)
+           |    / greatest(sum(cnt), 1) + 0.5) AS BIGINT) AS v FROM tg GROUP BY source),
+           |lbase AS (SELECT source, doc_id, ($wordCnt)::BIGINT AS tok FROM documents),
+           |lr AS (SELECT source, tok,
+           |    row_number() OVER (PARTITION BY source ORDER BY tok DESC, doc_id)::BIGINT AS rn,
+           |    sum(tok) OVER (PARTITION BY source ORDER BY tok DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+           |  FROM lbase),
+           |lt AS (SELECT source, count(*)::BIGINT AS n_docs,
+           |    sum(tok)::BIGINT AS total FROM lbase GROUP BY source),
+           |lor AS (SELECT lt.source AS source,
+           |    CAST(floor((1000000.0::DOUBLE) * lr.cum
+           |      / greatest(lt.total, 1)) AS BIGINT) AS v
+           |  FROM lt JOIN lr ON lr.source = lt.source
+           |    AND lr.rn = ((lt.n_docs + 9) // 10))
+           |SELECT source, metric, value FROM (
+           |  SELECT source, 'n_docs' AS metric, n_docs AS value FROM base
+           |  UNION ALL SELECT source, 'ws_tokens', ws_tokens FROM base
+           |  UNION ALL SELECT source, 'mean_quality_x10000',
+           |    CAST(floor(sq::DOUBLE / n_docs) AS BIGINT) FROM base
+           |  UNION ALL SELECT source, 'gini_ppm', v FROM gini
+           |  UNION ALL SELECT source, 'ngram_diversity_ppm', v FROM dv
+           |  UNION ALL SELECT source, 'top_decile_share_ppm', v FROM lor)
+           |ORDER BY source, metric""".stripMargin
+      },
+
+      // per-source Lorenz deciles: rank docs by whitespace-token count
+      // desc (ties by doc_id), report cumulative token share at each
+      // docs-decile boundary rank ceil(d*n/10)
+      "mix_lorenz" ->
+        s"""WITH base AS (SELECT source, doc_id, ($wordCnt)::BIGINT AS tok FROM documents),
+           |r AS (SELECT source, doc_id, tok,
+           |    row_number() OVER (PARTITION BY source ORDER BY tok DESC, doc_id)::BIGINT AS rn,
+           |    sum(tok) OVER (PARTITION BY source ORDER BY tok DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+           |  FROM base),
+           |tg AS (SELECT source, count(*)::BIGINT AS n_docs,
+           |    sum(tok)::BIGINT AS total_tokens FROM base GROUP BY source),
+           |d AS (SELECT source, n_docs, total_tokens, unnest(range(1, 11)) AS decile FROM tg),
+           |t AS (SELECT source, decile::BIGINT AS decile,
+           |    ((decile * n_docs + 9) // 10)::BIGINT AS rn, total_tokens FROM d)
+           |SELECT t.source AS source, decile, t.rn AS docs_rank, cum_tokens,
+           |  t.total_tokens AS total_tokens,
+           |  CAST(floor((1000000.0::DOUBLE) * cum_tokens
+           |    / greatest(t.total_tokens, 1)) AS BIGINT) AS cum_share_ppm
+           |FROM t JOIN r ON r.source = t.source AND r.rn = t.rn
+           |ORDER BY source, decile""".stripMargin,
 
       "mix_sample_k" ->
         s"""SELECT doc_id, source, lang FROM (
@@ -4713,6 +4924,84 @@ object SparkEntry {
            |  sum(cnt)::BIGINT AS total_ngrams,
            |  CAST(floor((1000000.0::DOUBLE) * count(*) / greatest(sum(cnt), 1) + 0.5) AS BIGINT) AS diversity_ppm
            |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+      // per-source unigram Gini impurity 1 - Σc²/N², ppm — exact int64
+      // factors through one IEEE double division
+      "ta_gini" ->
+        s"""WITH tok AS (SELECT source, unnest($toks) AS w FROM documents),
+           |g AS (SELECT source, w, count(*)::BIGINT AS cnt FROM tok
+           |  WHERE w <> '' GROUP BY source, w),
+           |r AS (SELECT source, count(*)::BIGINT AS n_terms,
+           |    sum(cnt)::BIGINT AS n_tokens, sum(cnt*cnt)::BIGINT AS s2
+           |  FROM g GROUP BY source)
+           |SELECT source, n_terms, n_tokens,
+           |  CAST(floor((1000000.0::DOUBLE) * (n_tokens*n_tokens - s2)::DOUBLE
+           |    / (n_tokens*n_tokens)::DOUBLE + 0.5) AS BIGINT) AS gini_ppm
+           |FROM r ORDER BY source""".stripMargin,
+
+      // rank-frequency at power-of-two ranks over the top-1024 vocabulary
+      "ta_zipf" ->
+        s"""WITH tok AS (SELECT unnest($toks) AS w FROM documents),
+           |v AS (SELECT w, count(*)::BIGINT AS cnt FROM tok WHERE w <> '' GROUP BY w),
+           |top AS (SELECT w, cnt FROM v ORDER BY cnt DESC, w LIMIT 1024),
+           |r AS (SELECT w, cnt,
+           |    row_number() OVER (ORDER BY cnt DESC, w)::BIGINT AS rank FROM top),
+           |t1 AS (SELECT cnt AS top_cnt FROM r WHERE rank = 1)
+           |SELECT rank, w AS term, cnt,
+           |  CAST(floor((1000000.0::DOUBLE) * cnt / top_cnt) AS BIGINT) AS ratio_ppm
+           |FROM r CROSS JOIN t1
+           |WHERE rank IN (1,2,4,8,16,32,64,128,256,512,1024)
+           |ORDER BY rank""".stripMargin,
+
+      // WordPiece-style substring vocabulary: substrings (len <= 4) of
+      // distinct words scored by corpus word frequency, top-200 with the
+      // (cnt DESC, term) tie-break
+      "ta_wordpiece_vocab" ->
+        s"""WITH t AS (SELECT $toks AS toks FROM documents),
+           |tok AS (SELECT unnest(toks) AS w FROM t),
+           |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok WHERE w <> '' GROUP BY w),
+           |subs AS (SELECT unnest(flatten(list_transform(range(1, len(w)+1),
+           |    s -> list_transform(range(1, least(4, len(w)-s+1)+1),
+           |      l -> substr(w, s, l))))) AS term, freq FROM words)
+           |SELECT term, cnt FROM (SELECT term, sum(freq)::BIGINT AS cnt
+           |  FROM subs GROUP BY term ORDER BY cnt DESC, term LIMIT 200)
+           |ORDER BY term""".stripMargin,
+
+      // greedy longest-match segmentation of each DISTINCT word against
+      // that vocabulary (recursive CTE: advance by the longest matching
+      // piece, else 1 unknown char), then bill the corpus through the
+      // (source, word) count join — fertility per source
+      "ta_wordpiece_fertility" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT source, $toks AS toks FROM documents),
+           |tok AS (SELECT source, unnest(toks) AS w FROM t),
+           |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok WHERE w <> '' GROUP BY w),
+           |subs AS (SELECT unnest(flatten(list_transform(range(1, len(w)+1),
+           |    s -> list_transform(range(1, least(4, len(w)-s+1)+1),
+           |      l -> substr(w, s, l))))) AS term, freq FROM words),
+           |vocab AS (SELECT term FROM (SELECT term, sum(freq)::BIGINT AS cnt
+           |  FROM subs GROUP BY term ORDER BY cnt DESC, term LIMIT 200)),
+           |seg AS (
+           |  SELECT w, 0::BIGINT AS pos, 0::BIGINT AS pieces, 0::BIGINT AS unknowns FROM words
+           |  UNION ALL
+           |  SELECT w, pos + coalesce(m, 1), pieces + 1,
+           |    unknowns + (CASE WHEN m IS NULL THEN 1 ELSE 0 END)
+           |  FROM (SELECT w, pos, pieces, unknowns,
+           |      (SELECT max(len(v.term))::BIGINT FROM vocab v
+           |        WHERE len(v.term) <= len(w) - pos
+           |          AND v.term = substr(w, pos+1, len(v.term))) AS m
+           |    FROM seg WHERE pos < len(w))),
+           |pieces AS (SELECT w, pieces, unknowns FROM seg WHERE pos >= len(w)),
+           |sw AS (SELECT source, w, count(*)::BIGINT AS freq FROM tok
+           |  WHERE w <> '' GROUP BY source, w)
+           |SELECT source, sum(freq)::BIGINT AS total_words,
+           |  sum(freq*pieces)::BIGINT AS total_pieces,
+           |  sum(freq*unknowns)::BIGINT AS total_unknowns,
+           |  CAST(floor((10000.0::DOUBLE) * sum(freq*pieces)
+           |    / greatest(sum(freq), 1)) AS BIGINT) AS fertility_x10000,
+           |  CAST(floor((1000000.0::DOUBLE) * sum(freq*unknowns)
+           |    / greatest(sum(freq*pieces), 1)) AS BIGINT) AS oov_ppm
+           |FROM sw JOIN pieces USING (w) GROUP BY source ORDER BY source""".stripMargin,
 
       "ta_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -82,7 +82,20 @@ object Dedup {
     * its input three times — sizes + both self-join sides). */
   private[operators] def ngramJaccardPairsFromHashes(
       sh0: DataFrame, minJaccardX10000: Long,
-      docFreqCap: Option[Int] = None): DataFrame = {
+      docFreqCap: Option[Int] = None): DataFrame =
+    pairOverlaps(sh0, docFreqCap)
+      .withColumn("jaccard_x10000",
+        floor(lit(10000.0) * col("n_common") / (col("n_a") + col("n_b") - col("n_common")) + 0.5)
+          .cast("long"))
+      .where(col("jaccard_x10000") >= minJaccardX10000)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_x10000"))
+
+  /** The inverted-index overlap core shared by the exact pair scorers:
+    * (doc_a < doc_b, n_common, n_a, n_b) from a hashed shingle table
+    * (doc_id, h). Shuffles: one on `h` (the self-join), one on the pair
+    * key (the count). */
+  private[operators] def pairOverlaps(
+      sh0: DataFrame, docFreqCap: Option[Int] = None): DataFrame = {
     val sh = docFreqCap match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("h")).count().where(col("count") > cap).select(col("h"))
@@ -100,12 +113,38 @@ object Dedup {
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard_x10000",
-        floor(lit(10000.0) * col("n_common") / (col("n_a") + col("n_b") - col("n_common")) + 0.5)
-          .cast("long"))
-      .where(col("jaccard_x10000") >= minJaccardX10000)
-      .select(col("doc_a"), col("doc_b"), col("jaccard_x10000"))
   }
+
+  /** Asymmetric CONTAINMENT pairs — the sub-document-copy detector Jaccard
+    * structurally misses: a 50-shingle doc fully embedded in a 1000-shingle
+    * doc has containment |∩|/min(|A|,|B|) = 1.0 but Jaccard ≈ 0.05, under
+    * every symmetric threshold. Containment is the score for quote farms,
+    * aggregator pages, and prefix/suffix boilerplate wrapping a copied
+    * core. Emits both scores so the gap itself is the signal (high
+    * containment + low Jaccard ⇒ asymmetric copy; both high ⇒ plain
+    * near-dup), plus which side is the contained one.
+    *
+    * Same two-shuffle inverted-index core as [[ngramJaccardPairs]]
+    * ([[pairOverlaps]]) with the same `docFreqCap` hot-shingle pruning; at
+    * 100 TB the banded-minhash candidate pass runs first and this exact
+    * scorer runs on candidates only (the [[lshCandidateEval]] pipeline). */
+  def containmentPairs(docs: DataFrame, n: Int, minContainX10000: Long,
+                       docFreqCap: Option[Int] = None): DataFrame =
+    pairOverlaps(
+      shingleTable(docs, n)
+        .select(col("doc_id"), charPolyHash(col("sh")).as("h")),
+      docFreqCap)
+      .withColumn("containment_x10000",
+        floor(lit(10000.0) * col("n_common") / least(col("n_a"), col("n_b")) + 0.5)
+          .cast("long"))
+      .where(col("containment_x10000") >= minContainX10000)
+      .select(col("doc_a"), col("doc_b"),
+        col("containment_x10000"),
+        floor(lit(10000.0) * col("n_common") / (col("n_a") + col("n_b") - col("n_common")) + 0.5)
+          .cast("long").as("jaccard_x10000"),
+        when(col("n_a") < col("n_b"), col("doc_a"))
+          .when(col("n_b") < col("n_a"), col("doc_b"))
+          .otherwise(lit(-1L)).as("contained_doc"))
 
   /** Persist the near-dup pair graph as a reusable artifact (the
     * [[Similarity.buildBm25Index]] pattern): the `(doc_a, doc_b,

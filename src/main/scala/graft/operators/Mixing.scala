@@ -716,4 +716,109 @@ object Mixing {
         (least((col("seq_no") + 1L) * b, col("cum_before") + col("tok_cnt")) -
           col("seq_no") * b).as("end_tok")): _*)
   }
+
+  /** Token-concentration Lorenz deciles per source — the dataset-card
+    * inequality readout: rank each source's docs by token count descending
+    * and report, at each docs-decile, the cumulative share of the source's
+    * tokens (ppm). "The top 10% of docs hold 58% of the tokens" is the row
+    * a curation review reads before deciding length caps / chunking policy;
+    * a near-diagonal curve means uniform doc sizes, a hockey stick means a
+    * few giants dominate the source's training mass.
+    *
+    * Plan shape: one map-only projection → per-source rank + running-sum
+    * window → a 10-rows-per-source decile-target join (broadcast — the
+    * target table is |sources|×10). The window partitions by source, so
+    * sources parallelize; a single 100 TB source would be range-partitioned
+    * into blocks with per-block offsets folded in (the [[packSequences]]
+    * giant-group caveat). Exact integers; ties broken by doc_id. */
+  def lorenzDeciles(docs: DataFrame, metric: String = "ws"): DataFrame = {
+    val base = docs.select(col("source"), col("doc_id"),
+      tokenMetric(metric).as("tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tok").desc, col("doc_id"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val targets = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        explode(sequence(lit(1L), lit(10L))).as("decile"))
+      .withColumn("rn",
+        floor((col("decile") * col("n_docs") + 9L) / 10L).cast("long"))
+    ranked.join(broadcast(targets), Seq("source", "rn"))
+      .select(col("source"), col("decile"), col("rn").as("docs_rank"),
+        col("cum_tokens"), col("total_tokens"),
+        floor(lit(1000000.0) * col("cum_tokens") /
+          greatest(col("total_tokens"), lit(1L))).cast("long")
+          .as("cum_share_ppm"))
+  }
+
+  /** Batch-padding policy comparison — the compute-bill evidence behind
+    * [[lengthBucketedBatches]]: a training batch costs
+    * `batch_size × max_len_in_batch` tokens of compute, so padding waste is
+    * `Σ(n·max − Σlen)`. Three policies over the same corpus and batch size:
+    *  - `naive`   — batches formed in salted-hash order per source (what
+    *    you get with no length awareness),
+    *  - `bucketed` — power-of-two length bands first ([[lengthBucketedBatches]]'s
+    *    assignment: waste < 50% by construction),
+    *  - `sorted`  — batches in exact length order per source (the padding
+    *    lower bound; in exchange adjacent batches are length-correlated,
+    *    which is why trainers prefer the bucketed middle ground).
+    * One row per policy: batches, useful tokens, billed token cost,
+    * `pad_ppm`. Every window is partitioned (band / source) — nothing
+    * global; each policy is one window + two hash aggs over the same
+    * map-only projection. */
+  def batchPaddingReport(docs: DataFrame, batchSize: Int = 8,
+                         metric: String = "bpe"): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val base = docs.select(col("doc_id"), col("source"),
+        tokenMetric(metric).as("tok_cnt"))
+      .where(col("tok_cnt") > 0)
+      .withColumn("band", length(bin(col("tok_cnt"))).cast("long"))
+      .withColumn("hk",
+        charPolyHash(concat(lit("batch:"), col("doc_id").cast("string"))))
+    def policy(name: String, part: Column, ord: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(part).orderBy(ord: _*)
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_no", expr(s"(rn - 1) DIV $batchSize"))
+        .groupBy(part.as("g"), col("batch_no"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("tok_cnt")).as("max_tokens"),
+          sum(col("tok_cnt")).as("sum_tokens"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("sum_tokens")).as("useful_tokens"),
+          sum(col("n_docs") * col("max_tokens")).as("token_cost"))
+        .select(lit(name).as("policy"), col("n_batches"),
+          col("useful_tokens"), col("token_cost"),
+          floor(lit(1000000.0) * (col("token_cost") - col("useful_tokens")) /
+            greatest(col("token_cost"), lit(1L))).cast("long").as("pad_ppm"))
+    }
+    policy("bucketed", col("band"), Seq(col("hk"), col("doc_id")))
+      .unionByName(policy("naive", col("source"), Seq(col("hk"), col("doc_id"))))
+      .unionByName(policy("sorted", col("source"),
+        Seq(col("tok_cnt"), col("doc_id"))))
+  }
+
+  /** Shard-balance audit over [[withShard]]'s assignment — the one-row
+    * verdict an operator reads before a 100 TB shard-out: max/min/mean
+    * tokens per shard and the skew ratio (max/mean, ppm; 1,000,000 =
+    * perfectly balanced). Hash sharding is balanced in EXPECTATION — this
+    * measures the realized spread, which is what decides whether the
+    * trailing shard stalls a training-data write (the straggler bound is
+    * the max shard, not the mean). Two hash aggs, output is one row. */
+  def shardSkew(docs: DataFrame, numShards: Int,
+                metric: String = "ws"): DataFrame =
+    shardSummary(docs, numShards, metric)
+      .agg(count(lit(1)).as("n_shards"),
+        min(col("n_docs")).as("min_docs"), max(col("n_docs")).as("max_docs"),
+        min(col("shard_tokens")).as("min_tokens"),
+        max(col("shard_tokens")).as("max_tokens"),
+        sum(col("shard_tokens")).as("total_tokens"))
+      .select(col("n_shards"), col("min_docs"), col("max_docs"),
+        col("min_tokens"), col("max_tokens"), col("total_tokens"),
+        floor(lit(1000000.0) * col("max_tokens") * col("n_shards") /
+          greatest(col("total_tokens"), lit(1L))).cast("long")
+          .as("skew_ppm"))
 }

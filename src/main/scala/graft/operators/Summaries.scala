@@ -226,4 +226,37 @@ object Summaries {
       .withColumn("pct", element_at(array(pcts.map(p => lit(p.toLong)): _*),
         col("i") + 1))
       .select(col("source"), col("pct"), col("approx_value"))
+
+  /** The dataset card as ONE long-format query: per source,
+    * `(source, metric, value)` rows for the instruments a curation review
+    * reads side by side — volume (docs, whitespace tokens), mean quality,
+    * token-mass concentration ([[TextAnalysis.tokenGini]]), n-gram
+    * type–token diversity ([[TextAnalysis.ngramDiversity]]), and the
+    * top-decile token share ([[Mixing.lorenzDeciles]] at decile 1). Long
+    * format so adding an instrument is a union leg, not a schema change —
+    * the artifact a 100 TB snapshot publishes next to its data.
+    *
+    * Each leg is an independently-verified operator (every one also runs
+    * under its own oracle-checked query); the card is their union over one
+    * corpus snapshot. The parquet scan is read once per leg — column-pruned
+    * to (source, text) each time — and every leg is map-only + one agg. */
+  def datasetCard(docs: DataFrame, ngramN: Int = 3): DataFrame = {
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(wordCount(col("text")).cast("long")).as("ws_tokens"),
+      sum(TextAnalysis.qualityX10000Col).as("sq"))
+    def leg(from: DataFrame, metric: String, v: Column): DataFrame =
+      from.select(col("source"), lit(metric).as("metric"), v.as("value"))
+    leg(base, "n_docs", col("n_docs"))
+      .unionByName(leg(base, "ws_tokens", col("ws_tokens")))
+      .unionByName(leg(base, "mean_quality_x10000",
+        floor(col("sq").cast("double") / col("n_docs")).cast("long")))
+      .unionByName(leg(TextAnalysis.tokenGini(docs), "gini_ppm",
+        col("gini_ppm")))
+      .unionByName(leg(TextAnalysis.ngramDiversity(docs, ngramN),
+        "ngram_diversity_ppm", col("diversity_ppm")))
+      .unionByName(leg(Mixing.lorenzDeciles(docs, "ws")
+          .where(col("decile") === 1L),
+        "top_decile_share_ppm", col("cum_share_ppm")))
+  }
 }

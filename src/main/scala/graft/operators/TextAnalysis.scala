@@ -970,4 +970,168 @@ object TextAnalysis {
             col("n_shingles")).cast("long"))
           .as("novelty_x1e6"))
   }
+
+  /** Per-source unigram Gini impurity — the token-distribution
+    * CONCENTRATION signal ([[ngramDiversity]] measures type–token breadth;
+    * this measures how evenly the mass spreads over the types): `1 − Σc²/N²`
+    * over per-source token counts, ×1e6. A templated source whose tokens
+    * concentrate on a few terms scores low even when its type count looks
+    * healthy — the entropy-style signal computed with pure rational
+    * arithmetic (no libm `log`, whose last-ulp rounding differs across
+    * engines; both factors are exact int64 ratios pushed through one IEEE
+    * double division, bit-identical cross-engine).
+    *
+    * Plan shape: direct explode → (source, term) map-side-combinable hash
+    * agg → per-source rollup of (types, N, Σc²). Exact int64 up to ~3×10⁹
+    * tokens per source (N² headroom); past that the rollup switches its
+    * squares to doubles — the ORDERING the gate reads is unaffected. */
+  def tokenGini(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        floor(lit(1000000.0) *
+            (col("n_tokens") * col("n_tokens") - col("s2")).cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double") + 0.5)
+          .cast("long").as("gini_ppm"))
+
+  /** Rank–frequency readout at power-of-two ranks (1, 2, 4, … 2^maxExp) —
+    * the Zipf-naturalness instrument: natural language shows freq ∝ 1/rank
+    * (the log-spaced readout makes the slope readable from a dozen rows);
+    * machine-generated or templated corpora flatten or cliff. `ratio_ppm`
+    * is each rank's frequency relative to rank 1 — on a Zipfian corpus it
+    * halves per row.
+    *
+    * Plan shape: explode → vocab hash agg → TakeOrderedAndProject top-2^maxExp
+    * (per-partition heaps + a driver merge, no global sort) → the rank
+    * window runs over that k-row result only. Exact integers throughout. */
+  def zipfRanks(docs: DataFrame, maxExp: Int = 10): DataFrame = {
+    require(maxExp >= 0 && maxExp <= 20, "maxExp out of range")
+    val k = 1 << maxExp
+    val top = docs.select(explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(k)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+    val powers = (0 to maxExp).map(e => 1L << e)
+    val top1 = ranked.where(col("rank") === 1L)
+      .select(col("cnt").as("top_cnt"))
+    ranked.where(col("rank").isin(powers: _*))
+      .crossJoin(broadcast(top1))
+      .select(col("rank"), col("w").as("term"), col("cnt"),
+        floor(lit(1000000.0) * col("cnt") / col("top_cnt")).cast("long")
+          .as("ratio_ppm"))
+  }
+
+  /** WordPiece-style substring vocabulary — the OTHER tokenizer-training
+    * family next to [[bpeTrain]]'s merge learning: score every substring
+    * (length ≤ `maxPieceLen`) of every distinct word by the total corpus
+    * occurrences of words containing it, keep the top `k` (ties
+    * lexicographic). This is the frequency-scored single-pass construction
+    * (the published WordPiece/unigram trainers iterate a likelihood on top;
+    * the candidate generation and corpus accounting are exactly this).
+    *
+    * Plan shape: ONE corpus-sized explode → word-frequency hash agg (the
+    * only corpus shuffle — the [[bpePairCounts]] posture); the substring
+    * explode is bounded by |word|·maxPieceLen rows per DISTINCT word, then
+    * a vocab-bounded hash agg and a TakeOrderedAndProject top-k. */
+  def wordpieceVocab(docs: DataFrame, k: Int, maxPieceLen: Int = 4): DataFrame = {
+    require(k >= 1 && maxPieceLen >= 1, "k and maxPieceLen must be positive")
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("s"))
+      .select(col("w"), col("freq"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("s") + 1))).as("l"))
+      .select(col("w").substr(col("s"), col("l")).as("term"), col("freq"))
+      .groupBy(col("term")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+  }
+
+  /** Greedy longest-match piece counts per DISTINCT word against a
+    * [[wordpieceVocab]] vocabulary — WordPiece inference: at each position
+    * take the longest vocab piece (≤ `maxPieceLen`) prefixing the
+    * remainder, else bill one unknown character and advance 1. Returns
+    * (w, pieces).
+    *
+    * The loop runs on the distinct-word table ONLY (the corpus never
+    * re-enters): each round explodes ≤ maxPieceLen candidate prefixes per
+    * still-active word, resolves them against the broadcast vocabulary, and
+    * advances every active word at least one character — so rounds ≤ the
+    * longest word (computed once, the only extra action), each round
+    * checkpointed ([[bpeTrain]]'s lineage discipline). Deterministic:
+    * greedy + an exact tie-free vocabulary. */
+  def wordpieceSegmentWords(words0: DataFrame, vocab: DataFrame,
+                            maxPieceLen: Int = 4): DataFrame = {
+    val terms = vocab.select(col("term"))
+    val maxLen = Option(words0.agg(max(length(col("w")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    var state = words0.select(col("w"), lit(0L).as("pos"),
+        lit(0L).as("pieces"), lit(0L).as("unknowns"))
+      .localCheckpoint()
+    for (_ <- 1 to maxLen) {
+      val active = state.where(col("pos") < length(col("w")))
+      val matched = active
+        .select(col("w"), col("pos"), col("pieces"), col("unknowns"),
+          explode(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("w")) - col("pos")))).as("l"))
+        .select(col("w"), col("pos"), col("pieces"), col("unknowns"), col("l"),
+          col("w").substr((col("pos") + 1L).cast("int"), col("l")).as("piece"))
+        .join(broadcast(terms), col("piece") === col("term"))
+        .groupBy(col("w"), col("pos"), col("pieces"), col("unknowns"))
+        .agg(max(col("l")).cast("long").as("step"))
+      val stepped = active
+        .join(matched, Seq("w", "pos", "pieces", "unknowns"), "left")
+        .select(col("w"), (col("pos") + coalesce(col("step"), lit(1L))).as("pos"),
+          (col("pieces") + 1L).as("pieces"),
+          (col("unknowns") +
+            when(col("step").isNull, 1L).otherwise(0L)).as("unknowns"))
+      state = stepped
+        .unionByName(state.where(col("pos") >= length(col("w"))))
+        .localCheckpoint()
+    }
+    state.select(col("w"), col("pieces"), col("unknowns"))
+  }
+
+  /** Tokenizer fertility per source under the WordPiece greedy segmenter —
+    * the [[bpeFertility]] twin for the substring-vocabulary family, and the
+    * A/B a tokenizer bake-off reads: pieces billed per whitespace word
+    * (×10000) per source, for the same corpus under two tokenizer designs.
+    *
+    * The segmentation loop runs on distinct words ([[wordpieceSegmentWords]]);
+    * the corpus is billed through a (source, word)-count join against that
+    * vocab-bounded piece table — the "segment the vocab, bill the corpus"
+    * posture that never re-segments an occurrence. */
+  def wordpieceFertility(docs: DataFrame, k: Int = 200,
+                         maxPieceLen: Int = 4): DataFrame = {
+    val srcWords = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // consumed twice: distinct words + the billing join
+    val words = srcWords.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+    val vocab = wordpieceVocab(docs, k, maxPieceLen)
+    val pieces = wordpieceSegmentWords(words.select(col("w")), vocab, maxPieceLen)
+    srcWords.join(pieces, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("total_words"),
+        sum(col("freq") * col("pieces")).as("total_pieces"),
+        sum(col("freq") * col("unknowns")).as("total_unknowns"))
+      .withColumn("fertility_x10000",
+        floor(lit(10000.0) * col("total_pieces") /
+          greatest(col("total_words"), lit(1L))).cast("long"))
+      // tokenizer COVERAGE: fraction of billed pieces that fell through the
+      // vocabulary to the unknown-char fallback — the OOV-rate column a
+      // vocab-size decision reads (too-small k shows up here first)
+      .withColumn("oov_ppm",
+        floor(lit(1000000.0) * col("total_unknowns") /
+          greatest(col("total_pieces"), lit(1L))).cast("long"))
+  }
 }

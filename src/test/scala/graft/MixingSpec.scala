@@ -498,4 +498,51 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String, Long, Long, Long)].collect().toSeq
     assert(again.sortBy(_._1) == got.sortBy(_._1))
   }
+
+  test("lorenzDeciles: exact decile boundaries, monotone shares, top-decile = 1e6") {
+    // one source, token counts 10/5/3/2 (desc) ⇒ cum 10,15,18,20 of 20
+    val docs = docsDF(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "),
+      2L -> (1 to 5).map(i => s"u$i").mkString(" "),
+      3L -> "v1 v2 v3",
+      4L -> "x1 x2")
+    val got = Mixing.lorenzDeciles(docs, metric = "ws")
+      .orderBy("decile")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 10)
+    // decile d reads rank ceil(d·4/10): 1,1,2,2,2,3,3,4,4,4
+    assert(got.map(_._3) == Seq(1L, 1L, 2L, 2L, 2L, 3L, 3L, 4L, 4L, 4L))
+    assert(got.map(_._4) == Seq(10L, 10L, 15L, 15L, 15L, 18L, 18L, 20L, 20L, 20L))
+    assert(got.head._6 == 500000L) // top quarter of docs holds half the tokens
+    assert(got.last._6 == 1000000L)
+    assert(got.map(_._6) == got.map(_._6).sorted) // Lorenz curve is monotone
+  }
+
+  test("batchPaddingReport: same useful tokens per policy, sorted beats naive") {
+    // one source, token counts 1..32: sorted batching is the padding
+    // optimum for a single source; naive (hash order) pays for the spread
+    val docs = docsDF((1L to 32L).map(i => i -> ("w " * i.toInt).trim): _*)
+    val got = Mixing.batchPaddingReport(docs, batchSize = 4, metric = "ws")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("bucketed", "naive", "sorted"))
+    val useful = got.values.map(_._3).toSet
+    assert(useful == Set((1L to 32L).sum)) // no policy loses a token
+    got.values.foreach { case (_, nb, u, cost, ppm) =>
+      assert(nb >= 8L && cost >= u)
+      assert(ppm == math.floor(1000000.0 * (cost - u) / cost).toLong)
+    }
+    assert(got("sorted")._5 <= got("naive")._5)
+  }
+
+  test("shardSkew: one-row verdict with exact totals and the max/mean ratio") {
+    val docs = docsDF((1L to 40L).map(i =>
+      i -> (1 to 5).map(j => s"w${i}_$j").mkString(" ")): _*)
+    val Seq((nSh, minD, maxD, minT, maxT, totT, skew)) =
+      Mixing.shardSkew(docs, numShards = 4, metric = "ws")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(nSh == 4L && totT == 200L)
+    assert(minD <= maxD && minT <= maxT && maxT <= totT)
+    assert(skew == math.floor(1000000.0 * maxT * nSh / totT).toLong)
+    assert(skew >= 1000000L) // max ≥ mean always
+  }
 }

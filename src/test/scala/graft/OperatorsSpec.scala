@@ -1942,4 +1942,107 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       assert(ppm == math.floor(1000000.0 * distinct / math.max(total, 1L) + 0.5).toLong)
     }
   }
+
+  test("tokenGini: degenerate source scores 0, uniform source 1 - 1/k") {
+    val docs = Seq(
+      (1L, "same same same same same same same same", "degen"),
+      (2L, "aa bb cc dd aa bb cc dd", "uniform"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.tokenGini(docs)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("degen") == (("degen", 1L, 8L, 0L)))
+    // 4 types × 2 each over 8 tokens: 1 − 4·4/64 = 0.75
+    assert(got("uniform") == (("uniform", 4L, 8L, 750000L)))
+  }
+
+  test("zipfRanks: power-of-two ranks only, exact counts, rank-1 ratio 1e6") {
+    // counts: alpha 8, beta 4, gamma 2, delta 1 — a perfect Zipf-by-octave
+    val text = (Seq.fill(8)("alpha") ++ Seq.fill(4)("beta") ++
+      Seq.fill(2)("gamma") ++ Seq("delta")).mkString(" ")
+    val got = TextAnalysis.zipfRanks(docsDF(1L -> text), maxExp = 2)
+      .orderBy("rank").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "alpha", 8L, 1000000L),
+      (2L, "beta", 4L, 500000L), (4L, "delta", 1L, 125000L)))
+  }
+
+  test("wordpieceVocab counts substring occurrences weighted by word frequency") {
+    // corpus: "abab" ×2, "ab" ×1 ⇒ cnt(a)=cnt(ab)=cnt(b)=2·2+1=5,
+    // cnt(aba)=cnt(bab)=cnt(ba)=cnt(abab)=2
+    val got = TextAnalysis.wordpieceVocab(
+        docsDF(1L -> "abab ab", 2L -> "abab"), k = 3, maxPieceLen = 4)
+      .as[(String, Long)].collect().toSeq
+    // top-3 with the (cnt DESC, term) tie-break
+    assert(got == Seq(("a", 5L), ("ab", 5L), ("b", 5L)))
+  }
+
+  test("wordpieceSegmentWords: greedy longest match, unknown chars bill 1 each") {
+    val vocab = Seq("ab", "abc", "d").toDF("term")
+      .withColumn("cnt", lit(1L))
+    val words = Seq("abcd", "abe", "zz", "d").toDF("w")
+    val got = TextAnalysis.wordpieceSegmentWords(words, vocab, maxPieceLen = 4)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "abcd" -> ((2L, 0L)), // abc + d (longest-first beats ab+?)
+      "abe" -> ((2L, 1L)),  // ab + unknown e
+      "zz" -> ((2L, 2L)),   // two unknown chars
+      "d" -> ((1L, 0L))))
+  }
+
+  test("wordpieceFertility bills every word and stays >= 1 piece per word") {
+    val docs = Seq((1L, "abab ab cd", "s1"), (2L, "abab zz", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.wordpieceFertility(docs, k = 50, maxPieceLen = 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1")._2 == 3L && got("s2")._2 == 2L) // total_words complete
+    got.values.foreach { case (_, words, pieces, unk, f, oov) =>
+      assert(pieces >= words)           // ≥ 1 piece per word
+      assert(unk >= 0L && unk <= pieces)
+      assert(f == math.floor(10000.0 * pieces / words).toLong)
+      assert(oov == math.floor(1000000.0 * unk / math.max(pieces, 1L)).toLong)
+    }
+  }
+
+  test("datasetCard legs equal their standalone operators, long format complete") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat too", "s1"),
+      (2L, "a completely different set of words here now", "s1"),
+      (3L, "same same same same same same", "s2"),
+      (4L, "one two three four five six seven eight", "s2"))
+      .toDF("doc_id", "text", "source")
+    val card = Summaries.datasetCard(docs, ngramN = 3)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(card.size == 12) // 6 metrics × 2 sources
+    assert(card(("s1", "n_docs")) == 2L && card(("s2", "n_docs")) == 2L)
+    assert(card(("s1", "ws_tokens")) == 19L && card(("s2", "ws_tokens")) == 14L)
+    // each derived leg must equal its standalone operator bit for bit
+    val gini = TextAnalysis.tokenGini(docs)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    val div = TextAnalysis.ngramDiversity(docs, 3)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    val lor = Mixing.lorenzDeciles(docs, "ws").where(col("decile") === 1L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._6).toMap
+    Seq("s1", "s2").foreach { s =>
+      assert(card((s, "gini_ppm")) == gini(s))
+      assert(card((s, "ngram_diversity_ppm")) == div(s))
+      assert(card((s, "top_decile_share_ppm")) == lor(s))
+    }
+  }
+
+  test("containmentPairs: a strict prefix scores 10000 while Jaccard reads the fraction") {
+    val full = (1 to 10).map(i => s"w$i").mkString(" ")   // 8 shingles
+    val prefix = (1 to 5).map(i => s"w$i").mkString(" ")  // 3 shingles, all shared
+    val got = Dedup.containmentPairs(
+        docsDF(1L -> full, 2L -> prefix), n = 3, minContainX10000 = 5000)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 10000L,
+      math.floor(10000.0 * 3 / 8 + 0.5).toLong, 2L)))
+    // symmetric near-dups (equal sizes) report contained_doc = -1
+    val sym = Dedup.containmentPairs(
+        docsDF(3L -> full, 4L -> full), n = 3, minContainX10000 = 5000)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sym == Seq((3L, 4L, 10000L, 10000L, -1L)))
+  }
 }

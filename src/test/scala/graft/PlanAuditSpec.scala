@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ta_train_lsq_score" -> "one-row trained model rides along broadcast",
     "ta_train_lsq_eval" -> "one-row trained model rides along broadcast",
     "ta_train_stump" -> "one-row totals + one-row best-threshold broadcasts",
-    "layout_zorder" -> "one-row dim min/max + 2-row literal box table ride along broadcast")
+    "layout_zorder" -> "one-row dim min/max + 2-row literal box table ride along broadcast",
+    "ta_zipf" -> "one-row rank-1 frequency rides along broadcast")
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -109,6 +110,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(scans == 1, s"expected 1 corpus scan, found $scans:\n$plan")
     assert(!plan.contains("Join"),
       s"fertility must not join the corpus back to itself on doc_id:\n$plan")
+  }
+
+  test("zipfRanks tops-k via TakeOrderedAndProject — no global sort of the vocab") {
+    val plan = operators.TextAnalysis.zipfRanks(
+      Tables.documents(spark, sfDir), maxExp = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k must be per-partition heaps + driver merge:\n$plan")
+  }
+
+  test("lorenzDeciles windows are source-partitioned — no single-partition exchange") {
+    val plan = operators.Mixing.lorenzDeciles(
+      Tables.documents(spark, sfDir), metric = "ws")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"per-source ranking must not serialize the corpus:\n$plan")
   }
 
   test("priorityReturns executes the EXISTS as a LEFT SEMI join (no " +
