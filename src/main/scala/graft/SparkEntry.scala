@@ -1040,6 +1040,33 @@ object SparkEntry {
       operators.TextAnalysis.wordpieceFertility(Tables.documents(s, d), 200, 4)
         .orderBy(col("source"))),
 
+    // the persisted-vocab lifecycle: train the WordPiece vocabulary, write
+    // it as a parquet artifact, reload, and bill the corpus from the loaded
+    // copy — the round trip must not change a single count
+    "ta_wordpiece_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = stagedDir("wpvocab", d, "k200l4", fresh = true)
+      operators.TextAnalysis.saveWordpieceVocab(
+        operators.TextAnalysis.wordpieceVocab(docs, 200, 4), dir)
+      operators.TextAnalysis.wordpieceFertilityFrom(docs,
+          operators.TextAnalysis.loadWordpieceVocab(s, dir), 4)
+        .orderBy(col("source"))
+    }),
+
+    // incremental containment maintenance: the prefix-copy batch probes the
+    // persisted shingle index of the original corpus — equals the batch run
+    // restricted to new-member pairs, at O(new x collisions) cost
+    "dedup_containment_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = operators.Dedup.shingleTable(
+          docs.select(col("doc_id"), col("text")), cfg.ngramN)
+        .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+      val newDocs = plantedPrefixCopies(docs).where(col("doc_id") >= 1000000L)
+      operators.Dedup.containmentPairsIncremental(existing, newDocs,
+          cfg.ngramN, minContainX10000 = 8000)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // lake compaction plan over a manifest proxy (dir = source, file =
     // zero-padded doc id, bytes = n_chars): greedy contiguous byte-budget
     // groups per directory
@@ -1981,6 +2008,42 @@ object SparkEntry {
     def poly(e: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
         s"c -> unicode(c)::BIGINT)), (a, b) -> (a*31 + b) % 1000000007)"
+    // WordPiece fertility replay (vocab build + greedy longest-match as a
+    // recursive CTE + the (source, word) billing join) — shared verbatim by
+    // `ta_wordpiece_fertility` and `ta_wordpiece_artifact` (the parquet
+    // vocab round trip must not change a count)
+    val wpFertilitySql =
+      s"""WITH RECURSIVE
+         |t AS (SELECT source, $toks AS toks FROM documents),
+         |tok AS (SELECT source, unnest(toks) AS w FROM t),
+         |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok WHERE w <> '' GROUP BY w),
+         |subs AS (SELECT unnest(flatten(list_transform(range(1, len(w)+1),
+         |    s -> list_transform(range(1, least(4, len(w)-s+1)+1),
+         |      l -> substr(w, s, l))))) AS term, freq FROM words),
+         |vocab AS (SELECT term FROM (SELECT term, sum(freq)::BIGINT AS cnt
+         |  FROM subs GROUP BY term ORDER BY cnt DESC, term LIMIT 200)),
+         |seg AS (
+         |  SELECT w, 0::BIGINT AS pos, 0::BIGINT AS pieces, 0::BIGINT AS unknowns FROM words
+         |  UNION ALL
+         |  SELECT w, pos + coalesce(m, 1), pieces + 1,
+         |    unknowns + (CASE WHEN m IS NULL THEN 1 ELSE 0 END)
+         |  FROM (SELECT w, pos, pieces, unknowns,
+         |      (SELECT max(len(v.term))::BIGINT FROM vocab v
+         |        WHERE len(v.term) <= len(w) - pos
+         |          AND v.term = substr(w, pos+1, len(v.term))) AS m
+         |    FROM seg WHERE pos < len(w))),
+         |pieces AS (SELECT w, pieces, unknowns FROM seg WHERE pos >= len(w)),
+         |sw AS (SELECT source, w, count(*)::BIGINT AS freq FROM tok
+         |  WHERE w <> '' GROUP BY source, w)
+         |SELECT source, sum(freq)::BIGINT AS total_words,
+         |  sum(freq*pieces)::BIGINT AS total_pieces,
+         |  sum(freq*unknowns)::BIGINT AS total_unknowns,
+         |  CAST(floor((10000.0::DOUBLE) * sum(freq*pieces)
+         |    / greatest(sum(freq), 1)) AS BIGINT) AS fertility_x10000,
+         |  CAST(floor((1000000.0::DOUBLE) * sum(freq*unknowns)
+         |    / greatest(sum(freq*pieces), 1)) AS BIGINT) AS oov_ppm
+         |FROM sw JOIN pieces USING (w) GROUP BY source ORDER BY source""".stripMargin
+
     // teacher label for the trainable-classifier family (mirrors
     // Classifier.qualityLabel at the default 2000 threshold)
     val labelY = {
@@ -3053,6 +3116,33 @@ object SparkEntry {
            |  JOIN sizes nb ON nb.doc_id = doc_b)
            |SELECT doc_a, doc_b, containment_x10000, jaccard_x10000, contained_doc
            |FROM sc WHERE containment_x10000 >= 8000 ORDER BY doc_a, doc_b""".stripMargin,
+
+      // the batch containment oracle restricted to pairs with a planted
+      // (>= 1000000) member — exactly what the incremental index probe
+      // must produce
+      "dedup_containment_incr" ->
+        s"""WITH d0 AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |    array_to_string(($toks)[1:((len($toks) * (4 + (doc_id // 4) % 6)) // 10)], ' ') AS text
+           |  FROM documents WHERE doc_id % 4 = 0 AND len($toks) >= 20),
+           |t AS (SELECT doc_id, $toks AS toks FROM d0),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sc AS (SELECT doc_a, doc_b,
+           |    CAST(floor((10000.0::DOUBLE) * n_common / least(na.n_sh, nb.n_sh) + 0.5) AS BIGINT) AS containment_x10000,
+           |    CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000,
+           |    (CASE WHEN na.n_sh < nb.n_sh THEN doc_a
+           |      WHEN nb.n_sh < na.n_sh THEN doc_b ELSE -1 END)::BIGINT AS contained_doc
+           |  FROM common JOIN sizes na ON na.doc_id = doc_a
+           |  JOIN sizes nb ON nb.doc_id = doc_b)
+           |SELECT doc_a, doc_b, containment_x10000, jaccard_x10000, contained_doc
+           |FROM sc WHERE containment_x10000 >= 8000
+           |  AND (doc_a >= 1000000 OR doc_b >= 1000000)
+           |ORDER BY doc_a, doc_b""".stripMargin,
 
       // the batch minhash oracle restricted to pairs with a >= 400 member —
       // exactly what the incremental index probe must produce
@@ -4939,17 +5029,23 @@ object SparkEntry {
            |    / (n_tokens*n_tokens)::DOUBLE + 0.5) AS BIGINT) AS gini_ppm
            |FROM r ORDER BY source""".stripMargin,
 
-      // rank-frequency at power-of-two ranks over the top-1024 vocabulary
+      // rank-frequency at power-of-two ranks over the top-1024 vocabulary,
+      // plus the cumulative-coverage vocab-sizing curve
       "ta_zipf" ->
         s"""WITH tok AS (SELECT unnest($toks) AS w FROM documents),
            |v AS (SELECT w, count(*)::BIGINT AS cnt FROM tok WHERE w <> '' GROUP BY w),
            |top AS (SELECT w, cnt FROM v ORDER BY cnt DESC, w LIMIT 1024),
            |r AS (SELECT w, cnt,
-           |    row_number() OVER (ORDER BY cnt DESC, w)::BIGINT AS rank FROM top),
-           |t1 AS (SELECT cnt AS top_cnt FROM r WHERE rank = 1)
+           |    row_number() OVER (ORDER BY cnt DESC, w)::BIGINT AS rank,
+           |    sum(cnt) OVER (ORDER BY cnt DESC, w
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cnt
+           |  FROM top),
+           |st AS (SELECT (SELECT sum(cnt)::BIGINT FROM v) AS total_cnt,
+           |    (SELECT cnt FROM r WHERE rank = 1) AS top_cnt)
            |SELECT rank, w AS term, cnt,
-           |  CAST(floor((1000000.0::DOUBLE) * cnt / top_cnt) AS BIGINT) AS ratio_ppm
-           |FROM r CROSS JOIN t1
+           |  CAST(floor((1000000.0::DOUBLE) * cnt / top_cnt) AS BIGINT) AS ratio_ppm,
+           |  CAST(floor((1000000.0::DOUBLE) * cum_cnt / total_cnt) AS BIGINT) AS coverage_ppm
+           |FROM r CROSS JOIN st
            |WHERE rank IN (1,2,4,8,16,32,64,128,256,512,1024)
            |ORDER BY rank""".stripMargin,
 
@@ -4971,37 +5067,11 @@ object SparkEntry {
       // that vocabulary (recursive CTE: advance by the longest matching
       // piece, else 1 unknown char), then bill the corpus through the
       // (source, word) count join — fertility per source
-      "ta_wordpiece_fertility" ->
-        s"""WITH RECURSIVE
-           |t AS (SELECT source, $toks AS toks FROM documents),
-           |tok AS (SELECT source, unnest(toks) AS w FROM t),
-           |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok WHERE w <> '' GROUP BY w),
-           |subs AS (SELECT unnest(flatten(list_transform(range(1, len(w)+1),
-           |    s -> list_transform(range(1, least(4, len(w)-s+1)+1),
-           |      l -> substr(w, s, l))))) AS term, freq FROM words),
-           |vocab AS (SELECT term FROM (SELECT term, sum(freq)::BIGINT AS cnt
-           |  FROM subs GROUP BY term ORDER BY cnt DESC, term LIMIT 200)),
-           |seg AS (
-           |  SELECT w, 0::BIGINT AS pos, 0::BIGINT AS pieces, 0::BIGINT AS unknowns FROM words
-           |  UNION ALL
-           |  SELECT w, pos + coalesce(m, 1), pieces + 1,
-           |    unknowns + (CASE WHEN m IS NULL THEN 1 ELSE 0 END)
-           |  FROM (SELECT w, pos, pieces, unknowns,
-           |      (SELECT max(len(v.term))::BIGINT FROM vocab v
-           |        WHERE len(v.term) <= len(w) - pos
-           |          AND v.term = substr(w, pos+1, len(v.term))) AS m
-           |    FROM seg WHERE pos < len(w))),
-           |pieces AS (SELECT w, pieces, unknowns FROM seg WHERE pos >= len(w)),
-           |sw AS (SELECT source, w, count(*)::BIGINT AS freq FROM tok
-           |  WHERE w <> '' GROUP BY source, w)
-           |SELECT source, sum(freq)::BIGINT AS total_words,
-           |  sum(freq*pieces)::BIGINT AS total_pieces,
-           |  sum(freq*unknowns)::BIGINT AS total_unknowns,
-           |  CAST(floor((10000.0::DOUBLE) * sum(freq*pieces)
-           |    / greatest(sum(freq), 1)) AS BIGINT) AS fertility_x10000,
-           |  CAST(floor((1000000.0::DOUBLE) * sum(freq*unknowns)
-           |    / greatest(sum(freq*pieces), 1)) AS BIGINT) AS oov_ppm
-           |FROM sw JOIN pieces USING (w) GROUP BY source ORDER BY source""".stripMargin,
+      "ta_wordpiece_fertility" -> wpFertilitySql,
+
+      // the parquet round trip must not change a count: same oracle as the
+      // direct fertility query
+      "ta_wordpiece_artifact" -> wpFertilitySql,
 
       "ta_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -268,6 +268,51 @@ object Dedup {
     estimatePairs(cand, allSigs, k, minEstX100)
   }
 
+  /** Incremental containment maintenance — [[containmentPairs]]' corpus-
+    * update path, completing the incremental tier (minhash / clusters /
+    * spans / containment): given the persisted hashed-shingle index of the
+    * EXISTING corpus (`(doc_id, h)`, the [[shingleTable]]-hash shape) and a
+    * batch of NEW documents (ids disjoint from the index — the standing
+    * incremental contract), produce exactly the containment pairs involving
+    * a new doc. New docs probe the index (O(new × collisions), never
+    * O(corpus)); new-new pairs come from the batch's own self-join; sizes
+    * read the MERGED universe so scores equal the batch run restricted to
+    * new-member pairs (the spec asserts equality). */
+  def containmentPairsIncremental(existingSh: DataFrame, newDocs: DataFrame,
+                                  n: Int, minContainX10000: Long): DataFrame = {
+    val newSh = shingleTable(newDocs, n)
+      .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+      .localCheckpoint() // probe side consumed three times
+    val allSh = existingSh.unionByName(newSh)
+    val sizes = allSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // new-vs-existing: ids disjoint by contract, one row per match
+    val ne = newSh.alias("a")
+      .join(existingSh.alias("b"), col("a.h") === col("b.h"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    // new-vs-new: ordered self-join so each match counts once
+    val nn = newSh.alias("a")
+      .join(newSh.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    ne.unionByName(nn)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment_x10000",
+        floor(lit(10000.0) * col("n_common") / least(col("n_a"), col("n_b")) + 0.5)
+          .cast("long"))
+      .where(col("containment_x10000") >= minContainX10000)
+      .select(col("doc_a"), col("doc_b"),
+        col("containment_x10000"),
+        floor(lit(10000.0) * col("n_common") / (col("n_a") + col("n_b") - col("n_common")) + 0.5)
+          .cast("long").as("jaccard_x10000"),
+        when(col("n_a") < col("n_b"), col("doc_a"))
+          .when(col("n_b") < col("n_a"), col("doc_b"))
+          .otherwise(lit(-1L)).as("contained_doc"))
+  }
+
   /** MinHash-LSH candidate-recall evaluation — the dedup analog of the ANN
     * eval harness: how many TRUE near-dup pairs (exact n-gram Jaccard ≥
     * `minJaccardX10000`, computed by [[ngramJaccardPairs]]) does the banded

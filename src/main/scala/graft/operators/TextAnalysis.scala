@@ -1003,28 +1003,39 @@ object TextAnalysis {
     * (the log-spaced readout makes the slope readable from a dozen rows);
     * machine-generated or templated corpora flatten or cliff. `ratio_ppm`
     * is each rank's frequency relative to rank 1 — on a Zipfian corpus it
-    * halves per row.
+    * halves per row. `coverage_ppm` is the CUMULATIVE share of all token
+    * occurrences covered by the vocabulary up to that rank — the
+    * vocab-sizing curve a tokenizer-budget decision reads ("the top 2^k
+    * terms cover X% of the corpus").
     *
-    * Plan shape: explode → vocab hash agg → TakeOrderedAndProject top-2^maxExp
-    * (per-partition heaps + a driver merge, no global sort) → the rank
-    * window runs over that k-row result only. Exact integers throughout. */
+    * Plan shape: explode → vocab hash agg (checkpointed once, consumed by
+    * the top-k and the one-row total) → TakeOrderedAndProject top-2^maxExp
+    * (per-partition heaps + a driver merge, no global sort) → the rank +
+    * running-sum window runs over that k-row result only. Exact integers
+    * throughout. */
   def zipfRanks(docs: DataFrame, maxExp: Int = 10): DataFrame = {
     require(maxExp >= 0 && maxExp <= 20, "maxExp out of range")
     val k = 1 << maxExp
-    val top = docs.select(explode(tokens(col("text"))).as("w"))
+    val vocabAll = docs.select(explode(tokens(col("text"))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w")).limit(k)
-    val ranked = top.withColumn("rank",
-      row_number().over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+      .localCheckpoint() // consumed twice: top-k + the one-row total
+    val top = vocabAll.orderBy(col("cnt").desc, col("w")).limit(k)
+    val w2 = Window.orderBy(col("cnt").desc, col("w"))
+    val ranked = top
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val powers = (0 to maxExp).map(e => 1L << e)
-    val top1 = ranked.where(col("rank") === 1L)
-      .select(col("cnt").as("top_cnt"))
+    val stats = vocabAll.agg(sum(col("cnt")).as("total_cnt"))
+      .crossJoin(ranked.where(col("rank") === 1L).select(col("cnt").as("top_cnt")))
     ranked.where(col("rank").isin(powers: _*))
-      .crossJoin(broadcast(top1))
+      .crossJoin(broadcast(stats))
       .select(col("rank"), col("w").as("term"), col("cnt"),
         floor(lit(1000000.0) * col("cnt") / col("top_cnt")).cast("long")
-          .as("ratio_ppm"))
+          .as("ratio_ppm"),
+        floor(lit(1000000.0) * col("cum_cnt") / col("total_cnt")).cast("long")
+          .as("coverage_ppm"))
   }
 
   /** WordPiece-style substring vocabulary — the OTHER tokenizer-training
@@ -1110,14 +1121,23 @@ object TextAnalysis {
     * vocab-bounded piece table — the "segment the vocab, bill the corpus"
     * posture that never re-segments an occurrence. */
   def wordpieceFertility(docs: DataFrame, k: Int = 200,
-                         maxPieceLen: Int = 4): DataFrame = {
+                         maxPieceLen: Int = 4): DataFrame =
+    wordpieceFertilityFrom(docs, wordpieceVocab(docs, k, maxPieceLen),
+      maxPieceLen)
+
+  /** [[wordpieceFertility]] against an already-built vocabulary — the
+    * consume side of the persisted-vocab lifecycle ([[saveWordpieceVocab]] /
+    * [[loadWordpieceVocab]]): train the vocabulary once per corpus
+    * snapshot, bill any corpus from the parquet artifact (the
+    * [[saveBpeMerges]] pattern). */
+  def wordpieceFertilityFrom(docs: DataFrame, vocab: DataFrame,
+                             maxPieceLen: Int = 4): DataFrame = {
     val srcWords = docs
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
       .localCheckpoint() // consumed twice: distinct words + the billing join
     val words = srcWords.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
-    val vocab = wordpieceVocab(docs, k, maxPieceLen)
     val pieces = wordpieceSegmentWords(words.select(col("w")), vocab, maxPieceLen)
     srcWords.join(pieces, Seq("w"))
       .groupBy(col("source"))
@@ -1134,4 +1154,16 @@ object TextAnalysis {
         floor(lit(1000000.0) * col("total_unknowns") /
           greatest(col("total_pieces"), lit(1L))).cast("long"))
   }
+
+  /** Persist a [[wordpieceVocab]] vocabulary as the tokenizer artifact —
+    * train once per corpus snapshot, segment anywhere from the parquet
+    * (the [[saveBpeMerges]] lifecycle for the WordPiece family). */
+  def saveWordpieceVocab(vocab: DataFrame, dir: String): Unit =
+    vocab.write.mode("overwrite").parquet(s"$dir/wp_vocab")
+
+  /** Load a persisted WordPiece vocabulary back into the (term, cnt) shape
+    * the segmenter's broadcast resolve consumes. */
+  def loadWordpieceVocab(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    spark.read.parquet(s"$dir/wp_vocab")
 }

@@ -1955,14 +1955,16 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got("uniform") == (("uniform", 4L, 8L, 750000L)))
   }
 
-  test("zipfRanks: power-of-two ranks only, exact counts, rank-1 ratio 1e6") {
+  test("zipfRanks: power-of-two ranks, rank-1 ratio 1e6, coverage cumulative") {
     // counts: alpha 8, beta 4, gamma 2, delta 1 — a perfect Zipf-by-octave
     val text = (Seq.fill(8)("alpha") ++ Seq.fill(4)("beta") ++
       Seq.fill(2)("gamma") ++ Seq("delta")).mkString(" ")
     val got = TextAnalysis.zipfRanks(docsDF(1L -> text), maxExp = 2)
-      .orderBy("rank").as[(Long, String, Long, Long)].collect().toSeq
-    assert(got == Seq((1L, "alpha", 8L, 1000000L),
-      (2L, "beta", 4L, 500000L), (4L, "delta", 1L, 125000L)))
+      .orderBy("rank").as[(Long, String, Long, Long, Long)].collect().toSeq
+    // coverage over 15 total occurrences: 8/15, 12/15, 15/15
+    assert(got == Seq((1L, "alpha", 8L, 1000000L, 533333L),
+      (2L, "beta", 4L, 500000L, 800000L),
+      (4L, "delta", 1L, 125000L, 1000000L)))
   }
 
   test("wordpieceVocab counts substring occurrences weighted by word frequency") {
@@ -2044,5 +2046,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
         docsDF(3L -> full, 4L -> full), n = 3, minContainX10000 = 5000)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(sym == Seq((3L, 4L, 10000L, 10000L, -1L)))
+  }
+
+  test("incremental containment equals the batch run restricted to new-member pairs") {
+    val mk = (i: Int) => (10 to 10 + 8).map(j => s"w${i}_$j").mkString(" ")
+    val existing = docsDF(1L -> mk(1), 2L -> mk(2), 3L -> mk(1))
+    // new batch: a copy of doc 1's text (hits the index) and two mutual dups
+    val newDocs = docsDF(10L -> mk(1), 11L -> mk(9), 12L -> mk(9))
+    val batch = Dedup.containmentPairs(
+        existing.unionByName(newDocs), n = 3, minContainX10000 = 5000)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .filter(p => p._1 >= 10L || p._2 >= 10L).sorted
+    val index = Dedup.shingleTable(existing, 3)
+      .select(col("doc_id"), graft.functions.TextFunctions.charPolyHash(col("sh")).as("h"))
+    val incr = Dedup.containmentPairsIncremental(index, newDocs,
+        n = 3, minContainX10000 = 5000)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(incr == batch, s"incr $incr != batch-restricted $batch")
+    assert(incr.nonEmpty) // both cross-index and new-new pairs exist
+    assert(incr.exists(p => p._1 < 10L), "must include an index-probe pair")
+    assert(incr.exists(p => p._1 >= 10L && p._2 >= 10L),
+      "must include a new-new pair")
   }
 }

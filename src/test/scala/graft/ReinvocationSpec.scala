@@ -21,6 +21,7 @@ class ReinvocationSpec extends AnyFunSuite with SparkSpec {
   private val stateful = Seq(
     "q2_above_avg_subquery",     // temp view
     "ta_bpe_artifact",           // staged merge-table parquet
+    "ta_wordpiece_artifact",     // staged vocab parquet
     "dedup_pairs_artifact",      // staged pair-graph parquet
     "e2e_corpus_from_artifact",  // stages then consumes the pair graph
     "sim_bm25_index",            // staged postings index
