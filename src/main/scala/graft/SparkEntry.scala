@@ -1040,6 +1040,15 @@ object SparkEntry {
       operators.TextAnalysis.wordpieceFertility(Tables.documents(s, d), 200, 4)
         .orderBy(col("source"))),
 
+    // per-doc WordPiece bill (ta_bpe_segment's twin): pieces + unknowns
+    // per document via the broadcast distinct-word piece table
+    "ta_wordpiece_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.TextAnalysis.wordpieceSegmentCounts(docs,
+          operators.TextAnalysis.wordpieceVocab(docs, 200, 4), 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // the persisted-vocab lifecycle: train the WordPiece vocabulary, write
     // it as a parquet artifact, reload, and bill the corpus from the loaded
     // copy — the round trip must not change a single count
@@ -1645,6 +1654,13 @@ object SparkEntry {
       operators.Similarity.embeddingStats(Tables.embeddings(s, d))
         .orderBy(col("dim"))),
 
+    // per-label mean pairwise cosine via the centroid identity — the O(d)
+    // one-pass compactness readout (collapsed label ⇒ near-dup mass) read
+    // BEFORE paying for SemDeDup clustering
+    "ann_diversity" -> ((s, d) =>
+      operators.Similarity.labelDiversity(Tables.embeddings(s, d))
+        .orderBy(col("label"))),
+
     // BM25 lexical retrieval: docs 0-4 as query bags over the inverted
     // index, fixed-point integer scoring, df-capped postings
     "sim_bm25" -> ((s, d) =>
@@ -2008,15 +2024,11 @@ object SparkEntry {
     def poly(e: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
         s"c -> unicode(c)::BIGINT)), (a, b) -> (a*31 + b) % 1000000007)"
-    // WordPiece fertility replay (vocab build + greedy longest-match as a
-    // recursive CTE + the (source, word) billing join) — shared verbatim by
-    // `ta_wordpiece_fertility` and `ta_wordpiece_artifact` (the parquet
-    // vocab round trip must not change a count)
-    val wpFertilitySql =
-      s"""WITH RECURSIVE
-         |t AS (SELECT source, $toks AS toks FROM documents),
-         |tok AS (SELECT source, unnest(toks) AS w FROM t),
-         |words AS (SELECT w, count(*)::BIGINT AS freq FROM tok WHERE w <> '' GROUP BY w),
+    // WordPiece segmentation replay (substring vocab build + greedy
+    // longest-match as a recursive CTE) over a `tok` CTE providing `w` —
+    // shared by the fertility, artifact, and per-doc segment oracles
+    val wpSegCtes =
+      s"""words AS (SELECT w, count(*)::BIGINT AS freq FROM tok WHERE w <> '' GROUP BY w),
          |subs AS (SELECT unnest(flatten(list_transform(range(1, len(w)+1),
          |    s -> list_transform(range(1, least(4, len(w)-s+1)+1),
          |      l -> substr(w, s, l))))) AS term, freq FROM words),
@@ -2032,7 +2044,16 @@ object SparkEntry {
          |        WHERE len(v.term) <= len(w) - pos
          |          AND v.term = substr(w, pos+1, len(v.term))) AS m
          |    FROM seg WHERE pos < len(w))),
-         |pieces AS (SELECT w, pieces, unknowns FROM seg WHERE pos >= len(w)),
+         |pieces AS (SELECT w, pieces, unknowns FROM seg WHERE pos >= len(w))""".stripMargin
+
+    // the (source, word) billing join on top — shared verbatim by
+    // `ta_wordpiece_fertility` and `ta_wordpiece_artifact` (the parquet
+    // vocab round trip must not change a count)
+    val wpFertilitySql =
+      s"""WITH RECURSIVE
+         |t AS (SELECT source, $toks AS toks FROM documents),
+         |tok AS (SELECT source, unnest(toks) AS w FROM t),
+         |$wpSegCtes,
          |sw AS (SELECT source, w, count(*)::BIGINT AS freq FROM tok
          |  WHERE w <> '' GROUP BY source, w)
          |SELECT source, sum(freq)::BIGINT AS total_words,
@@ -3969,6 +3990,33 @@ object SparkEntry {
           |  CAST(floor(CAST(sum(xf) AS DOUBLE) / count(*)) AS BIGINT) AS mean_x1e6
           |FROM f GROUP BY dim ORDER BY dim""".stripMargin,
 
+      // centroid-identity diversity: per-row fixed-point components →
+      // exact integer dim sums → one fixed-order 64-element double fold
+      "ann_diversity" ->
+        s"""WITH $unitVecCte,
+           |lb AS (SELECT vec_id, label::BIGINT AS label FROM embeddings),
+           |qv AS (SELECT en.vec_id, lb.label,
+           |    list_transform(vn, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
+           |  FROM en JOIN lb ON en.vec_id = lb.vec_id),
+           |rws AS (SELECT label, q,
+           |    list_reduce(list_prepend(0::BIGINT, list_transform(q, x -> x*x)), (a,b) -> a+b) AS sd
+           |  FROM qv),
+           |pl AS (SELECT label, count(*)::BIGINT AS n_vecs,
+           |    sum(sd)::BIGINT AS sum_self FROM rws GROUP BY label),
+           |ds AS (SELECT label, i, sum(q[i+1])::BIGINT AS s
+           |  FROM rws CROSS JOIN range(0, ${cfg.embeddingDim}) r(i) GROUP BY label, i),
+           |cs AS (SELECT label,
+           |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(s ORDER BY i),
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b) AS cent_sq
+           |  FROM ds GROUP BY label)
+           |SELECT pl.label AS label, n_vecs,
+           |  CASE WHEN n_vecs < 2 THEN -1::BIGINT
+           |    ELSE CAST(floor((cent_sq - CAST(sum_self AS DOUBLE))
+           |      / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) / 1000000.0) AS BIGINT)
+           |  END AS avg_pair_cos_x1e6
+           |FROM pl JOIN cs ON pl.label = cs.label
+           |ORDER BY label""".stripMargin,
+
       // BM25: same fixed-point recurrence — capped integer idf, every
       // division an explicit floor DIV at a fixed scale
       "sim_bm25" -> bm25OracleSql,
@@ -5072,6 +5120,23 @@ object SparkEntry {
       // the parquet round trip must not change a count: same oracle as the
       // direct fertility query
       "ta_wordpiece_artifact" -> wpFertilitySql,
+
+      // per-doc bill: same vocab + greedy replay, billed through the
+      // (doc_id, word) explode; wordless docs re-attached with 0s
+      "ta_wordpiece_segment" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+           |$wpSegCtes,
+           |billed AS (SELECT doc_id, sum(pieces)::BIGINT AS n_pieces,
+           |    sum(unknowns)::BIGINT AS n_unknowns
+           |  FROM (SELECT doc_id, w FROM tok WHERE w <> '') dw
+           |  JOIN pieces USING (w) GROUP BY doc_id)
+           |SELECT d.doc_id AS doc_id,
+           |  coalesce(n_pieces, 0)::BIGINT AS n_pieces,
+           |  coalesce(n_unknowns, 0)::BIGINT AS n_unknowns
+           |FROM documents d LEFT JOIN billed ON d.doc_id = billed.doc_id
+           |ORDER BY doc_id""".stripMargin,
 
       "ta_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

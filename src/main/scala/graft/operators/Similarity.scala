@@ -819,6 +819,51 @@ object Similarity {
       .withColumn("mean_x1e6",
         floor(col("sum_x1e6").cast("double") / col("n")).cast("long"))
 
+  /** Per-label embedding diversity in ONE aggregation pass — the
+    * SemDeDup-adjacent compactness instrument: mean pairwise cosine over a
+    * label's unit vectors via the centroid identity
+    * `Σ_{a≠b} vn_a·vn_b = ‖Σvn‖² − Σ‖vn‖²`, so the answer costs O(d)
+    * state per label instead of the O(n²) pair join it summarizes. A label
+    * near 1.0 is collapsed (near-dup mass — prune it); near 0 is spread.
+    * The readout a diversity-sampling or SemDeDup run consults BEFORE
+    * paying for clustering.
+    *
+    * Determinism: components are per-row fixed-point ints (`floor(vn·1e6)`)
+    * so the per-dimension sums are exact integer aggregation
+    * (order-independent); the only float reduction is the final
+    * 64-element fold over dimensions in FIXED index order (sorted
+    * collect_list), bit-identical cross-engine. Per-row self-dots are
+    * exact int64 throughout. Labels with < 2 vectors report -1. */
+  def labelDiversity(emb: DataFrame): DataFrame = {
+    val q = graft.operators.Dedup.withUnitVector(emb)
+      .select(col("vec_id"),
+        transform(col("vn"), x => floor(x * 1000000.0).cast("long")).as("q"))
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+    // per-row self-dot (exact int64) + per-(label, dim) integer sums
+    val rows = q.select(col("label"), col("q"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("sd"))
+    val perLabel = rows.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sd")).as("sum_self"))
+    val dimSums = rows
+      .select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(sum(col("x")).as("s"))
+      .groupBy(col("label"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("i"), col("s")))),
+        lit(0.0),
+        (acc, e) => acc + e.getField("s").cast("double") *
+          e.getField("s").cast("double")).as("cent_sq"))
+    perLabel.join(dimSums, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        when(col("n_vecs") < 2L, lit(-1L))
+          .otherwise(floor(
+            (col("cent_sq") - col("sum_self").cast("double")) /
+              (col("n_vecs") * (col("n_vecs") - 1L)).cast("double") / 1000000.0)
+            .cast("long"))
+          .as("avg_pair_cos_x1e6"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.) — hybrid retrieval's standard
     * combiner: each system's ranked list `(query_id, doc_id, rank)`
     * contributes `1/(K + rank)` and the fused order is by the sum. Rank-

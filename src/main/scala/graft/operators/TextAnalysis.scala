@@ -1155,6 +1155,31 @@ object TextAnalysis {
           greatest(col("total_pieces"), lit(1L))).cast("long"))
   }
 
+  /** Per-document WordPiece piece counts — [[bpeSegmentCounts]]' twin for
+    * the substring-vocabulary family: each doc's billed pieces (and unknown
+    * pieces) under the greedy longest-match segmenter. Segmentation still
+    * runs on DISTINCT words only; the per-doc bill is the token explode
+    * joined against the vocab-bounded piece table (broadcastable at any
+    * corpus size — it is one row per distinct word). Docs with no words
+    * report zero rows upstream and are re-attached with 0s. */
+  def wordpieceSegmentCounts(docs: DataFrame, vocab: DataFrame,
+                             maxPieceLen: Int = 4): DataFrame = {
+    val docToks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    val words = docToks.select(col("w")).distinct()
+    val pieces = wordpieceSegmentWords(words, vocab, maxPieceLen)
+    val billed = docToks.join(broadcast(pieces), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pieces")).as("n_pieces"),
+        sum(col("unknowns")).as("n_unknowns"))
+    docs.select(col("doc_id"))
+      .join(billed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_unknowns"), lit(0L)).as("n_unknowns"))
+  }
+
   /** Persist a [[wordpieceVocab]] vocabulary as the tokenizer artifact —
     * train once per corpus snapshot, segment anywhere from the parquet
     * (the [[saveBpeMerges]] lifecycle for the WordPiece family). */

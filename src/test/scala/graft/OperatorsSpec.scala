@@ -1990,6 +1990,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       "d" -> ((1L, 0L))))
   }
 
+  test("wordpieceSegmentCounts bills per doc, wordless docs report zeros") {
+    val vocab = Seq("ab", "abc", "d").toDF("term")
+      .withColumn("cnt", lit(1L))
+    val docs = docsDF(1L -> "abcd abe", 2L -> "zz", 3L -> "")
+    val got = TextAnalysis.wordpieceSegmentCounts(docs, vocab, maxPieceLen = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> ((4L, 1L)), // abcd = abc+d; abe = ab + unknown e
+      2L -> ((2L, 2L)), // two unknown chars
+      3L -> ((0L, 0L)))) // no words — still reported
+  }
+
   test("wordpieceFertility bills every word and stays >= 1 piece per word") {
     val docs = Seq((1L, "abab ab cd", "s1"), (2L, "abab zz", "s2"))
       .toDF("doc_id", "text", "source")
@@ -2003,6 +2016,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       assert(f == math.floor(10000.0 * pieces / words).toLong)
       assert(oov == math.floor(1000000.0 * unk / math.max(pieces, 1L)).toLong)
     }
+  }
+
+  test("labelDiversity: identical pair ~ 1e6, orthogonal pair 0, singleton -1") {
+    val dim = 8
+    def vec(hot: Int*): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); hot.foreach(i => a(i) = 1.0f); a
+    }
+    val emb = Seq(
+      (1L, vec(0), 0), (2L, vec(0), 0),   // identical pair
+      (3L, vec(1), 1), (4L, vec(2), 1),   // orthogonal pair
+      (5L, vec(3), 2))                    // singleton
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelDiversity(emb)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L)._1 == 2L && got(0L)._2 > 999000L && got(0L)._2 <= 1000000L)
+    assert(got(1L) == ((2L, 0L)))
+    assert(got(2L) == ((1L, -1L)))
   }
 
   test("datasetCard legs equal their standalone operators, long format complete") {
