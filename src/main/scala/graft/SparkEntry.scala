@@ -164,6 +164,28 @@ object SparkEntry {
           concat_ws(" ", slice(col("toks"), lit(1), p)).as("text")))
   }
 
+  /** Canonicalization-ladder planting: four copy classes, each detectable
+    * only from its ladder level on — every 11th doc gains a double-spaced
+    * copy (whitespace level), every 13th a non-breaking-space copy
+    * (unicode level), every 17th an uppercased copy (casefold level),
+    * every 19th a punctuation-appended copy (alnum level). Offsets 1M/2M/
+    * 3M/4M keep the classes disjoint. Mirrored verbatim in the
+    * `dedup_canon_ladder` oracle. */
+  private def plantedCanonVariants(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text")))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "\u00A0").as("text")))
+      .unionByName(docs.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+      .unionByName(docs.where(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" !!!")).as("text")))
+
   /** Snapshot-v2 planting for the versioning queries: drop every 10th doc,
     * append a drift marker to every 7th's text, re-add every 13th under a
     * shifted id. Mirrored verbatim in the `ver_diff` / `ver_drift`
@@ -773,6 +795,15 @@ object SparkEntry {
           plantedPrefixCopies(Tables.documents(s, d)), cfg.ngramN,
           cfg.minhashK, cfg.minhashBands, minJaccardX10000 = 3000)
         .orderBy(col("jaccard_band"))),
+
+    // the canonicalization ladder over the variant-planted corpus: which
+    // normalization level (raw → ws → unicode → casefold → alnum) reveals
+    // how much duplication — the "what is THE canonical text" decision
+    // instrument; each planted class becomes a dup exactly at its level
+    "dedup_canon_ladder" -> ((s, d) =>
+      operators.Dedup.canonicalizationLadder(
+          plantedCanonVariants(Tables.documents(s, d)))
+        .orderBy(col("level"))),
 
     // asymmetric containment scoring over the prefix-planted corpus: the
     // planted prefix copies score containment 10000 (their shingles are a
@@ -1553,6 +1584,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming decontamination: the persisted train shingle universe is
+    // probed per micro-batch of arriving eval docs; the accumulated report
+    // must equal the batch overlapReport (same oracle SQL) — the
+    // continuous-holdout-screening shape of `decontaminate`
+    "stream_decontam" -> ((s, d) => {
+      val (train, evalDocs) = plantedEvalSplit(s, d)
+      val stage = stagedDir("stream-decon", d, "n8o5000", fresh = true)
+      operators.Decontaminate.shingleUniverse(train, cfg.decontamNgramN)
+        .write.parquet(s"$stage/universe")
+      val ev = evalDocs.select(col("doc_id"), col("text"))
+      ev.repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      streaming.Streams.streamingDecontaminate(s,
+          streaming.Streams.fileSource(s, s"$stage/src", ev.schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/universe", s"$stage/report", s"$stage/ck",
+          cfg.decontamNgramN, cfg.decontamMinOverlapX10000)
+        .awaitTermination()
+      s.read.parquet(s"$stage/report")
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          col("overlap_x10000"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus assembly: split / mixture reweighting / packing ----
     // all RNG-free (portable hash of the doc id), so assignment is stable
     // across runs, engines, and partitionings — the reproducibility a
@@ -2064,6 +2118,37 @@ object SparkEntry {
          |  CAST(floor((1000000.0::DOUBLE) * sum(freq*unknowns)
          |    / greatest(sum(freq*pieces), 1)) AS BIGINT) AS oov_ppm
          |FROM sw JOIN pieces USING (w) GROUP BY source ORDER BY source""".stripMargin
+
+    // the planted-eval-split contamination report — shared verbatim by
+    // `decontaminate` (batch) and `stream_decontam` (the per-micro-batch
+    // universe probe, whose accumulated report must equal the batch run)
+    val decontamOracleSql =
+      s"""WITH sp AS (SELECT doc_id, text, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents),
+         |tr AS (SELECT doc_id, text FROM sp WHERE b < 80),
+         |ev AS (SELECT doc_id, text FROM sp WHERE b >= 90
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM tr WHERE doc_id % 7 = 0),
+         |trt AS (SELECT doc_id, $toks AS toks FROM tr),
+         |trs AS (SELECT DISTINCT ${poly("sh")} AS h FROM
+         |  (SELECT unnest(${shinglesOfN(8)}) AS sh FROM trt)),
+         |evt AS (SELECT doc_id, $toks AS toks FROM ev),
+         |evs AS (SELECT doc_id, ${poly("sh")} AS h FROM
+         |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM evt)),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM evs GROUP BY doc_id),
+         |hits AS (SELECT evs.doc_id, count(*)::BIGINT AS n_hit
+         |  FROM evs JOIN trs ON evs.h = trs.h GROUP BY evs.doc_id),
+         |rep AS (SELECT e.doc_id,
+         |    coalesce(sizes.n_sh, 0)::BIGINT AS n_sh,
+         |    coalesce(hits.n_hit, 0)::BIGINT AS n_hit
+         |  FROM (SELECT doc_id FROM ev) e
+         |  LEFT JOIN sizes ON e.doc_id = sizes.doc_id
+         |  LEFT JOIN hits ON e.doc_id = hits.doc_id)
+         |SELECT doc_id, n_sh, n_hit, overlap_x10000,
+         |  (CASE WHEN overlap_x10000 >= 5000 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+         |FROM (SELECT doc_id, n_sh, n_hit,
+         |  CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) AS overlap_x10000
+         |  FROM rep)
+         |ORDER BY doc_id""".stripMargin
 
     // teacher label for the trainable-classifier family (mirrors
     // Classifier.qualityLabel at the default 2000 threshold)
@@ -3111,6 +3196,40 @@ object SparkEntry {
            |  count(*)::BIGINT AS n_true, sum(caught)::BIGINT AS n_caught,
            |  CAST(floor((1000000.0::DOUBLE) * sum(caught) / count(*) + 0.5) AS BIGINT) AS recall_ppm
            |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // canonicalization ladder: the planted variants + the p13 unicode
+      // chain, one (level, hash) row per doc per level, distinct-counted
+      "dedup_canon_ladder" ->
+        s"""WITH d0 AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
+           |    regexp_replace(text, ' ', '  ', 'g') AS text
+           |  FROM documents WHERE doc_id % 11 = 0
+           |  UNION ALL SELECT doc_id + 2000000 AS doc_id,
+           |    regexp_replace(text, ' ', chr(160), 'g') AS text
+           |  FROM documents WHERE doc_id % 13 = 0
+           |  UNION ALL SELECT doc_id + 3000000 AS doc_id, upper(text) AS text
+           |  FROM documents WHERE doc_id % 17 = 0
+           |  UNION ALL SELECT doc_id + 4000000 AS doc_id, text || ' !!!' AS text
+           |  FROM documents WHERE doc_id % 19 = 0),
+           |c1 AS (SELECT text, regexp_replace(text, '[\\x{2018}\\x{2019}\\x{201A}\\x{201B}]', '''', 'g') AS t FROM d0),
+           |c2 AS (SELECT text, regexp_replace(t, '[\\x{201C}\\x{201D}\\x{201E}]', '"', 'g') AS t FROM c1),
+           |c3 AS (SELECT text, regexp_replace(t, '[\\x{2013}\\x{2014}\\x{2015}]', '-', 'g') AS t FROM c2),
+           |c4 AS (SELECT text, regexp_replace(t, '[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{3000}]', ' ', 'g') AS t FROM c3),
+           |c5 AS (SELECT text, regexp_replace(t, '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g') AS t FROM c4),
+           |c6 AS (SELECT text, regexp_replace(t, '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', '', 'g') AS t FROM c5),
+           |n AS (SELECT text, ${normOf("t")} AS clean FROM c6),
+           |lv AS (
+           |  SELECT 1 AS level, 'raw' AS form, ${poly("text")} AS h FROM n
+           |  UNION ALL SELECT 2, 'whitespace', ${poly(normOf("text"))} FROM n
+           |  UNION ALL SELECT 3, 'unicode', ${poly("clean")} FROM n
+           |  UNION ALL SELECT 4, 'casefold', ${poly("lower(clean)")} FROM n
+           |  UNION ALL SELECT 5, 'alnum', ${poly("trim(regexp_replace(lower(clean), '[^a-z0-9]+', ' ', 'g'))")} FROM n)
+           |SELECT level::BIGINT AS level, form, count(*)::BIGINT AS n_docs,
+           |  count(DISTINCT h)::BIGINT AS n_distinct,
+           |  (count(*) - count(DISTINCT h))::BIGINT AS dup_docs,
+           |  CAST(floor((1000000.0::DOUBLE) * (count(*) - count(DISTINCT h))
+           |    / greatest(count(*), 1)) AS BIGINT) AS dup_ppm
+           |FROM lv GROUP BY level, form ORDER BY level""".stripMargin,
 
       // containment scoring over the prefix-planted corpus (d0 mirrors
       // plantedPrefixCopies): same inverted-index overlap core as the
@@ -5440,33 +5559,11 @@ object SparkEntry {
            |  FROM rep)
            |ORDER BY doc_id""".stripMargin,
 
-      "decontaminate" ->
-        s"""WITH sp AS (SELECT doc_id, text, (${poly("'split:' || doc_id")}) % 100 AS b FROM documents),
-           |tr AS (SELECT doc_id, text FROM sp WHERE b < 80),
-           |ev AS (SELECT doc_id, text FROM sp WHERE b >= 90
-           |  UNION ALL
-           |  SELECT doc_id + 1000000 AS doc_id, text FROM tr WHERE doc_id % 7 = 0),
-           |trt AS (SELECT doc_id, $toks AS toks FROM tr),
-           |trs AS (SELECT DISTINCT ${poly("sh")} AS h FROM
-           |  (SELECT unnest(${shinglesOfN(8)}) AS sh FROM trt)),
-           |evt AS (SELECT doc_id, $toks AS toks FROM ev),
-           |evs AS (SELECT doc_id, ${poly("sh")} AS h FROM
-           |  (SELECT doc_id, unnest(${shinglesOfN(8)}) AS sh FROM evt)),
-           |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM evs GROUP BY doc_id),
-           |hits AS (SELECT evs.doc_id, count(*)::BIGINT AS n_hit
-           |  FROM evs JOIN trs ON evs.h = trs.h GROUP BY evs.doc_id),
-           |rep AS (SELECT e.doc_id,
-           |    coalesce(sizes.n_sh, 0)::BIGINT AS n_sh,
-           |    coalesce(hits.n_hit, 0)::BIGINT AS n_hit
-           |  FROM (SELECT doc_id FROM ev) e
-           |  LEFT JOIN sizes ON e.doc_id = sizes.doc_id
-           |  LEFT JOIN hits ON e.doc_id = hits.doc_id)
-           |SELECT doc_id, n_sh, n_hit, overlap_x10000,
-           |  (CASE WHEN overlap_x10000 >= 5000 THEN 1 ELSE 0 END)::BIGINT AS contaminated
-           |FROM (SELECT doc_id, n_sh, n_hit,
-           |  CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) AS overlap_x10000
-           |  FROM rep)
-           |ORDER BY doc_id""".stripMargin,
+      "decontaminate" -> decontamOracleSql,
+
+      // the streaming probe accumulates exactly the batch report (each
+      // eval doc lives in one micro-batch; the universe is fixed)
+      "stream_decontam" -> decontamOracleSql,
 
       // surgical decontamination: the decontaminate split + planting, the
       // dedup_span_removal gaps-and-islands span SQL run train-joins-eval

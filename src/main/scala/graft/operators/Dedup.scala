@@ -52,6 +52,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_docs"))
   }
 
+  /** The canonicalization ladder — which normalization level reveals how
+    * much duplication: per level (raw → whitespace → unicode → casefold →
+    * alphanumeric-only), the corpus's exact-dup rate under that canonical
+    * form. The decision instrument for "what is THE canonical text" before
+    * an exact-dedup pass: each step is more aggressive (and more lossy),
+    * and the marginal dup_ppm it buys is exactly this readout. One scan,
+    * one shuffle: every doc emits 5 (level, hash) rows, distinct-counted
+    * per level (the hash stands in for the canonical string — a collision
+    * merges two texts identically on both engines). */
+  def canonicalizationLadder(docs: DataFrame): DataFrame = {
+    val ws = normalizeWhitespace(col("text"))
+    val uni = normalizeUnicode(col("text"))
+    val cf = lower(uni)
+    val alnum = trim(regexp_replace(cf, "[^a-z0-9]+", " "))
+    val lvls = array(
+      struct(lit(1L).as("level"), lit("raw").as("form"),
+        charPolyHash(col("text")).as("h")),
+      struct(lit(2L).as("level"), lit("whitespace").as("form"),
+        charPolyHash(ws).as("h")),
+      struct(lit(3L).as("level"), lit("unicode").as("form"),
+        charPolyHash(uni).as("h")),
+      struct(lit(4L).as("level"), lit("casefold").as("form"),
+        charPolyHash(cf).as("h")),
+      struct(lit(5L).as("level"), lit("alnum").as("form"),
+        charPolyHash(alnum).as("h")))
+    docs.select(explode(lvls).as("l"))
+      .select(col("l.level").as("level"), col("l.form").as("form"), col("l.h").as("h"))
+      .groupBy(col("level"), col("form"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_ppm",
+        floor(lit(1000000.0) * col("dup_docs") /
+          greatest(col("n_docs"), lit(1L))).cast("long"))
+  }
+
   /** Exploded distinct word-n-gram shingles: (doc_id, sh). Tokens are
     * materialized as a column first so the shingle lambda reads a bound
     * attribute instead of re-tokenizing per element. */

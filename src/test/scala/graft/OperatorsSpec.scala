@@ -2078,6 +2078,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(sym == Seq((3L, 4L, 10000L, 10000L, -1L)))
   }
 
+  test("canonicalizationLadder: each level reveals exactly its variant class") {
+    val docs = docsDF(
+      1L -> "Hello world foo",
+      2L -> "Hello  world foo",   // whitespace variant of 1
+      3L -> "hello world foo",    // case variant of 1
+      4L -> "Hello world foo!!!", // punctuation variant of 1
+      5L -> "completely different")
+    val got = Dedup.canonicalizationLadder(docs)
+      .orderBy("level")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._5)) == Seq(
+      (1L, "raw", 0L), (2L, "whitespace", 1L), (3L, "unicode", 1L),
+      (4L, "casefold", 2L), (5L, "alnum", 3L)))
+    assert(got.forall(_._3 == 5L))
+    assert(got.map(_._6) == got.map(_._6).sorted) // the ladder is monotone
+  }
+
   test("incremental containment equals the batch run restricted to new-member pairs") {
     val mk = (i: Int) => (10 to 10 + 8).map(j => s"w${i}_$j").mkString(" ")
     val existing = docsDF(1L -> mk(1), 2L -> mk(2), 3L -> mk(1))

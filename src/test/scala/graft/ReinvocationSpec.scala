@@ -31,7 +31,8 @@ class ReinvocationSpec extends AnyFunSuite with SparkSpec {
     "layout_zorder",             // z-ordered layout write
     "k1_batch_layout",           // per-article JSON batch sink
     "stream_near_dup",           // file stream + signature index + checkpoint
-    "stream_curate")             // file stream + gate + shard checkpoint
+    "stream_curate",             // file stream + gate + shard checkpoint
+    "stream_decontam")           // file stream + universe probe + checkpoint
 
   stateful.foreach { name =>
     test(s"$name re-invokes in one session with identical results") {
