@@ -186,6 +186,18 @@ object SparkEntry {
         .select((col("doc_id") + 4000000L).as("doc_id"),
           concat(col("text"), lit(" !!!")).as("text")))
 
+  /** Length-outlier planting: every 23rd doc gains a 10× concatenated copy
+    * (`doc_id + 1000000`) — the glitch/aggregation-artifact length profile
+    * the MAD detector must flag. `text || ' '` repeated keeps the token
+    * count exactly 10× (no boundary-word merges). Mirrored verbatim in the
+    * `ta_length_outliers` oracle. */
+  private def plantedLongDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          repeat(concat(col("text"), lit(" ")), 10).as("text"),
+          col("source")))
+
   /** Snapshot-v2 planting for the versioning queries: drop every 10th doc,
     * append a drift marker to every 7th's text, re-add every 13th under a
     * shifted id. Mirrored verbatim in the `ver_diff` / `ver_drift`
@@ -1042,6 +1054,14 @@ object SparkEntry {
     "ta_diversity" -> ((s, d) =>
       operators.TextAnalysis.ngramDiversity(Tables.documents(s, d), cfg.ngramN)
         .orderBy(col("source"))),
+
+    // robust per-source length outliers: exact nearest-rank median + MAD
+    // of token counts, flag docs beyond 4 MADs — the truncation/glitch
+    // detector; the planted 10x-concatenated copies must all be flagged
+    "ta_length_outliers" -> ((s, d) =>
+      operators.TextAnalysis.lengthOutliers(
+          plantedLongDocs(Tables.documents(s, d)), k = 4)
+        .orderBy(col("doc_id"))),
 
     // per-source unigram Gini impurity: token-distribution CONCENTRATION
     // (ta_diversity measures type breadth; this measures how evenly the
@@ -5181,6 +5201,35 @@ object SparkEntry {
            |  sum(cnt)::BIGINT AS total_ngrams,
            |  CAST(floor((1000000.0::DOUBLE) * count(*) / greatest(sum(cnt), 1) + 0.5) AS BIGINT) AS diversity_ppm
            |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+      // nearest-rank median + MAD per source (the a11/a15 rank convention),
+      // flag docs beyond 4 MADs; d0 mirrors plantedLongDocs
+      "ta_length_outliers" ->
+        s"""WITH d0 AS (SELECT doc_id, source, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000 AS doc_id, source,
+           |    repeat(text || ' ', 10) AS text
+           |  FROM documents WHERE doc_id % 23 = 0),
+           |b AS (SELECT doc_id, source, ($wordCnt)::BIGINT AS tok FROM d0),
+           |c AS (SELECT source, count(*)::BIGINT AS n,
+           |    ((count(*) + 1) // 2)::BIGINT AS target FROM b GROUP BY source),
+           |r1 AS (SELECT source, tok,
+           |    row_number() OVER (PARTITION BY source ORDER BY tok, doc_id)::BIGINT AS rn
+           |  FROM b),
+           |med AS (SELECT r1.source AS source, tok AS med
+           |  FROM r1 JOIN c ON r1.source = c.source AND r1.rn = c.target),
+           |dv AS (SELECT b.doc_id, b.source, b.tok, med.med,
+           |    abs(b.tok - med.med)::BIGINT AS dev
+           |  FROM b JOIN med ON b.source = med.source),
+           |r2 AS (SELECT source, doc_id, dev,
+           |    row_number() OVER (PARTITION BY source ORDER BY dev, doc_id)::BIGINT AS rn
+           |  FROM dv),
+           |mad AS (SELECT r2.source AS source, dev AS mad
+           |  FROM r2 JOIN c ON r2.source = c.source AND r2.rn = c.target)
+           |SELECT dv.doc_id AS doc_id, dv.source AS source, tok, med,
+           |  mad.mad AS mad, dev
+           |FROM dv JOIN mad ON dv.source = mad.source
+           |WHERE dev > 4 * greatest(mad.mad, 1)
+           |ORDER BY doc_id""".stripMargin,
 
       // per-source unigram Gini impurity 1 - Σc²/N², ppm — exact int64
       // factors through one IEEE double division

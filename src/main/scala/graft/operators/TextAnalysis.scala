@@ -365,6 +365,44 @@ object TextAnalysis {
         floor(lit(10000.0) * col("total_syms") /
           greatest(col("total_words"), lit(1L))).cast("long"))
 
+  /** Robust per-source length-outlier flags — the truncation/glitch
+    * detector a scrape-quality review runs: exact nearest-rank MEDIAN and
+    * MAD (median absolute deviation) of whitespace-token counts per
+    * source, then flag docs with `|tok − med| > k·max(MAD, 1)`. Median/MAD
+    * instead of mean/σ because scrape-length distributions are heavy-
+    * tailed — one 10⁶-token glitch doc moves a mean beyond usefulness but
+    * not a median. All-integer nearest-rank picks (the a11/a15 convention:
+    * rank ⌈n/2⌉ by (value, doc_id)), so the flags are bit-reproducible.
+    *
+    * Plan shape: one map-only projection → two per-source rank windows
+    * (median, then deviation median) with the rank targets joined
+    * broadcast — sources parallelize; nothing global. */
+  def lengthOutliers(docs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val base = docs.select(col("doc_id"), col("source"),
+      wordCount(col("text")).cast("long").as("tok"))
+    val counts = base.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("target", expr("(n + 1) DIV 2"))
+    val w1 = Window.partitionBy(col("source")).orderBy(col("tok"), col("doc_id"))
+    val med = base
+      .withColumn("rn", row_number().over(w1).cast("long"))
+      .join(broadcast(counts), "source")
+      .where(col("rn") === col("target"))
+      .select(col("source"), col("tok").as("med"))
+    val dev = base.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("tok") - col("med")))
+    val w2 = Window.partitionBy(col("source")).orderBy(col("dev"), col("doc_id"))
+    val mad = dev
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .join(broadcast(counts), "source")
+      .where(col("rn") === col("target"))
+      .select(col("source"), col("dev").as("mad"))
+    dev.join(broadcast(mad), "source")
+      .where(col("dev") > lit(k.toLong) * greatest(col("mad"), lit(1L)))
+      .select(col("doc_id"), col("source"), col("tok"), col("med"),
+        col("mad"), col("dev"))
+  }
+
   /** Per-document top-k salient terms by integer-exact TF-IDF:
     * `score = tf · floor(1e6 · nDocs / df)` — the idf factor is a
     * fixed-point integer (no `log`, whose libm rounding differs across

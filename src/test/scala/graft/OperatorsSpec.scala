@@ -2078,6 +2078,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(sym == Seq((3L, 4L, 10000L, 10000L, -1L)))
   }
 
+  test("lengthOutliers flags the glitch doc; median/MAD unmoved by it") {
+    val rows = (1L to 8L).map(i =>
+      i -> (1 to 10).map(j => s"w${i}_$j").mkString(" ")) ++ Seq(
+      9L -> (1 to 13).map(j => s"m$j").mkString(" "),  // mild: dev 3, kept
+      10L -> (1 to 200).map(j => s"g$j").mkString(" ")) // glitch: flagged
+    val got = TextAnalysis.lengthOutliers(docsDF(rows: _*), k = 4)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    // med 10 (rank ceil(10/2)=5), MAD 0 -> floor 1, threshold 4: only doc 10
+    assert(got == Seq((10L, "src0", 200L, 10L, 0L, 190L)))
+  }
+
   test("canonicalizationLadder: each level reveals exactly its variant class") {
     val docs = docsDF(
       1L -> "Hello world foo",
