@@ -1473,6 +1473,16 @@ object SparkEntry {
           terms = Seq("dup", "slow", "unsafe"))
         .orderBy(col("doc_id"))),
 
+    // the blocklist as a TABLE (broadcast join against the token explode)
+    // — the 10^4-10^6-term scale path; row-identical to the literal form,
+    // so it shares ta_blocklist's oracle verbatim
+    "ta_blocklist_join" -> ((s, d) => {
+      import s.implicits._
+      operators.TextAnalysis.blocklistScrubJoin(Tables.documents(s, d),
+          Seq("dup", "slow", "unsafe").toDF("term"))
+        .orderBy(col("doc_id"))
+    }),
+
     // composite quality gate (C4/Gopher-style rules): keep/drop + the first
     // failing rule as an auditable reason
     "ta_quality_filter" -> ((s, d) =>
@@ -2169,6 +2179,20 @@ object SparkEntry {
          |  CAST(floor((10000.0::DOUBLE) * n_hit / greatest(n_sh, 1) + 0.5) AS BIGINT) AS overlap_x10000
          |  FROM rep)
          |ORDER BY doc_id""".stripMargin
+
+    // blocklist scrub report — shared verbatim by the literal-array form
+    // (`ta_blocklist`) and the broadcast-join form (`ta_blocklist_join`)
+    val blocklistOracleSql =
+      s"""WITH h AS (SELECT doc_id, source,
+         |    len(list_filter($toks, t -> t IN ('dup','slow','unsafe')))::BIGINT AS n_hits,
+         |    coalesce(array_to_string(list_sort(list_distinct(
+         |      list_filter($toks, t -> t IN ('dup','slow','unsafe')))), ','), '') AS matched
+         |  FROM documents)
+         |SELECT doc_id, source, n_hits, matched,
+         |  CASE WHEN n_hits = 0 THEN 'keep'
+         |       WHEN n_hits <= 3 THEN 'flag'
+         |       ELSE 'drop' END AS verdict
+         |FROM h ORDER BY doc_id""".stripMargin
 
     // teacher label for the trainable-classifier family (mirrors
     // Classifier.qualityLabel at the default 2000 threshold)
@@ -4780,17 +4804,10 @@ object SparkEntry {
 
       // blocklist scrub: occurrence count + sorted distinct matched terms +
       // the keep/flag/drop verdict at flagMax=3
-      "ta_blocklist" ->
-        s"""WITH h AS (SELECT doc_id, source,
-           |    len(list_filter($toks, t -> t IN ('dup','slow','unsafe')))::BIGINT AS n_hits,
-           |    coalesce(array_to_string(list_sort(list_distinct(
-           |      list_filter($toks, t -> t IN ('dup','slow','unsafe')))), ','), '') AS matched
-           |  FROM documents)
-           |SELECT doc_id, source, n_hits, matched,
-           |  CASE WHEN n_hits = 0 THEN 'keep'
-           |       WHEN n_hits <= 3 THEN 'flag'
-           |       ELSE 'drop' END AS verdict
-           |FROM h ORDER BY doc_id""".stripMargin,
+      "ta_blocklist" -> blocklistOracleSql,
+
+      // the broadcast-join form is row-identical to the literal form
+      "ta_blocklist_join" -> blocklistOracleSql,
 
       "ta_bpe_pairs" ->
         s"""WITH wf AS (SELECT w, count(*)::BIGINT AS freq

@@ -797,6 +797,33 @@ object TextAnalysis {
           .otherwise("drop"))
   }
 
+  /** [[blocklistScrub]] with the blocklist as a TABLE — the form the
+    * scaladoc there promises for real blocklist sizes (10⁴–10⁶ terms,
+    * where a literal in-plan array stops being a plan): one token explode
+    * joined against the broadcast term table, then the per-doc rollup and
+    * the same keep/flag/drop verdict. Output is row-identical to the
+    * literal-array form for the same terms (the spec asserts it); at even
+    * larger blocklists the broadcast becomes a shuffle join and nothing
+    * else changes. */
+  def blocklistScrubJoin(docs: DataFrame, blocklist: DataFrame,
+                         flagMax: Int = 3): DataFrame = {
+    require(flagMax >= 1, "flagMax must be positive")
+    val hits = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .join(broadcast(blocklist.select(col("term"))), col("t") === col("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        concat_ws(",", sort_array(collect_set(col("t")))).as("matched"))
+    docs.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("matched"), lit("")).as("matched"))
+      .withColumn("verdict",
+        when(col("n_hits") === 0, "keep")
+          .when(col("n_hits") <= flagMax.toLong, "flag")
+          .otherwise("drop"))
+  }
+
   /** Count-Min-sketch term-frequency estimates, probed at the exact top-k
     * vocabulary: the frequency member of the sketch trio (HLL distinct →
     * `a9`, KLL-ish percentiles → `a15b`, CMS counts → here). At 100 TB the

@@ -2078,6 +2078,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(sym == Seq((3L, 4L, 10000L, 10000L, -1L)))
   }
 
+  test("blocklistScrubJoin is row-identical to the literal-array scrub") {
+    val docs = Seq(
+      (1L, "clean words only here", "s1"),
+      (2L, "one bad apple bad", "s1"),
+      (3L, "bad worse bad worse bad worse", "s2"),
+      (4L, "", "s2")).toDF("doc_id", "text", "source")
+    val terms = Seq("bad", "worse")
+    val literal = TextAnalysis.blocklistScrub(docs, terms)
+      .as[(Long, String, Long, String, String)].collect().toSeq.sortBy(_._1)
+    val joined = TextAnalysis.blocklistScrubJoin(docs, terms.toDF("term"))
+      .as[(Long, String, Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(joined == literal)
+    assert(literal.map(_._5) == Seq("keep", "flag", "drop", "keep"))
+  }
+
   test("lengthOutliers flags the glitch doc; median/MAD unmoved by it") {
     val rows = (1L to 8L).map(i =>
       i -> (1 to 10).map(j => s"w${i}_$j").mkString(" ")) ++ Seq(
