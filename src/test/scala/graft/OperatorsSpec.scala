@@ -2121,6 +2121,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._6) == got.map(_._6).sorted) // the ladder is monotone
   }
 
+  test("canonicalizationLadder is monotone on arbitrary messy corpora (property)") {
+    import org.scalacheck.Gen
+    def forAllSampled[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+      Iterator.continually(gen.sample).flatten.take(n).foreach(body)
+    // chars spanning every ladder level: curly quotes, NBSP, zero-width,
+    // em-dash, whitespace, case pairs, punctuation
+    val junk = Gen.oneOf('\u201C', '\u2019', '\u00A0', '\u200B', '\u2014',
+      ' ', '\t', 'A', 'a', 'b', 'B', '!', '5')
+    val corpus = Gen.listOfN(8, Gen.listOfN(12, junk).map(_.mkString))
+    forAllSampled(corpus, 5) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.canonicalizationLadder(docsDF(rows: _*))
+        .orderBy("level")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+      assert(got.size == 5 && got.forall(_._3 == 8L))
+      // each level is a function of the previous form ⇒ dups only grow
+      assert(got.map(_._5) == got.map(_._5).sorted,
+        s"ladder must be monotone, got $got for $texts")
+    }
+  }
+
   test("incremental containment equals the batch run restricted to new-member pairs") {
     val mk = (i: Int) => (10 to 10 + 8).map(j => s"w${i}_$j").mkString(" ")
     val existing = docsDF(1L -> mk(1), 2L -> mk(2), 3L -> mk(1))
