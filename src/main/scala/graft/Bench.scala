@@ -36,7 +36,7 @@ object Bench {
     "ta_bpe_artifact", "ta_wordpiece_artifact", "dedup_pairs_artifact",
     "sim_bm25_index", "src_orc_roundtrip", "layout_pruned_scan",
     "e2e_corpus_from_artifact", "stream_near_dup", "stream_curate",
-    "stream_decontam")
+    "stream_decontam", "src_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1153,6 +1153,26 @@ object SparkEntry {
 
     // ORC round-trip: the corpus through the other columnar format —
     // write + schema-enforced read must be lossless
+    // schema evolution: two batches written with DIFFERENT schemas (batch 2
+    // adds n_chars), read back through mergeSchema + partition discovery —
+    // old rows surface with the new column null-filled (reported as -1),
+    // the additive-column lifecycle a long-lived lake table goes through
+    "src_schema_evolution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = stagedDir("schevo", d, "v2", fresh = true)
+      docs.select(col("doc_id"), col("source"))
+        .where(col("doc_id") % 2 === 0)
+        .write.parquet(s"$dir/t/batch=1")
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .where(col("doc_id") % 2 =!= 0)
+        .write.parquet(s"$dir/t/batch=2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/t")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_chars"), lit(-1L)).as("n_chars"),
+          col("batch").cast("long").as("batch"))
+        .orderBy(col("doc_id"))
+    }),
+
     "src_orc_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = stagedDir("orc", d, "rt", fresh = true)
@@ -5030,6 +5050,16 @@ object SparkEntry {
       // ORC: lossless round-trip ⇒ the oracle reads the source directly
       "src_orc_roundtrip" ->
         """SELECT doc_id, source, n_chars FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      // merged-schema read: batch-1 rows get the added column null-filled
+      // (surfaced as -1), batch 2 carries it
+      "src_schema_evolution" ->
+        """SELECT doc_id, source, -1::BIGINT AS n_chars, 1::BIGINT AS batch
+          |FROM documents WHERE doc_id % 2 = 0
+          |UNION ALL
+          |SELECT doc_id, source, n_chars, 2::BIGINT AS batch
+          |FROM documents WHERE doc_id % 2 <> 0
           |ORDER BY doc_id""".stripMargin,
 
       // lake layout: the round-trip must be lossless, so the oracle is the

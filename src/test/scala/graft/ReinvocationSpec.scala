@@ -32,7 +32,8 @@ class ReinvocationSpec extends AnyFunSuite with SparkSpec {
     "k1_batch_layout",           // per-article JSON batch sink
     "stream_near_dup",           // file stream + signature index + checkpoint
     "stream_curate",             // file stream + gate + shard checkpoint
-    "stream_decontam")           // file stream + universe probe + checkpoint
+    "stream_decontam",           // file stream + universe probe + checkpoint
+    "src_schema_evolution")      // two-schema staged write + merged read
 
   stateful.foreach { name =>
     test(s"$name re-invokes in one session with identical results") {
