@@ -985,6 +985,15 @@ object SparkEntry {
           cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))),
 
+    // per-cluster simplified silhouette over the deterministic k-means —
+    // the cluster-quality readout consulted BEFORE paying for
+    // dedup_semantic's within-cluster pair joins (O(n·k), centroid-based;
+    // same planes/cells as the SemDeDup clustering)
+    "ann_silhouette" -> ((s, d) =>
+      operators.Dedup.clusterSilhouette(Tables.embeddings(s, d),
+          planes = semanticPlanes, dim = cfg.embeddingDim)
+        .orderBy(col("cell"))),
+
     // sparse text ANN: per-doc top-3 most similar documents by TF-IDF
     // cosine over 3-gram shingles (inverted-index self-join, df-capped) —
     // the text-side sibling of the dense-embedding tiers above
@@ -1069,6 +1078,25 @@ object SparkEntry {
     "ta_gini" -> ((s, d) =>
       operators.TextAnalysis.tokenGini(Tables.documents(s, d))
         .orderBy(col("source"))),
+
+    // k-anonymity audit over the (source, lang, length-bucket)
+    // quasi-identifiers: equivalence-class sizes + the <k at-risk flag —
+    // the release-review privacy table next to ta_pii
+    "ta_k_anonymity" -> ((s, d) =>
+      operators.TextAnalysis.kAnonymity(Tables.documents(s, d),
+          k = 10L, bucketWidth = 200L)
+        .orderBy(col("source"), col("lang"), col("len_bucket"))),
+
+    // Flesch reading-ease per source in exact rational arithmetic, over
+    // the same planted sentence boundaries as ta_sentences (the corpus
+    // text has none); syllables ≈ vowel-group runs
+    "ta_readability" -> ((s, d) => {
+      val planted = Tables.documents(s, d).withColumn("text",
+        regexp_replace(
+          regexp_replace(col("text"), " (spark|data|join) ", ". $1 "),
+          " (table|row) ", "! $1 "))
+      operators.TextAnalysis.readability(planted).orderBy(col("source"))
+    }),
 
     // rank-frequency readout at power-of-two ranks — the Zipf-naturalness
     // instrument (natural text halves ratio_ppm per row; templated text
@@ -1586,6 +1614,16 @@ object SparkEntry {
       operators.Multimodal.sampleFrames(s,
           operators.Multimodal.toMediaTable(s, Tables.documents(s, d)), k = 8)
         .orderBy(col("media_id"), col("frame_idx"))),
+
+    // sample-accurate audio chunk schedule parsed from the real WAV
+    // data-chunk layout: non-overlapping 256-frame windows, each with the
+    // byte offset a featurizer seeks to — the audio twin of
+    // mm_frame_sample
+    "mm_audio_chunks" -> ((s, d) =>
+      operators.Multimodal.audioChunks(s,
+          operators.Multimodal.toMediaTable(s, Tables.documents(s, d)),
+          chunkFrames = 256L)
+        .orderBy(col("media_id"), col("chunk_no"))),
 
     // ---- streaming pipelines, driven end-to-end (AvailableNow) ----
     // These RUN the Structured Streaming foreachBatch pipelines — file
@@ -3525,6 +3563,54 @@ object SparkEntry {
            |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+      // simplified silhouette over the dedup_semantic k-means (planes=6,
+      // no planting): same seed-cells → integer centroids → one argmin
+      // Lloyd round CTEs, then per-vector a/b centroid distances and the
+      // per-cell quantized mean
+      "ann_silhouette" ->
+        s"""WITH $unitVecCte,
+           |pd AS (SELECT vec_id, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), d ->
+           |      ((((1103515245*(p*64+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * vn[d+1])),
+           |    (s, x) -> s + x) AS dotp
+           |  FROM en CROSS JOIN range(0, $semanticPlanes) r(p)),
+           |c0 AS (SELECT vec_id,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS cell
+           |  FROM pd GROUP BY vec_id),
+           |a0 AS (SELECT en.vec_id, vn, cell FROM en JOIN c0 ON en.vec_id = c0.vec_id),
+           |comp0 AS (SELECT cell, d, CAST(floor(vn[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM a0 CROSS JOIN range(0, 64) r(d)),
+           |cs0 AS (SELECT cell, d, sum(xi)::BIGINT AS sd, count(*)::BIGINT AS cnt
+           |  FROM comp0 GROUP BY cell, d),
+           |cent0 AS (SELECT cell, list((sd::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM cs0 GROUP BY cell),
+           |a1 AS (SELECT vec_id, vn, cell FROM (
+           |    SELECT a0.vec_id, a0.vn, c.cell,
+           |      row_number() OVER (PARTITION BY a0.vec_id ORDER BY
+           |        list_dot_product(c.centroid, c.centroid) - (2.0::DOUBLE) * list_dot_product(a0.vn, c.centroid), c.cell) AS rr
+           |    FROM a0 CROSS JOIN cent0 c) WHERE rr = 1),
+           |comp1 AS (SELECT cell, d, CAST(floor(vn[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM a1 CROSS JOIN range(0, 64) r(d)),
+           |cs1 AS (SELECT cell, d, sum(xi)::BIGINT AS sd, count(*)::BIGINT AS cnt
+           |  FROM comp1 GROUP BY cell, d),
+           |cent1 AS (SELECT cell, list((sd::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM cs1 GROUP BY cell),
+           |dist AS (SELECT a1.vec_id, a1.cell, c.cell AS ccell,
+           |    sqrt(greatest((1.0::DOUBLE + list_dot_product(c.centroid, c.centroid))
+           |      - (2.0::DOUBLE) * list_dot_product(a1.vn, c.centroid), 0.0::DOUBLE)) AS dist
+           |  FROM a1 CROSS JOIN cent1 c),
+           |ab AS (SELECT vec_id, cell,
+           |    min(CASE WHEN ccell = cell THEN dist END) AS a,
+           |    min(CASE WHEN ccell <> cell THEN dist END) AS b
+           |  FROM dist GROUP BY vec_id, cell),
+           |sil AS (SELECT cell,
+           |    CASE WHEN b IS NULL OR greatest(a, b) <= 0.0 THEN 0::BIGINT
+           |      ELSE CAST(floor((1000000.0::DOUBLE) * (b - a) / greatest(a, b) + 0.5) AS BIGINT) END AS sil
+           |  FROM ab)
+           |SELECT cell, count(*)::BIGINT AS n_members,
+           |  CAST(floor(sum(sil)::DOUBLE / count(*)::DOUBLE) AS BIGINT) AS mean_sil_x1000000
+           |FROM sil GROUP BY cell ORDER BY cell""".stripMargin,
+
       // truth = the ann_topk pipeline, pred = the ann_lsh pipeline, then
       // one (query, neighbor) equi-join + per-query metric rollup
       "ann_eval" ->
@@ -3835,6 +3921,21 @@ object SparkEntry {
           |  ((i * ((doc_id % 997) + 100)) // 8)::BIGINT AS tick
           |FROM documents CROSS JOIN range(0, 8) r(i)
           |WHERE doc_id % 3 = 2 ORDER BY media_id, frame_idx""".stripMargin,
+
+      // 256-frame windows over the WAV payloads: frames = body/2 (mono
+      // 16-bit), data chunk at byte 44 in the canonical header the
+      // planting writes — while Spark walks the real bytes
+      "mm_audio_chunks" ->
+        """WITH a AS (SELECT doc_id AS media_id,
+          |    (octet_length(encode(text)) // 2)::BIGINT AS frames
+          |  FROM documents WHERE doc_id % 3 = 1),
+          |c AS (SELECT media_id, frames,
+          |    unnest(range(0, CAST((frames + 255) // 256 AS BIGINT)))::BIGINT AS chunk_no
+          |  FROM a)
+          |SELECT media_id, chunk_no, (chunk_no * 256)::BIGINT AS start_frame,
+          |  least(256::BIGINT, frames - chunk_no * 256)::BIGINT AS n_frames,
+          |  (44 + chunk_no * 512)::BIGINT AS start_byte
+          |FROM c ORDER BY media_id, chunk_no""".stripMargin,
 
       "mix_split" ->
         s"""SELECT source,
@@ -5291,6 +5392,35 @@ object SparkEntry {
            |  CAST(floor((1000000.0::DOUBLE) * (n_tokens*n_tokens - s2)::DOUBLE
            |    / (n_tokens*n_tokens)::DOUBLE + 0.5) AS BIGINT) AS gini_ppm
            |FROM r ORDER BY source""".stripMargin,
+
+      "ta_k_anonymity" ->
+        """SELECT source, lang, (n_chars // 200)::BIGINT AS len_bucket,
+          |  count(*)::BIGINT AS class_n,
+          |  (CASE WHEN count(*) < 10 THEN 1 ELSE 0 END)::BIGINT AS at_risk
+          |FROM documents GROUP BY source, lang, len_bucket
+          |ORDER BY source, lang, len_bucket""".stripMargin,
+
+      // same planted boundaries as ta_sentences; the per-doc score is one
+      // exact BIGINT rational over (words, sentences, vowel-run syllables)
+      "ta_readability" ->
+        s"""WITH p AS (SELECT source,
+           |    regexp_replace(regexp_replace(text,
+           |      ' (spark|data|join) ', '. \\1 ', 'g'),
+           |      ' (table|row) ', '! \\1 ', 'g') AS text
+           |  FROM documents),
+           |m AS (SELECT source, ($wordCnt)::BIGINT AS w,
+           |    greatest(len(regexp_extract_all(text, '[.!?]+'))::BIGINT, 1) AS s,
+           |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT AS syl
+           |  FROM p),
+           |f AS (SELECT source,
+           |    CAST(floor((206835*s*w - 1015*w*w - 84600*syl*s)::DOUBLE
+           |      / (s*w)::DOUBLE) AS BIGINT) AS fre
+           |  FROM m WHERE w >= 1)
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  CAST(floor(sum(fre)::DOUBLE / count(*)::DOUBLE) AS BIGINT) AS mean_fre_x1000,
+           |  min(fre)::BIGINT AS min_fre_x1000,
+           |  max(fre)::BIGINT AS max_fre_x1000
+           |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
       // rank-frequency at power-of-two ranks over the top-1024 vocabulary,
       // plus the cumulative-coverage vocab-sizing curve

@@ -1216,6 +1216,115 @@ object Dedup {
   // SemDeDup — cluster-scoped semantic deduplication
   // ------------------------------------------------------------------
 
+  /** Deterministic centroids of a (vec_id, vn, cell) assignment: exact
+    * BIGINT component sums per cell (fixed-point ×10⁶ per coordinate, so
+    * the mean is order-independent and bit-identical cross-engine), with
+    * |c|² riding along so per-vector consumers never re-fold it. Output is
+    * ≤ 2^planes rows — always broadcast at the call sites. */
+  private[operators] def centroidsOf(assigned: DataFrame): DataFrame = {
+    val S = 1000000.0
+    assigned
+      .select(col("cell"), posexplode(col("vn")).as(Seq("d", "x")))
+      .withColumn("xi", floor(col("x") * S + 0.5).cast("long"))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("xi")).as("sd"), count(lit(1)).as("cnt"))
+      .withColumn("cd", col("sd").cast("double") / (col("cnt").cast("double") * S))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+        x => x.getField("cd")).as("centroid"))
+      .withColumn("csq", dotCol(col("centroid"), col("centroid")))
+  }
+
+  /** The deterministic k-means shared by [[semanticDedup]] and
+    * [[clusterSilhouette]] (the [[Similarity.ivfTopKDet]] machinery):
+    * fixed integer-derived hyperplane signs seed 2^`planes` cells over the
+    * unit-normalized vectors, exact-integer centroids, then ONE Lloyd
+    * round reassigns each vector to its argmin `|c|² − 2·x·c` centroid
+    * (ties on cell id). Returns the refined (vec_id, vn, cell)
+    * assignment, checkpointed — every consumer re-reads it at least
+    * twice. Reproducible cross-engine, so operators built on it stay
+    * oracle-checkable, unlike library k-means with random init. */
+  private[operators] def detKMeansAssign(emb: DataFrame, planes: Int,
+                                         dim: Int): DataFrame = {
+    // checkpointed: every later stage (both centroid aggs and each
+    // consumer's joins) re-reads the assignment — without the lineage cut
+    // the normalize + plane-sign subtree re-executes once per consumer
+    val init = withUnitVector(emb)
+      .select(col("vec_id"), col("vn"))
+      .withColumn("cell",
+        element_at(graft.plans.ArrayExpressions.planeBuckets(
+          col("vn"), planes, 1, dim), 1))
+      .localCheckpoint()
+    // one Lloyd round: argmin |c|²−2·x·c over all centroids, ties on cell.
+    // min(struct) not a window — map-side combinable, and the pre-agg
+    // projection drops `vn` so the exchange carries (vec_id, cdist, cell),
+    // not 64-double arrays
+    val best0 = init.select(col("vec_id"), col("vn"))
+      .crossJoin(broadcast(centroidsOf(init)))
+      .select(col("vec_id"), struct(
+        (col("csq") - lit(2.0) * dotCol(col("vn"), col("centroid")))
+          .as("cdist"),
+        col("cell")).as("sc"))
+      .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m").getField("cell").as("cell"))
+    init.drop("cell").join(best0, Seq("vec_id"))
+      .localCheckpoint()
+  }
+
+  /** Per-cluster SIMPLIFIED SILHOUETTE over the deterministic k-means —
+    * the cluster-quality instrument an operator reads BEFORE paying for
+    * [[semanticDedup]]: is the partition tight enough that within-cluster
+    * pair checks will see the near-dups? Classic silhouette needs all
+    * pairwise distances (O(n²)); the simplified form (Hruschka et al.)
+    * replaces mean-distance-to-cluster with distance-to-CENTROID —
+    * a(x) = ‖x − c_own‖, b(x) = min over other centroids ‖x − c_other‖,
+    * s(x) = (b−a)/max(a,b) ∈ [−1, 1] — which is one broadcast join and
+    * two aggs, O(n·k), the only form that survives 100 TB.
+    *
+    * Determinism: unit vectors make ‖x−c‖² = (1 + |c|²) − 2·x·c with the
+    * same left-fold dot both engines run; sqrt is correctly rounded IEEE
+    * in both, and s is quantized floor(s·10⁶ + 0.5) per vector BEFORE the
+    * per-cluster integer mean (sum/count in exact doubles < 2⁵³) — so the
+    * whole readout is oracle-exact. Singleton clusters get a ≈ 0 (exactly
+    * the centroid's ×10⁶ quantization error) → s ≈ 1, the standard
+    * convention; the max(a,b) = 0 guard returns 0, not NaN, if both
+    * degenerate.
+    *
+    * Output: (cell, n_members, mean_sil_x1000000), one row per refined
+    * cluster. Plan: det-k-means (two broadcast-centroid passes) → one
+    * crossJoin with the ≤ 2^planes broadcast centroid table → per-vector
+    * min-agg → per-cell agg. Nothing driver-side, nothing quadratic. */
+  def clusterSilhouette(emb: DataFrame, planes: Int = 6,
+                        dim: Int = 64): DataFrame = {
+    val S = 1000000.0
+    val refined = detKMeansAssign(emb, planes, dim)
+    val cents = broadcast(centroidsOf(refined)
+      .select(col("cell").as("ccell"), col("centroid"), col("csq")))
+    val dist = refined.crossJoin(cents)
+      .select(col("vec_id"), col("cell"),
+        col("ccell"),
+        sqrt(greatest(
+          (lit(1.0) + col("csq")) - lit(2.0) * dotCol(col("vn"), col("centroid")),
+          lit(0.0))).as("dist"))
+    dist
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(when(col("ccell") === col("cell"), col("dist"))).as("a"),
+        min(when(col("ccell") =!= col("cell"), col("dist"))).as("b"))
+      .select(col("cell"),
+        // b IS NULL ⟺ the k-means degenerated to ONE cluster (silhouette
+        // undefined at k=1 → 0 by convention); the ≤0 guard covers the
+        // all-identical-vectors case
+        when(col("b").isNull || greatest(col("a"), col("b")) <= 0.0, lit(0L))
+          .otherwise(floor(lit(S) * (col("b") - col("a"))
+            / greatest(col("a"), col("b")) + 0.5).cast("long"))
+          .as("sil"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("sil")).as("ssum"))
+      .select(col("cell"), col("n_members"),
+        floor(col("ssum").cast("double") / col("n_members").cast("double"))
+          .cast("long").as("mean_sil_x1000000"))
+  }
+
   /** SemDeDup (after Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540): embedding
     * near-dup pruning scoped WITHIN k-means clusters. Where
@@ -1256,41 +1365,7 @@ object Dedup {
   def semanticDedup(emb: DataFrame, minCosX1000000: Long,
                     planes: Int = 6, dim: Int = 64): DataFrame = {
     val S = 1000000.0
-    // checkpointed: every later stage (both centroid aggs, the rank, the
-    // pair join) re-reads the assignment — without the lineage cut the
-    // normalize + plane-sign subtree re-executes once per consumer
-    val init = withUnitVector(emb)
-      .select(col("vec_id"), col("vn"))
-      .withColumn("cell",
-        element_at(graft.plans.ArrayExpressions.planeBuckets(
-          col("vn"), planes, 1, dim), 1))
-      .localCheckpoint()
-    // exact integer component sums per cell → deterministic centroids;
-    // |c|² rides along so per-vector consumers never re-fold it
-    def centroidsOf(assigned: DataFrame): DataFrame = assigned
-      .select(col("cell"), posexplode(col("vn")).as(Seq("d", "x")))
-      .withColumn("xi", floor(col("x") * S + 0.5).cast("long"))
-      .groupBy(col("cell"), col("d"))
-      .agg(sum(col("xi")).as("sd"), count(lit(1)).as("cnt"))
-      .withColumn("cd", col("sd").cast("double") / (col("cnt").cast("double") * S))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
-        x => x.getField("cd")).as("centroid"))
-      .withColumn("csq", dotCol(col("centroid"), col("centroid")))
-    // one Lloyd round: argmin |c|²−2·x·c over all centroids, ties on cell.
-    // min(struct) not a window — map-side combinable, and the pre-agg
-    // projection drops `vn` so the exchange carries (vec_id, cdist, cell),
-    // not 64-double arrays
-    val best0 = init.select(col("vec_id"), col("vn"))
-      .crossJoin(broadcast(centroidsOf(init)))
-      .select(col("vec_id"), struct(
-        (col("csq") - lit(2.0) * dotCol(col("vn"), col("centroid")))
-          .as("cdist"),
-        col("cell")).as("sc"))
-      .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
-      .select(col("vec_id"), col("m").getField("cell").as("cell"))
-    val refined = init.drop("cell").join(best0, Seq("vec_id"))
-      .localCheckpoint()
+    val refined = detKMeansAssign(emb, planes, dim)
     // rank within the refined cluster: farthest from centroid first
     val wRank = Window.partitionBy(col("cell"))
       .orderBy(col("cdist").desc, col("vec_id"))

@@ -116,9 +116,11 @@ object Multimodal {
     None
   }
 
-  /** WAV frame count: verify RIFF/WAVE, walk chunks to `fmt ` (block align)
-    * and `data` (payload size); frames = data size / block align. */
-  def parseWavFrames(p: Array[Byte]): Option[Long] = {
+  /** WAV data-chunk LAYOUT: verify RIFF/WAVE, walk chunks to `fmt ` (block
+    * align) and `data`; returns (data byte offset, block align, frame
+    * count) — everything a chunked feature extractor needs to SEEK each
+    * window sample-accurately instead of decoding the whole file. */
+  def parseWavLayout(p: Array[Byte]): Option[(Long, Int, Long)] = {
     def tag(off: Int) = new String(p, off, 4, UTF_8)
     if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
@@ -134,7 +136,7 @@ object Multimodal {
         // return BEFORE the advancement bound: a truncated recording whose
         // declared data size exceeds the remaining bytes still reports its
         // declared frame count
-        return Some(size.toLong / blockAlign)
+        return Some((i.toLong + 8L, blockAlign, size.toLong / blockAlign))
       // the advancement must never wrap Int (a crafted ~2^31 chunk size
       // would turn i negative and throw instead of degrading to None) — a
       // non-final chunk claiming more than the remaining payload is
@@ -144,6 +146,10 @@ object Multimodal {
     }
     None
   }
+
+  /** WAV frame count — [[parseWavLayout]]'s frame leg. */
+  def parseWavFrames(p: Array[Byte]): Option[Long] =
+    parseWavLayout(p).map(_._3)
 
   /** Planted MP4 movie duration (ticks at timescale 1000) for doc id. */
   def plantedDuration(id: Long): Long = (id % 997) + 100
@@ -300,6 +306,42 @@ object Multimodal {
           ResizedMedia(r.media_id, w, h, ow, oh,
             if (ow != w || oh != h) 1L else 0L,
             if (back.contains((ow, oh))) 1L else 0L)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class AudioChunk(media_id: Long, chunk_no: Long,
+                              start_frame: Long, n_frames: Long,
+                              start_byte: Long)
+
+  /** Sample-accurate audio chunking over the WAV payloads — the audio twin
+    * of [[sampleFrames]]: parse the real data-chunk layout from the bytes
+    * ([[parseWavLayout]]), then emit the non-overlapping `chunkFrames`-frame
+    * window schedule per recording, each row carrying the BYTE offset a
+    * feature extractor seeks to (`data_off + start_frame·block_align`) —
+    * the plan a real featurizer executes per partition (seek + read per
+    * window; the last partial window keeps its true frame count). Pure
+    * integer arithmetic over parsed layout fields, so the schedule is
+    * engine-exact; non-audio payloads are dropped. Output rows are bounded
+    * at ⌈frames/chunkFrames⌉ per recording — the explode is capped by the
+    * payload's own size. */
+  def audioChunks(spark: SparkSession, media: Dataset[MediaRecord],
+                  chunkFrames: Long = 256L): DataFrame = {
+    require(chunkFrames >= 1, "chunkFrames must be positive")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real pipelines: init the audio demuxer here, once per partition
+      it.filter(_.kind == "audio").flatMap { r =>
+        parseWavLayout(r.payload).iterator.flatMap {
+          case (dataOff, blockAlign, frames) =>
+            val n = (frames + chunkFrames - 1) / chunkFrames
+            (0L until n).iterator.map { c =>
+              val start = c * chunkFrames
+              AudioChunk(r.media_id, c, start,
+                math.min(chunkFrames, frames - start),
+                dataOff + start * blockAlign)
+            }
         }
       }
     }.toDF()

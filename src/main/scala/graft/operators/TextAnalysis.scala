@@ -1256,4 +1256,67 @@ object TextAnalysis {
   def loadWordpieceVocab(spark: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame =
     spark.read.parquet(s"$dir/wp_vocab")
+
+  /** k-ANONYMITY audit over the metadata quasi-identifiers — the privacy
+    * instrument next to [[piiReport]] in a dataset card: an attacker who
+    * knows a document's (source, lang, coarse length) can re-identify it
+    * iff its equivalence class has fewer than k members (Sweeney 2002).
+    * Output: one row per quasi-identifier class — its size and the at-risk
+    * flag — the table a release review reads to decide which classes to
+    * suppress or generalize (widen `bucketWidth`) before publishing.
+    *
+    * Length rides in `bucketWidth`-char buckets: the generalization knob —
+    * the exact `n_chars` would make nearly every doc its own class.
+    * One map-side-combinable hash aggregation over (source, lang, bucket);
+    * class cardinality is bounded by sources × langs × (max_len/width),
+    * not by corpus size — map-only at 100 TB plus one tiny shuffle. */
+  def kAnonymity(docs: DataFrame, k: Long = 10L,
+                 bucketWidth: Long = 1000L): DataFrame = {
+    require(k >= 1 && bucketWidth >= 1, "k and bucketWidth must be positive")
+    docs
+      .select(col("source"), col("lang"),
+        floor(col("n_chars") / bucketWidth).cast("long").as("len_bucket"))
+      .groupBy(col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_n"))
+      .withColumn("at_risk",
+        when(col("class_n") < k, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Flesch reading-ease per source, in EXACT rational arithmetic — the
+    * classic readability gate (206.835 − 1.015·W/S − 84.6·Syl/W) as one
+    * BIGINT expression: ×1000 with common denominator S·W,
+    * `floor((206835·S·W − 1015·W² − 84600·Syl·S) / (S·W))`, so the per-doc
+    * score is order-independent and bit-identical cross-engine (products
+    * stay far under 2⁶³; the one division is exact-double < 2⁵³ then
+    * floored). Syllables are approximated by vowel-group runs (the
+    * standard regex proxy — each maximal [aeiouy]+ run bills one
+    * syllable); sentences are [.!?]+ runs, min 1 (a fragment is one
+    * sentence). Docs with no words are excluded (the score is undefined).
+    *
+    * Output per source: doc count, mean/min/max score ×1000 (per-doc
+    * quantized THEN integer-averaged — the fixed-point rule every `a*`
+    * summary follows). Map-only scoring + one tiny aggregation: the
+    * cheapest quality signal in the suite at 100 TB. */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = wordCount(col("text")).cast("long")
+    docs
+      .select(col("source"), w.as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+          lit(1L)).as("s"),
+        regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+          .as("syl"))
+      .where(col("w") >= 1)
+      .select(col("source"),
+        floor((lit(206835L) * col("s") * col("w")
+          - lit(1015L) * col("w") * col("w")
+          - lit(84600L) * col("syl") * col("s")).cast("double")
+          / (col("s") * col("w")).cast("double")).cast("long")
+          .as("fre_x1000"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        floor(sum(col("fre_x1000")).cast("double")
+          / count(lit(1)).cast("double")).cast("long").as("mean_fre_x1000"),
+        min(col("fre_x1000")).as("min_fre_x1000"),
+        max(col("fre_x1000")).as("max_fre_x1000"))
+  }
 }

@@ -2162,4 +2162,76 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(incr.exists(p => p._1 >= 10L && p._2 >= 10L),
       "must include a new-new pair")
   }
+
+  test("clusterSilhouette is bounded, covers every vector, deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val got = Dedup.clusterSilhouette(emb, planes = 6, dim = 64)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // every vector lands in exactly one refined cluster
+    assert(got.map(_._2).sum == n)
+    // silhouette is a mean of per-vector values in [-1, 1] (×1e6)
+    assert(got.forall(r => r._3 >= -1000000L && r._3 <= 1000000L))
+    // deterministic k-means → bit-identical re-run (no random init)
+    val again = Dedup.clusterSilhouette(emb, planes = 6, dim = 64)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(again == got)
+  }
+
+  test("clusterSilhouette survives the one-cluster degenerate case with 0s") {
+    // two near-identical vectors: every plane gives both the same sign →
+    // one cell, one cluster after the Lloyd round → b undefined → s = 0
+    val emb = Seq(
+      (1L, Array.fill(4)(1.0f), 0),
+      (2L, Array.fill(4)(1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.clusterSilhouette(emb, planes = 2, dim = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).sum == 2L)
+    assert(got.forall(_._3 == 0L), s"degenerate clustering must yield 0s: $got")
+  }
+
+  test("kAnonymity flags classes under k and partitions the corpus exactly") {
+    val docs = Seq(
+      (1L, "en", "s1", 120L), (2L, "en", "s1", 130L), (3L, "en", "s1", 140L),
+      (4L, "de", "s1", 150L),                       // singleton class
+      (5L, "en", "s2", 700L), (6L, "en", "s2", 720L)
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val got = TextAnalysis.kAnonymity(docs, k = 3L, bucketWidth = 100L)
+      .as[(String, String, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      ("s1", "de", 1L, 1L, 1L),   // 1 < k → at risk
+      ("s1", "en", 1L, 3L, 0L),   // exactly k → safe
+      ("s2", "en", 7L, 2L, 1L)))
+    assert(got.map(_._4).sum == docs.count()) // classes partition the corpus
+  }
+
+  test("readability bills the exact Flesch rational and drops wordless docs") {
+    val docs = Seq(
+      (1L, "aa bb. cc!", "en", "s1", 10L),
+      (2L, "   ", "en", "s2", 3L)   // no words → undefined → excluded
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.readability(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // W=3 ("aa","bb.","cc!"), S=2 ("." and "!"), Syl=1 ("aa")
+    // floor((206835·2·3 − 1015·9 − 84600·1·2) / 6) = floor(1062675/6)
+    assert(got == Seq(("s1", 1L, 177112L, 177112L, 177112L)))
+  }
+
+  test("audioChunks tiles the recording exactly with sample-accurate byte offsets") {
+    import graft.Schemas.MediaRecord
+    val body = new Array[Byte](1030) // 515 frames at block align 2
+    val media = spark.createDataset(Seq(
+      MediaRecord(7L, "audio", Multimodal.wavPayload(body), "audio/wav", 0L),
+      MediaRecord(8L, "image", Multimodal.pngPayload(8, 8, body), "image/png", 0L)))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = Multimodal.audioChunks(spark, media, chunkFrames = 256L)
+      .orderBy("media_id", "chunk_no")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, 0L, 0L, 256L, 44L),
+      (7L, 1L, 256L, 256L, 556L),
+      (7L, 2L, 512L, 3L, 1068L)))  // last partial window keeps its true count
+    assert(got.map(_._4).sum == 515L) // windows tile: no overlap, no gap
+  }
 }
