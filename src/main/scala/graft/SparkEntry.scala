@@ -985,6 +985,14 @@ object SparkEntry {
           cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))),
 
+    // IVF + PQ composed (the production FAISS-style index layout): the
+    // deterministic coarse probe bounds the candidate set, integer ADC
+    // over 64×-compressed codes ranks it, exact re-rank on the shortlist
+    "ann_ivfpq" -> ((s, d) =>
+      operators.Similarity.ivfPqTopK(Tables.embeddings(s, d),
+          cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))),
+
     // per-cluster simplified silhouette over the deterministic k-means —
     // the cluster-quality readout consulted BEFORE paying for
     // dedup_semantic's within-cluster pair joins (O(n·k), centroid-based;
@@ -1321,6 +1329,28 @@ object SparkEntry {
         ring0.select(col("dst").as("src"), col("src").as("dst")))
       operators.Graphs
         .graphRank(star.unionByName(ring).withColumn("w", lit(1L)), iters = 10)
+        .orderBy(col("node"))
+    }),
+
+    // community detection by deterministic label propagation over the
+    // same planted doc graph: per-source star communities must coalesce
+    // onto their hub labels, with the min label flooding the hub ring —
+    // the near-linear community primitive next to rank/triangles/k-core
+    "graph_communities" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hubs = docs.groupBy(col("source")).agg(min(col("doc_id")).as("hub"))
+      val mem = docs.join(hubs, Seq("source"))
+        .where(col("doc_id") =!= col("hub"))
+        .select(col("doc_id").as("x"), col("hub").as("y"))
+      val star = mem.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(mem.select(col("y").as("src"), col("x").as("dst")))
+      val hw = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+      val ring0 = hubs.withColumn("nxt", lead(col("hub"), 1).over(hw))
+        .where(col("nxt").isNotNull)
+        .select(col("hub").as("src"), col("nxt").as("dst"))
+      val ring = ring0.unionByName(
+        ring0.select(col("dst").as("src"), col("src").as("dst")))
+      operators.Graphs.labelPropagation(star.unionByName(ring), iters = 4)
         .orderBy(col("node"))
     }),
 
@@ -2319,6 +2349,16 @@ object SparkEntry {
         s"  FROM rst LEFT JOIN (SELECT e.dst AS node, sum((r.rank * e.w) // d.wdeg) AS flow\n" +
         s"    FROM edges e JOIN r${i - 1} r ON e.src = r.node\n" +
         s"    JOIN deg d ON d.src = e.src GROUP BY e.dst) f ON f.node = rst.node)"
+    }.mkString(",\n")
+    // unrolled label-propagation rounds (Graphs.labelPropagation's sync
+    // recurrence): needs CTEs `es` (node, nbr — self-edges included) and
+    // l0 (node, label); emits n1/l1..nN/lN
+    def lpaRounds(n: Int) = (1 to n).map { i =>
+      s"n$i AS (SELECT es.node AS node, l.label AS label, count(*)::BIGINT AS cnt\n" +
+        s"  FROM es JOIN l${i - 1} l ON es.nbr = l.node GROUP BY es.node, l.label),\n" +
+        s"l$i AS (SELECT node, label FROM (\n" +
+        s"    SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn\n" +
+        s"    FROM n$i) WHERE rn = 1)"
     }.mkString(",\n")
     // the iterative-BPE replay shared by ta_bpe_segment and
     // ta_bpe_fertility: v0 + `n` merge rounds + seg0..segN application CTEs
@@ -3741,6 +3781,87 @@ object SparkEntry {
            |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
            |  WHERE query_id <> codes.vec_id
            |  GROUP BY query_id, codes.vec_id),
+           |short AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY est DESC, vec_id) AS srank
+           |    FROM adc) WHERE srank <= 50),
+           |scored AS (SELECT short.query_id, short.vec_id,
+           |    list_dot_product(eq.vn, ev.vn) AS cos
+           |  FROM short JOIN en eq ON short.query_id = eq.vec_id
+           |  JOIN en ev ON short.vec_id = ev.vec_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+           |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // IVF+PQ composition: the ann_ivf_det coarse CTEs (c-prefixed)
+      // produce the probed candidate set; the ann_pq CTEs score ONLY
+      // those candidates by integer ADC, then the exact re-rank
+      "ann_ivfpq" ->
+        s"""WITH $unitVecCte,
+           |cpd AS (SELECT vec_id, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), d ->
+           |      ((((1103515245*(p*64+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * vn[d+1])),
+           |    (s, x) -> s + x) AS dotp
+           |  FROM en CROSS JOIN range(0, 4) r(p)),
+           |ccell AS (SELECT vec_id,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS cell
+           |  FROM cpd GROUP BY vec_id),
+           |cassign AS (SELECT en.vec_id, vn, cell FROM en JOIN ccell ON en.vec_id = ccell.vec_id),
+           |ccomp AS (SELECT cell, d, CAST(floor(vn[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM cassign CROSS JOIN range(0, 64) r(d)),
+           |ccent AS (SELECT cell, list((sd::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT cell, d, sum(xi)::BIGINT AS sd, count(*)::BIGINT AS cnt
+           |        FROM ccomp GROUP BY cell, d) GROUP BY cell),
+           |q0 AS (SELECT vec_id AS query_id, vn AS qv FROM cassign WHERE vec_id < 10),
+           |probes AS (SELECT query_id, cell FROM (
+           |    SELECT query_id, c.cell,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY
+           |        list_dot_product(c.centroid, c.centroid) - (2.0::DOUBLE) * list_dot_product(qv, c.centroid), c.cell) AS crank
+           |    FROM q0 CROSS JOIN ccent c) WHERE crank <= 4),
+           |cand AS (SELECT query_id, a.vec_id FROM probes JOIN cassign a ON probes.cell = a.cell
+           |  WHERE query_id <> a.vec_id),
+           |sub AS (SELECT vec_id, s, vn[(s*8+1)::INT:(s*8+8)::INT] AS sv
+           |  FROM en CROSS JOIN range(0, 8) rs(s)),
+           |pd AS (SELECT vec_id, s, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 8), d ->
+           |      ((((1103515245*((s*4+p)*8+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * sv[d+1])),
+           |    (acc, x) -> acc + x) AS dotp
+           |  FROM sub CROSS JOIN range(0, 4) rp(p)),
+           |codes0 AS (SELECT vec_id, s,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS code
+           |  FROM pd GROUP BY vec_id, s),
+           |comp0 AS (SELECT s, code, d, CAST(floor(sv[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM (SELECT sub.vec_id, sub.s, sv, code
+           |        FROM sub JOIN codes0 ON sub.vec_id = codes0.vec_id AND sub.s = codes0.s)
+           |  CROSS JOIN range(0, 8) r(d)),
+           |centroids0 AS (SELECT s, code, list((sd_::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT s, code, d, sum(xi)::BIGINT AS sd_, count(*)::BIGINT AS cnt
+           |        FROM comp0 GROUP BY s, code, d) GROUP BY s, code),
+           |codes AS (SELECT vec_id, s, code FROM (
+           |    SELECT sub.vec_id, sub.s, c.code,
+           |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+           |        list_dot_product(centroid, centroid) - (2.0::DOUBLE) * list_dot_product(sv, centroid), c.code) AS cr
+           |    FROM sub JOIN centroids0 c ON sub.s = c.s)
+           |  WHERE cr = 1),
+           |comp AS (SELECT s, code, d, CAST(floor(sv[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM (SELECT sub.vec_id, sub.s, sv, code
+           |        FROM sub JOIN codes ON sub.vec_id = codes.vec_id AND sub.s = codes.s)
+           |  CROSS JOIN range(0, 8) r(d)),
+           |centroids AS (SELECT s, code, list((sd_::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT s, code, d, sum(xi)::BIGINT AS sd_, count(*)::BIGINT AS cnt
+           |        FROM comp GROUP BY s, code, d) GROUP BY s, code),
+           |q AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub WHERE vec_id < 10),
+           |lut AS (SELECT query_id, c.s, c.code,
+           |    CAST(floor(list_dot_product(qsv, centroid) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS ci
+           |  FROM q JOIN centroids c ON q.s = c.s),
+           |adc AS (SELECT cand.query_id, codes.vec_id, sum(ci)::BIGINT AS est
+           |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+           |  JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+           |    AND lut.query_id = cand.query_id
+           |  GROUP BY cand.query_id, codes.vec_id),
            |short AS (SELECT query_id, vec_id FROM (
            |    SELECT query_id, vec_id,
            |      row_number() OVER (PARTITION BY query_id ORDER BY est DESC, vec_id) AS srank
@@ -5274,6 +5395,29 @@ object SparkEntry {
            |r0 AS (SELECT src AS node, 1000000::BIGINT AS rank FROM deg),
            |$rounds
            |SELECT node, rank AS rank_x1e6 FROM r10 ORDER BY node""".stripMargin
+      },
+
+      // label propagation: same planted graph CTEs + self-edges, 4
+      // unrolled sync rounds, then the community-size join
+      "graph_communities" -> {
+        val rounds = lpaRounds(4)
+        s"""WITH hubs AS (SELECT source, min(doc_id) AS hub FROM documents GROUP BY source),
+           |mem AS (SELECT d.doc_id AS x, h.hub AS y FROM documents d
+           |  JOIN hubs h ON d.source = h.source WHERE d.doc_id <> h.hub),
+           |ring0 AS (SELECT hub AS src, lead(hub, 1) OVER (ORDER BY source) AS dst FROM hubs),
+           |ringe AS (SELECT src, dst FROM ring0 WHERE dst IS NOT NULL),
+           |e0 AS (SELECT x AS node, y AS nbr FROM mem
+           |  UNION ALL SELECT y AS node, x AS nbr FROM mem
+           |  UNION ALL SELECT src AS node, dst AS nbr FROM ringe
+           |  UNION ALL SELECT dst AS node, src AS nbr FROM ringe),
+           |es AS (SELECT node, nbr FROM e0
+           |  UNION ALL SELECT DISTINCT node AS node, node AS nbr FROM e0),
+           |l0 AS (SELECT DISTINCT node AS node, node AS label FROM es),
+           |$rounds
+           |SELECT l4.node AS node, l4.label AS label, s.community_n
+           |FROM l4 JOIN (SELECT label, count(*)::BIGINT AS community_n
+           |  FROM l4 GROUP BY label) s ON l4.label = s.label
+           |ORDER BY node""".stripMargin
       },
 
       // redirect chains: same planted mapping, resolved by a recursive CTE

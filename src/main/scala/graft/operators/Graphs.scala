@@ -206,4 +206,58 @@ object Graphs {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
+
+  /** COMMUNITY DETECTION by synchronous label propagation (after Raghavan
+    * et al. 2007) — the near-linear community primitive the tier was
+    * missing next to PageRank / triangles / k-core: every node starts as
+    * its own label; each round, every node adopts the most frequent label
+    * among its neighbors PLUS its own current label (label retention —
+    * damps the bipartite oscillation synchronous LPA is known for), ties
+    * → smallest label (the determinism the classic random-tie LPA lacks,
+    * same device as the k-core and clustering fixpoints). `iters` fixed
+    * rounds, synchronous (all nodes update from the round-t labels), so
+    * the whole run replays as `iters` unrolled CTE rounds in the oracle,
+    * bit for bit.
+    *
+    * Communities ≠ connected components ([[Dedup.dedupClusters]]): LPA
+    * splits a connected graph along its dense regions — the
+    * template-family vs drift-chain distinction at the community level.
+    *
+    * Output: (node, label, community_n) — final label + its community
+    * size. Plan per round: one edge⨝labels equi-join (shuffles the
+    * node-sized label frame; the checkpointed edge list never moves
+    * again) → per-(node, label) count → map-combinable min(struct)
+    * argmax. Nodes with no edges never appear (callers pass edge lists).
+    * At 100 TB: rounds are O(E) hash aggs; `iters` is small (communities
+    * stabilize in ~5 rounds on power-law graphs — Raghavan's empirical
+    * bound). */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e0 = edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
+    // the retention self-edge rides in the checkpointed edge list, so the
+    // per-round join stays ONE join
+    val e = e0.unionByName(
+        e0.select(col("node")).distinct().withColumn("nbr", col("node")))
+      .localCheckpoint()
+    var labels = e.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      labels = e
+        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        // argmax by (cnt desc, label asc) as a map-combinable min(struct)
+        .groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m").getField("l").as("label"))
+      if (i % 3 == 0 || i == iters) labels = labels.localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_n"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node"), col("label"), col("community_n"))
+  }
 }

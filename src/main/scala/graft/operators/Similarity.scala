@@ -258,17 +258,43 @@ object Similarity {
              m: Int = 8, bits: Int = 4, dim: Int = 64,
              refine: Int = 1, shortlist: Int = 50): DataFrame = {
     require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
-    require(bits >= 1 && bits <= 8, "codebook bits in [1, 8]")
-    require(refine >= 0, "refine rounds must be >= 0")
-    val sd = dim / m
     val S = 1000000.0
     val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
-    // (vec, subspace) → subvector; initial cell = `bits` hyperplane sign
-    // bits (a deterministic k-means init; signs alone place centroids too
-    // coarsely for ADC ranking — refinement below is what buys recall)
-    // localCheckpoint: `sub` feeds the code init, every refine round's
-    // reassignment AND re-mean, and the query-side LUT — without it each
-    // consumer re-runs the scan + normalize + explode chain from parquet
+    val (sub, codes, centroids) = pqTrain(e, m, bits, dim / m, refine)
+    // ADC lookup table: per (query, subspace, code) the partial dot against
+    // the codebook centroid, rounded to an integer — the per-vector sum of
+    // m integers is then order-independent
+    val q = sub.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+    val lut = q.join(centroids, Seq("s"))
+      .withColumn("ci",
+        floor(dotCol(col("qsv"), col("centroid")) * S + 0.5).cast("long"))
+      .select(col("query_id"), col("s"), col("code"), col("ci"))
+    val adc = codes.join(broadcast(lut), Seq("s", "code"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("ci")).as("est_dot_x1000000"))
+    shortlistRerank(adc, e, k, shortlist)
+  }
+
+  /** PQ codebook training, shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * (vec, subspace) subvectors, initial codes from `bits` fixed
+    * hyperplane signs per subspace (a deterministic k-means init; signs
+    * alone place centroids too coarsely for ADC ranking — refinement is
+    * what buys recall), then `refine` Lloyd rounds with argmin
+    * reassignment (|c|² − 2·x·c, ties on code) and exact fixed-point
+    * integer re-means. Empty cells drop out of the rebuilt codebook, so
+    * every stored code keeps a centroid. Returns (sub, codes, centroids).
+    *
+    * `sub` is localCheckpoint'd: it feeds the code init, every refine
+    * round's reassignment AND re-mean, and the query-side LUT — without
+    * the lineage cut each consumer re-runs the scan + normalize + explode
+    * chain from parquet. */
+  private def pqTrain(e: DataFrame, m: Int, bits: Int, sd: Int,
+                      refine: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(bits >= 1 && bits <= 8, "codebook bits in [1, 8]")
+    require(refine >= 0, "refine rounds must be >= 0")
+    val S = 1000000.0
     val sub = e
       .select(col("vec_id"), col("vn"),
         explode(sequence(lit(0), lit(m - 1))).as("s"))
@@ -294,10 +320,6 @@ object Similarity {
       .agg(sum(when(col("dotp") > 0, pow(lit(2.0), col("p")).cast("long"))
         .otherwise(0L)).as("code"))
     var centroids = centroidsOf(codes)
-    // Lloyd refinement, deterministically: reassign each subvector to its
-    // nearest centroid (argmin by |c|² − 2·x·c, ties on code — the ivf
-    // probe comparison), then exact integer re-means. Empty cells drop out
-    // of the rebuilt codebook, so every stored code keeps a centroid.
     for (_ <- 1 to refine) {
       // argmin as a map-combinable min(struct(dist, code)) hash agg — the
       // same (dist, code)-ordered pick a row_number window makes, without
@@ -311,24 +333,17 @@ object Similarity {
         .select(col("vec_id"), col("s"), col("m").getField("code").as("code"))
       centroids = centroidsOf(codes)
     }
-    // ADC lookup table: per (query, subspace, code) the partial dot against
-    // the codebook centroid, rounded to an integer — the per-vector sum of
-    // m integers is then order-independent
-    val q = sub.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
-    val lut = q.join(centroids, Seq("s"))
-      .withColumn("ci",
-        floor(dotCol(col("qsv"), col("centroid")) * S + 0.5).cast("long"))
-      .select(col("query_id"), col("s"), col("code"), col("ci"))
-    val adc = codes.join(broadcast(lut), Seq("s", "code"))
-      .where(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("ci")).as("est_dot_x1000000"))
-    // ADC shortlist → exact re-rank (the FAISS refine step): the codes-only
-    // scan ranks a SHORTLIST cheaply (m integer adds per vector, floats
-    // never shuffled); only the shortlist's full vectors are touched for
-    // exact cosine. At 64× compression ADC alone cannot order true
-    // neighbors within a cluster — its job is candidate generation.
+    (sub, codes, centroids)
+  }
+
+  /** ADC shortlist → exact re-rank (the FAISS refine step), shared by
+    * [[pqTopK]] and [[ivfPqTopK]]: the codes-only estimates rank a
+    * SHORTLIST cheaply (m integer adds per vector, floats never
+    * shuffled); only the shortlist's full vectors are touched for exact
+    * cosine. At 64× compression ADC alone cannot order true neighbors
+    * within a cluster — its job is candidate generation. */
+  private def shortlistRerank(adc: DataFrame, e: DataFrame, k: Int,
+                              shortlist: Int): DataFrame = {
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("est_dot_x1000000").desc, col("vec_id"))
     val short = adc.withColumn("srank", row_number().over(wShort))
@@ -346,6 +361,76 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"),
         floor(col("cos") * 1000000.0 + 0.5).cast("long").as("cos_x1000000"))
+  }
+
+  /** IVF + PQ composed — the production ANN index layout (the FAISS
+    * `IVFx,PQy` shape): the deterministic coarse quantizer of
+    * [[ivfTopKDet]] restricts each query to `nProbe` cells' members, and
+    * ONLY those candidates are scored by [[pqTopK]]'s integer ADC over
+    * the 64×-compressed codes, then the shortlist is re-ranked exactly.
+    * At 100 TB this is the index that actually ships: the coarse probe
+    * bounds the candidate set (ADC cost per query drops from O(n) to
+    * O(n·nProbe/2^planes)), the PQ codes bound the bytes per candidate,
+    * and the exact re-rank touches only `shortlist` full vectors. Both
+    * quantizers are the proven-parity deterministic machineries, so the
+    * composition stays oracle-exact end to end.
+    *
+    * Plan shape: coarse cell assignment (map-only) → broadcast centroid
+    * probe ranking → candidate equi-join on `cell` → codes equi-join +
+    * broadcast-LUT ADC integer sum → shortlist window → exact re-rank
+    * join. No cartesian anywhere; every join is key-bounded. */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int,
+                planes: Int = 4, nProbe: Int = 4,
+                m: Int = 8, bits: Int = 4, dim: Int = 64,
+                refine: Int = 1, shortlist: Int = 50): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    val S = 1000000.0
+    val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
+    // coarse tier: cells + integer-exact centroids (ivfTopKDet machinery);
+    // checkpointed — feeds the centroid agg, the probe, and the candidate
+    // join
+    val assigned = e.withColumn("cell",
+        element_at(graft.plans.ArrayExpressions.planeBuckets(
+          col("vn"), planes, 1, dim), 1))
+      .localCheckpoint()
+    val cents = assigned
+      .select(col("cell"), posexplode(col("vn")).as(Seq("d", "x")))
+      .withColumn("xi", floor(col("x") * S + 0.5).cast("long"))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("xi")).as("sd"), count(lit(1)).as("cnt"))
+      .withColumn("cd", col("sd").cast("double") / (col("cnt").cast("double") * S))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+        x => x.getField("cd")).as("centroid"))
+    val q0 = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = broadcast(q0).join(broadcast(cents))
+      .withColumn("cdist",
+        dotCol(col("centroid"), col("centroid")) -
+          lit(2.0) * dotCol(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(wCell))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = probes
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    // PQ tier: codebook trained on the whole corpus (as pqTopK), ADC
+    // restricted to the probed candidates
+    val (sub, codes, centroids) = pqTrain(e, m, bits, dim / m, refine)
+    val q = sub.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+    val lut = q.join(centroids, Seq("s"))
+      .withColumn("ci",
+        floor(dotCol(col("qsv"), col("centroid")) * S + 0.5).cast("long"))
+      .select(col("query_id"), col("s"), col("code"), col("ci"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("ci")).as("est_dot_x1000000"))
+    shortlistRerank(adc, e, k, shortlist)
   }
 
   /** ANN index evaluation — the harness that closes the loop: given a

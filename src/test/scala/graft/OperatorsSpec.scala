@@ -2218,6 +2218,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(("s1", 1L, 177112L, 177112L, 177112L)))
   }
 
+  test("labelPropagation coalesces two disjoint triangles onto their min labels") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, iters = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L)))
+  }
+
+  test("ivfPqTopK with every cell probed equals plain pqTopK") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pq = Similarity.pqTopK(emb, 5, 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // planes=2 → 4 coarse cells; nProbe=4 probes them all → the coarse
+    // tier prunes nothing and the composition must reduce to PQ exactly
+    val ivfpq = Similarity.ivfPqTopK(emb, 5, 5, planes = 2, nProbe = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(ivfpq == pq)
+    // the pruning configuration still returns full result sets per query
+    val pruned = Similarity.ivfPqTopK(emb, 5, 5, planes = 4, nProbe = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(pruned.map(_._1).distinct.size == 5)
+  }
+
   test("audioChunks tiles the recording exactly with sample-accurate byte offsets") {
     import graft.Schemas.MediaRecord
     val body = new Array[Byte](1030) // 515 frames at block align 2
