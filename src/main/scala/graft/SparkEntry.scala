@@ -436,6 +436,12 @@ object SparkEntry {
     // double shuffle, and the returnflag predicate is pushed to the scan
     "q4_priority_semijoin" -> ((s, d) => Relational.priorityReturns(s, d)),
 
+    // nation × year revenue matrix via groupBy().pivot(values) — the
+    // long→wide reshape surface; fixed year list keeps the schema a plan
+    // property and the pivot one-pass
+    "q10_pivot" -> ((s, d) =>
+      Relational.nationYearPivot(s, d).orderBy(col("n_name"))),
+
     // correlated scalar subqueries through spark.sql: Catalyst decorrelates
     // each per-customer aggregate into a grouped aggregate + broadcast
     // equi-join (.explain: two HashAggregate legs, both joined broadcast —
@@ -1702,6 +1708,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming session windows driven end-to-end (the 4th driven
+    // pipeline): time-sliced files keep the watermark trailing the data,
+    // a far-future sentinel event per user flushes every real session
+    // closed (the sentinel's own singleton session never emits), so the
+    // accumulated Append output equals the batch session_window result —
+    // a12b's oracle verbatim
+    "stream_sessions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      // every user gets the SAME sentinel timestamp (global max + 2 days):
+      // the final watermark is sentinel − delay, so no sentinel session's
+      // `end + gap` is ever behind it — per-user sentinels would leak,
+      // since early users' sentinels close against the global watermark
+      val gmax = ev.agg(max(col("ts")).as("mts"))
+      val sent = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(gmax))
+        .select(col("user_id"),
+          (col("mts") + expr("INTERVAL 2 DAYS")).as("ts"),
+          lit(-1L).as("event_id"))
+      val all = ev.unionByName(sent)
+      val stage = stagedDir("stream-sessions", d, s"g${cfg.sessionGapMinutes}",
+        fresh = true)
+      // sequential time-sliced writes: the file source orders by mod time,
+      // so each micro-batch covers the next slice and the watermark never
+      // passes unseen events (see StreamingSpec's sliced-write rationale)
+      val sliced = all.withColumn("_p", ntile(8).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+      (1 to 8).foreach { p =>
+        sliced.where(col("_p") === p).drop("_p").coalesce(1)
+          .write.mode("append").parquet(s"$stage/src")
+        Thread.sleep(10)
+      }
+      streaming.Streams.runSessionsToParquet(s,
+          streaming.Streams.fileSource(s, s"$stage/src", all.schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/out", s"$stage/ck", gapMinutes = cfg.sessionGapMinutes)
+        .awaitTermination()
+      s.read.parquet(s"$stage/out")
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // streaming decontamination: the persisted train shingle universe is
     // probed per micro-batch of arriving eval docs; the accumulated report
     // must equal the batch overlapReport (same oracle SQL) — the
@@ -2697,6 +2746,23 @@ object SparkEntry {
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+      // manual CASE pivot mirroring groupBy().pivot(values) column for
+      // column; absent cells 0 on both sides
+      "q10_pivot" -> {
+        val cols = operators.Relational.PivotYears.map(y =>
+          s"  sum(CASE WHEN y = $y THEN rev ELSE 0 END)::BIGINT AS rev_${y}_x10000")
+          .mkString(",\n")
+        s"""SELECT n_name,
+           |$cols
+           |FROM (SELECT n_name, year(o_orderdate) AS y,
+           |    CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT) AS rev
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey)
+           |GROUP BY n_name ORDER BY n_name""".stripMargin
+      },
+
       "q6_revenue_forecast" ->
         """SELECT sum(CAST(floor(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT))::BIGINT AS revenue_x10000,
           |  count(*)::BIGINT AS n_items
@@ -2793,6 +2859,23 @@ object SparkEntry {
           |  min(tsu)::BIGINT AS start_us, max(tsu)::BIGINT AS end_us
           |FROM x GROUP BY user_id, session_idx
           |ORDER BY user_id, session_idx""".stripMargin,
+
+      // the driven streaming pipeline must accumulate exactly the batch
+      // session_window result (sentinel-flushed) — same oracle SQL
+      "stream_sessions" ->
+        """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+          |s AS (SELECT user_id, tsu,
+          |    CASE WHEN tsu - lag(tsu, 1) OVER (PARTITION BY user_id ORDER BY tsu, event_id) > 30*60000000 THEN 1 ELSE 0 END AS new_session,
+          |    event_id
+          |  FROM t),
+          |x AS (SELECT user_id, tsu,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+          |  FROM s)
+          |SELECT user_id, count(*)::BIGINT AS n_events,
+          |  min(tsu)::BIGINT AS start_us, max(tsu)::BIGINT AS end_us
+          |FROM x GROUP BY user_id, session_idx
+          |ORDER BY user_id, start_us""".stripMargin,
 
       "a12b_session_window" ->
         """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),

@@ -366,4 +366,37 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
+
+  /** Years the pivot report spans — a FIXED list (the `pivot(col, values)`
+    * overload): with explicit values the pivot is one pass with no
+    * distinct-values pre-query, the output schema is static (a plan
+    * property, not a data property — what a 100 TB report needs), and the
+    * oracle can mirror each column as a CASE sum. */
+  val PivotYears: Seq[Int] = 1995 to 2001
+
+  /** Nation × order-year revenue matrix via `groupBy().pivot()` — the
+    * wide-report surface (long→wide reshape) the relational tier hadn't
+    * exercised: per nation one row, one BIGINT fixed-point revenue column
+    * per year in [[PivotYears]]. Same star join as [[regionRevenue]]
+    * (dimensions broadcast), revenue quantized per row THEN summed (the
+    * exactness rule), absent (nation, year) cells coalesced to 0 so the
+    * report carries no NULLs. */
+  def nationYearPivot(spark: SparkSession, dir: String): DataFrame = {
+    val long = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("o_year"),
+        fx(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
+          .as("rev"))
+    PivotYears.foldLeft(
+      long.groupBy(col("n_name"))
+        .pivot("o_year", PivotYears)
+        .agg(sum(col("rev")))) { (df, y) =>
+      df.withColumn(s"rev_${y}_x10000", coalesce(col(s"$y"), lit(0L)))
+        .drop(s"$y")
+    }
+  }
 }

@@ -404,6 +404,26 @@ object Streams {
       }
   }
 
+  /** Drive [[streamingSessions]] end to end into parquet — the runner the
+    * `stream_sessions` gate query uses: Append-mode session rows land in
+    * `outDir` as each session becomes watermark-final. With a far-future
+    * sentinel event per user in the source (the [[streamingFunnel]] spec's
+    * flush device), the final no-data micro-batch's watermark closes every
+    * REAL session, so the parquet output equals the batch
+    * `session_window` result exactly — the sentinel's own singleton
+    * sessions stay open in state forever and are never emitted. */
+  def runSessionsToParquet(spark: SparkSession, events: DataFrame,
+                           outDir: String, checkpointDir: String,
+                           gapMinutes: Int = 30): StreamingQuery =
+    streamingSessions(spark, events, gapMinutes)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+
   /** Streaming funnel — the incremental sibling of [[graft.operators
     * .Relational.funnel]]: per user, emit `(user, step_no, step_ts)` the
     * moment a funnel step becomes REACHED-AND-FINAL. Exactness under

@@ -33,6 +33,7 @@ class ReinvocationSpec extends AnyFunSuite with SparkSpec {
     "stream_near_dup",           // file stream + signature index + checkpoint
     "stream_curate",             // file stream + gate + shard checkpoint
     "stream_decontam",           // file stream + universe probe + checkpoint
+    "stream_sessions",           // file stream + session state + checkpoint
     "src_schema_evolution")      // two-schema staged write + merged read
 
   stateful.foreach { name =>
