@@ -442,6 +442,15 @@ object SparkEntry {
     "q10_pivot" -> ((s, d) =>
       Relational.nationYearPivot(s, d).orderBy(col("n_name"))),
 
+    // TPC-H Q14 shape: pushed shipdate window + broadcast part dim + ONE
+    // conditional aggregation; the share as exact BIGINT integer division
+    "q11_promo_revenue" -> ((s, d) => Relational.promoRevenue(s, d)),
+
+    // TPC-H Q9 shape: fact × two stacked broadcast dims (supplier →
+    // nation), grouped on (nation, ship year) — one shuffle total
+    "q12_supplier_revenue" -> ((s, d) =>
+      Relational.supplierNationRevenue(s, d)),
+
     // correlated scalar subqueries through spark.sql: Catalyst decorrelates
     // each per-customer aggregate into a grouped aggregate + broadcast
     // equi-join (.explain: two HashAggregate legs, both joined broadcast —
@@ -2762,6 +2771,25 @@ object SparkEntry {
            |  JOIN nation ON c_nationkey = n_nationkey)
            |GROUP BY n_name ORDER BY n_name""".stripMargin
       },
+
+      "q11_promo_revenue" ->
+        """WITH r AS (SELECT p_type = 'PROMO' AS is_promo,
+          |    CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT) AS rev
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+          |SELECT sum(CASE WHEN is_promo THEN rev ELSE 0 END)::BIGINT AS promo_x10000,
+          |  sum(rev)::BIGINT AS total_x10000,
+          |  ((sum(CASE WHEN is_promo THEN rev ELSE 0 END) * 10000) // sum(rev))::BIGINT AS promo_share_x10000
+          |FROM r""".stripMargin,
+
+      "q12_supplier_revenue" ->
+        """SELECT n_name, year(l_shipdate)::BIGINT AS o_year,
+          |  sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT))::BIGINT AS revenue_x10000,
+          |  count(*)::BIGINT AS n_items
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin,
 
       "q6_revenue_forecast" ->
         """SELECT sum(CAST(floor(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT))::BIGINT AS revenue_x10000,

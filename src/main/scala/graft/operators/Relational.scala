@@ -367,6 +367,50 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
 
+  /** TPC-H Q14-shaped promo-revenue share: one shipdate year of lineitem
+    * (predicate pushed to the scan) against the broadcast `part` dim, ONE
+    * conditional aggregation pass — promo and total revenue as exact
+    * fixed-point BIGINTs, the share as BIGINT integer division
+    * `(promo·10⁴) div total` (exact floor; the ×10⁴ numerator stays under
+    * 2⁶³ through sf0.1 with 10⁵ headroom). The classic "filter + broadcast
+    * dim + CASE aggregate" report shape. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select((col("p_type") === "PROMO").as("is_promo"),
+        fx(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
+          .as("rev"))
+      .agg(
+        sum(when(col("is_promo"), col("rev")).otherwise(0L))
+          .as("promo_x10000"),
+        sum(col("rev")).as("total_x10000"))
+      .select(col("promo_x10000"), col("total_x10000"),
+        expr("(promo_x10000 * 10000) DIV total_x10000")
+          .as("promo_share_x10000"))
+
+  /** TPC-H Q9-shaped supplier-nation revenue by ship year: the fact table
+    * against TWO stacked broadcast dims (supplier → nation), grouped on
+    * (nation, year). Exercises the supplier dimension end to end; one
+    * shuffle total (the final group-by), both dim joins broadcast. */
+  def supplierNationRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(
+        sum(fx(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L))
+          .as("revenue_x10000"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("o_year"))
+
   /** Years the pivot report spans — a FIXED list (the `pivot(col, values)`
     * overload): with explicit values the pivot is one pass with no
     * distinct-values pre-query, the output schema is static (a plan

@@ -18,6 +18,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_topk_int8" -> "quantized brute-force: broadcast query side x corpus",
     "ann_ivf" -> "query x centroid table product (10 x nCells rows)",
     "ann_ivf_det" -> "query x centroid table product (10 x nCells rows)",
+    "ann_ivfpq" -> "query x coarse-centroid table product (10 x 2^planes rows)",
+    "ann_silhouette" -> "vector x centroid table product (n x 2^planes broadcast rows — the O(n·k) simplified-silhouette term itself)",
     "ta_keywords" -> "corpus-size one-row aggregate rides along broadcast",
     "sim_tfidf" -> "corpus-size one-row aggregate rides along broadcast (idf)",
     "sim_bm25" -> "one-row (n_docs, tot_len) stats ride along broadcast",
