@@ -451,6 +451,19 @@ object SparkEntry {
     "q12_supplier_revenue" -> ((s, d) =>
       Relational.supplierNationRevenue(s, d)),
 
+    // TPC-H Q13 shape: LEFT join surfaces the zero-order customers, then a
+    // second aggregation over per-customer counts — the outer-join +
+    // double-agg report family
+    "q13_order_histogram" -> ((s, d) =>
+      Relational.orderCountHistogram(s, d)),
+
+    // blocked fuzzy entity resolution over part names: distinct-name
+    // vocabulary, last-token blocking, levenshtein gate — the record-
+    // linkage worklist (ASCII data keeps DuckDB byte-lev == Spark char-lev)
+    "er_fuzzy_names" -> ((s, d) =>
+      operators.Dedup.fuzzyNameMatch(Tables.part(s, d), "p_name", maxDist = 2)
+        .orderBy(col("name_a"), col("name_b"))),
+
     // correlated scalar subqueries through spark.sql: Catalyst decorrelates
     // each per-customer aggregate into a grouped aggregate + broadcast
     // equi-join (.explain: two HashAggregate legs, both joined broadcast —
@@ -1164,6 +1177,29 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // unigram-LM OPTIMAL decoding per doc — the THIRD tokenizer family:
+    // Viterbi DP (min pieces, tie-break min unknowns, exact integer
+    // scores) against the same substring vocabulary WordPiece greedy uses,
+    // as ONE codegen'd expression over distinct words
+    "ta_unigram_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.TextAnalysis.unigramSegmentCounts(docs,
+          operators.TextAnalysis.collectVocabTerms(
+            operators.TextAnalysis.wordpieceVocab(docs, 200, 4)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the bake-off's third fertility row (BPE merges / WordPiece greedy /
+    // unigram optimal over the SAME corpus): optimal decoding can only
+    // lower pieces-per-word vs greedy — the spec pins the inequality
+    "ta_unigram_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.TextAnalysis.unigramFertilityFrom(docs,
+          operators.TextAnalysis.collectVocabTerms(
+            operators.TextAnalysis.wordpieceVocab(docs, 200, 4)))
+        .orderBy(col("source"))
+    }),
+
     // incremental containment maintenance: the prefix-copy batch probes the
     // persisted shingle index of the original corpus — equals the batch run
     // restricted to new-member pairs, at O(new x collisions) cost
@@ -1230,6 +1266,20 @@ object SparkEntry {
       sources.Formats.write(docs, dir, "orc")
       sources.Formats.read(s, dir, "orc", docs.schema)
         .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CSV round-trip: the row-oriented exchange format, configured lossless
+    // (quotes/escape/multiLine — the corpus text carries commas, quotes and
+    // newlines); read back through the SAME full text column so the check
+    // exercises the quoting path, then project the summary columns
+    "src_csv_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = stagedDir("csvrt", d, "rt", fresh = true)
+      sources.Formats.write(docs, dir, "csv")
+      sources.Formats.read(s, dir, "csv", docs.schema)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          length(col("text")).cast("long").as("text_len"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2276,6 +2326,37 @@ object SparkEntry {
          |    FROM seg WHERE pos < len(w))),
          |pieces AS (SELECT w, pieces, unknowns FROM seg WHERE pos >= len(w))""".stripMargin
 
+    // unigram-LM OPTIMAL (Viterbi) segmentation replay over a `tok` CTE
+    // providing `w` — same substring vocab as wpSegCtes, then a recursive
+    // state exploration instead of the greedy single path: every reachable
+    // (pos, pieces, unknowns) state (UNION dedups; each step advances >= 1
+    // char so it terminates), minimized as the encoded pieces*2^32 +
+    // unknowns score ViterbiSegmentExpr uses. The unknown single-char step
+    // exists only when no 1-char piece matches — when one matches the
+    // matched step dominates, so the min is unchanged (mirrors the Scala
+    // DP's always-offered-but-dominated candidate).
+    val viterbiSegCtes =
+      s"""words AS (SELECT w, count(*)::BIGINT AS freq FROM tok WHERE w <> '' GROUP BY w),
+         |subs AS (SELECT unnest(flatten(list_transform(range(1, len(w)+1),
+         |    s -> list_transform(range(1, least(4, len(w)-s+1)+1),
+         |      l -> substr(w, s, l))))) AS term, freq FROM words),
+         |vocab AS (SELECT term FROM (SELECT term, sum(freq)::BIGINT AS cnt
+         |  FROM subs GROUP BY term ORDER BY cnt DESC, term LIMIT 200)),
+         |vst AS (
+         |  SELECT w, 0::BIGINT AS pos, 0::BIGINT AS pieces, 0::BIGINT AS unknowns FROM words
+         |  UNION
+         |  SELECT s.w, s.pos + ls.l, s.pieces + 1,
+         |    s.unknowns + (CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+         |  FROM (SELECT * FROM vst WHERE pos < len(w)) s
+         |  JOIN (SELECT unnest([1, 2, 3, 4])::BIGINT AS l) ls
+         |    ON ls.l <= len(s.w) - s.pos
+         |  LEFT JOIN vocab v ON v.term = substr(s.w, (s.pos+1)::INT, ls.l::INT)
+         |  WHERE v.term IS NOT NULL OR ls.l = 1),
+         |vbest AS (SELECT w, min(pieces*4294967296 + unknowns) AS sc
+         |  FROM vst WHERE pos >= len(w) GROUP BY w),
+         |vpieces AS (SELECT w, (sc // 4294967296)::BIGINT AS pieces,
+         |  (sc % 4294967296)::BIGINT AS unknowns FROM vbest)""".stripMargin
+
     // the (source, word) billing join on top — shared verbatim by
     // `ta_wordpiece_fertility` and `ta_wordpiece_artifact` (the parquet
     // vocab round trip must not change a count)
@@ -2790,6 +2871,29 @@ object SparkEntry {
           |JOIN supplier ON l_suppkey = s_suppkey
           |JOIN nation ON s_nationkey = n_nationkey
           |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin,
+
+      "q13_order_histogram" ->
+        """WITH per_cust AS (
+          |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+          |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |  GROUP BY c_custkey)
+          |SELECT c_count, count(*)::BIGINT AS custdist
+          |FROM per_cust GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+      // blocked fuzzy ER: the oracle replays the same distinct-name
+      // vocabulary, last-token block, and levenshtein gate (byte-lev ==
+      // char-lev on the ASCII part names)
+      "er_fuzzy_names" ->
+        """WITH names AS (
+          |  SELECT p_name AS name, count(*)::BIGINT AS n FROM part GROUP BY 1),
+          |b AS (SELECT name, n, split_part(name, ' ', -1) AS blk FROM names)
+          |SELECT a.name AS name_a, c.name AS name_b,
+          |  levenshtein(a.name, c.name)::BIGINT AS dist,
+          |  a.n AS n_a, c.n AS n_b
+          |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+          |WHERE levenshtein(a.name, c.name) <= 2
+          |ORDER BY name_a, name_b""".stripMargin,
 
       "q6_revenue_forecast" ->
         """SELECT sum(CAST(floor(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT))::BIGINT AS revenue_x10000,
@@ -5385,6 +5489,12 @@ object SparkEntry {
         """SELECT doc_id, source, n_chars FROM documents
           |ORDER BY doc_id""".stripMargin,
 
+      // CSV: lossless round-trip ⇒ same shape, text length proves the
+      // quoted/escaped/multiline text column survived byte-for-byte
+      "src_csv_roundtrip" ->
+        """SELECT doc_id, source, n_chars, length(text)::BIGINT AS text_len
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
       // merged-schema read: batch-1 rows get the added column null-filled
       // (surfaced as -1), batch 2 carries it
       "src_schema_evolution" ->
@@ -5732,6 +5842,41 @@ object SparkEntry {
            |    sum(unknowns)::BIGINT AS n_unknowns
            |  FROM (SELECT doc_id, w FROM tok WHERE w <> '') dw
            |  JOIN pieces USING (w) GROUP BY doc_id)
+           |SELECT d.doc_id AS doc_id,
+           |  coalesce(n_pieces, 0)::BIGINT AS n_pieces,
+           |  coalesce(n_unknowns, 0)::BIGINT AS n_unknowns
+           |FROM documents d LEFT JOIN billed ON d.doc_id = billed.doc_id
+           |ORDER BY doc_id""".stripMargin,
+
+      // unigram optimal decode, billed per source — viterbiSegCtes replays
+      // the DP as a recursive state exploration + encoded-score min
+      "ta_unigram_fertility" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT source, $toks AS toks FROM documents),
+           |tok AS (SELECT source, unnest(toks) AS w FROM t),
+           |$viterbiSegCtes,
+           |sw AS (SELECT source, w, count(*)::BIGINT AS freq FROM tok
+           |  WHERE w <> '' GROUP BY source, w)
+           |SELECT source, sum(freq)::BIGINT AS total_words,
+           |  sum(freq*pieces)::BIGINT AS total_pieces,
+           |  sum(freq*unknowns)::BIGINT AS total_unknowns,
+           |  CAST(floor((10000.0::DOUBLE) * sum(freq*pieces)
+           |    / greatest(sum(freq), 1)) AS BIGINT) AS fertility_x10000,
+           |  CAST(floor((1000000.0::DOUBLE) * sum(freq*unknowns)
+           |    / greatest(sum(freq*pieces), 1)) AS BIGINT) AS oov_ppm
+           |FROM sw JOIN vpieces USING (w) GROUP BY source ORDER BY source""".stripMargin,
+
+      // per-doc unigram bill: same DP replay, billed through the
+      // (doc_id, word) explode; wordless docs re-attached with 0s
+      "ta_unigram_segment" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+           |$viterbiSegCtes,
+           |billed AS (SELECT doc_id, sum(pieces)::BIGINT AS n_pieces,
+           |    sum(unknowns)::BIGINT AS n_unknowns
+           |  FROM (SELECT doc_id, w FROM tok WHERE w <> '') dw
+           |  JOIN vpieces USING (w) GROUP BY doc_id)
            |SELECT d.doc_id AS doc_id,
            |  coalesce(n_pieces, 0)::BIGINT AS n_pieces,
            |  coalesce(n_unknowns, 0)::BIGINT AS n_unknowns

@@ -411,6 +411,23 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"), col("o_year"))
 
+  /** TPC-H Q13-shaped order-count distribution: how many customers placed
+    * exactly N orders, INCLUDING the zero-order customers only an outer
+    * join surfaces. Orders pre-aggregate to one row per ordering customer
+    * (the only fact-side shuffle); `customer` LEFT-joins that per-customer
+    * count table and the null leg becomes the N=0 bucket. The second
+    * group-by runs on ≤|customer| rows. The left-outer + double-aggregation
+    * shape is the one report family the inner-join queries never exercise. */
+  def orderCountHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Years the pivot report spans — a FIXED list (the `pivot(col, values)`
     * overload): with explicit values the pivot is one pass with no
     * distinct-values pre-query, the output schema is static (a plan

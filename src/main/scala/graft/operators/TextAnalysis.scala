@@ -1257,6 +1257,80 @@ object TextAnalysis {
                          dir: String): DataFrame =
     spark.read.parquet(s"$dir/wp_vocab")
 
+  /** Viterbi piece/unknown bill per DISTINCT word — the THIRD tokenizer
+    * family next to [[bpeTrain]] (merge learning) and
+    * [[wordpieceSegmentWords]] (greedy longest-match): unigram-LM OPTIMAL
+    * decoding against the same [[wordpieceVocab]] pieces, via the
+    * codegen'd DP ([[graft.plans.ViterbiSegmentExpr]] — min pieces,
+    * tie-break min unknowns, exact integer scoring). Where greedy commits
+    * to the longest prefix and can strand the remainder in unknowns, the
+    * DP considers every split — so `viterbi.pieces ≤ greedy.pieces` for
+    * every word (the bake-off property the spec pins).
+    *
+    * Plan shape: a PURE MAP over the distinct-word table — zero iterative
+    * rounds (the greedy frontier runs maxLen rounds of join+checkpoint),
+    * zero joins; the vocabulary rides as one referenced hash set.
+    * `vocab` is the collected term list (vocab-bounded driver pickup, ≤k
+    * rows — the BPE merge-table discipline). */
+  def viterbiSegmentWords(words: DataFrame, vocab: Seq[String]): DataFrame =
+    words.select(col("w"),
+      graft.plans.ArrayExpressions.viterbiSegment(col("w"), vocab).as("pu"))
+      .select(col("w"), col("pu").getItem(0).as("pieces"),
+        col("pu").getItem(1).as("unknowns"))
+
+  /** Collect a [[wordpieceVocab]] table to the term list the Viterbi
+    * expression references — legitimate driver-side pickup: the vocabulary
+    * is k-bounded by construction (top-k), never corpus-sized. */
+  def collectVocabTerms(vocab: DataFrame): Seq[String] =
+    vocab.select(col("term")).collect().map(_.getString(0)).toSeq
+
+  /** Per-document unigram (Viterbi) bill — [[wordpieceSegmentCounts]]'
+    * twin under optimal decoding: pieces + unknown fallbacks per doc.
+    * Segmentation runs on DISTINCT words only (one codegen map); the
+    * per-doc bill is the token explode joined against the vocab-bounded
+    * piece table; wordless docs re-attach with 0s. */
+  def unigramSegmentCounts(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val docToks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    val pieces = viterbiSegmentWords(docToks.select(col("w")).distinct(), vocab)
+    val billed = docToks.join(broadcast(pieces), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pieces")).as("n_pieces"),
+        sum(col("unknowns")).as("n_unknowns"))
+    docs.select(col("doc_id"))
+      .join(billed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_unknowns"), lit(0L)).as("n_unknowns"))
+  }
+
+  /** Per-source fertility under the unigram (Viterbi) decoder —
+    * [[wordpieceFertilityFrom]]'s twin, and the third row of the tokenizer
+    * bake-off (BPE merges / WordPiece greedy / unigram optimal over the
+    * SAME corpus): pieces billed per whitespace word (×10000) and the OOV
+    * ppm. Same "segment the vocab, bill the corpus" posture. */
+  def unigramFertilityFrom(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    val srcWords = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // consumed twice: distinct words + the billing join
+    val pieces = viterbiSegmentWords(
+      srcWords.select(col("w")).distinct(), vocab)
+    srcWords.join(broadcast(pieces), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("total_words"),
+        sum(col("freq") * col("pieces")).as("total_pieces"),
+        sum(col("freq") * col("unknowns")).as("total_unknowns"))
+      .withColumn("fertility_x10000",
+        floor(lit(10000.0) * col("total_pieces") /
+          greatest(col("total_words"), lit(1L))).cast("long"))
+      .withColumn("oov_ppm",
+        floor(lit(1000000.0) * col("total_unknowns") /
+          greatest(col("total_pieces"), lit(1L))).cast("long"))
+  }
+
   /** k-ANONYMITY audit over the metadata quasi-identifiers — the privacy
     * instrument next to [[piiReport]] in a dataset card: an attacker who
     * knows a document's (source, lang, coarse length) can re-identify it

@@ -341,6 +341,82 @@ case class BpeSegmentCountExpr(tokens: Expression, merges: Seq[(String, String)]
 }
 
 /** Column wrappers (the library-facing surface). */
+/** Optimal (Viterbi) segmentation bill for ONE word against a piece
+  * vocabulary — the unigram-LM decoding DP ([[TextAnalysis.wordpieceVocab]]
+  * supplies the pieces) with EXACT integer scoring: minimize billed pieces,
+  * tie-break minimum unknown-character fallbacks. This is the unigram
+  * tokenizer's Viterbi decode under a uniform piece prior; a real −log p
+  * cost table plugs into the same DP, but the uniform objective keeps the
+  * score integral and therefore bit-identical cross-engine (no float logs).
+  *
+  * DP over character positions, O(|w|·maxPieceLen) with a hashed vocab
+  * probe: `best[p] = min over matching pieces (s..p] of best[s] + STEP`,
+  * plus the always-available single-unknown-char step at `STEP + 1`; costs
+  * encode as `pieces·2³² + unknowns` so one BIGINT min is the
+  * lexicographic (pieces, unknowns) min. The vocabulary rides as a
+  * referenced object ([[BpeSegmentCountExpr]] pattern) — one hash set in
+  * the task binary, one virtual call per row, whole-stage codegen intact.
+  * Positions are Java chars (== DuckDB character semantics on BMP text;
+  * the corpus tokenizer lowercases to BMP).
+  */
+case class ViterbiSegmentExpr(word: Expression, vocab: Seq[String])
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def child: Expression = word
+  override def inputTypes: Seq[ADT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_viterbi_segment"
+
+  // rebuilt after executor ship
+  @transient private lazy val terms: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(vocab.size * 2, 16))
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxPieceLen: Int =
+    if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+
+  private val STEP = 1L << 32 // pieces·2³² + unknowns stays exact to |w|<2³¹
+
+  /** Called from generated code. Returns [pieces, unknowns]. */
+  def segment(w0: UTF8String): ArrayData = {
+    val w = w0.toString
+    val n = w.length
+    val best = new Array[Long](n + 1)
+    var p = 1
+    while (p <= n) {
+      // unknown single char: always a candidate; when the 1-char piece IS
+      // in the vocabulary the match candidate below dominates it, so
+      // offering it unconditionally never changes the min
+      var b = best(p - 1) + STEP + 1L
+      val lmax = math.min(maxPieceLen, p)
+      var l = 1
+      while (l <= lmax) {
+        if (terms.contains(w.substring(p - l, p))) {
+          val c = best(p - l) + STEP
+          if (c < b) b = c
+        }
+        l += 1
+      }
+      best(p) = b
+      p += 1
+    }
+    ArrayData.toArrayData(Array(best(n) >>> 32, best(n) & 0xffffffffL))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("viterbiSegmenter", this,
+      classOf[ViterbiSegmentExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.segment($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(word = newChild)
+}
+
 object ArrayExpressions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -358,6 +434,9 @@ object ArrayExpressions {
 
   def bpeSegmentCount(toks: Column, merges: Seq[(String, String)]): Column =
     column(BpeSegmentCountExpr(expression(toks), merges))
+
+  def viterbiSegment(word: Column, vocab: Seq[String]): Column =
+    column(ViterbiSegmentExpr(expression(word), vocab))
 }
 
 /** SessionExtensions hook: `spark.sql("SELECT graft_dot(a, b)")` etc.

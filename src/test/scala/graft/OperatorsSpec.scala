@@ -2018,6 +2018,65 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("viterbiSegmentWords finds the optimal split greedy strands") {
+    // vocab {ab, a, bcd} on "abcd": greedy longest-match commits to "ab"
+    // and strands "cd" in unknowns (3 pieces, 2 unknown); the DP finds
+    // a + bcd (2 pieces, 0 unknown)
+    val terms = Seq("ab", "a", "bcd")
+    val words = Seq("abcd", "zz", "a").toDF("w")
+    val viterbi = TextAnalysis.viterbiSegmentWords(words, terms)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viterbi == Map(
+      "abcd" -> ((2L, 0L)), "zz" -> ((2L, 2L)), "a" -> ((1L, 0L))))
+    val vocabDf = terms.toDF("term").withColumn("cnt", lit(1L))
+    val greedy = TextAnalysis.wordpieceSegmentWords(words, vocabDf, 4)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(greedy("abcd") == ((3L, 2L))) // the strict gap the DP closes
+  }
+
+  test("viterbi pieces <= greedy pieces for every distinct corpus word") {
+    val docs = docsDF(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "the cat and the dog and the fox again")
+    val vocabDf = TextAnalysis.wordpieceVocab(docs, k = 25, maxPieceLen = 4)
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .where(col("w") =!= "").distinct()
+    val v = TextAnalysis.viterbiSegmentWords(words,
+        TextAnalysis.collectVocabTerms(vocabDf))
+      .withColumnRenamed("pieces", "vp").withColumnRenamed("unknowns", "vu")
+    val g = TextAnalysis.wordpieceSegmentWords(words, vocabDf, 4)
+    val joined = v.join(g, Seq("w"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (w, vp, vu, gp, _) =>
+      assert(vp <= gp, s"viterbi must not bill more pieces than greedy on $w")
+      assert(vp >= 1L && vu >= 0L && vu <= vp)
+    }
+  }
+
+  test("unigramSegmentCounts bills per doc; wordless docs report zeros") {
+    val docs = docsDF(1L -> "abcd abe", 2L -> "zz", 3L -> "")
+    val got = TextAnalysis.unigramSegmentCounts(docs,
+        Seq("ab", "abc", "d", "a", "be"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // abcd = abc+d (2,0); abe = a+be (2,0) — greedy would take ab + unk e
+    assert(got == Map(1L -> ((4L, 0L)), 2L -> ((2L, 2L)), 3L -> ((0L, 0L))))
+  }
+
+  test("fuzzyNameMatch: blocked pairs under the edit gate, cross-block never compared") {
+    val ents = Seq("red widget", "rad widget", "red widget", "blue bolt",
+      "blu bolt", "red gear").toDF("p_name")
+    val got = Dedup.fuzzyNameMatch(ents, "p_name", maxDist = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // ("red widget" ×2) matches "rad widget" at distance 1 with entity
+    // counts attached; the bolts match; "red gear" is alone in its block;
+    // "red widget" vs "red gear" (distance 4 anyway) is never compared
+    assert(got == Set(
+      ("rad widget", "red widget", 1L, 1L, 2L),
+      ("blu bolt", "blue bolt", 1L, 1L, 1L)))
+  }
+
   test("labelDiversity: identical pair ~ 1e6, orthogonal pair 0, singleton -1") {
     val dim = 8
     def vec(hot: Int*): Array[Float] = {
