@@ -464,6 +464,55 @@ object SparkEntry {
       operators.Dedup.fuzzyNameMatch(Tables.part(s, d), "p_name", maxDist = 2)
         .orderBy(col("name_a"), col("name_b"))),
 
+    // top principal component of the embedding cloud: exact-integer
+    // scatter matrix + 8 power steps — the anisotropy/whitening diagnostic
+    "ann_pca" -> ((s, d) =>
+      operators.Similarity.principalComponent(Tables.embeddings(s, d),
+          iters = 8)
+        .orderBy(col("d"))),
+
+    // cross-lingual bitext mining (en→de): margin-criterion alignment —
+    // cosine relative to both sides' k-NN mean — over the per-language-
+    // pair candidate block; exact integer margin, best match per src doc
+    "mine_bitext" -> ((s, d) =>
+      operators.Similarity.bitextMine(Tables.documents(s, d),
+          Tables.embeddings(s, d), "en", "de", k = 4,
+          minMarginX1000000 = 1000000L)
+        .orderBy(col("src_id"))),
+
+    // declarative data-quality audit (the Deequ/expectations layer): row
+    // predicates + key uniqueness compile to ONE agg pass per table, FK
+    // checks to one anti-join each; the lineitem (orderkey, lineno) "PK"
+    // is genuinely non-unique in this data — the audit must SAY so
+    "dq_audit" -> ((s, d) => {
+      import operators.DataQuality._
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      auditAll(Seq(
+        audit("lineitem", Tables.lineitem(s, d), Seq(
+          RowRule("discount_in_range",
+            col("l_discount") >= 0.0 && col("l_discount") <= 0.2),
+          RowRule("quantity_positive", col("l_quantity") > 0.0),
+          UniqueRule("pk_order_line", Seq("l_orderkey", "l_linenumber")),
+          RefRule("fk_orderkey", "l_orderkey", orders, "o_orderkey"))),
+        audit("orders", orders, Seq(
+          RowRule("totalprice_positive", col("o_totalprice") > 0.0),
+          RowRule("status_domain",
+            col("o_orderstatus").isin("O", "F", "P")),
+          UniqueRule("pk_orderkey", Seq("o_orderkey")),
+          RefRule("fk_custkey", "o_custkey", customer, "c_custkey"))),
+        audit("customer", customer, Seq(
+          UniqueRule("pk_custkey", Seq("c_custkey")),
+          RowRule("mktsegment_present",
+            col("c_mktsegment").isNotNull && col("c_mktsegment") =!= ""))),
+        audit("documents", Tables.documents(s, d), Seq(
+          UniqueRule("pk_doc_id", Seq("doc_id")),
+          RowRule("nchar_consistent",
+            col("n_chars") === length(col("text")).cast("long")),
+          RowRule("lang_domain",
+            col("lang").isin("en", "de", "fr", "es", "zh"))))))
+    }),
+
     // correlated scalar subqueries through spark.sql: Catalyst decorrelates
     // each per-customer aggregate into a grouped aggregate + broadcast
     // equi-join (.explain: two HashAggregate legs, both joined broadcast —
@@ -1873,6 +1922,13 @@ object SparkEntry {
     "mix_shard_skew" -> ((s, d) =>
       operators.Mixing.shardSkew(Tables.documents(s, d), 16, metric = "bpe")),
 
+    // serpentine balanced sharding — the ordered sibling of mix_shards'
+    // hash dealing: global (tokens desc, id) rank via distributed
+    // zipWithIndex, boustrophedon rounds; the spec pins spread ≤ hash
+    "mix_shards_lpt" -> ((s, d) =>
+      operators.Mixing.lptShards(Tables.documents(s, d), 16, metric = "bpe")
+        .orderBy(col("shard"))),
+
     // the compute bill of three batch-formation policies (naive hash order
     // vs power-of-two length bands vs exact length order): batches, useful
     // tokens, billed cost n×max, padding ppm — why length bucketing exists
@@ -2356,6 +2412,46 @@ object SparkEntry {
          |  FROM vst WHERE pos >= len(w) GROUP BY w),
          |vpieces AS (SELECT w, (sc // 4294967296)::BIGINT AS pieces,
          |  (sc % 4294967296)::BIGINT AS unknowns FROM vbest)""".stripMargin
+
+    // top-principal-component power-iteration replay: exact-integer
+    // scatter matrix, 8 unrolled v←round(Cv·100/max|Cv|) steps (MATERIALIZED
+    // CTEs — DuckDB would otherwise inline the scatter join per step), the
+    // same double-on-exact-integers scale divisions as the Spark side
+    val pcaIters = 8
+    val pcaOracleSql: String = {
+      val head =
+        """comp AS MATERIALIZED (
+          |  SELECT vec_id, d - 1 AS d, CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS xi
+          |  FROM (SELECT vec_id, unnest(embedding) AS x,
+          |        generate_subscripts(embedding, 1) AS d FROM embeddings)),
+          |nn AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM comp),
+          |sx AS (SELECT d, sum(xi)::BIGINT AS sx FROM comp GROUP BY d),
+          |sxx AS (SELECT a.d AS d1, b.d AS d2, sum(a.xi * b.xi)::BIGINT AS sxx
+          |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
+          |cm AS MATERIALIZED (SELECT d1, d2, (nn.n * sxx - x1.sx * x2.sx)::BIGINT AS c
+          |  FROM sxx CROSS JOIN nn
+          |  JOIN sx x1 ON sxx.d1 = x1.d JOIN sx x2 ON sxx.d2 = x2.d),
+          |v0 AS (SELECT d, 100::BIGINT AS v FROM sx)""".stripMargin
+      val steps = (1 to pcaIters).map { t =>
+        s"""w$t AS MATERIALIZED (SELECT d1 AS d, sum(c * v)::BIGINT AS w
+           |  FROM cm JOIN v${t - 1} ON cm.d2 = v${t - 1}.d GROUP BY d1),
+           |s$t AS (SELECT max(abs(w))::BIGINT AS mx FROM w$t),
+           |v$t AS MATERIALIZED (SELECT d, CAST(floor(CAST(w AS DOUBLE) * 100.0 / CAST(mx AS DOUBLE) + 0.5) AS BIGINT) AS v
+           |  FROM w$t, s$t)""".stripMargin
+      }.mkString(",\n")
+      val tail =
+        s"""lo AS (SELECT d, CAST(floor(CAST(w AS DOUBLE) * 10000.0 / CAST(mx AS DOUBLE) + 0.5) AS BIGINT) AS loading_x10000
+           |  FROM w$pcaIters, s$pcaIters),
+           |tr AS (SELECT sum(c)::BIGINT AS trace FROM cm WHERE d1 = d2),
+           |vt AS (SELECT sum(vv.v * lo.loading_x10000)::BIGINT AS vtw,
+           |    sum(vv.v * vv.v)::BIGINT AS vtv
+           |  FROM v${pcaIters - 1} vv JOIN lo ON vv.d = lo.d),
+           |evr AS (SELECT CAST(floor(1000000.0 * (CAST(vtw AS DOUBLE) * CAST(mx AS DOUBLE))
+           |    / (10000.0 * CAST(vtv AS DOUBLE) * CAST(trace AS DOUBLE)) + 0.5) AS BIGINT) AS evr_ppm
+           |  FROM vt, s$pcaIters, tr)""".stripMargin
+      s"WITH $head,\n$steps,\n$tail\n" +
+        "SELECT lo.d AS d, loading_x10000, evr_ppm FROM lo, evr ORDER BY d"
+    }
 
     // the (source, word) billing join on top — shared verbatim by
     // `ta_wordpiece_fertility` and `ta_wordpiece_artifact` (the parquet
@@ -2894,6 +2990,82 @@ object SparkEntry {
           |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
           |WHERE levenshtein(a.name, c.name) <= 2
           |ORDER BY name_a, name_b""".stripMargin,
+
+      "ann_pca" -> pcaOracleSql,
+
+      // margin-criterion replay: unit vectors, the en×de candidate block,
+      // both-side top-4 integer NN sums, the exact integer margin division
+      "mine_bitext" ->
+        """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+          |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1),
+          |d AS (SELECT en.vec_id AS vec_id, vn, lang FROM en JOIN documents ON en.vec_id = documents.doc_id),
+          |s AS (SELECT vec_id AS src_id, vn AS sv FROM d WHERE lang = 'en'),
+          |tt AS (SELECT vec_id AS tgt_id, vn AS tv FROM d WHERE lang = 'de'),
+          |sc AS (SELECT src_id, tgt_id,
+          |    CAST(floor(list_dot_product(sv, tv) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+          |  FROM s CROSS JOIN tt),
+          |sr AS (SELECT src_id, cos_x1000000,
+          |    row_number() OVER (PARTITION BY src_id ORDER BY cos_x1000000 DESC, tgt_id) AS r FROM sc),
+          |snn AS (SELECT src_id, sum(cos_x1000000)::BIGINT AS snn, count(*)::BIGINT AS ks
+          |  FROM sr WHERE r <= 4 GROUP BY src_id),
+          |tr AS (SELECT tgt_id, cos_x1000000,
+          |    row_number() OVER (PARTITION BY tgt_id ORDER BY cos_x1000000 DESC, src_id) AS r FROM sc),
+          |tnn AS (SELECT tgt_id, sum(cos_x1000000)::BIGINT AS tnn, count(*)::BIGINT AS kt
+          |  FROM tr WHERE r <= 4 GROUP BY tgt_id),
+          |m AS (SELECT sc.src_id, sc.tgt_id, cos_x1000000,
+          |    ((2 * cos_x1000000 * ks * kt * 1000000) // (snn * kt + tnn * ks))::BIGINT AS margin_x1000000
+          |  FROM sc JOIN snn USING (src_id) JOIN tnn USING (tgt_id)
+          |  WHERE cos_x1000000 >= 0 AND snn * kt + tnn * ks > 0),
+          |b AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin_x1000000 DESC, tgt_id) AS best FROM m)
+          |SELECT src_id, tgt_id, cos_x1000000, margin_x1000000 FROM b
+          |WHERE best = 1 AND margin_x1000000 >= 1000000
+          |ORDER BY src_id""".stripMargin,
+
+      // each check recomputed directly; pass = violations == 0
+      "dq_audit" ->
+        """WITH li AS (SELECT count(*)::BIGINT AS total,
+          |    sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.2 THEN 0 ELSE 1 END)::BIGINT AS rr_disc,
+          |    sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END)::BIGINT AS rr_qty,
+          |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT AS uq_pk
+          |  FROM lineitem),
+          |li_ref AS (SELECT count(*)::BIGINT AS v FROM lineitem
+          |  WHERE l_orderkey IS NOT NULL
+          |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+          |o AS (SELECT count(*)::BIGINT AS total,
+          |    sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::BIGINT AS rr_tp,
+          |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)::BIGINT AS rr_st,
+          |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS uq_pk
+          |  FROM orders),
+          |o_ref AS (SELECT count(*)::BIGINT AS v FROM orders
+          |  WHERE o_custkey IS NOT NULL
+          |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+          |c AS (SELECT count(*)::BIGINT AS total,
+          |    sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment <> '' THEN 0 ELSE 1 END)::BIGINT AS rr_mk,
+          |    (count(*) - count(DISTINCT c_custkey))::BIGINT AS uq_pk
+          |  FROM customer),
+          |dcs AS (SELECT count(*)::BIGINT AS total,
+          |    sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)::BIGINT AS rr_nc,
+          |    sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END)::BIGINT AS rr_lg,
+          |    (count(*) - count(DISTINCT doc_id))::BIGINT AS uq_pk
+          |  FROM documents),
+          |rows_out AS (
+          |  SELECT 'lineitem' AS table_name, 'discount_in_range' AS check_name, rr_disc AS violations, total FROM li
+          |  UNION ALL SELECT 'lineitem', 'quantity_positive', rr_qty, total FROM li
+          |  UNION ALL SELECT 'lineitem', 'pk_order_line', uq_pk, total FROM li
+          |  UNION ALL SELECT 'lineitem', 'fk_orderkey', li_ref.v, li.total FROM li_ref, li
+          |  UNION ALL SELECT 'orders', 'totalprice_positive', rr_tp, total FROM o
+          |  UNION ALL SELECT 'orders', 'status_domain', rr_st, total FROM o
+          |  UNION ALL SELECT 'orders', 'pk_orderkey', uq_pk, total FROM o
+          |  UNION ALL SELECT 'orders', 'fk_custkey', o_ref.v, o.total FROM o_ref, o
+          |  UNION ALL SELECT 'customer', 'pk_custkey', uq_pk, total FROM c
+          |  UNION ALL SELECT 'customer', 'mktsegment_present', rr_mk, total FROM c
+          |  UNION ALL SELECT 'documents', 'pk_doc_id', uq_pk, total FROM dcs
+          |  UNION ALL SELECT 'documents', 'nchar_consistent', rr_nc, total FROM dcs
+          |  UNION ALL SELECT 'documents', 'lang_domain', rr_lg, total FROM dcs)
+          |SELECT table_name, check_name, violations, total,
+          |  violations = 0 AS pass
+          |FROM rows_out ORDER BY table_name, check_name""".stripMargin,
 
       "q6_revenue_forecast" ->
         """SELECT sum(CAST(floor(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT))::BIGINT AS revenue_x10000,
@@ -4320,6 +4492,18 @@ object SparkEntry {
            |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS shard_tokens
            |FROM (SELECT text, (${poly("'shard:' || doc_id")}) % 16 AS shard FROM documents)
            |GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // serpentine replay: rank over (tokens desc, id), block/pos dealing
+      "mix_shards_lpt" ->
+        """WITH tc AS (SELECT doc_id,
+          |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS tok_cnt
+          |  FROM documents),
+          |r AS (SELECT doc_id, tok_cnt,
+          |    row_number() OVER (ORDER BY tok_cnt DESC, doc_id) - 1 AS rn FROM tc),
+          |a AS (SELECT tok_cnt, rn // 16 AS blk, rn % 16 AS pos FROM r)
+          |SELECT (CASE WHEN blk % 2 = 0 THEN pos ELSE 15 - pos END)::BIGINT AS shard,
+          |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS shard_tokens
+          |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
 
       // one-row rollup of the mix_shards balance report: straggler bound =
       // max/mean token skew, ppm

@@ -583,6 +583,50 @@ object Mixing {
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenMetric(metric)).as("shard_tokens"))
 
+  /** SERPENTINE balanced sharding — the ordered sibling of [[withShard]]'s
+    * hash dealing, for when shard-balance matters more than placement
+    * independence (training shards feeding fixed-size workers): sort docs
+    * by token count (desc, doc_id tie), deal in boustrophedon rounds
+    * (round r left-to-right, round r+1 right-to-left), so every shard's
+    * picks sample each size stratum symmetrically — the card-dealing
+    * balance an LPT scheduler approximates, without LPT's sequential
+    * min-heap. Output: (shard, n_docs, shard_tokens).
+    *
+    * The global rank is a parallel range-sort + RDD `zipWithIndex`
+    * ([[ArticleOps.batchLayout]]'s shape — per-partition counts →
+    * cumulative offsets; NO single-partition window), then the serpentine
+    * assignment is a map and the report one hash agg. Not lazy: the
+    * zipWithIndex count job runs when the DataFrame is built. */
+  def lptShards(docs: DataFrame, numShards: Int,
+                metric: String = "bpe"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
+    import org.apache.spark.sql.types.LongType
+    val sorted = docs.select(col("doc_id"), tokenMetric(metric).as("tok_cnt"))
+      .orderBy(col("tok_cnt").desc, col("doc_id"))
+    val outSchema = sorted.schema.add("rn", LongType, nullable = false)
+    val outTypes = outSchema.fields.map(_.dataType)
+    val indexed = sorted.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      val proj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val idxRow = new SpecificInternalRow(Seq(LongType))
+      it.map { case (row, idx) =>
+        idxRow.setLong(0, idx)
+        proj(joined(row, idxRow)): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val k = numShards.toLong
+    org.apache.spark.sql.GraftColumnBridge
+      .internalCreateDataFrame(docs.sparkSession, indexed, outSchema)
+      .withColumn("blk", expr(s"rn DIV $k"))
+      .withColumn("pos", col("rn") % k)
+      .withColumn("shard",
+        when(col("blk") % 2 === 0, col("pos"))
+          .otherwise(lit(k - 1) - col("pos")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("shard_tokens"))
+  }
+
   /** Contiguous greedy sequence packing: within each partition group (docs
     * ordered by id), a doc joins the sequence its running token prefix
     * falls in — `seq_no = floor(tokens-before-this-doc / budget)`. A doc

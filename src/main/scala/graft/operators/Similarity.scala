@@ -975,4 +975,159 @@ object Similarity {
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("rrf_x1e5"), col("n_systems"))
   }
+
+  /** Top PRINCIPAL COMPONENT of the embedding cloud by power iteration —
+    * the anisotropy diagnostic an embedding-quality review reads (a high
+    * explained-variance ratio means one rogue direction dominates — the
+    * "common-direction" pathology that wrecks cosine retrieval; the
+    * whitening decision starts here).
+    *
+    * EXACT-INTEGER pipeline, bit-identical cross-engine: components
+    * quantize ×10⁴ to BIGINT; the centered scatter matrix
+    * `C = n·Σxxᵀ − (Σx)(Σx)ᵀ` is exact 64×64 BIGINT (≤3·10¹⁴ at
+    * sf0.1 — BIGINT-safe to n≈4·10⁴ at this quantization; beyond that,
+    * rescale the quantization or sum per-partition partials in double);
+    * then `iters` fixed power steps v ← round(Cv·100/max|Cv|) — the only
+    * non-integer op is the final scale division, done in IEEE double on
+    * exact integer operands (deterministic both engines). The operator is
+    * DEFINED as `iters` steps (near-isotropic clouds converge slowly; the
+    * step count is part of the contract, like the LPA/k-core round caps).
+    *
+    * Plan shape: the scatter matrix is ONE self-join on vec_id (64²
+    * products per vector, map-side combinable — the standard outer-product
+    * aggregation; at 100 TB accumulate the 64×64 partial per partition);
+    * every later stage is 64- or 4096-row arithmetic riding broadcast.
+    * Output: (d, loading_x10000, evr_ppm) — the unit-free direction and
+    * the explained-variance ratio λ/trace(C) in ppm. */
+  def principalComponent(emb: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val comp = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * 10000.0 + 0.5).cast("long").as("xi"))
+      .localCheckpoint() // consumed by n, sx, and the self-join twice
+    val n = comp.agg(countDistinct(col("vec_id")).as("n"))
+    val sx = comp.groupBy(col("d")).agg(sum(col("xi")).as("sx"))
+    val sxx = comp.alias("a").join(comp.alias("b"), "vec_id")
+      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+      .agg(sum(col("a.xi") * col("b.xi")).as("sxx"))
+    val cm = sxx
+      .join(broadcast(sx.select(col("d").as("d1"), col("sx").as("sx1"))), "d1")
+      .join(broadcast(sx.select(col("d").as("d2"), col("sx").as("sx2"))), "d2")
+      .crossJoin(broadcast(n))
+      .select(col("d1"), col("d2"),
+        (col("n") * col("sxx") - col("sx1") * col("sx2")).as("c"))
+      .localCheckpoint() // reused every power step + trace
+    var v = sx.select(col("d"), lit(100L).as("v")).localCheckpoint()
+    var vIn: DataFrame = null // the v that produced the final w
+    var wLast: DataFrame = null
+    var mxLast: DataFrame = null
+    for (_ <- 1 to iters) {
+      vIn = v
+      val w = cm.join(broadcast(v.select(col("d").as("d2"), col("v"))), "d2")
+        .groupBy(col("d1").as("d")).agg(sum(col("c") * col("v")).as("w"))
+        .localCheckpoint()
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("d"),
+          floor(col("w").cast("double") * 100.0 / col("mx").cast("double")
+            + 0.5).cast("long").as("v"))
+        .localCheckpoint()
+      wLast = w; mxLast = mx
+    }
+    // loadings from the final un-normalized w; EVR as the Rayleigh
+    // quotient vᵀ(Cv) / (vᵀv · trace), assembled from overflow-safe
+    // parts: vᵀw at the ×10⁴ loading scale (≤64·100·10⁴ — BIGINT-tiny),
+    // the exact-integer factors recombined in one double expression
+    val lo = wLast.crossJoin(broadcast(mxLast))
+      .select(col("d"),
+        floor(col("w").cast("double") * 10000.0 / col("mx").cast("double")
+          + 0.5).cast("long").as("loading_x10000"))
+      .localCheckpoint() // consumed by the output and the Rayleigh join
+    val trace = cm.where(col("d1") === col("d2")).agg(sum(col("c")).as("trace"))
+    val vt = vIn.join(lo, "d")
+      .agg(sum(col("v") * col("loading_x10000")).as("vtw"),
+        sum(col("v") * col("v")).as("vtv"))
+    val evr = vt.crossJoin(broadcast(mxLast)).crossJoin(broadcast(trace))
+      .select(floor(lit(1000000.0)
+          * (col("vtw").cast("double") * col("mx").cast("double"))
+          / (lit(10000.0) * col("vtv").cast("double")
+            * col("trace").cast("double")) + 0.5)
+        .cast("long").as("evr_ppm"))
+    lo.crossJoin(broadcast(evr))
+      .select(col("d"), col("loading_x10000"), col("evr_ppm"))
+  }
+
+  /** Cross-lingual BITEXT MINING — the parallel-corpus builder behind
+    * translation training sets: align documents across two languages by
+    * embedding similarity under the MARGIN criterion (cosine relative to
+    * the mean of BOTH sides' k-NN cosines — the max-margin retrieval rule
+    * of the LASER/CCMatrix line: a raw cosine threshold over-fires in
+    * dense regions and under-fires in sparse ones; dividing by the local
+    * neighborhood level normalizes both).
+    *
+    * This is the margin CORE over an already-scored candidate table
+    * `scored(src_id, tgt_id, cos_x1000000)` — every stage is bounded:
+    * two per-side top-k windows (candidate lists, never the corpus), the
+    * margin as ONE exact integer division
+    * `2·cos·ks·kt·10⁶ div (snn·kt + tnn·ks)` (all terms ≤ 4·10⁶·k — no
+    * overflow, no float divergence), and a per-src best-match window.
+    * Candidate generation is pluggable: exact cross-language scoring at
+    * eval scale ([[bitextMine]]), [[lshTopK]]/[[ivfTopK]] per-language
+    * indexes at 100 TB — the margin core is unchanged either way. */
+  def bitextMarginFrom(scored: DataFrame, k: Int,
+                       minMarginX1000000: Long): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val sc = scored.localCheckpoint() // consumed 3×: both NN sums + margin
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_x1000000").desc, col("tgt_id"))
+    val srcNN = sc.withColumn("r", row_number().over(wS))
+      .where(col("r") <= k)
+      .groupBy(col("src_id"))
+      .agg(sum(col("cos_x1000000")).as("snn"), count(lit(1)).as("ks"))
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos_x1000000").desc, col("src_id"))
+    val tgtNN = sc.withColumn("r", row_number().over(wT))
+      .where(col("r") <= k)
+      .groupBy(col("tgt_id"))
+      .agg(sum(col("cos_x1000000")).as("tnn"), count(lit(1)).as("kt"))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_x1000000").desc, col("tgt_id"))
+    sc.join(broadcast(srcNN), Seq("src_id"))
+      .join(broadcast(tgtNN), Seq("tgt_id"))
+      // negative-cosine pairs are never mining candidates, and keeping
+      // both division operands non-negative keeps Spark's truncating DIV
+      // identical to floor division cross-engine
+      .where(col("cos_x1000000") >= 0L && expr("snn * kt + tnn * ks > 0"))
+      .withColumn("margin_x1000000",
+        expr("(2 * cos_x1000000 * ks * kt * 1000000) DIV (snn * kt + tnn * ks)"))
+      .withColumn("best", row_number().over(wBest))
+      .where(col("best") === 1 &&
+        col("margin_x1000000") >= minMarginX1000000)
+      .select(col("src_id"), col("tgt_id"), col("cos_x1000000"),
+        col("margin_x1000000"))
+  }
+
+  /** [[bitextMarginFrom]] with exact per-language-pair candidate scoring:
+    * the `srcLang` partition against the broadcast `tgtLang` partition
+    * (languages are the natural blocking key — candidates never cross a
+    * pair of languages). Exact at eval scale; at 100 TB the broadcast side
+    * becomes a per-language ANN index ([[lshTopK]]/[[ivfTopK]]) feeding
+    * the same margin core. Embeddings align to docs by `vec_id == doc_id`. */
+  def bitextMine(docs: DataFrame, emb: DataFrame, srcLang: String,
+                 tgtLang: String, k: Int = 4,
+                 minMarginX1000000: Long = 1000000L): DataFrame = {
+    val e = withUnitVector(emb)
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+    val src = e.where(col("lang") === srcLang)
+      .select(col("vec_id").as("src_id"), col("vn").as("sv"))
+    val tgt = e.where(col("lang") === tgtLang)
+      .select(col("vec_id").as("tgt_id"), col("vn").as("tv"))
+    val scored = src.crossJoin(broadcast(tgt))
+      .select(col("src_id"), col("tgt_id"),
+        floor(dotCol(col("sv"), col("tv")) * 1000000.0 + 0.5).cast("long")
+          .as("cos_x1000000"))
+    bitextMarginFrom(scored, k, minMarginX1000000)
+  }
 }

@@ -179,6 +179,28 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(sum16 == byShard)
   }
 
+  test("lptShards: serpentine dealing, exact totals, tighter spread than hash") {
+    // 6 docs of 6..1 words, 2 shards: serpentine deals 6→s0 5→s1 | 4→s1
+    // 3→s0 | 2→s0 1→s1 ⇒ totals (11, 10); plain round-robin would be (12, 9)
+    val tiny = docsDF((1L to 6L).map(i => i -> ("w " * (7 - i).toInt).trim): _*)
+    val got = Mixing.lptShards(tiny, 2, metric = "ws")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0L -> ((3L, 11L)), 1L -> ((3L, 10L))))
+    // on the real corpus: every doc dealt once, and the token spread is no
+    // worse than hash sharding's (the entire point of the ordered dealer)
+    val docs = Tables.documents(spark, sfDir)
+    val lpt = Mixing.lptShards(docs, 16, metric = "ws")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val hash = Mixing.shardSummary(docs, 16, metric = "ws")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(lpt.map(_._1).sum == docs.count())
+    assert(lpt.map(_._2).sum == hash.map(_._2).sum)
+    val lptSpread = lpt.map(_._2).max - lpt.map(_._2).min
+    val hashSpread = hash.map(_._2).max - hash.map(_._2).min
+    assert(lptSpread <= hashSpread,
+      s"serpentine spread $lptSpread must not exceed hash spread $hashSpread")
+  }
+
   test("exact-k sample: precise count, repartition-stable, hash-uniform-ish") {
     val docs = Tables.documents(spark, sfDir)
     val a = Mixing.sampleExactK(docs, 25).select("doc_id").as[Long].collect().toSet

@@ -2077,6 +2077,63 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       ("blu bolt", "blue bolt", 1L, 1L, 1L)))
   }
 
+  test("dataQuality audit: row, uniqueness, referential rules in one report") {
+    import DataQuality._
+    val df = Seq((1L, 10.0, "a"), (2L, -5.0, "a"), (2L, 7.0, null))
+      .toDF("id", "amt", "tag")
+    val ref = Seq("a", "b").toDF("k")
+    val rep = audit("t", df, Seq(
+        RowRule("amt_positive", col("amt") > 0),
+        RowRule("tag_known", col("tag").isin("a", "b")), // NULL = violation
+        UniqueRule("pk_id", Seq("id")),
+        RefRule("fk_tag", "tag", ref, "k")))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(rep == Map(
+      "amt_positive" -> ((1L, 3L, false)),
+      "tag_known" -> ((1L, 3L, false)), // the NULL tag is unverifiable
+      "pk_id" -> ((1L, 3L, false)),     // id=2 twice
+      "fk_tag" -> ((0L, 3L, true))))    // non-null tags all resolve
+  }
+
+  test("bitextMine pairs the planted translations under the margin rule") {
+    val docs = Seq((0L, "x", "en"), (1L, "x", "en"), (2L, "x", "de"),
+      (3L, "x", "de")).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(1L))
+    def vec(a: Double, b: Double) = Array(a.toFloat, b.toFloat, 0f, 0f)
+    val emb = Seq(
+      (0L, vec(1, 0), 0), (1L, vec(0, 1), 0),       // en
+      (2L, vec(1, 0), 0), (3L, vec(0.7, 0.7), 0))   // de: exact + diagonal
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.bitextMine(docs, emb, "en", "de", k = 1,
+        minMarginX1000000 = 1000000L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc0 pairs its exact copy doc2 (cos 1.0); doc1 pairs the diagonal
+    // doc3 (cos ≈ .7071); with k=1 both margins are exactly 2c/(c+c) = 1.0
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == ((0L, 2L, 1000000L, 1000000L)))
+    assert(got(1L)._2 == 3L && got(1L)._4 == 1000000L)
+    assert(got(1L)._3 > 700000L && got(1L)._3 < 710000L)
+  }
+
+  test("principalComponent finds the planted dominant axis with high EVR") {
+    // axis 0 carries variance ~100x axis 1's; axes 2..7 are constant-zero
+    val emb = (1L to 20L).map { i =>
+      (i, Array.tabulate(8) { d =>
+        if (d == 0) i.toFloat / 20
+        else if (d == 1) 0.01f * (i % 3) else 0f
+      }, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.principalComponent(emb, iters = 8)
+      .orderBy("d").as[(Long, Long, Long)].collect()
+    assert(got.length == 8)
+    assert(math.abs(got(0)._2) == 10000L) // axis 0 is the component
+    got.drop(1).foreach(r =>
+      assert(math.abs(r._2) < 2000L, s"axis ${r._1} should be minor"))
+    assert(got(0)._3 > 900000L, s"EVR ${got(0)._3} should be >90%")
+    assert(got.map(_._3).distinct.length == 1) // evr is a corpus scalar
+  }
+
   test("labelDiversity: identical pair ~ 1e6, orthogonal pair 0, singleton -1") {
     val dim = 8
     def vec(hot: Int*): Array[Float] = {

@@ -38,7 +38,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ta_train_lsq_eval" -> "one-row trained model rides along broadcast",
     "ta_train_stump" -> "one-row totals + one-row best-threshold broadcasts",
     "layout_zorder" -> "one-row dim min/max + 2-row literal box table ride along broadcast",
-    "ta_zipf" -> "one-row rank-1 frequency rides along broadcast")
+    "ta_zipf" -> "one-row rank-1 frequency rides along broadcast",
+    "mine_bitext" -> "per-language-pair candidate block: src lang x broadcast tgt lang (the ANN-index stand-in at eval scale) + one-row NN-sum broadcasts",
+    "ann_pca" -> "64-row vector / one-row max / one-row EVR ride along broadcast each power step",
+    "dq_audit" -> "one-row FK-violation count x one-row table total (both sides single-row broadcasts)")
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
