@@ -480,6 +480,33 @@ object SparkEntry {
           minMarginX1000000 = 1000000L)
         .orderBy(col("src_id"))),
 
+    // fuzzy pairs → connected components → canonical spelling per cluster
+    // (the ER lifecycle's merge step, over the SAME cluster machinery the
+    // doc near-dup pipeline uses — min label propagation is type-generic)
+    "er_fuzzy_clusters" -> ((s, d) => {
+      val pairs = operators.Dedup.fuzzyNameMatch(Tables.part(s, d),
+        "p_name", maxDist = 2)
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_entities"))
+      operators.Dedup.dedupClusters(pairs, "name_a", "name_b")
+        .select(col("id").as("name"), col("canonical_id").as("canonical"))
+        .join(names, Seq("name"))
+        .orderBy(col("name"))
+    }),
+
+    // column profile (the audit's exploratory sibling): nulls + exact
+    // distinct cardinality per column, one aggregation pass
+    "dq_profile" -> ((s, d) =>
+      operators.DataQuality.profile("orders", Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))),
+
+    // whitening report: project out the ann_pca component, exact
+    // before/after per-dim variance — retained_ppm ≈ 0 along the component
+    "ann_whiten" -> ((s, d) =>
+      operators.Similarity.whitenReport(Tables.embeddings(s, d), iters = 8)
+        .orderBy(col("d"))),
+
     // declarative data-quality audit (the Deequ/expectations layer): row
     // predicates + key uniqueness compile to ONE agg pass per table, FK
     // checks to one anti-join each; the lineitem (orderkey, lineno) "PK"
@@ -2453,6 +2480,31 @@ object SparkEntry {
         "SELECT lo.d AS d, loading_x10000, evr_ppm FROM lo, evr ORDER BY d"
     }
 
+    // ann_whiten: the pca replay's comp/nn/lo CTEs + projection removal and
+    // exact before/after per-dim variances (same double-on-exact-integers
+    // re-quantization as the Spark side)
+    val annWhitenSql: String = {
+      val withIdx = pcaOracleSql.lastIndexOf("\nSELECT lo.d AS d")
+      pcaOracleSql.substring(0, withIdx) + ",\n" +
+        """lo2 AS (SELECT d, loading_x10000 AS l FROM lo),
+          |l2 AS (SELECT sum(l * l)::BIGINT AS l2 FROM lo2),
+          |pj AS (SELECT vec_id, sum(xi * l)::BIGINT AS p
+          |  FROM comp JOIN lo2 USING (d) GROUP BY vec_id),
+          |wq AS (SELECT comp.d AS d, xi,
+          |    CAST(floor(CAST(xi * l2.l2 - pj.p * lo2.l AS DOUBLE) / CAST(l2.l2 AS DOUBLE) + 0.5) AS BIGINT) AS xq
+          |  FROM comp JOIN pj ON comp.vec_id = pj.vec_id
+          |  JOIN lo2 ON comp.d = lo2.d CROSS JOIN l2),
+          |vs AS (SELECT d, sum(xi * xi)::BIGINT AS sxx_o, sum(xi)::BIGINT AS sx_o,
+          |    sum(xq * xq)::BIGINT AS sxx_w, sum(xq)::BIGINT AS sx_w
+          |  FROM wq GROUP BY d),
+          |vo AS (SELECT d, (nn.n * sxx_o - sx_o * sx_o)::BIGINT AS var_o,
+          |    (nn.n * sxx_w - sx_w * sx_w)::BIGINT AS var_w
+          |  FROM vs CROSS JOIN nn)
+          |SELECT d, var_o, var_w,
+          |  CAST(floor(1000000.0 * CAST(var_w AS DOUBLE) / CAST(greatest(var_o, 1) AS DOUBLE) + 0.5) AS BIGINT) AS retained_ppm
+          |FROM vo ORDER BY d""".stripMargin
+    }
+
     // the (source, word) billing join on top — shared verbatim by
     // `ta_wordpiece_fertility` and `ta_wordpiece_artifact` (the parquet
     // vocab round trip must not change a count)
@@ -2992,6 +3044,43 @@ object SparkEntry {
           |ORDER BY name_a, name_b""".stripMargin,
 
       "ann_pca" -> pcaOracleSql,
+
+      "ann_whiten" -> annWhitenSql,
+
+      // fuzzy pair graph closed transitively (min reachable name), the
+      // dedup_clusters recursive-CTE oracle pattern over string ids
+      "er_fuzzy_clusters" ->
+        """WITH RECURSIVE
+          |names AS (SELECT p_name AS name, count(*)::BIGINT AS n_entities FROM part GROUP BY 1),
+          |b AS (SELECT name, n_entities, split_part(name, ' ', -1) AS blk FROM names),
+          |pairs AS (SELECT a.name AS name_a, c.name AS name_b
+          |  FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+          |  WHERE levenshtein(a.name, c.name) <= 2),
+          |edges AS (SELECT name_a AS src, name_b AS dst FROM pairs
+          |  UNION SELECT name_b, name_a FROM pairs),
+          |reach AS (SELECT src, src AS r FROM edges
+          |  UNION SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.src),
+          |canon AS (SELECT src AS name, min(r) AS canonical FROM reach GROUP BY src)
+          |SELECT canon.name AS name, canonical, n.n_entities AS n_entities
+          |FROM canon JOIN names n ON canon.name = n.name
+          |ORDER BY name""".stripMargin,
+
+      // one-pass profile replay: nulls + exact distincts per column
+      "dq_profile" ->
+        """WITH p AS (SELECT count(*)::BIGINT AS n_rows,
+          |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn1, count(DISTINCT o_orderkey)::BIGINT AS nd1,
+          |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn2, count(DISTINCT o_custkey)::BIGINT AS nd2,
+          |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn3, count(DISTINCT o_orderstatus)::BIGINT AS nd3,
+          |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn4, count(DISTINCT o_totalprice)::BIGINT AS nd4,
+          |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn5, count(DISTINCT o_orderpriority)::BIGINT AS nd5
+          |  FROM orders)
+          |SELECT 'orders' AS table_name, column_name, n_nulls, n_distinct, n_rows FROM (
+          |  SELECT 'o_orderkey' AS column_name, nn1 AS n_nulls, nd1 AS n_distinct, n_rows FROM p
+          |  UNION ALL SELECT 'o_custkey', nn2, nd2, n_rows FROM p
+          |  UNION ALL SELECT 'o_orderstatus', nn3, nd3, n_rows FROM p
+          |  UNION ALL SELECT 'o_totalprice', nn4, nd4, n_rows FROM p
+          |  UNION ALL SELECT 'o_orderpriority', nn5, nd5, n_rows FROM p)
+          |ORDER BY column_name""".stripMargin,
 
       // margin-criterion replay: unit vectors, the en×de candidate block,
       // both-side top-4 integer NN sums, the exact integer margin division

@@ -1058,6 +1058,51 @@ object Similarity {
       .select(col("d"), col("loading_x10000"), col("evr_ppm"))
   }
 
+  /** WHITENING report — [[principalComponent]] made actionable: project
+    * the top component OUT of every embedding (`x' = x − (x·v̂)v̂`) and
+    * measure the per-dimension variance before vs after. The "retained
+    * ppm" column is the proof the rogue direction is gone (≈10⁶ on
+    * untouched dimensions, ≈0 along the component) — the check a
+    * whitening deploy reads before re-indexing a retrieval corpus.
+    *
+    * Arithmetic stays exact: quantized components (×10⁴ BIGINT), the
+    * projection `p = Σ x·l` and the common-denominator numerator
+    * `x·|l|² − p·l` are exact BIGINT (≤8·10¹³); the single division
+    * re-quantizes through one IEEE-double op on exact integers
+    * (deterministic cross-engine), and both variances are exact
+    * `n·Σq² − (Σq)²` BIGINT. Plan: the projection is one equi-join +
+    * map-combinable agg on vec_id; everything else rides broadcast. */
+  def whitenReport(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val lo = principalComponent(emb, iters)
+      .select(col("d"), col("loading_x10000").as("l"))
+      .localCheckpoint() // consumed by l2, the projection, and the rebuild
+    val l2 = lo.agg(sum(col("l") * col("l")).as("l2"))
+    val comp = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * 10000.0 + 0.5).cast("long").as("xi"))
+      .localCheckpoint()
+    val n = comp.agg(countDistinct(col("vec_id")).as("n"))
+    val proj = comp.join(broadcast(lo), "d")
+      .groupBy(col("vec_id")).agg(sum(col("xi") * col("l")).as("p"))
+    val wq = comp.join(proj, "vec_id").join(broadcast(lo), "d")
+      .crossJoin(broadcast(l2))
+      .select(col("d"), col("xi"),
+        floor((col("xi") * col("l2") - col("p") * col("l")).cast("double")
+          / col("l2").cast("double") + 0.5).cast("long").as("xq"))
+    wq.groupBy(col("d"))
+      .agg(sum(col("xi") * col("xi")).as("sxx_o"), sum(col("xi")).as("sx_o"),
+        sum(col("xq") * col("xq")).as("sxx_w"), sum(col("xq")).as("sx_w"))
+      .crossJoin(broadcast(n))
+      .select(col("d"),
+        (col("n") * col("sxx_o") - col("sx_o") * col("sx_o")).as("var_o"),
+        (col("n") * col("sxx_w") - col("sx_w") * col("sx_w")).as("var_w"))
+      .select(col("d"), col("var_o"), col("var_w"),
+        floor(lit(1000000.0) * col("var_w").cast("double")
+          / greatest(col("var_o"), lit(1L)).cast("double") + 0.5)
+          .cast("long").as("retained_ppm"))
+  }
+
   /** Cross-lingual BITEXT MINING — the parallel-corpus builder behind
     * translation training sets: align documents across two languages by
     * embedding similarity under the MARGIN criterion (cosine relative to

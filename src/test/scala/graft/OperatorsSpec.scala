@@ -2134,6 +2134,46 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._3).distinct.length == 1) // evr is a corpus scalar
   }
 
+  test("fuzzy clusters: transitive closure picks the lexicographic canonical") {
+    // red~rad, rad~rod, red~rod all within distance 2 in the widget block
+    // ⇒ one cluster, canonical = "rad widget" (lexicographic min)
+    val ents = Seq("red widget", "rad widget", "rod widget", "blue bolt")
+      .toDF("p_name")
+    val pairs = Dedup.fuzzyNameMatch(ents, "p_name", maxDist = 2)
+    val got = Dedup.dedupClusters(pairs, "name_a", "name_b")
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "red widget" -> "rad widget", "rad widget" -> "rad widget",
+      "rod widget" -> "rad widget")) // the lone bolt never enters a pair
+  }
+
+  test("dataQuality profile: nulls and exact distincts in one pass") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (2L, None))
+      .toDF("id", "tag")
+    val got = DataQuality.profile("t", df, Seq("id", "tag"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "id" -> ((0L, 2L, 3L)),
+      "tag" -> ((1L, 1L, 3L)))) // countDistinct skips the NULL
+  }
+
+  test("whitenReport kills the planted component's variance, keeps the rest") {
+    val emb = (1L to 20L).map { i =>
+      (i, Array.tabulate(8) { d =>
+        if (d == 0) i.toFloat / 20
+        else if (d == 1) 0.01f * (i % 3) else 0f
+      }, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.whitenReport(emb, iters = 8)
+      .orderBy("d").as[(Long, Long, Long, Long)].collect()
+    assert(got(0)._4 < 10000L,          // axis 0: <1% variance survives
+      s"component axis retained ${got(0)._4} ppm")
+    assert(got(1)._4 > 900000L,         // axis 1 is orthogonal — untouched
+      s"minor axis retained ${got(1)._4} ppm")
+    got.drop(2).foreach(r => assert(r._2 == 0L && r._3 == 0L)) // dead dims
+  }
+
   test("labelDiversity: identical pair ~ 1e6, orthogonal pair 0, singleton -1") {
     val dim = 8
     def vec(hot: Int*): Array[Float] = {
