@@ -33,10 +33,11 @@ object Bench {
   /** Queries that write (or stage-and-read) filesystem artifacts in-query;
     * their timings get median-of-3 treatment in [[main]]. */
   private val artifactQueries = Set(
-    "ta_bpe_artifact", "ta_wordpiece_artifact", "dedup_pairs_artifact",
+    "ta_bpe_artifact", "ta_wordpiece_artifact", "ta_unigram_artifact",
+    "dedup_pairs_artifact",
     "sim_bm25_index", "src_orc_roundtrip", "layout_pruned_scan",
     "e2e_corpus_from_artifact", "stream_near_dup", "stream_curate",
-    "stream_decontam", "src_schema_evolution")
+    "stream_decontam", "stream_dq", "src_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

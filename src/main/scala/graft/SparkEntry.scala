@@ -1276,6 +1276,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // the artifact lifecycle CROSSES tokenizer families: the SAME parquet
+    // vocabulary WordPiece persists is loaded and decoded optimally — the
+    // round trip must not change a single count
+    "ta_unigram_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = stagedDir("univocab", d, "k200l4", fresh = true)
+      operators.TextAnalysis.saveWordpieceVocab(
+        operators.TextAnalysis.wordpieceVocab(docs, 200, 4), dir)
+      operators.TextAnalysis.unigramFertilityFrom(docs,
+          operators.TextAnalysis.collectVocabTerms(
+            operators.TextAnalysis.loadWordpieceVocab(s, dir)))
+        .orderBy(col("source"))
+    }),
+
     // incremental containment maintenance: the prefix-copy batch probes the
     // persisted shingle index of the original corpus — equals the batch run
     // restricted to new-member pairs, at O(new x collisions) cost
@@ -1471,6 +1485,26 @@ object SparkEntry {
       operators.Graphs
         .graphRank(star.unionByName(ring).withColumn("w", lit(1L)), iters = 10)
         .orderBy(col("node"))
+    }),
+
+    // degree assortativity over the same planted graph: hub-and-spoke
+    // structure must report strongly NEGATIVE r (hubs bond to leaves) —
+    // the one-number structural summary next to rank/triangles/k-core
+    "graph_assortativity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hubs = docs.groupBy(col("source")).agg(min(col("doc_id")).as("hub"))
+      val mem = docs.join(hubs, Seq("source"))
+        .where(col("doc_id") =!= col("hub"))
+        .select(col("doc_id").as("x"), col("hub").as("y"))
+      val star = mem.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(mem.select(col("y").as("src"), col("x").as("dst")))
+      val hw = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+      val ring0 = hubs.withColumn("nxt", lead(col("hub"), 1).over(hw))
+        .where(col("nxt").isNotNull)
+        .select(col("hub").as("src"), col("nxt").as("dst"))
+      val ring = ring0.unionByName(
+        ring0.select(col("dst").as("src"), col("src").as("dst")))
+      operators.Graphs.assortativity(star.unionByName(ring))
     }),
 
     // community detection by deterministic label propagation over the
@@ -1841,6 +1875,35 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("quality_x10000"),
           col("q_threshold"), col("shard").cast("long").as("shard"))
         .orderBy(col("doc_id"))
+    }),
+
+    // streaming data-quality audit (the 5th driven pipeline): micro-batch
+    // additive rule classes only (row predicates + static-ref FK — the
+    // deliberately-absent `zh` makes fk_lang a REAL nonzero finding);
+    // accumulated per-batch reports sum to the batch audit exactly
+    "stream_dq" -> ((s, d) => {
+      import s.implicits._
+      import operators.DataQuality._
+      val docs = Tables.documents(s, d)
+      val stage = stagedDir("stream-dq", d, "r3", fresh = true)
+      docs.repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val langs = Seq("en", "de", "fr", "es").toDF("lang") // zh absent
+      val rules = Seq(
+        RowRule("nchar_consistent",
+          col("n_chars") === length(col("text")).cast("long")),
+        RowRule("text_nonempty", length(col("text")) > 0),
+        RefRule("fk_lang", "lang", langs, "lang"))
+      streaming.Streams.streamingAudit(s,
+          streaming.Streams.fileSource(s, s"$stage/src", docs.schema,
+            maxFilesPerTrigger = 1),
+          "documents", rules, s"$stage/out", s"$stage/ck")
+        .awaitTermination()
+      s.read.parquet(s"$stage/out")
+        .groupBy(col("table_name"), col("check_name"))
+        .agg(sum(col("violations")).as("violations"),
+          sum(col("total")).as("total"))
+        .withColumn("pass", col("violations") === 0L)
+        .orderBy(col("check_name"))
     }),
 
     // streaming session windows driven end-to-end (the 4th driven
@@ -2480,6 +2543,24 @@ object SparkEntry {
         "SELECT lo.d AS d, loading_x10000, evr_ppm FROM lo, evr ORDER BY d"
     }
 
+    // unigram fertility replay, shared by the direct and artifact-round-
+    // trip forms (identical by the round-trip-must-not-change-a-count rule)
+    val uniFertilitySql: String =
+      s"""WITH RECURSIVE
+         |t AS (SELECT source, $toks AS toks FROM documents),
+         |tok AS (SELECT source, unnest(toks) AS w FROM t),
+         |$viterbiSegCtes,
+         |sw AS (SELECT source, w, count(*)::BIGINT AS freq FROM tok
+         |  WHERE w <> '' GROUP BY source, w)
+         |SELECT source, sum(freq)::BIGINT AS total_words,
+         |  sum(freq*pieces)::BIGINT AS total_pieces,
+         |  sum(freq*unknowns)::BIGINT AS total_unknowns,
+         |  CAST(floor((10000.0::DOUBLE) * sum(freq*pieces)
+         |    / greatest(sum(freq), 1)) AS BIGINT) AS fertility_x10000,
+         |  CAST(floor((1000000.0::DOUBLE) * sum(freq*unknowns)
+         |    / greatest(sum(freq*pieces), 1)) AS BIGINT) AS oov_ppm
+         |FROM sw JOIN vpieces USING (w) GROUP BY source ORDER BY source""".stripMargin
+
     // ann_whiten: the pca replay's comp/nn/lo CTEs + projection removal and
     // exact before/after per-dim variances (same double-on-exact-integers
     // re-quantization as the Spark side)
@@ -3110,6 +3191,21 @@ object SparkEntry {
           |SELECT src_id, tgt_id, cos_x1000000, margin_x1000000 FROM b
           |WHERE best = 1 AND margin_x1000000 >= 1000000
           |ORDER BY src_id""".stripMargin,
+
+      // the accumulated streaming audit must equal the batch computation
+      // of the same additive rules over the full table
+      "stream_dq" ->
+        """WITH c AS (SELECT count(*)::BIGINT AS total,
+          |    sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)::BIGINT AS nc,
+          |    sum(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END)::BIGINT AS ne,
+          |    sum(CASE WHEN lang IN ('en','de','fr','es') THEN 0 ELSE 1 END)::BIGINT AS fl
+          |  FROM documents)
+          |SELECT 'documents' AS table_name, check_name, violations, total,
+          |  violations = 0 AS pass FROM (
+          |  SELECT 'nchar_consistent' AS check_name, nc AS violations, total FROM c
+          |  UNION ALL SELECT 'text_nonempty', ne, total FROM c
+          |  UNION ALL SELECT 'fk_lang', fl, total FROM c)
+          |ORDER BY check_name""".stripMargin,
 
       // each check recomputed directly; pass = violations == 0
       "dq_audit" ->
@@ -5891,6 +5987,29 @@ object SparkEntry {
            |SELECT node, rank AS rank_x1e6 FROM r10 ORDER BY node""".stripMargin
       },
 
+      // Newman's r over the same planted graph CTEs: exact degree sums,
+      // the a10 IEEE-sqrt Pearson finish
+      "graph_assortativity" ->
+        """WITH hubs AS (SELECT source, min(doc_id) AS hub FROM documents GROUP BY source),
+          |mem AS (SELECT d.doc_id AS x, h.hub AS y FROM documents d
+          |  JOIN hubs h ON d.source = h.source WHERE d.doc_id <> h.hub),
+          |ring0 AS (SELECT hub AS src, lead(hub, 1) OVER (ORDER BY source) AS dst FROM hubs),
+          |ringe AS (SELECT src, dst FROM ring0 WHERE dst IS NOT NULL),
+          |edges AS (SELECT x AS src, y AS dst FROM mem
+          |  UNION ALL SELECT y AS src, x AS dst FROM mem
+          |  UNION ALL SELECT src, dst FROM ringe
+          |  UNION ALL SELECT dst AS src, src AS dst FROM ringe),
+          |deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+          |j AS (SELECT dx.deg AS x, dy.deg AS y FROM edges e
+          |  JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node),
+          |g AS (SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+          |    sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy
+          |  FROM j)
+          |SELECT m AS m_edges,
+          |  CAST(floor((10000.0::DOUBLE) * (m*sxy - sx*sy) /
+          |    (sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(m*syy - sy*sy AS DOUBLE))) + 0.5) AS BIGINT) AS r_x10000
+          |FROM g""".stripMargin,
+
       // label propagation: same planted graph CTEs + self-edges, 4
       // unrolled sync rounds, then the community-size join
       "graph_communities" -> {
@@ -6122,22 +6241,12 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin,
 
       // unigram optimal decode, billed per source — viterbiSegCtes replays
-      // the DP as a recursive state exploration + encoded-score min
-      "ta_unigram_fertility" ->
-        s"""WITH RECURSIVE
-           |t AS (SELECT source, $toks AS toks FROM documents),
-           |tok AS (SELECT source, unnest(toks) AS w FROM t),
-           |$viterbiSegCtes,
-           |sw AS (SELECT source, w, count(*)::BIGINT AS freq FROM tok
-           |  WHERE w <> '' GROUP BY source, w)
-           |SELECT source, sum(freq)::BIGINT AS total_words,
-           |  sum(freq*pieces)::BIGINT AS total_pieces,
-           |  sum(freq*unknowns)::BIGINT AS total_unknowns,
-           |  CAST(floor((10000.0::DOUBLE) * sum(freq*pieces)
-           |    / greatest(sum(freq), 1)) AS BIGINT) AS fertility_x10000,
-           |  CAST(floor((1000000.0::DOUBLE) * sum(freq*unknowns)
-           |    / greatest(sum(freq*pieces), 1)) AS BIGINT) AS oov_ppm
-           |FROM sw JOIN vpieces USING (w) GROUP BY source ORDER BY source""".stripMargin,
+      // the DP as a recursive state exploration + encoded-score min;
+      // shared verbatim with ta_unigram_artifact (the parquet vocab round
+      // trip must not change a count)
+      "ta_unigram_fertility" -> uniFertilitySql,
+
+      "ta_unigram_artifact" -> uniFertilitySql,
 
       // per-doc unigram bill: same DP replay, billed through the
       // (doc_id, word) explode; wordless docs re-attached with 0s

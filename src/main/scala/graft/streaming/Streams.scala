@@ -272,6 +272,38 @@ object Streams {
       }
       .start()
 
+  /** Streaming data-quality audit — the streaming sibling of
+    * [[graft.operators.DataQuality.audit]] for the rule classes that are
+    * micro-batch ADDITIVE: row predicates (violations sum across batches)
+    * and FK checks against a STATIC reference (each batch anti-joins the
+    * same broadcast key set). Key UNIQUENESS is deliberately refused — it
+    * is a cross-batch property (a seen-keys state store, the incremental-
+    * index pattern) and belongs to the batch audit. Per-batch reports land
+    * under their micro-batch id (dynamic-partition overwrite —
+    * replay-idempotent); summing the accumulated reports equals the batch
+    * audit of the same rules over the full table (spec + oracle pin it). */
+  def streamingAudit(spark: SparkSession, rows: DataFrame, table: String,
+                     rules: Seq[graft.operators.DataQuality.Rule],
+                     outDir: String, checkpointDir: String): StreamingQuery = {
+    require(rules.forall {
+      case _: graft.operators.DataQuality.UniqueRule => false
+      case _ => true
+    }, "uniqueness is cross-batch state — run it in the batch audit")
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.DataQuality.audit(table, batch.toDF(), rules)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming multimodal decode — the streaming sibling of
     * [[graft.operators.Multimodal.decodeFeatures]]: media records (binary
     * payload + typed metadata) arrive as micro-batches, each batch runs

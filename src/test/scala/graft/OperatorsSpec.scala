@@ -2174,6 +2174,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     got.drop(2).foreach(r => assert(r._2 == 0L && r._3 == 0L)) // dead dims
   }
 
+  test("assortativity: a path graph is perfectly disassortative (r = -1)") {
+    // path 1–2–3: every edge joins a degree-1 leaf to the degree-2 middle,
+    // so endpoint degrees are perfectly anti-correlated
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = Graphs.assortativity(edges).as[(Long, Long)].head()
+    assert(got == ((4L, -10000L)))
+  }
+
   test("labelDiversity: identical pair ~ 1e6, orthogonal pair 0, singleton -1") {
     val dim = 8
     def vec(hot: Int*): Array[Float] = {

@@ -199,6 +199,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty && streamed.size < docs0.count())
   }
 
+  test("streaming audit accumulates to the batch audit of the same rules") {
+    import graft.operators.DataQuality._
+    val docs = Tables.documents(spark, sfDir)
+    val srcDir = tmp("dq-src")
+    val outDir = tmp("dq-out") + "/o"
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val langs = Seq("en", "de", "fr", "es").toDF("lang") // zh absent
+    def rules = Seq(
+      RowRule("nchar_consistent",
+        col("n_chars") === length(col("text")).cast("long")),
+      RowRule("text_nonempty", length(col("text")) > 0),
+      RefRule("fk_lang", "lang", langs, "lang"))
+    val q = Streams.streamingAudit(spark,
+      Streams.fileSource(spark, srcDir, docs.schema, maxFilesPerTrigger = 1),
+      "documents", rules, outDir, tmp("dq-ck"))
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .groupBy("table_name", "check_name")
+      .agg(sum("violations").as("violations"), sum("total").as("total"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = audit("documents", docs, rules)
+      .select("table_name", "check_name", "violations", "total")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // the planted gap is a REAL finding: zh docs fail the fk_lang check
+    assert(streamed.exists { case (_, c, v, _) => c == "fk_lang" && v > 0 })
+    // and uniqueness is refused loudly
+    assertThrows[IllegalArgumentException] {
+      Streams.streamingAudit(spark,
+        Streams.fileSource(spark, srcDir, docs.schema, 1), "documents",
+        Seq(UniqueRule("pk", Seq("doc_id"))), outDir, tmp("dq-ck2"))
+    }
+  }
+
   test("streaming near-dup survives a first batch that yields no signatures") {
     // docs below the shingle width produce an empty signature table; the
     // index dir then has no parquet files and schema INFERENCE would kill
