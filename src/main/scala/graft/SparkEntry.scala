@@ -464,6 +464,26 @@ object SparkEntry {
       operators.Dedup.fuzzyNameMatch(Tables.part(s, d), "p_name", maxDist = 2)
         .orderBy(col("name_a"), col("name_b"))),
 
+    // rolling 5-event row-window mean per user — the moving-aggregate
+    // family next to the time windows; exact fixed-point, one per-user
+    // window
+    "a23_rolling_mean" -> ((s, d) =>
+      Relational.rollingMean(s, d, nPrev = 4)
+        .select(col("event_id"), col("user_id"), col("roll_sum_x100"),
+          col("roll_n"), col("roll_mean_x100"))
+        .orderBy(col("event_id"))),
+
+    // TPC-H Q19 shape: OR of conjunctive (brand, size, qty) branches
+    // across the lineitem x part broadcast join
+    "q15_disjunctive" -> ((s, d) => Relational.disjunctiveRevenue(s, d)),
+
+    // source-centroid cosine matrix: distribution-level near-dup sources
+    // (cos of exact per-source SUM vectors — the /n cancels)
+    "ann_source_matrix" -> ((s, d) =>
+      operators.Similarity.sourceSimilarityMatrix(Tables.documents(s, d),
+          Tables.embeddings(s, d))
+        .orderBy(col("source_a"), col("source_b"))),
+
     // top principal component of the embedding cloud: exact-integer
     // scatter matrix + 8 power steps — the anisotropy/whitening diagnostic
     "ann_pca" -> ((s, d) =>
@@ -3123,6 +3143,56 @@ object SparkEntry {
           |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
           |WHERE levenshtein(a.name, c.name) <= 2
           |ORDER BY name_a, name_b""".stripMargin,
+
+      // rolling 5-row window replay: same (ts, event_id) order, exact
+      // fixed-point sum/count, BIGINT floor-division mean
+      "a23_rolling_mean" ->
+        """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+          |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+          |w AS (SELECT event_id, user_id,
+          |    sum(v) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+          |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::BIGINT AS roll_sum_x100,
+          |    count(*) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+          |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::BIGINT AS roll_n
+          |  FROM t)
+          |SELECT event_id, user_id, roll_sum_x100, roll_n,
+          |  (roll_sum_x100 // roll_n)::BIGINT AS roll_mean_x100
+          |FROM w ORDER BY event_id""".stripMargin,
+
+      "q15_disjunctive" ->
+        """SELECT sum(CAST(floor(l_extendedprice*(1.0 - l_discount)*10000 + 0.5) AS BIGINT))::BIGINT AS revenue_x10000,
+          |  count(*)::BIGINT AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+          |    AND l_quantity BETWEEN 1 AND 20)
+          |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+          |    AND l_quantity BETWEEN 10 AND 35)
+          |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+          |    AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+      // source-centroid cosines: exact per-source sum vectors (the /n
+      // cancels out of the cosine), IEEE-sqrt finish
+      "ann_source_matrix" ->
+        """WITH comp AS (
+          |  SELECT vec_id, d - 1 AS d, CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS xi
+          |  FROM (SELECT vec_id, unnest(embedding) AS x,
+          |        generate_subscripts(embedding, 1) AS d FROM embeddings)),
+          |cs AS (SELECT doc.source AS source, c.d AS d, c.xi AS xi
+          |  FROM comp c JOIN documents doc ON c.vec_id = doc.doc_id),
+          |sums AS (SELECT source, d, sum(xi)::BIGINT AS s FROM cs GROUP BY source, d),
+          |stats AS (SELECT sums.source AS source, sum(s*s)::BIGINT AS ss, any_value(nd.n) AS n
+          |  FROM sums JOIN (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source) nd
+          |    ON sums.source = nd.source
+          |  GROUP BY sums.source),
+          |dots AS (SELECT a.source AS source_a, b.source AS source_b, sum(a.s * b.s)::BIGINT AS dot
+          |  FROM sums a JOIN sums b ON a.d = b.d AND a.source < b.source
+          |  GROUP BY a.source, b.source)
+          |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b,
+          |  CAST(floor((1000000.0::DOUBLE) * dot /
+          |    (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))) + 0.5) AS BIGINT) AS cos_x1000000
+          |FROM dots JOIN stats sa ON dots.source_a = sa.source
+          |JOIN stats sb ON dots.source_b = sb.source
+          |ORDER BY source_a, source_b""".stripMargin,
 
       "ann_pca" -> pcaOracleSql,
 

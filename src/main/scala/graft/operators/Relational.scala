@@ -411,6 +411,50 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"), col("o_year"))
 
+  /** Rolling ROW-window mean of event values per user (current + 4
+    * preceding events in time order) — the moving-aggregate family the
+    * time-window queries (a7/a21) don't cover: smoothing/trend features
+    * for per-user behavior models. Exact fixed-point: values quantize
+    * ×100 to BIGINT, the window emits (sum, count), the mean is BIGINT
+    * floor division — bit-reproducible. One per-user window, sources
+    * parallelize across users; nothing global. */
+  def rollingMean(spark: SparkSession, dir: String, nPrev: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-nPrev, org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        fx(col("value"), 100L).as("v"))
+      .withColumn("roll_sum_x100", sum(col("v")).over(w))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        col("roll_sum_x100"), col("roll_n"),
+        expr("roll_sum_x100 DIV roll_n").as("roll_mean_x100"))
+  }
+
+  /** TPC-H Q19-shaped DISJUNCTIVE-predicate join: an OR of conjunctive
+    * (brand, size-range, quantity-range) branches across the lineitem ⨝
+    * part join — the predicate shape that defeats naive single-column
+    * pushdown and exercises Catalyst's OR handling (the p_size/p_brand
+    * legs still prune the broadcast dim; the mixed l_quantity legs
+    * evaluate post-join). One broadcast join + one aggregate. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1.0 && col("l_quantity") <= 20.0) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity") >= 10.0 && col("l_quantity") <= 35.0) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity") >= 20.0 && col("l_quantity") <= 50.0))
+      .agg(
+        sum(fx(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L))
+          .as("revenue_x10000"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q13-shaped order-count distribution: how many customers placed
     * exactly N orders, INCLUDING the zero-order customers only an outer
     * join surfaces. Orders pre-aggregate to one row per ordering customer

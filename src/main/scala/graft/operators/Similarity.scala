@@ -1103,6 +1103,47 @@ object Similarity {
           .cast("long").as("retained_ppm"))
   }
 
+  /** SOURCE-centroid cosine matrix — the distribution-level dedup
+    * instrument: which sources are near-duplicates of each other AS
+    * DISTRIBUTIONS (a mirror crawl lights up a ≈10⁶ cell before any
+    * doc-level dedup runs)? Cosine between per-source MEAN embeddings —
+    * and since cos(Σx/n, Σy/m) = cos(Σx, Σy), the division by n never
+    * happens: per-source SUM vectors stay exact BIGINT (components
+    * quantized ×10⁴), the dot and squared norms are exact, and only the
+    * final a10-style IEEE-sqrt division touches doubles.
+    *
+    * Plan: one explode + (source, d) hash agg — the only corpus-sized
+    * stage; the pairwise join is |sources|²·dim rows, a report-sized
+    * product. Output: (source_a, source_b, n_a, n_b, cos_x1000000). */
+  def sourceSimilarityMatrix(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val comp = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * 10000.0 + 0.5).cast("long").as("xi"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+    val sums = comp.groupBy(col("source"), col("d")).agg(sum(col("xi")).as("s"))
+      .localCheckpoint() // both pairwise legs + the norm agg read it
+    val stats = sums.groupBy(col("source"))
+      .agg(sum(col("s") * col("s")).as("ss"))
+      .join(docs.groupBy(col("source")).agg(count(lit(1)).as("n")), "source")
+    val dots = sums.select(col("source").as("source_a"), col("d"),
+        col("s").as("sa"))
+      .join(sums.select(col("source").as("source_b"), col("d"),
+        col("s").as("sb")), "d")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+    dots
+      .join(broadcast(stats.select(col("source").as("source_a"),
+        col("ss").as("ssa"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(stats.select(col("source").as("source_b"),
+        col("ss").as("ssb"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        floor(lit(1000000.0) * col("dot") /
+          (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double")))
+          + 0.5).cast("long").as("cos_x1000000"))
+  }
+
   /** Cross-lingual BITEXT MINING — the parallel-corpus builder behind
     * translation training sets: align documents across two languages by
     * embedding similarity under the MARGIN criterion (cosine relative to
