@@ -829,6 +829,39 @@ object SparkEntry {
     // re-run the corpus chain, measured 79 s vs ~2 s at sf0.1). Caching
     // the k-longs-per-doc signatures is the persisted-dedup-index posture
     // (~0.1% of corpus size at 100 TB).
+    // second pure-SQL extension-surface rep: brute-force cosine top-k
+    // written entirely in spark.sql over graft_dot — byte-identical to the
+    // Scala ann_topk plan (same oracle verbatim). The unit-vector table is
+    // staged behind one eager cache so the window's ORDER BY and the
+    // output projection don't each recompute the normalize transform.
+    "sql_ann_topk" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_emb_sql")
+      s.catalog.dropTempView("graft_vn_sql") // re-invocation guard
+      s.sql("""
+        CACHE TABLE graft_vn_sql AS
+        SELECT vec_id, transform(v, x -> x / nrm) AS vn
+        FROM (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm
+          FROM (SELECT vec_id,
+              transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM graft_emb_sql))
+      """)
+      s.sql("""
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+          cos_x1000000
+        FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY graft_dot(q.vn, e.vn) DESC, e.vec_id) AS rank,
+            CAST(floor(graft_dot(q.vn, e.vn) * 1000000.0 + 0.5) AS BIGINT)
+              AS cos_x1000000
+          FROM graft_vn_sql q JOIN graft_vn_sql e
+            ON q.vec_id < 10 AND q.vec_id <> e.vec_id)
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+      """)
+    }),
+
     "sql_minhash_pairs" -> ((s, d) => {
       graft.plans.GraftExtensions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("graft_docs_sql")
@@ -2813,6 +2846,19 @@ object SparkEntry {
       "e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
         "e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),\n" +
         "en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1)"
+    // brute-force cosine top-k replay — shared verbatim by the Scala plan
+    // (`ann_topk`) and the pure-spark.sql graft_dot form (`sql_ann_topk`)
+    val annTopkOracleSql: String =
+      s"""WITH $unitVecCte,
+         |q AS (SELECT vec_id AS query_id, vn AS qv FROM en WHERE vec_id < 10),
+         |scored AS (SELECT query_id, en.vec_id, list_dot_product(qv, vn) AS cos
+         |  FROM q JOIN en ON query_id <> en.vec_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+         |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     // shared by dedup_clusters and dedup_clusters_star (same contract,
     // same fixpoint — min reachable id over the near-dup pair graph)
     val clustersOracle =
@@ -4199,17 +4245,11 @@ object SparkEntry {
 
       "dedup_clusters_star" -> clustersOracle,
 
-      "ann_topk" ->
-        s"""WITH $unitVecCte,
-           |q AS (SELECT vec_id AS query_id, vn AS qv FROM en WHERE vec_id < 10),
-           |scored AS (SELECT query_id, en.vec_id, list_dot_product(qv, vn) AS cos
-           |  FROM q JOIN en ON query_id <> en.vec_id),
-           |r AS (SELECT query_id, vec_id, cos,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-           |  FROM scored)
-           |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
-           |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
-           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "ann_topk" -> annTopkOracleSql,
+
+      // the pure-SQL surface must equal the Scala plan byte for byte —
+      // same oracle verbatim
+      "sql_ann_topk" -> annTopkOracleSql,
 
       "ann_ivf_det" ->
         s"""WITH $unitVecCte,

@@ -2286,6 +2286,36 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._6) == got.map(_._6).sorted) // the ladder is monotone
   }
 
+  test("viterbi optimality holds on random vocabularies and words (property)") {
+    import org.scalacheck.Gen
+    def forAllSampled[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+      Iterator.continually(gen.sample).flatten.take(n).foreach(body)
+    // tiny alphabet makes piece overlap (and greedy traps) likely
+    val piece = Gen.choose(1, 4).flatMap(l =>
+      Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val scenario = for {
+      vocab <- Gen.listOfN(8, piece).map(_.distinct)
+      words <- Gen.listOfN(10, Gen.choose(1, 9).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    } yield (vocab, words.distinct)
+    forAllSampled(scenario, 5) { case (vocab, wordList) =>
+      val words = wordList.toDF("w")
+      val v = TextAnalysis.viterbiSegmentWords(words, vocab)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val vocabDf = vocab.toDF("term").withColumn("cnt", lit(1L))
+      val g = TextAnalysis.wordpieceSegmentWords(words, vocabDf, 4)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      wordList.foreach { w =>
+        val (vp, vu) = v(w); val (gp, _) = g(w)
+        assert(vp <= gp, s"viterbi billed more pieces than greedy on '$w' (vocab $vocab)")
+        assert(vp >= 1 && vu >= 0 && vu <= vp && vp <= w.length)
+        // a segmentation into vp pieces with vu unknowns covers the word:
+        // known pieces are 1..4 chars, unknowns exactly 1 — bounds check
+        assert(vp - vu <= w.length && (vp - vu) * 4 + vu >= w.length)
+      }
+    }
+  }
+
   test("canonicalizationLadder is monotone on arbitrary messy corpora (property)") {
     import org.scalacheck.Gen
     def forAllSampled[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =

@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "mine_bitext" -> "per-language-pair candidate block: src lang x broadcast tgt lang (the ANN-index stand-in at eval scale) + one-row NN-sum broadcasts",
     "ann_pca" -> "64-row vector / one-row max / one-row EVR ride along broadcast each power step",
     "dq_audit" -> "one-row FK-violation count x one-row table total (both sides single-row broadcasts)",
-    "ann_whiten" -> "embeds ann_pca's broadcast one-row rides + its own one-row |l|^2 / n broadcasts")
+    "ann_whiten" -> "embeds ann_pca's broadcast one-row rides + its own one-row |l|^2 / n broadcasts",
+    "sql_ann_topk" -> "brute-force baseline through spark.sql: broadcast query side x corpus (ann_topk's shape)")
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -34,6 +34,10 @@ class ReinvocationSpec extends AnyFunSuite with SparkSpec {
     "stream_curate",             // file stream + gate + shard checkpoint
     "stream_decontam",           // file stream + universe probe + checkpoint
     "stream_sessions",           // file stream + session state + checkpoint
+    "stream_dq",                 // file stream + per-batch audit + checkpoint
+    "ta_unigram_artifact",       // staged vocab parquet (cross-family load)
+    "sql_ann_topk",              // temp views + CACHE TABLE
+    "src_csv_roundtrip",         // CSV write + read-back
     "src_schema_evolution")      // two-schema staged write + merged read
 
   stateful.foreach { name =>
