@@ -1654,6 +1654,17 @@ object SparkEntry {
       operators.TextAnalysis.sentenceStats(planted).orderBy(col("doc_id"))
     }),
 
+    // sliding sentence-window RAG passages (w=3, stride=2 — overlap 1)
+    // over the same planted sentence boundaries as ta_sentences
+    "rag_passages" -> ((s, d) => {
+      val planted = Tables.documents(s, d).withColumn("text",
+        regexp_replace(
+          regexp_replace(col("text"), " (spark|data|join) ", ". $1 "),
+          " (table|row) ", "! $1 "))
+      operators.TextAnalysis.ragPassages(planted, w = 3, stride = 2)
+        .orderBy(col("doc_id"), col("passage_idx"))
+    }),
+
     // language-consistency audit: per (source, declared lang), classifier
     // agreement / abstention / mismatch counts
     "ta_lang_mismatch" -> ((s, d) =>
@@ -1984,9 +1995,12 @@ object SparkEntry {
       // sequential time-sliced writes: the file source orders by mod time,
       // so each micro-batch covers the next slice and the watermark never
       // passes unseen events (see StreamingSpec's sliced-write rationale)
+      // materialize the ntile assignment ONCE: each slice write re-executes
+      // its input, and 8 un-cached writes would re-run the global sort 8×
       val sliced = all.withColumn("_p", ntile(8).over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("event_id"))))
+        .localCheckpoint()
       (1 to 8).foreach { p =>
         sliced.where(col("_p") === p).drop("_p").coalesce(1)
           .write.mode("append").parquet(s"$stage/src")
@@ -6374,6 +6388,34 @@ object SparkEntry {
            |  coalesce(n_unknowns, 0)::BIGINT AS n_unknowns
            |FROM documents d LEFT JOIN billed ON d.doc_id = billed.doc_id
            |ORDER BY doc_id""".stripMargin,
+
+      // sliding-window passage replay: same planted boundaries and
+      // splitter as ta_sentences, lead() windows, concat_ws null-skip
+      "rag_passages" ->
+        s"""WITH p AS (SELECT doc_id,
+           |    regexp_replace(regexp_replace(text,
+           |      ' (spark|data|join) ', '. \\1 ', 'g'),
+           |      ' (table|row) ', '! \\1 ', 'g') AS text
+           |  FROM documents),
+           |segs AS (SELECT doc_id, list_filter(
+           |    list_transform(string_split_regex(text, '[.!?]+'),
+           |      s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))),
+           |    s -> s <> '') AS sent FROM p),
+           |st AS (SELECT doc_id, unnest(sent) AS sent,
+           |    generate_subscripts(sent, 1) - 1 AS idx FROM segs),
+           |ld AS (SELECT doc_id, idx, sent,
+           |    lead(sent, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS s1,
+           |    lead(sent, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS s2
+           |  FROM st),
+           |a AS (SELECT doc_id, (idx // 2)::BIGINT AS passage_idx,
+           |    concat_ws(' ', sent, s1, s2) AS passage,
+           |    (1 + CASE WHEN s1 IS NULL THEN 0 ELSE 1 END
+           |       + CASE WHEN s2 IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_sents
+           |  FROM ld WHERE idx % 2 = 0)
+           |SELECT doc_id, passage_idx, n_sents,
+           |  len(string_split(passage, ' '))::BIGINT AS n_words,
+           |  ${poly("passage")} AS passage_hash
+           |FROM a ORDER BY doc_id, passage_idx""".stripMargin,
 
       "ta_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -74,6 +74,41 @@ object TextAnalysis {
           .as("one_word_frac_x10000"))
   }
 
+  /** Sliding SENTENCE-window passages — the RAG/retrieval chunker: windows
+    * of `w` sentences advancing by `stride` (overlap `w − stride`), so a
+    * fact straddling a window boundary appears INTACT in the next window.
+    * Distinct from the packing family: `packChunks` cuts on a token budget
+    * with no overlap (training sequences), this cuts on sentence
+    * boundaries WITH deliberate redundancy (retrieval granularity). Tail
+    * windows shrink (the last start points see fewer sentences) — the
+    * standard chunker contract.
+    *
+    * Plan: one sentence split per doc (array ops, the [[sentenceStats]]
+    * splitter), posexplode, `w−1` lead() columns over the per-doc
+    * sentence order, start points `idx % stride == 0` — fan-out is
+    * n_sentences/stride rows per doc and per-doc windows parallelize.
+    * Output: (doc_id, passage_idx, n_sents, n_words, passage_hash). */
+  def ragPassages(docs: DataFrame, w: Int = 3, stride: Int = 2): DataFrame = {
+    require(w >= 1 && stride >= 1 && stride <= w, "need 1 <= stride <= w")
+    val segs = split(col("text"), "[.!?]+")
+    val sent = filter(transform(segs, s => normalizeWhitespace(s)),
+      s => s =!= "")
+    val st = docs.select(col("doc_id"), posexplode(sent).as(Seq("idx", "sent")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val leadCols = (1 until w).map(k => lead(col("sent"), k).over(wd).as(s"s$k"))
+    st.select(col("doc_id") +: col("idx") +: col("sent").as("s0") +: leadCols: _*)
+      .where(col("idx") % stride === 0)
+      .select(col("doc_id"),
+        expr(s"idx DIV $stride").cast("long").as("passage_idx"),
+        concat_ws(" ", (0 until w).map(k => col(s"s$k")): _*).as("passage"),
+        (lit(1) + (1 until w).map(k =>
+          when(col(s"s$k").isNotNull, 1).otherwise(0)).reduce(_ + _))
+          .cast("long").as("n_sents"))
+      .select(col("doc_id"), col("passage_idx"), col("n_sents"),
+        size(split(col("passage"), " ")).cast("long").as("n_words"),
+        charPolyHash(col("passage")).as("passage_hash"))
+  }
+
   /** Language-consistency audit: per (source, declared lang), how many docs
     * does the [[langId]] classifier agree with, disagree with, or abstain
     * on (`und`)? A source whose mismatch rate spikes is mislabeled or mixed

@@ -2183,6 +2183,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got == ((4L, -10000L)))
   }
 
+  test("ragPassages: overlapping windows with a shrinking tail") {
+    // 5 sentences, w=3 stride=2 ⇒ starts at 0, 2, 4:
+    // p0 = sents 0-2, p1 = sents 2-4 (overlap: sentence 2 intact in both),
+    // p2 = sent 4 alone (the shrinking tail)
+    val docs = docsDF(1L -> "a b. c d. e f. g h. i j")
+    val got = TextAnalysis.ragPassages(docs, w = 3, stride = 2)
+      .orderBy("passage_idx")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 3L, 6L), (1L, 3L, 6L), (2L, 1L, 2L)))
+    assert(got.map(_._5).distinct.length == 3) // three distinct passages
+  }
+
   test("labelDiversity: identical pair ~ 1e6, orthogonal pair 0, singleton -1") {
     val dim = 8
     def vec(hot: Int*): Array[Float] = {
