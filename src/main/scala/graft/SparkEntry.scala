@@ -451,6 +451,12 @@ object SparkEntry {
     "q12_supplier_revenue" -> ((s, d) =>
       Relational.supplierNationRevenue(s, d)),
 
+    // CUBE over (segment, status): the lattice-complete grouping sibling
+    // of q8's ROLLUP, grouping_id disambiguating subtotal rows
+    "q16_cube" -> ((s, d) =>
+      Relational.cubeRevenue(s, d)
+        .orderBy(col("gid"), col("segment"), col("status"))),
+
     // TPC-H Q13 shape: LEFT join surfaces the zero-order customers, then a
     // second aggregation over per-customer counts — the outer-join +
     // double-agg report family
@@ -3399,6 +3405,18 @@ object SparkEntry {
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY ROLLUP (r_name, n_name)
           |ORDER BY region, nation""".stripMargin,
+
+      // CUBE replay: GROUPING(a, b) carries the same first-arg-MSB bitmask
+      // convention as Spark's grouping_id
+      "q16_cube" ->
+        """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+          |  coalesce(o_orderstatus, 'ALL') AS status,
+          |  GROUPING(c_mktsegment, o_orderstatus)::BIGINT AS gid,
+          |  sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))::BIGINT AS total_x100,
+          |  count(*)::BIGINT AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY CUBE (c_mktsegment, o_orderstatus)
+          |ORDER BY gid, segment, status""".stripMargin,
 
       "q7_window_rank" ->
         """WITH t AS (SELECT o_custkey, o_orderkey,

@@ -189,6 +189,25 @@ object Relational {
         col("total_x100"), col("n_orders"))
   }
 
+  /** CUBE over (market segment, order status) — [[rollupRevenue]]'s
+    * lattice-complete sibling: ROLLUP emits only the drill-down prefix
+    * path, CUBE every subset — including the (ALL, status) marginals a
+    * prefix hierarchy cannot express. One expand + one hash agg, as with
+    * rollup; `grouping_id` disambiguates real NULLs from subtotal rows
+    * (the reason coalesce alone is not a safe label). */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(sum(fx(col("o_totalprice"), 100L)).as("total_x100"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid"), col("total_x100"), col("n_orders"))
+
   /** Bounded range join via time bucketing — the second relational shape
     * Spark has no efficient built-in for (the first is the as-of join,
     * [[graft.plans.AsOfJoin]]): `left JOIN right ON key AND right.time ∈
