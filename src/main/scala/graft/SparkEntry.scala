@@ -451,6 +451,10 @@ object SparkEntry {
     "q12_supplier_revenue" -> ((s, d) =>
       Relational.supplierNationRevenue(s, d)),
 
+    // INTERSECT/EXCEPT set algebra (planned as distinct + semi/anti
+    // joins); the custkey checksum makes the oracle membership-sensitive
+    "j4_set_ops" -> ((s, d) => Relational.setOpsReport(s, d)),
+
     // CUBE over (segment, status): the lattice-complete grouping sibling
     // of q8's ROLLUP, grouping_id disambiguating subtotal rows
     "q16_cube" -> ((s, d) =>
@@ -3405,6 +3409,21 @@ object SparkEntry {
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY ROLLUP (r_name, n_name)
           |ORDER BY region, nation""".stripMargin,
+
+      // set algebra: INTERSECT binds tighter than EXCEPT in both engines,
+      // so the bare chain is (1996 ∩ 1997) − 1998
+      "j4_set_ops" ->
+        """SELECT count(*)::BIGINT AS n_customers,
+          |  sum(o_custkey)::BIGINT AS custkey_sum
+          |FROM (
+          |  SELECT o_custkey FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          |  INTERSECT
+          |  SELECT o_custkey FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  EXCEPT
+          |  SELECT o_custkey FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')""".stripMargin,
 
       // CUBE replay: GROUPING(a, b) carries the same first-arg-MSB bitmask
       // convention as Spark's grouping_id

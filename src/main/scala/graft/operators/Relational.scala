@@ -189,6 +189,25 @@ object Relational {
         col("total_x100"), col("n_orders"))
   }
 
+  /** INTERSECT/EXCEPT set-op report: customers who ordered in BOTH of two
+    * years (INTERSECT) but not in a third (EXCEPT) — the set-algebra
+    * surface the join queries express only indirectly. Catalyst plans
+    * INTERSECT as a left-semi and EXCEPT as a left-anti join over
+    * DISTINCT inputs — so the scale posture is exactly the audited
+    * semi/anti family; the year filters push to the scan. Output: one
+    * row (n_customers, custkey_sum) — the checksum makes the oracle
+    * sensitive to membership, not just cardinality. */
+  def setOpsReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def custsIn(year: Int) = o
+      .where(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    custsIn(1996).intersect(custsIn(1997)).except(custsIn(1998))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("o_custkey")).as("custkey_sum"))
+  }
+
   /** CUBE over (market segment, order status) — [[rollupRevenue]]'s
     * lattice-complete sibling: ROLLUP emits only the drill-down prefix
     * path, CUBE every subset — including the (ALL, status) marginals a
