@@ -37,7 +37,16 @@ object Bench {
     "dedup_pairs_artifact",
     "sim_bm25_index", "src_orc_roundtrip", "layout_pruned_scan",
     "e2e_corpus_from_artifact", "stream_near_dup", "stream_curate",
-    "stream_decontam", "stream_dq", "src_schema_evolution")
+    "stream_decontam", "stream_dq", "src_schema_evolution",
+    "stream_sessions", "src_csv_roundtrip")
+
+  /** Measured high-variance queries (cache staging, state stores, session
+    * position): single timings swing 2-3× across identical quiet runs
+    * (round-7 adjudication), so they cry wolf through the bench_delta gate.
+    * Medianed like the artifact set. */
+  private val highVarianceQueries = Set(
+    "sql_minhash_pairs", "sql_ann_topk", "a16_corpus_health",
+    "dedup_lsh_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,7 +90,8 @@ object Bench {
         // artifact queries write/read filesystem state, so a single timing
         // is mostly I/O scheduling noise (ta_bpe_artifact measured
         // 3.8 ↔ 15.7 s across identical runs) — report the median of 3
-        val reps = if (artifactQueries(name)) 3 else 1
+        val reps =
+          if (artifactQueries(name) || highVarianceQueries(name)) 3 else 1
         // toRdd forces the full physical plan (projections, sorts) — a bare
         // count() would let Catalyst prune the very operators being measured
         try {

@@ -856,7 +856,10 @@ object SparkEntry {
               transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM graft_emb_sql))
       """)
-      s.sql("""
+      // materialize the (tiny) top-k result EAGERLY, then free the cached
+      // unit-vector table: an abandoned eager cache would hold executor
+      // memory for the rest of the session and skew later query timings
+      val out = s.sql("""
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
           cos_x1000000
         FROM (
@@ -869,7 +872,9 @@ object SparkEntry {
             ON q.vec_id < 10 AND q.vec_id <> e.vec_id)
         WHERE rank <= 5
         ORDER BY query_id, rank
-      """)
+      """).localCheckpoint()
+      s.catalog.dropTempView("graft_vn_sql")
+      out
     }),
 
     "sql_minhash_pairs" -> ((s, d) => {
@@ -929,7 +934,7 @@ object SparkEntry {
       // the staging cache fed the two eager builds above; the final select
       // reads only mh/bk, so free it before returning
       s.sql("UNCACHE TABLE IF EXISTS graft_shs_sql")
-      s.sql("""
+      val out = s.sql("""
         WITH mh AS (SELECT doc_id, i, mh FROM graft_mh_sql),
         bk AS (SELECT doc_id, band, bkey FROM graft_bk_sql),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -946,7 +951,11 @@ object SparkEntry {
         FROM est
         WHERE CAST(floor(100.0 * matches / 16 + 0.5) AS BIGINT) >= 50
         ORDER BY doc_a, doc_b
-      """)
+      """).localCheckpoint()
+      // materialized — free the signature/band caches so they don't hold
+      // executor memory (and skew timings) for the rest of the session
+      Seq("graft_bk_sql", "graft_mh_sql").foreach(s.catalog.dropTempView)
+      out
     }),
 
     // incremental index maintenance: pairs involving the "new" half of the
@@ -3581,8 +3590,8 @@ object SparkEntry {
            |FROM documents WHERE $validWhere ORDER BY doc_id""".stripMargin,
 
       "dedup_exact" ->
-        s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY $norm) AS canonical_id,
-           |  count(*) OVER (PARTITION BY $norm)::BIGINT AS n_copies
+        s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY ${poly(norm)}) AS canonical_id,
+           |  count(*) OVER (PARTITION BY ${poly(norm)})::BIGINT AS n_copies
            |FROM documents ORDER BY doc_id""".stripMargin,
 
       // planted 'mirror' source copying every 5th doc; each dup copy
@@ -3594,7 +3603,7 @@ object SparkEntry {
            |  SELECT doc_id + 2000000 AS doc_id, text, 'mirror' AS source
            |  FROM documents WHERE doc_id % 5 = 0),
            |g AS (SELECT doc_id, source,
-           |    min(doc_id) OVER (PARTITION BY $norm) AS canonical_id FROM p),
+           |    min(doc_id) OVER (PARTITION BY ${poly(norm)}) AS canonical_id FROM p),
            |d AS (SELECT g.source AS dup_source, c.source AS canonical_source
            |  FROM g JOIN (SELECT doc_id, source FROM p) c ON c.doc_id = g.canonical_id
            |  WHERE g.doc_id <> g.canonical_id)
@@ -3931,7 +3940,7 @@ object SparkEntry {
       "dedup_verdict" ->
         s"""WITH RECURSIVE
            |t AS (SELECT doc_id, $toks AS toks FROM documents),
-           |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ${normOf("text")})
+           |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ${poly(normOf("text"))})
            |    AS exact_canonical FROM documents),
            |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
            |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
@@ -5614,7 +5623,7 @@ object SparkEntry {
            |      ((0.5::DOUBLE) + (0.5::DOUBLE) * least(1.0::DOUBLE,
            |        (4.0::DOUBLE) * stop_hits / greatest(word_cnt, 1))) + 0.5) AS BIGINT)
            |      AS quality_x10000,
-           |    CASE WHEN count(*) OVER (PARTITION BY $norm) > 1 THEN 1 ELSE 0 END AS is_dup
+           |    CASE WHEN count(*) OVER (PARTITION BY ${poly(norm)}) > 1 THEN 1 ELSE 0 END AS is_dup
            |  FROM (SELECT doc_id, source, n_chars, text,
            |      ($wordCnt)::BIGINT AS word_cnt,
            |      len(list_filter($toks, t -> t IN ($enWords)))::BIGINT AS stop_hits
@@ -6688,7 +6697,7 @@ object SparkEntry {
            |v AS (SELECT source, count(*)::BIGINT AS n_valid
            |  FROM documents WHERE $validWhere GROUP BY source),
            |dup AS (SELECT source, count(*)::BIGINT AS n_dup_docs FROM (
-           |    SELECT source, doc_id, min(doc_id) OVER (PARTITION BY $norm) AS canonical_id
+           |    SELECT source, doc_id, min(doc_id) OVER (PARTITION BY ${poly(norm)}) AS canonical_id
            |    FROM documents)
            |  WHERE doc_id <> canonical_id GROUP BY source),
            |q AS (SELECT source,

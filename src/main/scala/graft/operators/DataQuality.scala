@@ -37,14 +37,18 @@ object DataQuality {
   /** Audit one table. Output: (table, constraint, violations, total, pass),
     * one row per rule, ordered by constraint name. */
   def audit(table: String, df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
     val rowRules = rules.collect { case r: RowRule => r }
     val uniqRules = rules.collect { case r: UniqueRule => r }
     val refRules = rules.collect { case r: RefRule => r }
-    // one scan: total + every row rule + every uniqueness distinct-count
+    // one scan: total + every row rule + every uniqueness distinct-count.
+    // Row-rule sums wrap in coalesce: over an EMPTY table sum() is NULL,
+    // which would leak through violations into a NULL pass verdict —
+    // an empty table violates nothing, so it must read 0 / pass=true.
     val aggs = count(lit(1)).cast("long").as("__total") +:
       (rowRules.map(r =>
-        sum(when(coalesce(r.pred, lit(false)), 0L).otherwise(1L))
-          .as(s"__rr_${r.name}")) ++
+        coalesce(sum(when(coalesce(r.pred, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"__rr_${r.name}")) ++
         uniqRules.map(r =>
           countDistinct(struct(r.cols.map(col): _*)).as(s"__uq_${r.name}")))
     // the one-row agg is consumed once per rule — materialize it once

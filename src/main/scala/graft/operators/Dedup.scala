@@ -18,13 +18,17 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** Exact duplicate grouping on normalized text: every doc is assigned the
-    * canonical (min) doc_id of its content group. One shuffle on the text
-    * hash; at 100 TB group on `xxhash64(norm)` instead of the full string to
-    * shrink the exchange. */
+    * canonical (min) doc_id of its content group. One shuffle keyed on the
+    * 8-byte content hash — NOT the full normalized string — so the exchange
+    * width is (doc_id, hash), never the document body; the oracle mirrors
+    * the same hash, so a (vanishingly rare, ~n²/2e9) collision merges two
+    * texts identically on both engines (the [[canonicalizationLadder]]
+    * hash-stands-in-for-text convention). */
   def exactDuplicates(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("norm"))
+    val w = Window.partitionBy(col("normh"))
     docs
-      .withColumn("norm", normalizeWhitespace(col("text")))
+      .select(col("doc_id"),
+        charPolyHash(normalizeWhitespace(col("text"))).as("normh"))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))
       .select(col("doc_id"), col("canonical_id"), col("n_copies"))
@@ -1397,7 +1401,7 @@ object Dedup {
   /** Blocked fuzzy ENTITY RESOLUTION (record linkage) over a name column —
     * the structured-data twin of the text near-dup family: find distinct
     * name values that are small edits of each other ("red widget" /
-    * "red widgets") without comparing every name to every name.
+    * "rad widget") without comparing every name to every name.
     *
     * Scale design, in order:
     *  1. collapse entities to DISTINCT names first (the "segment the vocab,
@@ -1405,7 +1409,11 @@ object Dedup {
     *     vocabulary, never on the entity table);
     *  2. BLOCK on the name's last token (`substring_index`): only names
     *     sharing a block meet the quadratic comparator, so candidate pairs
-    *     are Σ block² over the name vocabulary, not |names|²;
+    *     are Σ block² over the name vocabulary, not |names|². Recall
+    *     caveat: a pair whose edit sits IN the last token ("red widget" /
+    *     "red widgets") lands in different blocks and is never compared —
+    *     the standard blocking trade; run a second pass blocked on the
+    *     FIRST token (or a q-gram block) to recover those;
     *  3. `levenshtein` (codegen'd built-in) gates pairs at `maxDist`.
     * Output: one row per matched unordered name pair with its edit
     * distance and how many entities carry each spelling — the merge
@@ -1426,9 +1434,9 @@ object Dedup {
       col("n_entities").as("n_b"))
     a.join(b, Seq("blk"))
       .where(col("name_a") < col("name_b"))
-      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
         col("n_a"), col("n_b"))
+      .where(col("dist") <= maxDist)
   }
 }

@@ -454,20 +454,29 @@ object Relational {
     * time-window queries (a7/a21) don't cover: smoothing/trend features
     * for per-user behavior models. Exact fixed-point: values quantize
     * ×100 to BIGINT, the window emits (sum, count), the mean is BIGINT
-    * floor division — bit-reproducible. One per-user window, sources
+    * FLOOR division — `(s - pmod(s, n)) DIV n`, not bare `DIV`, because
+    * Spark's `DIV` truncates toward zero while the DuckDB oracle's `//`
+    * floors; they differ exactly when the rolling sum is negative (event
+    * values are unconstrained), and pmod(s, n) is non-negative for n>0 so
+    * the subtraction lands on the floor multiple in pure integer
+    * arithmetic — bit-reproducible. One per-user window, sources
     * parallelize across users; nothing global. */
-  def rollingMean(spark: SparkSession, dir: String, nPrev: Int = 4): DataFrame = {
+  def rollingMean(spark: SparkSession, dir: String, nPrev: Int): DataFrame =
+    rollingMean(Tables.events(spark, dir), nPrev)
+
+  def rollingMean(events: DataFrame, nPrev: Int = 4): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-nPrev, org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .select(col("event_id"), col("user_id"), col("ts"),
         fx(col("value"), 100L).as("v"))
       .withColumn("roll_sum_x100", sum(col("v")).over(w))
       .withColumn("roll_n", count(lit(1)).over(w))
       .select(col("event_id"), col("user_id"),
         col("roll_sum_x100"), col("roll_n"),
-        expr("roll_sum_x100 DIV roll_n").as("roll_mean_x100"))
+        expr("(roll_sum_x100 - pmod(roll_sum_x100, roll_n)) DIV roll_n")
+          .as("roll_mean_x100"))
   }
 
   /** TPC-H Q19-shaped DISJUNCTIVE-predicate join: an OR of conjunctive

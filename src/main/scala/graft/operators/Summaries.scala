@@ -152,16 +152,20 @@ object Summaries {
     * BPE-token volume. Pure composition of the already-checked signals,
     * rolled up in ONE scan: every signal except the dup check is a map-only
     * expression on the row itself, so the whole report is scan → one window
-    * over the normalized text (the exact-dup canonical) → one per-source
-    * conditional aggregation. No corpus self-joins: validity and quality
-    * were previously computed in separate legs and equi-joined back on
-    * `doc_id` — two corpus-vs-corpus sort-merge joins for columns the row
-    * already had. The mean is integer-sum-then-one-divide ([[fx]] posture),
-    * so it is bit-identical cross-engine. */
+    * keyed on the 8-byte content hash (the exact-dup canonical; the oracle
+    * mirrors the same hash — [[graft.operators.Dedup.exactDuplicates]]
+    * convention) → one per-source conditional aggregation. Every map-only
+    * signal is computed BEFORE the window, so the exchange carries only
+    * slim numerics plus (source, lang) — never the document text. No
+    * corpus self-joins: validity and quality were previously computed in
+    * separate legs and equi-joined back on `doc_id` — two corpus-vs-corpus
+    * sort-merge joins for columns the row already had. The mean is
+    * integer-sum-then-one-divide ([[fx]] posture), so it is bit-identical
+    * cross-engine. */
   def corpusHealth(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.{isRedirect, tokens}
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("norm"))
+      .partitionBy(col("normh"))
     val wc = wordCount(col("text")).cast("long")
     val wcDen = greatest(wc, lit(1L))
     val stopHits = graft.plans.ArrayExpressions
@@ -172,16 +176,18 @@ object Summaries {
       least(lit(1.0), wc.cast("double") / 200.0) *
       (lit(0.5) + lit(0.5) * least(lit(1.0), lit(4.0) * stopHits / wcDen)) + 0.5)
       .cast("long")
-    docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .withColumn("norm", normalizeWhitespace(col("text")))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
-      .select(col("source"), col("lang"),
+    docs.select(col("doc_id"), col("source"), col("lang"),
+        graft.plans.ArrayExpressions.charPolyHash(
+          normalizeWhitespace(col("text"))).as("normh"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
           .cast("long").as("bpe"),
         (isValid(col("text"), col("lang"), col("source")) &&
           !isRedirect(col("text"))).cast("long").as("valid"),
-        (col("doc_id") =!= col("canonical_id")).cast("long").as("is_dup"),
         qualityX.as("q"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("source"), col("lang"), col("bpe"), col("valid"),
+        (col("doc_id") =!= col("canonical_id")).cast("long").as("is_dup"),
+        col("q"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("valid")).as("n_valid"),

@@ -2096,6 +2096,43 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       "fk_tag" -> ((0L, 3L, true))))    // non-null tags all resolve
   }
 
+  test("rollingMean floors negative rolling sums (DuckDB // semantics, " +
+    "not Spark DIV truncation)") {
+    import java.sql.Timestamp
+    // one user, two events: values -1.0 then -0.5 ⇒ rolling sums ×100 are
+    // -100 (n=1) and -150 (n=2); floor(-150/2) = -75 either way, but
+    // floor(-151/3)... use values making sum/n non-integral and negative:
+    // -1.01 then -0.5 ⇒ sums -101, -151; -151/2: floor = -76, trunc = -75
+    val ev = Seq(
+      (1L, 7L, Timestamp.valueOf("2024-01-01 00:00:00"), -1.01),
+      (2L, 7L, Timestamp.valueOf("2024-01-01 00:01:00"), -0.50))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Relational.rollingMean(ev, nPrev = 4)
+      .orderBy("event_id")
+      .select("event_id", "roll_sum_x100", "roll_n", "roll_mean_x100")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, -101L, 1L, -101L), (2L, -151L, 2L, -76L)))
+  }
+
+  test("dataQuality audit: empty table reads zero violations (pass), " +
+    "empty rule list refuses loudly") {
+    import DataQuality._
+    val empty = Seq.empty[(Long, String)].toDF("id", "tag")
+    val rep = audit("t", empty, Seq(
+        RowRule("tag_set", col("tag").isNotNull),
+        UniqueRule("pk_id", Seq("id"))))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    // sum() over zero rows is NULL — the coalesce must turn that into
+    // 0 violations / pass=true, never a NULL verdict
+    assert(rep == Map(
+      "tag_set" -> ((0L, 0L, true)),
+      "pk_id" -> ((0L, 0L, true))))
+    intercept[IllegalArgumentException] {
+      audit("t", empty, Seq.empty)
+    }
+  }
+
   test("bitextMine pairs the planted translations under the margin rule") {
     val docs = Seq((0L, "x", "en"), (1L, "x", "en"), (2L, "x", "de"),
       (3L, "x", "de")).toDF("doc_id", "text", "lang")

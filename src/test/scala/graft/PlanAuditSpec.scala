@@ -296,4 +296,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     audit("ngramDiversity", operators.TextAnalysis.ngramDiversity(docs, 3))
     audit("minhashTable", operators.Dedup.minhashTable(docs, 3, 16))
   }
+
+  test("exact-dup windows shuffle the 8-byte content hash — no exchange " +
+    "carries the document text or the full normalized string") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = Tables.documents(spark, sfDir)
+    def audit(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.foreach {
+        case e: ShuffleExchangeExec =>
+          val carried = e.output.map(_.name).toSet
+          assert(!carried.contains("text") && !carried.contains("norm"),
+            s"$tag: exchange ships the document body (${carried.mkString(",")})")
+        case _ =>
+      }
+    }
+    audit("exactDuplicates", operators.Dedup.exactDuplicates(docs))
+    audit("corpusHealth", operators.Summaries.corpusHealth(docs))
+    audit("crossSourceDupMatrix", operators.Dedup.crossSourceDupMatrix(docs))
+  }
 }
