@@ -1169,6 +1169,37 @@ object SparkEntry {
           cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))),
 
+    // the IVF+PQ index TRAINED ONCE and persisted (buildAnnIndex): cell
+    // map, coarse centroids, PQ codes, codebook, and re-rank vectors as
+    // parquet — the artifact that ships at 100 TB (one train per corpus
+    // snapshot, every search after is probe-only). Returns the persisted
+    // cell assignment read back from the artifact; the oracle replays the
+    // deterministic coarse quantizer.
+    "ann_build_index" -> ((s, d) => {
+      val dir = stagedDir("annidx", d, "p4m8b4r1", fresh = true)
+      operators.Similarity.buildAnnIndex(Tables.embeddings(s, d), dir)
+      stagedThisSession.add(dir)
+      s.read.parquet(s"$dir/cells")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // probe-only search against the persisted ANN index — must equal
+    // ann_ivfpq byte-for-byte (same oracle SQL verbatim; shared serve
+    // path). When ann_build_index ran earlier in the session (Bench's
+    // sorted order guarantees it) this times the SERVE leg alone —
+    // the artifact-pays-off evidence for the ANN family; standalone
+    // (Verify's arbitrary order) it builds first, staying self-contained.
+    "ann_ivfpq_index" -> ((s, d) => {
+      val dir = stagedDir("annidx", d, "p4m8b4r1", fresh = false)
+      if (!stagedThisSession.contains(dir)) {
+        operators.Similarity.buildAnnIndex(Tables.embeddings(s, d), dir)
+        stagedThisSession.add(dir)
+      }
+      operators.Similarity.annQueryIndex(s, dir, cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // per-cluster simplified silhouette over the deterministic k-means —
     // the cluster-quality readout consulted BEFORE paying for
     // dedup_semantic's within-cluster pair joins (O(n·k), centroid-based;
@@ -2997,7 +3028,7 @@ object SparkEntry {
            |  count(*)::BIGINT AS n_docs, sum(tok_cnt)::BIGINT AS seq_tokens
            |FROM c GROUP BY split, source, seq_no ORDER BY split, source, seq_no""".stripMargin
 
-    Map(
+    val base = Map(
       "s1_scan_stubs" ->
         "SELECT doc_id, source, lang FROM documents WHERE doc_id >= 0 ORDER BY doc_id LIMIT 100",
 
@@ -6915,5 +6946,21 @@ object SparkEntry {
            |FROM documents WHERE $validWhere
            |GROUP BY source ORDER BY source""".stripMargin
     )
+    // the probe-only persisted-index form must equal the direct form
+    // byte-for-byte — the SAME oracle SQL verbatim (the
+    // e2e_corpus_from_artifact discipline); and the build query's cell
+    // assignment is the direct oracle's own coarse-quantizer CTE replay
+    base +
+      ("ann_ivfpq_index" -> base("ann_ivfpq")) +
+      ("ann_build_index" ->
+        s"""WITH $unitVecCte,
+           |cpd AS (SELECT vec_id, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), d ->
+           |      ((((1103515245*(p*64+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * vn[d+1])),
+           |    (s, x) -> s + x) AS dotp
+           |  FROM en CROSS JOIN range(0, 4) r(p))
+           |SELECT vec_id,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS cell
+           |  FROM cpd GROUP BY vec_id ORDER BY vec_id""".stripMargin)
   }
 }

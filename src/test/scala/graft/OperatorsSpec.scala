@@ -1338,6 +1338,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(indexed == direct)
   }
 
+  test("the persisted ANN index returns ivfPqTopK's exact top-k (probe-only " +
+    "search == train-and-search, byte for byte)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-spec-").toString
+    Similarity.buildAnnIndex(emb, dir)
+    Seq("vectors", "cells", "coarse_centroids", "codes", "pq_centroids")
+      .foreach { part =>
+        assert(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$dir/$part")), s"missing $part")
+      }
+    val direct = Similarity.ivfPqTopK(emb, nQueries = 10, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val indexed = Similarity.annQueryIndex(spark, dir, nQueries = 10, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(indexed == direct)
+  }
+
   test("the persisted pair-graph artifact returns the direct pipeline's exact pairs") {
     val cfg = SparkEntry.cfg
     val valid = ArticleOps.validated(Tables.documents(spark, sfDir))

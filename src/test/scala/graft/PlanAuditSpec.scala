@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_ivf" -> "query x centroid table product (10 x nCells rows)",
     "ann_ivf_det" -> "query x centroid table product (10 x nCells rows)",
     "ann_ivfpq" -> "query x coarse-centroid table product (10 x 2^planes rows)",
+    "ann_ivfpq_index" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the artifact)",
     "ann_silhouette" -> "vector x centroid table product (n x 2^planes broadcast rows — the O(n·k) simplified-silhouette term itself)",
     "ta_keywords" -> "corpus-size one-row aggregate rides along broadcast",
     "sim_tfidf" -> "corpus-size one-row aggregate rides along broadcast (idf)",
