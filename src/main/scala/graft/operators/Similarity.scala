@@ -1302,4 +1302,48 @@ object Similarity {
           .as("cos_x1000000"))
     bitextMarginFrom(scored, k, minMarginX1000000)
   }
+
+  /** [[bitextMarginFrom]] with ANN candidate generation — the 100 TB form
+    * [[bitextMine]]'s scaladoc promises: the TARGET language is indexed by
+    * the deterministic coarse quantizer ([[ivfTopKDet]] machinery —
+    * fixed-hyperplane cells + integer-exact centroids), every SOURCE doc
+    * probes its `nProbe` nearest cells, and only cell members are scored.
+    * Candidates per source doc are Σ probed-cell sizes ≈ n_tgt·nProbe/2^planes
+    * — never the full n_src × n_tgt product; the margin core is unchanged
+    * (its k-NN sums run over the ANN candidate lists, exactly the
+    * CCMatrix/LASER production recipe). The whole path is deterministic,
+    * so the oracle replays it bit-for-bit. */
+  def bitextMineAnn(docs: DataFrame, emb: DataFrame, srcLang: String,
+                    tgtLang: String, k: Int = 4,
+                    minMarginX1000000: Long = 1000000L,
+                    planes: Int = 4, nProbe: Int = 4,
+                    dim: Int = 64): DataFrame = {
+    val e = withUnitVector(emb)
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+    val src = e.where(col("lang") === srcLang)
+      .select(col("vec_id").as("src_id"), col("vn").as("sv"))
+    val tgt = e.where(col("lang") === tgtLang)
+      .select(col("vec_id").as("tgt_id"), col("vn").as("tv"))
+    val assigned = tgt.withColumn("cell",
+        element_at(graft.plans.ArrayExpressions.planeBuckets(
+          col("tv"), planes, 1, dim), 1))
+      .localCheckpoint() // feeds the centroid agg AND the candidate join
+    val cents = coarseCentroids(
+      assigned.select(col("cell"), col("tv").as("vn")))
+    val wCell = Window.partitionBy(col("src_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = src.join(broadcast(cents))
+      .withColumn("cdist",
+        dotCol(col("centroid"), col("centroid")) -
+          lit(2.0) * dotCol(col("sv"), col("centroid")))
+      .withColumn("crank", row_number().over(wCell))
+      .where(col("crank") <= nProbe)
+      .select(col("src_id"), col("sv"), col("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .select(col("src_id"), col("tgt_id"),
+        floor(dotCol(col("sv"), col("tv")) * 1000000.0 + 0.5).cast("long")
+          .as("cos_x1000000"))
+    bitextMarginFrom(scored, k, minMarginX1000000)
+  }
 }

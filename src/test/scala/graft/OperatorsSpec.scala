@@ -2170,6 +2170,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L)._3 > 700000L && got(1L)._3 < 710000L)
   }
 
+  test("bitextMineAnn recovers the exact miner's planted translations " +
+    "(ANN candidates keep recall on true pairs)") {
+    // 8 planted en→de translation pairs (identical embeddings — same
+    // coarse cell by construction, so the probe must surface them) plus
+    // de-only noise vectors the exact miner never pairs
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val pairs = (0L until 8L).map(i => (i, vec()))
+    val noise = (100L until 120L).map(i => (i, vec()))
+    val docs = (pairs.map { case (i, _) => (i, "x", "en") } ++
+        pairs.map { case (i, _) => (i + 50, "x", "de") } ++
+        noise.map { case (i, _) => (i, "x", "de") })
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(1L))
+    val emb = (pairs.map { case (i, v) => (i, v, 0) } ++
+        pairs.map { case (i, v) => (i + 50, v, 0) } ++
+        noise.map { case (i, v) => (i, v, 0) })
+      .toDF("vec_id", "embedding", "label")
+    val exact = Similarity.bitextMine(docs, emb, "en", "de", k = 4,
+        minMarginX1000000 = 1000000L)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.bitextMineAnn(docs, emb, "en", "de", k = 4,
+        minMarginX1000000 = 1000000L)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    val planted = (0L until 8L).map(i => (i, i + 50)).toSet
+    // the exact miner finds every planted pair (identical vectors: cos 1.0
+    // dominates); the ANN form must not lose them — identical vectors land
+    // in the identical coarse cell, so the rank-1 probe always covers them
+    assert((planted -- exact).isEmpty, s"exact missed ${planted -- exact}")
+    assert((planted -- ann).isEmpty, s"ANN candidates lost ${planted -- ann}")
+  }
+
   test("principalComponent finds the planted dominant axis with high EVR") {
     // axis 0 carries variance ~100x axis 1's; axes 2..7 are constant-zero
     val emb = (1L to 20L).map { i =>

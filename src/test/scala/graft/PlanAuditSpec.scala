@@ -41,6 +41,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "layout_zorder" -> "one-row dim min/max + 2-row literal box table ride along broadcast",
     "ta_zipf" -> "one-row rank-1 frequency rides along broadcast",
     "mine_bitext" -> "per-language-pair candidate block: src lang x broadcast tgt lang (the ANN-index stand-in at eval scale) + one-row NN-sum broadcasts",
+    "mine_bitext_ann" -> "src lang x broadcast 2^planes-row centroid table (the probe ranking product; candidates themselves are cell equi-joined)",
     "ann_pca" -> "64-row vector / one-row max / one-row EVR ride along broadcast each power step",
     "dq_audit" -> "one-row FK-violation count x one-row table total (both sides single-row broadcasts)",
     "ann_whiten" -> "embeds ann_pca's broadcast one-row rides + its own one-row |l|^2 / n broadcasts",
