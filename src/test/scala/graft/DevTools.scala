@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 
 /** Dev-only harnesses (test sourceset — not part of the library surface).
   * Run via `tools/run.sh` (whose classpath includes test-classes) or
@@ -103,11 +103,38 @@ object ScaleUp {
     }.reduce(_ unionByName _)
     embReps.repartition(8).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
-    // the relational/event tables ride along verbatim so Tables.load and
-    // the Bench warmup loop keep working against the replica dir (via
-    // Tables.load — events needs the nanos handling; the re-written
-    // timestamps come out µs, which load handles identically)
-    graft.Tables.names.filterNot(Set("documents", "embeddings")).foreach { n =>
+    // the relational/event tables replicate with KEY OFFSETS (copy k adds
+    // k·10⁸ to every join key), so join/group structure stays within each
+    // copy — the relational scaling rows (q-family, dq_audit, er_fuzzy,
+    // a23) then measure genuine 10× input growth, not a verbatim ride-
+    // along. part names suffix their LAST token per copy so the ER
+    // blocking vocabulary grows with the data (verbatim names would
+    // quadratically inflate each block's comparator). region/nation stay
+    // verbatim (bounded dims; nationkey references remain valid).
+    val off = 100000000L
+    def offCols(df: org.apache.spark.sql.DataFrame, k: Int,
+                keys: Seq[String], extra: Map[String, Column] = Map.empty) =
+      df.select(df.columns.toSeq.map { c =>
+        extra.getOrElse(c,
+          if (keys.contains(c)) (col(c) + lit(k * off)).as(c) else col(c))
+          .as(c)
+      }: _*)
+    def repTable(name: String, keys: Seq[String],
+                 extraOf: Int => Map[String, Column] = _ => Map.empty): Unit = {
+      val t = graft.Tables.load(spark, src, name)
+      (0 until copies).map { k =>
+        if (k == 0) t else offCols(t, k, keys, extraOf(k))
+      }.reduce(_ unionByName _)
+        .repartition(16).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    repTable("orders", Seq("o_orderkey", "o_custkey"))
+    repTable("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    repTable("customer", Seq("c_custkey"))
+    repTable("supplier", Seq("s_suppkey"))
+    repTable("part", Seq("p_partkey"),
+      k => Map("p_name" -> concat(col("p_name"), lit(s"qk$k"))))
+    repTable("events", Seq("event_id", "user_id"))
+    Seq("region", "nation").foreach { n =>
       graft.Tables.load(spark, src, n)
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
