@@ -203,6 +203,28 @@ object SparkEntry {
           repeat(concat(col("text"), lit(" ")), 10).as("text"),
           col("source")))
 
+  /** Web-artifact planting for the Gopher/C4 filter queries (the
+    * synthetic corpus has no punctuation, newlines, or boilerplate, so
+    * the published web-cleaning rules would be vacuous on it): every 3rd
+    * doc gains three proper sentences (periods + two distinct Gopher
+    * stop words), every 7th a line block (two bullet lines, an
+    * ellipsis-trailing line, one full sentence line), every 11th the
+    * lorem-ipsum + `{` kill markers. Deterministic from doc_id; mirrored
+    * verbatim in the `web_gopher` / `web_c4` / `e2e_web_curate`
+    * oracles. */
+  private def plantedWebDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(" The data works with the table. It ends well. The story holds."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("\n- first bullet item here\n- second bullet item here\n" +
+          "this line trails off with more and more...\n" +
+          "This sentence closes the page properly today."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit("\nlorem ipsum { and more filler")).otherwise(lit(""))))
+
   /** Snapshot-v2 planting for the versioning queries: drop every 10th doc,
     * append a drift marker to every 7th's text, re-add every 13th under a
     * shifted id. Mirrored verbatim in the `ver_diff` / `ver_drift`
@@ -524,6 +546,28 @@ object SparkEntry {
           Tables.embeddings(s, d), "en", "de", k = 4,
           minMarginX1000000 = 1000000L)
         .orderBy(col("src_id"))),
+
+    // ---- published web-curation filter families (Gopher + C4) ----
+    // per-doc Gopher quality heuristics over the web-artifact-planted
+    // corpus: seven signals, seven rule verdicts, the combined gate
+    "web_gopher" -> ((s, d) =>
+      operators.WebCuration.gopherQualityReport(
+          plantedWebDocs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // per-doc C4 cleaning: terminal-punctuation + >=5-word line filter,
+    // the three page gates, and the cleaned text
+    "web_c4" -> ((s, d) =>
+      operators.WebCuration.c4Filter(plantedWebDocs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // the per-source curation funnel: raw -> Gopher -> C4 -> both ->
+    // exact-dedup canonical survivors + surviving token volume, in one
+    // scan + one hash-keyed window
+    "e2e_web_curate" -> ((s, d) =>
+      operators.WebCuration.curationFunnel(
+          plantedWebDocs(Tables.documents(s, d)))
+        .orderBy(col("source"))),
 
     // fuzzy pairs → connected components → canonical spelling per cluster
     // (the ER lifecycle's merge step, over the SAME cluster machinery the
@@ -2604,6 +2648,20 @@ object SparkEntry {
         s"ELSE list_transform(range(0, len(toks) - ${n - 1}), " +
         s"i -> ${(1 to n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")}) END)"
     val shinglesOf = shinglesOfN(3)
+    // the web-artifact planting (mirrors plantedWebDocs verbatim)
+    val webTextSql =
+      "(text" +
+        " || CASE WHEN doc_id % 3 = 0 THEN" +
+        " ' The data works with the table. It ends well. The story holds.'" +
+        " ELSE '' END" +
+        " || CASE WHEN doc_id % 7 = 0 THEN" +
+        " chr(10) || '- first bullet item here'" +
+        " || chr(10) || '- second bullet item here'" +
+        " || chr(10) || 'this line trails off with more and more...'" +
+        " || chr(10) || 'This sentence closes the page properly today.'" +
+        " ELSE '' END" +
+        " || CASE WHEN doc_id % 11 = 0 THEN" +
+        " chr(10) || 'lorem ipsum { and more filler' ELSE '' END)"
     // portable char-polynomial hash (mirrors TextFunctions.charPolyHash)
     def poly(e: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
@@ -3463,6 +3521,98 @@ object SparkEntry {
           |SELECT src_id, tgt_id, cos_x1000000, margin_x1000000 FROM b
           |WHERE best = 1 AND margin_x1000000 >= 1000000
           |ORDER BY src_id""".stripMargin,
+
+      // Gopher quality heuristics over the web-artifact-planted corpus:
+      // every signal recomputed from the planted text, fixed-point ratios
+      "web_gopher" ->
+        s"""WITH p AS (SELECT doc_id, $webTextSql AS text FROM documents),
+           |nn AS (SELECT doc_id, text, ${normOf("text")} AS norm FROM p),
+           |t AS (SELECT doc_id, text, norm,
+           |    (CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END)::BIGINT AS n_words,
+           |    string_split(norm, ' ') AS toks,
+           |    string_split(text, chr(10)) AS lines FROM nn),
+           |sig AS (SELECT doc_id, n_words,
+           |    CASE WHEN n_words = 0 THEN 0::BIGINT
+           |      ELSE CAST(floor((100.0::DOUBLE) * (len(norm) - (n_words - 1))::DOUBLE / n_words + 0.5) AS BIGINT) END AS mwl_x100,
+           |    CAST(floor((10000.0::DOUBLE) * (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE / greatest(n_words, 1) + 0.5) AS BIGINT) AS sym_ratio_x10000,
+           |    CAST(floor((10000.0::DOUBLE) * len(list_filter(lines, l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'))::DOUBLE / len(lines) + 0.5) AS BIGINT) AS bullet_ratio_x10000,
+           |    CAST(floor((10000.0::DOUBLE) * len(list_filter(lines, l -> rtrim(l) LIKE '%...'))::DOUBLE / len(lines) + 0.5) AS BIGINT) AS ellipsis_ratio_x10000,
+           |    CAST(floor((10000.0::DOUBLE) * len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))::DOUBLE / greatest(n_words, 1) + 0.5) AS BIGINT) AS alpha_ratio_x10000,
+           |    len(list_intersect(toks, ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stopwords
+           |  FROM t)
+           |SELECT doc_id, n_words, mwl_x100, sym_ratio_x10000,
+           |  bullet_ratio_x10000, ellipsis_ratio_x10000, alpha_ratio_x10000,
+           |  n_stopwords,
+           |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           |  (mwl_x100 >= 300 AND mwl_x100 <= 1000) AS r_mean_word_len,
+           |  (sym_ratio_x10000 <= 1000) AS r_symbol_ratio,
+           |  (bullet_ratio_x10000 <= 9000) AS r_bullet_lines,
+           |  (ellipsis_ratio_x10000 <= 3000) AS r_ellipsis_lines,
+           |  (alpha_ratio_x10000 >= 8000) AS r_alpha_words,
+           |  (n_stopwords >= 2) AS r_stopwords,
+           |  (n_words >= 50 AND n_words <= 100000
+           |    AND mwl_x100 >= 300 AND mwl_x100 <= 1000
+           |    AND sym_ratio_x10000 <= 1000 AND bullet_ratio_x10000 <= 9000
+           |    AND ellipsis_ratio_x10000 <= 3000 AND alpha_ratio_x10000 >= 8000
+           |    AND n_stopwords >= 2) AS pass
+           |FROM sig ORDER BY doc_id""".stripMargin,
+
+      // C4 cleaning rules over the same planted corpus: line retention +
+      // the three page gates + the cleaned text
+      "web_c4" ->
+        s"""WITH p AS (SELECT doc_id, $webTextSql AS text FROM documents),
+           |t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM p),
+           |k AS (SELECT doc_id, text, lines,
+           |    list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$$')
+           |      AND ${normOf("l")} <> ''
+           |      AND len(string_split(${normOf("l")}, ' ')) >= 5) AS kept
+           |  FROM t),
+           |s2 AS (SELECT doc_id, len(lines)::BIGINT AS n_lines,
+           |    len(kept)::BIGINT AS n_kept_lines,
+           |    len(regexp_extract_all(text, '[.!?]'))::BIGINT AS n_sentences,
+           |    (lower(text) LIKE '%lorem ipsum%') AS has_lorem,
+           |    (text LIKE '%{%') AS has_brace, kept
+           |  FROM k)
+           |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+           |  has_brace,
+           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS pass,
+           |  CASE WHEN n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+           |    THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text
+           |FROM s2 ORDER BY doc_id""".stripMargin,
+
+      // the per-source curation funnel: both filter gates recomputed
+      // inline, the exact-dedup canonical as the hash-keyed window
+      "e2e_web_curate" ->
+        s"""WITH p AS (SELECT doc_id, source, $webTextSql AS text FROM documents),
+           |nn AS (SELECT doc_id, source, text, ${normOf("text")} AS norm FROM p),
+           |t AS (SELECT doc_id, source, text, norm,
+           |    (CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END)::BIGINT AS n_words,
+           |    string_split(norm, ' ') AS toks,
+           |    string_split(text, chr(10)) AS lines FROM nn),
+           |f AS (SELECT doc_id, source, norm, n_words AS wc,
+           |    CASE WHEN n_words >= 50 AND n_words <= 100000
+           |      AND (CASE WHEN n_words = 0 THEN 0 ELSE CAST(floor((100.0::DOUBLE) * (len(norm) - (n_words - 1))::DOUBLE / n_words + 0.5) AS BIGINT) END) BETWEEN 300 AND 1000
+           |      AND CAST(floor((10000.0::DOUBLE) * (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE / greatest(n_words, 1) + 0.5) AS BIGINT) <= 1000
+           |      AND CAST(floor((10000.0::DOUBLE) * len(list_filter(lines, l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'))::DOUBLE / len(lines) + 0.5) AS BIGINT) <= 9000
+           |      AND CAST(floor((10000.0::DOUBLE) * len(list_filter(lines, l -> rtrim(l) LIKE '%...'))::DOUBLE / len(lines) + 0.5) AS BIGINT) <= 3000
+           |      AND CAST(floor((10000.0::DOUBLE) * len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))::DOUBLE / greatest(n_words, 1) + 0.5) AS BIGINT) >= 8000
+           |      AND len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) >= 2
+           |      THEN 1 ELSE 0 END AS gp,
+           |    CASE WHEN len(regexp_extract_all(text, '[.!?]')) >= 3
+           |      AND NOT (lower(text) LIKE '%lorem ipsum%')
+           |      AND NOT (text LIKE '%{%')
+           |      THEN 1 ELSE 0 END AS cp
+           |  FROM t),
+           |g AS (SELECT source, gp, cp, wc,
+           |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY ${poly("norm")})
+           |      THEN 1 ELSE 0 END AS canon
+           |  FROM f)
+           |SELECT source, count(*)::BIGINT AS n_raw,
+           |  sum(gp)::BIGINT AS n_gopher, sum(cp)::BIGINT AS n_c4,
+           |  sum(gp * cp)::BIGINT AS n_both,
+           |  sum(gp * cp * canon)::BIGINT AS n_final,
+           |  sum(gp * cp * canon * wc)::BIGINT AS final_ws_tokens
+           |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
       // the accumulated streaming audit must equal the batch computation
       // of the same additive rules over the full table

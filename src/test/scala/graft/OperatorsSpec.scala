@@ -2113,6 +2113,51 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       "fk_tag" -> ((0L, 3L, true))))    // non-null tags all resolve
   }
 
+  test("gopher rules gate on each signal independently; c4 keeps only " +
+    "terminal-punctuation lines on passing pages") {
+    import WebCuration._
+    val prose = ("the data pipeline reads the table and writes the result " +
+      "to the store with care and then checks that every value is correct " +
+      "and that every row is present and that nothing else happened here " +
+      "so the process can be trusted to have finished well today").trim
+    val docs = Seq(
+      (1L, prose),                               // 48 words — fails R1 (<50)
+      (2L, prose + " finally done now it is"),   // 53 words — passes all
+      (3L, ("zzzzzzzzzzzz " * 55).trim), // 55 12-char words: fails R2 (mwl 12)
+      (4L, "short words only here now")          // fails R1 and R7
+    ).toDF("doc_id", "text")
+    val g = gopherQualityReport(docs)
+      .select("doc_id", "pass", "r_word_count", "r_mean_word_len")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(g(1L) == ((false, false, true)))
+    assert(g(2L) == ((true, true, true)))
+    assert(g(3L)._1 == false && g(3L)._3 == false)
+    assert(g(4L) == ((false, false, true)))
+
+    val pages = Seq(
+      (1L, "A good first sentence here today.\n- a bullet\n" +
+        "Another proper closing sentence arrives now!\nShort one.\n" +
+        "Is this a real question line?"),
+      (2L, "No terminal punctuation at all in this page"),
+      (3L, "Fine sentence number one here.\nFine sentence number two here." +
+        "\nlorem ipsum strikes { again.")
+    ).toDF("doc_id", "text")
+    val c = c4Filter(pages)
+      .select("doc_id", "n_kept_lines", "n_sentences", "pass", "clean_text")
+      .as[(Long, Long, Long, Boolean, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // page 1: 4 sentence marks pass the gate; the bullet line (no terminal
+    // punct) and "Short one." (<5 words) are dropped from the clean text
+    assert(c(1L)._3 == 4L && c(1L)._4)
+    assert(c(1L)._2 == 3L)
+    assert(c(1L)._5 == "A good first sentence here today.\n" +
+      "Another proper closing sentence arrives now!\n" +
+      "Is this a real question line?")
+    assert(!c(2L)._4 && c(2L)._2 == 0L && c(2L)._5 == "")
+    assert(!c(3L)._4 && c(3L)._5 == "") // lorem + brace kill the page
+  }
+
   test("rollingMean floors negative rolling sums (DuckDB // semantics, " +
     "not Spark DIV truncation)") {
     import java.sql.Timestamp
