@@ -514,6 +514,20 @@ object SparkEntry {
     // across the lineitem x part broadcast join
     "q15_disjunctive" -> ((s, d) => Relational.disjunctiveRevenue(s, d)),
 
+    // TPC-H Q17 shape: correlated per-part average decorrelated into one
+    // partkey agg + equi-join; exact rational compare (no rounded mean)
+    "q17_small_quantity" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+
+    // TPC-H Q18 shape: HAVING on the per-order quantity sum BEFORE the
+    // joins, so only qualifying orders (broadcast) meet orders/customer
+    "q18_large_orders" -> ((s, d) =>
+      Relational.largeVolumeOrders(s, d).orderBy(col("o_orderkey"))),
+
+    // TPC-H Q22 shape: scalar-subquery broadcast (exact integer mean
+    // compare) + LEFT ANTI join against urgent orders, per segment
+    "q22_idle_accounts" -> ((s, d) =>
+      Relational.idleAccounts(s, d).orderBy(col("c_mktsegment"))),
+
     // source-centroid cosine matrix: distribution-level near-dup sources
     // (cos of exact per-source SUM vectors — the /n cancels)
     "ann_source_matrix" -> ((s, d) =>
@@ -3378,6 +3392,40 @@ object SparkEntry {
           |    AND l_quantity BETWEEN 10 AND 35)
           |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
           |    AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+      // Q17 decorrelated replay: per-part quantity sums, exact rational
+      // compare (5*q*cnt < sum) — no rounded average on either engine
+      "q17_small_quantity" ->
+        """WITH l AS (SELECT l_partkey,
+          |    CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qx100,
+          |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS px100
+          |  FROM lineitem),
+          |a AS (SELECT l_partkey, sum(qx100)::BIGINT AS sum_x100,
+          |    count(*)::BIGINT AS cnt FROM l GROUP BY l_partkey)
+          |SELECT sum(px100)::BIGINT AS revenue_x100, count(*)::BIGINT AS n_items
+          |FROM l JOIN a USING (l_partkey)
+          |WHERE qx100 * 5 * cnt < sum_x100""".stripMargin,
+
+      "q18_large_orders" ->
+        """WITH big AS (SELECT l_orderkey,
+          |    sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))::BIGINT AS total_qty_x100
+          |  FROM lineitem GROUP BY l_orderkey HAVING total_qty_x100 > 25000)
+          |SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty_x100
+          |FROM orders JOIN big ON o_orderkey = l_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin,
+
+      // Q22 replay: exact integer mean compare (bal*n > sum) + NOT EXISTS
+      "q22_idle_accounts" ->
+        """WITH c AS (SELECT c_custkey, c_mktsegment,
+          |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_x100 FROM customer),
+          |a AS (SELECT sum(bal_x100)::BIGINT AS sum_x100, count(*)::BIGINT AS n FROM c),
+          |q AS (SELECT c.* FROM c, a WHERE bal_x100 * n > sum_x100
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'))
+          |SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+          |  sum(bal_x100)::BIGINT AS balance_x100
+          |FROM q GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
       // source-centroid cosines: exact per-source sum vectors (the /n
       // cancels out of the cosine), IEEE-sqrt finish

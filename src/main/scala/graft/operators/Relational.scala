@@ -479,6 +479,73 @@ object Relational {
           .as("roll_mean_x100"))
   }
 
+  /** TPC-H Q17-shaped CORRELATED-AVERAGE filter: lineitems whose quantity
+    * is below 20% of their part's average quantity (the decorrelated
+    * form: one per-part aggregate joined back on `l_partkey` — never a
+    * per-row subquery). The comparison stays EXACT rational integer
+    * arithmetic — `5 · qty_x100 · cnt < sum_x100` avoids materializing
+    * the average as a rounded value entirely, so there is no float or
+    * rounding divergence to reconcile cross-engine. Plan: one partkey
+    * hash agg + one partkey equi-join + one scalar agg; at scale both
+    * sides shuffle on the part key once (AQE broadcasts the avg side
+    * when the filtered part count fits). */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), fx(col("l_quantity"), 100L).as("qx100"),
+        fx(col("l_extendedprice"), 100L).as("px100"))
+    val avgQ = l.groupBy(col("l_partkey"))
+      .agg(sum(col("qx100")).as("sum_x100"), count(lit(1)).as("cnt"))
+    l.join(avgQ, Seq("l_partkey"))
+      .where(col("qx100") * 5L * col("cnt") < col("sum_x100"))
+      .agg(sum(col("px100")).as("revenue_x100"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18-shaped LARGE-VOLUME orders: orders whose total lineitem
+    * quantity exceeds the threshold, enriched with the customer. The
+    * HAVING runs on the map-combinable per-order sum BEFORE any join, so
+    * the join inputs are the few qualifying orders (broadcast), never the
+    * fact table. */
+  def largeVolumeOrders(spark: SparkSession, dir: String,
+                        minQtyX100: Long = 25000L): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(fx(col("l_quantity"), 100L)).as("total_qty_x100"))
+      .where(col("total_qty_x100") > minQtyX100)
+    Tables.orders(spark, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_qty_x100"))
+  }
+
+  /** TPC-H Q22-shaped IDLE-ACCOUNT report: customers with above-average
+    * balance and NO urgent order — the scalar-subquery + anti-join plan
+    * shape. The global average rides along as a broadcast one-row
+    * aggregate (exact integer mean: `sum_x100 · 1 > bal_x100 · n` is the
+    * rational comparison, no rounded mean materialized); the NOT EXISTS
+    * is a LEFT ANTI join against the slim (custkey) projection of urgent
+    * orders. Output per market segment: qualifying count + their balance
+    * mass. */
+  def idleAccounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        fx(col("c_acctbal"), 100L).as("bal_x100"))
+    val avgBal = c.agg(sum(col("bal_x100")).as("sum_x100"),
+      count(lit(1)).as("n"))
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .where(col("bal_x100") * col("n") > col("sum_x100"))
+      .join(urgent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("bal_x100")).as("balance_x100"))
+  }
+
   /** TPC-H Q19-shaped DISJUNCTIVE-predicate join: an OR of conjunctive
     * (brand, size-range, quantity-range) branches across the lineitem ⨝
     * part join — the predicate shape that defeats naive single-column

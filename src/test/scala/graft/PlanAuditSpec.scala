@@ -44,6 +44,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "mine_bitext_ann" -> "src lang x broadcast 2^planes-row centroid table (the probe ranking product; candidates themselves are cell equi-joined)",
     "ann_pca" -> "64-row vector / one-row max / one-row EVR ride along broadcast each power step",
     "dq_audit" -> "one-row FK-violation count x one-row table total (both sides single-row broadcasts)",
+    "q22_idle_accounts" -> "one-row global-balance aggregate rides along broadcast",
     "ann_whiten" -> "embeds ann_pca's broadcast one-row rides + its own one-row |l|^2 / n broadcasts",
     "sql_ann_topk" -> "brute-force baseline through spark.sql: broadcast query side x corpus (ann_topk's shape)")
 
