@@ -39,7 +39,7 @@ object Bench {
     "e2e_corpus_from_artifact", "stream_near_dup", "stream_curate",
     "stream_decontam", "stream_dq", "src_schema_evolution",
     "stream_sessions", "src_csv_roundtrip",
-    "ann_build_index", "ann_ivfpq_index")
+    "ann_build_index", "ann_ivfpq_index", "stream_attribution")
 
   /** Measured high-variance queries (cache staging, state stores, session
     * position): single timings swing 2-3× across identical quiet runs

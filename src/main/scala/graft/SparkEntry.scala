@@ -2108,6 +2108,51 @@ object SparkEntry {
     // 3 micro-batches (was 8 — slice count only shapes the harness; the
     // sentinel slice still arrives last, so emitted sessions are
     // identical) through the session-window state store.
+    // stream-stream ATTRIBUTION join driven end-to-end (the 6th driven
+    // pipeline): purchases and clicks as two watermarked file-source
+    // streams over the same time-sliced files, the interval-bounded inner
+    // join (the state-eviction bound), accumulated output equals the
+    // batch bounded-range inner join exactly — time-ordered slices mean
+    // the earlier click is always already in state when its purchase
+    // arrives, so no flush sentinel is needed
+    "stream_attribution" -> ((s, d) => {
+      val key = "w60-s3"
+      val probe = stagedDir("stream-attr", d, key, fresh = false)
+      val stage =
+        if (stagedThisSession.contains(probe)) probe
+        else {
+          val p0 = stagedDir("stream-attr", d, key, fresh = true)
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("ts"),
+              col("event_type"))
+            .where(col("event_type").isin("purchase", "click"))
+          val sliced = ev.withColumn("_p", ntile(3).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("ts"), col("event_id"))))
+            .localCheckpoint()
+          (1 to 3).foreach { n =>
+            sliced.where(col("_p") === n).drop("_p").coalesce(1)
+              .write.mode("append").parquet(s"$p0/src")
+            Thread.sleep(10)
+          }
+          stagedThisSession.add(p0)
+          p0
+        }
+      val run = s"$stage/run${streamRunCounter.incrementAndGet()}"
+      val schema = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")).schema
+      def src() = streaming.Streams.fileSource(s, s"$stage/src", schema,
+        maxFilesPerTrigger = 1)
+      streaming.Streams.runAttributionToParquet(s,
+          src().where(col("event_type") === "purchase"),
+          src().where(col("event_type") === "click"),
+          s"$run/out", s"$run/ck", windowMinutes = 60)
+        .awaitTermination()
+      s.read.parquet(s"$run/out")
+        .orderBy(col("event_id"), col("click_id"))
+    }),
+
     "stream_sessions" -> ((s, d) => {
       val key = s"g${cfg.sessionGapMinutes}-s3"
       val probe = stagedDir("stream-sessions", d, key, fresh = false)
@@ -3900,6 +3945,16 @@ object SparkEntry {
           |FROM p LEFT JOIN c ON p.user_id = c.user_id
           |  AND c.tsu BETWEEN p.tsu - 300000000 AND p.tsu
           |GROUP BY p.event_id, p.user_id ORDER BY event_id""".stripMargin,
+
+      // the accumulated stream-stream join must equal the batch
+      // bounded-range INNER join pair-for-pair
+      "stream_attribution" ->
+        """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click')
+          |SELECT p.event_id, p.user_id, c.click_id
+          |FROM p JOIN c ON p.user_id = c.user_id
+          |  AND c.tsu BETWEEN p.tsu - 3600000000 AND p.tsu
+          |ORDER BY event_id, click_id""".stripMargin,
 
       "k1_batch_layout" ->
         s"""SELECT doc_id,

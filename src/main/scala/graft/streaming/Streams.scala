@@ -111,6 +111,25 @@ object Streams {
       .select(col("event_id"), col("user_id"), col("click_id"))
   }
 
+  /** Drive [[attributionJoin]] to a parquet sink (the 6th driven
+    * pipeline's runner): inner stream-stream matches emit the micro-batch
+    * both sides are present — time-ordered source slices guarantee the
+    * earlier-timestamped click is already in (bounded) state when its
+    * purchase arrives, so the accumulated output equals the batch
+    * bounded-range inner join exactly, with no flush sentinel needed. */
+  def runAttributionToParquet(spark: SparkSession, purchases: DataFrame,
+                              clicks: DataFrame, outDir: String,
+                              checkpointDir: String,
+                              windowMinutes: Int = 5): StreamingQuery =
+    attributionJoin(purchases, clicks, windowMinutes)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+
   /** Checkpointed ingest: stream → validate → partitioned JSON batches via
     * foreachBatch (micro-batch id = the reference's batch number). Restart
     * with the same checkpoint dir resumes from the offset log — the
