@@ -39,7 +39,8 @@ object Bench {
     "e2e_corpus_from_artifact", "stream_near_dup", "stream_curate",
     "stream_decontam", "stream_dq", "src_schema_evolution",
     "stream_sessions", "src_csv_roundtrip",
-    "ann_build_index", "ann_ivfpq_index", "stream_attribution")
+    "ann_build_index", "ann_ivfpq_index", "stream_attribution",
+    "stream_attribution_outer")
 
   /** Measured high-variance queries (cache staging, state stores, session
     * position): single timings swing 2-3× across identical quiet runs
@@ -47,7 +48,11 @@ object Bench {
     * Medianed like the artifact set. */
   private val highVarianceQueries = Set(
     "sql_minhash_pairs", "sql_ann_topk", "a16_corpus_health",
-    "dedup_lsh_eval")
+    "dedup_lsh_eval",
+    // round-8 adjudication: committed 2.4 s cells re-measured 3.3-4.5 s
+    // across a driver run AND a quiet session with no code change — JIT /
+    // session-position sensitive, so median them too
+    "ta_wordpiece_segment", "ta_wordpiece_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -128,6 +128,14 @@ object TextFunctions {
   def charPolyHash(s: Column): Column =
     graft.plans.ArrayExpressions.charPolyHash(s)
 
+  /** Wide (≈2^60) content-identity hash — two independent polynomial folds
+    * combined injectively into one 8-byte key; the grouping key wherever a
+    * FULL DOCUMENT's identity is at stake (exact dedup, funnels, snapshot
+    * diffs). See [[graft.plans.ContentHashExpr]] for the collision math
+    * and the cross-engine replay. */
+  def contentHash(s: Column): Column =
+    graft.plans.ArrayExpressions.contentHash(s)
+
   /** Portable token-sequence rolling hash: fold token hashes as
     * `h = (h*131 + charPolyHash(tok)) mod 1e9+7` — the document fingerprint. */
   def tokenSeqHash(toks: Column): Column =

@@ -20,15 +20,19 @@ object Dedup {
   /** Exact duplicate grouping on normalized text: every doc is assigned the
     * canonical (min) doc_id of its content group. One shuffle keyed on the
     * 8-byte content hash — NOT the full normalized string — so the exchange
-    * width is (doc_id, hash), never the document body; the oracle mirrors
-    * the same hash, so a (vanishingly rare, ~n²/2e9) collision merges two
+    * width is (doc_id, hash), never the document body. The key is the WIDE
+    * dual-fold [[graft.functions.TextFunctions.contentHash]] (~2^60 space,
+    * expected false merges n²/2e18 — none below ~1e9 distinct docs; a
+    * single mod-1e9+7 fold would expect collisions from ~45k docs). The
+    * oracle mirrors the same combined hash, so a collision would merge two
     * texts identically on both engines (the [[canonicalizationLadder]]
-    * hash-stands-in-for-text convention). */
+    * hash-stands-in-for-text convention); beyond ~1e9 docs swap in a
+    * 128-bit hash at this one call site. */
   def exactDuplicates(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("normh"))
     docs
       .select(col("doc_id"),
-        charPolyHash(normalizeWhitespace(col("text"))).as("normh"))
+        contentHash(normalizeWhitespace(col("text"))).as("normh"))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("n_copies", count(lit(1)).over(w))
       .select(col("doc_id"), col("canonical_id"), col("n_copies"))
@@ -63,8 +67,9 @@ object Dedup {
     * an exact-dedup pass: each step is more aggressive (and more lossy),
     * and the marginal dup_ppm it buys is exactly this readout. One scan,
     * one shuffle: every doc emits 5 (level, hash) rows, distinct-counted
-    * per level (the hash stands in for the canonical string — a collision
-    * merges two texts identically on both engines). */
+    * per level (the wide [[graft.functions.TextFunctions.contentHash]]
+    * stands in for the canonical string — full-document identity, so the
+    * ~2^60 dual-fold key, not the single fold). */
   def canonicalizationLadder(docs: DataFrame): DataFrame = {
     val ws = normalizeWhitespace(col("text"))
     val uni = normalizeUnicode(col("text"))
@@ -72,15 +77,15 @@ object Dedup {
     val alnum = trim(regexp_replace(cf, "[^a-z0-9]+", " "))
     val lvls = array(
       struct(lit(1L).as("level"), lit("raw").as("form"),
-        charPolyHash(col("text")).as("h")),
+        contentHash(col("text")).as("h")),
       struct(lit(2L).as("level"), lit("whitespace").as("form"),
-        charPolyHash(ws).as("h")),
+        contentHash(ws).as("h")),
       struct(lit(3L).as("level"), lit("unicode").as("form"),
-        charPolyHash(uni).as("h")),
+        contentHash(uni).as("h")),
       struct(lit(4L).as("level"), lit("casefold").as("form"),
-        charPolyHash(cf).as("h")),
+        contentHash(cf).as("h")),
       struct(lit(5L).as("level"), lit("alnum").as("form"),
-        charPolyHash(alnum).as("h")))
+        contentHash(alnum).as("h")))
     docs.select(explode(lvls).as("l"))
       .select(col("l.level").as("level"), col("l.form").as("form"), col("l.h").as("h"))
       .groupBy(col("level"), col("form"))

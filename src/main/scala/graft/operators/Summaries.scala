@@ -177,7 +177,7 @@ object Summaries {
       (lit(0.5) + lit(0.5) * least(lit(1.0), lit(4.0) * stopHits / wcDen)) + 0.5)
       .cast("long")
     docs.select(col("doc_id"), col("source"), col("lang"),
-        graft.plans.ArrayExpressions.charPolyHash(
+        graft.plans.ArrayExpressions.contentHash(
           normalizeWhitespace(col("text"))).as("normh"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
           .cast("long").as("bpe"),

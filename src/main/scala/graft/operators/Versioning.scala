@@ -15,9 +15,12 @@ import graft.functions.TextFunctions._
   */
 object Versioning {
 
-  /** Content identity of a doc: portable hash of whitespace-normalized
-    * text (formatting-only churn does not count as a change). */
-  private def contentHash: Column = charPolyHash(normalizeWhitespace(col("text")))
+  /** Content identity of a doc: the wide (~2^60) dual-fold portable hash
+    * of whitespace-normalized text (formatting-only churn does not count
+    * as a change; a false hash-equality would silently hide a real edit,
+    * hence the full-document-identity key width). */
+  private def contentHash: Column =
+    graft.functions.TextFunctions.contentHash(normalizeWhitespace(col("text")))
 
   /** The persisted baseline artifact a deployment diffs against: one
     * (id, old_hash) row per doc — what [[graft.streaming.Streams

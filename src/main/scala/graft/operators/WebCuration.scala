@@ -142,7 +142,7 @@ object WebCuration {
     val c = c4Cols(col("text"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("normh"))
     docs.select(col("doc_id"), col("source"),
-        graft.functions.TextFunctions.charPolyHash(
+        graft.functions.TextFunctions.contentHash(
           normalizeWhitespace(col("text"))).as("normh"),
         g.pass.cast("long").as("gp"), c.pass.cast("long").as("cp"),
         wordCount(col("text")).cast("long").as("wc"))

@@ -107,6 +107,55 @@ object CharPolyHashExpr {
   }
 }
 
+/** Wide CONTENT-IDENTITY hash: two independent char-polynomial folds
+  * (base 31 mod 1e9+7, base 131 mod 1e9+9) combined injectively as
+  * `h1 * (1e9+9) + h2` — one pass over the codepoints, one 8-byte key.
+  * Key space is ~1e18 (≈2^60), so expected false merges are n²/2e18:
+  * none below ~1e9 distinct documents (vs ~45k for a single mod-1e9+7
+  * fold). Used wherever a FULL DOCUMENT's identity rides a shuffle or a
+  * group key ([[graft.operators.Dedup.exactDuplicates]] and friends);
+  * single-fold [[CharPolyHashExpr]] remains the key for bounded-impact
+  * uses (shingles, salts) where a collision perturbs one count, not a
+  * document's identity. Both folds replay exactly in DuckDB, keeping
+  * the oracle convention: a (now astronomically rare) collision merges
+  * two texts identically on both engines. Corpora beyond ~1e9 distinct
+  * docs should swap in a 128-bit hash (e.g. two seeded xxhash64 calls)
+  * at the same call sites, trading oracle replayability for width. */
+case class ContentHashExpr(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[ADT] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_content_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    ContentHashExpr.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ContentHashExpr.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ContentHashExpr {
+  /** Called from generated code (static, one pass for both folds). */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 31L + cp) % 1000000007L
+      h2 = (h2 * 131L + cp) % 1000000009L
+      i += Character.charCount(cp)
+    }
+    // max h1*(1e9+9)+h2 ≈ 1.000000015e18 < Long.MaxValue — no overflow
+    h1 * 1000000009L + h2
+  }
+}
+
 /** One-pass multi-language stopword scoring over a token array.
   *
   * Replaces k independent `size(filter(toks, _.isin(words)))` higher-order
@@ -426,6 +475,9 @@ object ArrayExpressions {
   def charPolyHash(s: Column): Column =
     column(CharPolyHashExpr(expression(s)))
 
+  def contentHash(s: Column): Column =
+    column(ContentHashExpr(expression(s)))
+
   def stopwordScores(toks: Column, wordSets: Seq[Seq[String]]): Column =
     column(StopwordScoresExpr(expression(toks), wordSets))
 
@@ -485,6 +537,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash"),
       new ExpressionInfo(classOf[CharPolyHashExpr].getName, "graft_hash"),
       (exprs: Seq[Expression]) => CharPolyHashExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_content_hash"),
+      new ExpressionInfo(classOf[ContentHashExpr].getName, "graft_content_hash"),
+      (exprs: Seq[Expression]) => ContentHashExpr(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContainExpr].getName,

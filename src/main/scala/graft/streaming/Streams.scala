@@ -91,12 +91,23 @@ object Streams {
     * predicate in the join condition is what lets Spark BOUND the join
     * state: click state older than the window + watermark is evicted
     * instead of accumulating forever (an unconstrained stream-stream join
-    * would buffer both streams indefinitely). Inner join: unmatched
-    * purchases surface via the batch left-outer form or a stream-stream
-    * left join with the same bounds. */
+    * would buffer both streams indefinitely).
+    *
+    * `joinType = "inner"` emits matches as soon as both sides are
+    * buffered; `"left_outer"` additionally emits each UNMATCHED purchase
+    * with a null `click_id` — but only once the watermark passes the end
+    * of its candidate interval (`p_ts`, since clicks at or before the
+    * purchase qualify), i.e. once no qualifying click can still arrive.
+    * That deferral is exactly the state-expiry semantics inner joins
+    * never exercise: a null-leg row emitted early would be WRONG if the
+    * click later arrived, so correctness of the outer form proves the
+    * join's state eviction honors the time bounds. */
   def attributionJoin(purchases: DataFrame, clicks: DataFrame,
                       windowMinutes: Int = 5,
-                      watermark: String = "10 minutes"): DataFrame = {
+                      watermark: String = "10 minutes",
+                      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"attribution join supports inner / left_outer, got $joinType")
     val p = purchases
       .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("p_ts"))
       .withWatermark("p_ts", watermark)
@@ -107,7 +118,8 @@ object Streams {
     p.join(c,
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
-        col("c_ts") <= col("p_ts"))
+        col("c_ts") <= col("p_ts"),
+      joinType)
       .select(col("event_id"), col("user_id"), col("click_id"))
   }
 
@@ -116,12 +128,18 @@ object Streams {
     * both sides are present — time-ordered source slices guarantee the
     * earlier-timestamped click is already in (bounded) state when its
     * purchase arrives, so the accumulated output equals the batch
-    * bounded-range inner join exactly, with no flush sentinel needed. */
+    * bounded-range inner join exactly, with no flush sentinel needed.
+    * For `left_outer`, null-leg rows flush only as the watermark passes
+    * each purchase's interval end — the caller must drive the watermark
+    * past the last real event (a late sentinel on BOTH input streams;
+    * the global watermark is the minimum across them), and Spark's
+    * no-data final micro-batch under AvailableNow performs the flush. */
   def runAttributionToParquet(spark: SparkSession, purchases: DataFrame,
                               clicks: DataFrame, outDir: String,
                               checkpointDir: String,
-                              windowMinutes: Int = 5): StreamingQuery =
-    attributionJoin(purchases, clicks, windowMinutes)
+                              windowMinutes: Int = 5,
+                              joinType: String = "inner"): StreamingQuery =
+    attributionJoin(purchases, clicks, windowMinutes, joinType = joinType)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .option("path", outDir)

@@ -82,6 +82,15 @@ object ScaleUp {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     val src = "/root/testdata/sf0.1"
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    // same aliasing guard as repTable below: ids must sit below the copy
+    // offset or copies would collide into one id space
+    def assertBelow(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    offset: Long, name: String): Unit = {
+      val m = df.select(max(col(idCol)).cast("long")).head().getLong(0)
+      require(m < offset,
+        s"$name: max $idCol $m >= offset $offset — copies would alias")
+    }
+    assertBelow(docs, "doc_id", 10000000L, "documents")
     val docReps = (0 until copies).map { k =>
       if (k == 0) docs
       else {
@@ -94,6 +103,7 @@ object ScaleUp {
     docReps.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    assertBelow(emb, "vec_id", 10000000L, "embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val embReps = (0 until copies).map { k =>
       if (k == 0) emb
@@ -122,6 +132,15 @@ object ScaleUp {
     def repTable(name: String, keys: Seq[String],
                  extraOf: Int => Map[String, Column] = _ => Map.empty): Unit = {
       val t = graft.Tables.load(spark, src, name)
+      // replicating a base dir whose keys reach the offset (e.g. sf1)
+      // would silently alias keys ACROSS copies, corrupting the join/group
+      // structure the scaling rows measure — fail loudly instead
+      val maxKey = t.select(keys.map(k => max(col(k)).cast("long"))
+          .reduce((a, b) => greatest(a, b)))
+        .head().getLong(0)
+      require(maxKey < off,
+        s"$name: max key $maxKey >= offset $off — copies would alias; " +
+          "raise `off` above the base dir's key range")
       (0 until copies).map { k =>
         if (k == 0) t else offCols(t, k, keys, extraOf(k))
       }.reduce(_ unionByName _)

@@ -13,12 +13,16 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
       .head().getDouble(0)
     assert(dot == 32.0)
     val h = spark.sql("SELECT graft_hash('alpha beta')").head().getLong(0)
-    val hCol = {
+    val (hCol, chCol) = {
       import org.apache.spark.sql.functions._
-      spark.range(1).select(
-        graft.plans.ArrayExpressions.charPolyHash(lit("alpha beta"))).head().getLong(0)
+      val r = spark.range(1).select(
+        graft.plans.ArrayExpressions.charPolyHash(lit("alpha beta")),
+        graft.plans.ArrayExpressions.contentHash(lit("alpha beta"))).head()
+      (r.getLong(0), r.getLong(1))
     }
     assert(h == hCol)
+    val ch = spark.sql("SELECT graft_content_hash('alpha beta')").head().getLong(0)
+    assert(ch == chCol && ch / 1000000009L == h)
   }
 
   test("GraftExtensions.register installs the SQL surface imperatively, idempotently") {

@@ -34,6 +34,8 @@ class ReinvocationSpec extends AnyFunSuite with SparkSpec {
     "stream_curate",             // file stream + gate + shard checkpoint
     "stream_decontam",           // file stream + universe probe + checkpoint
     "stream_sessions",           // file stream + session state + checkpoint
+    "stream_attribution",        // staged slices + stream-stream join state
+    "stream_attribution_outer",  // same + watermark-deferred null legs
     "stream_dq",                 // file stream + per-batch audit + checkpoint
     "ta_unigram_artifact",       // staged vocab parquet (cross-family load)
     "sql_ann_topk",              // temp views + CACHE TABLE

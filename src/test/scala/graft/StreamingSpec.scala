@@ -359,6 +359,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("left-outer attribution emits each unmatched purchase exactly once, after the watermark") {
+    // crafted cases: a matched purchase (no null leg), a purchase with no
+    // click at all, and a purchase whose only click arrives AFTER it (both
+    // null legs). Sentinels (negative users, far-future ts) drive the
+    // per-stream watermarks past every interval end; null-leg rows then
+    // flush in Spark's final no-data micro-batch — the mechanism the
+    // stream_attribution_outer harness relies on.
+    val rows = Seq(
+      (10L, 1L, "2024-01-01 10:00:00", "click"),
+      (11L, 1L, "2024-01-01 10:02:00", "purchase"), // matches click 10
+      (20L, 2L, "2024-01-01 10:03:00", "purchase"), // no click: null leg
+      (30L, 3L, "2024-01-01 10:01:00", "purchase"), // click after: null leg
+      (31L, 3L, "2024-01-01 10:04:00", "click"),
+      (-1L, -1L, "2024-01-01 12:00:00", "purchase"), // watermark sentinels
+      (-2L, -2L, "2024-01-01 12:00:00", "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val srcDir = tmp("attr-outer-src")
+    rows.write.mode("overwrite").parquet(srcDir)
+    def src() = Streams.fileSource(spark, srcDir, rows.schema, maxFilesPerTrigger = 2)
+    val q = Streams.attributionJoin(
+        src().where(col("event_type") === "purchase"),
+        src().where(col("event_type") === "click"),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("attr_outer").where(col("user_id") >= 0L)
+      .select(col("event_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    // exact MULTISET: each null-leg row exactly once, never duplicated by
+    // the flush batch, and the matched purchase has no null sibling
+    assert(got.sorted == Seq(
+      (11L, Some(10L)), (20L, None), (30L, None)).sorted, s"got $got")
+  }
+
   test("streaming dedup drops in-horizon re-deliveries; equals batch distinct") {
     val docs = Seq(
       (1L, "alpha beta gamma", "2024-01-01 10:00:00"),

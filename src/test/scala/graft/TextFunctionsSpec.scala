@@ -106,6 +106,30 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("contentHash combines the two independent folds injectively (property)") {
+    // JVM-side replay of both folds — the same arithmetic the DuckDB
+    // oracle's poly2 mirrors; also pins that h1 recovers via DIV 1e9+9
+    def ref(s: String): Long = {
+      var h1 = 0L; var h2 = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h1 = (h1 * 31L + cp) % 1000000007L
+        h2 = (h2 * 131L + cp) % 1000000009L
+        i += Character.charCount(cp)
+      }
+      h1 * 1000000009L + h2
+    }
+    forAllSampled(Gen.asciiPrintableStr, 20) { s =>
+      val df = Seq(s).toDF("s")
+      val got = df.select(graft.functions.TextFunctions.contentHash(col("s")))
+        .as[Long].head()
+      assert(got == ref(s))
+      val h1 = df.select(charPolyHash(col("s"))).as[Long].head()
+      assert(got / 1000000009L == h1)
+      assert(got >= 0L) // max ≈ 1.000000015e18 < Long.MaxValue, never wraps
+    }
+  }
+
   test("shingles: distinct n-grams, short text yields empty") {
     val got = Seq("a b c b a b c").toDF("s")
       .select(shingles(col("s"), 3)).as[Seq[String]].head()
