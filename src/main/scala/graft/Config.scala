@@ -57,7 +57,22 @@ case class GraftConfig(
     decontamMinCommon: Long = 5L,
     // shared-span detection: a run of >= minRun consecutive shared 8-grams
     // (i.e. a verbatim span of minRun + 7 tokens) counts as copying
-    spanMinRun: Int = 5)
+    spanMinRun: Int = 5,
+    // web curation — Gopher A1.1 form-rule thresholds + C4 page gates.
+    // Defaults are PAPER-EXACT (Rae et al. 2021 A1.1; Raffel et al. 2020
+    // §2.2), so a default config reproduces the published rules (and the
+    // DuckDB oracles); real pipelines tune these per source
+    gopherMinWords: Long = 50L,
+    gopherMaxWords: Long = 100000L,
+    gopherMinMwlX100: Long = 300L,
+    gopherMaxMwlX100: Long = 1000L,
+    gopherMaxSymbolX10000: Long = 1000L,
+    gopherMaxBulletX10000: Long = 9000L,
+    gopherMaxEllipsisX10000: Long = 3000L,
+    gopherMinAlphaX10000: Long = 8000L,
+    gopherMinStopwords: Long = 2L,
+    c4MinSentences: Long = 3L,
+    c4MinLineWords: Int = 5)
 
 object GraftConfig {
 
@@ -146,7 +161,22 @@ object GraftConfig {
       decontamMinOverlapX10000 =
         l("decontam.min_overlap_x10000", d.decontamMinOverlapX10000),
       decontamMinCommon = l("decontam.min_common", d.decontamMinCommon),
-      spanMinRun = i("dedup.span_min_run", d.spanMinRun))
+      spanMinRun = i("dedup.span_min_run", d.spanMinRun),
+      gopherMinWords = l("curation.gopher_min_words", d.gopherMinWords),
+      gopherMaxWords = l("curation.gopher_max_words", d.gopherMaxWords),
+      gopherMinMwlX100 = l("curation.gopher_min_mwl_x100", d.gopherMinMwlX100),
+      gopherMaxMwlX100 = l("curation.gopher_max_mwl_x100", d.gopherMaxMwlX100),
+      gopherMaxSymbolX10000 =
+        l("curation.gopher_max_symbol_x10000", d.gopherMaxSymbolX10000),
+      gopherMaxBulletX10000 =
+        l("curation.gopher_max_bullet_x10000", d.gopherMaxBulletX10000),
+      gopherMaxEllipsisX10000 =
+        l("curation.gopher_max_ellipsis_x10000", d.gopherMaxEllipsisX10000),
+      gopherMinAlphaX10000 =
+        l("curation.gopher_min_alpha_x10000", d.gopherMinAlphaX10000),
+      gopherMinStopwords = l("curation.gopher_min_stopwords", d.gopherMinStopwords),
+      c4MinSentences = l("curation.c4_min_sentences", d.c4MinSentences),
+      c4MinLineWords = i("curation.c4_min_line_words", d.c4MinLineWords))
   }
 
   /** Load from a file path (missing file → defaults, mirroring the

@@ -314,6 +314,27 @@ object SparkEntry {
       when(col("doc_id") % 11 === 0,
         lit("\nlorem ipsum { and more filler")).otherwise(lit(""))))
 
+  /** Repetition planting for the Gopher A1.1 repetition-half query:
+    * every 4th doc a duplicated LINE pair, every 5th a duplicated
+    * PARAGRAPH pair, every 6th a triple-repeated 6-gram phrase, every
+    * 9th a 12×-repeated 2-gram. Deterministic from doc_id; mirrored
+    * verbatim in the `web_gopher_rep` oracle. Against the 48-553-char
+    * corpus these plants are large enough that some (not all) planted
+    * docs fail their rule — verdict columns carry both outcomes. */
+  private def plantedRepDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        lit("\nRepeated line of filler text.\nRepeated line of filler text."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\n\nSame paragraph body appears twice on this page." +
+          "\n\nSame paragraph body appears twice on this page."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        lit(" alpha beta gamma delta epsilon zeta" * 3)).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        lit(" red blue" * 12)).otherwise(lit(""))))
+
   /** Snapshot-v2 planting for the versioning queries: drop every 10th doc,
     * append a drift marker to every 7th's text, re-add every 13th under a
     * shifted id. Mirrored verbatim in the `ver_diff` / `ver_drift`
@@ -655,13 +676,15 @@ object SparkEntry {
     // corpus: seven signals, seven rule verdicts, the combined gate
     "web_gopher" -> ((s, d) =>
       operators.WebCuration.gopherQualityReport(
-          plantedWebDocs(Tables.documents(s, d)))
+          plantedWebDocs(Tables.documents(s, d)),
+          operators.WebCuration.CurationThresholds.fromConfig(cfg))
         .orderBy(col("doc_id"))),
 
     // per-doc C4 cleaning: terminal-punctuation + >=5-word line filter,
     // the three page gates, and the cleaned text
     "web_c4" -> ((s, d) =>
-      operators.WebCuration.c4Filter(plantedWebDocs(Tables.documents(s, d)))
+      operators.WebCuration.c4Filter(plantedWebDocs(Tables.documents(s, d)),
+          operators.WebCuration.CurationThresholds.fromConfig(cfg))
         .orderBy(col("doc_id"))),
 
     // the per-source curation funnel: raw -> Gopher -> C4 -> both ->
@@ -669,8 +692,20 @@ object SparkEntry {
     // scan + one hash-keyed window
     "e2e_web_curate" -> ((s, d) =>
       operators.WebCuration.curationFunnel(
-          plantedWebDocs(Tables.documents(s, d)))
+          plantedWebDocs(Tables.documents(s, d)),
+          operators.WebCuration.CurationThresholds.fromConfig(cfg))
         .orderBy(col("source"))),
+
+    // the Gopher A1.1 REPETITION half over repetition-planted docs:
+    // duplicated line/paragraph fractions (+ character fractions), top
+    // 2-4-gram character mass, duplicated 5-10-gram positional character
+    // coverage — 13 signals, 13 verdicts, the combined gate, all map-only
+    // (one codegen'd token pass; the oracle takes the relational
+    // explode→count→union form, so the cross-check is non-circular)
+    "web_gopher_rep" -> ((s, d) =>
+      operators.WebCuration.gopherRepetitionReport(
+          plantedRepDocs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
 
     // fuzzy pairs → connected components → canonical spelling per cluster
     // (the ER lifecycle's merge step, over the SAME cluster machinery the
@@ -2818,6 +2853,90 @@ object SparkEntry {
           s"c -> unicode(c)::BIGINT)), (a, b) -> (a*$base + b) % $m)"
       s"(${fold(31, 1000000007L)} * 1000000009 + ${fold(131, 1000000009L)})"
     }
+    // ---- Gopher A1.1 repetition-half machinery (mirrors
+    // WebCuration.repCols / GopherRepetitionExpr) over a prior CTE
+    // `p(doc_id, text, ...)`. Deliberately the RELATIONAL form (explode
+    // n-grams with positions → per-doc counts → top pick / duplicated-
+    // position DISTINCT union) where the Spark side is one map-only
+    // expression pass — a non-circular cross-check. Ends in a CTE
+    // `repsig(doc_id, 13 signal columns)`; `repPassSql` is the combined
+    // 13-rule gate over those columns.
+    def repFrac(num: String, den: String) =
+      s"CASE WHEN $den = 0 THEN 0 ELSE CAST(floor((10000.0::DOUBLE) * ($num) / ($den) + 0.5) AS BIGINT) END"
+    val repCtes: String = {
+      def ngramOf(n: Int) =
+        s"CASE WHEN len(toks) < $n THEN [] ELSE list_transform(range(0, len(toks) - ${n - 1}), " +
+          s"i -> ${(1 to n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")}) END"
+      val perN = (2 to 10).map { n =>
+        val base =
+          s"""rn$n AS (SELECT doc_id, unnest(l) AS ng, generate_subscripts(l, 1) - 1 AS i FROM (
+             |  SELECT doc_id, ${ngramOf(n)} AS l FROM rtk))""".stripMargin
+        if (n <= 4)
+          s"""$base,
+             |rt$n AS (SELECT doc_id, cnt * (len(ng) - ${n - 1}) AS topc FROM (
+             |    SELECT doc_id, ng, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ng) AS rk
+             |    FROM (SELECT doc_id, ng, count(*)::BIGINT AS cnt FROM rn$n GROUP BY doc_id, ng))
+             |  WHERE rk = 1)""".stripMargin
+        else
+          s"""$base,
+             |rd$n AS (SELECT doc_id, ng FROM (SELECT doc_id, ng, count(*) AS c FROM rn$n GROUP BY doc_id, ng) WHERE c >= 2),
+             |rc$n AS (SELECT v.doc_id, sum(len(rtp.tok))::BIGINT AS dupc FROM (
+             |    SELECT DISTINCT g.doc_id AS doc_id, g.i + u.x AS pos
+             |    FROM rn$n g JOIN rd$n dd ON g.doc_id = dd.doc_id AND g.ng = dd.ng
+             |    CROSS JOIN (SELECT unnest(range(0, $n)) AS x) u) v
+             |  JOIN rtp ON rtp.doc_id = v.doc_id AND rtp.pos = v.pos
+             |  GROUP BY v.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""rtk AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS toks FROM p),
+         |rtp AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos FROM rtk),
+         |rtc AS (SELECT doc_id, sum(len(tok))::BIGINT AS totc FROM rtp GROUP BY doc_id),
+         |rlp AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls,
+         |    list_filter(list_transform(string_split_regex(text, '\\n\\n+'), q -> trim(regexp_replace(q, '\\s+', ' ', 'g'))), q -> q <> '') AS ps
+         |  FROM p),
+         |rlf AS (SELECT doc_id,
+         |    len(ls)::BIGINT AS nl, len(list_distinct(ls))::BIGINT AS nld,
+         |    coalesce(list_sum(list_transform(ls, l -> len(l))), 0)::BIGINT AS lc,
+         |    coalesce(list_sum(list_transform(list_distinct(ls), l -> len(l))), 0)::BIGINT AS lcd,
+         |    len(ps)::BIGINT AS np, len(list_distinct(ps))::BIGINT AS npd,
+         |    coalesce(list_sum(list_transform(ps, q -> len(q))), 0)::BIGINT AS pc,
+         |    coalesce(list_sum(list_transform(list_distinct(ps), q -> len(q))), 0)::BIGINT AS pcd
+         |  FROM rlp),
+         |$perN,
+         |repsig AS (SELECT rlf.doc_id,
+         |    ${repFrac("nl - nld", "nl")} AS dup_line_frac_x10000,
+         |    ${repFrac("lc - lcd", "lc")} AS dup_line_char_frac_x10000,
+         |    ${repFrac("np - npd", "np")} AS dup_para_frac_x10000,
+         |    ${repFrac("pc - pcd", "pc")} AS dup_para_char_frac_x10000,
+         |    ${(2 to 4).map(n => repFrac(s"coalesce(rt$n.topc, 0)", "rtc.totc") + s" AS top${n}_char_frac_x10000").mkString(",\n    ")},
+         |    ${(5 to 10).map(n => repFrac(s"coalesce(rc$n.dupc, 0)", "rtc.totc") + s" AS dup${n}_char_frac_x10000").mkString(",\n    ")}
+         |  FROM rlf
+         |  JOIN rtc ON rtc.doc_id = rlf.doc_id
+         |  ${(2 to 4).map(n => s"LEFT JOIN rt$n ON rt$n.doc_id = rlf.doc_id").mkString("\n  ")}
+         |  ${(5 to 10).map(n => s"LEFT JOIN rc$n ON rc$n.doc_id = rlf.doc_id").mkString("\n  ")})""".stripMargin
+    }
+    val repPassSql: String =
+      "dup_line_frac_x10000 <= 3000 AND dup_line_char_frac_x10000 <= 2000" +
+        " AND dup_para_frac_x10000 <= 3000 AND dup_para_char_frac_x10000 <= 2000" +
+        " AND top2_char_frac_x10000 <= 2000 AND top3_char_frac_x10000 <= 1800" +
+        " AND top4_char_frac_x10000 <= 1600 AND dup5_char_frac_x10000 <= 1500" +
+        " AND dup6_char_frac_x10000 <= 1400 AND dup7_char_frac_x10000 <= 1300" +
+        " AND dup8_char_frac_x10000 <= 1200 AND dup9_char_frac_x10000 <= 1100" +
+        " AND dup10_char_frac_x10000 <= 1000"
+    // the repetition planting (mirrors plantedRepDocs verbatim)
+    val repTextSql =
+      "(text" +
+        " || CASE WHEN doc_id % 4 = 0 THEN" +
+        " chr(10) || 'Repeated line of filler text.'" +
+        " || chr(10) || 'Repeated line of filler text.' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN" +
+        " chr(10) || chr(10) || 'Same paragraph body appears twice on this page.'" +
+        " || chr(10) || chr(10) || 'Same paragraph body appears twice on this page.'" +
+        " ELSE '' END" +
+        " || CASE WHEN doc_id % 6 = 0 THEN" +
+        s" '${" alpha beta gamma delta epsilon zeta" * 3}' ELSE '' END" +
+        " || CASE WHEN doc_id % 9 = 0 THEN" +
+        s" '${" red blue" * 12}' ELSE '' END)"
     // WordPiece segmentation replay (substring vocab build + greedy
     // longest-match as a recursive CTE) over a `tok` CTE providing `w` —
     // shared by the fertility, artifact, and per-doc segment oracles
@@ -3768,8 +3887,11 @@ object SparkEntry {
 
       // the per-source curation funnel: both filter gates recomputed
       // inline, the exact-dedup canonical as the hash-keyed window
+      // the Gopher leg is the FULL A1.1 gate: form rules AND the 13
+      // repetition rules (repsig replays WebCuration.repCols per doc)
       "e2e_web_curate" ->
         s"""WITH p AS (SELECT doc_id, source, $webTextSql AS text FROM documents),
+           |$repCtes,
            |nn AS (SELECT doc_id, source, text, ${normOf("text")} AS norm FROM p),
            |t AS (SELECT doc_id, source, text, norm,
            |    (CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END)::BIGINT AS n_words,
@@ -3789,16 +3911,43 @@ object SparkEntry {
            |      AND NOT (text LIKE '%{%')
            |      THEN 1 ELSE 0 END AS cp
            |  FROM t),
-           |g AS (SELECT source, gp, cp, wc,
-           |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY ${poly2("norm")})
+           |g AS (SELECT source, f.gp * (CASE WHEN $repPassSql THEN 1 ELSE 0 END) AS gp, cp, wc,
+           |    CASE WHEN f.doc_id = min(f.doc_id) OVER (PARTITION BY ${poly2("norm")})
            |      THEN 1 ELSE 0 END AS canon
-           |  FROM f)
+           |  FROM f JOIN repsig ON repsig.doc_id = f.doc_id)
            |SELECT source, count(*)::BIGINT AS n_raw,
            |  sum(gp)::BIGINT AS n_gopher, sum(cp)::BIGINT AS n_c4,
            |  sum(gp * cp)::BIGINT AS n_both,
            |  sum(gp * cp * canon)::BIGINT AS n_final,
            |  sum(gp * cp * canon * wc)::BIGINT AS final_ws_tokens
            |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+      // Gopher repetition half over the repetition-planted corpus: the
+      // relational replay of the map-only expression (see repCtes)
+      "web_gopher_rep" ->
+        s"""WITH p AS (SELECT doc_id, $repTextSql AS text FROM documents),
+           |$repCtes
+           |SELECT doc_id,
+           |  dup_line_frac_x10000, dup_line_char_frac_x10000,
+           |  dup_para_frac_x10000, dup_para_char_frac_x10000,
+           |  top2_char_frac_x10000, top3_char_frac_x10000, top4_char_frac_x10000,
+           |  dup5_char_frac_x10000, dup6_char_frac_x10000, dup7_char_frac_x10000,
+           |  dup8_char_frac_x10000, dup9_char_frac_x10000, dup10_char_frac_x10000,
+           |  (dup_line_frac_x10000 <= 3000) AS r_dup_lines,
+           |  (dup_line_char_frac_x10000 <= 2000) AS r_dup_line_chars,
+           |  (dup_para_frac_x10000 <= 3000) AS r_dup_paras,
+           |  (dup_para_char_frac_x10000 <= 2000) AS r_dup_para_chars,
+           |  (top2_char_frac_x10000 <= 2000) AS r_top2,
+           |  (top3_char_frac_x10000 <= 1800) AS r_top3,
+           |  (top4_char_frac_x10000 <= 1600) AS r_top4,
+           |  (dup5_char_frac_x10000 <= 1500) AS r_dup5,
+           |  (dup6_char_frac_x10000 <= 1400) AS r_dup6,
+           |  (dup7_char_frac_x10000 <= 1300) AS r_dup7,
+           |  (dup8_char_frac_x10000 <= 1200) AS r_dup8,
+           |  (dup9_char_frac_x10000 <= 1100) AS r_dup9,
+           |  (dup10_char_frac_x10000 <= 1000) AS r_dup10,
+           |  ($repPassSql) AS pass
+           |FROM repsig ORDER BY doc_id""".stripMargin,
 
       // the accumulated streaming audit must equal the batch computation
       // of the same additive rules over the full table

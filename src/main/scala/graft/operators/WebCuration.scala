@@ -23,6 +23,37 @@ object WebCuration {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Tunable thresholds for the Gopher form rules and C4 page gates.
+    * Defaults are PAPER-EXACT (Rae et al. 2021 A1.1; Raffel et al. 2020
+    * §2.2) — a default instance reproduces the published rules, and the
+    * DuckDB oracles are written against exactly these values. Real
+    * pipelines retune per source via `GraftConfig`
+    * ([[CurationThresholds.fromConfig]]). The repetition-rule thresholds
+    * stay literal in [[gopherRepetitionReport]]: the paper fixes a
+    * distinct constant per n and per-source tuning of that ladder is not
+    * an established practice. */
+  case class CurationThresholds(
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMwlX100: Long = 300L, maxMwlX100: Long = 1000L,
+      maxSymbolX10000: Long = 1000L, maxBulletX10000: Long = 9000L,
+      maxEllipsisX10000: Long = 3000L, minAlphaX10000: Long = 8000L,
+      minStopwords: Long = 2L,
+      c4MinSentences: Long = 3L, c4MinLineWords: Int = 5)
+
+  object CurationThresholds {
+    def fromConfig(cfg: graft.GraftConfig): CurationThresholds =
+      CurationThresholds(
+        minWords = cfg.gopherMinWords, maxWords = cfg.gopherMaxWords,
+        minMwlX100 = cfg.gopherMinMwlX100, maxMwlX100 = cfg.gopherMaxMwlX100,
+        maxSymbolX10000 = cfg.gopherMaxSymbolX10000,
+        maxBulletX10000 = cfg.gopherMaxBulletX10000,
+        maxEllipsisX10000 = cfg.gopherMaxEllipsisX10000,
+        minAlphaX10000 = cfg.gopherMinAlphaX10000,
+        minStopwords = cfg.gopherMinStopwords,
+        c4MinSentences = cfg.c4MinSentences,
+        c4MinLineWords = cfg.c4MinLineWords)
+  }
+
   /** Internal: the Gopher signal columns over a text column. `sum` of
     * word lengths is derived arithmetically — the normalized text is
     * single-spaced, so Σ len(word) = len(norm) − (n_words − 1) — which
@@ -31,19 +62,20 @@ object WebCuration {
   private case class GopherCols(nWords: Column, mwlX100: Column,
                                 symX10000: Column, bulletX10000: Column,
                                 ellipsisX10000: Column, alphaX10000: Column,
-                                nStop: Column) {
-    def rWc: Column = nWords >= 50L && nWords <= 100000L
-    def rMwl: Column = mwlX100 >= 300L && mwlX100 <= 1000L
-    def rSym: Column = symX10000 <= 1000L
-    def rBullet: Column = bulletX10000 <= 9000L
-    def rEllipsis: Column = ellipsisX10000 <= 3000L
-    def rAlpha: Column = alphaX10000 >= 8000L
-    def rStop: Column = nStop >= 2L
+                                nStop: Column, th: CurationThresholds) {
+    def rWc: Column = nWords >= th.minWords && nWords <= th.maxWords
+    def rMwl: Column = mwlX100 >= th.minMwlX100 && mwlX100 <= th.maxMwlX100
+    def rSym: Column = symX10000 <= th.maxSymbolX10000
+    def rBullet: Column = bulletX10000 <= th.maxBulletX10000
+    def rEllipsis: Column = ellipsisX10000 <= th.maxEllipsisX10000
+    def rAlpha: Column = alphaX10000 >= th.minAlphaX10000
+    def rStop: Column = nStop >= th.minStopwords
     def pass: Column =
       rWc && rMwl && rSym && rBullet && rEllipsis && rAlpha && rStop
   }
 
-  private def gopherCols(text: Column): GopherCols = {
+  private def gopherCols(text: Column,
+                         th: CurationThresholds = CurationThresholds()): GopherCols = {
     val norm = normalizeWhitespace(text)
     val toks = tokens(text)
     val nWords = wordCount(text).cast("long")
@@ -69,17 +101,20 @@ object WebCuration {
         floor(lit(10000.0) * nEllipsis / nLines + 0.5).cast("long"),
       alphaX10000 = floor(lit(10000.0) * nAlpha / den + 0.5).cast("long"),
       nStop = size(array_intersect(toks,
-        array(gopherStopwords.map(lit): _*))).cast("long"))
+        array(gopherStopwords.map(lit): _*))).cast("long"),
+      th = th)
   }
 
   /** Per-document Gopher quality report: the seven signals, the seven
-    * rule verdicts, and the combined gate. Thresholds follow the paper:
-    * 50 ≤ words ≤ 100k, mean word length in [3, 10], symbol (`#`/`…`)
-    * to word ratio ≤ 0.1, bullet-started lines ≤ 90%, ellipsis-ended
-    * lines ≤ 30%, ≥ 80% of words contain an alphabetic character, and
-    * ≥ 2 distinct stop words present. */
-  def gopherQualityReport(docs: DataFrame): DataFrame = {
-    val g = gopherCols(col("text"))
+    * rule verdicts, and the combined gate. Default thresholds follow the
+    * paper: 50 ≤ words ≤ 100k, mean word length in [3, 10], symbol
+    * (`#`/`…`) to word ratio ≤ 0.1, bullet-started lines ≤ 90%,
+    * ellipsis-ended lines ≤ 30%, ≥ 80% of words contain an alphabetic
+    * character, and ≥ 2 distinct stop words present — all retunable per
+    * source via [[CurationThresholds]]. */
+  def gopherQualityReport(docs: DataFrame,
+                          th: CurationThresholds = CurationThresholds()): DataFrame = {
+    val g = gopherCols(col("text"), th)
     docs.select(col("doc_id"),
       g.nWords.as("n_words"), g.mwlX100.as("mwl_x100"),
       g.symX10000.as("sym_ratio_x10000"),
@@ -93,34 +128,119 @@ object WebCuration {
       g.rStop.as("r_stopwords"), g.pass.as("pass"))
   }
 
+  /** Internal: the Gopher REPETITION signal columns (Rae et al. A1.1,
+    * second rule block) — all fixed-point ×10000 fractions.
+    *
+    * Line/paragraph signals are pure higher-order expressions: lines =
+    * newline-split + trim, paragraphs = blank-line-split + whitespace
+    * normalization, empties dropped in both; `dup frac` counts occurrences
+    * beyond the first (n − n_distinct)/n, and `dup char frac` the
+    * characters those surplus occurrences carry (Σlen(all) − Σlen(distinct))
+    * / Σlen(all) — the characters a line/paragraph dedup would delete.
+    *
+    * N-gram signals ride [[graft.plans.GopherRepetitionExpr]] (one
+    * codegen'd pass; see its doc for the top-n-gram and
+    * duplicated-n-gram-coverage definitions). Paper thresholds: dup-line /
+    * dup-paragraph fraction ≤ 0.30, their character fractions ≤ 0.20, top
+    * 2/3/4-gram character mass ≤ 0.20/0.18/0.16, duplicated 5..10-gram
+    * character mass ≤ 0.15/0.14/0.13/0.12/0.11/0.10. */
+  private case class RepCols(dupLineX10000: Column, dupLineCharX10000: Column,
+                             dupParaX10000: Column, dupParaCharX10000: Column,
+                             topX10000: Map[Int, Column],
+                             dupX10000: Map[Int, Column]) {
+    def rDupLines: Column = dupLineX10000 <= 3000L
+    def rDupLineChars: Column = dupLineCharX10000 <= 2000L
+    def rDupParas: Column = dupParaX10000 <= 3000L
+    def rDupParaChars: Column = dupParaCharX10000 <= 2000L
+    def rTop(n: Int): Column = topX10000(n) <= (2400L - 200L * n) // 2000/1800/1600
+    def rDup(n: Int): Column = dupX10000(n) <= (2000L - 100L * n) // 1500..1000
+    def pass: Column =
+      rDupLines && rDupLineChars && rDupParas && rDupParaChars &&
+        (2 to 4).map(rTop).reduce(_ && _) && (5 to 10).map(rDup).reduce(_ && _)
+  }
+
+  private def fracX10000(num: Column, den: Column): Column =
+    when(den === 0L, 0L)
+      .otherwise(floor(lit(10000.0) * num / den + 0.5)).cast("long")
+
+  private def repCols(text: Column): RepCols = {
+    def charSum(arr: Column): Column =
+      coalesce(aggregate(arr, lit(0L), (a, x) => a + length(x)), lit(0L))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val paras = filter(transform(split(text, "\n\n+"),
+      p => normalizeWhitespace(p)), p => p =!= "")
+    def dupFracs(arr: Column): (Column, Column) = {
+      val d = array_distinct(arr)
+      (fracX10000(size(arr).cast("long") - size(d), size(arr).cast("long")),
+        fracX10000(charSum(arr) - charSum(d), charSum(arr)))
+    }
+    val (dl, dlc) = dupFracs(lines)
+    val (dp, dpc) = dupFracs(paras)
+    val st = graft.plans.ArrayExpressions.gopherRepetition(tokens(text))
+    val tot = st(12)
+    RepCols(
+      dupLineX10000 = dl, dupLineCharX10000 = dlc,
+      dupParaX10000 = dp, dupParaCharX10000 = dpc,
+      topX10000 = (2 to 4).map(n =>
+        n -> fracX10000(st((n - 2) * 2) * st((n - 2) * 2 + 1), tot)).toMap,
+      dupX10000 = (5 to 10).map(n => n -> fracX10000(st(n + 1), tot)).toMap)
+  }
+
+  /** Per-document Gopher REPETITION report — the A1.1 second rule block
+    * [[gopherQualityReport]]'s form rules don't cover: 13 signals, 13 rule
+    * verdicts, and the combined repetition gate. The full Gopher gate is
+    * this `pass` AND the form report's; [[curationFunnel]] composes both. */
+  def gopherRepetitionReport(docs: DataFrame): DataFrame = {
+    val r = repCols(col("text"))
+    docs.select(Seq(col("doc_id"),
+      r.dupLineX10000.as("dup_line_frac_x10000"),
+      r.dupLineCharX10000.as("dup_line_char_frac_x10000"),
+      r.dupParaX10000.as("dup_para_frac_x10000"),
+      r.dupParaCharX10000.as("dup_para_char_frac_x10000")) ++
+      (2 to 4).map(n => r.topX10000(n).as(s"top${n}_char_frac_x10000")) ++
+      (5 to 10).map(n => r.dupX10000(n).as(s"dup${n}_char_frac_x10000")) ++
+      Seq(r.rDupLines.as("r_dup_lines"),
+        r.rDupLineChars.as("r_dup_line_chars"),
+        r.rDupParas.as("r_dup_paras"),
+        r.rDupParaChars.as("r_dup_para_chars")) ++
+      (2 to 4).map(n => r.rTop(n).as(s"r_top$n")) ++
+      (5 to 10).map(n => r.rDup(n).as(s"r_dup$n")) ++
+      Seq(r.pass.as("pass")): _*)
+  }
+
   /** Internal: the C4 signal columns. Line retention = ends in terminal
     * punctuation AND carries ≥ 5 words (Raffel et al. §2.2); page gates =
     * ≥ 3 sentences, no "lorem ipsum", no `{`. */
   private case class C4Cols(lines: Column, kept: Column, nSentences: Column,
-                            hasLorem: Column, hasBrace: Column) {
-    def pass: Column = nSentences >= 3L && !hasLorem && !hasBrace
+                            hasLorem: Column, hasBrace: Column,
+                            th: CurationThresholds) {
+    def pass: Column = nSentences >= th.c4MinSentences && !hasLorem && !hasBrace
   }
 
-  private def c4Cols(text: Column): C4Cols = {
+  private def c4Cols(text: Column,
+                     th: CurationThresholds = CurationThresholds()): C4Cols = {
     val lines = split(text, "\n")
+    val minLineWords = th.c4MinLineWords
     val kept = filter(lines, l => {
       val n = normalizeWhitespace(l)
-      rtrim(l).rlike("[.!?\"]$") && (n =!= "") && size(split(n, " ")) >= 5
+      rtrim(l).rlike("[.!?\"]$") && (n =!= "") && size(split(n, " ")) >= minLineWords
     })
     C4Cols(
       lines = lines,
       kept = kept,
       nSentences = regexp_count(text, lit("[.!?]")).cast("long"),
       hasLorem = lower(text).contains("lorem ipsum"),
-      hasBrace = text.contains("{"))
+      hasBrace = text.contains("{"),
+      th = th)
   }
 
   /** Per-document C4 cleaning report: line counts before/after the
-    * terminal-punctuation + ≥5-words line filter, the three page-level
-    * gates, and the cleaned text (kept lines rejoined; empty when the
-    * page fails). */
-  def c4Filter(docs: DataFrame): DataFrame = {
-    val c = c4Cols(col("text"))
+    * terminal-punctuation + ≥`c4MinLineWords`-words line filter, the
+    * three page-level gates, and the cleaned text (kept lines rejoined;
+    * empty when the page fails). Default thresholds are §2.2-exact. */
+  def c4Filter(docs: DataFrame,
+               th: CurationThresholds = CurationThresholds()): DataFrame = {
+    val c = c4Cols(col("text"), th)
     docs.select(col("doc_id"),
       size(c.lines).cast("long").as("n_lines"),
       size(c.kept).cast("long").as("n_kept_lines"),
@@ -134,17 +254,22 @@ object WebCuration {
   /** The per-source CURATION FUNNEL — the readout a web-pipeline run ends
     * with: how many documents survive each stage (raw → Gopher gate → C4
     * gate → both → exact-dedup canonical), and the surviving token
-    * volume. One scan + one window keyed on the 8-byte content hash (the
-    * [[Dedup.exactDuplicates]] convention — no exchange carries text);
-    * every filter signal rides the scan as a map-only expression. */
-  def curationFunnel(docs: DataFrame): DataFrame = {
-    val g = gopherCols(col("text"))
-    val c = c4Cols(col("text"))
+    * volume. The Gopher gate is the FULL A1.1 gate: the seven form rules
+    * ([[gopherQualityReport]]) AND the thirteen repetition rules
+    * ([[gopherRepetitionReport]]). One scan + one window keyed on the
+    * 8-byte content hash (the [[Dedup.exactDuplicates]] convention — no
+    * exchange carries text); every filter signal rides the scan as a
+    * map-only expression. */
+  def curationFunnel(docs: DataFrame,
+                     th: CurationThresholds = CurationThresholds()): DataFrame = {
+    val g = gopherCols(col("text"), th)
+    val r = repCols(col("text"))
+    val c = c4Cols(col("text"), th)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("normh"))
     docs.select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.contentHash(
           normalizeWhitespace(col("text"))).as("normh"),
-        g.pass.cast("long").as("gp"), c.pass.cast("long").as("cp"),
+        (g.pass && r.pass).cast("long").as("gp"), c.pass.cast("long").as("cp"),
         wordCount(col("text")).cast("long").as("wc"))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .select(col("source"), col("gp"), col("cp"), col("wc"),

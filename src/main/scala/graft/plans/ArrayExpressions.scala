@@ -478,6 +478,9 @@ object ArrayExpressions {
   def contentHash(s: Column): Column =
     column(ContentHashExpr(expression(s)))
 
+  def gopherRepetition(toks: Column): Column =
+    column(GopherRepetitionExpr(expression(toks)))
+
   def stopwordScores(toks: Column, wordSets: Seq[Seq[String]]): Column =
     column(StopwordScoresExpr(expression(toks), wordSets))
 

@@ -61,6 +61,24 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.annK == GraftConfig.default.annK)
   }
 
+  test("curation thresholds parse from the curation section; defaults are paper-exact") {
+    val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(Seq(
+      "curation:",
+      "  gopher_min_words: 20",
+      "  c4_min_line_words: 3")))
+    assert(c.gopherMinWords == 20L && c.c4MinLineWords == 3)
+    assert(c.gopherMaxWords == 100000L && c.c4MinSentences == 3L)
+    val d = GraftConfig.default
+    assert(d.gopherMinWords == 50L && d.gopherMinMwlX100 == 300L &&
+      d.gopherMaxMwlX100 == 1000L && d.gopherMaxSymbolX10000 == 1000L &&
+      d.gopherMaxBulletX10000 == 9000L && d.gopherMaxEllipsisX10000 == 3000L &&
+      d.gopherMinAlphaX10000 == 8000L && d.gopherMinStopwords == 2L)
+    // the typed thresholds bridge carries overrides verbatim and nothing else
+    val th = graft.operators.WebCuration.CurationThresholds.fromConfig(c)
+    assert(th == graft.operators.WebCuration.CurationThresholds()
+      .copy(minWords = 20L, c4MinLineWords = 3))
+  }
+
   test("load of a missing file yields the library defaults") {
     assert(GraftConfig.load("/nonexistent/config.yaml") == GraftConfig.default)
   }

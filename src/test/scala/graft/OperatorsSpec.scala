@@ -2156,6 +2156,75 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       "Is this a real question line?")
     assert(!c(2L)._4 && c(2L)._2 == 0L && c(2L)._5 == "")
     assert(!c(3L)._4 && c(3L)._5 == "") // lorem + brace kill the page
+
+    // per-source threshold tuning: the 48-word doc that fails R1 under the
+    // paper default passes once minWords is lowered; the default-threshold
+    // report stays bit-identical to the no-arg call (paper-exact defaults)
+    val tuned = gopherQualityReport(docs, CurationThresholds(minWords = 40L))
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(tuned(1L))
+    assert(gopherQualityReport(docs, CurationThresholds()).collect().toSeq ==
+      gopherQualityReport(docs).collect().toSeq)
+    val cTuned = c4Filter(pages, CurationThresholds(c4MinLineWords = 2))
+      .select("doc_id", "n_kept_lines").as[(Long, Long)].collect().toMap
+    assert(cTuned(1L) == 4L) // "Short one." (2 words) now survives
+  }
+
+  test("gopher repetition half: dup lines/paragraphs, top n-gram mass, " +
+    "positional dup-n-gram union — per-rule crafted values") {
+    import WebCuration._
+    val docs = Seq(
+      (1L, "aa bb cc\nxx yy zz\nxx yy zz"),
+      (2L, "First paragraph here once.\n\nSecond paragraph body.\n\n" +
+        "Second paragraph body."),
+      (3L, "a b c d e a b c d e x"),
+      (4L, "p q r p q r p q s")
+    ).toDF("doc_id", "text")
+    val r = gopherRepetitionReport(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+
+    val d1 = r(1L) // one duplicated 8-char line of three
+    assert(d1.getAs[Long]("dup_line_frac_x10000") == 3333L)
+    assert(d1.getAs[Long]("dup_line_char_frac_x10000") == 3333L)
+    assert(!d1.getAs[Boolean]("r_dup_lines"))
+    assert(!d1.getAs[Boolean]("r_dup_line_chars"))
+    assert(d1.getAs[Long]("dup_para_frac_x10000") == 0L) // single paragraph
+    // top bigram ties at 2 ('xx yy', 'yy zz'); lexicographic min 'xx yy'
+    // wins either way: mass 2×4 of 18 token chars
+    assert(d1.getAs[Long]("top2_char_frac_x10000") == 4444L)
+    assert(!d1.getAs[Boolean]("r_top2"))
+    assert(d1.getAs[Long]("dup5_char_frac_x10000") == 0L)
+
+    val d2 = r(2L) // one duplicated 22-char paragraph of three (chars 70)
+    assert(d2.getAs[Long]("dup_para_frac_x10000") == 3333L)
+    assert(d2.getAs[Long]("dup_para_char_frac_x10000") == 3143L)
+    assert(!d2.getAs[Boolean]("r_dup_paras"))
+    assert(!d2.getAs[Boolean]("r_dup_para_chars"))
+
+    val d3 = r(3L)
+    // 'a b c d e' occurs at positions 0 and 5: the positional UNION covers
+    // 10 of 11 single-char tokens (9091), never 2×5 summed occurrences
+    assert(d3.getAs[Long]("dup5_char_frac_x10000") == 9091L)
+    assert(!d3.getAs[Boolean]("r_dup5"))
+    assert(d3.getAs[Long]("dup6_char_frac_x10000") == 0L) // 6-grams all distinct
+    assert(d3.getAs[Boolean]("r_dup6"))
+
+    val d4 = r(4L)
+    // three trigrams tie at 2 occurrences; codepoint-min 'p q r' wins:
+    // mass 2×3 of 9 token chars
+    assert(d4.getAs[Long]("top3_char_frac_x10000") == 6667L)
+    assert(!d4.getAs[Boolean]("r_top3"))
+
+    // funnel composition: a doc failing ONLY repetition is out of n_gopher
+    val rep = ("one two three four five six seven eight nine ten " * 6).trim +
+      " the data is of value and that will be with it to have the end."
+    val funnelDocs = Seq((1L, "s0", rep)).toDF("doc_id", "source", "text")
+    val funnel = curationFunnel(funnelDocs).collect().head
+    assert(gopherQualityReport(funnelDocs).collect().head
+      .getAs[Boolean]("pass"), "form half should pass")
+    assert(!gopherRepetitionReport(funnelDocs).collect().head
+      .getAs[Boolean]("pass"), "repetition half should fail")
+    assert(funnel.getAs[Long]("n_raw") == 1L && funnel.getAs[Long]("n_gopher") == 0L)
   }
 
   test("rollingMean floors negative rolling sums (DuckDB // semantics, " +
