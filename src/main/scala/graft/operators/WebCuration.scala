@@ -163,20 +163,35 @@ object WebCuration {
     when(den === 0L, 0L)
       .otherwise(floor(lit(10000.0) * num / den + 0.5)).cast("long")
 
-  private def repCols(text: Column): RepCols = {
+  /** Stage the shared repetition arrays as BOUND columns (the
+    * `Dedup.shingleTable` posture): thirteen downstream signals each read
+    * an attribute of this projection. Inlined, Catalyst substitutes the
+    * whole n-gram expression (and the line/paragraph HOF chains) into
+    * every consumer — one full token pass PER SIGNAL, measured 25× slower
+    * on the 13-signal report. `CollapseProject` keeps the boundary
+    * because each alias is referenced more than once and is non-cheap. */
+  private def withRepArrays(docs: DataFrame): DataFrame = {
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => l =!= "")
+    val paras = filter(transform(split(col("text"), "\n\n+"),
+      p => normalizeWhitespace(p)), p => p =!= "")
+    docs.select(col("*"),
+      graft.plans.ArrayExpressions.gopherRepetition(tokens(col("text")))
+        .as("_rep_st"),
+      lines.as("_rep_ls"), array_distinct(lines).as("_rep_lsd"),
+      paras.as("_rep_ps"), array_distinct(paras).as("_rep_psd"))
+  }
+
+  /** Signal columns over [[withRepArrays]]' bound attributes. */
+  private def repCols: RepCols = {
     def charSum(arr: Column): Column =
       coalesce(aggregate(arr, lit(0L), (a, x) => a + length(x)), lit(0L))
-    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
-    val paras = filter(transform(split(text, "\n\n+"),
-      p => normalizeWhitespace(p)), p => p =!= "")
-    def dupFracs(arr: Column): (Column, Column) = {
-      val d = array_distinct(arr)
-      (fracX10000(size(arr).cast("long") - size(d), size(arr).cast("long")),
-        fracX10000(charSum(arr) - charSum(d), charSum(arr)))
-    }
-    val (dl, dlc) = dupFracs(lines)
-    val (dp, dpc) = dupFracs(paras)
-    val st = graft.plans.ArrayExpressions.gopherRepetition(tokens(text))
+    def dupFracs(arr: Column, dist: Column): (Column, Column) =
+      (fracX10000(size(arr).cast("long") - size(dist), size(arr).cast("long")),
+        fracX10000(charSum(arr) - charSum(dist), charSum(arr)))
+    val (dl, dlc) = dupFracs(col("_rep_ls"), col("_rep_lsd"))
+    val (dp, dpc) = dupFracs(col("_rep_ps"), col("_rep_psd"))
+    val st = col("_rep_st")
     val tot = st(12)
     RepCols(
       dupLineX10000 = dl, dupLineCharX10000 = dlc,
@@ -191,8 +206,8 @@ object WebCuration {
     * verdicts, and the combined repetition gate. The full Gopher gate is
     * this `pass` AND the form report's; [[curationFunnel]] composes both. */
   def gopherRepetitionReport(docs: DataFrame): DataFrame = {
-    val r = repCols(col("text"))
-    docs.select(Seq(col("doc_id"),
+    val r = repCols
+    withRepArrays(docs).select(Seq(col("doc_id"),
       r.dupLineX10000.as("dup_line_frac_x10000"),
       r.dupLineCharX10000.as("dup_line_char_frac_x10000"),
       r.dupParaX10000.as("dup_para_frac_x10000"),
@@ -263,10 +278,10 @@ object WebCuration {
   def curationFunnel(docs: DataFrame,
                      th: CurationThresholds = CurationThresholds()): DataFrame = {
     val g = gopherCols(col("text"), th)
-    val r = repCols(col("text"))
+    val r = repCols
     val c = c4Cols(col("text"), th)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("normh"))
-    docs.select(col("doc_id"), col("source"),
+    withRepArrays(docs).select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.contentHash(
           normalizeWhitespace(col("text"))).as("normh"),
         (g.pass && r.pass).cast("long").as("gp"), c.pass.cast("long").as("cp"),
