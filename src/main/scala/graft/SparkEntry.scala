@@ -707,6 +707,39 @@ object SparkEntry {
           plantedRepDocs(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // URL-level dedup — the crawl-collapse stage that runs BEFORE any
+    // content is parsed: canonicalize (case/default-port/fragment/
+    // tracking-param/param-order/trailing-slash normalization), then one
+    // window on the canonical URL. URLs are synthesized deterministically
+    // from (doc_id, source, lang) with every messiness the canonicalizer
+    // handles; the oracle mirrors the same construction
+    "web_url_canon" -> ((s, d) => {
+      val n = (col("doc_id") % 100).cast("string")
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+        lit("WWW."), upper(col("source")), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443"))
+          .when(col("doc_id") % 5 === 0, lit(":80"))
+          .when(col("doc_id") % 7 === 0, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/wiki/"), col("lang"), lit("/Doc-"), n,
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&sort=asc&id="), n))
+          .otherwise(concat(lit("?id="), n, lit("&ref=rss&sort=asc"))),
+        lit("#sec"), (col("doc_id") % 5).cast("string"))
+      operators.WebCuration.urlDedup(
+          Tables.documents(s, d).select(col("doc_id"), url.as("url")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SOFT dedup: keep every doc, weight it by 1/mean shingle document
+    // frequency — repeated content contributes ~once in expectation
+    // without the hard-dedup cliff. Exchanges carry only (doc_id, h)
+    "dedup_soft_weights" -> ((s, d) =>
+      operators.Dedup.softDedupWeights(Tables.documents(s, d), cfg.ngramN)
+        .orderBy(col("doc_id"))),
+
     // fuzzy pairs → connected components → canonical spelling per cluster
     // (the ER lifecycle's merge step, over the SAME cluster machinery the
     // doc near-dup pipeline uses — min label propagation is type-generic)
@@ -3948,6 +3981,66 @@ object SparkEntry {
            |  (dup10_char_frac_x10000 <= 1000) AS r_dup10,
            |  ($repPassSql) AS pass
            |FROM repsig ORDER BY doc_id""".stripMargin,
+
+      // URL-level dedup: the same deterministic messy-URL construction,
+      // the same canonicalization rules (lowercase scheme/host, default
+      // port, trailing slash, fragment, tracking params, param sort),
+      // the same min-id window
+      "web_url_canon" ->
+        s"""WITH u AS (SELECT doc_id,
+           |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END
+           |   || 'WWW.' || upper(source) || '.Example.COM'
+           |   || CASE WHEN doc_id % 3 = 0 THEN ':443'
+           |        WHEN doc_id % 5 = 0 THEN ':80'
+           |        WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+           |   || '/wiki/' || lang || '/Doc-' || (doc_id % 100)::VARCHAR
+           |   || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+           |   || CASE WHEN doc_id % 2 = 0
+           |        THEN '?utm_source=feed&sort=asc&id=' || (doc_id % 100)::VARCHAR
+           |        ELSE '?id=' || (doc_id % 100)::VARCHAR || '&ref=rss&sort=asc' END
+           |   || '#sec' || (doc_id % 5)::VARCHAR) AS url FROM documents),
+           |c0 AS (SELECT doc_id, url,
+           |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+           |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+           |    regexp_replace(regexp_extract(url,
+           |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS pth,
+           |    regexp_extract(url, '\\?([^#]*)', 1) AS qraw
+           |  FROM u),
+           |c1 AS (SELECT doc_id, url, sch,
+           |    CASE WHEN sch = 'http' THEN regexp_replace(host0, ':80$$', '')
+           |         WHEN sch = 'https' THEN regexp_replace(host0, ':443$$', '')
+           |         ELSE host0 END AS host,
+           |    pth,
+           |    array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+           |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+           |  FROM c0),
+           |c AS (SELECT doc_id, url,
+           |    sch || '://' || host || pth ||
+           |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+           |  FROM c1)
+           |SELECT doc_id, url, canon_url,
+           |  min(doc_id) OVER (PARTITION BY canon_url) AS canonical_id,
+           |  count(*) OVER (PARTITION BY canon_url)::BIGINT AS n_copies
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      // soft dedup: shingle df by hash, mean df per doc, harmonic weight —
+      // the identical hash on both engines keeps collision parity
+      "dedup_soft_weights" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h
+           |  FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |df AS (SELECT h, count(*)::BIGINT AS df FROM sh GROUP BY h),
+           |agg AS (SELECT sh.doc_id, count(*)::BIGINT AS n_sh, sum(df.df)::BIGINT AS sum_df
+           |  FROM sh JOIN df USING (h) GROUP BY sh.doc_id)
+           |SELECT d.doc_id AS doc_id,
+           |  coalesce(n_sh, 0)::BIGINT AS n_shingles,
+           |  CASE WHEN n_sh IS NULL THEN 0
+           |    ELSE CAST(floor((100.0::DOUBLE) * sum_df / n_sh + 0.5) AS BIGINT) END AS mean_df_x100,
+           |  CASE WHEN n_sh IS NULL THEN 10000
+           |    ELSE CAST(floor((10000.0::DOUBLE) * n_sh / sum_df + 0.5) AS BIGINT) END AS weight_x10000
+           |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       // the accumulated streaming audit must equal the batch computation
       // of the same additive rules over the full table

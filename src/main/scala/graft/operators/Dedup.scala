@@ -159,6 +159,42 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
   }
 
+  /** SOFT dedup — reweight instead of remove. Hard dedup keeps one copy
+    * per cluster and drops the rest; the reweighting school (soft dedup)
+    * keeps every document and hands the sampler a weight inversely
+    * proportional to how COMMON the document's content is, so repeated
+    * material contributes ~once in expectation without a cliff at the
+    * near-dup threshold. Commonness here is the mean corpus-wide document
+    * frequency of the doc's distinct word-n-gram shingles: an all-unique
+    * doc has mean df 1 → weight 1.0 (×10000); a doc whose shingles each
+    * appear in 10 docs gets 0.1. Fixed-point outputs (`mean_df_x100`,
+    * `weight_x10000 = round(10⁴·n_sh/Σdf)`, the harmonic form — exactly
+    * 10⁴/mean) keep the oracle bit-exact.
+    *
+    * Plan shape: explode distinct shingles → hash (the exchange carries
+    * (doc_id, h), never shingle text) → df by ONE groupBy on h → join back
+    * on h (row-linear: no pair explosion, unlike the Jaccard self-join) →
+    * per-doc sum. Shuffles: h (df), h (join), doc_id (sum) — all 8-byte
+    * keys. Shingle-less docs (< n tokens) keep weight 1.0 via the final
+    * left join from the id spine. */
+  def softDedupWeights(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingleTable(docs, n)
+      .select(col("doc_id"), charPolyHash(col("sh")).as("h"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val agg = sh.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), sum(col("df")).as("sum_df"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+        when(col("n_sh").isNull, lit(0L))
+          .otherwise(floor(lit(100.0) * col("sum_df") / col("n_sh") + 0.5))
+          .cast("long").as("mean_df_x100"),
+        when(col("n_sh").isNull, lit(10000L))
+          .otherwise(floor(lit(10000.0) * col("n_sh") / col("sum_df") + 0.5))
+          .cast("long").as("weight_x10000"))
+  }
+
   /** Asymmetric CONTAINMENT pairs — the sub-document-copy detector Jaccard
     * structurally misses: a 50-shingle doc fully embedded in a 1000-shingle
     * doc has containment |∩|/min(|A|,|B|) = 1.0 but Jaccard ≈ 0.05, under

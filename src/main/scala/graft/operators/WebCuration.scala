@@ -266,6 +266,54 @@ object WebCuration {
         .as("clean_text"))
   }
 
+  /** Canonical form of a URL column — the normalization every web
+    * pipeline's URL-LEVEL dedup stage runs before comparing crawl records
+    * (the stage that precedes content dedup: two fetches of the same page
+    * under `HTTP://Host/a/?utm_source=x` and `http://host:80/a` must
+    * collapse). Rules, each a pure codegen'd expression:
+    *
+    *  - scheme and host lowercased (RFC 3986 §6.2.2.1 case normalization);
+    *  - the scheme's DEFAULT port stripped (`:80` for http, `:443` for
+    *    https — §6.2.3); non-default ports kept;
+    *  - trailing `/` runs trimmed from the path;
+    *  - the fragment dropped (never sent to the server);
+    *  - tracking params dropped (`utm_*`, `fbclid`, `gclid`, `ref`) and
+    *    the surviving query params SORTED, so param order is identity-
+    *    irrelevant.
+    *
+    * Map-only; composes with [[urlDedup]]'s one shuffle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val kept = array_sort(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    concat(scheme, lit("://"), host, path,
+      when(size(kept) === 0, lit(""))
+        .otherwise(concat(lit("?"), array_join(kept, "&"))))
+  }
+
+  /** URL-level dedup over a (doc_id, url) frame: every record is assigned
+    * the canonical (min) doc_id among records sharing its
+    * [[canonicalizeUrl canonical URL]], plus the copy count — the
+    * re-crawl/mirror collapse that runs BEFORE content dedup (it needs no
+    * text at all, so at 100 TB it prunes fetches before the body is even
+    * parsed). One shuffle keyed on the canonical URL — a bounded-length
+    * string (unlike document bodies, which ride content hashes per the
+    * [[Dedup.exactDuplicates]] convention). */
+  def urlDedup(withUrl: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon_url"))
+    withUrl
+      .select(col("doc_id"), col("url"), canonicalizeUrl(col("url")).as("canon_url"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+  }
+
   /** The per-source CURATION FUNNEL — the readout a web-pipeline run ends
     * with: how many documents survive each stage (raw → Gopher gate → C4
     * gate → both → exact-dedup canonical), and the surviving token

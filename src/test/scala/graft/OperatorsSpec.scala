@@ -2227,6 +2227,54 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(funnel.getAs[Long]("n_raw") == 1L && funnel.getAs[Long]("n_gopher") == 0L)
   }
 
+  test("URL canonicalization: case, default ports, tracking params, " +
+    "param order, trailing slash, fragment — and URL-level dedup") {
+    import WebCuration._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://ex.com:80/a/b?a=1&b=2"),
+      (3L, "http://ex.com:8080/a"),
+      (4L, "https://ex.com/path?fbclid=abc&gclid=1&ref=rss"),
+      (5L, "http://EX.com/A/B")
+    ).toDF("doc_id", "url")
+    val canon = urls.select($"doc_id", canonicalizeUrl($"url").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(canon(1L) == "https://www.ex.com/a/b?a=1&b=2")
+    assert(canon(2L) == "http://ex.com/a/b?a=1&b=2")
+    assert(canon(3L) == "http://ex.com:8080/a") // non-default port kept
+    assert(canon(4L) == "https://ex.com/path")  // all params were tracking
+    assert(canon(5L) == "http://ex.com/A/B")    // path case preserved
+
+    // dedup: 10 and 11 canonicalize identically (case + default port +
+    // trailing slash + fragment + param order); 12 stands alone
+    val dd = urlDedup(Seq(
+      (10L, "HTTP://Ex.Com/a/?b=2&a=1#x"),
+      (11L, "http://ex.com:80/a?a=1&b=2"),
+      (12L, "http://ex.com/other")).toDF("doc_id", "url"))
+      .select($"doc_id", $"canonical_id", $"n_copies")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(dd(10L) == (10L, 2L) && dd(11L) == (10L, 2L))
+    assert(dd(12L) == (12L, 1L))
+  }
+
+  test("soft dedup weights: mean shingle df and harmonic weight") {
+    import graft.operators.Dedup.softDedupWeights
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "q")
+    ).toDF("doc_id", "text")
+    val r = softDedupWeights(docs, n = 2).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // df: "a b"=2, "b c"=2, "x y"=1, "y z"=1
+    assert(r(1L).getAs[Long]("n_shingles") == 2L)
+    assert(r(1L).getAs[Long]("mean_df_x100") == 200L)
+    assert(r(1L).getAs[Long]("weight_x10000") == 5000L) // appears twice → ½
+    assert(r(2L).getAs[Long]("weight_x10000") == 5000L)
+    assert(r(3L).getAs[Long]("mean_df_x100") == 100L)
+    assert(r(3L).getAs[Long]("weight_x10000") == 10000L) // unique → 1.0
+    assert(r(4L).getAs[Long]("n_shingles") == 0L)
+    assert(r(4L).getAs[Long]("weight_x10000") == 10000L) // shingle-less spine row
+  }
+
   test("rollingMean floors negative rolling sums (DuckDB // semantics, " +
     "not Spark DIV truncation)") {
     import java.sql.Timestamp
