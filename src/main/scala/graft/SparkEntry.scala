@@ -2469,6 +2469,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tok_cnt"), col("cum_tokens"))
         .orderBy(col("doc_id"))),
 
+    // soft-dedup token budgeting: per-source raw vs duplicate-discounted
+    // token mass (Σ wc·weight) — what a mixture planner budgets against
+    // when repeated content is reweighted instead of removed
+    "mix_soft_budget" -> ((s, d) =>
+      operators.Mixing.softTokenBudget(Tables.documents(s, d), cfg.ngramN)
+        .orderBy(col("source"))),
+
     // length-bucketed batches: power-of-two token-length bands, salted-hash
     // batch fill, per-batch padding-waste accounting
     "pack_batches" -> ((s, d) =>
@@ -5723,6 +5730,29 @@ object SparkEntry {
            |SELECT doc_id, source, tok_cnt, cum_tokens::BIGINT AS cum_tokens FROM c
            |WHERE cum_tokens - tok_cnt < CASE source WHEN 'src0' THEN 1200 ELSE 600 END
            |ORDER BY doc_id""".stripMargin,
+
+      // soft-dedup budget: the dedup_soft_weights CTE chain + wc·weight
+      // per-source rollup; ratio by correctly-rounded double division
+      // (both operands < 2^53)
+      "mix_soft_budget" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h
+           |  FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |df AS (SELECT h, count(*)::BIGINT AS df FROM sh GROUP BY h),
+           |agg AS (SELECT sh.doc_id, count(*)::BIGINT AS n_sh, sum(df.df)::BIGINT AS sum_df
+           |  FROM sh JOIN df USING (h) GROUP BY sh.doc_id),
+           |w AS (SELECT d.doc_id AS doc_id, d.source AS source,
+           |    ($wordCnt)::BIGINT AS wc,
+           |    CASE WHEN n_sh IS NULL THEN 10000
+           |      ELSE CAST(floor((10000.0::DOUBLE) * n_sh / sum_df + 0.5) AS BIGINT) END AS wt
+           |  FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id)
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  sum(wc)::BIGINT AS ws_tokens,
+           |  sum(wc * wt)::BIGINT AS eff_tokens_x10000,
+           |  CASE WHEN sum(wc) = 0 THEN 10000
+           |    ELSE CAST(floor((sum(wc * wt)::DOUBLE) / sum(wc)) AS BIGINT) END AS eff_ratio_x10000
+           |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
       // length-banded batches: len(bin(n)) = floor(log2)+1 on both engines
       "pack_batches" ->

@@ -387,6 +387,32 @@ object Mixing {
     * per-source sort is the cost — same posture as exact percentiles; the
     * sketch path would bucket the hash range and binary-search the budget
     * boundary bucket. Output: the kept docs with (tok_cnt, cum_tokens). */
+  /** Per-source EFFECTIVE token mass under soft dedup — the number a
+    * mixture planner should budget against instead of the raw count: each
+    * doc's whitespace tokens are discounted by its
+    * [[Dedup.softDedupWeights]] weight (inverse mean shingle document
+    * frequency), so a source padded with near-identical boilerplate shows
+    * the token volume it would contribute AFTER duplicate-discounting.
+    * `eff_tokens_x10000 = Σ wc·w` stays integer-exact;
+    * `eff_ratio_x10000` (effective/raw) is the per-source redundancy
+    * readout. Plan: the soft-weights subplan + one slim (doc_id, source,
+    * wc) join + one per-source agg — no text in any exchange. */
+  def softTokenBudget(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = Dedup.softDedupWeights(docs, n)
+      .select(col("doc_id"), col("weight_x10000"))
+    docs.select(col("doc_id"), col("source"),
+        wordCount(col("text")).cast("long").as("wc"))
+      .join(w, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("wc")).as("ws_tokens"),
+        sum(col("wc") * col("weight_x10000")).as("eff_tokens_x10000"))
+      .withColumn("eff_ratio_x10000",
+        when(col("ws_tokens") === 0L, lit(10000L))
+          .otherwise(floor(col("eff_tokens_x10000") / col("ws_tokens")))
+          .cast("long"))
+  }
+
   def sampleByTokenBudget(docs: DataFrame, budgetTokens: Map[String, Long],
                           defaultBudget: Long = Long.MaxValue,
                           metric: String = "bpe",

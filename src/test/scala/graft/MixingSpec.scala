@@ -567,4 +567,21 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(skew == math.floor(1000000.0 * maxT * nSh / totT).toLong)
     assert(skew >= 1000000L) // max ≥ mean always
   }
+
+  test("softTokenBudget: duplicated source discounted to half, unique source full") {
+    val docs = Seq(
+      (1L, "a b c d", "srcA"), (2L, "a b c d", "srcA"),
+      (3L, "x y z w", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val r = Mixing.softTokenBudget(docs, n = 3).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // srcA: both docs' shingles have df 2 → weight 5000; wc 4 each
+    assert(r("srcA").getAs[Long]("n_docs") == 2L)
+    assert(r("srcA").getAs[Long]("ws_tokens") == 8L)
+    assert(r("srcA").getAs[Long]("eff_tokens_x10000") == 40000L)
+    assert(r("srcA").getAs[Long]("eff_ratio_x10000") == 5000L)
+    // srcB: unique → full weight
+    assert(r("srcB").getAs[Long]("eff_tokens_x10000") == 40000L)
+    assert(r("srcB").getAs[Long]("eff_ratio_x10000") == 10000L)
+  }
 }

@@ -321,5 +321,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     audit("exactDuplicates", operators.Dedup.exactDuplicates(docs))
     audit("corpusHealth", operators.Summaries.corpusHealth(docs))
     audit("crossSourceDupMatrix", operators.Dedup.crossSourceDupMatrix(docs))
+    // soft dedup: every exchange carries (doc_id, h)-shaped rows, never
+    // the shingle STRING (hashed before the first shuffle) or the text
+    audit("softDedupWeights", operators.Dedup.softDedupWeights(docs, 3))
+  }
+
+  test("softDedupWeights exchanges never carry the shingle string") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = Tables.documents(spark, sfDir)
+    val plan = operators.Dedup.softDedupWeights(docs, 3)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.foreach {
+      case e: ShuffleExchangeExec =>
+        val carried = e.output.map(_.name).toSet
+        assert(!carried.contains("sh") && !carried.contains("toks"),
+          s"exchange ships shingle/token strings (${carried.mkString(",")})")
+      case _ =>
+    }
   }
 }
