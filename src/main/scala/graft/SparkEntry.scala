@@ -2469,6 +2469,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tok_cnt"), col("cum_tokens"))
         .orderBy(col("doc_id"))),
 
+    // largest-remainder (Hamilton) apportionment: whole-token per-source
+    // quotas summing EXACTLY to the budget (10007 chosen indivisible so
+    // the remainder distribution is exercised)
+    "mix_quota" -> ((s, d) =>
+      operators.Mixing.quotaAllocation(Tables.documents(s, d), 10007L)
+        .orderBy(col("source"))),
+
     // soft-dedup token budgeting: per-source raw vs duplicate-discounted
     // token mass (Σ wc·weight) — what a mixture planner budgets against
     // when repeated content is reweighted instead of removed
@@ -5730,6 +5737,24 @@ object SparkEntry {
            |SELECT doc_id, source, tok_cnt, cum_tokens::BIGINT AS cum_tokens FROM c
            |WHERE cum_tokens - tok_cnt < CASE source WHEN 'src0' THEN 1200 ELSE 600 END
            |ORDER BY doc_id""".stripMargin,
+
+      // Hamilton apportionment: floor quotas + one unit to the largest
+      // remainders; integer // and % make both engines bit-identical
+      "mix_quota" ->
+        s"""WITH b AS (SELECT source,
+           |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS tok_cnt
+           |  FROM documents),
+           |c AS (SELECT source, sum(tok_cnt)::BIGINT AS tokens FROM b GROUP BY source),
+           |t AS (SELECT sum(tokens)::BIGINT AS tot FROM c),
+           |f AS (SELECT source, tokens,
+           |    (10007 * tokens) // tot AS fq, (10007 * tokens) % tot AS rem,
+           |    CAST(floor((10000.0::DOUBLE) * tokens / tot) AS BIGINT) AS share_x10000
+           |  FROM c, t),
+           |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+           |    sum(fq) OVER () AS sfq FROM f)
+           |SELECT source, tokens, share_x10000,
+           |  (fq + CASE WHEN rk <= 10007 - sfq THEN 1 ELSE 0 END)::BIGINT AS quota_tokens
+           |FROM r ORDER BY source""".stripMargin,
 
       // soft-dedup budget: the dedup_soft_weights CTE chain + wc·weight
       // per-source rollup; ratio by correctly-rounded double division

@@ -132,6 +132,36 @@ object Mixing {
           greatest(col("tokens"), lit(1L))).cast("long").as("epochs_x10000"))
   }
 
+  /** Largest-remainder (Hamilton) quota allocation — the integer-exact
+    * way to turn fractional mixture shares into whole-token quotas that
+    * sum EXACTLY to the budget. `⌊B·tᵢ/T⌋` under-allocates by
+    * `B − Σ⌊⌋ < m` units; those go one each to the sources with the
+    * largest remainders `(B·tᵢ) mod T` (ties broken by source name), the
+    * apportionment rule that never strands or smears budget the way a
+    * per-source rounding would. Complements [[epochPlan]] (temperature
+    * shares, remainder left visible) and [[unimaxPlan]] (uniform
+    * waterfilling): same one-pass per-source aggregate, windows only over
+    * the bounded source list. `B·tᵢ` must fit int64 (B ≤ ~9e18/Σt). */
+  def quotaAllocation(docs: DataFrame, budgetTokens: Long,
+                      metric: String = "bpe"): DataFrame = {
+    require(budgetTokens >= 1, "budget must be positive")
+    val counts = docs.select(col("source"), tokenMetric(metric).as("tok_cnt"))
+      .groupBy(col("source")).agg(sum(col("tok_cnt")).as("tokens"))
+    val tot = counts.agg(sum(col("tokens")).as("tot"))
+    val ord = Window.orderBy(col("rem").desc, col("source"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("fq", expr(s"(${budgetTokens}L * tokens) DIV tot"))
+      .withColumn("rem", expr(s"(${budgetTokens}L * tokens) % tot"))
+      .withColumn("share_x10000",
+        floor(lit(10000.0) * col("tokens") / col("tot")).cast("long"))
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("sfq", sum(col("fq")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source"), col("tokens"), col("share_x10000"),
+        (col("fq") + when(col("rk") <= lit(budgetTokens) - col("sfq"), 1L)
+          .otherwise(0L)).as("quota_tokens"))
+  }
+
   /** UniMax budget allocation (after Chung et al. 2023, "UniMax: Fairer
     * and More Effective Language Sampling"): spread the token budget
     * UNIFORMLY across sources, capped at `maxEpochs` passes of each

@@ -107,9 +107,20 @@ object ScaleUp {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val embReps = (0 until copies).map { k =>
       if (k == 0) emb
-      else emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-        concat(slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), 1, k)).as("embedding"), col("label"))
+      else {
+        // rotation index wraps past dim (copies can exceed the 64-dim
+        // space); wrapped generations negate all components so a
+        // rotation-twin pair (k1 ≡ k2 mod dim) has cosine −1, never a
+        // spurious cross-copy near-dup
+        val r = k % dim
+        val rot =
+          if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r))
+        val e = if ((k / dim) % 2 == 1) transform(rot, x => -x) else rot
+        emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          e.as("embedding"), col("label"))
+      }
     }.reduce(_ unionByName _)
     embReps.repartition(8).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")

@@ -568,6 +568,32 @@ class MixingSpec extends AnyFunSuite with SparkSpec {
     assert(skew >= 1000000L) // max ≥ mean always
   }
 
+  test("quotaAllocation: quotas sum exactly to the budget; largest " +
+    "remainders get the extra units") {
+    // ws tokens: a=3, b=3, c=4 (T=10); B=11 → floor quotas 3,3,4 (Σ=10),
+    // remainders (11·t) mod 10 = 3,3,4 → the single extra unit goes to c
+    val docs = Seq(
+      (1L, "w1 w2 w3", "a"), (2L, "w1 w2 w3", "b"), (3L, "w1 w2 w3 w4", "c"))
+      .toDF("doc_id", "text", "source")
+    val r = Mixing.quotaAllocation(docs, 11L, metric = "ws").collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("quota_tokens")).toMap
+    assert(r == Map("a" -> 3L, "b" -> 3L, "c" -> 5L))
+    assert(r.values.sum == 11L)
+    // tie-break: B=10, T=10 → exact thirds impossible; all remainders 0,
+    // quotas are the exact proportional integers, no extras
+    val r2 = Mixing.quotaAllocation(docs, 10L, metric = "ws").collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("quota_tokens")).toMap
+    assert(r2 == Map("a" -> 3L, "b" -> 3L, "c" -> 4L))
+    // remainder ties broken by source name: B=7, T=10 → floors 2,2,2
+    // (Σ=6), remainders 1,1,8 → extra to c... craft a true tie instead:
+    // sources a,b identical (rem equal) and one extra unit → 'a' wins
+    val docs2 = Seq((1L, "w1 w2", "a"), (2L, "w1 w2", "b"))
+      .toDF("doc_id", "text", "source")
+    val r3 = Mixing.quotaAllocation(docs2, 3L, metric = "ws").collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("quota_tokens")).toMap
+    assert(r3 == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("softTokenBudget: duplicated source discounted to half, unique source full") {
     val docs = Seq(
       (1L, "a b c d", "srcA"), (2L, "a b c d", "srcA"),
