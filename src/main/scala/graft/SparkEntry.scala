@@ -1255,6 +1255,14 @@ object SparkEntry {
       operators.Dedup.simhashPairs(Tables.documents(s, d), cfg.simhashMaxHamming)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // the 60-bit scale-path sibling: same hamming<=3 semantics, 15-bit
+    // bands cut random band collisions 128x (32-bit/8-bit banding is
+    // quadratic-prone past ~100k docs — measured at sf10-syn)
+    "dedup_simhash60" -> ((s, d) =>
+      operators.Dedup.simhashPairs60(Tables.documents(s, d),
+          cfg.simhashMaxHamming)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // threshold 0.4 is below the quadratic-safe floor — the explicit opt-in
     // is the point: this query demonstrates the all-pairs regime knowingly
     "dedup_embedding" -> ((s, d) =>
@@ -4945,6 +4953,29 @@ object SparkEntry {
            |  FROM bits GROUP BY doc_id),
            |banded AS (SELECT doc_id, simhash, j,
            |    CAST(floor(simhash / power(2, j * 8)) AS BIGINT) % 256 AS bkey
+           |  FROM sim CROSS JOIN range(0, 4) r(j)),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
+           |    y.doc_id AS doc_b, y.simhash AS sim_b
+           |  FROM banded x JOIN banded y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+           |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+      // the 60-bit sibling: dual-fold token hash, exact integer bit ops
+      // (the 32-bit oracle's floor(h/2^b) double path would lose low bits
+      // past 2^53), 15-bit shift/mask bands
+      "dedup_simhash60" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+           |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM tok GROUP BY doc_id, tok),
+           |th AS (SELECT doc_id, cnt, (${poly2("tok")}) AS h FROM tc),
+           |bits AS (SELECT doc_id, b,
+           |    sum(cnt * (((h >> b) & 1) * 2 - 1)) AS s
+           |  FROM th CROSS JOIN range(0, 60) r(b) GROUP BY doc_id, b),
+           |sim AS (SELECT doc_id,
+           |    sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+           |  FROM bits GROUP BY doc_id),
+           |banded AS (SELECT doc_id, simhash, j,
+           |    (simhash >> (15 * j)::INT) & 32767 AS bkey
            |  FROM sim CROSS JOIN range(0, 4) r(j)),
            |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
            |    y.doc_id AS doc_b, y.simhash AS sim_b

@@ -481,6 +481,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** 60-bit SimHash table — the SCALE-PATH fingerprint width. The 32-bit
+    * table's 8-bit blocking bands collide RANDOMLY at
+    * `E[pairs] ≈ 4·n²/2·2⁻⁸`: negligible at eval scale, ~2×10⁹ spurious
+    * candidates at n = 500k (measured 178 s at sf10-syn), quadratic at
+    * 100 TB. Widening to a 60-bit fingerprint (token hash = the dual-fold
+    * [[graft.functions.TextFunctions.contentHash]], ~2⁶⁰ space) with
+    * 15-bit bands cuts random band collisions 128× while keeping the
+    * pigeonhole guarantee (hamming ≤ 3 over 4 bands → ≥ 1 band clean →
+    * 100% recall). Same one-buffer [[graft.plans.SimHashAgg]] pass,
+    * `bits = 60`. */
+  def simhashTable60(docs: DataFrame): DataFrame =
+    explodeTokens(docs, "tok", "doc_id")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", contentHash(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(graft.plans.SimHashAgg.simhashAgg(col("h"), col("cnt"), 60)
+        .as("simhash"))
+
+  /** SimHash near-dup pairs over the 60-bit fingerprint: block on the 4
+    * 15-bit bands, verify exact hamming — [[simhashPairs]]' semantics at
+    * the blocking width a web-scale corpus needs. */
+  def simhashPairs60(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val st = simhashTable60(docs)
+    val banded = st.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("bkey",
+        expr("shiftright(simhash, CAST(j * 15 AS INT)) & 32767"))
+    val cand = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("sim_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Order-fixed dot product over double arrays — bit-identical to DuckDB's
     * sequential `list_dot_product`. Codegen'd custom expression
     * ([[graft.plans.DotProductExpr]]); the equivalent (interpreted) built-in

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** One-pass 32-bit SimHash aggregate over (token-hash, weight) rows.
+/** One-pass SimHash aggregate over (token-hash, weight) rows (`bits`-wide
+  * fingerprint, default 32).
   *
   * Replaces the relational formulation (explode 32 bit-positions → per-bit
   * integer vote → re-group) with a `TypedImperativeAggregate` holding the 32
@@ -20,6 +21,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * still matches bit-for-bit.
   */
 case class SimHashAgg(hash: Expression, weight: Expression,
+                      bits: Int = 32,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
@@ -31,7 +33,7 @@ case class SimHashAgg(hash: Expression, weight: Expression,
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](32)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bits)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val h = hash.eval(input)
@@ -40,7 +42,7 @@ case class SimHashAgg(hash: Expression, weight: Expression,
       val hv = h.asInstanceOf[Long]
       val wv = w.asInstanceOf[Long]
       var b = 0
-      while (b < 32) {
+      while (b < bits) {
         buf(b) += wv * (((hv >> b) & 1L) * 2L - 1L)
         b += 1
       }
@@ -50,26 +52,26 @@ case class SimHashAgg(hash: Expression, weight: Expression,
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var b = 0
-    while (b < 32) { b1(b) += b2(b); b += 1 }
+    while (b < bits) { b1(b) += b2(b); b += 1 }
     b1
   }
 
   override def eval(buf: Array[Long]): Any = {
     var sim = 0L
     var b = 0
-    while (b < 32) { if (buf(b) > 0) sim |= (1L << b); b += 1 }
+    while (b < bits) { if (buf(b) > 0) sim |= (1L << b); b += 1 }
     sim
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(32 * 8)
+    val bb = ByteBuffer.allocate(bits * 8)
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(32)(bb.getLong)
+    Array.fill(bits)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
@@ -81,9 +83,12 @@ case class SimHashAgg(hash: Expression, weight: Expression,
 }
 
 object SimHashAgg {
-  /** Column form: `simhashAgg(tokenHash, weight)` inside a groupBy.agg. */
-  def simhashAgg(hash: Column, weight: Column): Column =
+  /** Column form: `simhashAgg(tokenHash, weight)` inside a groupBy.agg.
+    * `bits` is the fingerprint width: 32 (default, byte bands) or up to
+    * 63 — [[graft.operators.Dedup.simhashTable60]] uses 60 over the
+    * dual-fold token hash, the 100 TB blocking width. */
+  def simhashAgg(hash: Column, weight: Column, bits: Int = 32): Column =
     GraftColumnBridge.column(
       SimHashAgg(GraftColumnBridge.expression(hash),
-        GraftColumnBridge.expression(weight)).toAggregateExpression())
+        GraftColumnBridge.expression(weight), bits).toAggregateExpression())
 }

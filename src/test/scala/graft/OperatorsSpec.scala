@@ -342,6 +342,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("simhash60: identical docs pair at hamming 0; one-token edit stays " +
+    "within the banded recall; fingerprints use the high bits") {
+    val a = "one two three four five six seven eight nine ten"
+    val got = Dedup.simhashPairs60(docsDF(1L -> a, 2L -> a), maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0L)))
+    // the 60-bit fingerprint actually spreads past bit 31 (the point of
+    // the widening): some doc's simhash must exceed 2^32
+    val sims = Dedup.simhashTable60(Tables.documents(spark, sfDir).limit(50))
+      .select(max(col("simhash"))).head().getLong(0)
+    assert(sims > (1L << 32), s"60-bit simhash never used high bits: $sims")
+    // banding recall sanity: a pair within hamming<=3 of each other (one
+    // rare token swapped in a long doc) is found by the 15-bit bands iff
+    // its true hamming <= 3 — verify against the exact distance
+    val b = a + " eleven twelve thirteen fourteen fifteen"
+    val c = a + " eleven twelve thirteen fourteen sixteen"
+    val pairs = Dedup.simhashPairs60(docsDF(1L -> b, 2L -> c), maxHamming = 60)
+      .as[(Long, Long, Long)].collect()
+    val exact = {
+      val t = Dedup.simhashTable60(docsDF(1L -> b, 2L -> c))
+        .orderBy("doc_id").select("simhash").as[Long].collect()
+      java.lang.Long.bitCount(t(0) ^ t(1)).toLong
+    }
+    if (exact <= 3) assert(pairs.map(_._3).toSeq == Seq(exact))
+    else assert(pairs.isEmpty || pairs.head._3 == exact)
+  }
+
   test("embedding near-dup flags an identical vector pair at cos=1") {
     val emb = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f), 0),
