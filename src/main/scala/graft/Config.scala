@@ -39,6 +39,12 @@ case class GraftConfig(
     lshTables: Int = 8,
     embeddingDim: Int = 64,
     minCosX1000000: Long = 900000L,
+    // ANN-candidate bitext mining: coarse-cell count = 2^planes, cells
+    // probed per query = nProbe. Candidates per probe are ~n/2^planes, so
+    // at 100 TB planes must GROW with log2(n) to hold the per-probe
+    // candidate count constant - the measured sf10-syn knob (README)
+    bitextPlanes: Int = 4,
+    bitextNProbe: Int = 4,
     // similarity search
     annQueries: Int = 10,
     annK: Int = 5,
@@ -151,6 +157,8 @@ object GraftConfig {
       lshTables = i("embedding.lsh_tables", d.lshTables),
       embeddingDim = i("embedding.dim", d.embeddingDim),
       minCosX1000000 = l("embedding.min_cos_x1000000", d.minCosX1000000),
+      bitextPlanes = i("bitext.planes", d.bitextPlanes),
+      bitextNProbe = i("bitext.n_probe", d.bitextNProbe),
       annQueries = i("ann.queries", d.annQueries),
       annK = i("ann.k", d.annK),
       ivfTrainFraction = dbl("ann.ivf_train_fraction", d.ivfTrainFraction),

@@ -668,7 +668,8 @@ object SparkEntry {
     "mine_bitext_ann" -> ((s, d) =>
       operators.Similarity.bitextMineAnn(Tables.documents(s, d),
           Tables.embeddings(s, d), "en", "de", k = 4,
-          minMarginX1000000 = 1000000L)
+          minMarginX1000000 = 1000000L,
+          planes = cfg.bitextPlanes, nProbe = cfg.bitextNProbe)
         .orderBy(col("src_id"))),
 
     // ---- published web-curation filter families (Gopher + C4) ----

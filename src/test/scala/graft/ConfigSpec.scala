@@ -61,6 +61,14 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.annK == GraftConfig.default.annK)
   }
 
+  test("bitext ANN cell/probe knobs parse; defaults match the eval-scale oracle") {
+    val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(Seq(
+      "bitext:", "  planes: 10", "  n_probe: 8")))
+    assert(c.bitextPlanes == 10 && c.bitextNProbe == 8)
+    assert(GraftConfig.default.bitextPlanes == 4 &&
+      GraftConfig.default.bitextNProbe == 4)
+  }
+
   test("curation thresholds parse from the curation section; defaults are paper-exact") {
     val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(Seq(
       "curation:",
