@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "mix_importance" -> "one-row (n_tgt, n_raw) totals ride along broadcast",
     "mix_epoch_plan" -> "one-row totals aggregate rides along broadcast",
     "mix_unimax" -> "one-row (m, fill-level) aggregates ride along broadcast",
+    "mix_quota" -> "one-row token-total aggregate rides along broadcast",
     "ver_drift" -> "token-total one-row aggregate rides along broadcast",
     "ta_pmi" -> "one-row bigram-total aggregate rides along broadcast",
     "a17_cms_counts" -> "one-row CMS sketch rides along broadcast",
