@@ -31,6 +31,10 @@ case class GraftConfig(
     // dedup suite
     ngramN: Int = 3,
     minJaccardX10000: Long = 5000L,
+    // hot-shingle document-frequency cap for the exact pair join
+    // (0 = uncapped, the oracle-exact default); the standard candidate-
+    // pruning lever when boilerplate shingles blow up the inverted index
+    ngramDocFreqCap: Int = 0,
     minhashK: Int = 16,
     minhashBands: Int = 4,
     minEstJaccardX100: Long = 50L,
@@ -152,6 +156,7 @@ object GraftConfig {
       minhashK = i("dedup.minhash_k", d.minhashK),
       minhashBands = i("dedup.minhash_bands", d.minhashBands),
       minEstJaccardX100 = l("dedup.min_est_jaccard_x100", d.minEstJaccardX100),
+      ngramDocFreqCap = i("dedup.ngram_df_cap", d.ngramDocFreqCap),
       simhashMaxHamming = i("dedup.simhash_max_hamming", d.simhashMaxHamming),
       lshPlanes = i("embedding.lsh_planes", d.lshPlanes),
       lshTables = i("embedding.lsh_tables", d.lshTables),

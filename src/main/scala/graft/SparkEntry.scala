@@ -926,7 +926,10 @@ object SparkEntry {
     }),
 
     "dedup_ngram" -> ((s, d) =>
-      operators.Dedup.ngramJaccardPairs(Tables.documents(s, d), cfg.ngramN, cfg.minJaccardX10000)
+      operators.Dedup.ngramJaccardPairs(Tables.documents(s, d), cfg.ngramN,
+          cfg.minJaccardX10000,
+          docFreqCap =
+            if (cfg.ngramDocFreqCap > 0) Some(cfg.ngramDocFreqCap) else None)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // the near-dup pair graph as a persisted artifact (the sim_bm25_index

@@ -69,6 +69,13 @@ class ConfigSpec extends AnyFunSuite {
       GraftConfig.default.bitextNProbe == 4)
   }
 
+  test("ngram df-cap knob parses; default 0 (uncapped) keeps the oracle exact") {
+    val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(Seq(
+      "dedup:", "  ngram_df_cap: 500")))
+    assert(c.ngramDocFreqCap == 500)
+    assert(GraftConfig.default.ngramDocFreqCap == 0)
+  }
+
   test("curation thresholds parse from the curation section; defaults are paper-exact") {
     val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(Seq(
       "curation:",
