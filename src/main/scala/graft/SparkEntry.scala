@@ -638,6 +638,15 @@ object SparkEntry {
     "q22_idle_accounts" -> ((s, d) =>
       Relational.idleAccounts(s, d).orderBy(col("c_mktsegment"))),
 
+    // TPC-H Q20 shape: correlated-aggregate IN-subquery chain decorrelated
+    // into colocated partkey aggs + rational compare + LEFT SEMI to the dim
+    "q20_dominant_share" -> ((s, d) =>
+      Relational.dominantShareSuppliers(s, d)),
+
+    // TPC-H Q21 shape: EXISTS + NOT-EXISTS self-joins answered by ONE
+    // per-order aggregate (n_supp, n_fault_supp) instead of two shuffles
+    "q21_sole_fault" -> ((s, d) => Relational.soleFaultSuppliers(s, d)),
+
     // source-centroid cosine matrix: distribution-level near-dup sources
     // (cos of exact per-source SUM vectors — the /n cancels)
     "ann_source_matrix" -> ((s, d) =>
@@ -3742,6 +3751,40 @@ object SparkEntry {
           |SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
           |  sum(bal_x100)::BIGINT AS balance_x100
           |FROM q GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+      // Q20 replay: the CLASSIC nested-IN subquery form — the engine's
+      // decorrelated colocated-agg plan must reproduce it exactly
+      "q20_dominant_share" ->
+        """SELECT s.s_suppkey, s.s_name, n.n_name
+          |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |WHERE n.n_name IN ('NATION_3', 'NATION_7')
+          |  AND s.s_suppkey IN (
+          |    SELECT sp.l_suppkey FROM
+          |      (SELECT l_suppkey, l_partkey,
+          |          sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))::BIGINT AS sq
+          |        FROM lineitem GROUP BY 1, 2) sp
+          |      JOIN (SELECT l_partkey,
+          |          sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))::BIGINT AS tq,
+          |          count(DISTINCT l_suppkey)::BIGINT AS n_supp
+          |        FROM lineitem GROUP BY 1) tp ON sp.l_partkey = tp.l_partkey
+          |      JOIN part p ON p.p_partkey = sp.l_partkey
+          |    WHERE p.p_name LIKE 'red%' AND sp.sq * tp.n_supp > 2 * tp.tq)
+          |ORDER BY s_name""".stripMargin,
+
+      // Q21 replay: the CLASSIC correlated EXISTS + NOT-EXISTS double
+      // self-join — the engine answers both with one per-order aggregate
+      "q21_sole_fault" ->
+        """SELECT s_name, count(*)::BIGINT AS numwait
+          |FROM supplier, lineitem l1, orders
+          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
       // source-centroid cosines: exact per-source sum vectors (the /n
       // cancels out of the cosine), IEEE-sqrt finish

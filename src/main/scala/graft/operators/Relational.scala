@@ -618,4 +618,86 @@ object Relational {
         .drop(s"$y")
     }
   }
+
+  /** TPC-H Q21-shaped SOLE-FAULT supplier report: suppliers whose returned
+    * (`l_returnflag = 'R'`) item sits on a finished (`'F'`) multi-supplier
+    * order where NO other supplier's item was returned — the classic
+    * EXISTS + NOT-EXISTS double self-join on the fact table, decorrelated.
+    * (The testdata carries no commit/receipt dates, so "returned" stands in
+    * for TPC-H's late-delivery marker; the plan shape is Q21's.)
+    *
+    * Instead of two correlated self-joins (each a second full lineitem
+    * shuffle probed per outer row), ONE per-order aggregate computes both
+    * subquery answers at once: `n_supp` (distinct suppliers on the order —
+    * EXISTS ⇔ ≥ 2) and `n_fault_supp` (distinct suppliers with a returned
+    * item — NOT EXISTS another ⇔ exactly 1, which must then be this row's
+    * supplier since the outer row itself is at fault). The fact table is
+    * scanned twice and shuffled on `l_orderkey` twice (once per aggregate
+    * grain), never joined to itself row-to-row; qualifying orders join back
+    * broadcast-size after both filters. Top-k via TakeOrderedAndProject. */
+  def soleFaultSuppliers(spark: SparkSession, dir: String,
+                         k: Int = 100): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val perOrder = l.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_fault_supp"))
+      .where(col("n_supp") >= 2 && col("n_fault_supp") === 1)
+    val finished = Tables.orders(spark, dir)
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    l.where(col("l_returnflag") === "R")
+      .join(perOrder, Seq("l_orderkey"))
+      .join(finished, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
+  /** TPC-H Q20-shaped DOMINANT-SHARE supplier semi-join: suppliers in the
+    * given nations who ship a disproportionate share of some pattern-matched
+    * part — the correlated-aggregate IN-subquery chain, decorrelated. (The
+    * testdata has no `partsupp`, so the supplied-quantity ledger is the
+    * lineitem history itself and "disproportionate" is share > 2× the
+    * per-supplier fair share; the plan shape — per-part totals, per-
+    * (supplier, part) totals, rational compare, distinct semi-join up to the
+    * dimension — is Q20's.)
+    *
+    * The comparison is EXACT rational integer arithmetic
+    * (`sq · n_supp > 2 · tq`), so no average or ratio is ever materialized.
+    * Both aggregates shuffle on the part key and join colocated; the part
+    * pattern filter prunes the broadcast dim BEFORE the join; the qualifying
+    * supplier set reaches the supplier dim as a LEFT SEMI join (no
+    * duplicate-row blowup, no distinct afterwards). */
+  def dominantShareSuppliers(spark: SparkSession, dir: String,
+                             nations: Seq[String] = Seq("NATION_3", "NATION_7"),
+                             partPattern: String = "red%"): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        fx(col("l_quantity"), 100L).as("qx100"))
+    val perSuppPart = l.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("qx100")).as("sq"))
+    val perPart = l.groupBy(col("l_partkey"))
+      .agg(sum(col("qx100")).as("tq"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+    val qualifying = perSuppPart
+      .join(perPart, Seq("l_partkey"))
+      .join(broadcast(Tables.part(spark, dir)
+        .where(col("p_name").like(partPattern)).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(col("sq") * col("n_supp") > lit(2L) * col("tq"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .where(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
 }

@@ -2742,4 +2742,52 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       (7L, 2L, 512L, 3L, 1068L)))  // last partial window keeps its true count
     assert(got.map(_._4).sum == 515L) // windows tile: no overlap, no gap
   }
+
+  test("Q21 sole-fault: one per-order agg answers EXISTS + NOT-EXISTS exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q21").toString
+    // order 1 (F): supp1 at fault, supp2 clean        -> supp1 counts once
+    // order 2 (F): both at fault                      -> NOT EXISTS fails
+    // order 3 (F): single-supplier order              -> EXISTS fails
+    // order 4 (O): not finished                       -> status filter
+    // order 5 (F): supp2 at fault TWICE + supp3 clean -> supp2 counts twice
+    Seq((1L, 1L, "R"), (1L, 2L, "N"),
+        (2L, 1L, "R"), (2L, 2L, "R"),
+        (3L, 1L, "R"),
+        (4L, 1L, "R"), (4L, 2L, "N"),
+        (5L, 2L, "R"), (5L, 2L, "R"), (5L, 3L, "N"))
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "F"), (2L, "F"), (3L, "F"), (4L, "O"), (5L, "F"))
+      .toDF("o_orderkey", "o_orderstatus").write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "SuppA"), (2L, "SuppB"), (3L, "SuppC"))
+      .toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
+    val got = Relational.soleFaultSuppliers(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("SuppB" -> 2L, "SuppA" -> 1L)) // numwait desc, name asc
+  }
+
+  test("Q20 dominant-share: rational share compare + pattern + nation prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q20").toString
+    // part 1 (red): supp1 ships 10 of 12 over 3 suppliers -> 10*3 > 2*12 ✓
+    // part 2 (blue): supp4 is sole supplier -> sq*1 > 2*sq is false AND the
+    //   pattern excludes it; part 3 (red): supp6 dominates but sits in a
+    //   nation outside the filter
+    Seq((1L, 1L, 10.0), (1L, 2L, 1.0), (1L, 3L, 1.0),
+        (2L, 4L, 100.0),
+        (3L, 6L, 10.0), (3L, 7L, 1.0), (3L, 8L, 1.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "red widget"), (2L, "blue bolt"), (3L, "red gear"))
+      .toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
+    Seq((1L, "SuppA", 3L), (2L, "SuppB", 3L), (3L, "SuppC", 7L),
+        (4L, "SuppD", 3L), (6L, "SuppF", 9L), (7L, "SuppG", 9L),
+        (8L, "SuppH", 9L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((3L, "NATION_3"), (7L, "NATION_7"), (9L, "NATION_9"))
+      .toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
+    val got = Relational.dominantShareSuppliers(spark, dir)
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "SuppA", "NATION_3")))
+  }
 }
