@@ -149,6 +149,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"semi join must not be emulated via distinct+inner:\n$plan")
   }
 
+  test("Q21 answers EXISTS + NOT-EXISTS with ONE per-order aggregate — " +
+    "no fact-table self-join, top-k via TakeOrderedAndProject") {
+    val plan = operators.Relational.soleFaultSuppliers(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the decorrelation scans lineitem twice (fault rows + per-order agg)
+    // but must never join it to itself row-to-row on a non-equi condition
+    assert(!plan.contains("NestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"correlated subqueries must decorrelate to the per-order agg:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"supplier top-k must be per-partition heaps + driver merge:\n$plan")
+  }
+
+  test("Q20 reaches the supplier dim as a LEFT SEMI join — no " +
+    "distinct-then-inner duplicate-row blowup") {
+    val plan = operators.Relational.dominantShareSuppliers(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"the qualifying-supplier IN must plan as a semi join:\n$plan")
+  }
+
   test("contrastiveTriplets joins pairs against a top-3-per-bucket " +
     "candidate table, not the whole bucketed corpus") {
     import spark.implicits._
