@@ -52,6 +52,11 @@ case class GraftConfig(
     // similarity search
     annQueries: Int = 10,
     annK: Int = 5,
+    // lexical retrieval (TF-IDF / BM25): postings document-frequency cap —
+    // the inverted-index fan-out bound (Σ df over query terms). The
+    // default is the oracle-exact 1000; on a real corpus scale it like
+    // n/2 (runbook table)
+    retrievalMaxDf: Long = 1000L,
     // IVF coarse-quantizer training sample — k-means iterates over its
     // input, so at scale the quantizer is fit on a corpus subset (cell
     // ASSIGNMENT still covers every vector); 1.0 = train on everything
@@ -166,6 +171,7 @@ object GraftConfig {
       bitextNProbe = i("bitext.n_probe", d.bitextNProbe),
       annQueries = i("ann.queries", d.annQueries),
       annK = i("ann.k", d.annK),
+      retrievalMaxDf = l("retrieval.max_df", d.retrievalMaxDf),
       ivfTrainFraction = dbl("ann.ivf_train_fraction", d.ivfTrainFraction),
       splitTrainPct = i("mix.train_pct", d.splitTrainPct),
       splitValPct = i("mix.val_pct", d.splitValPct),

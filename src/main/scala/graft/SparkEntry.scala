@@ -1482,7 +1482,8 @@ object SparkEntry {
     // cosine over 3-gram shingles (inverted-index self-join, df-capped) —
     // the text-side sibling of the dense-embedding tiers above
     "sim_tfidf" -> ((s, d) =>
-      operators.Similarity.tfidfNeighbors(Tables.documents(s, d), 3)
+      operators.Similarity.tfidfNeighbors(Tables.documents(s, d), 3,
+          maxDf = cfg.retrievalMaxDf)
         .orderBy(col("doc_id"), col("rank"))),
 
     // embedding-free ANN: feature-hashed (hashing-trick) 64-dim signed
@@ -2538,7 +2539,8 @@ object SparkEntry {
     // index, fixed-point integer scoring, df-capped postings
     "sim_bm25" -> ((s, d) =>
       operators.Similarity.bm25TopK(Tables.documents(s, d),
-          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+          maxDf = cfg.retrievalMaxDf)
         .orderBy(col("query_id"), col("rank"))),
 
     // snippet extraction: the 10-token window with the most query-term
@@ -2553,7 +2555,8 @@ object SparkEntry {
     // once, query without touching the corpus — must equal sim_bm25 exactly
     "sim_bm25_index" -> ((s, d) => {
       val dir = stagedDir("bm25", d, "v1", fresh = true)
-      operators.Similarity.buildBm25Index(Tables.documents(s, d), dir)
+      operators.Similarity.buildBm25Index(Tables.documents(s, d), dir,
+        maxDf = cfg.retrievalMaxDf)
       operators.Similarity.bm25QueryIndex(s, dir,
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -2564,7 +2567,8 @@ object SparkEntry {
     "sim_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val lex = operators.Similarity.bm25TopK(docs,
-          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+          maxDf = cfg.retrievalMaxDf)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val vec = operators.Similarity.hashedNeighbors(docs, nQueries = 5, k = 10)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))

@@ -76,6 +76,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(GraftConfig.default.ngramDocFreqCap == 0)
   }
 
+  test("retrieval max-df knob parses; default is the oracle-exact 1000") {
+    val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(Seq(
+      "retrieval:", "  max_df: 250000")))
+    assert(c.retrievalMaxDf == 250000L)
+    assert(GraftConfig.default.retrievalMaxDf == 1000L)
+  }
+
   test("curation thresholds parse from the curation section; defaults are paper-exact") {
     val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(Seq(
       "curation:",
