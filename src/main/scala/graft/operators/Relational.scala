@@ -631,18 +631,25 @@ object Relational {
     * subquery answers at once: `n_supp` (distinct suppliers on the order —
     * EXISTS ⇔ ≥ 2) and `n_fault_supp` (distinct suppliers with a returned
     * item — NOT EXISTS another ⇔ exactly 1, which must then be this row's
-    * supplier since the outer row itself is at fault). The fact table is
-    * scanned twice and shuffled on `l_orderkey` twice (once per aggregate
-    * grain), never joined to itself row-to-row; qualifying orders join back
-    * broadcast-size after both filters. Top-k via TakeOrderedAndProject. */
+    * supplier since the outer row itself is at fault). The aggregate runs
+    * at the (order, supplier) grain first (map-side combinable, ≤ one
+    * shuffle row per pair) with the per-order counts from a near-free
+    * second agg; the fact table is never joined to itself row-to-row, and
+    * qualifying orders join back broadcast-size after both filters. Top-k
+    * via TakeOrderedAndProject. */
   def soleFaultSuppliers(spark: SparkSession, dir: String,
                          k: Int = 100): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    val perOrder = l.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_fault_supp"))
+    // (order, supplier) grain first — map-side combinable, so the shuffle
+    // carries at most one row per pair; the per-order counts then come
+    // from a near-free second agg. A direct double countDistinct would
+    // Expand the fact table 2× into its shuffle instead.
+    val perOrder = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("fault"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("fault")).as("n_fault_supp"))
       .where(col("n_supp") >= 2 && col("n_fault_supp") === 1)
     val finished = Tables.orders(spark, dir)
       .where(col("o_orderstatus") === "F")
@@ -682,9 +689,11 @@ object Relational {
         fx(col("l_quantity"), 100L).as("qx100"))
     val perSuppPart = l.groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("qx100")).as("sq"))
-    val perPart = l.groupBy(col("l_partkey"))
-      .agg(sum(col("qx100")).as("tq"),
-        countDistinct(col("l_suppkey")).as("n_supp"))
+    // per-part totals DERIVE from the per-(supplier, part) grain — one
+    // fact scan feeds both aggregates, and the distinct-supplier count is
+    // a plain count over the finer grain (no countDistinct Expand)
+    val perPart = perSuppPart.groupBy(col("l_partkey"))
+      .agg(sum(col("sq")).as("tq"), count(lit(1)).as("n_supp"))
     val qualifying = perSuppPart
       .join(perPart, Seq("l_partkey"))
       .join(broadcast(Tables.part(spark, dir)
