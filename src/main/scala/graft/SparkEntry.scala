@@ -743,6 +743,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source template line strip: a 10-token per-source nav header is
+    // planted on every even doc_id (50% df ≫ the 20% bar), chunk-aligned
+    // as line 0 — the strip must remove it from EVERY planted doc of the
+    // source (plus any organically frequent line) while the same line
+    // under another source's threshold survives. One (source, hash)
+    // exchange; the rewrite is map-only behind a broadcast strip set
+    "web_template_strip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"), col("source"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("source"),
+            lit(" portal navigation header menu about contact terms privacy copyright "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      operators.WebCuration.templateLineStrip(planted)
+        .orderBy(col("doc_id"))
+    }),
+
     // SOFT dedup: keep every doc, weight it by 1/mean shingle document
     // frequency — repeated content contributes ~once in expectation
     // without the hard-dedup cliff. Exchanges carry only (doc_id, h)
@@ -4095,6 +4113,37 @@ object SparkEntry {
            |  min(doc_id) OVER (PARTITION BY canon_url) AS canonical_id,
            |  count(*) OVER (PARTITION BY canon_url)::BIGINT AS n_copies
            |FROM c ORDER BY doc_id""".stripMargin,
+
+      // template line strip: same planting, same fixed-width chunking as
+      // the dedup_lines oracle, per-source doc-frequency bar (>=2 docs AND
+      // >=20% of the source), boilerplate removed everywhere and docs
+      // reassembled in line order. The oracle keys on the line STRING
+      // while Spark keys on its content hash — collision-free agreement is
+      // exactly what the cross-check certifies
+      "web_template_strip" ->
+        s"""WITH base AS (SELECT doc_id, source,
+           |  CASE WHEN doc_id % 2 = 0
+           |    THEN source || ' portal navigation header menu about contact terms privacy copyright ' || text
+           |    ELSE text END AS text FROM documents),
+           |t AS (SELECT doc_id, source,
+           |  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks FROM base),
+           |l0 AS (SELECT doc_id, source, toks,
+           |  unnest(range(0, (len(toks) + 9) // 10)) AS i FROM t),
+           |l AS (SELECT doc_id, source, i::BIGINT AS line_no,
+           |  array_to_string(toks[(i*10+1)::INT : (i*10+10)::INT], ' ') AS line FROM l0),
+           |nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM base GROUP BY source),
+           |df AS (SELECT source, line, count(DISTINCT doc_id)::BIGINT AS df
+           |  FROM l GROUP BY source, line),
+           |bl AS (SELECT df.source, df.line FROM df JOIN nd USING (source)
+           |  WHERE df.df >= 2 AND df.df * 100 >= 20 * nd.n_docs),
+           |k AS (SELECT l.doc_id, l.source, l.line_no, l.line,
+           |    (bl.line IS NOT NULL) AS boiler
+           |  FROM l LEFT JOIN bl ON l.source = bl.source AND l.line = bl.line)
+           |SELECT doc_id, source, count(*)::BIGINT AS n_lines,
+           |  sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+           |  coalesce(string_agg(line, ' ' ORDER BY line_no)
+           |    FILTER (WHERE NOT boiler), '') AS kept_text
+           |FROM k GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
 
       // soft dedup: shingle df by hash, mean df per doc, harmonic weight —
       // the identical hash on both engines keeps collision parity

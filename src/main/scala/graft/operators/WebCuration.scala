@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.{normalizeWhitespace, tokens, wordCount}
+import graft.functions.TextFunctions.{contentHash, normalizeWhitespace, tokens, wordCount}
 
 /** Web-corpus curation filters — the published rule families every
   * large-scale LLM pretraining pipeline runs before dedup/mixing:
@@ -345,5 +345,63 @@ object WebCuration {
         sum(col("gp") * col("cp") * col("canon")).as("n_final"),
         sum(col("gp") * col("cp") * col("canon") * col("wc"))
           .as("final_ws_tokens"))
+  }
+
+  /** Per-source TEMPLATE LINE STRIPPING — the high-document-frequency
+    * boilerplate remover (RefinedWeb's line-wise filtering, Penedo et al.
+    * 2023; CCNet's shared-paragraph removal, Wenzek et al. 2020 §4.1): a
+    * "line" (fixed-width token chunk — [[graft.operators.Dedup.lineTable]]'s
+    * unit; real web text splits on `'\n'` instead) that appears in at least
+    * `minDfDocs` documents AND `minDfPct`% of its source's documents is
+    * navigation/template furniture, not content. Every occurrence in that
+    * source is removed and each document reassembled in line order. Unlike
+    * [[graft.operators.Dedup.lineDedup]] (first copy survives, corpus-wide)
+    * the template line is dropped EVERYWHERE, and the bar is per-source: a
+    * quote two sources share strips from neither unless each clears its own
+    * threshold.
+    *
+    * Scale posture (100 TB): document frequency needs per-doc-distinct
+    * lines — `array_distinct` runs INSIDE the per-doc chunk array before
+    * the explode, so the plan's one exchange carries (source, hash) longs
+    * already deduplicated map-side and the agg is a plain count (no
+    * countDistinct Expand). A strip line is ≥ `minDfDocs`-fold repeated by
+    * definition, so the per-source strip set is ≤ n_lines/minDfDocs rows
+    * and broadcasts; the rewrite is then MAP-ONLY (a hash probe per line
+    * inside the row) — document text never enters an exchange and there is
+    * no reassembly shuffle at all. For strip sets past broadcast size the
+    * fallback is the exploded-line anti-join + doc_id reassembly shuffle
+    * that [[graft.operators.Dedup.lineDedup]] uses.
+    * Output: `(doc_id, source, n_lines, n_boiler, kept_text)`. */
+  def templateLineStrip(docs: DataFrame, wordsPerLine: Int = 10,
+                        minDfPct: Int = 20, minDfDocs: Long = 2L): DataFrame = {
+    val w = wordsPerLine
+    val chunked = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        transform(
+          sequence(lit(0), (size(col("toks")) + (w - 1)).divide(w).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " ")).as("lines"))
+    val df = chunked
+      .select(col("source"),
+        explode(array_distinct(transform(col("lines"), l => contentHash(l))))
+          .as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val strip = df.join(broadcast(nDocs), Seq("source"))
+      .where(col("df") >= minDfDocs &&
+        col("df") * 100 >= lit(minDfPct.toLong) * col("n_docs"))
+      .groupBy(col("source")).agg(array_sort(collect_list(col("h"))).as("bl"))
+    chunked.join(broadcast(strip), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("lines"),
+        coalesce(col("bl"), array().cast("array<long>")).as("bl"))
+      .withColumn("hs", transform(col("lines"), l => contentHash(l)))
+      .select(col("doc_id"), col("source"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("hs"), h => array_contains(col("bl"), h)))
+          .cast("long").as("n_boiler"),
+        array_join(
+          filter(col("lines"),
+            (l, i) => !array_contains(col("bl"), element_at(col("hs"), i + 1))),
+          " ").as("kept_text"))
   }
 }

@@ -2284,6 +2284,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(dd(12L) == (12L, 1L))
   }
 
+  test("template line strip: per-source df bar (inclusive), every " +
+    "occurrence removed, all-boiler doc kept empty, other source spared") {
+    import WebCuration._
+    val boiler = "nav home about contact terms"
+    // srcA: 10 docs, the 20% bar = exactly 2 docs — d1 + d2 carry the
+    // header, so df sits ON the boundary and must strip (>=, not >)
+    val a = Seq(
+      (1L, "srcA", s"$boiler alpha beta gamma delta epsilon"),
+      (2L, "srcA", s"$boiler $boiler") // all boilerplate, twice in-doc
+    ) ++ (3L to 10L).map(i =>
+      (i, "srcA", s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    // srcB: 6 docs, the SAME header in only one (df 1 < 2) — survives
+    val b = Seq((11L, "srcB", s"$boiler bee one two three four")) ++
+      (12L to 16L).map(i => (i, "srcB", s"v${i}a v${i}b v${i}c v${i}d v${i}e"))
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    val r = templateLineStrip(docs, wordsPerLine = 5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 16, "every doc survives, stripped or not")
+    assert(r(1L).getAs[Long]("n_lines") == 2L &&
+      r(1L).getAs[Long]("n_boiler") == 1L &&
+      r(1L).getAs[String]("kept_text") == "alpha beta gamma delta epsilon")
+    // in-doc repeats: BOTH copies go, the doc is kept as an empty row
+    assert(r(2L).getAs[Long]("n_boiler") == 2L &&
+      r(2L).getAs[String]("kept_text") == "")
+    assert(r(3L).getAs[Long]("n_boiler") == 0L &&
+      r(3L).getAs[String]("kept_text") == "u3a u3b u3c u3d u3e")
+    // per-source scoping: srcB keeps the very line srcA stripped
+    assert(r(11L).getAs[Long]("n_boiler") == 0L &&
+      r(11L).getAs[String]("kept_text") ==
+        s"$boiler bee one two three four")
+    // raising the doc floor above the boundary spares srcA too
+    val strict = templateLineStrip(docs, wordsPerLine = 5, minDfDocs = 3L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(strict(1L).getAs[Long]("n_boiler") == 0L)
+  }
+
   test("soft dedup weights: mean shingle df and harmonic weight") {
     import graft.operators.Dedup.softDedupWeights
     val docs = Seq(

@@ -365,4 +365,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       case _ =>
     }
   }
+
+  test("templateLineStrip: the df agg is the only shuffled leg (hash " +
+    "longs, no line strings); strip set + doc counts ride broadcasts; " +
+    "the rewrite has no reassembly exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.StringType
+    val docs = Tables.documents(spark, sfDir)
+    val qe = operators.WebCuration.templateLineStrip(docs).queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.foreach {
+      case e: ShuffleExchangeExec =>
+        // every exchange is an agg leg: (source, h) / (source, n_docs) /
+        // (source, bl) rows — `source` is the one permitted string; line
+        // text, token arrays, and document text never shuffle
+        val strings = e.output
+          .filter(_.dataType.existsRecursively(_.isInstanceOf[StringType]))
+          .map(_.name).toSet
+        assert(strings.subsetOf(Set("source")),
+          s"exchange ships line/doc strings: ${strings.mkString(",")}")
+      case _ =>
+    }
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"strip set must reach the rewrite as a broadcast:\n${s.take(2000)}")
+  }
 }
