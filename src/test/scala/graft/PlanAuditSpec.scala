@@ -371,7 +371,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "the rewrite has no reassembly exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.types.StringType
     val docs = Tables.documents(spark, sfDir)
     val qe = operators.WebCuration.templateLineStrip(docs).queryExecution
     val plan = qe.executedPlan match {
@@ -384,7 +383,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         // (source, bl) rows — `source` is the one permitted string; line
         // text, token arrays, and document text never shuffle
         val strings = e.output
-          .filter(_.dataType.existsRecursively(_.isInstanceOf[StringType]))
+          .filter(_.dataType.catalogString.contains("string"))
           .map(_.name).toSet
         assert(strings.subsetOf(Set("source")),
           s"exchange ships line/doc strings: ${strings.mkString(",")}")
