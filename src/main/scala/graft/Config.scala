@@ -87,7 +87,13 @@ case class GraftConfig(
     gopherMinAlphaX10000: Long = 8000L,
     gopherMinStopwords: Long = 2L,
     c4MinSentences: Long = 3L,
-    c4MinLineWords: Int = 5)
+    c4MinLineWords: Int = 5,
+    // template line strip: the per-source document-frequency bar. A line
+    // in >= templateMinDfDocs docs AND >= templateMinDfPct% of its
+    // source's docs is boilerplate; defaults are the oracle-exact values
+    templateWordsPerLine: Int = 10,
+    templateMinDfPct: Int = 20,
+    templateMinDfDocs: Long = 2L)
 
 object GraftConfig {
 
@@ -195,7 +201,11 @@ object GraftConfig {
         l("curation.gopher_min_alpha_x10000", d.gopherMinAlphaX10000),
       gopherMinStopwords = l("curation.gopher_min_stopwords", d.gopherMinStopwords),
       c4MinSentences = l("curation.c4_min_sentences", d.c4MinSentences),
-      c4MinLineWords = i("curation.c4_min_line_words", d.c4MinLineWords))
+      c4MinLineWords = i("curation.c4_min_line_words", d.c4MinLineWords),
+      templateWordsPerLine =
+        i("curation.template_words_per_line", d.templateWordsPerLine),
+      templateMinDfPct = i("curation.template_min_df_pct", d.templateMinDfPct),
+      templateMinDfDocs = l("curation.template_min_df_docs", d.templateMinDfDocs))
   }
 
   /** Load from a file path (missing file → defaults, mirroring the

@@ -757,7 +757,8 @@ object SparkEntry {
             lit(" portal navigation header menu about contact terms privacy copyright "),
             col("text")))
           .otherwise(col("text")).as("text"))
-      operators.WebCuration.templateLineStrip(planted)
+      operators.WebCuration.templateLineStrip(planted,
+          cfg.templateWordsPerLine, cfg.templateMinDfPct, cfg.templateMinDfDocs)
         .orderBy(col("doc_id"))
     }),
 

@@ -364,13 +364,16 @@ object WebCuration {
     * lines — `array_distinct` runs INSIDE the per-doc chunk array before
     * the explode, so the plan's one exchange carries (source, hash) longs
     * already deduplicated map-side and the agg is a plain count (no
-    * countDistinct Expand). A strip line is ≥ `minDfDocs`-fold repeated by
-    * definition, so the per-source strip set is ≤ n_lines/minDfDocs rows
-    * and broadcasts; the rewrite is then MAP-ONLY (a hash probe per line
-    * inside the row) — document text never enters an exchange and there is
-    * no reassembly shuffle at all. For strip sets past broadcast size the
-    * fallback is the exploded-line anti-join + doc_id reassembly shuffle
-    * that [[graft.operators.Dedup.lineDedup]] uses.
+    * countDistinct Expand). The strip set is SMALL independent of corpus
+    * size: each strip line's df is ≥ minDfPct% of the source's docs and
+    * per-doc-distinct dfs sum to at most the source's total line count, so
+    * a source holds at most `(100/minDfPct) · avg_lines_per_doc` strip
+    * lines (~50 at the defaults for 10-line docs) — broadcast-trivial at
+    * any scale, and the per-line `array_contains` probe in the rewrite is
+    * a bounded scan for the same reason. The rewrite is therefore
+    * MAP-ONLY — document text never enters an exchange and there is no
+    * reassembly shuffle at all. (Thresholds ride `GraftConfig` as
+    * `curation.template_*`; defaults are the oracle-exact values.)
     * Output: `(doc_id, source, n_lines, n_boiler, kept_text)`. */
   def templateLineStrip(docs: DataFrame, wordsPerLine: Int = 10,
                         minDfPct: Int = 20, minDfDocs: Long = 2L): DataFrame = {

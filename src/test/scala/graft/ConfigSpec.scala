@@ -101,6 +101,18 @@ class ConfigSpec extends AnyFunSuite {
       .copy(minWords = 20L, c4MinLineWords = 3))
   }
 
+  test("template-strip knobs parse; defaults are the oracle-exact bar") {
+    val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(Seq(
+      "curation:",
+      "  template_min_df_pct: 30",
+      "  template_min_df_docs: 5")))
+    assert(c.templateMinDfPct == 30 && c.templateMinDfDocs == 5L)
+    assert(c.templateWordsPerLine == 10) // untouched key keeps its default
+    val d = GraftConfig.default
+    assert(d.templateWordsPerLine == 10 && d.templateMinDfPct == 20 &&
+      d.templateMinDfDocs == 2L) // web_template_strip oracle constants
+  }
+
   test("load of a missing file yields the library defaults") {
     assert(GraftConfig.load("/nonexistent/config.yaml") == GraftConfig.default)
   }
