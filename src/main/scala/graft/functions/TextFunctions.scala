@@ -149,6 +149,24 @@ object TextFunctions {
     * select), not an inline `tokens(text)` expression — subexpressions are
     * inlined into the transform lambda and would re-tokenize the whole text
     * for every element_at (observed 10× slowdown). */
+  /** Fixed-width "lines" of a token array: chunks of `wordsPerLine` tokens
+    * re-joined with single spaces — the shared line unit of
+    * [[graft.operators.Dedup.lineTable]] and
+    * [[graft.operators.WebCuration.templateLineStrip]] (the synthetic
+    * corpus has no newlines; real web text would `split(text, '\n')`
+    * instead). A NULL or empty token array yields an EMPTY chunk array:
+    * `size(NULL)` is NULL (so the un-guarded arithmetic would NULL the
+    * whole column), and a plain `<= 0` guard would let
+    * `sequence(0, nChunks−1)` DESCEND to `[0, −1]` and fabricate two
+    * phantom null lines. */
+  def lineChunks(toks: Column, wordsPerLine: Int): Column = {
+    val w = wordsPerLine
+    when(toks.isNull || size(toks) <= 0, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), (size(toks) + (w - 1)).divide(w).cast("int") - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+  }
+
   def shinglesFromToks(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array().cast("array<string>")).otherwise(

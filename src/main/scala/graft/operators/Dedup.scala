@@ -824,16 +824,13 @@ object Dedup {
     *
     * Map-only: tokens are materialized once, then each chunk is a `slice`
     * over the bound array (no re-tokenization per element, no shuffle). */
-  def lineTable(docs: DataFrame, wordsPerLine: Int): DataFrame = {
-    val w = wordsPerLine
+  def lineTable(docs: DataFrame, wordsPerLine: Int): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), (size(col("toks")) + (w - 1)).divide(w).cast("int") - 1),
-          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
+        posexplode(
+          graft.functions.TextFunctions.lineChunks(col("toks"), wordsPerLine)))
       .select(col("doc_id"), col("pos").cast("long").as("line_no"),
         col("col").as("line"))
-  }
 
   /** Corpus-wide line-level dedup: a line survives only in its FIRST
     * occurrence (ordered by `(doc_id, line_no)`); every later copy — the

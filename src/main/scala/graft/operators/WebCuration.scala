@@ -377,13 +377,15 @@ object WebCuration {
     * Output: `(doc_id, source, n_lines, n_boiler, kept_text)`. */
   def templateLineStrip(docs: DataFrame, wordsPerLine: Int = 10,
                         minDfPct: Int = 20, minDfDocs: Long = 2L): DataFrame = {
-    val w = wordsPerLine
+    require(minDfPct >= 1 && minDfPct <= 100,
+      s"minDfPct $minDfPct outside [1, 100]: 0 would void the " +
+        "(100/minDfPct)·avg_lines_per_doc strip-set bound the broadcast " +
+        "and per-line probe rely on")
     val chunked = docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
-        transform(
-          sequence(lit(0), (size(col("toks")) + (w - 1)).divide(w).cast("int") - 1),
-          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " ")).as("lines"))
+        graft.functions.TextFunctions.lineChunks(col("toks"), wordsPerLine)
+          .as("lines"))
     val df = chunked
       .select(col("source"),
         explode(array_distinct(transform(col("lines"), l => contentHash(l))))

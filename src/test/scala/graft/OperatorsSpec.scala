@@ -2318,6 +2318,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val strict = templateLineStrip(docs, wordsPerLine = 5, minDfDocs = 3L)
       .collect().map(x => x.getLong(0) -> x).toMap
     assert(strict(1L).getAs[Long]("n_boiler") == 0L)
+    // a NULL text yields ZERO lines (size(null) = -1 must not descend
+    // sequence(0,-1) into two phantom null lines) and the doc survives
+    val withNull = docs.union(Seq((99L, "srcA", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text"))
+    val n = templateLineStrip(withNull, wordsPerLine = 5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(n(99L).getAs[Long]("n_lines") == 0L &&
+      n(99L).getAs[String]("kept_text") == "")
+    assert(graft.operators.Dedup.lineTable(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"), 5)
+      .count() == 0L, "lineTable drops NULL-text docs, no phantom rows")
+    // the degenerate pct that voids the strip-set size bound is rejected
+    intercept[IllegalArgumentException] {
+      templateLineStrip(docs, wordsPerLine = 5, minDfPct = 0)
+    }
   }
 
   test("soft dedup weights: mean shingle df and harmonic weight") {
