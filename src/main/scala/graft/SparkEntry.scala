@@ -75,12 +75,18 @@ object SparkEntry {
   private def freshRunDir(stage: String, prefix: String = "run"): String = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(stage)
-    java.nio.file.Files.list(root).iterator().asScala.toList
-      .filter(_.getFileName.toString.startsWith(prefix))
-      .foreach { p =>
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    // Files.list/walk streams hold open directory handles — close them
+    // (Using) or every bench rep leaks an fd the state stores compete for
+    val prior = scala.util.Using.resource(java.nio.file.Files.list(root)) {
+      _.iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith(prefix))
+    }
+    prior.foreach { p =>
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+        _.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(java.nio.file.Files.delete)
       }
+    }
     s"$stage/$prefix${streamRunCounter.incrementAndGet()}"
   }
 

@@ -404,19 +404,6 @@ object Mixing {
         col("hard_negative_id"))
   }
 
-  /** Token-budget sampling — mixtures are specified in TOKENS, not doc
-    * counts (a source of long docs at a 10% doc quota can dominate the
-    * token mix): per source, walk docs in salted-hash order and keep them
-    * while the running token prefix stays under the source's budget; the
-    * doc that crosses the line is kept (budgets are floors, and partial
-    * docs don't train), later docs drop. Hash order makes the kept set a
-    * uniform sample AND reproducible across runs/partitionings — the
-    * [[sampleBySource]] property, metered in tokens.
-    *
-    * One window per source (running sum in hash order). At 100 TB the
-    * per-source sort is the cost — same posture as exact percentiles; the
-    * sketch path would bucket the hash range and binary-search the budget
-    * boundary bucket. Output: the kept docs with (tok_cnt, cum_tokens). */
   /** Per-source EFFECTIVE token mass under soft dedup — the number a
     * mixture planner should budget against instead of the raw count: each
     * doc's whitespace tokens are discounted by its
@@ -443,6 +430,19 @@ object Mixing {
           .cast("long"))
   }
 
+  /** Token-budget sampling — mixtures are specified in TOKENS, not doc
+    * counts (a source of long docs at a 10% doc quota can dominate the
+    * token mix): per source, walk docs in salted-hash order and keep them
+    * while the running token prefix stays under the source's budget; the
+    * doc that crosses the line is kept (budgets are floors, and partial
+    * docs don't train), later docs drop. Hash order makes the kept set a
+    * uniform sample AND reproducible across runs/partitionings — the
+    * [[sampleBySource]] property, metered in tokens.
+    *
+    * One window per source (running sum in hash order). At 100 TB the
+    * per-source sort is the cost — same posture as exact percentiles; the
+    * sketch path would bucket the hash range and binary-search the budget
+    * boundary bucket. Output: the kept docs with (tok_cnt, cum_tokens). */
   def sampleByTokenBudget(docs: DataFrame, budgetTokens: Map[String, Long],
                           defaultBudget: Long = Long.MaxValue,
                           metric: String = "bpe",

@@ -293,9 +293,14 @@ object WebCuration {
       "/+$", "")
     val kept = array_sort(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
       p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
-    concat(scheme, lit("://"), host, path,
-      when(size(kept) === 0, lit(""))
-        .otherwise(concat(lit("?"), array_join(kept, "&"))))
+    // scheme-less / malformed URLs (relative paths, mailto:, raw hosts —
+    // routine in a real crawl) pass through UNCHANGED: every extract above
+    // returns '' for them, and without this guard they would all collapse
+    // to the constant '://' and urlDedup would merge unrelated records
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(size(kept) === 0, lit(""))
+          .otherwise(concat(lit("?"), array_join(kept, "&")))))
   }
 
   /** URL-level dedup over a (doc_id, url) frame: every record is assigned

@@ -105,13 +105,21 @@ object ScaleUp {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     assertBelow(emb, "vec_id", 10000000L, "embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // the (rotate, negate-on-wrap) scheme has period 2·dim: copy k and
+    // copy k + 2·dim would get BIT-IDENTICAL vectors (cosine +1), silently
+    // reintroducing the cross-copy near-dup aliasing the negation exists
+    // to prevent — refuse rather than corrupt the scaling measurements
+    require(copies <= 2 * dim,
+      s"copies $copies > ${2 * dim} (2·dim): rotation twins repeat past " +
+        "one negation cycle and copies would alias as exact near-dups")
     val embReps = (0 until copies).map { k =>
       if (k == 0) emb
       else {
         // rotation index wraps past dim (copies can exceed the 64-dim
         // space); wrapped generations negate all components so a
         // rotation-twin pair (k1 ≡ k2 mod dim) has cosine −1, never a
-        // spurious cross-copy near-dup
+        // spurious cross-copy near-dup — valid for ONE wrap only (the
+        // require above)
         val r = k % dim
         val rot =
           if (r == 0) col("embedding")

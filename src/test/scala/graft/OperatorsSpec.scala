@@ -2272,6 +2272,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(canon(4L) == "https://ex.com/path")  // all params were tracking
     assert(canon(5L) == "http://ex.com/A/B")    // path case preserved
 
+    // scheme-less / malformed URLs pass through unchanged — they must NOT
+    // all collapse to the constant '://' and merge under urlDedup
+    val weird = Seq((6L, "www.a.com/x"), (7L, "mailto:a@b"), (8L, "/rel/p"))
+      .toDF("doc_id", "url")
+      .select($"doc_id", canonicalizeUrl($"url").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(weird(6L) == "www.a.com/x" && weird(7L) == "mailto:a@b" &&
+      weird(8L) == "/rel/p")
+
     // dedup: 10 and 11 canonicalize identically (case + default port +
     // trailing slash + fragment + param order); 12 stands alone
     val dd = urlDedup(Seq(
