@@ -48,8 +48,10 @@ object SparkEntry {
     val dir = root.resolve(s"$name-$sf-$key")
     if (fresh && java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) {
+        _.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
     }
     java.nio.file.Files.createDirectories(dir)
     dir.toString
@@ -340,6 +342,23 @@ object SparkEntry {
         lit(" alpha beta gamma delta epsilon zeta" * 3)).otherwise(lit("")),
       when(col("doc_id") % 9 === 0,
         lit(" red blue" * 12)).otherwise(lit(""))))
+
+  /** Template planting for the strip queries: a chunk-aligned 10-token
+    * per-source nav header prepended to every other GENERATION
+    * (`(doc_id / 20) % 2 == 0`). The generation index is orthogonal to the
+    * testdata's `source = src(doc_id % 20)` striping — a doc_id-parity
+    * plant would header entire sources (df 100%) and leave others empty;
+    * this one gives EVERY source a 50% within-source df (≫ the 20% bar)
+    * with unplanted survivors in the same source. Deterministic; mirrored
+    * verbatim in the `web_template_strip` / `web_template_incr`
+    * oracles. */
+  private def plantedTemplateDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      when(floor(col("doc_id") / 20) % 2 === 0,
+        concat(col("source"),
+          lit(" portal navigation header menu about contact terms privacy copyright "),
+          col("text")))
+        .otherwise(col("text")).as("text"))
 
   /** Snapshot-v2 planting for the versioning queries: drop every 10th doc,
     * append a drift marker to every 7th's text, re-add every 13th under a
@@ -750,21 +769,37 @@ object SparkEntry {
     }),
 
     // per-source template line strip: a 10-token per-source nav header is
-    // planted on every even doc_id (50% df ≫ the 20% bar), chunk-aligned
-    // as line 0 — the strip must remove it from EVERY planted doc of the
-    // source (plus any organically frequent line) while the same line
-    // under another source's threshold survives. One (source, hash)
-    // exchange; the rewrite is map-only behind a broadcast strip set
-    "web_template_strip" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val planted = docs.select(col("doc_id"), col("source"),
-        when(col("doc_id") % 2 === 0,
-          concat(col("source"),
-            lit(" portal navigation header menu about contact terms privacy copyright "),
-            col("text")))
-          .otherwise(col("text")).as("text"))
-      operators.WebCuration.templateLineStrip(planted,
+    // planted on half of EVERY source's docs (50% within-source df ≫ the
+    // 20% bar), chunk-aligned as line 0 — the strip must remove it from
+    // every planted doc while the unplanted half of the same source
+    // survives untouched. One (source, hash) exchange; the rewrite is
+    // map-only behind a broadcast strip set
+    "web_template_strip" -> ((s, d) =>
+      operators.WebCuration.templateLineStrip(
+          plantedTemplateDocs(Tables.documents(s, d)),
           cfg.templateWordsPerLine, cfg.templateMinDfPct, cfg.templateMinDfDocs)
+        .orderBy(col("doc_id"))),
+
+    // the serving half of the template lifecycle: the strip set is built
+    // from the BASE three-quarters of the corpus (generations
+    // (doc_id/20) % 4 != 0 — every source keeps planted AND unplanted
+    // base docs, so each source's header clears the bar at ~33% base df),
+    // persisted as a parquet artifact, and applied FROZEN to the incoming
+    // quarter — incoming generation 0 is fully planted, so every incoming
+    // doc must arrive cleansed by a set it never contributed to. New
+    // batches cost one map-only scan regardless of snapshot size
+    "web_template_incr" -> ((s, d) => {
+      val planted = plantedTemplateDocs(Tables.documents(s, d))
+      val gen = floor(col("doc_id") / 20) % 4
+      val dir = stagedDir("tmplset", d,
+        s"w${cfg.templateWordsPerLine}-p${cfg.templateMinDfPct}" +
+          s"-d${cfg.templateMinDfDocs}", fresh = true)
+      operators.WebCuration.templateStripSet(planted.where(gen =!= 0),
+          cfg.templateWordsPerLine, cfg.templateMinDfPct, cfg.templateMinDfDocs)
+        .write.mode("overwrite").parquet(dir)
+      stagedThisSession.add(dir)
+      operators.WebCuration.templateApplyStrip(planted.where(gen === 0),
+          s.read.parquet(dir), cfg.templateWordsPerLine)
         .orderBy(col("doc_id"))
     }),
 
@@ -4129,7 +4164,7 @@ object SparkEntry {
       // exactly what the cross-check certifies
       "web_template_strip" ->
         s"""WITH base AS (SELECT doc_id, source,
-           |  CASE WHEN doc_id % 2 = 0
+           |  CASE WHEN (doc_id // 20) % 2 = 0
            |    THEN source || ' portal navigation header menu about contact terms privacy copyright ' || text
            |    ELSE text END AS text FROM documents),
            |t AS (SELECT doc_id, source,
@@ -4146,6 +4181,42 @@ object SparkEntry {
            |k AS (SELECT l.doc_id, l.source, l.line_no, l.line,
            |    (bl.line IS NOT NULL) AS boiler
            |  FROM l LEFT JOIN bl ON l.source = bl.source AND l.line = bl.line)
+           |SELECT doc_id, source, count(*)::BIGINT AS n_lines,
+           |  sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+           |  coalesce(string_agg(line, ' ' ORDER BY line_no)
+           |    FILTER (WHERE NOT boiler), '') AS kept_text
+           |FROM k GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+
+      // incremental template strip: the df bar is computed over the BASE
+      // split only (doc_id % 4 <> 0, n_docs likewise base-scoped), then
+      // applied frozen to the incoming quarter
+      "web_template_incr" ->
+        s"""WITH planted AS (SELECT doc_id, source,
+           |  CASE WHEN (doc_id // 20) % 2 = 0
+           |    THEN source || ' portal navigation header menu about contact terms privacy copyright ' || text
+           |    ELSE text END AS text FROM documents),
+           |base AS (SELECT * FROM planted WHERE (doc_id // 20) % 4 <> 0),
+           |inc AS (SELECT * FROM planted WHERE (doc_id // 20) % 4 = 0),
+           |tb AS (SELECT doc_id, source,
+           |  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks FROM base),
+           |lb0 AS (SELECT doc_id, source, toks,
+           |  unnest(range(0, (len(toks) + 9) // 10)) AS i FROM tb),
+           |lb AS (SELECT doc_id, source,
+           |  array_to_string(toks[(i*10+1)::INT : (i*10+10)::INT], ' ') AS line FROM lb0),
+           |nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM base GROUP BY source),
+           |df AS (SELECT source, line, count(DISTINCT doc_id)::BIGINT AS df
+           |  FROM lb GROUP BY source, line),
+           |bl AS (SELECT df.source, df.line FROM df JOIN nd USING (source)
+           |  WHERE df.df >= 2 AND df.df * 100 >= 20 * nd.n_docs),
+           |ti AS (SELECT doc_id, source,
+           |  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks FROM inc),
+           |li0 AS (SELECT doc_id, source, toks,
+           |  unnest(range(0, (len(toks) + 9) // 10)) AS i FROM ti),
+           |li AS (SELECT doc_id, source, i::BIGINT AS line_no,
+           |  array_to_string(toks[(i*10+1)::INT : (i*10+10)::INT], ' ') AS line FROM li0),
+           |k AS (SELECT li.doc_id, li.source, li.line_no, li.line,
+           |    (bl.line IS NOT NULL) AS boiler
+           |  FROM li LEFT JOIN bl ON li.source = bl.source AND li.line = bl.line)
            |SELECT doc_id, source, count(*)::BIGINT AS n_lines,
            |  sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
            |  coalesce(string_agg(line, ' ' ORDER BY line_no)

@@ -381,27 +381,52 @@ object WebCuration {
     * `curation.template_*`; defaults are the oracle-exact values.)
     * Output: `(doc_id, source, n_lines, n_boiler, kept_text)`. */
   def templateLineStrip(docs: DataFrame, wordsPerLine: Int = 10,
-                        minDfPct: Int = 20, minDfDocs: Long = 2L): DataFrame = {
+                        minDfPct: Int = 20, minDfDocs: Long = 2L): DataFrame =
+    templateApplyStrip(docs,
+      templateStripSet(docs, wordsPerLine, minDfPct, minDfDocs), wordsPerLine)
+
+  /** `(doc_id, source, lines)` — the shared chunking front of the strip
+    * family. */
+  private def templateChunks(docs: DataFrame, wordsPerLine: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.lineChunks(col("toks"), wordsPerLine)
+          .as("lines"))
+
+  /** The per-source TEMPLATE STRIP SET alone — `(source, h, df)` for every
+    * line over the document-frequency bar. This is the snapshot-frozen
+    * artifact of the serving lifecycle: build it once over a corpus
+    * snapshot, persist the (tiny — see [[templateLineStrip]]'s bound)
+    * table, and [[templateApplyStrip]] newly arriving documents against it
+    * without touching the snapshot again. */
+  def templateStripSet(docs: DataFrame, wordsPerLine: Int = 10,
+                       minDfPct: Int = 20, minDfDocs: Long = 2L): DataFrame = {
     require(minDfPct >= 1 && minDfPct <= 100,
       s"minDfPct $minDfPct outside [1, 100]: 0 would void the " +
         "(100/minDfPct)·avg_lines_per_doc strip-set bound the broadcast " +
         "and per-line probe rely on")
-    val chunked = docs
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"),
-        graft.functions.TextFunctions.lineChunks(col("toks"), wordsPerLine)
-          .as("lines"))
-    val df = chunked
+    val df = templateChunks(docs, wordsPerLine)
       .select(col("source"),
         explode(array_distinct(transform(col("lines"), l => contentHash(l))))
           .as("h"))
       .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
     val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val strip = df.join(broadcast(nDocs), Seq("source"))
+    df.join(broadcast(nDocs), Seq("source"))
       .where(col("df") >= minDfDocs &&
         col("df") * 100 >= lit(minDfPct.toLong) * col("n_docs"))
+      .select(col("source"), col("h"), col("df"))
+  }
+
+  /** Strip a FROZEN `(source, h)` strip set ([[templateStripSet]]) out of a
+    * document batch — the apply half of the lifecycle, and the form a
+    * streaming/incremental ingest runs: the set rides a broadcast, the
+    * rewrite is map-only, so new batches cost one scan regardless of the
+    * snapshot size the set was trained on. */
+  def templateApplyStrip(docs: DataFrame, stripSet: DataFrame,
+                         wordsPerLine: Int = 10): DataFrame = {
+    val strip = stripSet
       .groupBy(col("source")).agg(array_sort(collect_list(col("h"))).as("bl"))
-    chunked.join(broadcast(strip), Seq("source"), "left")
+    templateChunks(docs, wordsPerLine).join(broadcast(strip), Seq("source"), "left")
       .select(col("doc_id"), col("source"), col("lines"),
         coalesce(col("bl"), array().cast("array<long>")).as("bl"))
       .withColumn("hs", transform(col("lines"), l => contentHash(l)))

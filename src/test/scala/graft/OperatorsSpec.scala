@@ -2344,6 +2344,41 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("template strip set applies FROZEN: base-trained lines strip from " +
+    "incoming docs; lines frequent only among incoming survive") {
+    import WebCuration._
+    val boiler = "nav home about contact terms"
+    val promo = "new promo banner sale now"
+    val base = (Seq(
+      (1L, "srcA", s"$boiler a1a a1b a1c a1d a1e"),
+      (2L, "srcA", s"$boiler a2a a2b a2c a2d a2e")) ++
+      (3L to 10L).map(i => (i, "srcA", s"b${i}a b${i}b b${i}c b${i}d b${i}e")))
+      .toDF("doc_id", "source", "text")
+    // every incoming doc carries the promo line — frequent in the BATCH,
+    // absent from the base snapshot, so the frozen set must not know it
+    val incoming = Seq(
+      (11L, "srcA", s"$boiler i1a i1b i1c i1d i1e"),
+      (12L, "srcA", s"$promo i2a i2b i2c i2d i2e"),
+      (13L, "srcA", s"$promo i3a i3b i3c i3d i3e")
+    ).toDF("doc_id", "source", "text")
+    val set = templateStripSet(base, wordsPerLine = 5)
+    // the set is exactly srcA's boiler line (df 2 of 10 docs = the bar)
+    assert(set.count() == 1L && set.collect().head.getAs[Long]("df") == 2L)
+    val r = templateApplyStrip(incoming, set, wordsPerLine = 5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(11L).getAs[Long]("n_boiler") == 1L &&
+      r(11L).getAs[String]("kept_text") == "i1a i1b i1c i1d i1e")
+    assert(r(12L).getAs[Long]("n_boiler") == 0L &&
+      r(12L).getAs[String]("kept_text") == s"$promo i2a i2b i2c i2d i2e")
+    assert(r(13L).getAs[Long]("n_boiler") == 0L)
+    // composing build+apply over ONE corpus is exactly templateLineStrip
+    val direct = templateLineStrip(base, wordsPerLine = 5)
+      .orderBy("doc_id").collect().toSeq
+    val composed = templateApplyStrip(base, set, wordsPerLine = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(direct == composed)
+  }
+
   test("soft dedup weights: mean shingle df and harmonic weight") {
     import graft.operators.Dedup.softDedupWeights
     val docs = Seq(

@@ -38,6 +38,7 @@ class ReinvocationSpec extends AnyFunSuite with SparkSpec {
     "stream_attribution_outer",  // same + watermark-deferred null legs
     "stream_dq",                 // file stream + per-batch audit + checkpoint
     "ta_unigram_artifact",       // staged vocab parquet (cross-family load)
+    "web_template_incr",         // staged strip-set parquet + frozen apply
     "sql_ann_topk",              // temp views + CACHE TABLE
     "src_csv_roundtrip",         // CSV write + read-back
     "src_schema_evolution")      // two-schema staged write + merged read
