@@ -144,4 +144,24 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(df.select(lineCount(col("s"))).as[Int].head() == 3) // trailing \n => empty last
     assert(Seq("").toDF("s").select(wordCount(col("s"))).as[Int].head() == 0)
   }
+
+  test("lineChunks tiles exactly (property): re-joined chunks == tokens, " +
+    "every chunk but the last is full width, null/empty -> zero chunks") {
+    val tok = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    forAllSampled(Gen.choose(0, 47).flatMap(n => Gen.listOfN(n, tok)), 25) {
+      toks =>
+        val w = 1 + toks.length % 7 // widths 1..7, co-varying with length
+        val chunks = Seq(Tuple1(toks)).toDF("toks")
+          .select(lineChunks(col("toks"), w))
+          .as[Seq[String]].head()
+        assert(chunks.flatMap(_.split(" ").filter(_.nonEmpty)) == toks,
+          s"w=$w tiling must lose/duplicate nothing")
+        assert(chunks.length == (toks.length + w - 1) / w)
+        assert(chunks.dropRight(1).forall(_.split(" ").length == w),
+          s"w=$w only the last chunk may run short")
+    }
+    val nullChunks = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("toks")
+      .select(lineChunks(col("toks"), 5)).as[Seq[String]].head()
+    assert(nullChunks.isEmpty)
+  }
 }
