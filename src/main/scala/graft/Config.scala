@@ -93,7 +93,10 @@ case class GraftConfig(
     // source's docs is boilerplate; defaults are the oracle-exact values
     templateWordsPerLine: Int = 10,
     templateMinDfPct: Int = 20,
-    templateMinDfDocs: Long = 2L)
+    templateMinDfDocs: Long = 2L,
+    // HTML→text extraction: drop lines whose anchor-text share exceeds
+    // this (jusText's link-density boilerplate rule); oracle-exact default
+    htmlMaxLinkDensityX100: Long = 50L)
 
 object GraftConfig {
 
@@ -205,7 +208,9 @@ object GraftConfig {
       templateWordsPerLine =
         i("curation.template_words_per_line", d.templateWordsPerLine),
       templateMinDfPct = i("curation.template_min_df_pct", d.templateMinDfPct),
-      templateMinDfDocs = l("curation.template_min_df_docs", d.templateMinDfDocs))
+      templateMinDfDocs = l("curation.template_min_df_docs", d.templateMinDfDocs),
+      htmlMaxLinkDensityX100 =
+        l("curation.html_max_link_density_x100", d.htmlMaxLinkDensityX100))
   }
 
   /** Load from a file path (missing file → defaults, mirroring the

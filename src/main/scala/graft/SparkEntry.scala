@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.{ArticleOps, Summaries, Relational}
@@ -360,6 +360,32 @@ object SparkEntry {
           col("text")))
         .otherwise(col("text")).as("text"))
 
+  /** Format-true HTML page planted per document (the synthetic corpus has
+    * no HTML, so the S5 pathway's input is synthesized as a REAL page):
+    * head with title/style/script, a comment, a heading, the document text
+    * as a paragraph, and — deterministically by doc_id — a pure-navigation
+    * link bar (link density 100, must be DROPPED), a prose paragraph with
+    * an embedded link (density ~16, must be KEPT), and an entity-encoded
+    * footer. Mirrored verbatim in the `web_html_text` / `s8` oracles. */
+  private def plantedHtmlPage: Column =
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>p{color:#333;}</style><script>var x=1;</script>" +
+        "</head><body><!-- generated --><h1>"),
+      col("source"), lit(" page</h1><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 2 === 0,
+        lit("<div><a href=\"/home\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></div>")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(
+          lit("<p>See the <a href=\"/more\">full report</a> for details about "),
+          col("lang"), lit(" coverage and methodology.</p>")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("<p>Footer &amp; legal &lt;terms&gt;&nbsp;apply.</p>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+
   /** Snapshot-v2 planting for the versioning queries: drop every 10th doc,
     * append a drift marker to every 7th's text, re-add every 13th under a
     * shifted id. Mirrored verbatim in the `ver_diff` / `ver_drift`
@@ -520,7 +546,13 @@ object SparkEntry {
     // the summary rendition — lead sentence of the normalized text — is the
     // wikipedia-lib summary at `src/enhanced_mediawiki_client.py:277-303`):
     // rendition is selected by a format column, derived lazily — only the
-    // chosen branch is computed
+    // chosen branch is computed. The html pathway is REAL since round 10:
+    // the reference's S5 fetches page HTML (`src/mediawiki_client.py:
+    // 173-213`), so html-format docs fetch their (planted format-true)
+    // page and run WebCuration.htmlToText over it — script/style/comment
+    // drop, block-tag line breaks, inline-tag strip, entity decode,
+    // link-density line gate — instead of the former '<p>'||text||'</p>'
+    // synthesis
     "s8_format_dispatch" -> ((s, d) => {
       val fmt = when(col("doc_id") % 4 === 0, "wikitext")
         .when(col("doc_id") % 4 === 1, "html")
@@ -529,13 +561,28 @@ object SparkEntry {
         .withColumn("format", fmt)
         .withColumn("rendition",
           when(col("format") === "plain", normalizeWhitespace(col("text")))
-            .when(col("format") === "html", concat(lit("<p>"), col("text"), lit("</p>")))
+            .when(col("format") === "html",
+              operators.WebCuration.htmlToText(plantedHtmlPage,
+                cfg.htmlMaxLinkDensityX100))
             .when(col("format") === "summary",
               substring_index(normalizeWhitespace(col("text")), ". ", 1))
             .otherwise(col("text")))
         .select(col("doc_id"), col("format"), col("rendition"))
         .orderBy(col("doc_id"))
     }),
+
+    // HTML→text extraction report (S5's real pathway, the
+    // trafilatura/jusText-style extractor every web pipeline runs before
+    // any text stage) over planted format-true pages: head furniture +
+    // comments dropped, block tags become line breaks, the pure-nav link
+    // bar (density 100) is dropped while the prose line with an embedded
+    // link (~16) survives, entities decode. Map-only regexp chain — no
+    // exchange ever carries the page
+    "web_html_text" -> ((s, d) =>
+      operators.WebCuration.htmlTextReport(
+          Tables.documents(s, d).select(col("doc_id"), plantedHtmlPage.as("html")),
+          cfg.htmlMaxLinkDensityX100)
+        .orderBy(col("doc_id"))),
 
     // P10 — storage-document JSON serialization (reference
     // `src/data_processor.py:85-103`)
@@ -2971,6 +3018,49 @@ object SparkEntry {
         " ELSE '' END" +
         " || CASE WHEN doc_id % 11 = 0 THEN" +
         " chr(10) || 'lorem ipsum { and more filler' ELSE '' END)"
+    // the planted format-true HTML page (mirrors plantedHtmlPage verbatim)
+    val htmlPageSql =
+      "'<html><head><title>Doc ' || doc_id || '</title><style>p{color:#333;}</style>" +
+        "<script>var x=1;</script></head><body><!-- generated --><h1>' || source || " +
+        "' page</h1><p>' || text || '</p>'" +
+        " || CASE WHEN doc_id % 2 = 0 THEN '<div><a href=\"/home\">Home</a> " +
+        "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>' ELSE '' END" +
+        " || CASE WHEN doc_id % 3 = 0 THEN '<p>See the <a href=\"/more\">full report</a> " +
+        "for details about ' || lang || ' coverage and methodology.</p>' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN " +
+        "'<p>Footer &amp; legal &lt;terms&gt;&nbsp;apply.</p>' ELSE '' END" +
+        " || '</body></html>'"
+    // HTML→text extraction chain (mirrors WebCuration.htmlToText /
+    // htmlTextReport) over a prior CTE `hpage(doc_id, html)`; ends in
+    // hxe(doc_id, n_lines, n_kept_lines, plain_text). RE2-safe regexes
+    // shared character-for-character with the Spark side
+    val htmlBlockReSql =
+      "(?i)</?(?:header|footer|article|section|blockquote|table|title|html|" +
+        "head|body|div|ul|ol|li|tr|td|th|br|hr|p|h[1-6])(?:\\s[^>]*)?/?>"
+    val htmlDecodeSql = "replace(replace(replace(replace(replace(replace(t, " +
+      "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', ''''), '&amp;', '&')"
+    val htmlExtractCtes =
+      s"""hx1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM hpage),
+         |hx2 AS (SELECT doc_id, regexp_replace(h, '$htmlBlockReSql', chr(10), 'g') AS h FROM hx1),
+         |hxl AS (SELECT doc_id, unnest(string_split(h, chr(10))) AS line,
+         |    generate_subscripts(string_split(h, chr(10)), 1) AS i FROM hx2),
+         |hxt AS (SELECT doc_id, i,
+         |    ${normOf("regexp_replace(line, '(?s)<[^>]*>', ' ', 'g')")} AS t,
+         |    coalesce(${normOf("regexp_replace(array_to_string(regexp_extract_all(line, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '(?s)<[^>]*>', ' ', 'g')")}, '') AS a
+         |  FROM hxl),
+         |hxf AS (SELECT doc_id, i, t,
+         |    CASE WHEN length(t) = 0 THEN 0
+         |      ELSE CAST(floor((100.0::DOUBLE) * length(a) / length(t) + 0.5) AS BIGINT) END AS ld
+         |  FROM hxt WHERE t <> ''),
+         |hxk AS (SELECT doc_id, i, ld, ${normOf(htmlDecodeSql)} AS out_line FROM hxf),
+         |hxe AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+         |    sum(CASE WHEN ld <= 50 THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
+         |    coalesce(string_agg(out_line, chr(10) ORDER BY i) FILTER (WHERE ld <= 50), '') AS plain_text
+         |  FROM hxk GROUP BY doc_id)""".stripMargin
     // portable char-polynomial hash (mirrors TextFunctions.charPolyHash)
     def poly(e: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
@@ -3647,15 +3737,34 @@ object SparkEntry {
       "p6_timestamp_normalize" ->
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_iso FROM orders ORDER BY o_orderkey",
 
+      // the html branch replays the full page-plant + extraction chain over
+      // the html-format quarter; other branches unchanged
       "s8_format_dispatch" ->
-        s"""SELECT doc_id,
-           |  CASE WHEN doc_id % 4 = 0 THEN 'wikitext' WHEN doc_id % 4 = 1 THEN 'html'
-           |       WHEN doc_id % 4 = 2 THEN 'plain' ELSE 'summary' END AS format,
-           |  CASE WHEN doc_id % 4 = 2 THEN $norm
-           |       WHEN doc_id % 4 = 1 THEN '<p>' || text || '</p>'
-           |       WHEN doc_id % 4 = 3 THEN split_part($norm, '. ', 1)
+        s"""WITH hpage AS (SELECT doc_id, $htmlPageSql AS html
+           |  FROM documents WHERE doc_id % 4 = 1),
+           |$htmlExtractCtes
+           |SELECT d.doc_id AS doc_id,
+           |  CASE WHEN d.doc_id % 4 = 0 THEN 'wikitext' WHEN d.doc_id % 4 = 1 THEN 'html'
+           |       WHEN d.doc_id % 4 = 2 THEN 'plain' ELSE 'summary' END AS format,
+           |  CASE WHEN d.doc_id % 4 = 2 THEN $norm
+           |       WHEN d.doc_id % 4 = 1 THEN coalesce(hxe.plain_text, '')
+           |       WHEN d.doc_id % 4 = 3 THEN split_part($norm, '. ', 1)
            |       ELSE text END AS rendition
-           |FROM documents ORDER BY doc_id""".stripMargin,
+           |FROM documents d LEFT JOIN hxe ON hxe.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+      // HTML→text extraction over the planted pages for EVERY doc: the
+      // oracle replays script/style/comment drop, block-tag line breaks,
+      // inline strip, anchor-text link density, entity decode
+      "web_html_text" ->
+        s"""WITH hpage AS (SELECT doc_id, $htmlPageSql AS html FROM documents),
+           |$htmlExtractCtes
+           |SELECT d.doc_id AS doc_id,
+           |  coalesce(n_lines, 0)::BIGINT AS n_lines,
+           |  coalesce(n_kept_lines, 0)::BIGINT AS n_kept_lines,
+           |  coalesce(plain_text, '') AS plain_text
+           |FROM documents d LEFT JOIN hxe ON hxe.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       "p10_to_json" ->
         """SELECT doc_id,

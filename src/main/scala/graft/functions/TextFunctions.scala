@@ -160,6 +160,9 @@ object TextFunctions {
     * `sequence(0, nChunks−1)` DESCEND to `[0, −1]` and fabricate two
     * phantom null lines. */
   def lineChunks(toks: Column, wordsPerLine: Int): Column = {
+    require(wordsPerLine >= 1,
+      s"wordsPerLine $wordsPerLine < 1: the (size+w-1)/w chunk count would " +
+        "divide by zero (non-ANSI NULL), silently nulling every chunk array")
     val w = wordsPerLine
     when(toks.isNull || size(toks) <= 0, array().cast("array<string>")).otherwise(
       transform(

@@ -141,7 +141,9 @@ object Mixing {
     * per-source rounding would. Complements [[epochPlan]] (temperature
     * shares, remainder left visible) and [[unimaxPlan]] (uniform
     * waterfilling): same one-pass per-source aggregate, windows only over
-    * the bounded source list. `B·tᵢ` must fit int64 (B ≤ ~9e18/Σt). */
+    * the bounded source list. `B·tᵢ` must fit int64 (B ≤ ~9e18/Σt) —
+    * enforced at runtime by an in-plan assert on the computed total, since
+    * Σt is data the driver can't see at require() time. */
   def quotaAllocation(docs: DataFrame, budgetTokens: Long,
                       metric: String = "bpe"): DataFrame = {
     require(budgetTokens >= 1, "budget must be positive")
@@ -150,6 +152,16 @@ object Mixing {
     val tot = counts.agg(sum(col("tokens")).as("tot"))
     val ord = Window.orderBy(col("rem").desc, col("source"))
     counts.crossJoin(broadcast(tot))
+      // runtime overflow guard (the scaladoc bound, enforced): B·tᵢ ≤ B·T
+      // must fit int64, so assert B ≤ int64max/T inside the plan — tot is
+      // data, not a literal, so this can't be a driver-side require.
+      // assert_true returns NULL on pass (and throws on fail), which the
+      // coalesce discards; the optimizer can't prune it because fq reads it
+      .withColumn("tot", coalesce(
+        when(assert_true(lit(budgetTokens) <= expr(s"${Long.MaxValue}L DIV tot"),
+          lit(s"quotaAllocation: budget $budgetTokens × total tokens " +
+            "overflows int64 — shrink the budget or pre-scale the counts"))
+          .isNull, col("tot")), col("tot")))
       .withColumn("fq", expr(s"(${budgetTokens}L * tokens) DIV tot"))
       .withColumn("rem", expr(s"(${budgetTokens}L * tokens) % tot"))
       .withColumn("share_x10000",

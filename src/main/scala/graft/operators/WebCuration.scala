@@ -417,6 +417,101 @@ object WebCuration {
       .select(col("source"), col("h"), col("df"))
   }
 
+  // ---- HTML → text extraction (S5's real-page pathway) ----
+
+  /** Block-level HTML elements: each open/close tag boundary becomes a
+    * line break before the line-wise stage. Longest-first alternation
+    * (`header` before `head`) plus the `(?:\s[^>]*)?/?>` tail keeps `<a>`,
+    * `<b>`, `<headline>` out; case-insensitive. Shared verbatim with the
+    * DuckDB oracle (RE2-safe: no backreferences, no lookaround). */
+  private val htmlBlockTagRe: String =
+    "(?i)</?(?:header|footer|article|section|blockquote|table|title|html|" +
+      "head|body|div|ul|ol|li|tr|td|th|br|hr|p|h[1-6])(?:\\s[^>]*)?/?>"
+
+  /** Remaining (inline) tags stripped to a space, then whitespace
+    * normalized — the visible text of an HTML fragment. */
+  private def stripTagsNorm(c: Column): Column =
+    normalizeWhitespace(regexp_replace(c, "(?s)<[^>]*>", " "))
+
+  /** The fixed public entity set, decoded in the standard order (`&amp;`
+    * LAST, so a double-encoded `&amp;lt;` correctly yields the literal
+    * `&lt;` rather than `<`). Plain-string replaces — none of the entity
+    * names contains a regex metacharacter. */
+  private def decodeEntities(c: Column): Column = {
+    val e1 = regexp_replace(c, "&nbsp;", " ")
+    val e2 = regexp_replace(e1, "&lt;", "<")
+    val e3 = regexp_replace(e2, "&gt;", ">")
+    val e4 = regexp_replace(e3, "&quot;", "\"")
+    val e5 = regexp_replace(e4, "&#39;", "'")
+    regexp_replace(e5, "&amp;", "&")
+  }
+
+  /** Per-line `(t = visible text, a = anchor text)` structs of an HTML
+    * page, empties dropped: script/style/comment blocks removed, block-tag
+    * boundaries become line breaks, and each line carries both its full
+    * visible text and the visible text inside its `<a>` elements — the two
+    * quantities the link-density gate compares. One regexp chain per row,
+    * map-only, whole-stage-codegen. */
+  private def htmlLineStructs(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val lines = split(regexp_replace(noComment, htmlBlockTagRe, "\n"), "\n")
+    filter(
+      transform(lines, l => struct(
+        stripTagsNorm(l).as("t"),
+        stripTagsNorm(array_join(
+          regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+          .as("a"))),
+      s => s.getField("t") =!= "")
+  }
+
+  /** Link density of one line struct, fixed-point ×100: anchor-text chars
+    * over visible chars (jusText's boilerplate discriminator, Pomikálek
+    * 2011 §4 — navigation/footer lines are mostly link text). */
+  private def linkDensityX100(s: Column): Column =
+    when(length(s.getField("t")) === 0, lit(0L))
+      .otherwise(floor(lit(100.0) * length(s.getField("a")) /
+        length(s.getField("t")) + 0.5).cast("long"))
+
+  /** HTML → TEXT extraction — the boilerplate-aware extractor
+    * (trafilatura/jusText-style) every web-crawl pipeline runs before any
+    * text stage, and the real form of the reference's S5 HTML pathway
+    * (`/root/reference/src/mediawiki_client.py:173-213` fetches
+    * `action=parse` page HTML): drop script/style/comment blocks, break on
+    * block-level tags, strip inline tags, decode the fixed entity set, and
+    * drop lines whose link density exceeds `maxLinkDensityX100` (nav bars,
+    * footers — jusText's rule). Kept lines re-join with `\n`. Entirely
+    * map-only codegen'd expressions (no UDF, no parser object), so the
+    * pass costs one scan at any corpus size and composes with
+    * [[gopherQualityReport]]/[[c4Filter]] downstream. */
+  def htmlToText(html: Column, maxLinkDensityX100: Long = 50L): Column =
+    array_join(
+      transform(
+        filter(htmlLineStructs(html),
+          s => linkDensityX100(s) <= lit(maxLinkDensityX100)),
+        s => normalizeWhitespace(decodeEntities(s.getField("t")))),
+      "\n")
+
+  /** Per-document extraction report over an `html` column:
+    * `(doc_id, n_lines, n_kept_lines, plain_text)` — candidate line count
+    * (non-empty visible text), survivors of the link-density gate, and the
+    * extracted text. The line-struct array is BOUND once (the
+    * [[withRepArrays]] posture) — three consumers would otherwise each
+    * re-run the whole regexp chain. */
+  def htmlTextReport(docs: DataFrame,
+                     maxLinkDensityX100: Long = 50L): DataFrame =
+    docs.select(col("doc_id"), htmlLineStructs(col("html")).as("ls"))
+      .select(col("doc_id"), col("ls"),
+        filter(col("ls"), s => linkDensityX100(s) <= lit(maxLinkDensityX100))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept_lines"),
+        array_join(transform(col("kept"),
+          s => normalizeWhitespace(decodeEntities(s.getField("t")))), "\n")
+          .as("plain_text"))
+
   /** Strip a FROZEN `(source, h)` strip set ([[templateStripSet]]) out of a
     * document batch — the apply half of the lifecycle, and the form a
     * streaming/incremental ingest runs: the set rides a broadcast, the

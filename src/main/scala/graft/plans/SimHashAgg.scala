@@ -26,6 +26,10 @@ case class SimHashAgg(hash: Expression, weight: Expression,
                       inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
 
+  require(bits >= 1 && bits <= 63,
+    s"SimHash width $bits outside [1, 63]: eval's 1L << b and update's " +
+      "hv >> b wrap at 64 and would emit corrupt fingerprints")
+
   override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.ADT] = Seq(LongType, LongType)
 
   override def children: Seq[Expression] = Seq(hash, weight)
