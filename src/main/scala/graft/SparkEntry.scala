@@ -1853,6 +1853,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // batch corrupt-record ingest — the BATCH sibling of the streaming
+    // dead-letter split, matching the reference's failed-article
+    // quarantine (src/main.py:122-135): a planted-dirty JSON dir (every
+    // 13th doc's line is malformed — truncated JSON on even ids, non-JSON
+    // garbage on odd) reads back PERMISSIVE with _corrupt_record. Valid
+    // rows survive intact per source; malformed lines group under
+    // '_quarantine' with their raw bytes preserved VERBATIM (corrupt_chars
+    // proves it) — the read never dies, the job keeps going
+    "src_corrupt_records" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val docs = Tables.documents(s, d)
+      val dir = stagedDir("jsondirty", d, "m13", fresh = true)
+      val line = when(col("doc_id") % 13 === 0,
+          when(col("doc_id") % 2 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"truncated")))
+            .otherwise(concat(lit("### corrupt record "), col("doc_id"))))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))))
+      docs.select(line.as("value")).write.mode("overwrite").text(dir)
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType)
+        .add("source", StringType).add("n_chars", LongType)
+        .add("text", StringType)
+      sources.Formats.readJsonQuarantine(s, dir, schema)
+        .groupBy(when(col("_corrupt_record").isNotNull, "_quarantine")
+          .otherwise(col("source")).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+          coalesce(sum(length(col("_corrupt_record")).cast("long")), lit(0L))
+            .as("corrupt_chars"))
+        .orderBy(col("source"))
+    }),
+
     // lake layout round-trip: write the corpus lang-partitioned +
     // length-sorted, read it back through partition pruning (the scan
     // only opens lang=en/ — PlanAuditSpec proves the file count)
@@ -7128,6 +7161,25 @@ object SparkEntry {
       "src_csv_roundtrip" ->
         """SELECT doc_id, source, n_chars, length(text)::BIGINT AS text_len
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // corrupt-record ingest: the oracle replays the plant arithmetic —
+      // valid docs (13∤id) aggregate per source from the table directly
+      // (the JSON round-trip is lossless), malformed lines' raw lengths
+      // recompute from the same deterministic corruption expressions
+      "src_corrupt_records" ->
+        """WITH valid AS (SELECT source, count(*)::BIGINT AS n_docs,
+          |    sum(n_chars)::BIGINT AS sum_chars
+          |  FROM documents WHERE doc_id % 13 <> 0 GROUP BY source),
+          |corrupt AS (SELECT count(*)::BIGINT AS n_docs,
+          |    sum(CASE WHEN doc_id % 2 = 0
+          |      THEN length('{"doc_id": ' || doc_id || ', "truncated')
+          |      ELSE length('### corrupt record ' || doc_id) END)::BIGINT AS corrupt_chars
+          |  FROM documents WHERE doc_id % 13 = 0)
+          |SELECT source, n_docs, sum_chars, 0::BIGINT AS corrupt_chars FROM valid
+          |UNION ALL
+          |SELECT '_quarantine' AS source, n_docs, 0::BIGINT AS sum_chars,
+          |  corrupt_chars FROM corrupt
+          |ORDER BY source""".stripMargin,
 
       // merged-schema read: batch-1 rows get the added column null-filled
       // (surfaced as -1), batch 2 carries it

@@ -44,4 +44,27 @@ object Formats {
     val r = spark.read.format(format).schema(schema)
     (if (format == "csv") r.options(csvOptions) else r).load(path)
   }
+
+  /** PERMISSIVE corrupt-record read over line-delimited JSON — the BATCH
+    * quarantine surface (the streaming side's dead-letter split,
+    * [[graft.streaming.Streams.splitValid]], is its sibling; the reference
+    * quarantines failed articles and keeps going,
+    * `/root/reference/src/main.py:122-135`,
+    * `/root/reference/src/queue_manager.py:80-84`). A malformed line —
+    * truncated JSON, non-JSON garbage, a type mismatch — never kills the
+    * read: its data fields come back null and the RAW input line lands
+    * verbatim in `corruptCol` for forensics/replay, which is the first
+    * thing a real 100 TB crawl ingest needs (one bad record per billion is
+    * a certainty, a job restart per bad record is not an option).
+    * Map-only: the quarantine split is a per-row predicate on the scan. */
+  def readJsonQuarantine(spark: SparkSession, path: String, schema: StructType,
+                         corruptCol: String = "_corrupt_record"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already carries $corruptCol — pass the DATA schema only")
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
 }
