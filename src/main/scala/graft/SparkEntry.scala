@@ -850,6 +850,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the STREAMING leg of the template lifecycle (8th driven pipeline):
+    // micro-batches of the incoming quarter cleansed against the frozen
+    // strip-set artifact trained once on the base three-quarters — same
+    // split, same artifact, so the accumulated output shares
+    // web_template_incr's oracle verbatim. Source + artifact stage once
+    // per session; the stream itself re-runs fully each invocation
+    // against a fresh checkpoint/sink (the stream_sessions discipline)
+    "stream_template_strip" -> ((s, d) => {
+      val key = s"w${cfg.templateWordsPerLine}-p${cfg.templateMinDfPct}" +
+        s"-d${cfg.templateMinDfDocs}-s3"
+      val probe = stagedDir("stream-tmpl", d, key, fresh = false)
+      val stage =
+        if (stagedThisSession.contains(probe)) probe
+        else {
+          val p = stagedDir("stream-tmpl", d, key, fresh = true)
+          val planted = plantedTemplateDocs(Tables.documents(s, d))
+          val gen = floor(col("doc_id") / 20) % 4
+          operators.WebCuration.templateStripSet(planted.where(gen =!= 0),
+              cfg.templateWordsPerLine, cfg.templateMinDfPct,
+              cfg.templateMinDfDocs)
+            .write.mode("overwrite").parquet(s"$p/stripset")
+          planted.where(gen === 0).repartition(3)
+            .write.mode("overwrite").parquet(s"$p/src")
+          stagedThisSession.add(p)
+          p
+        }
+      val run = freshRunDir(stage)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("source", org.apache.spark.sql.types.StringType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      streaming.Streams.streamingTemplateStrip(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/stripset", s"$run/out", s"$run/ck",
+          cfg.templateWordsPerLine)
+        .awaitTermination()
+      s.read.parquet(s"$run/out")
+        .select(col("doc_id"), col("source"), col("n_lines"),
+          col("n_boiler"), col("kept_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SOFT dedup: keep every doc, weight it by 1/mean shingle document
     // frequency — repeated content contributes ~once in expectation
     // without the hard-dedup cliff. Exchanges carry only (doc_id, h)
@@ -3094,6 +3137,44 @@ object SparkEntry {
          |    sum(CASE WHEN ld <= 50 THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
          |    coalesce(string_agg(out_line, chr(10) ORDER BY i) FILTER (WHERE ld <= 50), '') AS plain_text
          |  FROM hxk GROUP BY doc_id)""".stripMargin
+    // incremental template strip (df bar computed over the BASE split
+    // only — (doc_id // 20) % 4 <> 0, n_docs likewise base-scoped — then
+    // applied frozen to the incoming quarter): shared verbatim by
+    // web_template_incr (batch apply) and stream_template_strip (the
+    // streaming apply accumulates the SAME result against the SAME
+    // artifact, so the oracle is identical)
+    val templateIncrSql =
+      s"""WITH planted AS (SELECT doc_id, source,
+         |  CASE WHEN (doc_id // 20) % 2 = 0
+         |    THEN source || ' portal navigation header menu about contact terms privacy copyright ' || text
+         |    ELSE text END AS text FROM documents),
+         |base AS (SELECT * FROM planted WHERE (doc_id // 20) % 4 <> 0),
+         |inc AS (SELECT * FROM planted WHERE (doc_id // 20) % 4 = 0),
+         |tb AS (SELECT doc_id, source,
+         |  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks FROM base),
+         |lb0 AS (SELECT doc_id, source, toks,
+         |  unnest(range(0, (len(toks) + 9) // 10)) AS i FROM tb),
+         |lb AS (SELECT doc_id, source,
+         |  array_to_string(toks[(i*10+1)::INT : (i*10+10)::INT], ' ') AS line FROM lb0),
+         |nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM base GROUP BY source),
+         |df AS (SELECT source, line, count(DISTINCT doc_id)::BIGINT AS df
+         |  FROM lb GROUP BY source, line),
+         |bl AS (SELECT df.source, df.line FROM df JOIN nd USING (source)
+         |  WHERE df.df >= 2 AND df.df * 100 >= 20 * nd.n_docs),
+         |ti AS (SELECT doc_id, source,
+         |  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks FROM inc),
+         |li0 AS (SELECT doc_id, source, toks,
+         |  unnest(range(0, (len(toks) + 9) // 10)) AS i FROM ti),
+         |li AS (SELECT doc_id, source, i::BIGINT AS line_no,
+         |  array_to_string(toks[(i*10+1)::INT : (i*10+10)::INT], ' ') AS line FROM li0),
+         |k AS (SELECT li.doc_id, li.source, li.line_no, li.line,
+         |    (bl.line IS NOT NULL) AS boiler
+         |  FROM li LEFT JOIN bl ON li.source = bl.source AND li.line = bl.line)
+         |SELECT doc_id, source, count(*)::BIGINT AS n_lines,
+         |  sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+         |  coalesce(string_agg(line, ' ' ORDER BY line_no)
+         |    FILTER (WHERE NOT boiler), '') AS kept_text
+         |FROM k GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
     // portable char-polynomial hash (mirrors TextFunctions.charPolyHash)
     def poly(e: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
@@ -4333,37 +4414,13 @@ object SparkEntry {
       // split only (doc_id % 4 <> 0, n_docs likewise base-scoped), then
       // applied frozen to the incoming quarter
       "web_template_incr" ->
-        s"""WITH planted AS (SELECT doc_id, source,
-           |  CASE WHEN (doc_id // 20) % 2 = 0
-           |    THEN source || ' portal navigation header menu about contact terms privacy copyright ' || text
-           |    ELSE text END AS text FROM documents),
-           |base AS (SELECT * FROM planted WHERE (doc_id // 20) % 4 <> 0),
-           |inc AS (SELECT * FROM planted WHERE (doc_id // 20) % 4 = 0),
-           |tb AS (SELECT doc_id, source,
-           |  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks FROM base),
-           |lb0 AS (SELECT doc_id, source, toks,
-           |  unnest(range(0, (len(toks) + 9) // 10)) AS i FROM tb),
-           |lb AS (SELECT doc_id, source,
-           |  array_to_string(toks[(i*10+1)::INT : (i*10+10)::INT], ' ') AS line FROM lb0),
-           |nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM base GROUP BY source),
-           |df AS (SELECT source, line, count(DISTINCT doc_id)::BIGINT AS df
-           |  FROM lb GROUP BY source, line),
-           |bl AS (SELECT df.source, df.line FROM df JOIN nd USING (source)
-           |  WHERE df.df >= 2 AND df.df * 100 >= 20 * nd.n_docs),
-           |ti AS (SELECT doc_id, source,
-           |  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks FROM inc),
-           |li0 AS (SELECT doc_id, source, toks,
-           |  unnest(range(0, (len(toks) + 9) // 10)) AS i FROM ti),
-           |li AS (SELECT doc_id, source, i::BIGINT AS line_no,
-           |  array_to_string(toks[(i*10+1)::INT : (i*10+10)::INT], ' ') AS line FROM li0),
-           |k AS (SELECT li.doc_id, li.source, li.line_no, li.line,
-           |    (bl.line IS NOT NULL) AS boiler
-           |  FROM li LEFT JOIN bl ON li.source = bl.source AND li.line = bl.line)
-           |SELECT doc_id, source, count(*)::BIGINT AS n_lines,
-           |  sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
-           |  coalesce(string_agg(line, ' ' ORDER BY line_no)
-           |    FILTER (WHERE NOT boiler), '') AS kept_text
-           |FROM k GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+        templateIncrSql,
+
+      // the streaming apply accumulates the SAME result as the batch
+      // incremental apply — identical split, identical frozen artifact —
+      // so it shares web_template_incr's oracle verbatim
+      "stream_template_strip" ->
+        templateIncrSql,
 
       // soft dedup: shingle df by hash, mean df per doc, harmonic weight —
       // the identical hash on both engines keeps collision parity

@@ -309,6 +309,47 @@ object Streams {
       }
       .start()
 
+  /** Streaming template-strip apply — the streaming leg of the template
+    * lifecycle, completing the build/apply/stream triple the other
+    * artifact families (near-dup index, decontamination universe, quality
+    * thresholds) already have: the per-source strip set is TRAINED ONCE on
+    * a corpus snapshot ([[graft.operators.WebCuration.templateStripSet]])
+    * and persisted; each micro-batch of newly-arriving documents is
+    * cleansed against that frozen artifact
+    * ([[graft.operators.WebCuration.templateApplyStrip]] — strip set rides
+    * a broadcast, rewrite is map-only, so a batch costs one scan
+    * regardless of the snapshot size the set was trained on). Output lands
+    * under the micro-batch id with dynamic-partition overwrite
+    * (replay-idempotent, the `ingest` pattern); every doc lives in exactly
+    * one micro-batch and the rewrite is per-row deterministic against a
+    * fixed artifact, so the accumulated output equals the batch apply
+    * (StreamingSpec asserts it). */
+  def streamingTemplateStrip(spark: SparkSession, docs: DataFrame,
+                             stripSetDir: String, outDir: String,
+                             checkpointDir: String,
+                             wordsPerLine: Int = 10): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val stripSet = spark.read
+          .schema(new StructType()
+            .add("source", org.apache.spark.sql.types.StringType)
+            .add("h", org.apache.spark.sql.types.LongType)
+            .add("df", org.apache.spark.sql.types.LongType))
+          .parquet(stripSetDir)
+        graft.operators.WebCuration.templateApplyStrip(
+            batch.toDF().select(col("doc_id"), col("source"), col("text")),
+            stripSet, wordsPerLine)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming data-quality audit — the streaming sibling of
     * [[graft.operators.DataQuality.audit]] for the rule classes that are
     * micro-batch ADDITIVE: row predicates (violations sum across batches)

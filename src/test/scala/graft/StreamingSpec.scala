@@ -199,6 +199,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty && streamed.size < docs0.count())
   }
 
+  test("streaming template-strip apply equals the batch apply against the " +
+    "same frozen strip set") {
+    import graft.operators.WebCuration
+    import org.apache.spark.sql.functions._
+    // base corpus trains the set; the stream carries NEW docs, some made
+    // of pure template lines (must strip to empty), some clean
+    val base = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val setDir = tmp("tmpl-set") + "/s"
+    val srcDir = tmp("tmpl-src")
+    val outDir = tmp("tmpl-out") + "/o"
+    WebCuration.templateStripSet(
+        base.withColumn("text",
+          concat(col("source"),
+            lit(" alpha beta gamma delta epsilon zeta eta theta iota "),
+            col("text"))))
+      .write.parquet(setDir)
+    val incoming = base.limit(40)
+      .withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(col("source"),
+            lit(" alpha beta gamma delta epsilon zeta eta theta iota "),
+            col("text")))
+          .otherwise(col("text")))
+    incoming.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val q = Streams.streamingTemplateStrip(spark,
+      Streams.fileSource(spark, srcDir, incoming.schema, maxFilesPerTrigger = 1),
+      setDir, outDir, tmp("tmpl-ck"))
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "source", "n_lines", "n_boiler", "kept_text")
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    val batch = WebCuration.templateApplyStrip(
+        spark.read.parquet(srcDir), spark.read.parquet(setDir))
+      .as[(Long, String, Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    // the planted header really stripped from every planted incoming doc
+    assert(streamed.filter(_._1 % 2 == 0).forall(_._4 > 0))
+    assert(streamed.exists(_._4 == 0))
+  }
+
   test("streaming audit accumulates to the batch audit of the same rules") {
     import graft.operators.DataQuality._
     val docs = Tables.documents(spark, sfDir)
