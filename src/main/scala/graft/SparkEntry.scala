@@ -2206,6 +2206,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // fastText-style hashed-ngram Naive Bayes — the model-based quality
+    // filter DCLM/CCNet-class pipelines actually run: token+bigram
+    // occurrences hashed into a fixed 1024-bucket space, add-one-smoothed
+    // log-odds weights fixed to ×1e6 BIGINT, scored back over the corpus
+    // (per-doc log-posterior odds + prediction). The oracle replays
+    // TRAINING end to end — counts, totals, weights, prior — not just the
+    // scoring pass. One bounded groupBy + broadcast weight join; the
+    // corpus never shuffles on anything wider than ids
+    "ta_train_hashed" -> ((s, d) => {
+      val feats = operators.Classifier.hashedNgramFeatures(
+        Tables.documents(s, d), buckets = 1024)
+      operators.Classifier.hashedNBScore(feats,
+          operators.Classifier.hashedNBFit(feats, buckets = 1024))
+        .select(col("doc_id"), col("label"), col("score_x1e6"),
+          col("predicted"), col("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // decision-stump training: the exact best keep/drop threshold on the
     // cheap word-count signal against the teacher label, all candidates
     // evaluated in one prefix-sum pass over the distinct-value table
@@ -6828,6 +6846,41 @@ object SparkEntry {
       // integer sums → floor-div-by-n Gram entries → Cramer expansion.
       // Every intermediate is BIGINT (training is bit-reproducible).
       "ta_train_lsq" -> s"WITH $lsqModelCtes SELECT * FROM model",
+
+      // hashed-ngram NB: FULL training replay — token+bigram occurrence
+      // rows (charPolyHash % 1024), per-bucket class counts, add-one
+      // log-odds weights ×1e6, Laplace class prior — then the per-doc
+      // scoring sum. The only float is ln(), immediately floor-fixed, the
+      // quality-score convention
+      "ta_train_hashed" ->
+        s"""WITH hb0 AS (SELECT doc_id, $labelY AS y, $toks AS toks FROM documents),
+           |hbg AS (SELECT doc_id, y, unnest(toks ||
+           |    CASE WHEN len(toks) < 2 THEN []
+           |      ELSE list_transform(range(0, len(toks) - 1),
+           |        i -> toks[i+1] || ' ' || toks[i+2]) END) AS g
+           |  FROM hb0),
+           |hbo AS (SELECT doc_id, y, ${poly("g")} % 1024 AS b FROM hbg),
+           |hbc AS (SELECT b, sum(y)::BIGINT AS n1,
+           |    (count(*) - sum(y))::BIGINT AS n0 FROM hbo GROUP BY b),
+           |hbt AS (SELECT sum(y)::BIGINT AS t1,
+           |    (count(*) - sum(y))::BIGINT AS t0 FROM hbo),
+           |hbd AS (SELECT sum(y)::BIGINT AS d1,
+           |    (count(*) - sum(y))::BIGINT AS d0 FROM hb0),
+           |hbw AS (SELECT b, CAST(floor(1000000.0 *
+           |    (ln(((n1 + 1)::DOUBLE) / ((t1 + 1024)::DOUBLE))
+           |     - ln(((n0 + 1)::DOUBLE) / ((t0 + 1024)::DOUBLE))) + 0.5) AS BIGINT) AS w
+           |  FROM hbc, hbt),
+           |hbp AS (SELECT CAST(floor(1000000.0 *
+           |    (ln(((d1 + 1)::DOUBLE) / ((d1 + d0 + 2)::DOUBLE))
+           |     - ln(((d0 + 1)::DOUBLE) / ((d1 + d0 + 2)::DOUBLE))) + 0.5) AS BIGINT) AS prior
+           |  FROM hbd),
+           |hbs AS (SELECT doc_id, y, sum(w)::BIGINT AS sw
+           |  FROM hbo JOIN hbw USING (b) GROUP BY doc_id, y)
+           |SELECT doc_id, y AS label, (sw + prior)::BIGINT AS score_x1e6,
+           |  (CASE WHEN sw + prior > 0 THEN 1 ELSE 0 END)::BIGINT AS predicted,
+           |  (CASE WHEN (CASE WHEN sw + prior > 0 THEN 1 ELSE 0 END) = y
+           |    THEN 1 ELSE 0 END)::BIGINT AS correct
+           |FROM hbs, hbp ORDER BY doc_id""".stripMargin,
 
       "ta_train_lsq_score" ->
         s"""WITH $lsqModelCtes,

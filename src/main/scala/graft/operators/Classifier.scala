@@ -133,6 +133,102 @@ object Classifier {
       .withColumn("acc_x10000",
         floor(lit(10000.0) * col("n_correct") / col("n") + 0.5).cast("long"))
 
+  /** fastText-style hashed n-gram occurrence rows — the feature front of
+    * the model-based quality filter DCLM/LLaMA-class pipelines run (Joulin
+    * et al. 2016's hashing trick; CCNet/DCLM fastText quality filtering):
+    * one row per token AND bigram occurrence of the normalized text,
+    * hashed into a FIXED `buckets`-wide space, so the vocabulary never
+    * needs to be known, shipped, or even bounded — the model is exactly
+    * `buckets` integer weights no matter the corpus. Teacher label rides
+    * along ([[qualityLabel]], the distillation posture of
+    * [[shapeFeatures]]). Output: (doc_id, source, y, b). */
+  def hashedNgramFeatures(docs: DataFrame, buckets: Int = 1024,
+                          labelX10000: Long = 2000L): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    docs.select(col("doc_id"), col("source"),
+        qualityLabel(labelX10000).as("y"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("y"),
+        explode(concat(col("toks"),
+          transform(TextAnalysis.bigramStructs(col("toks")),
+            p => concat_ws(" ", p.getField("x"), p.getField("y"))))).as("g"))
+      .select(col("doc_id"), col("source"), col("y"),
+        (charPolyHash(col("g")) % buckets.toLong).as("b"))
+  }
+
+  /** Multinomial Naive-Bayes fit over hashed n-gram occurrences with
+    * add-one smoothing — closed-form like the suite's other trainers:
+    * training is ONE map-combinable groupBy over the occurrence rows
+    * (partial aggregation compacts every map task to ≤ `buckets` rows
+    * before the shuffle) plus a one-row total aggregate; the model is
+    * ≤ `buckets` + 2 integer rows, broadcast back at scoring time. The
+    * single float step is the log-odds, immediately fixed to ×1e6 BIGINT
+    * (the established `floor(x·scale + 0.5)` convention), so the DuckDB
+    * oracle replays training:
+    * `w_b = round(1e6·(ln((n1_b+1)/(T1+B)) − ln((n0_b+1)/(T0+B))))`.
+    * Special rows: b = −1 carries the class prior
+    * `round(1e6·(ln((D1+1)/(D+2)) − ln((D0+1)/(D+2))))`, b = −2 the
+    * unseen-bucket default
+    * (both-classes-zero smoothing) scoring needs for out-of-corpus
+    * features. Output: (b, n1, n0, w_x1e6). */
+  def hashedNBFit(feats: DataFrame, buckets: Int = 1024): DataFrame = {
+    def lnRatioX1e6(n1: Column, t1: Column, n0: Column, t0: Column): Column =
+      floor(lit(1000000.0) *
+        (log((n1 + 1L).cast("double") / t1.cast("double"))
+          - log((n0 + 1L).cast("double") / t0.cast("double"))) + 0.5)
+        .cast("long")
+    val counts = feats.groupBy(col("b"))
+      .agg(sum(col("y")).as("n1"), (count(lit(1)) - sum(col("y"))).as("n0"))
+    val totals = feats
+      .agg(sum(col("y")).as("t1"), (count(lit(1)) - sum(col("y"))).as("t0"))
+      .crossJoin(
+        feats.select(col("doc_id"), col("y")).distinct()
+          .agg(sum(col("y")).as("d1"), (count(lit(1)) - sum(col("y"))).as("d0")))
+    val sm = lit(buckets.toLong)
+    counts.crossJoin(broadcast(totals))
+      .select(col("b"), col("n1"), col("n0"),
+        lnRatioX1e6(col("n1"), col("t1") + sm, col("n0"), col("t0") + sm)
+          .as("w_x1e6"))
+      .unionByName(totals.select(lit(-1L).as("b"),
+        col("d1").as("n1"), col("d0").as("n0"),
+        lnRatioX1e6(col("d1"), col("d1") + col("d0") + 2L,
+          col("d0"), col("d1") + col("d0") + 2L).as("w_x1e6")))
+      .unionByName(totals.select(lit(-2L).as("b"),
+        lit(0L).as("n1"), lit(0L).as("n0"),
+        lnRatioX1e6(lit(0L), col("t1") + sm, lit(0L), col("t0") + sm)
+          .as("w_x1e6")))
+  }
+
+  /** Score hashed-feature docs against a [[hashedNBFit]] model: per-doc
+    * log-posterior odds ×1e6 = prior + Σ tf_b·w_b, predict 1 iff positive.
+    * The occurrence rows are compacted to (doc, bucket, tf) FIRST (map-
+    * side combine shrinks the shuffle to distinct pairs), then the
+    * ≤ `buckets`-row weight table joins in via broadcast — the corpus
+    * never shuffles on anything wider than ids. Unseen buckets take the
+    * model's b = −2 default weight. Output:
+    * (doc_id, source, label, score_x1e6, predicted, correct). */
+  def hashedNBScore(feats: DataFrame, model: DataFrame): DataFrame = {
+    val w = model.where(col("b") >= 0L).select(col("b"), col("w_x1e6"))
+    val prior = model.where(col("b") === -1L)
+      .select(col("w_x1e6").as("prior_x1e6"))
+    val dflt = model.where(col("b") === -2L)
+      .select(col("w_x1e6").as("default_w"))
+    feats.groupBy(col("doc_id"), col("source"), col("y"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(w), Seq("b"), "left")
+      .crossJoin(broadcast(dflt))
+      .select(col("doc_id"), col("source"), col("y"),
+        (col("tf") * coalesce(col("w_x1e6"), col("default_w"))).as("wv"))
+      .groupBy(col("doc_id"), col("source"), col("y"))
+      .agg(sum(col("wv")).as("sw"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("source"), col("y").as("label"),
+        (col("sw") + col("prior_x1e6")).as("score_x1e6"))
+      .withColumn("predicted",
+        when(col("score_x1e6") > 0L, lit(1L)).otherwise(lit(0L)))
+      .withColumn("correct",
+        when(col("predicted") === col("label"), lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Decision-stump training — the 1-D threshold learner (AdaBoost's weak
     * learner, and exactly how a calibrated keep/drop threshold on a cheap
     * signal is fit against labeled data): over candidate thresholds t

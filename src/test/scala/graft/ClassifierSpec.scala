@@ -44,6 +44,51 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(eval.agg(sum(col("n"))).as[Long].head() == n)
   }
 
+  test("hashed-ngram NB beats the majority-class baseline on the corpus") {
+    // note: the lsq trainer's 2 shape features ARE the teacher's own
+    // sufficient statistics, so lsq is near-ceiling on this corpus by
+    // construction; the NB sees only vocabulary and must clear majority —
+    // the honest bar for a feature family disjoint from the teacher's
+    val docs = Tables.documents(spark, sfDir)
+    val feats = Classifier.hashedNgramFeatures(docs)
+    val labels = feats.select(col("doc_id"), col("y")).distinct()
+    val n = labels.count()
+    val nPos = labels.agg(sum(col("y"))).as[Long].head()
+    val majority = math.max(nPos, n - nPos)
+    val scored = Classifier.hashedNBScore(feats, Classifier.hashedNBFit(feats))
+    assert(scored.count() == n, "every doc must score exactly once")
+    val correct = scored.agg(sum(col("correct"))).as[Long].head()
+    assert(correct > majority,
+      s"NB accuracy $correct/$n does not beat majority $majority")
+  }
+
+  test("hashed-ngram NB on separable planted vocabulary is perfect; " +
+    "unseen buckets at scoring take the default weight, not a null") {
+    // class 1 docs speak only 'good'-vocabulary, class 0 only 'bad' — with
+    // the quality teacher overridden by construction (long stopword-free
+    // texts score low: craft labels via the text itself instead)
+    val docs = (0L until 30L).map { i =>
+      val y = i % 2
+      val words = if (y == 1L) "the data works well with care and the table holds"
+        else "zz yy xx ww vv uu tt ss rr qq"
+      (i, "s0", words + s" tail$i")
+    }.toDF("doc_id", "source", "text")
+    val feats = Classifier.hashedNgramFeatures(docs, buckets = 256,
+      labelX10000 = 2000L)
+    // the teacher labels the stopword-rich class 1 and the junk class 0
+    // (quality = length-fit x stopword-fit); verify separation holds
+    val model = Classifier.hashedNBFit(feats, buckets = 256)
+    val scored = Classifier.hashedNBScore(feats, model)
+    assert(scored.agg(sum(col("correct"))).as[Long].head() == 30L)
+    // a doc of ONLY unseen vocabulary must still score (default weight)
+    val unseen = Classifier.hashedNgramFeatures(
+      Seq((99L, "s0", "never seen tokens entirely fresh")).toDF(
+        "doc_id", "source", "text"), buckets = 256)
+      .select(col("doc_id"), col("source"), col("y"), col("b"))
+    val u = Classifier.hashedNBScore(unseen, model).collect()
+    assert(u.length == 1 && !u(0).isNullAt(3), "unseen-vocab doc must score")
+  }
+
   test("stump finds the argmax threshold, brute-force checked") {
     val labeled = Seq(
       (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 0L),
