@@ -1839,6 +1839,24 @@ object SparkEntry {
           targetBytes = 2000L)
         .orderBy(col("dir"), col("group_no"))),
 
+    // the APPLY half of lake OPTIMIZE (closing the plan/apply pair like
+    // template-strip did): the corpus written deliberately fragmented
+    // (16 files), compacted at a quarter-of-total byte target — multi-file
+    // groups rewritten to one file each, single-file groups untouched —
+    // then read back. The round-trip must be lossless (the oracle reads
+    // the table directly); file-count reduction + idempotence are
+    // spec-pinned (not SQL-expressible)
+    "layout_compaction_apply" -> ((s, d) => {
+      val dir = stagedDir("compactapply", d, "f16", fresh = true)
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .repartition(16).write.mode("overwrite").parquet(dir)
+      val total = sources.LakeLayout.parquetManifest(s, dir).map(_._3).sum
+      sources.LakeLayout.compactionApply(s, dir, math.max(1L, total / 4))
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Z-order vs linear layout, measured: bucketize (n_chars, doc_id) to
     // 8 bits each, assign every doc its file under both layouts (Morton
     // key prefix vs n_chars-range), and report files/rows a mid-range box
@@ -7299,6 +7317,12 @@ object SparkEntry {
           |UNION ALL
           |SELECT doc_id, source, n_chars, 2::BIGINT AS batch
           |FROM documents WHERE doc_id % 2 <> 0
+          |ORDER BY doc_id""".stripMargin,
+
+      // compaction apply: lossless round-trip through the fragmented-then-
+      // compacted directory ⇒ the oracle reads the source directly
+      "layout_compaction_apply" ->
+        """SELECT doc_id, source, n_chars FROM documents
           |ORDER BY doc_id""".stripMargin,
 
       // lake layout: the round-trip must be lossless, so the oracle is the

@@ -178,4 +178,70 @@ object LakeLayout {
       .agg(count(lit(1)).as("n_files"), sum(col(bytesCol)).as("group_bytes"),
         min(col(fileCol)).as("first_file"), max(col(fileCol)).as("last_file"))
   }
+
+  /** The parquet data-file manifest of one directory: (dir, file, bytes),
+    * in name order — [[compactionPlan]]'s input, from a real listing. */
+  def parquetManifest(spark: SparkSession, path: String): Seq[(String, String, Long)] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (path, st.getPath.getName, st.getLen))
+      .sortBy(_._2)
+  }
+
+  /** Execute a [[compactionPlan]] against a REAL parquet directory — the
+    * apply half of the OPTIMIZE pair (the plan/apply split every lake
+    * maintenance loop runs; the same build/apply lifecycle the
+    * template-strip family follows): list the directory's data files into
+    * the manifest, plan greedy groups at `targetBytes`, rewrite every
+    * MULTI-file group as one file, and leave already-compact single-file
+    * groups physically untouched. Repeated applies CONVERGE (file count
+    * strictly decreases until every group is a single file) but one pass
+    * is not always a fixpoint: merging small files re-encodes parquet
+    * pages, so an output file can land under the byte budget its inputs
+    * summed past, and the next pass may group it further — the spec pins
+    * convergence within a couple of passes, row-identical throughout.
+    *
+    * Scale posture: the plan is MANIFEST-sized, so collecting it driver
+    * side is the bounded-control-table exception (the trainer-merge-table
+    * precedent), never a data collect; each group rewrite is a distributed
+    * read of exactly that group's files plus a single-task write, so the
+    * data plane cost is one read+write of the small-file bytes and groups
+    * rewrite independently. Replacement is write-staged/delete/rename
+    * within the directory — a production lake runs this swap under a
+    * transaction log (Delta/Iceberg OPTIMIZE); the self-contained rename
+    * form keeps the operator dependency-free and the spec pins
+    * row-identity across it. Returns the applied plan:
+    * (dir, group_no, n_files_in, group_bytes, compacted 0/1). */
+  def compactionApply(spark: SparkSession, path: String,
+                      targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = parquetManifest(spark, path)
+    val plan = compactionPlan(
+      files.toDF("dir", "file", "bytes"), targetBytes).collect()
+    plan.filter(_.getAs[Long]("n_files") > 1L).foreach { g =>
+      val gno = g.getAs[Long]("group_no")
+      val first = g.getAs[String]("first_file")
+      val last = g.getAs[String]("last_file")
+      // groups are contiguous in name order, so membership is the name range
+      val members = files.map(_._2).filter(f => f >= first && f <= last)
+      val tmp = new Path(path, s"_compact_g$gno")
+      spark.read.parquet(members.map(f => s"$path/$f"): _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val out = fs.listStatus(tmp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      require(out.size == 1, s"group $gno staged ${out.size} files, wanted 1")
+      members.foreach(f => fs.delete(new Path(path, f), false))
+      // output name ends in .parquet (first does) and sorts deterministically
+      fs.rename(out.head.getPath, new Path(path, s"compact-g$gno-$first"))
+      fs.delete(tmp, true)
+    }
+    plan.toSeq.map(g => (g.getString(0), g.getLong(1), g.getLong(2),
+        g.getLong(3), if (g.getLong(2) > 1L) 1L else 0L))
+      .toDF("dir", "group_no", "n_files_in", "group_bytes", "compacted")
+  }
 }

@@ -50,6 +50,47 @@ class LayoutZOrderSpec extends AnyFunSuite with SparkSpec {
       ("zorder", "b", 16L, 4L, 64L)))
   }
 
+  test("compactionApply: multi-file groups rewrite to one file each, rows " +
+    "are identical across the swap, and a second apply is a no-op") {
+    import graft.sources.LakeLayout
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.repartition(16).write.mode("overwrite").parquet(dir)
+    val before = LakeLayout.parquetManifest(spark, dir)
+    assert(before.length == 16, s"staging wrote ${before.length} files")
+    val target = math.max(1L, before.map(_._3).sum / 4)
+    val report = LakeLayout.compactionApply(spark, dir, target)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val after = LakeLayout.parquetManifest(spark, dir)
+    // every multi-file group became exactly one file; ~4 groups at /4
+    val nGroups = report.length
+    assert(nGroups < 16 && after.length == nGroups,
+      s"expected $nGroups files after compaction, found ${after.length}")
+    assert(report.filter(_._5 == 1L).forall(_._3 > 1L))
+    // row identity across the swap
+    val got = spark.read.parquet(dir)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val want = docs.as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want, "compaction changed the data")
+    // convergence: merged files re-encode smaller, so one pass need not be
+    // a fixpoint — but file count strictly decreases until every group is
+    // a single file; require the fixpoint within a couple of extra passes
+    // and row identity once there
+    var passes = 0
+    var lastCompacted = 1L
+    while (lastCompacted > 0L && passes < 4) {
+      lastCompacted = LakeLayout.compactionApply(spark, dir, target)
+        .agg(sum(col("compacted"))).as[Long].head()
+      passes += 1
+    }
+    assert(lastCompacted == 0L, s"no fixpoint after $passes extra passes")
+    val finalGot = spark.read.parquet(dir)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(finalGot == want, "repeated compaction changed the data")
+    assert(LakeLayout.parquetManifest(spark, dir).nonEmpty)
+  }
+
   test("ccnetBuckets: per-language tertiles are balanced and score-ordered") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.ccnetBuckets(docs)
