@@ -778,6 +778,17 @@ object SparkEntry {
           operators.WebCuration.CurationThresholds.fromConfig(cfg))
         .orderBy(col("source"))),
 
+    // HTML extraction COMPOSED with the Gopher gate — extract first,
+    // rule-filter the extracted text (the order a real crawl pipeline
+    // runs them): two map-only expression stages fused into one scan
+    "web_html_curate" -> ((s, d) =>
+      operators.WebCuration.gopherQualityReport(
+          Tables.documents(s, d).select(col("doc_id"),
+            operators.WebCuration.htmlToText(plantedHtmlPage,
+              cfg.htmlMaxLinkDensityX100).as("text")),
+          operators.WebCuration.CurationThresholds.fromConfig(cfg))
+        .orderBy(col("doc_id"))),
+
     // the Gopher A1.1 REPETITION half over repetition-planted docs:
     // duplicated line/paragraph fractions (+ character fractions), top
     // 2-4-gram character mass, duplicated 5-10-gram positional character
@@ -3211,6 +3222,40 @@ object SparkEntry {
          |  coalesce(string_agg(line, ' ' ORDER BY line_no)
          |    FILTER (WHERE NOT boiler), '') AS kept_text
          |FROM k GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+    // Gopher form-rule report over a prior CTE `p(doc_id, text)` (mirrors
+    // WebCuration.gopherQualityReport at default thresholds); shared by
+    // web_gopher (planted raw text) and web_html_curate (extracted text)
+    val gopherReportSql =
+      s"""nn AS (SELECT doc_id, text, ${normOf("text")} AS norm FROM p),
+         |t AS (SELECT doc_id, text, norm,
+         |    (CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END)::BIGINT AS n_words,
+         |    string_split(norm, ' ') AS toks,
+         |    string_split(text, chr(10)) AS lines FROM nn),
+         |sig AS (SELECT doc_id, n_words,
+         |    CASE WHEN n_words = 0 THEN 0::BIGINT
+         |      ELSE CAST(floor((100.0::DOUBLE) * (len(norm) - (n_words - 1))::DOUBLE / n_words + 0.5) AS BIGINT) END AS mwl_x100,
+         |    CAST(floor((10000.0::DOUBLE) * (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE / greatest(n_words, 1) + 0.5) AS BIGINT) AS sym_ratio_x10000,
+         |    CAST(floor((10000.0::DOUBLE) * len(list_filter(lines, l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'))::DOUBLE / len(lines) + 0.5) AS BIGINT) AS bullet_ratio_x10000,
+         |    CAST(floor((10000.0::DOUBLE) * len(list_filter(lines, l -> rtrim(l) LIKE '%...'))::DOUBLE / len(lines) + 0.5) AS BIGINT) AS ellipsis_ratio_x10000,
+         |    CAST(floor((10000.0::DOUBLE) * len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))::DOUBLE / greatest(n_words, 1) + 0.5) AS BIGINT) AS alpha_ratio_x10000,
+         |    len(list_intersect(toks, ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stopwords
+         |  FROM t)
+         |SELECT doc_id, n_words, mwl_x100, sym_ratio_x10000,
+         |  bullet_ratio_x10000, ellipsis_ratio_x10000, alpha_ratio_x10000,
+         |  n_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         |  (mwl_x100 >= 300 AND mwl_x100 <= 1000) AS r_mean_word_len,
+         |  (sym_ratio_x10000 <= 1000) AS r_symbol_ratio,
+         |  (bullet_ratio_x10000 <= 9000) AS r_bullet_lines,
+         |  (ellipsis_ratio_x10000 <= 3000) AS r_ellipsis_lines,
+         |  (alpha_ratio_x10000 >= 8000) AS r_alpha_words,
+         |  (n_stopwords >= 2) AS r_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mwl_x100 >= 300 AND mwl_x100 <= 1000
+         |    AND sym_ratio_x10000 <= 1000 AND bullet_ratio_x10000 <= 9000
+         |    AND ellipsis_ratio_x10000 <= 3000 AND alpha_ratio_x10000 >= 8000
+         |    AND n_stopwords >= 2) AS pass
+         |FROM sig ORDER BY doc_id""".stripMargin
     // portable char-polynomial hash (mirrors TextFunctions.charPolyHash)
     def poly(e: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), " +
@@ -4256,36 +4301,18 @@ object SparkEntry {
       // every signal recomputed from the planted text, fixed-point ratios
       "web_gopher" ->
         s"""WITH p AS (SELECT doc_id, $webTextSql AS text FROM documents),
-           |nn AS (SELECT doc_id, text, ${normOf("text")} AS norm FROM p),
-           |t AS (SELECT doc_id, text, norm,
-           |    (CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END)::BIGINT AS n_words,
-           |    string_split(norm, ' ') AS toks,
-           |    string_split(text, chr(10)) AS lines FROM nn),
-           |sig AS (SELECT doc_id, n_words,
-           |    CASE WHEN n_words = 0 THEN 0::BIGINT
-           |      ELSE CAST(floor((100.0::DOUBLE) * (len(norm) - (n_words - 1))::DOUBLE / n_words + 0.5) AS BIGINT) END AS mwl_x100,
-           |    CAST(floor((10000.0::DOUBLE) * (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE / greatest(n_words, 1) + 0.5) AS BIGINT) AS sym_ratio_x10000,
-           |    CAST(floor((10000.0::DOUBLE) * len(list_filter(lines, l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'))::DOUBLE / len(lines) + 0.5) AS BIGINT) AS bullet_ratio_x10000,
-           |    CAST(floor((10000.0::DOUBLE) * len(list_filter(lines, l -> rtrim(l) LIKE '%...'))::DOUBLE / len(lines) + 0.5) AS BIGINT) AS ellipsis_ratio_x10000,
-           |    CAST(floor((10000.0::DOUBLE) * len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')))::DOUBLE / greatest(n_words, 1) + 0.5) AS BIGINT) AS alpha_ratio_x10000,
-           |    len(list_intersect(toks, ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stopwords
-           |  FROM t)
-           |SELECT doc_id, n_words, mwl_x100, sym_ratio_x10000,
-           |  bullet_ratio_x10000, ellipsis_ratio_x10000, alpha_ratio_x10000,
-           |  n_stopwords,
-           |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-           |  (mwl_x100 >= 300 AND mwl_x100 <= 1000) AS r_mean_word_len,
-           |  (sym_ratio_x10000 <= 1000) AS r_symbol_ratio,
-           |  (bullet_ratio_x10000 <= 9000) AS r_bullet_lines,
-           |  (ellipsis_ratio_x10000 <= 3000) AS r_ellipsis_lines,
-           |  (alpha_ratio_x10000 >= 8000) AS r_alpha_words,
-           |  (n_stopwords >= 2) AS r_stopwords,
-           |  (n_words >= 50 AND n_words <= 100000
-           |    AND mwl_x100 >= 300 AND mwl_x100 <= 1000
-           |    AND sym_ratio_x10000 <= 1000 AND bullet_ratio_x10000 <= 9000
-           |    AND ellipsis_ratio_x10000 <= 3000 AND alpha_ratio_x10000 >= 8000
-           |    AND n_stopwords >= 2) AS pass
-           |FROM sig ORDER BY doc_id""".stripMargin,
+           |$gopherReportSql""".stripMargin,
+
+      // HTML extraction COMPOSED with the Gopher gate — the order a real
+      // crawl pipeline runs them (extract first, rule-filter the extracted
+      // text): the oracle replays the full page-plant + extraction chain,
+      // then the same gopher signal block over the extracted text
+      "web_html_curate" ->
+        s"""WITH hpage AS (SELECT doc_id, $htmlPageSql AS html FROM documents),
+           |$htmlExtractCtes,
+           |p AS (SELECT d.doc_id AS doc_id, coalesce(hxe.plain_text, '') AS text
+           |  FROM documents d LEFT JOIN hxe ON hxe.doc_id = d.doc_id),
+           |$gopherReportSql""".stripMargin,
 
       // C4 cleaning rules over the same planted corpus: line retention +
       // the three page gates + the cleaned text
