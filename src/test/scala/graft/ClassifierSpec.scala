@@ -89,6 +89,17 @@ class ClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(u.length == 1 && !u(0).isNullAt(3), "unseen-vocab doc must score")
   }
 
+  test("hashed NB scoring plan: the weight table joins via BROADCAST hash " +
+    "join — the corpus side never shuffles on the bucket key") {
+    val feats = Classifier.hashedNgramFeatures(Tables.documents(spark, sfDir))
+    val plan = Classifier.hashedNBScore(feats, Classifier.hashedNBFit(feats))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled for the model join:\n$plan")
+  }
+
   test("stump finds the argmax threshold, brute-force checked") {
     val labeled = Seq(
       (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 0L),

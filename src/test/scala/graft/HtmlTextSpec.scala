@@ -87,6 +87,21 @@ class HtmlTextSpec extends AnyFunSuite with SparkSpec {
     assert(viaCol == viaReport && viaCol(1L) == "alpha")
   }
 
+  test("extraction of tag-free, entity-free, single-line text is exactly " +
+    "whitespace normalization (the no-op boundary of the extractor)") {
+    import graft.functions.TextFunctions.normalizeWhitespace
+    val docs = Tables.documents(spark, sfDir)
+      .where(!col("text").contains("<") && !col("text").contains("&") &&
+        !col("text").contains("\n"))
+    val n = docs.count()
+    assert(n > 0, "corpus unexpectedly empty of plain docs")
+    val mismatches = docs.select(
+        WebCuration.htmlToText(col("text")).as("ext"),
+        normalizeWhitespace(col("text")).as("norm"))
+      .where(col("ext") =!= col("norm")).count()
+    assert(mismatches == 0L, s"$mismatches/$n plain docs changed by extraction")
+  }
+
   test("plan canary: the extraction report is map-only — no Exchange " +
     "anywhere (the page never enters a shuffle)") {
     val docs = Tables.documents(spark, sfDir)
