@@ -826,6 +826,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL FILTERING — the pre-fetch stage (C4 §2.2 URL bad-word drop;
+    // RefinedWeb/FineWeb domain blocklists): planted per-doc URLs across
+    // four TLD families, two of them blocklisted, plus a planted keyword
+    // query-string on every 7th doc; domain verdict wins over keyword.
+    // Map-only + one broadcast — the cheapest filter in the funnel (no
+    // fetch, no body, no parse for a dropped record)
+    "web_url_filter" -> ((s, d) => {
+      import s.implicits._
+      val tld = when(col("doc_id") % 4 === 0, ".tracker.biz")
+        .when(col("doc_id") % 4 === 1, ".news.org")
+        .when(col("doc_id") % 4 === 2, ".example.com")
+        .otherwise(".spamfarm.net")
+      val url = concat(lit("http://"), col("source"), tld, lit("/page/"),
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("?session=casino-bonus"))
+          .otherwise(concat(lit("?id="), col("doc_id"))))
+      operators.WebCuration.urlFilter(
+          Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+          Seq("spamfarm.net", "tracker.biz").toDF("domain"),
+          Seq("casino", "lottery"))
+        .select(col("doc_id"), col("url"), col("domain"),
+          col("block_reason"), col("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source template line strip: a 10-token per-source nav header is
     // planted on half of EVERY source's docs (50% within-source df ≫ the
     // 20% bar), chunk-aligned as line 0 — the strip must remove it from
@@ -4441,6 +4466,33 @@ object SparkEntry {
            |  min(doc_id) OVER (PARTITION BY canon_url) AS canonical_id,
            |  count(*) OVER (PARTITION BY canon_url)::BIGINT AS n_copies
            |FROM c ORDER BY doc_id""".stripMargin,
+
+      // URL filter: same planted URL construction, same last-two-label
+      // domain extraction, domain verdict before keyword
+      "web_url_filter" ->
+        """WITH u AS (SELECT doc_id,
+          |  'http://' || source ||
+          |    CASE WHEN doc_id % 4 = 0 THEN '.tracker.biz'
+          |         WHEN doc_id % 4 = 1 THEN '.news.org'
+          |         WHEN doc_id % 4 = 2 THEN '.example.com'
+          |         ELSE '.spamfarm.net' END ||
+          |  '/page/' || doc_id ||
+          |    CASE WHEN doc_id % 7 = 0 THEN '?session=casino-bonus'
+          |         ELSE '?id=' || doc_id END AS url FROM documents),
+          |dm AS (SELECT doc_id, url,
+          |  regexp_extract(lower(regexp_extract(url,
+          |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)),
+          |    '([^.]+\.[^.]+)$', 1) AS domain FROM u),
+          |b AS (SELECT doc_id, url, domain,
+          |  CASE WHEN domain IN ('spamfarm.net', 'tracker.biz') THEN 'domain'
+          |       WHEN contains(lower(regexp_extract(url,
+          |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)), 'casino')
+          |         OR contains(lower(regexp_extract(url,
+          |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)), 'lottery')
+          |       THEN 'keyword' ELSE NULL END AS block_reason FROM dm)
+          |SELECT doc_id, url, domain, block_reason,
+          |  block_reason IS NOT NULL AS blocked
+          |FROM b ORDER BY doc_id""".stripMargin,
 
       // template line strip: same planting, same fixed-width chunking as
       // the dedup_lines oracle, per-source doc-frequency bar (>=2 docs AND

@@ -303,6 +303,48 @@ object WebCuration {
           .otherwise(concat(lit("?"), array_join(kept, "&")))))
   }
 
+  /** Registrable-domain approximation of a URL's host: the host lowercased,
+    * the port dropped, then the LAST TWO dot-labels (`a.b.example.co.uk` →
+    * `co.uk` — a documented approximation: the exact answer needs the
+    * public-suffix list, which is a data file, not an algorithm; pipelines
+    * ship it as a broadcast table and the join below accepts whatever
+    * domain column convention the caller uses). Scheme-less/malformed URLs
+    * yield `''`. Map-only. */
+  def urlDomain(url: Column): Column = {
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** URL FILTERING — the stage that runs before a fetch is even scheduled
+    * (C4 drops pages by URL-level bad-word match, Raffel et al. 2020 §2.2;
+    * RefinedWeb/FineWeb filter by domain blocklist + URL keyword scores,
+    * Penedo et al. 2023 §3.1): each record is checked against (1) a
+    * blocked-DOMAIN table — broadcast equi-join on [[urlDomain]] — and
+    * (2) a fixed keyword list matched against the lowercased path+query.
+    * At 100 TB this is the cheapest filter in the whole funnel: it needs
+    * no fetch, no body, no parse — a record the URL filter drops costs the
+    * pipeline nothing downstream, which is why real crawls run it first.
+    * Output: (input columns, domain, block_reason ∈
+    * {'domain', 'keyword', NULL}, blocked). Map-only + one broadcast. */
+  def urlFilter(withUrl: DataFrame, blockedDomains: DataFrame,
+                blockedKeywords: Seq[String]): DataFrame = {
+    require(blockedKeywords.nonEmpty, "need at least one blocked keyword")
+    val pathQuery = lower(regexp_extract(col("url"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1))
+    val kwHit = blockedKeywords.map(k => pathQuery.contains(k.toLowerCase))
+      .reduce(_ || _)
+    withUrl
+      .withColumn("domain", urlDomain(col("url")))
+      .join(broadcast(blockedDomains.select(col("domain"),
+        lit(true).as("_dom_blocked"))), Seq("domain"), "left")
+      .withColumn("block_reason",
+        when(col("_dom_blocked"), "domain")
+          .when(kwHit, "keyword")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("blocked", col("block_reason").isNotNull)
+      .drop("_dom_blocked")
+  }
+
   /** URL-level dedup over a (doc_id, url) frame: every record is assigned
     * the canonical (min) doc_id among records sharing its
     * [[canonicalizeUrl canonical URL]], plus the copy count — the

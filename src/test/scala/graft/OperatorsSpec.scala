@@ -2293,6 +2293,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(dd(12L) == (12L, 1L))
   }
 
+  test("URL filter: domain verdict wins over keyword, keyword is " +
+    "case-insensitive over path+query only, ports strip from the domain, " +
+    "malformed URLs never match a blocklist") {
+    import WebCuration._
+    val blocked = Seq("bad.net").toDF("domain")
+    val got = urlFilter(Seq(
+        (1L, "http://x.bad.net/clean?id=1"),          // domain
+        (2L, "http://sub.bad.NET:8080/page"),          // domain, port+case
+        (3L, "http://ok.org/go?q=CASINO-night"),       // keyword, case
+        (4L, "http://x.bad.net/win?q=casino"),         // both -> domain wins
+        (5L, "http://casino.ok.org/clean?id=5"),       // keyword in HOST only: clean
+        (6L, "not a url at all casino"),               // malformed: no scheme
+        (7L, "http://fine.com/a?id=7")                 // clean
+      ).toDF("doc_id", "url"), blocked, Seq("casino"))
+      .select($"doc_id", $"domain", coalesce($"block_reason", lit("-")))
+      .as[(Long, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == ("bad.net", "domain"))
+    assert(got(2L) == ("bad.net", "domain"))
+    assert(got(3L) == ("ok.org", "keyword"))
+    assert(got(4L) == ("bad.net", "domain"))
+    assert(got(5L) == ("ok.org", "-"), "host text must not trip the PATH keyword gate")
+    assert(got(6L) == ("", "-"), "malformed URL must not match any blocklist")
+    assert(got(7L) == ("fine.com", "-"))
+  }
+
   test("template line strip: per-source df bar (inclusive), every " +
     "occurrence removed, all-boiler doc kept empty, other source spared") {
     import WebCuration._
