@@ -2278,6 +2278,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the SERVING split of the hashed NB — the deployment shape of a
+    // fastText-class quality filter (train once on a labeled snapshot,
+    // freeze the ~1k-row model as a parquet artifact, score every future
+    // batch against it): model trained on the base three-quarters,
+    // persisted, read back FROZEN, scored over the incoming quarter.
+    // Unseen buckets take the model's default weight — the coalesce leg
+    // ta_train_hashed's train==score case never exercises
+    "ta_hashed_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = stagedDir("nbmodel", d, "b1024-m4", fresh = true)
+      operators.Classifier.hashedNBFit(
+          operators.Classifier.hashedNgramFeatures(
+            docs.where(col("doc_id") % 4 =!= 0), 1024), 1024)
+        .write.mode("overwrite").parquet(dir)
+      stagedThisSession.add(dir)
+      operators.Classifier.hashedNBScore(
+          operators.Classifier.hashedNgramFeatures(
+            docs.where(col("doc_id") % 4 === 0), 1024),
+          s.read.parquet(dir))
+        .select(col("doc_id"), col("label"), col("score_x1e6"),
+          col("predicted"), col("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // decision-stump training: the exact best keep/drop threshold on the
     // cheap word-count signal against the teacher label, all candidates
     // evaluated in one prefix-sum pass over the distinct-value table
@@ -3590,6 +3614,54 @@ object SparkEntry {
          |        (4.0::DOUBLE) * len(list_filter($toks, t9 -> t9 IN ($enW)))
          |          / greatest(($wordCnt), 1))) + 0.5) AS BIGINT) >= 2000
          |    THEN 1 ELSE 0 END)::BIGINT""".stripMargin
+    }
+    // hashed-ngram NB train + score with independent split predicates
+    // (mirrors Classifier.hashedNgramFeatures/hashedNBFit/hashedNBScore):
+    // weights and prior from the TRAIN split, scoring over the SCORE
+    // split with LEFT JOIN + the both-classes-zero default weight for
+    // buckets the training never saw — exactly Spark's coalesce leg
+    def hashedNbSql(trainPred: String, scorePred: String): String = {
+      def occ(src: String, cte: String) =
+        s"""$cte AS (SELECT doc_id, y, ${poly("g")} % 1024 AS b FROM (
+           |  SELECT doc_id, y, unnest(toks ||
+           |      CASE WHEN len(toks) < 2 THEN []
+           |        ELSE list_transform(range(0, len(toks) - 1),
+           |          i -> toks[i+1] || ' ' || toks[i+2]) END) AS g
+           |  FROM $src))""".stripMargin
+      s"""WITH hbt0 AS (SELECT doc_id, $labelY AS y, $toks AS toks
+         |  FROM documents WHERE $trainPred),
+         |hbs0 AS (SELECT doc_id, $labelY AS y, $toks AS toks
+         |  FROM documents WHERE $scorePred),
+         |${occ("hbt0", "hbo")},
+         |${occ("hbs0", "hso")},
+         |hbc AS (SELECT b, sum(y)::BIGINT AS n1,
+         |    (count(*) - sum(y))::BIGINT AS n0 FROM hbo GROUP BY b),
+         |hbt AS (SELECT sum(y)::BIGINT AS t1,
+         |    (count(*) - sum(y))::BIGINT AS t0 FROM hbo),
+         |hbd AS (SELECT sum(y)::BIGINT AS d1,
+         |    (count(*) - sum(y))::BIGINT AS d0 FROM hbt0),
+         |hbw AS (SELECT b, CAST(floor(1000000.0 *
+         |    (ln(((n1 + 1)::DOUBLE) / ((t1 + 1024)::DOUBLE))
+         |     - ln(((n0 + 1)::DOUBLE) / ((t0 + 1024)::DOUBLE))) + 0.5) AS BIGINT) AS w
+         |  FROM hbc, hbt),
+         |hbdf AS (SELECT CAST(floor(1000000.0 *
+         |    (ln((1)::DOUBLE / ((t1 + 1024)::DOUBLE))
+         |     - ln((1)::DOUBLE / ((t0 + 1024)::DOUBLE))) + 0.5) AS BIGINT) AS dw
+         |  FROM hbt),
+         |hbp AS (SELECT CAST(floor(1000000.0 *
+         |    (ln(((d1 + 1)::DOUBLE) / ((d1 + d0 + 2)::DOUBLE))
+         |     - ln(((d0 + 1)::DOUBLE) / ((d1 + d0 + 2)::DOUBLE))) + 0.5) AS BIGINT) AS prior
+         |  FROM hbd),
+         |htf AS (SELECT doc_id, y, b, count(*)::BIGINT AS tf
+         |  FROM hso GROUP BY doc_id, y, b),
+         |hsw AS (SELECT doc_id, y, sum(tf * coalesce(w, dw))::BIGINT AS sw
+         |  FROM htf LEFT JOIN hbw USING (b) CROSS JOIN hbdf
+         |  GROUP BY doc_id, y)
+         |SELECT doc_id, y AS label, (sw + prior)::BIGINT AS score_x1e6,
+         |  (CASE WHEN sw + prior > 0 THEN 1 ELSE 0 END)::BIGINT AS predicted,
+         |  (CASE WHEN (CASE WHEN sw + prior > 0 THEN 1 ELSE 0 END) = y
+         |    THEN 1 ELSE 0 END)::BIGINT AS correct
+         |FROM hsw, hbp ORDER BY doc_id""".stripMargin
     }
     // shape features + the closed-form least-squares model (mirrors
     // Classifier.shapeFeatures / leastSquaresFit): shared by the three
@@ -6949,35 +7021,13 @@ object SparkEntry {
       // log-odds weights ×1e6, Laplace class prior — then the per-doc
       // scoring sum. The only float is ln(), immediately floor-fixed, the
       // quality-score convention
-      "ta_train_hashed" ->
-        s"""WITH hb0 AS (SELECT doc_id, $labelY AS y, $toks AS toks FROM documents),
-           |hbg AS (SELECT doc_id, y, unnest(toks ||
-           |    CASE WHEN len(toks) < 2 THEN []
-           |      ELSE list_transform(range(0, len(toks) - 1),
-           |        i -> toks[i+1] || ' ' || toks[i+2]) END) AS g
-           |  FROM hb0),
-           |hbo AS (SELECT doc_id, y, ${poly("g")} % 1024 AS b FROM hbg),
-           |hbc AS (SELECT b, sum(y)::BIGINT AS n1,
-           |    (count(*) - sum(y))::BIGINT AS n0 FROM hbo GROUP BY b),
-           |hbt AS (SELECT sum(y)::BIGINT AS t1,
-           |    (count(*) - sum(y))::BIGINT AS t0 FROM hbo),
-           |hbd AS (SELECT sum(y)::BIGINT AS d1,
-           |    (count(*) - sum(y))::BIGINT AS d0 FROM hb0),
-           |hbw AS (SELECT b, CAST(floor(1000000.0 *
-           |    (ln(((n1 + 1)::DOUBLE) / ((t1 + 1024)::DOUBLE))
-           |     - ln(((n0 + 1)::DOUBLE) / ((t0 + 1024)::DOUBLE))) + 0.5) AS BIGINT) AS w
-           |  FROM hbc, hbt),
-           |hbp AS (SELECT CAST(floor(1000000.0 *
-           |    (ln(((d1 + 1)::DOUBLE) / ((d1 + d0 + 2)::DOUBLE))
-           |     - ln(((d0 + 1)::DOUBLE) / ((d1 + d0 + 2)::DOUBLE))) + 0.5) AS BIGINT) AS prior
-           |  FROM hbd),
-           |hbs AS (SELECT doc_id, y, sum(w)::BIGINT AS sw
-           |  FROM hbo JOIN hbw USING (b) GROUP BY doc_id, y)
-           |SELECT doc_id, y AS label, (sw + prior)::BIGINT AS score_x1e6,
-           |  (CASE WHEN sw + prior > 0 THEN 1 ELSE 0 END)::BIGINT AS predicted,
-           |  (CASE WHEN (CASE WHEN sw + prior > 0 THEN 1 ELSE 0 END) = y
-           |    THEN 1 ELSE 0 END)::BIGINT AS correct
-           |FROM hbs, hbp ORDER BY doc_id""".stripMargin,
+      "ta_train_hashed" -> hashedNbSql("TRUE", "TRUE"),
+
+      // the SERVING split: model trained on the base three-quarters,
+      // frozen, scored over the incoming quarter — unseen buckets take the
+      // model's default weight (the coalesce leg ta_train_hashed's
+      // train==score case never exercises)
+      "ta_hashed_incr" -> hashedNbSql("doc_id % 4 <> 0", "doc_id % 4 = 0"),
 
       "ta_train_lsq_score" ->
         s"""WITH $lsqModelCtes,
