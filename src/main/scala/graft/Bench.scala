@@ -41,7 +41,8 @@ object Bench {
     "stream_sessions", "src_csv_roundtrip",
     "ann_build_index", "ann_ivfpq_index", "stream_attribution",
     "stream_attribution_outer", "web_template_incr", "stream_template_strip",
-    "src_corrupt_records", "layout_compaction_apply", "ta_hashed_incr")
+    "src_corrupt_records", "layout_compaction_apply", "ta_hashed_incr",
+    "stream_quality_nb")
 
   /** Measured high-variance queries (cache staging, state stores, session
     * position): single timings swing 2-3× across identical quiet runs

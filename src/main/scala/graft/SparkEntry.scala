@@ -2302,6 +2302,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the 9th driven streaming pipeline: hashed-NB scoring of a live doc
+    // stream against the frozen model artifact — same base-train /
+    // incoming-score split as ta_hashed_incr, so the accumulated stream
+    // output shares its oracle verbatim. Model + source slices stage once
+    // per session; the stream re-runs fully per invocation
+    "stream_quality_nb" -> ((s, d) => {
+      val key = "b1024-m4-s3"
+      val probe = stagedDir("stream-nb", d, key, fresh = false)
+      val stage =
+        if (stagedThisSession.contains(probe)) probe
+        else {
+          val p = stagedDir("stream-nb", d, key, fresh = true)
+          val docs = Tables.documents(s, d)
+          operators.Classifier.hashedNBFit(
+              operators.Classifier.hashedNgramFeatures(
+                docs.where(col("doc_id") % 4 =!= 0), 1024), 1024)
+            .write.mode("overwrite").parquet(s"$p/model")
+          docs.where(col("doc_id") % 4 === 0)
+            .select(col("doc_id"), col("source"), col("text"))
+            .repartition(3).write.mode("overwrite").parquet(s"$p/src")
+          stagedThisSession.add(p)
+          p
+        }
+      val run = freshRunDir(stage)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("source", org.apache.spark.sql.types.StringType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      streaming.Streams.streamingNBScore(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/model", s"$run/out", s"$run/ck", 1024)
+        .awaitTermination()
+      s.read.parquet(s"$run/out")
+        .select(col("doc_id"), col("label"), col("score_x1e6"),
+          col("predicted"), col("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // decision-stump training: the exact best keep/drop threshold on the
     // cheap word-count signal against the teacher label, all candidates
     // evaluated in one prefix-sum pass over the distinct-value table
@@ -7028,6 +7067,10 @@ object SparkEntry {
       // model's default weight (the coalesce leg ta_train_hashed's
       // train==score case never exercises)
       "ta_hashed_incr" -> hashedNbSql("doc_id % 4 <> 0", "doc_id % 4 = 0"),
+
+      // the streamed scoring accumulates the SAME result as the batch
+      // serving split — identical split, identical frozen artifact
+      "stream_quality_nb" -> hashedNbSql("doc_id % 4 <> 0", "doc_id % 4 = 0"),
 
       "ta_train_lsq_score" ->
         s"""WITH $lsqModelCtes,

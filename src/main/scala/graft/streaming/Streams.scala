@@ -350,6 +350,49 @@ object Streams {
       }
       .start()
 
+  /** Streaming hashed-NB quality scoring — the 9th driven pipeline and
+    * the model-based sibling of [[streamingCurate]]'s threshold gate: the
+    * ~`buckets`-row NB model ([[graft.operators.Classifier.hashedNBFit]])
+    * is TRAINED ONCE and persisted; each micro-batch of incoming docs is
+    * featurized ([[graft.operators.Classifier.hashedNgramFeatures]]) and
+    * scored against the frozen artifact
+    * ([[graft.operators.Classifier.hashedNBScore]] — the model rides a
+    * broadcast, unseen buckets take its default weight, so a batch costs
+    * one scan + one bounded groupBy regardless of what the model was
+    * trained on). Per-batch scores land under the micro-batch id with
+    * dynamic-partition overwrite (replay-idempotent); every doc lives in
+    * exactly one micro-batch and scoring is deterministic against the
+    * fixed artifact, so the accumulated output equals the batch score
+    * (StreamingSpec asserts it). */
+  def streamingNBScore(spark: SparkSession, docs: DataFrame,
+                       modelDir: String, outDir: String,
+                       checkpointDir: String,
+                       buckets: Int = 1024): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val model = spark.read
+          .schema(new StructType()
+            .add("b", org.apache.spark.sql.types.LongType)
+            .add("n1", org.apache.spark.sql.types.LongType)
+            .add("n0", org.apache.spark.sql.types.LongType)
+            .add("w_x1e6", org.apache.spark.sql.types.LongType))
+          .parquet(modelDir)
+        graft.operators.Classifier.hashedNBScore(
+            graft.operators.Classifier.hashedNgramFeatures(
+              batch.toDF().select(col("doc_id"), col("source"), col("text")),
+              buckets),
+            model)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming data-quality audit — the streaming sibling of
     * [[graft.operators.DataQuality.audit]] for the rule classes that are
     * micro-batch ADDITIVE: row predicates (violations sum across batches)

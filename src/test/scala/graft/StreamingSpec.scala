@@ -239,6 +239,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.exists(_._4 == 0))
   }
 
+  test("streaming NB scoring equals the batch score against the same " +
+    "frozen model, including unseen-bucket defaults") {
+    import graft.operators.Classifier
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val train = docs.where(col("doc_id") % 4 =!= 0)
+    val incoming = docs.where(col("doc_id") % 4 === 0)
+    val modelDir = tmp("nb-model") + "/m"
+    val srcDir = tmp("nb-src")
+    val outDir = tmp("nb-out") + "/o"
+    Classifier.hashedNBFit(Classifier.hashedNgramFeatures(train, 256), 256)
+      .write.parquet(modelDir)
+    incoming.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val q = Streams.streamingNBScore(spark,
+      Streams.fileSource(spark, srcDir, incoming.schema, maxFilesPerTrigger = 1),
+      modelDir, outDir, tmp("nb-ck"), buckets = 256)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "label", "score_x1e6", "predicted", "correct")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = Classifier.hashedNBScore(
+        Classifier.hashedNgramFeatures(incoming, 256),
+        spark.read.parquet(modelDir))
+      .select(col("doc_id"), col("label"), col("score_x1e6"),
+        col("predicted"), col("correct"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming audit accumulates to the batch audit of the same rules") {
     import graft.operators.DataQuality._
     val docs = Tables.documents(spark, sfDir)
