@@ -2097,6 +2097,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // PageRank over edges EXTRACTED FROM WIKITEXT — the composition a wiki
+    // analysis actually runs (parse [[links]] → edge list → rank), not a
+    // pre-made edge table: planted markup gives every doc a hub link +
+    // successor link, ArticleOps.wikiLinkEdges parses them (piped labels,
+    // red links past the corpus edge kept as rank sinks), graphRank runs
+    // the same 10-round fixed-point recurrence as graph_rank
+    "graph_wikilinks" -> ((s, d) => {
+      val h = col("doc_id") - (col("doc_id") % 8)
+      val wt = concat(lit("See "),
+        when(col("doc_id") % 8 =!= 0,
+          concat(lit("[[Doc-"), h, lit("|hub page]] and "))).otherwise(lit("")),
+        lit("[[Doc-"), col("doc_id") + 1, lit("]] for more details."))
+      val edges = ArticleOps.wikiLinkEdges(
+        Tables.documents(s, d).select(col("doc_id"), wt.as("wt")), col("wt"))
+      operators.Graphs.graphRank(edges.withColumn("w", lit(1L)), iters = 10)
+        .orderBy(col("node"))
+    }),
+
     // degree assortativity over the same planted graph: hub-and-spoke
     // structure must report strongly NEGATIVE r (hubs bond to leaves) —
     // the one-number structural summary next to rank/triangles/k-core
@@ -7604,6 +7622,29 @@ object SparkEntry {
            |  UNION ALL SELECT y AS src, x AS dst, 1::BIGINT AS w FROM mem
            |  UNION ALL SELECT src, dst, 1::BIGINT AS w FROM ringe
            |  UNION ALL SELECT dst AS src, src AS dst, 1::BIGINT AS w FROM ringe),
+           |deg AS (SELECT src, sum(w)::BIGINT AS wdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT src AS node, 1000000::BIGINT AS rank FROM deg),
+           |$rounds
+           |SELECT node, rank AS rank_x1e6 FROM r10 ORDER BY node""".stripMargin
+      },
+
+      // wikitext → links → PageRank: the oracle replays the markup plant,
+      // the [[target|label]] extraction, Doc-id resolution, self/red-link
+      // policy, then the same unrolled 10-round recurrence
+      "graph_wikilinks" -> {
+        val rounds = prRounds(10, "node")
+        s"""WITH wtx AS (SELECT doc_id,
+           |  'See ' || CASE WHEN doc_id % 8 <> 0
+           |    THEN '[[Doc-' || (doc_id - doc_id % 8) || '|hub page]] and '
+           |    ELSE '' END ||
+           |  '[[Doc-' || (doc_id + 1) || ']] for more details.' AS wt
+           |  FROM documents),
+           |lnk AS (SELECT doc_id AS src,
+           |    unnest(regexp_extract_all(wt, '\\[\\[([^\\]|]+)(?:\\|[^\\]]*)?\\]\\]', 1)) AS t
+           |  FROM wtx),
+           |tid AS (SELECT src, regexp_extract(t, '^Doc-([0-9]+)$$', 1) AS tid FROM lnk),
+           |edges AS (SELECT src, CAST(tid AS BIGINT) AS dst, 1::BIGINT AS w
+           |  FROM tid WHERE tid <> '' AND src <> CAST(tid AS BIGINT)),
            |deg AS (SELECT src, sum(w)::BIGINT AS wdeg FROM edges GROUP BY src),
            |r0 AS (SELECT src AS node, 1000000::BIGINT AS rank FROM deg),
            |$rounds

@@ -147,4 +147,25 @@ object ArticleOps {
         "— the mapping contains a cycle")
     f.select(col("id"), col("target").as("final_id"), col("hops"))
   }
+
+  /** Wiki-link EDGE EXTRACTION — the U1 stripper's sibling that keeps the
+    * links instead of erasing them: every `[[Target]]` / `[[Target|label]]`
+    * in a wikitext column (MediaWiki link syntax, the reference's own
+    * format — `src/production_mediawiki_client.py:107-118` parses the same
+    * markup) becomes a directed `(src, dst)` edge, targets resolved by the
+    * `Doc-<id>` title convention; non-doc targets (category links, red
+    * links to other namespaces) and self-links drop. Map-only regexp
+    * extraction — the edge list this produces is what
+    * [[graft.operators.Graphs.graphRank]] consumes, turning raw wikitext
+    * into the citation/link graph every wiki analysis starts from. */
+  def wikiLinkEdges(docs: DataFrame, wt: Column): DataFrame =
+    docs.select(col("doc_id").as("src"),
+        regexp_extract_all(wt,
+          lit("\\[\\[([^\\]|]+)(?:\\|[^\\]]*)?\\]\\]"), lit(1)).as("ts"))
+      .select(col("src"), explode(col("ts")).as("t"))
+      .select(col("src"),
+        regexp_extract(col("t"), "^Doc-([0-9]+)$", 1).as("tid"))
+      .where(col("tid") =!= "")
+      .select(col("src"), col("tid").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
 }

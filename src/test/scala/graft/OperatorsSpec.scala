@@ -2293,6 +2293,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(dd(12L) == (12L, 1L))
   }
 
+  test("wiki-link edge extraction: piped labels resolve to the target, " +
+    "non-Doc and malformed targets drop, self-links drop") {
+    val docs = Seq(
+      (1L, "See [[Doc-2|the second]] and [[Doc-3]] here"),
+      (2L, "[[Category:Stuff]] then [[Doc-1]] and [[Doc-2]] self"),
+      (3L, "[[Doc-x]] broken [[Doc-04]] ok [[notalink]] [[Doc-1|a|b]]"),
+      (4L, "no links at all")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.ArticleOps.wikiLinkEdges(docs, col("text"))
+      .as[(Long, Long)].collect().toSet
+    // doc 2's [[Doc-2]] is a self-link (dropped); [[Category:...]] is not a
+    // Doc target; [[Doc-x]] unparsable; [[Doc-1|a|b]]'s first pipe wins the
+    // target split, so it still resolves to Doc-1
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 1L), (3L, 4L), (3L, 1L)))
+  }
+
   test("URL filter: domain verdict wins over keyword, keyword is " +
     "case-insensitive over path+query only, ports strip from the domain, " +
     "malformed URLs never match a blocklist") {
