@@ -113,6 +113,14 @@ class ConfigSpec extends AnyFunSuite {
       d.templateMinDfDocs == 2L) // web_template_strip oracle constants
   }
 
+  test("html link-density knob parses; default is the oracle-exact 50") {
+    val c = GraftConfig.fromMap(GraftConfig.parseFlatYaml(Seq(
+      "curation:",
+      "  html_max_link_density_x100: 30")))
+    assert(c.htmlMaxLinkDensityX100 == 30L)
+    assert(GraftConfig.default.htmlMaxLinkDensityX100 == 50L)
+  }
+
   test("load of a missing file yields the library defaults") {
     assert(GraftConfig.load("/nonexistent/config.yaml") == GraftConfig.default)
   }
