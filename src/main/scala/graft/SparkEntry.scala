@@ -2320,6 +2320,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the NB model card: per-source accuracy of the distilled hashed-ngram
+    // classifier (the lsq eval's sibling over the richer feature family)
+    "ta_hashed_eval" -> ((s, d) => {
+      val feats = operators.Classifier.hashedNgramFeatures(
+        Tables.documents(s, d), 1024)
+      operators.Classifier.accuracyBySource(
+          operators.Classifier.hashedNBScore(feats,
+            operators.Classifier.hashedNBFit(feats, 1024)))
+        .orderBy(col("source"))
+    }),
+
     // the 9th driven streaming pipeline: hashed-NB scoring of a live doc
     // stream against the frozen model artifact — same base-train /
     // incoming-score split as ta_hashed_incr, so the accumulated stream
@@ -7089,6 +7100,15 @@ object SparkEntry {
       // the streamed scoring accumulates the SAME result as the batch
       // serving split — identical split, identical frozen artifact
       "stream_quality_nb" -> hashedNbSql("doc_id % 4 <> 0", "doc_id % 4 = 0"),
+
+      // model card: the training-replay scores rolled up per source
+      "ta_hashed_eval" ->
+        s"""WITH sc AS (${hashedNbSql("TRUE", "TRUE")})
+           |SELECT d.source AS source, count(*)::BIGINT AS n,
+           |  sum(sc.correct)::BIGINT AS n_correct,
+           |  CAST(floor((10000.0::DOUBLE) * sum(sc.correct) / count(*) + 0.5) AS BIGINT) AS acc_x10000
+           |FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+           |GROUP BY d.source ORDER BY source""".stripMargin,
 
       "ta_train_lsq_score" ->
         s"""WITH $lsqModelCtes,

@@ -2711,6 +2711,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._6) == got.map(_._6).sorted) // the ladder is monotone
   }
 
+  test("canonicalizeUrl is idempotent on arbitrary generated URLs (property)") {
+    // a dedup key must be a fixpoint: canon(canon(u)) == canon(u), or two
+    // passes of the same pipeline would disagree on identity
+    import org.scalacheck.Gen
+    def forAllSampled[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+      Iterator.continually(gen.sample).flatten.take(n).foreach(body)
+    val url = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp", "")
+      host <- Gen.oneOf("Ex.COM", "a.b.ORG", "x.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/a", "/A/b/", "/a//", "/p.q")
+      qs <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x", "?a=1&fbclid=z&b=2",
+        "?ref=rss")
+      frag <- Gen.oneOf("", "#x", "#sec/2")
+    } yield if (scheme.isEmpty) host + path + qs + frag
+      else s"$scheme://$host$port$path$qs$frag"
+    forAllSampled(Gen.listOfN(40, url), 5) { urls =>
+      val rows = urls.distinct.toDF("url")
+        .select(WebCuration.canonicalizeUrl($"url").as("c1"))
+        .select($"c1", WebCuration.canonicalizeUrl($"c1").as("c2"))
+        .as[(String, String)].collect()
+      rows.foreach { case (c1, c2) =>
+        assert(c1 == c2, s"canonicalization not a fixpoint: '$c1' -> '$c2'")
+      }
+    }
+  }
+
   test("viterbi optimality holds on random vocabularies and words (property)") {
     import org.scalacheck.Gen
     def forAllSampled[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =

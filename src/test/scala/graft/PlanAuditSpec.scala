@@ -40,6 +40,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ta_train_lsq_eval" -> "one-row trained model rides along broadcast",
     "ta_train_hashed" -> "one-row prior + one-row default-weight model rows ride along broadcast (the weight table itself is a broadcast EQUI-join)",
     "ta_hashed_incr" -> "same NB scoring shape over the frozen artifact: one-row prior/default broadcasts",
+    "ta_hashed_eval" -> "same NB scoring shape rolled up per source: one-row prior/default broadcasts",
     "ta_train_stump" -> "one-row totals + one-row best-threshold broadcasts",
     "layout_zorder" -> "one-row dim min/max + 2-row literal box table ride along broadcast",
     "ta_zipf" -> "one-row rank-1 frequency rides along broadcast",
