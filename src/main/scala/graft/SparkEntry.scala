@@ -378,7 +378,8 @@ object SparkEntry {
           "<a href=\"/contact\">Contact</a></div>")).otherwise(lit("")),
       when(col("doc_id") % 3 === 0,
         concat(
-          lit("<p>See the <a href=\"/more\">full report</a> for details about "),
+          lit("<p>See the <a href=\"/more\">full report</a> and the notes " +
+            "that go with it for details about "),
           col("lang"), lit(" coverage and methodology.</p>")))
         .otherwise(lit("")),
       when(col("doc_id") % 5 === 0,
@@ -788,6 +789,50 @@ object SparkEntry {
               cfg.htmlMaxLinkDensityX100).as("text")),
           operators.WebCuration.CurationThresholds.fromConfig(cfg))
         .orderBy(col("doc_id"))),
+
+    // the CRAWL-TO-CORPUS flagship: URL filter (pre-fetch) → HTML
+    // extraction → Gopher form gate, composed in pipeline order with a
+    // per-source funnel readout — how many records each stage admits and
+    // the surviving token volume. URL gate and extraction are
+    // map-only/broadcast; the only shuffle is the final per-source agg
+    // (the id-keyed gopher join broadcasts its slim report side)
+    "e2e_web_pipeline" -> ((s, d) => {
+      import s.implicits._
+      // TLD by GENERATION (doc_id/20), orthogonal to the source = doc_id%20
+      // striping — a doc_id%4 TLD would block entire sources wholesale and
+      // make the per-source funnel all-or-nothing
+      val gen = floor(col("doc_id") / 20) % 4
+      val tld = when(gen === 0, ".tracker.biz")
+        .when(gen === 1, ".news.org")
+        .when(gen === 2, ".example.com")
+        .otherwise(".spamfarm.net")
+      val url = concat(lit("http://"), col("source"), tld, lit("/page/"),
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("?session=casino-bonus"))
+          .otherwise(concat(lit("?id="), col("doc_id"))))
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), url.as("url"),
+          plantedHtmlPage.as("html"))
+      val filtered = operators.WebCuration.urlFilter(pages,
+        Seq("spamfarm.net", "tracker.biz").toDF("domain"),
+        Seq("casino", "lottery"))
+      val extracted = filtered.where(!col("blocked"))
+        .select(col("doc_id"),
+          operators.WebCuration.htmlToText(col("html"),
+            cfg.htmlMaxLinkDensityX100).as("text"))
+      val gr = operators.WebCuration.gopherQualityReport(extracted,
+          operators.WebCuration.CurationThresholds.fromConfig(cfg))
+        .select(col("doc_id"), col("pass"), col("n_words"))
+      filtered.select(col("doc_id"), col("source"), col("blocked"))
+        .join(gr, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(!col("blocked"), 1L).otherwise(0L)).as("n_url_pass"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_gopher"),
+          coalesce(sum(when(col("pass"), col("n_words"))), lit(0L))
+            .as("gopher_ws_tokens"))
+        .orderBy(col("source"))
+    }),
 
     // the Gopher A1.1 REPETITION half over repetition-planted docs:
     // duplicated line/paragraph fractions (+ character fractions), top
@@ -3266,7 +3311,8 @@ object SparkEntry {
         " || CASE WHEN doc_id % 2 = 0 THEN '<div><a href=\"/home\">Home</a> " +
         "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>' ELSE '' END" +
         " || CASE WHEN doc_id % 3 = 0 THEN '<p>See the <a href=\"/more\">full report</a> " +
-        "for details about ' || lang || ' coverage and methodology.</p>' ELSE '' END" +
+        "and the notes that go with it for details about ' || lang || " +
+        "' coverage and methodology.</p>' ELSE '' END" +
         " || CASE WHEN doc_id % 5 = 0 THEN " +
         "'<p>Footer &amp; legal &lt;terms&gt;&nbsp;apply.</p>' ELSE '' END" +
         " || '</body></html>'"
@@ -4606,6 +4652,43 @@ object SparkEntry {
            |  min(doc_id) OVER (PARTITION BY canon_url) AS canonical_id,
            |  count(*) OVER (PARTITION BY canon_url)::BIGINT AS n_copies
            |FROM c ORDER BY doc_id""".stripMargin,
+
+      // the crawl-to-corpus flagship: URL gate (same plant/rules as
+      // web_url_filter), extraction over the planted pages, the gopher
+      // block over the extracted text of URL-passing docs only, rolled up
+      // per source
+      "e2e_web_pipeline" ->
+        s"""WITH hpage AS (SELECT doc_id, $htmlPageSql AS html FROM documents),
+           |$htmlExtractCtes,
+           |uf AS (SELECT doc_id,
+           |    (regexp_extract(lower(regexp_extract(url,
+           |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)),
+           |        '([^.]+\\.[^.]+)$$', 1) IN ('spamfarm.net', 'tracker.biz')
+           |     OR contains(lower(regexp_extract(url,
+           |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)), 'casino')
+           |     OR contains(lower(regexp_extract(url,
+           |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)), 'lottery')) AS blocked
+           |  FROM (SELECT doc_id,
+           |    'http://' || source ||
+           |      CASE WHEN (doc_id // 20) % 4 = 0 THEN '.tracker.biz'
+           |           WHEN (doc_id // 20) % 4 = 1 THEN '.news.org'
+           |           WHEN (doc_id // 20) % 4 = 2 THEN '.example.com'
+           |           ELSE '.spamfarm.net' END ||
+           |    '/page/' || doc_id ||
+           |      CASE WHEN doc_id % 7 = 0 THEN '?session=casino-bonus'
+           |           ELSE '?id=' || doc_id END AS url FROM documents)),
+           |p AS (SELECT d.doc_id, coalesce(hxe.plain_text, '') AS text
+           |  FROM documents d JOIN uf USING (doc_id)
+           |  LEFT JOIN hxe ON hxe.doc_id = d.doc_id
+           |  WHERE NOT uf.blocked),
+           |g AS (WITH $gopherReportSql)
+           |SELECT d.source AS source, count(*)::BIGINT AS n_raw,
+           |  sum(CASE WHEN uf.blocked THEN 0 ELSE 1 END)::BIGINT AS n_url_pass,
+           |  sum(CASE WHEN g.pass THEN 1 ELSE 0 END)::BIGINT AS n_gopher,
+           |  coalesce(sum(CASE WHEN g.pass THEN g.n_words END), 0)::BIGINT AS gopher_ws_tokens
+           |FROM documents d JOIN uf USING (doc_id)
+           |LEFT JOIN g ON g.doc_id = d.doc_id
+           |GROUP BY d.source ORDER BY source""".stripMargin,
 
       // URL filter: same planted URL construction, same last-two-label
       // domain extraction, domain verdict before keyword
