@@ -235,9 +235,15 @@ object LakeLayout {
       val out = fs.listStatus(tmp).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       require(out.size == 1, s"group $gno staged ${out.size} files, wanted 1")
+      // RENAME BEFORE DELETE: the output must be durably in place before
+      // any input byte disappears — a crash or failed rename then leaves
+      // duplicates (harmless, re-plannable), never data loss. Output name
+      // ends in .parquet (first does) and sorts deterministically.
+      val target = new Path(path, s"compact-g$gno-$first")
+      require(fs.rename(out.head.getPath, target),
+        s"group $gno: rename ${out.head.getPath} -> $target failed; " +
+          "originals left untouched")
       members.foreach(f => fs.delete(new Path(path, f), false))
-      // output name ends in .parquet (first does) and sorts deterministically
-      fs.rename(out.head.getPath, new Path(path, s"compact-g$gno-$first"))
       fs.delete(tmp, true)
     }
     plan.toSeq.map(g => (g.getString(0), g.getLong(1), g.getLong(2),
