@@ -329,6 +329,11 @@ object WebCuration {
   def urlFilter(withUrl: DataFrame, blockedDomains: DataFrame,
                 blockedKeywords: Seq[String]): DataFrame = {
     require(blockedKeywords.nonEmpty, "need at least one blocked keyword")
+    val reserved = Seq("domain", "block_reason", "blocked", "_dom_blocked")
+    val clash = withUrl.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input already carries ${clash.mkString(", ")} — the filter would " +
+        "silently overwrite; rename before filtering")
     val pathQuery = lower(regexp_extract(col("url"),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1))
     val kwHit = blockedKeywords.map(k => pathQuery.contains(k.toLowerCase))
