@@ -42,7 +42,7 @@ object Bench {
     "ann_build_index", "ann_ivfpq_index", "stream_attribution",
     "stream_attribution_outer", "web_template_incr", "stream_template_strip",
     "src_corrupt_records", "layout_compaction_apply", "ta_hashed_incr",
-    "stream_quality_nb")
+    "stream_quality_nb", "sim_bm25_incr")
 
   /** Measured high-variance queries (cache staging, state stores, session
     * position): single timings swing 2-3× across identical quiet runs

@@ -2954,6 +2954,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // INCREMENTAL index maintenance — the retrieval family's missing
+    // lifecycle leg (minhash/decontam/template/NB all have one): index
+    // built on the base three-quarters, the incoming quarter ABSORBED by
+    // updateBm25Index (new text scanned once; merge is index-sized; the
+    // uncapped termdf table keeps cap eviction exact), then queried. The
+    // oracle is the FULL-corpus BM25 replay — update == rebuild is the
+    // whole claim. Query ids 0 and 4 are themselves incrementally-added
+    // docs, so the query bags exercise the merged postings both ways
+    "sim_bm25_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = stagedDir("bm25incr", d, "v1-m4", fresh = true)
+      operators.Similarity.buildBm25Index(
+        docs.where(col("doc_id") % 4 =!= 0), dir, maxDf = cfg.retrievalMaxDf)
+      operators.Similarity.updateBm25Index(s, dir,
+        docs.where(col("doc_id") % 4 === 0), maxDf = cfg.retrievalMaxDf)
+      operators.Similarity.bm25QueryIndex(s, dir,
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // hybrid retrieval: RRF-fuse the BM25 lexical ranking with the
     // feature-hashed vector ranking for the same query docs
     "sim_rrf" -> ((s, d) => {
@@ -6704,6 +6724,10 @@ object SparkEntry {
       "sim_bm25" -> bm25OracleSql,
 
       "sim_bm25_index" -> bm25OracleSql,
+
+      // incremental update == full rebuild: the oracle replays BM25 over
+      // the WHOLE corpus — the merged index must score identically
+      "sim_bm25_incr" -> bm25OracleSql,
 
 
       // triplets: the dedup_ngram pair CTEs + the bucketed negative pick

@@ -918,13 +918,63 @@ object Similarity {
       .where(col("t") =!= "")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf)
-    tf.join(dfT, Seq("t"))
+    val dfAll = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(dfAll.where(col("df") <= maxDf), Seq("t"))
       .write.mode("overwrite").parquet(s"$path/postings")
     dl.write.mode("overwrite").parquet(s"$path/doclen")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // UNCAPPED term dfs — what makes the index UPDATABLE: an evicted
+    // (over-cap) term's true count survives here even though its postings
+    // don't, so an incremental merge applies the cap exactly as a full
+    // rebuild would (see updateBm25Index)
+    dfAll.write.mode("overwrite").parquet(s"$path/termdf")
+  }
+
+  /** Incrementally ABSORB a new document batch into a [[buildBm25Index]]
+    * artifact — the index-maintenance form every other artifact family
+    * here has (minhash index, decontamination universe, template strip
+    * set, NB model): the expensive text scan (tokenize + tf) runs over the
+    * NEW batch only; all merge work is INDEX-sized — the corpus is never
+    * re-scanned. Global statistics are what make BM25 updates non-trivial
+    * (df and avgdl move for every term/doc when a batch lands), so the
+    * artifact carries the UNCAPPED `termdf/` table: the merged df decides
+    * the cap EXACTLY as a full rebuild would — a term whose old df already
+    * exceeded the cap stays evicted (df only grows under append), a term
+    * crossing the cap now evicts with its true count, and without the
+    * uncapped table an evicted term reappearing in a batch would resurface
+    * with an undercounted df. The spec and the `sim_bm25_incr` oracle pin
+    * `update(build(base), batch) == build(base ∪ batch)` component for
+    * component. Contract: APPEND-only — re-delivering a doc would double
+    * its rows (the streaming batch_id-overwrite pattern is the dedupe
+    * layer above this). A production engine shards `postings/` by term and
+    * rewrites only touched shards; the df-correct merge + cap eviction
+    * here is the identical semantic core. */
+  def updateBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                      newDocs: DataFrame, maxDf: Long = 1000): Unit = {
+    // localCheckpoint cuts lineage off the files about to be overwritten
+    val oldRaw = spark.read.parquet(s"$path/postings")
+      .select(col("doc_id"), col("t"), col("tf")).localCheckpoint()
+    val oldDl = spark.read.parquet(s"$path/doclen").localCheckpoint()
+    val oldDf = spark.read.parquet(s"$path/termdf").localCheckpoint()
+    val newTf = graft.functions.TextFunctions
+      .explodeTokens(newDocs, "t", "doc_id")
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val mergedDf = oldDf.unionByName(
+        newTf.groupBy(col("t")).agg(count(lit(1)).as("df")))
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+    val dl = oldDl.unionByName(
+      newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    oldRaw.unionByName(newTf)
+      .join(mergedDf.where(col("df") <= maxDf), Seq("t"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    mergedDf.write.mode("overwrite").parquet(s"$path/termdf")
   }
 
   /** Query a [[buildBm25Index]] artifact: identical scoring to

@@ -2293,6 +2293,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(dd(12L) == (12L, 1L))
   }
 
+  test("updateBm25Index equals the full rebuild component for component; " +
+    "a term crossing the df cap on update evicts with its TRUE merged df") {
+    import graft.operators.Similarity
+    def tmpd(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // base: 6 docs share 'hot' (df 6 <= cap 8, postings kept); the batch
+    // adds 4 more -> merged df 10 > 8, so the update must EVICT it exactly
+    // as a full rebuild would, while its true count survives in termdf
+    val base = (0L until 6L).map(i => (i, s"hot base$i keep"))
+      .toDF("doc_id", "text")
+    val batch = (6L until 10L).map(i => (i, s"hot fresh$i keep"))
+      .toDF("doc_id", "text")
+    val incrDir = tmpd("bm25-incr")
+    val fullDir = tmpd("bm25-full")
+    Similarity.buildBm25Index(base, incrDir, maxDf = 8)
+    assert(spark.read.parquet(s"$incrDir/postings")
+      .where($"t" === "hot").count() == 6, "base index must carry 'hot'")
+    Similarity.updateBm25Index(spark, incrDir, batch, maxDf = 8)
+    Similarity.buildBm25Index(base.unionByName(batch), fullDir, maxDf = 8)
+    def comp(dir: String, name: String, cols: Seq[String]) =
+      spark.read.parquet(s"$dir/$name").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    Seq(("postings", Seq("doc_id", "t", "tf", "df")),
+        ("doclen", Seq("doc_id", "dl")),
+        ("stats", Seq("n_docs", "tot_len")),
+        ("termdf", Seq("t", "df"))).foreach { case (n, cs) =>
+      assert(comp(incrDir, n, cs) == comp(fullDir, n, cs),
+        s"$n diverged from the full rebuild")
+    }
+    assert(spark.read.parquet(s"$incrDir/postings")
+      .where($"t" === "hot").count() == 0, "'hot' must evict at df 10 > 8")
+    assert(spark.read.parquet(s"$incrDir/termdf").where($"t" === "hot")
+      .select($"df").as[Long].head() == 10L, "true df must survive eviction")
+  }
+
   test("wiki-link edge extraction: piped labels resolve to the target, " +
     "non-Doc and malformed targets drop, self-links drop") {
     val docs = Seq(
