@@ -26,6 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "sim_bm25" -> "one-row (n_docs, tot_len) stats ride along broadcast",
     "sim_rrf" -> "embeds sim_bm25's one-row stats broadcast",
     "sim_bm25_index" -> "one-row index stats artifact rides along broadcast",
+    "sim_bm25_incr" -> "same artifact query shape after the incremental merge: one-row stats broadcast",
     "mix_hard_triplets" -> "embeds sim_bm25's one-row stats broadcast",
     "dedup_cluster_labels" -> "corpus-size one-row aggregate rides along broadcast (idf)",
     "mix_temperature" -> "one-row totals aggregate rides along broadcast",
