@@ -1700,6 +1700,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // INCREMENTAL ANN index maintenance — the artifact family's last
+    // missing lifecycle leg (BM25/minhash/spans/NB each have one): index
+    // built on the base three-quarters, the incoming quarter ABSORBED by
+    // updateAnnIndex with FROZEN quantizers (fixed coarse hyperplanes;
+    // batch vectors PQ-encoded by argmin against the serving codebook —
+    // nothing re-trained, batch scanned once, merge index-sized; the
+    // mergeable coarse_sums table keeps probe-order centroids rebuild-
+    // exact), then queried. The oracle replays the frozen-quantizer
+    // contract end to end. Query ids 0, 4, 8 are themselves
+    // incrementally-added vectors, so the probe exercises the merged
+    // index both ways
+    "ann_index_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = stagedDir("annincr", d, "p4m8b4r1-m4", fresh = true)
+      operators.Similarity.buildAnnIndex(emb.where(col("vec_id") % 4 =!= 0), dir)
+      operators.Similarity.updateAnnIndex(s, dir,
+        emb.where(col("vec_id") % 4 === 0))
+      stagedThisSession.add(dir)
+      operators.Similarity.annQueryIndex(s, dir, cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // per-cluster simplified silhouette over the deterministic k-means —
     // the cluster-quality readout consulted BEFORE paying for
     // dedup_semantic's within-cluster pair joins (O(n·k), centroid-based;
@@ -3356,7 +3378,7 @@ object SparkEntry {
          |    generate_subscripts(string_split(h, chr(10)), 1) AS i FROM hx2),
          |hxt AS (SELECT doc_id, i,
          |    ${normOf("regexp_replace(line, '(?s)<[^>]*>', ' ', 'g')")} AS t,
-         |    coalesce(${normOf("regexp_replace(array_to_string(regexp_extract_all(line, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '(?s)<[^>]*>', ' ', 'g')")}, '') AS a
+         |    coalesce(${normOf("regexp_replace(array_to_string(regexp_extract_all(line, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), '(?s)<[^>]*>', ' ', 'g')")}, '') AS a
          |  FROM hxl),
          |hxf AS (SELECT doc_id, i, t,
          |    CASE WHEN length(t) = 0 THEN 0
@@ -6097,6 +6119,99 @@ object SparkEntry {
            |centroids AS (SELECT s, code, list((sd_::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
            |  FROM (SELECT s, code, d, sum(xi)::BIGINT AS sd_, count(*)::BIGINT AS cnt
            |        FROM comp GROUP BY s, code, d) GROUP BY s, code),
+           |q AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub WHERE vec_id < 10),
+           |lut AS (SELECT query_id, c.s, c.code,
+           |    CAST(floor(list_dot_product(qsv, centroid) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS ci
+           |  FROM q JOIN centroids c ON q.s = c.s),
+           |adc AS (SELECT cand.query_id, codes.vec_id, sum(ci)::BIGINT AS est
+           |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+           |  JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+           |    AND lut.query_id = cand.query_id
+           |  GROUP BY cand.query_id, codes.vec_id),
+           |short AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY est DESC, vec_id) AS srank
+           |    FROM adc) WHERE srank <= 50),
+           |scored AS (SELECT short.query_id, short.vec_id,
+           |    list_dot_product(eq.vn, ev.vn) AS cos
+           |  FROM short JOIN en eq ON short.query_id = eq.vec_id
+           |  JOIN en ev ON short.vec_id = ev.vec_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+           |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // incremental IVF+PQ maintenance replayed: the coarse tier (cells +
+      // integer-sum centroids) is computed over ALL vectors — exactly what
+      // the mergeable coarse_sums table yields after the update — while the
+      // PQ codebook TRAINS ON THE BASE SPLIT ONLY (vec_id % 4 <> 0, the
+      // frozen-quantizer contract); base vectors keep their training-time
+      // codes (argmin vs the init centroids), batch vectors encode by
+      // argmin vs the final serving codebook, and the serve path is
+      // ann_ivfpq's verbatim
+      "ann_index_incr" ->
+        s"""WITH $unitVecCte,
+           |cpd AS (SELECT vec_id, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), d ->
+           |      ((((1103515245*(p*64+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * vn[d+1])),
+           |    (s, x) -> s + x) AS dotp
+           |  FROM en CROSS JOIN range(0, 4) r(p)),
+           |ccell AS (SELECT vec_id,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS cell
+           |  FROM cpd GROUP BY vec_id),
+           |cassign AS (SELECT en.vec_id, vn, cell FROM en JOIN ccell ON en.vec_id = ccell.vec_id),
+           |ccomp AS (SELECT cell, d, CAST(floor(vn[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM cassign CROSS JOIN range(0, 64) r(d)),
+           |ccent AS (SELECT cell, list((sd::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT cell, d, sum(xi)::BIGINT AS sd, count(*)::BIGINT AS cnt
+           |        FROM ccomp GROUP BY cell, d) GROUP BY cell),
+           |q0 AS (SELECT vec_id AS query_id, vn AS qv FROM cassign WHERE vec_id < 10),
+           |probes AS (SELECT query_id, cell FROM (
+           |    SELECT query_id, c.cell,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY
+           |        list_dot_product(c.centroid, c.centroid) - (2.0::DOUBLE) * list_dot_product(qv, c.centroid), c.cell) AS crank
+           |    FROM q0 CROSS JOIN ccent c) WHERE crank <= 4),
+           |cand AS (SELECT query_id, a.vec_id FROM probes JOIN cassign a ON probes.cell = a.cell
+           |  WHERE query_id <> a.vec_id),
+           |sub AS (SELECT vec_id, s, vn[(s*8+1)::INT:(s*8+8)::INT] AS sv
+           |  FROM en CROSS JOIN range(0, 8) rs(s)),
+           |pd AS (SELECT vec_id, s, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 8), d ->
+           |      ((((1103515245*((s*4+p)*8+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * sv[d+1])),
+           |    (acc, x) -> acc + x) AS dotp
+           |  FROM sub CROSS JOIN range(0, 4) rp(p) WHERE sub.vec_id % 4 <> 0),
+           |codes0 AS (SELECT vec_id, s,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS code
+           |  FROM pd GROUP BY vec_id, s),
+           |comp0 AS (SELECT s, code, d, CAST(floor(sv[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM (SELECT sub.vec_id, sub.s, sv, code
+           |        FROM sub JOIN codes0 ON sub.vec_id = codes0.vec_id AND sub.s = codes0.s)
+           |  CROSS JOIN range(0, 8) r(d)),
+           |centroids0 AS (SELECT s, code, list((sd_::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT s, code, d, sum(xi)::BIGINT AS sd_, count(*)::BIGINT AS cnt
+           |        FROM comp0 GROUP BY s, code, d) GROUP BY s, code),
+           |codest AS (SELECT vec_id, s, code FROM (
+           |    SELECT sub.vec_id, sub.s, c.code,
+           |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+           |        list_dot_product(centroid, centroid) - (2.0::DOUBLE) * list_dot_product(sv, centroid), c.code) AS cr
+           |    FROM sub JOIN centroids0 c ON sub.s = c.s WHERE sub.vec_id % 4 <> 0)
+           |  WHERE cr = 1),
+           |comp AS (SELECT s, code, d, CAST(floor(sv[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM (SELECT sub.vec_id, sub.s, sv, code
+           |        FROM sub JOIN codest ON sub.vec_id = codest.vec_id AND sub.s = codest.s)
+           |  CROSS JOIN range(0, 8) r(d)),
+           |centroids AS (SELECT s, code, list((sd_::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT s, code, d, sum(xi)::BIGINT AS sd_, count(*)::BIGINT AS cnt
+           |        FROM comp GROUP BY s, code, d) GROUP BY s, code),
+           |codesnew AS (SELECT vec_id, s, code FROM (
+           |    SELECT sub.vec_id, sub.s, c.code,
+           |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+           |        list_dot_product(centroid, centroid) - (2.0::DOUBLE) * list_dot_product(sv, centroid), c.code) AS cr
+           |    FROM sub JOIN centroids c ON sub.s = c.s WHERE sub.vec_id % 4 = 0)
+           |  WHERE cr = 1),
+           |codes AS (SELECT * FROM codest UNION ALL SELECT * FROM codesnew),
            |q AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub WHERE vec_id < 10),
            |lut AS (SELECT query_id, c.s, c.code,
            |    CAST(floor(list_dot_product(qsv, centroid) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS ci

@@ -415,19 +415,34 @@ object Similarity {
           col("vn"), planes, 1, dim), 1))
       .localCheckpoint()
 
-  /** Integer-exact per-cell centroids of a [[coarseAssign]] table. */
-  private def coarseCentroids(assigned: DataFrame): DataFrame = {
+  /** Per-(cell, dimension) integer component sums of a [[coarseAssign]]
+    * table — the MERGEABLE form of the coarse centroids (the BM25 family's
+    * uncapped-termdf idea, closed for ANN): integer sums are associative,
+    * so the sums of base ∪ batch equal the merged sums of each part, and
+    * the derived centroid doubles are bit-identical either way. */
+  private def coarseSums(assigned: DataFrame): DataFrame = {
     val S = 1000000.0
     assigned
       .select(col("cell"), posexplode(col("vn")).as(Seq("d", "x")))
       .withColumn("xi", floor(col("x") * S + 0.5).cast("long"))
       .groupBy(col("cell"), col("d"))
       .agg(sum(col("xi")).as("sd"), count(lit(1)).as("cnt"))
+  }
+
+  /** Centroid arrays from a [[coarseSums]] table (exact fixed-order
+    * division per component, array assembled in dimension order). */
+  private def centroidsFromSums(sums: DataFrame): DataFrame = {
+    val S = 1000000.0
+    sums
       .withColumn("cd", col("sd").cast("double") / (col("cnt").cast("double") * S))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
         x => x.getField("cd")).as("centroid"))
   }
+
+  /** Integer-exact per-cell centroids of a [[coarseAssign]] table. */
+  private def coarseCentroids(assigned: DataFrame): DataFrame =
+    centroidsFromSums(coarseSums(assigned))
 
   /** The IVF+PQ SERVE path, shared verbatim by [[ivfPqTopK]] (index built
     * in-plan) and [[annQueryIndex]] (index read from parquet), so the two
@@ -486,7 +501,9 @@ object Similarity {
     * search after is probe-only — the train cost (the Lloyd rounds over
     * all subvectors) amortizes across every query batch. All doubles
     * round-trip parquet bit-exactly, so [[annQueryIndex]] equals
-    * [[ivfPqTopK]] byte-for-byte (same oracle SQL). */
+    * [[ivfPqTopK]] byte-for-byte (same oracle SQL). The extra
+    * `coarse_sums/` component (per-cell integer component sums) is what
+    * makes the artifact UPDATABLE — see [[updateAnnIndex]]. */
   def buildAnnIndex(emb: DataFrame, path: String,
                     planes: Int = 4, m: Int = 8, bits: Int = 4,
                     dim: Int = 64, refine: Int = 1): Unit = {
@@ -498,10 +515,86 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/vectors")
     assigned.select(col("vec_id"), col("cell"))
       .write.mode("overwrite").parquet(s"$path/cells")
-    coarseCentroids(assigned)
+    // sums feed their own write AND the centroid derivation — materialize
+    val sums = coarseSums(assigned).localCheckpoint()
+    sums.write.mode("overwrite").parquet(s"$path/coarse_sums")
+    centroidsFromSums(sums)
       .write.mode("overwrite").parquet(s"$path/coarse_centroids")
     codes.write.mode("overwrite").parquet(s"$path/codes")
     centroids.write.mode("overwrite").parquet(s"$path/pq_centroids")
+  }
+
+  /** Incrementally ABSORB a new vector batch into a [[buildAnnIndex]]
+    * artifact — the incremental tier that closes the ANN family's
+    * lifecycle (BM25/minhash/spans/containment/clusters/NB each have one):
+    * the expensive work (normalize + coarse-assign + PQ-encode) runs over
+    * the NEW batch only, and the merge work is index-sized — the base
+    * corpus is never re-scanned and nothing is re-trained.
+    *
+    * FROZEN-QUANTIZER semantics (how FAISS `IndexIVFPQ.add` behaves, and
+    * the BM25 append-only contract's shape): both quantizers stay fixed —
+    * the coarse tier is fixed hyperplanes by construction, and the PQ
+    * codebook (`pq_centroids/`, the SERVING codebook) is not re-trained;
+    * new vectors are encoded by argmin against it (the same |c|² − 2·x·c
+    * fixed-point discipline as training reassignment). Re-training cadence
+    * is a policy knob above this operator, exactly like the BM25 rebuild
+    * cadence. What DOES move exactly: the per-cell coarse centroids that
+    * rank the probe order — the mergeable `coarse_sums/` integer table
+    * absorbs the batch's component sums, so the updated centroids are
+    * bit-identical to a rebuild over base ∪ batch (associative integer
+    * sums; the `sim_bm25_incr` uncapped-termdf idea). The `ann_index_incr`
+    * oracle replays exactly this contract: base codes as trained, batch
+    * codes argmin-vs-serving-codebook, coarse tier rebuilt over the union.
+    *
+    * Contract: APPEND-only (re-delivering a batch would double rows — the
+    * batch_id ledger layer above this is the dedupe), vec_ids disjoint
+    * from the base. Durability: every changed component stages to a
+    * sibling dir and swaps in via [[graft.sources.AtomicSwap]]; the frozen
+    * codebook is never touched. A production engine appends cell-sharded
+    * part files instead of rewriting `cells/`+`codes/`; the merge + exact
+    * centroid maintenance here is the identical semantic core. */
+  def updateAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     newEmb: DataFrame, planes: Int = 4, m: Int = 8,
+                     dim: Int = 64): Unit = {
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    graft.sources.AtomicSwap.recover(spark, path)
+    val sd = dim / m
+    val e = withUnitVector(newEmb).select(col("vec_id"), col("vn"))
+    // checkpointed (inside coarseAssign): feeds vectors/cells appends, the
+    // subvector encode, and the sums merge
+    val assigned = coarseAssign(e, planes, dim)
+    val pqCents = spark.read.parquet(s"$path/pq_centroids")
+    val newCodes = assigned
+      .select(col("vec_id"), col("vn"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .withColumn("sv", slice(col("vn"), col("s") * sd + 1, lit(sd)))
+      .join(broadcast(pqCents), Seq("s"))
+      .withColumn("dist",
+        dotCol(col("centroid"), col("centroid")) -
+          lit(2.0) * dotCol(col("sv"), col("centroid")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("code"))).as("mi"))
+      .select(col("vec_id"), col("s"), col("mi").getField("code").as("code"))
+    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+    spark.read.parquet(s"$path/vectors")
+      .unionByName(assigned.select(col("vec_id"), col("vn")))
+      .write.mode("overwrite").parquet(stage("vectors"))
+    spark.read.parquet(s"$path/cells")
+      .unionByName(assigned.select(col("vec_id"), col("cell")))
+      .write.mode("overwrite").parquet(stage("cells"))
+    spark.read.parquet(s"$path/codes")
+      .unionByName(newCodes)
+      .write.mode("overwrite").parquet(stage("codes"))
+    val mergedSums = spark.read.parquet(s"$path/coarse_sums")
+      .unionByName(coarseSums(assigned))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("sd")).as("sd"), sum(col("cnt")).as("cnt"))
+      .localCheckpoint() // feeds its own write AND the centroid derivation
+    mergedSums.write.mode("overwrite").parquet(stage("coarse_sums"))
+    centroidsFromSums(mergedSums)
+      .write.mode("overwrite").parquet(stage("coarse_centroids"))
+    graft.sources.AtomicSwap.commit(spark, path,
+      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids"))
   }
 
   /** Query a [[buildAnnIndex]] artifact: identical search to [[ivfPqTopK]]
@@ -510,7 +603,9 @@ object Similarity {
   def annQueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     nQueries: Int, k: Int, nProbe: Int = 4,
                     m: Int = 8, dim: Int = 64,
-                    shortlist: Int = 50): DataFrame =
+                    shortlist: Int = 50): DataFrame = {
+    // finish any in-flight atomic swap left by a crashed updater
+    graft.sources.AtomicSwap.recover(spark, path, cleanStale = false)
     ivfPqProbe(
       spark.read.parquet(s"$path/vectors"),
       spark.read.parquet(s"$path/cells"),
@@ -518,6 +613,7 @@ object Similarity {
       spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/pq_centroids"),
       nQueries, k, nProbe, m, dim, shortlist)
+  }
 
   /** ANN index evaluation — the harness that closes the loop: given a
     * ground-truth top-k table (`bruteForceTopK` output shape:
@@ -947,16 +1043,33 @@ object Similarity {
     * `update(build(base), batch) == build(base ∪ batch)` component for
     * component. Contract: APPEND-only — re-delivering a doc would double
     * its rows (the streaming batch_id-overwrite pattern is the dedupe
-    * layer above this). A production engine shards `postings/` by term and
-    * rewrites only touched shards; the df-correct merge + cap eviction
-    * here is the identical semantic core. */
+    * layer above this; [[updateBm25IndexOnce]] is that layer packaged). A
+    * production engine shards `postings/` by term and rewrites only
+    * touched shards; the df-correct merge + cap eviction here is the
+    * identical semantic core. Durability: the four merged tables are
+    * STAGED to sibling dirs while the originals stay live (so the merge
+    * reads them with no lineage tricks), then swapped in by
+    * [[graft.sources.AtomicSwap]]'s marker/rename protocol — a failure
+    * anywhere (including executor loss mid-write) leaves either the old
+    * index or the new one, never a mutually inconsistent mix. */
   def updateBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
                       newDocs: DataFrame, maxDf: Long = 1000): Unit = {
-    // localCheckpoint cuts lineage off the files about to be overwritten
+    graft.sources.AtomicSwap.recover(spark, path)
+    stageBm25Merge(spark, path, newDocs, maxDf)
+    graft.sources.AtomicSwap.commit(spark, path,
+      Seq("postings", "doclen", "stats", "termdf"))
+  }
+
+  /** Stage (not commit) the merged BM25 components — shared by
+    * [[updateBm25Index]] and [[updateBm25IndexOnce]]. */
+  private def stageBm25Merge(spark: org.apache.spark.sql.SparkSession,
+                             path: String, newDocs: DataFrame,
+                             maxDf: Long): Unit = {
     val oldRaw = spark.read.parquet(s"$path/postings")
-      .select(col("doc_id"), col("t"), col("tf")).localCheckpoint()
-    val oldDl = spark.read.parquet(s"$path/doclen").localCheckpoint()
-    val oldDf = spark.read.parquet(s"$path/termdf").localCheckpoint()
+      .select(col("doc_id"), col("t"), col("tf"))
+    val oldDl = spark.read.parquet(s"$path/doclen")
+    val oldDf = spark.read.parquet(s"$path/termdf")
+    // the new batch's tf table feeds three consumers — materialize once
     val newTf = graft.functions.TextFunctions
       .explodeTokens(newDocs, "t", "doc_id")
       .where(col("t") =!= "")
@@ -968,13 +1081,46 @@ object Similarity {
       .localCheckpoint()
     val dl = oldDl.unionByName(
       newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
     oldRaw.unionByName(newTf)
       .join(mergedDf.where(col("df") <= maxDf), Seq("t"))
-      .write.mode("overwrite").parquet(s"$path/postings")
-    dl.write.mode("overwrite").parquet(s"$path/doclen")
+      .write.mode("overwrite").parquet(stage("postings"))
+    dl.write.mode("overwrite").parquet(stage("doclen"))
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
-      .write.mode("overwrite").parquet(s"$path/stats")
-    mergedDf.write.mode("overwrite").parquet(s"$path/termdf")
+      .write.mode("overwrite").parquet(stage("stats"))
+    mergedDf.write.mode("overwrite").parquet(stage("termdf"))
+  }
+
+  /** EXACTLY-ONCE wrapper over [[updateBm25Index]] — the batch_id dedupe
+    * layer the append-only contract defers to, packaged for a streaming
+    * `foreachBatch` maintenance loop: Structured Streaming re-delivers a
+    * micro-batch (same batch_id) after a failure, and a bare re-update
+    * would double every posting. The applied-batch LEDGER is itself an
+    * artifact component (`applied/`, one row per absorbed batch_id) that
+    * rides the SAME atomic swap as the four index tables, so "the batch's
+    * postings are in" and "the batch is recorded" commit together — a
+    * crash leaves either neither (replay absorbs it) or both (replay
+    * no-ops). Returns true when the batch was absorbed, false when the
+    * ledger already had it. */
+  def updateBm25IndexOnce(spark: org.apache.spark.sql.SparkSession,
+                          path: String, newDocs: DataFrame, batchId: Long,
+                          maxDf: Long = 1000): Boolean = {
+    import spark.implicits._
+    graft.sources.AtomicSwap.recover(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/applied")))
+        spark.read.parquet(s"$path/applied")
+      else Seq.empty[Long].toDF("batch_id")
+    if (!applied.where(col("batch_id") === batchId).isEmpty) return false
+    stageBm25Merge(spark, path, newDocs, maxDf)
+    applied.unionByName(Seq(batchId).toDF("batch_id"))
+      .write.mode("overwrite")
+      .parquet(graft.sources.AtomicSwap.stageDir(path, "applied"))
+    graft.sources.AtomicSwap.commit(spark, path,
+      Seq("postings", "doclen", "stats", "termdf", "applied"))
+    true
   }
 
   /** Query a [[buildBm25Index]] artifact: identical scoring to
@@ -985,6 +1131,9 @@ object Similarity {
                      idfCapX100: Long = 10000,
                      k1X10: Long = 12, bX100: Long = 75): DataFrame = {
     require(queryIds.nonEmpty && k >= 1, "need query docs and positive k")
+    // finish any in-flight atomic swap left by a crashed updater (never
+    // touches a concurrent updater's staging)
+    graft.sources.AtomicSwap.recover(spark, path, cleanStale = false)
     val postings = spark.read.parquet(s"$path/postings")
     val dl = spark.read.parquet(s"$path/doclen")
     val stats = spark.read.parquet(s"$path/stats")

@@ -340,8 +340,8 @@ object WebCuration {
       .reduce(_ || _)
     withUrl
       .withColumn("domain", urlDomain(col("url")))
-      .join(broadcast(blockedDomains.select(col("domain"),
-        lit(true).as("_dom_blocked"))), Seq("domain"), "left")
+      .join(broadcast(blockedDomains.select(col("domain")).distinct()
+        .withColumn("_dom_blocked", lit(true))), Seq("domain"), "left")
       .withColumn("block_reason",
         when(col("_dom_blocked"), "domain")
           .when(kwHit, "keyword")
@@ -508,7 +508,7 @@ object WebCuration {
       transform(lines, l => struct(
         stripTagsNorm(l).as("t"),
         stripTagsNorm(array_join(
-          regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+          regexp_extract_all(l, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)), " "))
           .as("a"))),
       s => s.getField("t") =!= "")
   }

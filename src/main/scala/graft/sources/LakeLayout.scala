@@ -210,9 +210,18 @@ object LakeLayout {
     * data plane cost is one read+write of the small-file bytes and groups
     * rewrite independently. Replacement is write-staged/delete/rename
     * within the directory — a production lake runs this swap under a
-    * transaction log (Delta/Iceberg OPTIMIZE); the self-contained rename
-    * form keeps the operator dependency-free and the spec pins
-    * row-identity across it. Returns the applied plan:
+    * transaction log (Delta/Iceberg OPTIMIZE); the self-contained form
+    * keeps the operator dependency-free and the spec pins row-identity
+    * across it. Crash safety rides a PER-GROUP MANIFEST MARKER: before
+    * the compacted file is renamed into place, a `_compact_manifest_g*`
+    * marker records the target name and the member files it supersedes;
+    * members are deleted only after the rename, and the marker is removed
+    * last. A crash anywhere in that window is repaired by
+    * [[recoverCompaction]] on the next apply — target present means the
+    * swap is completed (remaining members dropped), target absent means
+    * it never started (marker and staging discarded, originals intact) —
+    * so an interrupted apply can never leave rows double-counted. Returns
+    * the applied plan:
     * (dir, group_no, n_files_in, group_bytes, compacted 0/1). */
   def compactionApply(spark: SparkSession, path: String,
                       targetBytes: Long): DataFrame = {
@@ -220,6 +229,7 @@ object LakeLayout {
     import spark.implicits._
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, hPath)
     val files = parquetManifest(spark, path)
     val plan = compactionPlan(
       files.toDF("dir", "file", "bytes"), targetBytes).collect()
@@ -235,19 +245,56 @@ object LakeLayout {
       val out = fs.listStatus(tmp).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       require(out.size == 1, s"group $gno staged ${out.size} files, wanted 1")
-      // RENAME BEFORE DELETE: the output must be durably in place before
-      // any input byte disappears — a crash or failed rename then leaves
-      // duplicates (harmless, re-plannable), never data loss. Output name
+      // MANIFEST → RENAME → DELETE → UNMARK: the marker (target name +
+      // superseded members) is durably on disk before the output becomes
+      // visible, so every crash window is repairable by recoverCompaction
+      // — never data loss, never permanent row duplication. Output name
       // ends in .parquet (first does) and sorts deterministically.
       val target = new Path(path, s"compact-g$gno-$first")
+      val marker = new Path(path, s"_compact_manifest_g$gno")
+      val mo = fs.create(marker, true)
+      try mo.write((target.getName +: members).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mo.close()
       require(fs.rename(out.head.getPath, target),
         s"group $gno: rename ${out.head.getPath} -> $target failed; " +
           "originals left untouched")
       members.foreach(f => fs.delete(new Path(path, f), false))
       fs.delete(tmp, true)
+      fs.delete(marker, false)
     }
     plan.toSeq.map(g => (g.getString(0), g.getLong(1), g.getLong(2),
         g.getLong(3), if (g.getLong(2) > 1L) 1L else 0L))
       .toDF("dir", "group_no", "n_files_in", "group_bytes", "compacted")
+  }
+
+  /** Repair an interrupted [[compactionApply]] from its on-disk markers.
+    * For each leftover `_compact_manifest_g*`: if the recorded target file
+    * EXISTS the swap had committed — finish it by deleting any member
+    * files still present; if it does NOT exist the swap never started —
+    * the originals are intact and the marker is stale. Either way the
+    * marker and any `_compact_g*` staging dir are removed, restoring the
+    * directory to a row-exact state before the new plan is made. */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).toSeq.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith("_compact_manifest_g")) {
+        val in = fs.open(st.getPath)
+        val body = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        val lines = body.split("\n").toSeq.filter(_.nonEmpty)
+        if (lines.nonEmpty && fs.exists(new Path(dir, lines.head)))
+          lines.tail.foreach(f => fs.delete(new Path(dir, f), false))
+        fs.delete(st.getPath, false)
+      } else if (st.isDirectory && name.startsWith("_compact_g")) {
+        fs.delete(st.getPath, true)
+      }
+    }
   }
 }

@@ -1382,6 +1382,46 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(indexed == direct)
   }
 
+  test("updateAnnIndex: the coarse tier (cells, sums, centroids) and the " +
+    "re-rank vectors equal a full rebuild bit for bit; the PQ codebook " +
+    "stays frozen; batch codes are argmin vs the serving codebook") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.where($"vec_id" % 4 =!= 0)
+    val batch = emb.where($"vec_id" % 4 === 0)
+    def tmpd(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val incrDir = tmpd("graft-annincr-")
+    val fullDir = tmpd("graft-annfull-")
+    Similarity.buildAnnIndex(base, incrDir)
+    val frozenCodebook = spark.read.parquet(s"$incrDir/pq_centroids")
+      .collect().map(_.toSeq).toSet
+    val baseCodes = spark.read.parquet(s"$incrDir/codes")
+      .collect().map(_.toSeq).toSet
+    Similarity.updateAnnIndex(spark, incrDir, batch)
+    Similarity.buildAnnIndex(emb, fullDir)
+    // the coarse tier has no trained state (fixed hyperplanes + mergeable
+    // integer sums), so absorb == rebuild exactly; ditto the unit vectors
+    Seq("cells", "coarse_sums", "coarse_centroids", "vectors").foreach { p =>
+      val got = spark.read.parquet(s"$incrDir/$p").collect().map(_.toSeq).toSet
+      val want = spark.read.parquet(s"$fullDir/$p").collect().map(_.toSeq).toSet
+      assert(got == want, s"$p diverged from the full rebuild")
+    }
+    // frozen-quantizer contract: the codebook is untouched by the update,
+    // base rows keep their training-time codes, and every new row's code
+    // exists in the codebook (argmin can only pick a live centroid)
+    assert(spark.read.parquet(s"$incrDir/pq_centroids")
+      .collect().map(_.toSeq).toSet == frozenCodebook, "codebook moved")
+    val afterCodes = spark.read.parquet(s"$incrDir/codes")
+    assert(afterCodes.join(batch.select($"vec_id"), Seq("vec_id"), "left_anti")
+      .collect().map(_.toSeq).toSet == baseCodes, "base codes rewritten")
+    val codebookKeys = spark.read.parquet(s"$incrDir/pq_centroids")
+      .select($"s", $"code")
+    assert(afterCodes.join(codebookKeys, Seq("s", "code"), "left_anti")
+      .isEmpty, "a new code points outside the serving codebook")
+    // and the probe serves: every query answered from the merged artifact
+    assert(Similarity.annQueryIndex(spark, incrDir, nQueries = 10, k = 5)
+      .select($"query_id").distinct().count() == 10)
+  }
+
   test("the persisted pair-graph artifact returns the direct pipeline's exact pairs") {
     val cfg = SparkEntry.cfg
     val valid = ArticleOps.validated(Tables.documents(spark, sfDir))
