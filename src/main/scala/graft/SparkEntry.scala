@@ -2656,6 +2656,18 @@ object SparkEntry {
           chunkFrames = 256L)
         .orderBy(col("media_id"), col("chunk_no"))),
 
+    // perceptual image dedup — the multimodal family's dedup signal:
+    // planted near-dup bitmaps (4-member groups share dims + base
+    // pattern, sparse per-member perturbation) wrapped in REAL PNG/JPEG
+    // containers, average-hash fingerprinted from the actual body bytes
+    // (8×8 sampled grid, mean-relative bits, four 16-bit bands), paired
+    // through the banded equi-join + exact-Hamming probe (the
+    // simhashPairs60 shape — never all-pairs). The oracle replays hash
+    // and probe from the closed-form planting formulas
+    "mm_phash_pairs" -> ((s, d) =>
+      operators.Multimodal.phashPairsFromDocs(s, Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ---- streaming pipelines, driven end-to-end (AvailableNow) ----
     // These RUN the Structured Streaming foreachBatch pipelines — file
     // source split into micro-batches, checkpointed, output read back —
@@ -3020,6 +3032,35 @@ object SparkEntry {
       operators.Similarity.updateBm25Index(s, dir,
         docs.where(col("doc_id") % 4 === 0), maxDf = cfg.retrievalMaxDf)
       operators.Similarity.bm25QueryIndex(s, dir,
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the 10th driven streaming pipeline: BM25 index maintenance — the
+    // incoming quarter arrives as a 3-micro-batch file stream and each
+    // batch is absorbed into the persisted base index through the
+    // exactly-once updateBm25IndexOnce ledger (replayed batch_ids no-op —
+    // the dedupe layer the append-only contract defers to, driven live).
+    // The drained artifact equals the full rebuild, so the accumulated
+    // result shares sim_bm25_incr's full-corpus oracle verbatim. The
+    // index is MUTATED by the run, so it stages fresh per invocation
+    "stream_bm25_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = stagedDir("stream-bm25", d, "v1-m4-s3", fresh = true)
+      operators.Similarity.buildBm25Index(
+        docs.where(col("doc_id") % 4 =!= 0), s"$stage/index",
+        maxDf = cfg.retrievalMaxDf)
+      docs.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      streaming.Streams.streamingBm25Update(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck", cfg.retrievalMaxDf)
+        .awaitTermination()
+      operators.Similarity.bm25QueryIndex(s, s"$stage/index",
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -6445,6 +6486,43 @@ object SparkEntry {
           |  (44 + chunk_no * 512)::BIGINT AS start_byte
           |FROM c ORDER BY media_id, chunk_no""".stripMargin,
 
+      // perceptual image dedup: the oracle replays the aHash from the
+      // closed-form planting formulas (group dims, gradient + sparse
+      // perturbation pixels, 8×8 sampled grid, 64·v > Σv bits, four
+      // 16-bit bands) and the banded candidate probe + exact Hamming —
+      // while Spark builds/parses the real container bytes
+      "mm_phash_pairs" ->
+        """WITH imgs AS (SELECT doc_id,
+          |    (16 + (doc_id // 4) % 50)::BIGINT AS w,
+          |    (16 + ((doc_id // 4) * 7) % 40)::BIGINT AS h,
+          |    (doc_id // 4)::BIGINT AS g, (doc_id % 4)::BIGINT AS m
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |cells AS (SELECT doc_id, g, m, k,
+          |    ((k % 8) * w) // 8 AS cx, ((k // 8) * h) // 8 AS cy
+          |  FROM imgs CROSS JOIN range(0, 64) r(k)),
+          |vals AS (SELECT doc_id, k,
+          |    ((cx*31 + cy*17 + g*13) % 251
+          |      + CASE WHEN cx % 37 = m AND cy % 23 = m THEN 7 ELSE 0 END) % 256 AS v
+          |  FROM cells),
+          |sums AS (SELECT doc_id, sum(v)::BIGINT AS s FROM vals GROUP BY doc_id),
+          |bits AS (SELECT vals.doc_id, k,
+          |    CASE WHEN 64 * v > s THEN 1 ELSE 0 END AS b
+          |  FROM vals JOIN sums ON vals.doc_id = sums.doc_id),
+          |bands AS (SELECT doc_id, (k // 16)::BIGINT AS j,
+          |    sum(b * CAST(power(2, k % 16) AS BIGINT))::BIGINT AS bv
+          |  FROM bits GROUP BY doc_id, k // 16),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+          |    AND a.doc_id < b.doc_id),
+          |ham AS (SELECT doc_a, doc_b,
+          |    sum(bit_count(xor(ba.bv, bb.bv)))::BIGINT AS hamming
+          |  FROM cand
+          |  JOIN bands ba ON ba.doc_id = doc_a
+          |  JOIN bands bb ON bb.doc_id = doc_b AND bb.j = ba.j
+          |  GROUP BY doc_a, doc_b)
+          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
       "mix_split" ->
         s"""SELECT source,
            |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
@@ -6871,6 +6949,10 @@ object SparkEntry {
       // incremental update == full rebuild: the oracle replays BM25 over
       // the WHOLE corpus — the merged index must score identically
       "sim_bm25_incr" -> bm25OracleSql,
+      // the streaming maintenance pipeline accumulates the SAME index as
+      // the batch incremental update (exactly-once ledger + append-only
+      // merges), so the oracle is identical: the full-corpus BM25 replay
+      "stream_bm25_incr" -> bm25OracleSql,
 
 
       // triplets: the dedup_ngram pair CTEs + the bucketed negative pick

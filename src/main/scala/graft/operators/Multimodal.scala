@@ -370,4 +370,133 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  // ---- perceptual image dedup (average-hash fingerprints) ----
+
+  /** Pixel value of the PLANTED near-dup bitmap corpus at (x, y) for
+    * image group `g` (4 consecutive image ids share dims + base pattern)
+    * and group member `m = id % 4`: a deterministic gradient pattern plus
+    * a sparse per-member perturbation — members of one group are NEAR
+    * duplicates (identical bitmaps except where the member's sparse mask
+    * hits), different groups are unrelated patterns. Closed-form in
+    * (g, m, x, y), so the DuckDB oracle replays every byte. */
+  def phashPixel(g: Long, m: Long, x: Int, y: Int): Int =
+    (((x * 31 + y * 17 + g * 13) % 251
+      + (if (x % 37 == m && y % 23 == m) 7 else 0)) % 256).toInt
+
+  /** Planted bitmap dims for pHash group g (shared by the group — near
+    * duplicates must agree on geometry). */
+  def phashDims(g: Long): (Int, Int) =
+    ((16 + g % 50).toInt, (16 + (g * 7) % 40).toInt)
+
+  /** The planted image corpus for perceptual dedup: one REAL container
+    * (PNG for even ids, JPEG for odd) per image-stripe doc (doc_id ≡ 0
+    * mod 3), wrapping a full row-major grayscale bitmap built from
+    * [[phashPixel]]. Unlike [[toMediaTable]] (whose bodies are text
+    * bytes), these bodies are format-true rasters — the pHash below reads
+    * actual pixel bytes back out of the container. */
+  def phashImageTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 0).as[Long]
+      .map { id =>
+        val g = id / 4
+        val m = id % 4
+        val (w, h) = phashDims(g)
+        val body = Array.tabulate(w * h) { i =>
+          phashPixel(g, m, i % w, i / w).toByte
+        }
+        val (mime, payload) =
+          if (id % 2 == 0) ("image/png", pngPayload(w, h, body))
+          else ("image/jpeg", jpegPayload(w, h, body))
+        MediaRecord(id, "image", payload, mime, payload.length.toLong)
+      }
+  }
+
+  final case class PHashBands(media_id: Long, b0: Long, b1: Long,
+                              b2: Long, b3: Long)
+
+  /** AVERAGE-HASH perceptual fingerprint of each image payload — the
+    * classic aHash (8×8 grid, bit = cell brighter than the image mean),
+    * integer-exact: parse the container header for (w, h), sample the
+    * 64-cell grid at `(⌊c·w/8⌋, ⌊r·h/8⌋)` from the REAL body bytes, and
+    * set bit k iff `64·v_k > Σv` (the cross-multiplied mean comparison —
+    * no division, engine-exact). The 64 bits are emitted as four 16-bit
+    * BAND values instead of one 64-bit integer: bands are exactly what
+    * the pair probe buckets on ([[phashPairs]]), and bit 63 would
+    * overflow a signed BIGINT in either engine. Map-only typed pass (the
+    * multimodal family's per-partition decode convention); unparseable
+    * payloads drop. */
+  def imagePHash(spark: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real pipelines: init the raster decoder here, once per partition
+      it.flatMap { r =>
+        val png = parsePngDims(r.payload).map(d => (33, d))
+        val parsed = png.orElse(parseJpegDims(r.payload).map(d => (39, d)))
+        parsed.flatMap { case (headerLen, (w, h)) =>
+          if (r.payload.length < headerLen + w * h) None
+          else {
+            val v = Array.tabulate(64) { k =>
+              val cx = (k % 8) * w / 8
+              val cy = (k / 8) * h / 8
+              (r.payload(headerLen + cy * w + cx) & 0xff).toLong
+            }
+            val s = v.sum
+            val bands = Array.tabulate(4) { j =>
+              (0 until 16).foldLeft(0L) { (acc, i) =>
+                if (64L * v(16 * j + i) > s) acc | (1L << i) else acc
+              }
+            }
+            Some(PHashBands(r.media_id, bands(0), bands(1), bands(2), bands(3)))
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Near-duplicate image pairs from [[imagePHash]] fingerprints — the
+    * dedup signal the multimodal family was missing, wired through the
+    * banded-signature machinery every text dedup here uses
+    * ([[Dedup.simhashPairs60]]'s shape): a pair is a CANDIDATE iff some
+    * 16-bit band matches exactly (Hamming ≤ 3·16/64 guarantees a clean
+    * band by pigeonhole over 4 bands; in practice near-dup images share
+    * several), then exact Hamming over the four bands keeps pairs at
+    * `maxHamming` or below. Never all-pairs: one explode (4 rows/image) +
+    * one equi-join on (band index, band value) + one bounded re-join for
+    * the exact distance — the plan that survives a 100 TB image corpus,
+    * where brute-force pairing is quadratic in billions. */
+  def phashPairs(bands: DataFrame, maxHamming: Long = 6L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyed = bands.select(col("media_id"),
+      explode(array(
+        struct(lit(0).as("j"), col("b0").as("bv")),
+        struct(lit(1).as("j"), col("b1").as("bv")),
+        struct(lit(2).as("j"), col("b2").as("bv")),
+        struct(lit(3).as("j"), col("b3").as("bv")))).as("kb"))
+      .select(col("media_id"), col("kb.j").as("j"), col("kb.bv").as("bv"))
+    val cand = keyed.select(col("media_id").as("doc_a"), col("j"), col("bv"))
+      .join(keyed.select(col("media_id").as("doc_b"), col("j"), col("bv")),
+        Seq("j", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val a = bands.select(col("media_id").as("doc_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = bands.select(col("media_id").as("doc_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** plant → decode → fingerprint → pair, end to end (the mm_phash_pairs
+    * query): Spark round-trips real container bytes; the oracle replays
+    * the closed-form planting formulas. */
+  def phashPairsFromDocs(spark: SparkSession, docs: DataFrame,
+                         maxHamming: Long = 6L): DataFrame =
+    phashPairs(imagePHash(spark, phashImageTable(spark, docs)), maxHamming)
 }

@@ -40,4 +40,75 @@ object JsonBatchSink {
     * `batch_id` is recovered from partition discovery. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.json(dir)
+
+  private val Manifest = "_manifest"
+
+  /** K2's "all-or-nothing" made EXPLICIT — the manifest-commit form of
+    * [[write]] (the reference approximates this with a success flag,
+    * `src/azure_manager.py:60-78`; a production lake uses a transaction
+    * log): data stages under `_staging/`, moves into place by per-batch
+    * rename, and a `_manifest` file (the record count) renames in LAST as
+    * the single commit point. The invariants a crash can no longer break:
+    *
+    *  - `_manifest` ABSENT ⇒ the directory is detectably partial — a
+    *    re-run DISCARDS whatever subset of batch dirs landed and redoes
+    *    the write (convergent: any crash window replays to the same
+    *    committed state);
+    *  - `_manifest` PRESENT ⇒ the sink is complete — a re-run is a no-op
+    *    returning the recorded count, so a retry loop above this (the
+    *    reference's batch re-submission) can fire blindly.
+    *
+    * Readers gate on the manifest via [[readCommitted]]. Returns the
+    * committed record count. */
+  def writeCommitted(docs: DataFrame, jsonCols: Seq[String], outDir: String,
+                     orderCol: String, batchSize: Int): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = docs.sparkSession
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(root, Manifest)
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      return body.trim.toLong // committed — re-run is a no-op
+    }
+    // partial (or fresh) directory: discard any half-landed batch dirs and
+    // staging, then redo — the convergent re-run path
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=") || n == "_staging" ||
+          n == s"$Manifest.tmp" || n == "_SUCCESS")
+        fs.delete(st.getPath, true)
+    }
+    val staging = s"$outDir/_staging"
+    val n = write(docs, jsonCols, staging, orderCol, batchSize)
+    // move batch dirs into place, stage the manifest, commit by rename
+    fs.listStatus(new Path(staging)).foreach { st =>
+      if (st.getPath.getName.startsWith("batch_id="))
+        require(fs.rename(st.getPath, new Path(root, st.getPath.getName)),
+          s"batch move failed for ${st.getPath}")
+    }
+    fs.delete(new Path(staging), true)
+    val tmp = new Path(root, s"$Manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, manifest), s"manifest commit failed for $outDir")
+    n
+  }
+
+  /** Read a [[writeCommitted]] sink, refusing a directory whose manifest
+    * is missing — an uncommitted (partial) sink must never serve reads. */
+  def readCommitted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val manifest = new Path(dir, Manifest)
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(manifest),
+      s"$dir has no $Manifest — the sink write never committed; re-run it")
+    spark.read.json(dir)
+  }
 }

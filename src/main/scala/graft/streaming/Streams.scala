@@ -393,6 +393,32 @@ object Streams {
       }
       .start()
 
+  /** The 10th driven pipeline: streaming BM25 index MAINTENANCE — each
+    * micro-batch of new documents is absorbed into a persisted
+    * [[graft.operators.Similarity.buildBm25Index]] artifact through the
+    * exactly-once [[graft.operators.Similarity.updateBm25IndexOnce]]
+    * wrapper. Structured Streaming re-delivers a micro-batch (same
+    * batch_id) after a failure or a checkpoint-reusing restart, and the
+    * raw update contract is append-only — the wrapper's applied-batch
+    * ledger commits atomically with the merged index tables, so a replayed
+    * batch is a NO-OP instead of doubled postings (the dedupe layer the
+    * `updateBm25Index` scaladoc defers to, driven here). After the stream
+    * drains, the artifact equals the full rebuild over base ∪ all batches
+    * — `stream_bm25_incr` shares the full-corpus BM25 oracle verbatim. */
+  def streamingBm25Update(spark: SparkSession, docs: DataFrame,
+                          indexDir: String, checkpointDir: String,
+                          maxDf: Long = 1000): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity.updateBm25IndexOnce(spark, indexDir,
+          batch.toDF().select(col("doc_id"), col("text")), batchId, maxDf)
+        ()
+      }
+      .start()
+
   /** Streaming data-quality audit — the streaming sibling of
     * [[graft.operators.DataQuality.audit]] for the rule classes that are
     * micro-batch ADDITIVE: row predicates (violations sum across batches)

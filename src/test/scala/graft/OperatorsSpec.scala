@@ -2367,6 +2367,43 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .select($"df").as[Long].head() == 10L, "true df must survive eviction")
   }
 
+  test("imagePHash/phashPairs: identical bitmaps pair at Hamming 0 across " +
+    "containers (PNG vs JPEG); an unrelated bitmap does not pair; the " +
+    "fingerprint reads real body bytes (truncated payloads drop)") {
+    import graft.operators.Multimodal
+    val w = 20; val h = 12
+    def bmp(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+    val gradient = bmp((x, y) => (x * 11 + y * 5) % 256)
+    val noise = bmp((x, y) => (x * 97 + y * 89 + (x * y) % 13 * 71) % 256)
+    val media = Seq(
+      Schemas.MediaRecord(1L, "image",
+        Multimodal.pngPayload(w, h, gradient), "image/png", 0L),
+      Schemas.MediaRecord(2L, "image",
+        Multimodal.jpegPayload(w, h, gradient), "image/jpeg", 0L),
+      Schemas.MediaRecord(3L, "image",
+        Multimodal.pngPayload(w, h, noise), "image/png", 0L),
+      // truncated: header claims w*h pixels the payload doesn't carry
+      Schemas.MediaRecord(4L, "image",
+        Multimodal.pngPayload(w, h, gradient.take(5)), "image/png", 0L)
+    ).toDS()
+    val bands = Multimodal.imagePHash(spark, media)
+    assert(bands.select($"media_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L), "truncated payload must drop, parseable ones stay")
+    val bySrc = bands.collect().map(r =>
+      r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("b0"), r.getAs[Long]("b1"),
+          r.getAs[Long]("b2"), r.getAs[Long]("b3"))).toMap
+    assert(bySrc(1L) == bySrc(2L),
+      "same bitmap must hash identically through PNG and JPEG containers")
+    assert(bySrc(1L) != bySrc(3L), "unrelated bitmaps must differ")
+    val pairs = Multimodal.phashPairs(bands, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)), s"exact dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image paired: $pairs")
+  }
+
   test("wiki-link edge extraction: piped labels resolve to the target, " +
     "non-Doc and malformed targets drop, self-links drop") {
     val docs = Seq(

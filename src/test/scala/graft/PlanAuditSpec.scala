@@ -27,6 +27,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "sim_rrf" -> "embeds sim_bm25's one-row stats broadcast",
     "sim_bm25_index" -> "one-row index stats artifact rides along broadcast",
     "sim_bm25_incr" -> "same artifact query shape after the incremental merge: one-row stats broadcast",
+    "stream_bm25_incr" -> "same artifact query shape after the streamed merges: one-row stats broadcast",
+    "ann_index_incr" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the updated artifact)",
     "mix_hard_triplets" -> "embeds sim_bm25's one-row stats broadcast",
     "dedup_cluster_labels" -> "corpus-size one-row aggregate rides along broadcast (idf)",
     "mix_temperature" -> "one-row totals aggregate rides along broadcast",

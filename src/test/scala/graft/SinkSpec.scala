@@ -30,6 +30,54 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(rt == orig)
   }
 
+  test("manifest-committed sink: crash windows converge on re-run; a " +
+    "committed sink is a no-op re-run; readers refuse an uncommitted dir") {
+    import org.apache.hadoop.fs.Path
+    val outDir = Files.createTempDirectory("jsonsink-mc").toString + "/corpus"
+    val docs = Tables.documents(spark, sfDir).limit(250)
+      .select($"doc_id", $"text", $"lang", $"source")
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = Seq("doc_id", "text", "lang", "source")
+
+    // CRASH WINDOW 1: data staged / partially moved, manifest never
+    // renamed in — simulate by a raw write (batch dirs present, no
+    // manifest). The reader must refuse; the re-run must converge.
+    JsonBatchSink.write(docs.limit(120), cols, outDir, "doc_id", 100)
+    assert(fs.listStatus(new Path(outDir))
+      .exists(_.getPath.getName.startsWith("batch_id=")), "partial state set up")
+    intercept[IllegalArgumentException] {
+      JsonBatchSink.readCommitted(spark, outDir)
+    }
+    val n = JsonBatchSink.writeCommitted(docs, cols, outDir, "doc_id", 100)
+    assert(n == 250L)
+    val back = JsonBatchSink.readCommitted(spark, outDir)
+    assert(back.count() == 250L, "re-run did not discard the partial state")
+    assert(!fs.exists(new Path(outDir, "_staging")))
+
+    // COMMITTED: a blind retry is a no-op — same count, data untouched
+    val mtimes = fs.listStatus(new Path(outDir))
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    assert(JsonBatchSink.writeCommitted(docs, cols, outDir, "doc_id", 100) == 250L)
+    val mtimes2 = fs.listStatus(new Path(outDir))
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    assert(mtimes2 == mtimes, "a committed sink was rewritten on retry")
+
+    // CRASH WINDOW 2: manifest.tmp staged but never renamed — still
+    // uncommitted; re-run converges and the tmp is swept
+    fs.delete(new Path(outDir, "_manifest"), false)
+    val tmp = fs.create(new Path(outDir, "_manifest.tmp"), true)
+    tmp.write("999".getBytes("UTF-8")); tmp.close()
+    intercept[IllegalArgumentException] {
+      JsonBatchSink.readCommitted(spark, outDir)
+    }
+    assert(JsonBatchSink.writeCommitted(docs, cols, outDir, "doc_id", 100) == 250L)
+    assert(!fs.exists(new Path(outDir, "_manifest.tmp")))
+    assert(JsonBatchSink.readCommitted(spark, outDir).count() == 250L)
+  }
+
   test("article storage schema (nested metadata) round-trips through JSON") {
     import Schemas.{ArticleDoc, ArticleMetadata, PageMetadata}
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -268,6 +268,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming BM25 maintenance equals the full rebuild; a replayed " +
+    "micro-batch (same batch_id) is a no-op through the applied ledger; " +
+    "a checkpoint-reusing restart absorbs nothing twice") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val incoming = docs.where(col("doc_id") % 4 === 0)
+    val idxDir = tmp("bm25s-idx") + "/index"
+    val srcDir = tmp("bm25s-src")
+    val ckDir = tmp("bm25s-ck")
+    Similarity.buildBm25Index(base, idxDir, maxDf = 100)
+    incoming.repartition(3).write.mode("overwrite").parquet(srcDir)
+    def runStream(): Unit =
+      Streams.streamingBm25Update(spark,
+        Streams.fileSource(spark, srcDir, incoming.schema, maxFilesPerTrigger = 1),
+        idxDir, ckDir, maxDf = 100).awaitTermination()
+    runStream()
+    def component(name: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$idxDir/$name").collect().map(_.toSeq).toSet
+    val fullDir = tmp("bm25s-full") + "/index"
+    Similarity.buildBm25Index(docs, fullDir, maxDf = 100)
+    Seq("postings", "doclen", "stats", "termdf").foreach { n =>
+      assert(component(n) ==
+        spark.read.parquet(s"$fullDir/$n").collect().map(_.toSeq).toSet,
+        s"$n diverged from the full rebuild after the streamed merges")
+    }
+    // the ledger recorded each micro-batch exactly once
+    val applied = spark.read.parquet(s"$idxDir/applied")
+      .select("batch_id").as[Long].collect().sorted
+    assert(applied.length == applied.distinct.length && applied.nonEmpty)
+    // REPLAY the first batch id with extra docs: the ledger must refuse
+    val before = component("postings")
+    val replayed = Similarity.updateBm25IndexOnce(spark, idxDir,
+      incoming.limit(5), batchId = applied.head, maxDf = 100)
+    assert(!replayed && component("postings") == before,
+      "a re-delivered batch_id mutated the index")
+    // restart against the SAME checkpoint: committed offsets, no new files
+    // -> nothing re-absorbed
+    runStream()
+    assert(component("postings") == before &&
+      spark.read.parquet(s"$idxDir/applied").count() == applied.length,
+      "a checkpoint-reusing restart re-absorbed data")
+  }
+
   test("streaming audit accumulates to the batch audit of the same rules") {
     import graft.operators.DataQuality._
     val docs = Tables.documents(spark, sfDir)
