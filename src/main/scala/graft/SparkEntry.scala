@@ -2668,12 +2668,57 @@ object SparkEntry {
       operators.Multimodal.phashPairsFromDocs(s, Tables.documents(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // incremental image dedup: the persisted fingerprint index of the
+    // existing images (media_id % 4 <> 3) probed by the new batch's
+    // fingerprints at O(new × collisions) — equals the batch pHash run
+    // restricted to pairs involving a new image (each planted near-dup
+    // group pairs a base member with a new member, so the whole planted
+    // signal crosses the index boundary)
+    "mm_phash_incr" -> ((s, d) => {
+      val bands = operators.Multimodal.imagePHash(s,
+        operators.Multimodal.phashImageTable(s, Tables.documents(s, d)))
+      val dir = stagedDir("phashidx", d, "v1", fresh = true)
+      bands.where(col("media_id") % 4 =!= 3)
+        .write.mode("overwrite").parquet(dir)
+      stagedThisSession.add(dir)
+      operators.Multimodal.phashPairsIncremental(
+          s.read.parquet(dir), bands.where(col("media_id") % 4 === 3))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- streaming pipelines, driven end-to-end (AvailableNow) ----
     // These RUN the Structured Streaming foreachBatch pipelines — file
     // source split into micro-batches, checkpointed, output read back —
     // so their bench rows track the streaming legs' throughput, not just
     // the batch operators they compose (the stream==batch StreamingSpec
     // cases prove the equivalence these oracles rely on).
+
+    // the 11th driven pipeline runs through the CUSTOM DataSourceV2
+    // connector's MicroBatchStream face: readStream over the staged chunk
+    // corpus (offset = consumed-chunk count, the persisted continuation
+    // cursor), accumulated to parquet — the drained output must be
+    // row-identical to the parquet table the chunks were staged from
+    "stream_custom_source" -> ((s, d) => {
+      val stage = stagedDir("dsv2", d, "chunks8", fresh = false)
+      if (!stagedThisSession.contains(stage)) {
+        sources.CorpusSourceV2.stage(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("lang"), col("text")), stage, chunks = 8)
+        stagedThisSession.add(stage)
+      }
+      val run = freshRunDir(stage)
+      val q = s.readStream.format("graft-corpus").option("path", stage)
+        .load()
+        .select(col("doc_id"), col("source"), col("lang"),
+          length(col("text")).cast("long").as("text_chars"))
+        .writeStream.format("parquet")
+        .option("path", s"$run/out")
+        .option("checkpointLocation", s"$run/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$run/out").orderBy(col("doc_id"))
+    }),
 
     // streaming near-dup: per-batch MinHash signatures appended to the
     // persisted index, new-vs-all band probe per micro-batch; the pair
@@ -3062,6 +3107,35 @@ object SparkEntry {
         .awaitTermination()
       operators.Similarity.bm25QueryIndex(s, s"$stage/index",
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the 12th driven pipeline: streaming ANN maintenance — the vector
+    // twin of stream_bm25_incr: the incoming embedding quarter arrives as
+    // a 3-micro-batch file stream, each batch absorbed into the persisted
+    // base IVF+PQ index through the exactly-once ledger with FROZEN
+    // quantizers. Per-vector argmin codes + associative coarse sums make
+    // batch order immaterial, so the drained artifact equals the one-shot
+    // incremental update and the query shares ann_index_incr's oracle
+    // verbatim
+    "stream_ann_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = stagedDir("stream-ann", d, "p4m8b4r1-s3", fresh = true)
+      operators.Similarity.buildAnnIndex(
+        emb.where(col("vec_id") % 4 =!= 0), s"$stage/index")
+      emb.where(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", org.apache.spark.sql.types.LongType)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      streaming.Streams.streamingAnnUpdate(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck")
+        .awaitTermination()
+      operators.Similarity.annQueryIndex(s, s"$stage/index",
+          cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -6523,6 +6597,42 @@ object SparkEntry {
           |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
           |ORDER BY doc_a, doc_b""".stripMargin,
 
+      // incremental pHash probe == the batch run restricted to pairs
+      // involving a new image (media_id % 4 = 3): same hash + band +
+      // Hamming replay, one extra membership condition on the candidates
+      "mm_phash_incr" ->
+        """WITH imgs AS (SELECT doc_id,
+          |    (16 + (doc_id // 4) % 50)::BIGINT AS w,
+          |    (16 + ((doc_id // 4) * 7) % 40)::BIGINT AS h,
+          |    (doc_id // 4)::BIGINT AS g, (doc_id % 4)::BIGINT AS m
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |cells AS (SELECT doc_id, g, m, k,
+          |    ((k % 8) * w) // 8 AS cx, ((k // 8) * h) // 8 AS cy
+          |  FROM imgs CROSS JOIN range(0, 64) r(k)),
+          |vals AS (SELECT doc_id, k,
+          |    ((cx*31 + cy*17 + g*13) % 251
+          |      + CASE WHEN cx % 37 = m AND cy % 23 = m THEN 7 ELSE 0 END) % 256 AS v
+          |  FROM cells),
+          |sums AS (SELECT doc_id, sum(v)::BIGINT AS s FROM vals GROUP BY doc_id),
+          |bits AS (SELECT vals.doc_id, k,
+          |    CASE WHEN 64 * v > s THEN 1 ELSE 0 END AS b
+          |  FROM vals JOIN sums ON vals.doc_id = sums.doc_id),
+          |bands AS (SELECT doc_id, (k // 16)::BIGINT AS j,
+          |    sum(b * CAST(power(2, k % 16) AS BIGINT))::BIGINT AS bv
+          |  FROM bits GROUP BY doc_id, k // 16),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+          |    AND a.doc_id < b.doc_id
+          |  WHERE a.doc_id % 4 = 3 OR b.doc_id % 4 = 3),
+          |ham AS (SELECT doc_a, doc_b,
+          |    sum(bit_count(xor(ba.bv, bb.bv)))::BIGINT AS hamming
+          |  FROM cand
+          |  JOIN bands ba ON ba.doc_id = doc_a
+          |  JOIN bands bb ON bb.doc_id = doc_b AND bb.j = ba.j
+          |  GROUP BY doc_a, doc_b)
+          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
       "mix_split" ->
         s"""SELECT source,
            |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
@@ -7867,6 +7977,12 @@ object SparkEntry {
         """SELECT doc_id, source, n_chars FROM documents
           |ORDER BY doc_id""".stripMargin,
 
+      // the custom source's MicroBatchStream face drained to parquet must
+      // accumulate the whole staged table exactly once
+      "stream_custom_source" ->
+        """SELECT doc_id, source, lang, length(text)::BIGINT AS text_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
       // custom DataSourceV2 read: the staged chunk format + pushed
       // filters + pruned projection must be lossless, so the oracle is
       // the same filter/projection on the source table directly
@@ -8775,6 +8891,10 @@ object SparkEntry {
     // assignment is the direct oracle's own coarse-quantizer CTE replay
     base +
       ("ann_ivfpq_index" -> base("ann_ivfpq")) +
+      // the streamed incremental maintenance accumulates the SAME index
+      // as the one-shot incremental update (frozen quantizers, argmin
+      // codes, associative sums) — same oracle SQL verbatim
+      ("stream_ann_incr" -> base("ann_index_incr")) +
       ("ann_build_index" ->
         s"""WITH $unitVecCte,
            |cpd AS (SELECT vec_id, p,

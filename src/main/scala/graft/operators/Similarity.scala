@@ -556,8 +556,18 @@ object Similarity {
   def updateAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      newEmb: DataFrame, planes: Int = 4, m: Int = 8,
                      dim: Int = 64): Unit = {
-    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
     graft.sources.AtomicSwap.recover(spark, path)
+    stageAnnMerge(spark, path, newEmb, planes, m, dim)
+    graft.sources.AtomicSwap.commit(spark, path,
+      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids"))
+  }
+
+  /** Stage (not commit) the merged ANN components — shared by
+    * [[updateAnnIndex]] and [[updateAnnIndexOnce]]. */
+  private def stageAnnMerge(spark: org.apache.spark.sql.SparkSession,
+                            path: String, newEmb: DataFrame, planes: Int,
+                            m: Int, dim: Int): Unit = {
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
     val sd = dim / m
     val e = withUnitVector(newEmb).select(col("vec_id"), col("vn"))
     // checkpointed (inside coarseAssign): feeds vectors/cells appends, the
@@ -593,8 +603,36 @@ object Similarity {
     mergedSums.write.mode("overwrite").parquet(stage("coarse_sums"))
     centroidsFromSums(mergedSums)
       .write.mode("overwrite").parquet(stage("coarse_centroids"))
+  }
+
+  /** EXACTLY-ONCE wrapper over [[updateAnnIndex]] — the ANN side of
+    * [[updateBm25IndexOnce]]'s ledger pattern, for a streaming
+    * `foreachBatch` maintenance loop: the applied-batch ledger
+    * (`applied/`) rides the SAME atomic swap as the five index
+    * components, so a re-delivered micro-batch is a no-op instead of
+    * duplicated vectors/cells/codes and double-counted centroid sums.
+    * Returns true when the batch was absorbed. */
+  def updateAnnIndexOnce(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newEmb: DataFrame, batchId: Long,
+                         planes: Int = 4, m: Int = 8,
+                         dim: Int = 64): Boolean = {
+    import spark.implicits._
+    graft.sources.AtomicSwap.recover(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/applied")))
+        spark.read.parquet(s"$path/applied")
+      else Seq.empty[Long].toDF("batch_id")
+    if (!applied.where(col("batch_id") === batchId).isEmpty) return false
+    stageAnnMerge(spark, path, newEmb, planes, m, dim)
+    applied.unionByName(Seq(batchId).toDF("batch_id"))
+      .write.mode("overwrite")
+      .parquet(graft.sources.AtomicSwap.stageDir(path, "applied"))
     graft.sources.AtomicSwap.commit(spark, path,
-      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids"))
+      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids",
+        "applied"))
+    true
   }
 
   /** Query a [[buildAnnIndex]] artifact: identical search to [[ivfPqTopK]]

@@ -119,6 +119,12 @@ object CorpusSourceV2 {
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    // restaging is idempotent: sweep any prior staging's chunks first (a
+    // rename onto an existing name fails on local FS)
+    fs.listStatus(root).toSeq.foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("chunk_"))
+        fs.delete(st.getPath, false)
+    }
     // rename part files to the monotone chunk names the cursor contract
     // wants; part-NNNNN names already carry the range order
     val parts = fs.listStatus(new Path(tmp)).toSeq

@@ -419,6 +419,34 @@ object Streams {
       }
       .start()
 
+  /** The 12th driven pipeline: streaming ANN index MAINTENANCE — the
+    * vector-side twin of [[streamingBm25Update]]: each micro-batch of new
+    * embeddings is absorbed into a persisted
+    * [[graft.operators.Similarity.buildAnnIndex]] IVF+PQ artifact through
+    * the exactly-once [[graft.operators.Similarity.updateAnnIndexOnce]]
+    * wrapper (frozen quantizers; the applied-batch ledger commits
+    * atomically with the five index components, so replayed micro-batches
+    * cannot duplicate vectors or double-count centroid sums). Batch order
+    * is immaterial: codes are per-vector argmin against the frozen
+    * codebook and coarse sums merge associatively, so the drained
+    * artifact equals one update of the union — `stream_ann_incr` shares
+    * `ann_index_incr`'s oracle verbatim. */
+  def streamingAnnUpdate(spark: SparkSession, emb: DataFrame,
+                         indexDir: String, checkpointDir: String,
+                         planes: Int = 4, m: Int = 8,
+                         dim: Int = 64): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity.updateAnnIndexOnce(spark, indexDir,
+          batch.toDF().select(col("vec_id"), col("embedding")), batchId,
+          planes, m, dim)
+        ()
+      }
+      .start()
+
   /** Streaming data-quality audit — the streaming sibling of
     * [[graft.operators.DataQuality.audit]] for the rule classes that are
     * micro-batch ADDITIVE: row predicates (violations sum across batches)

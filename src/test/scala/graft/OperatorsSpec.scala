@@ -2402,6 +2402,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 2L, 0L)), s"exact dup pair missing: $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       s"unrelated image paired: $pairs")
+    // the multi-index volume knob: an exact dup shares all 4 bands, so it
+    // survives the strictest candidate gate
+    assert(Multimodal.phashPairs(bands, maxHamming = 6, minBandMatches = 4)
+      .as[(Long, Long, Long)].collect().toSet.contains((1L, 2L, 0L)))
+  }
+
+  test("phashPairsIncremental equals the batch pairs restricted to " +
+    "new-member pairs; base-base pairs never re-probe") {
+    import graft.operators.Multimodal
+    val bands = Multimodal.imagePHash(spark,
+      Multimodal.phashImageTable(spark, Tables.documents(spark, sfDir)))
+      .localCheckpoint()
+    val base = bands.where($"media_id" % 4 =!= 3)
+    val fresh = bands.where($"media_id" % 4 === 3)
+    val incr = Multimodal.phashPairsIncremental(base, fresh)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Multimodal.phashPairs(bands)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantNew = batch.filter(p => p._1 % 4 == 3 || p._2 % 4 == 3)
+    assert(incr == wantNew && incr.nonEmpty)
+    assert(incr.forall(p => p._1 % 4 == 3 || p._2 % 4 == 3))
   }
 
   test("wiki-link edge extraction: piped labels resolve to the target, " +

@@ -313,6 +313,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "a checkpoint-reusing restart re-absorbed data")
   }
 
+  test("streaming ANN maintenance equals the one-shot incremental update " +
+    "component for component; a replayed batch_id is a no-op; the frozen " +
+    "codebook survives the whole stream") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.where(col("vec_id") % 4 =!= 0)
+    val incoming = emb.where(col("vec_id") % 4 === 0)
+      .select($"vec_id", $"embedding")
+    val sIdx = tmp("anns-idx") + "/index"
+    val oIdx = tmp("anns-one") + "/index"
+    val srcDir = tmp("anns-src")
+    Similarity.buildAnnIndex(base, sIdx)
+    Similarity.buildAnnIndex(base, oIdx)
+    val frozen = spark.read.parquet(s"$sIdx/pq_centroids")
+      .collect().map(_.toSeq).toSet
+    incoming.repartition(3).write.mode("overwrite").parquet(srcDir)
+    Streams.streamingAnnUpdate(spark,
+      Streams.fileSource(spark, srcDir, incoming.schema, maxFilesPerTrigger = 1),
+      sIdx, tmp("anns-ck")).awaitTermination()
+    Similarity.updateAnnIndex(spark, oIdx, incoming)
+    def comp(dir: String, name: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/$name").collect().map(_.toSeq).toSet
+    Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids")
+      .foreach { n =>
+        assert(comp(sIdx, n) == comp(oIdx, n),
+          s"$n diverged between the stream and the one-shot update")
+      }
+    assert(comp(sIdx, "pq_centroids") == frozen, "codebook moved")
+    val applied = spark.read.parquet(s"$sIdx/applied")
+      .select("batch_id").as[Long].collect().sorted
+    assert(applied.length == applied.distinct.length && applied.nonEmpty)
+    val before = comp(sIdx, "cells")
+    assert(!Similarity.updateAnnIndexOnce(spark, sIdx, incoming.limit(3),
+      batchId = applied.head))
+    assert(comp(sIdx, "cells") == before, "replayed batch mutated the index")
+  }
+
   test("streaming audit accumulates to the batch audit of the same rules") {
     import graft.operators.DataQuality._
     val docs = Tables.documents(spark, sfDir)
