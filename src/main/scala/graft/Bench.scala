@@ -44,7 +44,8 @@ object Bench {
     "src_corrupt_records", "layout_compaction_apply", "ta_hashed_incr",
     "stream_quality_nb", "sim_bm25_incr", "src_custom_source",
     "ann_index_incr", "stream_bm25_incr", "mm_phash_incr",
-    "stream_custom_source", "stream_ann_incr")
+    "stream_custom_source", "stream_ann_incr", "ann_index_del",
+    "sim_bm25_del")
 
   /** Measured high-variance queries (cache staging, state stores, session
     * position): single timings swing 2-3× across identical quiet runs

@@ -1727,6 +1727,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // index DELETION — the takedown / right-to-be-forgotten leg: vectors
+    // vec_id ≡ 3 (mod 7), vec_id ≥ 10 removed from the full-corpus index
+    // with no rebuild (index-sized work: anti-joins + exact integer
+    // subtraction of the deleted vectors' coarse sums, recomputed from
+    // the index itself). The probe then equals the frozen-training index
+    // over the survivors — the oracle trains PQ on the FULL corpus and
+    // serves the survivor set only
+    "ann_index_del" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = stagedDir("anndel", d, "p4m8b4r1-m7", fresh = true)
+      operators.Similarity.buildAnnIndex(emb, dir)
+      operators.Similarity.removeFromAnnIndex(s, dir,
+        emb.where(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
+          .select(col("vec_id")))
+      stagedThisSession.add(dir)
+      operators.Similarity.annQueryIndex(s, dir, cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // per-cluster simplified silhouette over the deterministic k-means —
     // the cluster-quality readout consulted BEFORE paying for
     // dedup_semantic's within-cluster pair joins (O(n·k), centroid-based;
@@ -3076,6 +3095,24 @@ object SparkEntry {
         docs.where(col("doc_id") % 4 =!= 0), dir, maxDf = cfg.retrievalMaxDf)
       operators.Similarity.updateBm25Index(s, dir,
         docs.where(col("doc_id") % 4 === 0), maxDf = cfg.retrievalMaxDf)
+      operators.Similarity.bm25QueryIndex(s, dir,
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // BM25 index DELETION — the takedown leg lexical-side: docs doc_id ≡
+    // 5 (mod 7) removed from the full-corpus index with no corpus access
+    // (the deleted docs' own posting rows supply the per-term df
+    // decrements); scoring over the survivors is exact, evicted terms
+    // stay conservatively evicted (the documented upper-bound rule). The
+    // oracle replays BM25 over the survivor corpus with the survivor df
+    "sim_bm25_del" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = stagedDir("bm25del", d, "v1-m7", fresh = true)
+      operators.Similarity.buildBm25Index(docs, dir, maxDf = cfg.retrievalMaxDf)
+      operators.Similarity.removeFromBm25Index(s, dir,
+        docs.where(col("doc_id") % 7 === 5).select(col("doc_id")))
+      stagedThisSession.add(dir)
       operators.Similarity.bm25QueryIndex(s, dir,
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -6379,6 +6416,90 @@ object SparkEntry {
            |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+      // deletion replay: ann_ivfpq's SQL with the PQ tier trained on the
+      // FULL corpus (the frozen-training contract — deletes never
+      // re-train) and the coarse tier + candidate set restricted to the
+      // SURVIVORS (NOT (vec_id % 7 = 3 AND vec_id >= 10)) — exactly what
+      // the integer sums subtraction leaves in the artifact
+      "ann_index_del" ->
+        s"""WITH $unitVecCte,
+           |cpd AS (SELECT vec_id, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 64), d ->
+           |      ((((1103515245*(p*64+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * vn[d+1])),
+           |    (s, x) -> s + x) AS dotp
+           |  FROM en CROSS JOIN range(0, 4) r(p)),
+           |ccell AS (SELECT vec_id,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS cell
+           |  FROM cpd GROUP BY vec_id),
+           |cassign AS (SELECT en.vec_id, vn, cell FROM en JOIN ccell ON en.vec_id = ccell.vec_id
+           |  WHERE NOT (en.vec_id % 7 = 3 AND en.vec_id >= 10)),
+           |ccomp AS (SELECT cell, d, CAST(floor(vn[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM cassign CROSS JOIN range(0, 64) r(d)),
+           |ccent AS (SELECT cell, list((sd::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT cell, d, sum(xi)::BIGINT AS sd, count(*)::BIGINT AS cnt
+           |        FROM ccomp GROUP BY cell, d) GROUP BY cell),
+           |q0 AS (SELECT vec_id AS query_id, vn AS qv FROM cassign WHERE vec_id < 10),
+           |probes AS (SELECT query_id, cell FROM (
+           |    SELECT query_id, c.cell,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY
+           |        list_dot_product(c.centroid, c.centroid) - (2.0::DOUBLE) * list_dot_product(qv, c.centroid), c.cell) AS crank
+           |    FROM q0 CROSS JOIN ccent c) WHERE crank <= 4),
+           |cand AS (SELECT query_id, a.vec_id FROM probes JOIN cassign a ON probes.cell = a.cell
+           |  WHERE query_id <> a.vec_id),
+           |sub AS (SELECT vec_id, s, vn[(s*8+1)::INT:(s*8+8)::INT] AS sv
+           |  FROM en CROSS JOIN range(0, 8) rs(s)),
+           |pd AS (SELECT vec_id, s, p,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 8), d ->
+           |      ((((1103515245*((s*4+p)*8+d+1) + 12345) % 2097152)::DOUBLE) / (2097152.0::DOUBLE) - 0.5) * sv[d+1])),
+           |    (acc, x) -> acc + x) AS dotp
+           |  FROM sub CROSS JOIN range(0, 4) rp(p)),
+           |codes0 AS (SELECT vec_id, s,
+           |    sum(CASE WHEN dotp > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)::BIGINT AS code
+           |  FROM pd GROUP BY vec_id, s),
+           |comp0 AS (SELECT s, code, d, CAST(floor(sv[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM (SELECT sub.vec_id, sub.s, sv, code
+           |        FROM sub JOIN codes0 ON sub.vec_id = codes0.vec_id AND sub.s = codes0.s)
+           |  CROSS JOIN range(0, 8) r(d)),
+           |centroids0 AS (SELECT s, code, list((sd_::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT s, code, d, sum(xi)::BIGINT AS sd_, count(*)::BIGINT AS cnt
+           |        FROM comp0 GROUP BY s, code, d) GROUP BY s, code),
+           |codes AS (SELECT vec_id, s, code FROM (
+           |    SELECT sub.vec_id, sub.s, c.code,
+           |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+           |        list_dot_product(centroid, centroid) - (2.0::DOUBLE) * list_dot_product(sv, centroid), c.code) AS cr
+           |    FROM sub JOIN centroids0 c ON sub.s = c.s)
+           |  WHERE cr = 1),
+           |comp AS (SELECT s, code, d, CAST(floor(sv[d+1]*(1000000.0::DOUBLE) + 0.5) AS BIGINT) AS xi
+           |  FROM (SELECT sub.vec_id, sub.s, sv, code
+           |        FROM sub JOIN codes ON sub.vec_id = codes.vec_id AND sub.s = codes.s)
+           |  CROSS JOIN range(0, 8) r(d)),
+           |centroids AS (SELECT s, code, list((sd_::DOUBLE) / ((cnt::DOUBLE) * (1000000.0::DOUBLE)) ORDER BY d) AS centroid
+           |  FROM (SELECT s, code, d, sum(xi)::BIGINT AS sd_, count(*)::BIGINT AS cnt
+           |        FROM comp GROUP BY s, code, d) GROUP BY s, code),
+           |q AS (SELECT vec_id AS query_id, s, sv AS qsv FROM sub WHERE vec_id < 10),
+           |lut AS (SELECT query_id, c.s, c.code,
+           |    CAST(floor(list_dot_product(qsv, centroid) * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS ci
+           |  FROM q JOIN centroids c ON q.s = c.s),
+           |adc AS (SELECT cand.query_id, codes.vec_id, sum(ci)::BIGINT AS est
+           |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+           |  JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+           |    AND lut.query_id = cand.query_id
+           |  GROUP BY cand.query_id, codes.vec_id),
+           |short AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY est DESC, vec_id) AS srank
+           |    FROM adc) WHERE srank <= 50),
+           |scored AS (SELECT short.query_id, short.vec_id,
+           |    list_dot_product(eq.vn, ev.vn) AS cos
+           |  FROM short JOIN en eq ON short.query_id = eq.vec_id
+           |  JOIN en ev ON short.vec_id = ev.vec_id),
+           |r AS (SELECT query_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+           |  CAST(floor(cos * (1000000.0::DOUBLE) + 0.5) AS BIGINT) AS cos_x1000000
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
       // quantized codes: floor(x·127/amax + 0.5), scale = amax/127; the
       // integer dot is exact in any order, the scale multiplies fixed-order
       "ann_topk_int8" ->
@@ -7063,6 +7184,36 @@ object SparkEntry {
       // the batch incremental update (exactly-once ledger + append-only
       // merges), so the oracle is identical: the full-corpus BM25 replay
       "stream_bm25_incr" -> bm25OracleSql,
+
+      // deletion replay: BM25 over the SURVIVOR corpus (doc_id % 7 <> 5)
+      // with survivor df/doclen/stats; the cap test reads the FULL-corpus
+      // df (eviction is monotone under delete — the index's documented
+      // upper-bound rule), the score reads the survivor df
+      "sim_bm25_del" ->
+        s"""WITH tfall AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM
+           |    (SELECT doc_id, unnest($toks) AS t FROM documents)
+           |  WHERE t <> '' GROUP BY doc_id, t),
+           |tf AS (SELECT * FROM tfall WHERE doc_id % 7 <> 5),
+           |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+           |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_len FROM dl),
+           |dff AS (SELECT t FROM tfall GROUP BY t HAVING count(*) <= 1000),
+           |dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+           |q AS (SELECT DISTINCT doc_id AS query_id, t FROM tf
+           |  WHERE doc_id IN (0, 1, 2, 3, 4)),
+           |sc AS (SELECT q.query_id, tf.doc_id,
+           |    least(CAST(floor((100.0::DOUBLE) * n_docs / df) AS BIGINT), 10000) *
+           |      ((tf.tf * 2200 * 1000) // (tf.tf * 1000 +
+           |        (1200 * (250 + (750 * dl.dl * 1000) // ((1000 * tot_len) // n_docs))) // 1000))
+           |      AS contrib
+           |  FROM q JOIN tf USING (t) JOIN dff USING (t) JOIN dfq USING (t)
+           |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+           |  WHERE tf.doc_id <> q.query_id),
+           |r AS (SELECT query_id, doc_id, sum(contrib)::BIGINT AS score_x1e5,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sum(contrib) DESC, doc_id) AS rank
+           |  FROM sc GROUP BY query_id, doc_id)
+           |SELECT query_id, doc_id, rank::BIGINT AS rank, score_x1e5
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
 
       // triplets: the dedup_ngram pair CTEs + the bucketed negative pick

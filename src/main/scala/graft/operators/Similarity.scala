@@ -605,6 +605,52 @@ object Similarity {
       .write.mode("overwrite").parquet(stage("coarse_centroids"))
   }
 
+  /** DELETE vectors from a [[buildAnnIndex]] artifact — the ANN side of
+    * [[removeFromBm25Index]]'s takedown leg, and (unlike BM25's one
+    * documented upper-bound asymmetry) EXACT against a rebuild over the
+    * survivors with the same frozen training: cells/codes/vectors drop
+    * the deleted ids; the deleted vectors' per-cell integer component
+    * sums are recomputed FROM THE INDEX ITSELF (vectors ⋈ cells, both
+    * components already carry everything needed) and SUBTRACTED from the
+    * mergeable `coarse_sums/` — integer subtraction is as associative as
+    * the addition, so the surviving centroids are bit-identical to
+    * [[buildAnnIndex]] run over the survivors (coarse tier has no trained
+    * state) while the PQ codebook stays frozen. Cells emptied by the
+    * delete drop out of sums and centroids entirely. All work is
+    * index-sized; the staged [[graft.sources.AtomicSwap]] commit keeps
+    * any crash repairable. */
+  def removeFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, removeIds: DataFrame): Unit = {
+    graft.sources.AtomicSwap.recover(spark, path)
+    val gone = broadcast(removeIds.select(col("vec_id")).distinct())
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val cells = spark.read.parquet(s"$path/cells")
+    val removedAssigned = vectors.join(gone, Seq("vec_id"))
+      .join(cells, Seq("vec_id"))
+      .select(col("cell"), col("vn"))
+    val mergedSums = spark.read.parquet(s"$path/coarse_sums")
+      .unionByName(coarseSums(removedAssigned)
+        .select(col("cell"), col("d"), (-col("sd")).as("sd"),
+          (-col("cnt")).as("cnt")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("sd")).as("sd"), sum(col("cnt")).as("cnt"))
+      .where(col("cnt") > 0) // cells emptied by the delete vanish
+      .localCheckpoint() // feeds its own write AND the centroid derivation
+    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+    vectors.join(gone, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(stage("vectors"))
+    cells.join(gone, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(stage("cells"))
+    spark.read.parquet(s"$path/codes")
+      .join(gone, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(stage("codes"))
+    mergedSums.write.mode("overwrite").parquet(stage("coarse_sums"))
+    centroidsFromSums(mergedSums)
+      .write.mode("overwrite").parquet(stage("coarse_centroids"))
+    graft.sources.AtomicSwap.commit(spark, path,
+      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids"))
+  }
+
   /** EXACTLY-ONCE wrapper over [[updateAnnIndex]] — the ANN side of
     * [[updateBm25IndexOnce]]'s ledger pattern, for a streaming
     * `foreachBatch` maintenance loop: the applied-batch ledger
@@ -1159,6 +1205,54 @@ object Similarity {
     graft.sources.AtomicSwap.commit(spark, path,
       Seq("postings", "doclen", "stats", "termdf", "applied"))
     true
+  }
+
+  /** DELETE documents from a [[buildBm25Index]] artifact — the takedown /
+    * right-to-be-forgotten leg of the index lifecycle (every 100 TB corpus
+    * eventually must remove specific documents without a rebuild): all
+    * work is INDEX-sized (the corpus is never touched; the deleted docs'
+    * own posting rows supply their term counts), and the four merged
+    * tables ride the same [[graft.sources.AtomicSwap]] staged commit as
+    * the update path.
+    *
+    * Exactness contract: scoring is EXACT for every term the index
+    * serves — posting rows of deleted docs disappear, surviving rows
+    * carry the decremented df, doclen/stats re-aggregate over survivors.
+    * The one documented asymmetry: a term whose postings were already
+    * CAP-EVICTED stays evicted, and its `termdf/` count keeps the
+    * pre-delete value as an UPPER BOUND (the evicted docs' term bags are
+    * gone from the index, so the exact decrement is unknowable without a
+    * corpus re-scan). That bound errs only toward keeping the term
+    * evicted — it can never wrongly re-admit with an undercounted df —
+    * and cap eviction stays monotone under any delete/append sequence;
+    * re-admitting a term whose TRUE df fell back under the cap is the
+    * rebuild cadence's job, exactly like codebook re-training ANN-side. */
+  def removeFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          path: String, removeIds: DataFrame): Unit = {
+    graft.sources.AtomicSwap.recover(spark, path)
+    val gone = broadcast(removeIds.select(col("doc_id")).distinct())
+    val postings = spark.read.parquet(s"$path/postings")
+    // deleted docs' rows are the exact per-term decrements (kept terms
+    // only — evicted terms have no rows here, hence the upper-bound rule)
+    val dfDec = postings.join(gone, Seq("doc_id"))
+      .groupBy(col("t")).agg(count(lit(1)).as("dec"))
+    val newDf = spark.read.parquet(s"$path/termdf")
+      .join(dfDec, Seq("t"), "left")
+      .select(col("t"), (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+      .localCheckpoint() // feeds its own write AND the postings re-join
+    val dl = spark.read.parquet(s"$path/doclen")
+      .join(gone, Seq("doc_id"), "left_anti")
+    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+    postings.join(gone, Seq("doc_id"), "left_anti")
+      .drop("df").join(newDf, Seq("t")) // surviving rows carry the new df
+      .write.mode("overwrite").parquet(stage("postings"))
+    dl.write.mode("overwrite").parquet(stage("doclen"))
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+      .write.mode("overwrite").parquet(stage("stats"))
+    newDf.write.mode("overwrite").parquet(stage("termdf"))
+    graft.sources.AtomicSwap.commit(spark, path,
+      Seq("postings", "doclen", "stats", "termdf"))
   }
 
   /** Query a [[buildBm25Index]] artifact: identical scoring to

@@ -2425,6 +2425,92 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(incr.forall(p => p._1 % 4 == 3 || p._2 % 4 == 3))
   }
 
+  test("removeFromAnnIndex: coarse tier equals a survivor rebuild bit for " +
+    "bit; surviving codes/vectors keep their rows; the codebook is frozen; " +
+    "cells emptied by the delete vanish") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    def tmpd(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val delDir = tmpd("graft-anndel-")
+    val survDir = tmpd("graft-annsurv-")
+    Similarity.buildAnnIndex(emb, delDir)
+    val gone = emb.where($"vec_id" % 7 === 3 && $"vec_id" >= 10)
+      .select($"vec_id")
+    val goneIds = gone.as[Long].collect().toSet
+    val preCodes = spark.read.parquet(s"$delDir/codes")
+      .collect().map(_.toSeq).toSet
+    val preBook = spark.read.parquet(s"$delDir/pq_centroids")
+      .collect().map(_.toSeq).toSet
+    Similarity.removeFromAnnIndex(spark, delDir, gone)
+    Similarity.buildAnnIndex(emb.join(gone, Seq("vec_id"), "left_anti"), survDir)
+    // coarse tier has no trained state -> delete == survivor rebuild
+    Seq("cells", "coarse_sums", "coarse_centroids", "vectors").foreach { p =>
+      val got = spark.read.parquet(s"$delDir/$p").collect().map(_.toSeq).toSet
+      val want = spark.read.parquet(s"$survDir/$p").collect().map(_.toSeq).toSet
+      assert(got == want, s"$p diverged from the survivor rebuild")
+    }
+    // codes: exactly the pre-delete rows minus the deleted ids (frozen
+    // training — a survivor rebuild would re-train, so compare pre-delete)
+    val postCodes = spark.read.parquet(s"$delDir/codes")
+      .collect().map(_.toSeq).toSet
+    assert(postCodes == preCodes.filterNot(r =>
+      goneIds(r.head.asInstanceOf[Long])))
+    assert(spark.read.parquet(s"$delDir/pq_centroids")
+      .collect().map(_.toSeq).toSet == preBook, "codebook moved on delete")
+    // no residue of deleted ids anywhere the probe reads
+    assert(spark.read.parquet(s"$delDir/cells")
+      .where($"vec_id".isin(goneIds.toSeq: _*)).isEmpty)
+  }
+
+  test("removeFromBm25Index equals the survivor rebuild when nothing is " +
+    "evicted; an already-evicted term stays evicted and its termdf keeps " +
+    "the documented upper bound") {
+    import graft.operators.Similarity
+    def tmpd(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // exactly ONE ubiquitous term ('hot', df 10) so the eviction case is
+    // isolated; every other term is per-doc unique
+    val docs = (0L until 10L)
+      .map(i => (i, s"hot shared$i word$i")).toDF("doc_id", "text")
+    val gone = Seq(1L, 4L, 7L).toDF("doc_id")
+    val survivors = docs.where(!$"doc_id".isin(1L, 4L, 7L))
+    def comp(dir: String, name: String, cols: Seq[String]) =
+      spark.read.parquet(s"$dir/$name").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    // CASE 1: cap never binds -> delete == survivor rebuild, all four
+    val d1 = tmpd("bm25del-a"); val r1 = tmpd("bm25del-b")
+    Similarity.buildBm25Index(docs, d1, maxDf = 100)
+    Similarity.removeFromBm25Index(spark, d1, gone)
+    Similarity.buildBm25Index(survivors, r1, maxDf = 100)
+    Seq(("postings", Seq("doc_id", "t", "tf", "df")),
+        ("doclen", Seq("doc_id", "dl")),
+        ("stats", Seq("n_docs", "tot_len")),
+        ("termdf", Seq("t", "df"))).foreach { case (n, cs) =>
+      assert(comp(d1, n, cs) == comp(r1, n, cs),
+        s"$n diverged from the survivor rebuild")
+    }
+    // CASE 2: 'hot' (df 10) evicted at cap 8; deleting 3 docs drops its
+    // TRUE df to 7 <= 8, but the evicted postings are unrecoverable
+    // index-side — it must STAY evicted, termdf keeping 10 (upper bound);
+    // a survivor rebuild would re-admit it (the documented rebuild-cadence
+    // asymmetry)
+    val d2 = tmpd("bm25del-c")
+    Similarity.buildBm25Index(docs, d2, maxDf = 8)
+    Similarity.removeFromBm25Index(spark, d2, gone)
+    assert(spark.read.parquet(s"$d2/postings")
+      .where($"t" === "hot").isEmpty, "'hot' must stay evicted")
+    assert(spark.read.parquet(s"$d2/termdf").where($"t" === "hot")
+      .select($"df").as[Long].head() == 10L,
+      "evicted term's termdf must keep the pre-delete upper bound")
+    // non-evicted terms are still exactly the survivor rebuild
+    val r2 = tmpd("bm25del-d")
+    Similarity.buildBm25Index(survivors, r2, maxDf = 8)
+    assert(comp(d2, "doclen", Seq("doc_id", "dl")) ==
+      comp(r2, "doclen", Seq("doc_id", "dl")))
+    assert(comp(d2, "postings", Seq("doc_id", "t", "tf", "df")) ==
+      comp(r2, "postings", Seq("doc_id", "t", "tf", "df"))
+        .filterNot(_(1) == "hot"))
+  }
+
   test("wiki-link edge extraction: piped labels resolve to the target, " +
     "non-Doc and malformed targets drop, self-links drop") {
     val docs = Seq(
