@@ -7,10 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -100,53 +101,140 @@ object CorpusSourceV2 {
       .map(_.getPath.toString).sorted.toArray
   }
 
-  /** Stage a documents frame into the chunk format (the writer half a
-    * dump-ingest pipeline runs once): `chunks` zero-padded files, rows
-    * range-partitioned by doc_id so chunk order is deterministic. */
-  def stage(docs: DataFrame, dir: String, chunks: Int = 8): Unit = {
-    // Spark's base64 may emit MIME-chunked output (76-char lines, config-
-    // dependent); the record format is one line per doc, so strip the CRLFs
-    // — java.util.Base64's basic decoder reads the result directly
-    val line = concat_ws("\t",
-      col("doc_id"), col("source"), col("lang"),
-      regexp_replace(base64(to_binary(col("text"), lit("utf-8"))),
-        "[\\r\\n]", ""))
-    val tmp = s"$dir/_txt_stage"
-    docs.orderBy(col("doc_id")).select(line.as("value"))
+  /** Stage a documents frame into the chunk format through the
+    * connector's OWN DSv2 write path (two-phase task-staged commit — see
+    * [[CorpusBatchWrite]]): `chunks` zero-padded files, rows
+    * range-partitioned by doc_id so chunk content and order are
+    * deterministic; overwrite mode truncates a prior staging. */
+  def stage(docs: DataFrame, dir: String, chunks: Int = 8): Unit =
+    docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
       .repartitionByRange(chunks, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite").text(tmp)
-    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    // restaging is idempotent: sweep any prior staging's chunks first (a
-    // rename onto an existing name fails on local FS)
-    fs.listStatus(root).toSeq.foreach { st =>
-      if (st.isFile && st.getPath.getName.startsWith("chunk_"))
-        fs.delete(st.getPath, false)
-    }
-    // rename part files to the monotone chunk names the cursor contract
-    // wants; part-NNNNN names already carry the range order
-    val parts = fs.listStatus(new Path(tmp)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getPath).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      require(fs.rename(p, new Path(root, f"chunk_$i%05d.tsv")),
-        s"staging rename failed for $p")
-    }
-    fs.delete(new Path(tmp), true)
-  }
+      .write.format("graft-corpus").option("path", dir)
+      .mode("overwrite").save()
 }
 
 private[sources] class CorpusTable(path: String, chunksPerSplit: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-corpus($path)"
   override def schema(): StructType = CorpusSourceV2.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CorpusScanBuilder(path, chunksPerSplit)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val got = info.schema().fieldNames.toSeq
+    val want = CorpusSourceV2.Schema.fieldNames.toSeq
+    require(got.toSet == want.toSet,
+      s"graft-corpus write needs columns $want, got $got")
+    new CorpusWriteBuilder(path, info.schema())
+  }
+}
+
+private[sources] class CorpusWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new CorpusBatchWrite(path, schema, replace)
+  }
+}
+
+/** Per-task staged file + commit message — the standard two-phase write:
+  * tasks produce `_wstage_*` files invisible to readers (the chunk
+  * listing only admits `chunk_*`); the DRIVER's commit renames them to
+  * monotone chunk names in (partition, task) order, so a failed or
+  * speculatively-duplicated task attempt never becomes visible and the
+  * job is all-or-nothing — K2's contract, expressed through the DSv2
+  * commit protocol itself. */
+private[sources] case class CorpusCommitMsg(partitionId: Int, taskId: Long,
+                                            staged: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class CorpusBatchWrite(path: String, schema: StructType,
+                                        replace: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new CorpusWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (replace) { // overwrite mode: retire the previous corpus first
+      if (fs.exists(root)) fs.listStatus(root).toSeq.foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith("chunk_"))
+          fs.delete(st.getPath, false)
+      }
+    }
+    val base = CorpusSourceV2.listChunks(path, conf).length
+    val staged = messages.collect { case m: CorpusCommitMsg => m }
+      .filter(_.rows > 0)
+      .sortBy(m => (m.partitionId, m.taskId))
+    staged.zipWithIndex.foreach { case (m, i) =>
+      require(fs.rename(new Path(m.staged),
+        new Path(root, f"chunk_${base + i}%05d.tsv")),
+        s"commit rename failed for ${m.staged}")
+    }
+    // sweep any orphaned staging (failed attempts whose abort never ran)
+    if (fs.exists(root)) fs.listStatus(root).toSeq.foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("_wstage_"))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new Path(path).getFileSystem(conf)
+    messages.collect { case m: CorpusCommitMsg => m }
+      .foreach(m => fs.delete(new Path(m.staged), false))
+  }
+}
+
+private[sources] class CorpusWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CorpusChunkWriter(path, schema, partitionId, taskId)
+}
+
+private[sources] class CorpusChunkWriter(path: String, schema: StructType,
+                                         partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  // column positions in the INCOMING row for each output field
+  private val pos = Array("doc_id", "source", "lang", "text")
+    .map(n => schema.fieldNames.indexOf(n))
+  private val staged =
+    s"$path/_wstage_p${partitionId}_t$taskId"
+  private var out: java.io.Writer = _
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) { // lazy: empty partitions produce no chunk
+      val p = new Path(staged)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      out = new java.io.OutputStreamWriter(fs.create(p, true),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val docId = row.getLong(pos(0))
+    val source = row.getUTF8String(pos(1)).toString
+    val lang = row.getUTF8String(pos(2)).toString
+    val text = Base64.getEncoder.encodeToString(
+      row.getUTF8String(pos(3)).getBytes)
+    out.write(s"$docId\t$source\t$lang\t$text\n")
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    CorpusCommitMsg(partitionId, taskId, staged, rows)
+  }
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    val p = new Path(staged)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, false)
+  }
+  override def close(): Unit = if (out != null) { out.close(); out = null }
 }
 
 private[sources] class CorpusScanBuilder(path: String, chunksPerSplit: Int)

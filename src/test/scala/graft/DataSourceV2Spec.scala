@@ -62,6 +62,39 @@ class DataSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(!slimScan.readSchema().fieldNames.contains("text"))
   }
 
+  test("DSv2 write path: two-phase commit — overwrite truncates, append " +
+    "adds monotone chunks, empty partitions produce no chunk, orphaned " +
+    "staging is invisible to readers and swept at the next commit") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-w-").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def chunks: Seq[String] = fs.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("chunk_")).sorted
+    def writeRows(rows: Seq[(Long, String, String, String)], mode: String): Unit =
+      rows.toDF("doc_id", "source", "lang", "text")
+        .repartition(4) // most partitions empty -> no empty chunks
+        .write.format("graft-corpus").option("path", dir).mode(mode).save()
+    writeRows(Seq((1L, "web", "en", "alpha body")), "overwrite")
+    assert(chunks == Seq("chunk_00000.tsv"), s"got $chunks")
+    // a crashed attempt's orphan: readers must not see it
+    val orphan = new Path(dir, "_wstage_p9_t99")
+    val o = fs.create(orphan, true); o.write("junk".getBytes); o.close()
+    assert(spark.read.format("graft-corpus").option("path", dir).load()
+      .count() == 1L)
+    writeRows(Seq((2L, "web", "de", "beta body")), "append")
+    assert(chunks == Seq("chunk_00000.tsv", "chunk_00001.tsv"), s"got $chunks")
+    assert(!fs.exists(orphan), "commit must sweep orphaned staging")
+    val got = spark.read.format("graft-corpus").option("path", dir).load()
+      .as[(Long, String, String, String)].collect().toSet
+    assert(got == Set((1L, "web", "en", "alpha body"),
+      (2L, "web", "de", "beta body")))
+    // overwrite truncates back to one chunk
+    writeRows(Seq((3L, "web", "fr", "gamma body")), "overwrite")
+    assert(chunks == Seq("chunk_00000.tsv"))
+    assert(spark.read.format("graft-corpus").option("path", dir).load()
+      .select($"doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("micro-batch face: offsets are consumed-chunk counts; a restart from " +
     "the checkpoint sees only NEW chunks (exactly-once across resume)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-stream-").toString
