@@ -2712,6 +2712,30 @@ object SparkEntry {
     // the batch operators they compose (the stream==batch StreamingSpec
     // cases prove the equivalence these oracles rely on).
 
+    // the IMAGE-modality curation flagship: plant/decode real containers
+    // → aHash fingerprints → banded near-dup pairs → O(log) star
+    // clustering to canonical image ids → per-source dedup funnel
+    // (images, canonical survivors, dropped dups) — the e2e_corpus shape
+    // closed for the image modality, every stage an already-verified
+    // operator composed into one plan
+    "e2e_image_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = operators.Multimodal.phashPairsFromDocs(s, docs)
+      val clusters = operators.Dedup
+        .dedupClustersStar(pairs, "doc_a", "doc_b")
+      val imgs = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"))
+      imgs.join(clusters, imgs("doc_id") === clusters("id"), "left")
+        .select(col("source"),
+          (coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"))
+            .cast("long").as("canon"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("canon")).as("n_canonical"),
+          (count(lit(1)) - sum(col("canon"))).as("n_dropped"))
+        .orderBy(col("source"))
+    }),
+
     // the 11th driven pipeline runs through the CUSTOM DataSourceV2
     // connector's MicroBatchStream face: readStream over the staged chunk
     // corpus (offset = consumed-chunk count, the persisted continuation
@@ -6753,6 +6777,56 @@ object SparkEntry {
           |  GROUP BY doc_a, doc_b)
           |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // the image flagship: pHash pair replay → recursive-CTE min-
+      // reachable canonical (the dedup_clusters pattern) → per-source
+      // funnel; images never in a pair stay their own canonical
+      "e2e_image_pipeline" ->
+        """WITH RECURSIVE
+          |imgs AS (SELECT doc_id, source,
+          |    (16 + (doc_id // 4) % 50)::BIGINT AS w,
+          |    (16 + ((doc_id // 4) * 7) % 40)::BIGINT AS h,
+          |    (doc_id // 4)::BIGINT AS g, (doc_id % 4)::BIGINT AS m
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |cells AS (SELECT doc_id, g, m, k,
+          |    ((k % 8) * w) // 8 AS cx, ((k // 8) * h) // 8 AS cy
+          |  FROM imgs CROSS JOIN range(0, 64) r(k)),
+          |vals AS (SELECT doc_id, k,
+          |    ((cx*31 + cy*17 + g*13) % 251
+          |      + CASE WHEN cx % 37 = m AND cy % 23 = m THEN 7 ELSE 0 END) % 256 AS v
+          |  FROM cells),
+          |sums AS (SELECT doc_id, sum(v)::BIGINT AS s FROM vals GROUP BY doc_id),
+          |bits AS (SELECT vals.doc_id, k,
+          |    CASE WHEN 64 * v > s THEN 1 ELSE 0 END AS b
+          |  FROM vals JOIN sums ON vals.doc_id = sums.doc_id),
+          |bands AS (SELECT doc_id, (k // 16)::BIGINT AS j,
+          |    sum(b * CAST(power(2, k % 16) AS BIGINT))::BIGINT AS bv
+          |  FROM bits GROUP BY doc_id, k // 16),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+          |    AND a.doc_id < b.doc_id),
+          |pr AS (SELECT doc_a, doc_b FROM (
+          |    SELECT doc_a, doc_b,
+          |      sum(bit_count(xor(ba.bv, bb.bv)))::BIGINT AS hamming
+          |    FROM cand
+          |    JOIN bands ba ON ba.doc_id = doc_a
+          |    JOIN bands bb ON bb.doc_id = doc_b AND bb.j = ba.j
+          |    GROUP BY doc_a, doc_b) WHERE hamming <= 6),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+          |  UNION SELECT doc_b, doc_a FROM pr),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          |cl AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id)
+          |SELECT source, count(*)::BIGINT AS n_images,
+          |  sum(CASE WHEN coalesce(cl.canonical_id, imgs.doc_id) = imgs.doc_id
+          |    THEN 1 ELSE 0 END)::BIGINT AS n_canonical,
+          |  sum(CASE WHEN coalesce(cl.canonical_id, imgs.doc_id) <> imgs.doc_id
+          |    THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+          |FROM imgs LEFT JOIN cl ON imgs.doc_id = cl.id
+          |GROUP BY source ORDER BY source""".stripMargin,
 
       "mix_split" ->
         s"""SELECT source,
