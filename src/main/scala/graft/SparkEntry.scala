@@ -3142,6 +3142,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the 13th driven pipeline: streaming TAKEDOWN — delete requests
+    // stream in as 3 micro-batches and each applies to the persisted
+    // full-corpus index. Deletion is idempotent by construction (an
+    // already-removed id has nothing left to subtract), so no ledger is
+    // needed and the drained index equals the one-shot delete — the
+    // oracle is sim_bm25_del's verbatim
+    "stream_bm25_takedown" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = stagedDir("stream-takedown", d, "v1-m7-s3", fresh = true)
+      operators.Similarity.buildBm25Index(docs, s"$stage/index",
+        maxDf = cfg.retrievalMaxDf)
+      docs.where(col("doc_id") % 7 === 5).select(col("doc_id"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+      streaming.Streams.streamingTakedown(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck", cfg.retrievalMaxDf)
+        .awaitTermination()
+      operators.Similarity.bm25QueryIndex(s, s"$stage/index",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the 10th driven streaming pipeline: BM25 index maintenance — the
     // incoming quarter arrives as a 3-micro-batch file stream and each
     // batch is absorbed into the persisted base index through the
@@ -9120,6 +9145,9 @@ object SparkEntry {
       // as the one-shot incremental update (frozen quantizers, argmin
       // codes, associative sums) — same oracle SQL verbatim
       ("stream_ann_incr" -> base("ann_index_incr")) +
+      // streamed takedown drains to the one-shot delete's exact index
+      // (deletion is idempotent by construction) — same oracle verbatim
+      ("stream_bm25_takedown" -> base("sim_bm25_del")) +
       ("ann_build_index" ->
         s"""WITH $unitVecCte,
            |cpd AS (SELECT vec_id, p,

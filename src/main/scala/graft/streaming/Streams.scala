@@ -447,6 +447,33 @@ object Streams {
       }
       .start()
 
+  /** The 13th driven pipeline: streaming TAKEDOWN — delete requests
+    * (right-to-be-forgotten, DMCA, policy removals) arrive as a stream of
+    * doc ids and each micro-batch is applied to the persisted BM25 index
+    * through [[graft.operators.Similarity.removeFromBm25Index]]. Unlike
+    * the APPEND side (which needs the applied-batch ledger to stay
+    * exactly-once), deletion is IDEMPOTENT BY CONSTRUCTION: an
+    * already-removed id has no posting/doclen rows left, so its
+    * re-delivery — a replayed micro-batch after a failure, or the same id
+    * arriving in two batches — subtracts nothing and anti-joins nothing.
+    * No ledger, no dedupe layer; the atomic swap per batch keeps every
+    * crash repairable. The drained index equals the one-shot delete of
+    * the union of all requests (`stream_bm25_takedown` shares
+    * `sim_bm25_del`'s oracle verbatim). */
+  def streamingTakedown(spark: SparkSession, ids: DataFrame,
+                        indexDir: String, checkpointDir: String,
+                        maxDf: Long = 1000): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.removeFromBm25Index(spark, indexDir,
+          batch.toDF().select(col("doc_id")))
+        ()
+      }
+      .start()
+
   /** Streaming data-quality audit — the streaming sibling of
     * [[graft.operators.DataQuality.audit]] for the rule classes that are
     * micro-batch ADDITIVE: row predicates (violations sum across batches)

@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "stream_ann_incr" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the stream-maintained artifact)",
     "ann_index_del" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the post-delete artifact)",
     "sim_bm25_del" -> "same artifact query shape after the deletion merge: one-row stats broadcast",
+    "stream_bm25_takedown" -> "same artifact query shape after the streamed deletes: one-row stats broadcast",
     "mix_hard_triplets" -> "embeds sim_bm25's one-row stats broadcast",
     "dedup_cluster_labels" -> "corpus-size one-row aggregate rides along broadcast (idf)",
     "mix_temperature" -> "one-row totals aggregate rides along broadcast",

@@ -351,6 +351,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(comp(sIdx, "cells") == before, "replayed batch mutated the index")
   }
 
+  test("streaming takedown drains to the one-shot delete component for " +
+    "component; re-delivered delete ids are no-ops (idempotent by " +
+    "construction, no ledger needed)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val gone = docs.where(col("doc_id") % 7 === 5).select($"doc_id")
+    val sIdx = tmp("td-s") + "/index"
+    val oIdx = tmp("td-o") + "/index"
+    Similarity.buildBm25Index(docs, sIdx, maxDf = 100)
+    Similarity.buildBm25Index(docs, oIdx, maxDf = 100)
+    val srcDir = tmp("td-src")
+    gone.repartition(3).write.mode("overwrite").parquet(srcDir)
+    Streams.streamingTakedown(spark,
+      Streams.fileSource(spark, srcDir, gone.schema, maxFilesPerTrigger = 1),
+      sIdx, tmp("td-ck"), maxDf = 100).awaitTermination()
+    Similarity.removeFromBm25Index(spark, oIdx, gone)
+    def comp(dir: String, name: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/$name").collect().map(_.toSeq).toSet
+    Seq("postings", "doclen", "stats", "termdf").foreach { n =>
+      assert(comp(sIdx, n) == comp(oIdx, n),
+        s"$n diverged between the stream and the one-shot delete")
+    }
+    // re-deliver the whole request set: nothing left to subtract
+    val before = Seq("postings", "doclen", "stats", "termdf")
+      .map(n => n -> comp(sIdx, n)).toMap
+    Similarity.removeFromBm25Index(spark, sIdx, gone)
+    before.foreach { case (n, want) =>
+      assert(comp(sIdx, n) == want, s"$n changed on re-delivered deletes")
+    }
+  }
+
   test("streaming audit accumulates to the batch audit of the same rules") {
     import graft.operators.DataQuality._
     val docs = Tables.documents(spark, sfDir)
