@@ -3160,7 +3160,7 @@ object SparkEntry {
       streaming.Streams.streamingTakedown(s,
           streaming.Streams.fileSource(s, s"$stage/src", schema,
             maxFilesPerTrigger = 1),
-          s"$stage/index", s"$stage/ck", cfg.retrievalMaxDf)
+          s"$stage/index", s"$stage/ck")
         .awaitTermination()
       operators.Similarity.bm25QueryIndex(s, s"$stage/index",
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
@@ -3216,6 +3216,33 @@ object SparkEntry {
         .add("embedding", org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))
       streaming.Streams.streamingAnnUpdate(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck")
+        .awaitTermination()
+      operators.Similarity.annQueryIndex(s, s"$stage/index",
+          cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the 14th driven pipeline: streaming ANN TAKEDOWN — the vector twin
+    // of stream_bm25_takedown: delete requests stream in as 3
+    // micro-batches and each applies to the persisted full-corpus IVF+PQ
+    // index. Deletion is idempotent by construction (an already-removed
+    // id has no rows left to anti-join, its coarse sums were already
+    // subtracted), so no ledger is needed and the drained index equals
+    // the one-shot delete — the oracle is ann_index_del's verbatim
+    "stream_ann_takedown" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = stagedDir("stream-ann-takedown", d, "p4m8b4r1-m7-s3",
+        fresh = true)
+      operators.Similarity.buildAnnIndex(emb, s"$stage/index")
+      emb.where(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
+        .select(col("vec_id"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", org.apache.spark.sql.types.LongType)
+      streaming.Streams.streamingAnnTakedown(s,
           streaming.Streams.fileSource(s, s"$stage/src", schema,
             maxFilesPerTrigger = 1),
           s"$stage/index", s"$stage/ck")
@@ -9148,6 +9175,7 @@ object SparkEntry {
       // streamed takedown drains to the one-shot delete's exact index
       // (deletion is idempotent by construction) — same oracle verbatim
       ("stream_bm25_takedown" -> base("sim_bm25_del")) +
+      ("stream_ann_takedown" -> base("ann_index_del")) +
       ("ann_build_index" ->
         s"""WITH $unitVecCte,
            |cpd AS (SELECT vec_id, p,

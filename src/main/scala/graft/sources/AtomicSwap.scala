@@ -8,35 +8,61 @@ import org.apache.spark.sql.SparkSession
 /** Staged-rename COMMIT PROTOCOL for multi-component parquet artifacts
   * (the BM25 index's four tables, the ANN index's five) — the discipline
   * that makes in-place index maintenance crash-safe. An updater writes
-  * every merged component to a sibling `_stage_<c>` directory FIRST (the
+  * every merged component to a sibling staging directory FIRST (the
   * originals are still live and untouched, so the merge plan can read
   * them lazily with no lineage checkpointing), then calls [[commit]]:
   *
   *   1. a `_swap_commit` marker listing the staged components is written;
-  *   2. each component is swapped by rename (live → `_old_<c>`,
-  *      `_stage_<c>` → live);
-  *   3. the `_old_*` backups are deleted;
+  *   2. each component is swapped by rename (live → old-backup,
+  *      stage → live);
+  *   3. the old backups are deleted;
   *   4. the marker is deleted last.
+  *
+  * Components may be NESTED paths (`postings/pbucket=3`) — the
+  * partition-scoped merge unit: an updater that only touched a few
+  * buckets stages and swaps exactly those, so per-batch write
+  * amplification is O(touched buckets), not O(index). Flat components
+  * stage at `_stage_<c>`; nested ones under a `_stage/` tree that mirrors
+  * the live layout (which is what `partitionBy` writes produce), with
+  * backups under `_old/`.
   *
   * Every crash window is repairable by [[recover]]: marker present means
   * the swap is in flight — re-running the rename sequence is idempotent
   * (a component whose stage dir is gone was already swapped); marker
-  * absent means either nothing started (stale `_stage_*` is discarded,
-  * originals intact) or everything committed (stale `_old_*` is
+  * absent means either nothing started (stale staging is discarded,
+  * originals intact) or everything committed (stale backups are
   * discarded). At no point can a reader observe a component directory
   * half-written, and the old index is destroyed only after the new one is
   * durably on disk — the failure mode a plain `mode("overwrite")`
   * sequence (with only localCheckpoint backing the inputs) could not
   * survive. On an object store without atomic dir rename this maps to a
   * version-pointer flip; the marker/stage/old layout is the
-  * filesystem-native equivalent. */
+  * filesystem-native equivalent.
+  *
+  * CONCURRENCY: the rename sequence is TOLERANT — each step re-checks
+  * post-rename state instead of requiring its own rename to succeed, so
+  * two recoverers racing over the same marker (two readers, or a reader
+  * racing a live updater's commit) converge on the committed state
+  * instead of one side throwing on a rename the other already performed.
+  * Readers still only repair when a marker proves a swap was in flight
+  * (recover(cleanStale = false) is a no-op otherwise — a pure read needs
+  * no write permission on a healthy index). */
 object AtomicSwap {
 
   /** Staging directory for one component of the artifact at `path`. */
   def stageDir(path: String, component: String): String =
-    s"$path/_stage_$component"
+    if (component.contains("/")) s"$path/_stage/$component"
+    else s"$path/_stage_$component"
 
   private val MarkerName = "_swap_commit"
+
+  private def stagePath(root: Path, c: String): Path =
+    if (c.contains("/")) new Path(root, s"_stage/$c")
+    else new Path(root, s"_stage_$c")
+
+  private def oldPath(root: Path, c: String): Path =
+    if (c.contains("/")) new Path(root, s"_old/$c")
+    else new Path(root, s"_old_$c")
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -50,7 +76,7 @@ object AtomicSwap {
     require(components.nonEmpty, "nothing to commit")
     val (fs, root) = fsOf(spark, path)
     components.foreach { c =>
-      require(fs.exists(new Path(root, s"_stage_$c")),
+      require(fs.exists(stagePath(root, c)),
         s"component $c not staged under $path")
     }
     val marker = new Path(root, MarkerName)
@@ -60,30 +86,45 @@ object AtomicSwap {
     swapStaged(fs, root, components)
   }
 
-  /** The idempotent rename sequence — shared by [[commit]] and a
-    * [[recover]] that finds the marker mid-flight. */
+  /** The idempotent, race-tolerant rename sequence — shared by [[commit]]
+    * and a [[recover]] that finds the marker mid-flight. Renames never
+    * `require` their own success; the post-state is what's asserted, so a
+    * concurrent recoverer that already performed a step is tolerated. */
   private def swapStaged(fs: FileSystem, root: Path,
                          components: Seq[String]): Unit = {
     components.foreach { c =>
       val live = new Path(root, c)
-      val old = new Path(root, s"_old_$c")
-      val stage = new Path(root, s"_stage_$c")
+      val old = oldPath(root, c)
+      val stage = stagePath(root, c)
       if (fs.exists(stage)) { // already swapped on a previous attempt if not
-        if (fs.exists(live)) {
-          require(!fs.exists(old), s"inconsistent swap state for $c at $root")
-          require(fs.rename(live, old), s"backup rename failed for $c")
+        if (fs.exists(live) && !fs.exists(old)) {
+          if (old.getParent != root) fs.mkdirs(old.getParent)
+          fs.rename(live, old) // a racing recoverer may have won — tolerated
         }
-        require(fs.rename(stage, live), s"stage rename failed for $c")
+        if (!fs.exists(live)) {
+          if (live.getParent != root) fs.mkdirs(live.getParent)
+          fs.rename(stage, live) // ditto
+        }
+        require(fs.exists(live), s"swap for $c at $root left no live dir")
       }
     }
-    components.foreach(c => fs.delete(new Path(root, s"_old_$c"), true))
+    components.foreach { c =>
+      fs.delete(oldPath(root, c), true)
+      fs.delete(stagePath(root, c), true)
+    }
+    // nested staging/backup trees: everything under them belonged to this
+    // commit (one updater per artifact dir — the standing contract), so a
+    // leftover tree is write-side residue (_SUCCESS markers, empty parents)
+    fs.delete(new Path(root, "_stage"), true)
+    fs.delete(new Path(root, "_old"), true)
     fs.delete(new Path(root, MarkerName), false)
   }
 
   /** Repair an interrupted [[commit]]. `cleanStale = false` (read-side
     * callers) only FINISHES a marked in-flight swap and never deletes
-    * `_stage_*` leftovers, so a reader racing a concurrent updater's
-    * staging phase cannot destroy it. */
+    * staging leftovers, so a reader racing a concurrent updater's staging
+    * phase cannot destroy it — and performs no writes at all when no
+    * marker is present. */
   def recover(spark: SparkSession, path: String,
               cleanStale: Boolean = true): Unit = {
     val (fs, root) = fsOf(spark, path)
@@ -100,7 +141,7 @@ object AtomicSwap {
     } else if (cleanStale) {
       fs.listStatus(root).toSeq.foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("_stage_") || n.startsWith("_old_"))
+        if (n.startsWith("_stage") || n.startsWith("_old"))
           fs.delete(st.getPath, true)
       }
     }

@@ -43,12 +43,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `text`) is returned to Spark as a residual. `Scan.description`
   *    carries the pushed set so `.explain` shows it.
   *  - the MICRO-BATCH face (`toMicroBatchStream`): the stream offset is
-  *    "number of chunks consumed" over the sorted listing — resume from a
-  *    checkpoint re-plans only chunks past the committed offset (the
+  *    the NAME of the last consumed chunk — a high-watermark cursor (the
   *    reference persists its continuation cursor the same way; K4's queue
-  *    persistence). Chunk names must be append-monotone (new chunks sort
-  *    after consumed ones) — the [[stage]] writer and every dump layout
-  *    satisfy this.
+  *    persistence). A count-based offset ("n chunks consumed") would
+  *    silently shift if any chunk ever sorted BEFORE a consumed one (a
+  *    late drop-in, a compaction of the chunk format) — re-reading or
+  *    skipping data; the watermark is immune to prefix perturbation: a
+  *    batch is always exactly the chunks in (start.name, end.name].
+  *    Chunk names must still be append-MONOTONE for new data to be seen
+  *    (a chunk sorting at or before the watermark is treated as already
+  *    consumed) — the [[stage]] writer and every dump layout satisfy
+  *    this, and any compaction of consumed chunks must keep compacted
+  *    names at or below the watermark (the compaction-vs-offset
+  *    contract).
   *
   * Scale posture: planInputPartitions is listing-sized driver work (the
   * bounded-control-table exception); all data bytes move inside readers.
@@ -101,6 +108,23 @@ object CorpusSourceV2 {
       .map(_.getPath.toString).sorted.toArray
   }
 
+  /** Numeric index of a chunk file name (`chunk_00042.tsv` → 42). */
+  private[sources] def chunkIndex(name: String): Long =
+    name.stripPrefix("chunk_").takeWhile(_.isDigit) match {
+      case "" => -1L
+      case digits => digits.toLong
+    }
+
+  /** The session's hadoop conf, serializable for executor-side use —
+    * captured at DRIVER-side construction points so `spark.hadoop.*`
+    * settings (object-store credentials, custom fs impls) reach readers,
+    * writers, and the driver-side commit instead of being silently
+    * dropped by a `new Configuration()`. */
+  private[sources] def sessionConf()
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+
   /** Stage a documents frame into the chunk format through the
     * connector's OWN DSv2 write path (two-phase task-staged commit — see
     * [[CorpusBatchWrite]]): `chunks` zero-padded files, rows
@@ -123,22 +147,25 @@ private[sources] class CorpusTable(path: String, chunksPerSplit: Int)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CorpusScanBuilder(path, chunksPerSplit)
+    new CorpusScanBuilder(path, chunksPerSplit, CorpusSourceV2.sessionConf())
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val got = info.schema().fieldNames.toSeq
     val want = CorpusSourceV2.Schema.fieldNames.toSeq
     require(got.toSet == want.toSet,
       s"graft-corpus write needs columns $want, got $got")
-    new CorpusWriteBuilder(path, info.schema())
+    new CorpusWriteBuilder(path, info.schema(), CorpusSourceV2.sessionConf())
   }
 }
 
-private[sources] class CorpusWriteBuilder(path: String, schema: StructType)
+private[sources] class CorpusWriteBuilder(
+    path: String, schema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new CorpusBatchWrite(path, schema, replace)
+    override def toBatch: BatchWrite =
+      new CorpusBatchWrite(path, schema, replace, conf)
   }
 }
 
@@ -153,22 +180,28 @@ private[sources] case class CorpusCommitMsg(partitionId: Int, taskId: Long,
                                             staged: String, rows: Long)
     extends WriterCommitMessage
 
-private[sources] class CorpusBatchWrite(path: String, schema: StructType,
-                                        replace: Boolean) extends BatchWrite {
+private[sources] class CorpusBatchWrite(
+    path: String, schema: StructType, replace: Boolean,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new CorpusWriterFactory(path, schema)
+    new CorpusWriterFactory(path, schema, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val root = new Path(path)
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(conf.value)
     if (replace) { // overwrite mode: retire the previous corpus first
       if (fs.exists(root)) fs.listStatus(root).toSeq.foreach { st =>
         if (st.isFile && st.getPath.getName.startsWith("chunk_"))
           fs.delete(st.getPath, false)
       }
     }
-    val base = CorpusSourceV2.listChunks(path, conf).length
+    // next index = max surviving index + 1, NOT the listing length — a
+    // non-contiguous chunk set (a deleted chunk) must never make a new
+    // name collide with a surviving chunk
+    val base = CorpusSourceV2.listChunks(path, conf.value)
+      .map(c => CorpusSourceV2.chunkIndex(new Path(c).getName))
+      .foldLeft(-1L)(math.max) + 1L
     val staged = messages.collect { case m: CorpusCommitMsg => m }
       .filter(_.rows > 0)
       .sortBy(m => (m.partitionId, m.taskId))
@@ -185,21 +218,23 @@ private[sources] class CorpusBatchWrite(path: String, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = new Path(path).getFileSystem(conf)
+    val fs = new Path(path).getFileSystem(conf.value)
     messages.collect { case m: CorpusCommitMsg => m }
       .foreach(m => fs.delete(new Path(m.staged), false))
   }
 }
 
-private[sources] class CorpusWriterFactory(path: String, schema: StructType)
+private[sources] class CorpusWriterFactory(
+    path: String, schema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CorpusChunkWriter(path, schema, partitionId, taskId)
+    new CorpusChunkWriter(path, schema, partitionId, taskId, conf)
 }
 
-private[sources] class CorpusChunkWriter(path: String, schema: StructType,
-                                         partitionId: Int, taskId: Long)
+private[sources] class CorpusChunkWriter(
+    path: String, schema: StructType, partitionId: Int, taskId: Long,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriter[InternalRow] {
   // column positions in the INCOMING row for each output field
   private val pos = Array("doc_id", "source", "lang", "text")
@@ -212,7 +247,7 @@ private[sources] class CorpusChunkWriter(path: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     if (out == null) { // lazy: empty partitions produce no chunk
       val p = new Path(staged)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf.value)
       out = new java.io.OutputStreamWriter(fs.create(p, true),
         java.nio.charset.StandardCharsets.UTF_8)
     }
@@ -232,12 +267,14 @@ private[sources] class CorpusChunkWriter(path: String, schema: StructType,
   override def abort(): Unit = {
     if (out != null) out.close()
     val p = new Path(staged)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, false)
+    p.getFileSystem(conf.value).delete(p, false)
   }
   override def close(): Unit = if (out != null) { out.close(); out = null }
 }
 
-private[sources] class CorpusScanBuilder(path: String, chunksPerSplit: Int)
+private[sources] class CorpusScanBuilder(
+    path: String, chunksPerSplit: Int,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = CorpusSourceV2.Schema
@@ -252,82 +289,96 @@ private[sources] class CorpusScanBuilder(path: String, chunksPerSplit: Int)
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
   }
-  override def build(): Scan = new CorpusScan(path, chunksPerSplit, required, pushed)
+  override def build(): Scan =
+    new CorpusScan(path, chunksPerSplit, required, pushed, conf)
 }
 
-private[sources] class CorpusScan(path: String, chunksPerSplit: Int,
-                                  val required: StructType,
-                                  val pushed: Array[Filter])
+private[sources] class CorpusScan(
+    path: String, chunksPerSplit: Int,
+    val required: StructType, val pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-corpus($path) ReadSchema: ${required.fieldNames.mkString(",")} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
-  override def toBatch: Batch = new CorpusBatch(path, chunksPerSplit, required, pushed)
+  override def toBatch: Batch =
+    new CorpusBatch(path, chunksPerSplit, required, pushed, conf)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CorpusMicroBatchStream(path, required, pushed)
+    new CorpusMicroBatchStream(path, required, pushed, conf)
 }
 
 /** One cursor range of chunks — the unit of parallelism. */
 private[sources] case class CorpusRange(chunks: Array[String])
     extends InputPartition
 
-private[sources] class CorpusBatch(path: String, chunksPerSplit: Int,
-                                   required: StructType,
-                                   pushed: Array[Filter]) extends Batch {
+private[sources] class CorpusBatch(
+    path: String, chunksPerSplit: Int,
+    required: StructType, pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    CorpusSourceV2.listChunks(path, conf)
+    CorpusSourceV2.listChunks(path, conf.value)
       .grouped(math.max(1, chunksPerSplit)).map(CorpusRange(_)).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CorpusReaderFactory(required, pushed)
+    new CorpusReaderFactory(required, pushed, conf)
 }
 
-private[sources] class CorpusMicroBatchStream(path: String,
-                                              required: StructType,
-                                              pushed: Array[Filter])
+private[sources] class CorpusMicroBatchStream(
+    path: String, required: StructType, pushed: Array[Filter],
+    sconf: org.apache.spark.util.SerializableConfiguration)
     extends MicroBatchStream {
-  // hadoop Configuration is not serializable and the stream runs on the
-  // driver — a fresh default conf resolves local/HDFS paths the same way
-  private def conf = new org.apache.hadoop.conf.Configuration()
+  private def conf = sconf.value
 
-  override def initialOffset(): Offset = CorpusOffset(0)
-  override def latestOffset(): Offset =
-    CorpusOffset(CorpusSourceV2.listChunks(path, conf).length)
+  override def initialOffset(): Offset = CorpusOffset("")
+  override def latestOffset(): Offset = {
+    val names = CorpusSourceV2.listChunks(path, conf)
+      .map(c => new Path(c).getName)
+    CorpusOffset(if (names.isEmpty) "" else names.last)
+  }
   override def deserializeOffset(json: String): Offset =
-    CorpusOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+    CorpusOffset(""""watermark"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse(""))
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[CorpusOffset].n
-    val e = end.asInstanceOf[CorpusOffset].n
+    val s = start.asInstanceOf[CorpusOffset].watermark
+    val e = end.asInstanceOf[CorpusOffset].watermark
+    // exactly the chunks in (start, end] by NAME — immune to a chunk
+    // sorting before the watermark (it is never re-read or counted)
     val chunks = CorpusSourceV2.listChunks(path, conf)
+      .filter { c =>
+        val n = new Path(c).getName
+        n > s && n <= e
+      }
     // one partition per chunk: a micro-batch is usually few chunks, and
     // per-chunk tasks keep replay granularity aligned with the cursor
-    chunks.slice(s, e).map(c => CorpusRange(Array(c)): InputPartition)
+    chunks.map(c => CorpusRange(Array(c)): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CorpusReaderFactory(required, pushed)
+    new CorpusReaderFactory(required, pushed, sconf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** The consumed-chunk-count offset — the persisted continuation cursor. */
-private[sources] case class CorpusOffset(n: Int) extends Offset {
-  override def json(): String = s"""{"chunks":$n}"""
+/** The high-watermark offset — the persisted continuation cursor: the
+  * NAME of the last consumed chunk ("" = nothing consumed yet). */
+private[sources] case class CorpusOffset(watermark: String) extends Offset {
+  override def json(): String = s"""{"watermark":"$watermark"}"""
 }
 
-private[sources] class CorpusReaderFactory(required: StructType,
-                                           pushed: Array[Filter])
+private[sources] class CorpusReaderFactory(
+    required: StructType, pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CorpusReader(partition.asInstanceOf[CorpusRange].chunks, required, pushed)
+    new CorpusReader(partition.asInstanceOf[CorpusRange].chunks, required,
+      pushed, conf)
 }
 
-private[sources] class CorpusReader(chunks: Array[String],
-                                    required: StructType,
-                                    pushed: Array[Filter])
+private[sources] class CorpusReader(
+    chunks: Array[String], required: StructType, pushed: Array[Filter],
+    sconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  private def conf = sconf.value
   private var chunkIdx = 0
   private var lines: java.util.Iterator[String] = java.util.Collections.emptyIterator()
   private var reader: java.io.BufferedReader = _

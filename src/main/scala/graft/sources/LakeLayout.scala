@@ -217,11 +217,16 @@ object LakeLayout {
     * marker records the target name and the member files it supersedes;
     * members are deleted only after the rename, and the marker is removed
     * last. A crash anywhere in that window is repaired by
-    * [[recoverCompaction]] on the next apply — target present means the
-    * swap is completed (remaining members dropped), target absent means
-    * it never started (marker and staging discarded, originals intact) —
-    * so an interrupted apply can never leave rows double-counted. Returns
-    * the applied plan:
+    * [[recoverCompaction]] — target present means the swap is completed
+    * (remaining members dropped), target absent means it never started
+    * (marker and staging discarded, originals intact) — so an interrupted
+    * apply can never leave rows PERMANENTLY double-counted. READ CONTRACT:
+    * in the crash window after the rename but before the member deletes
+    * finish, a direct parquet scan of the directory sees both the
+    * compacted file and surviving members; readers that must be exact
+    * across crashes run [[recoverCompaction]] (public, marker-gated — a
+    * no-op on a healthy directory, the AtomicSwap reader-side pattern)
+    * before scanning. Returns the applied plan:
     * (dir, group_no, n_files_in, group_bytes, compacted 0/1). */
   def compactionApply(spark: SparkSession, path: String,
                       targetBytes: Long): DataFrame = {
@@ -268,13 +273,23 @@ object LakeLayout {
       .toDF("dir", "group_no", "n_files_in", "group_bytes", "compacted")
   }
 
-  /** Repair an interrupted [[compactionApply]] from its on-disk markers.
-    * For each leftover `_compact_manifest_g*`: if the recorded target file
-    * EXISTS the swap had committed — finish it by deleting any member
-    * files still present; if it does NOT exist the swap never started —
-    * the originals are intact and the marker is stale. Either way the
-    * marker and any `_compact_g*` staging dir are removed, restoring the
-    * directory to a row-exact state before the new plan is made. */
+  /** Repair an interrupted [[compactionApply]] from its on-disk markers —
+    * PUBLIC so read paths can restore row-exactness before scanning (the
+    * AtomicSwap reader-side recover pattern): a marker is the only state
+    * in which a direct scan could double-count rows, and without one this
+    * is a pure listing (no writes). */
+  def recoverCompaction(spark: SparkSession, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    recoverCompaction(
+      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration), hPath)
+  }
+
+  /** [[recoverCompaction]] core: for each leftover `_compact_manifest_g*`,
+    * if the recorded target file EXISTS the swap had committed — finish it
+    * by deleting any member files still present; if it does NOT exist the
+    * swap never started — the originals are intact and the marker is
+    * stale. Either way the marker and any `_compact_g*` staging dir are
+    * removed, restoring the directory to a row-exact state. */
   private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
                                 dir: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.Path

@@ -461,8 +461,7 @@ object Streams {
     * the union of all requests (`stream_bm25_takedown` shares
     * `sim_bm25_del`'s oracle verbatim). */
   def streamingTakedown(spark: SparkSession, ids: DataFrame,
-                        indexDir: String, checkpointDir: String,
-                        maxDf: Long = 1000): StreamingQuery =
+                        indexDir: String, checkpointDir: String): StreamingQuery =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
@@ -470,6 +469,33 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.Similarity.removeFromBm25Index(spark, indexDir,
           batch.toDF().select(col("doc_id")))
+        ()
+      }
+      .start()
+
+  /** The 14th driven pipeline: streaming ANN TAKEDOWN — the vector twin of
+    * [[streamingTakedown]], closing the takedown story's asymmetry (BM25
+    * had a streamed delete leg; the IVF+PQ artifact only had the one-shot
+    * [[graft.operators.Similarity.removeFromAnnIndex]]): delete requests
+    * arrive as a stream of vec ids and each micro-batch is applied to the
+    * persisted index. Deletion is IDEMPOTENT BY CONSTRUCTION, exactly as
+    * lexical-side: an already-removed id has no vectors/cells/codes rows
+    * left to anti-join and its coarse sums were already subtracted, so a
+    * replayed micro-batch (or the same id in two batches) is a no-op — no
+    * ledger needed; the atomic swap per batch keeps every crash
+    * repairable. The drained index equals the one-shot delete of the
+    * union of all requests (`stream_ann_takedown` shares `ann_index_del`'s
+    * oracle verbatim). */
+  def streamingAnnTakedown(spark: SparkSession, ids: DataFrame,
+                           indexDir: String,
+                           checkpointDir: String): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.removeFromAnnIndex(spark, indexDir,
+          batch.toDF().select(col("vec_id")))
         ()
       }
       .start()

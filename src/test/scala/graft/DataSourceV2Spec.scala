@@ -93,10 +93,22 @@ class DataSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(chunks == Seq("chunk_00000.tsv"))
     assert(spark.read.format("graft-corpus").option("path", dir).load()
       .select($"doc_id").as[Long].collect().toSeq == Seq(3L))
+    // NON-CONTIGUOUS chunk set (a deleted chunk): the next append must
+    // name from max(index)+1, never collide with a surviving chunk
+    writeRows(Seq((4L, "web", "en", "delta body")), "append")
+    writeRows(Seq((5L, "web", "en", "epsilon body")), "append")
+    fs.delete(new Path(dir, "chunk_00001.tsv"), false)
+    writeRows(Seq((6L, "web", "en", "zeta body")), "append")
+    assert(chunks == Seq("chunk_00000.tsv", "chunk_00002.tsv", "chunk_00003.tsv"),
+      s"append into a gapped chunk set must not collide: $chunks")
+    assert(spark.read.format("graft-corpus").option("path", dir).load()
+      .select($"doc_id").as[Long].collect().toSet == Set(3L, 5L, 6L))
   }
 
-  test("micro-batch face: offsets are consumed-chunk counts; a restart from " +
-    "the checkpoint sees only NEW chunks (exactly-once across resume)") {
+  test("micro-batch face: the offset is a chunk-NAME high watermark; a " +
+    "restart from the checkpoint sees only NEW chunks (exactly-once across " +
+    "resume), and a late drop-in sorting BEFORE the watermark never shifts " +
+    "the cursor (no re-reads, no skips)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-stream-").toString
     val ckpt = s"$dir/_ckpt"
     val outDir = s"$dir/_out"
@@ -123,11 +135,29 @@ class DataSourceV2Spec extends AnyFunSuite with SparkSpec {
     runOnce()
     assert(spark.read.parquet(outDir).as[(Long, String)].collect().toSet ==
       Set((1L, "en"), (2L, "en"), (3L, "en")))
-    // new chunk lands; resume must process ONLY it (offset 2 -> 3)
+    // new chunk lands; resume must process ONLY it (watermark
+    // chunk_00001.tsv -> chunk_00002.tsv)
     writeChunk(2, Seq(4L, 5L))
     runOnce()
     val rows = spark.read.parquet(outDir).as[(Long, String)].collect().toSeq
     assert(rows.size == 5, s"duplicate or lost rows across resume: $rows")
     assert(rows.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // LISTING PERTURBATION: a chunk whose name sorts BEFORE the committed
+    // watermark drops in (a compaction artifact, a late mover). A
+    // count-based offset would shift by one and re-read chunk_00001
+    // (duplicates); the name watermark treats anything at or below it as
+    // consumed, so the next batch is exactly the genuinely-new chunks.
+    val late = Seq(99L).map { id =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        s"text body $id".getBytes("UTF-8"))
+      s"$id\tweb\ten\t$b64"
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "chunk_00000a.tsv"), late.getBytes("UTF-8"))
+    writeChunk(3, Seq(6L))
+    runOnce()
+    val after = spark.read.parquet(outDir).as[(Long, String)].collect().toSeq
+    assert(after.size == 6, s"listing perturbation shifted the cursor: $after")
+    assert(after.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 }

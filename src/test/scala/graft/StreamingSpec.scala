@@ -366,7 +366,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     gone.repartition(3).write.mode("overwrite").parquet(srcDir)
     Streams.streamingTakedown(spark,
       Streams.fileSource(spark, srcDir, gone.schema, maxFilesPerTrigger = 1),
-      sIdx, tmp("td-ck"), maxDf = 100).awaitTermination()
+      sIdx, tmp("td-ck")).awaitTermination()
     Similarity.removeFromBm25Index(spark, oIdx, gone)
     def comp(dir: String, name: String): Set[Seq[Any]] =
       spark.read.parquet(s"$dir/$name").collect().map(_.toSeq).toSet
@@ -378,6 +378,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val before = Seq("postings", "doclen", "stats", "termdf")
       .map(n => n -> comp(sIdx, n)).toMap
     Similarity.removeFromBm25Index(spark, sIdx, gone)
+    before.foreach { case (n, want) =>
+      assert(comp(sIdx, n) == want, s"$n changed on re-delivered deletes")
+    }
+  }
+
+  test("streaming ANN takedown drains to the one-shot delete component " +
+    "for component; re-delivered delete ids are no-ops") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    val gone = emb.where(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
+      .select($"vec_id")
+    val sIdx = tmp("atd-s") + "/index"
+    val oIdx = tmp("atd-o") + "/index"
+    Similarity.buildAnnIndex(emb, sIdx)
+    Similarity.buildAnnIndex(emb, oIdx)
+    val srcDir = tmp("atd-src")
+    gone.repartition(3).write.mode("overwrite").parquet(srcDir)
+    Streams.streamingAnnTakedown(spark,
+      Streams.fileSource(spark, srcDir, gone.schema, maxFilesPerTrigger = 1),
+      sIdx, tmp("atd-ck")).awaitTermination()
+    Similarity.removeFromAnnIndex(spark, oIdx, gone)
+    def comp(dir: String, name: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/$name").collect().map(_.toSeq).toSet
+    Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids",
+      "pq_centroids").foreach { n =>
+      assert(comp(sIdx, n) == comp(oIdx, n),
+        s"$n diverged between the stream and the one-shot delete")
+    }
+    // re-deliver the whole request set: nothing left to subtract
+    val before = Seq("vectors", "cells", "codes", "coarse_sums")
+      .map(n => n -> comp(sIdx, n)).toMap
+    Similarity.removeFromAnnIndex(spark, sIdx, gone)
     before.foreach { case (n, want) =>
       assert(comp(sIdx, n) == want, s"$n changed on re-delivered deletes")
     }
