@@ -1268,6 +1268,27 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // pair-graph DELETION — the takedown leg for the persisted artifact
+    // every downstream consumer fans out from: docs doc_id ≡ 5 (mod 7)
+    // removed from the pair graph in place (two anti-joins through the
+    // atomic swap — a pair is evidence about both members, so any pair
+    // touching a deleted doc goes; survivor scores are pairwise facts
+    // and do not move)
+    "dedup_pairs_del" -> ((s, d) => {
+      val dir = stagedDir("pairsdel", d,
+        s"n${cfg.ngramN}-j${cfg.minJaccardX10000}-m7", fresh = true)
+      operators.Dedup.buildPairsArtifact(
+        ArticleOps.validated(Tables.documents(s, d))
+          .select(col("doc_id"), col("text"), col("source")),
+        dir, cfg.ngramN, cfg.minJaccardX10000)
+      operators.Dedup.removeFromPairsArtifact(s, dir,
+        Tables.documents(s, d).where(col("doc_id") % 7 === 5)
+          .select(col("doc_id")))
+      stagedThisSession.add(dir)
+      operators.Dedup.pairsFromArtifact(s, dir)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // exact-substring shared-span detection (Lee et al.): every 10th doc
     // gains a planted doc (`doc_id + 600000`) stitched from two verbatim
     // token slices of it (tokens 1-40 and 61-80), so each planted pair must
@@ -1326,6 +1347,25 @@ object SparkEntry {
       val existing = operators.Dedup.spanIndex(
         planted.where(col("doc_id") < 600000L), cfg.decontamNgramN)
       operators.Dedup.sharedSpansIncremental(existing,
+          planted.where(col("doc_id") >= 600000L),
+          cfg.decontamNgramN, cfg.spanMinRun)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // span-index DELETION — the span family's takedown leg: half the
+    // planted sources (doc_id ≡ 0 mod 20) are removed from the persisted
+    // positional index (one anti-join; positions are per-doc facts), then
+    // the planted copies probe the survivor index: the deleted sources'
+    // island pairs vanish, the surviving half's remain bit-identical
+    "dedup_spans_del" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = plantedSpanCopies(docs)
+      val existing = operators.Dedup.spanIndex(
+        planted.where(col("doc_id") < 600000L), cfg.decontamNgramN)
+      val survivors = operators.Dedup.removeFromSpanIndex(existing,
+        planted.where(col("doc_id") < 600000L && col("doc_id") % 20 === 0)
+          .select(col("doc_id")))
+      operators.Dedup.sharedSpansIncremental(survivors,
           planted.where(col("doc_id") >= 600000L),
           cfg.decontamNgramN, cfg.spanMinRun)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1464,6 +1504,27 @@ object SparkEntry {
       val existingSigs = operators.Dedup.minhashTable(
         docs.where(col("doc_id") < 400), cfg.ngramN, cfg.minhashK)
       operators.Dedup.minhashPairsIncremental(existingSigs,
+          docs.where(col("doc_id") >= 400),
+          cfg.ngramN, cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // signature-index DELETION — the near-dup family's takedown leg
+    // (right-to-be-forgotten for the dedup artifact): docs doc_id ≡ 5
+    // (mod 7) are removed from the persisted signature index of the
+    // existing half by one index-sized anti-join (signatures carry no
+    // global statistic — nothing to decrement), then the new half probes
+    // the survivor index. Pairs equal the batch run over the survivor
+    // corpus restricted to new-member pairs; a deleted doc can never
+    // resurface as a near-dup partner (the no-residue spec pins it)
+    "dedup_minhash_del" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existingSigs = operators.Dedup.minhashTable(
+        docs.where(col("doc_id") < 400), cfg.ngramN, cfg.minhashK)
+      val survivors = operators.Dedup.removeFromMinhashIndex(existingSigs,
+        docs.where(col("doc_id") % 7 === 5 && col("doc_id") < 400)
+          .select(col("doc_id")))
+      operators.Dedup.minhashPairsIncremental(survivors,
           docs.where(col("doc_id") >= 400),
           cfg.ngramN, cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -2702,6 +2763,23 @@ object SparkEntry {
       stagedThisSession.add(dir)
       operators.Multimodal.phashPairsIncremental(
           s.read.parquet(dir), bands.where(col("media_id") % 4 === 3))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // fingerprint-index DELETION — the image modality's takedown leg:
+    // images media_id ≡ 1 (mod 8) are removed from the persisted band
+    // index (one anti-join; fingerprints are per-image facts), then the
+    // new quarter probes the survivor index: pairs equal the batch run
+    // over the survivors restricted to new-member pairs — a taken-down
+    // image can never resurface as a near-dup partner
+    "mm_phash_del" -> ((s, d) => {
+      val bands = operators.Multimodal.imagePHash(s,
+        operators.Multimodal.phashImageTable(s, Tables.documents(s, d)))
+      val survivors = operators.Multimodal.removeFromPhashIndex(
+        bands.where(col("media_id") % 4 =!= 3),
+        bands.where(col("media_id") % 8 === 1).select(col("media_id")))
+      operators.Multimodal.phashPairsIncremental(survivors,
+          bands.where(col("media_id") % 4 === 3))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -5449,6 +5527,37 @@ object SparkEntry {
            |FROM runs GROUP BY doc_a, doc_b
            |HAVING doc_b >= 600000 ORDER BY doc_a, doc_b""".stripMargin,
 
+      // the spans-incr oracle over the SURVIVOR corpus: deleted sources
+      // (doc_id % 20 = 0, base side only) absent from the positional index
+      // — their island pairs vanish; the planted copies (>= 600000) all
+      // still probe
+      "dedup_spans_del" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 600000 AS doc_id,
+           |    coalesce(array_to_string(toks[1:40], ' '), '') || ' ' ||
+           |      coalesce(array_to_string(toks[61:80], ' '), '') AS text
+           |  FROM (SELECT doc_id, $toks AS toks FROM documents) WHERE doc_id % 10 = 0),
+           |t AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS toks FROM base),
+           |p0 AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM t),
+           |ps AS (SELECT doc_id, i::BIGINT AS pos, ${poly("sh")} AS h FROM (
+           |  SELECT doc_id, i,
+           |    ${(1 to 8).map(j => s"toks[(i+$j)::INT]").mkString(" || ' ' || ")} AS sh
+           |  FROM p0)),
+           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.pos AS pos_a, a.pos - b.pos AS diag
+           |  FROM ps a JOIN ps b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |r AS (SELECT doc_a, doc_b, diag, pos_a,
+           |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+           |  FROM m),
+           |runs AS (SELECT doc_a, doc_b, diag, grp, count(*)::BIGINT AS run_len
+           |  FROM r GROUP BY doc_a, doc_b, diag, grp HAVING count(*) >= 5)
+           |SELECT doc_a, doc_b, count(*)::BIGINT AS n_runs, max(run_len) AS max_run,
+           |  sum(run_len)::BIGINT AS shared_pos, (max(run_len) + 7)::BIGINT AS max_span_tokens
+           |FROM runs GROUP BY doc_a, doc_b
+           |HAVING doc_b >= 600000 ORDER BY doc_a, doc_b""".stripMargin,
+
       // same positional-shingle pipeline, self-join within one doc
       // (pos_a < pos_b), islands per (doc, diag = pos_b - pos_a)
       "dedup_self_spans" ->
@@ -5935,6 +6044,30 @@ object SparkEntry {
       // exactly what the incremental index probe must produce
       "dedup_minhash_incr" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+           |hh AS (SELECT doc_id, ${poly("sh")} AS h FROM sh),
+           |mh AS (SELECT doc_id, i, min(((1000003*(i+1))*h + 12345 + 7919*i) % 1000000007) AS mh
+           |  FROM hh CROSS JOIN range(0, 16) r(i) GROUP BY doc_id, i),
+           |bk AS (SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS bkey
+           |  FROM mh GROUP BY doc_id, i // 4),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bk x
+           |  JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |est AS (SELECT doc_a, doc_b, sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)::BIGINT AS matches
+           |  FROM cand JOIN mh ma ON ma.doc_id = doc_a
+           |  JOIN mh mb ON mb.doc_id = doc_b AND mb.i = ma.i
+           |  GROUP BY doc_a, doc_b)
+           |SELECT * FROM (
+           |  SELECT doc_a, doc_b, CAST(floor((100.0::DOUBLE) * matches / 16 + 0.5) AS BIGINT) AS est_jaccard_x100 FROM est)
+           |WHERE est_jaccard_x100 >= 50 AND (doc_a >= 400 OR doc_b >= 400)
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // the minhash-incr oracle over the SURVIVOR corpus: deleted docs
+      // (doc_id < 400 AND doc_id % 7 = 5) absent from the signature index
+      // means absent from candidates and estimates entirely
+      "dedup_minhash_del" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents
+           |  WHERE NOT (doc_id < 400 AND doc_id % 7 = 5)),
            |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
            |sh AS (SELECT doc_id, unnest(shs) AS sh FROM s),
            |hh AS (SELECT doc_id, ${poly("sh")} AS h FROM sh),
@@ -6803,6 +6936,42 @@ object SparkEntry {
           |    (16 + ((doc_id // 4) * 7) % 40)::BIGINT AS h,
           |    (doc_id // 4)::BIGINT AS g, (doc_id % 4)::BIGINT AS m
           |  FROM documents WHERE doc_id % 3 = 0),
+          |cells AS (SELECT doc_id, g, m, k,
+          |    ((k % 8) * w) // 8 AS cx, ((k // 8) * h) // 8 AS cy
+          |  FROM imgs CROSS JOIN range(0, 64) r(k)),
+          |vals AS (SELECT doc_id, k,
+          |    ((cx*31 + cy*17 + g*13) % 251
+          |      + CASE WHEN cx % 37 = m AND cy % 23 = m THEN 7 ELSE 0 END) % 256 AS v
+          |  FROM cells),
+          |sums AS (SELECT doc_id, sum(v)::BIGINT AS s FROM vals GROUP BY doc_id),
+          |bits AS (SELECT vals.doc_id, k,
+          |    CASE WHEN 64 * v > s THEN 1 ELSE 0 END AS b
+          |  FROM vals JOIN sums ON vals.doc_id = sums.doc_id),
+          |bands AS (SELECT doc_id, (k // 16)::BIGINT AS j,
+          |    sum(b * CAST(power(2, k % 16) AS BIGINT))::BIGINT AS bv
+          |  FROM bits GROUP BY doc_id, k // 16),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+          |    AND a.doc_id < b.doc_id
+          |  WHERE a.doc_id % 4 = 3 OR b.doc_id % 4 = 3),
+          |ham AS (SELECT doc_a, doc_b,
+          |    sum(bit_count(xor(ba.bv, bb.bv)))::BIGINT AS hamming
+          |  FROM cand
+          |  JOIN bands ba ON ba.doc_id = doc_a
+          |  JOIN bands bb ON bb.doc_id = doc_b AND bb.j = ba.j
+          |  GROUP BY doc_a, doc_b)
+          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // the phash-incr oracle over the SURVIVOR index: deleted images
+      // (media_id % 8 = 1 — all index-side, the new %4=3 quarter is
+      // untouched) absent from candidates and Hamming ranking entirely
+      "mm_phash_del" ->
+        """WITH imgs AS (SELECT doc_id,
+          |    (16 + (doc_id // 4) % 50)::BIGINT AS w,
+          |    (16 + ((doc_id // 4) * 7) % 40)::BIGINT AS h,
+          |    (doc_id // 4)::BIGINT AS g, (doc_id % 4)::BIGINT AS m
+          |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 8 <> 1),
           |cells AS (SELECT doc_id, g, m, k,
           |    ((k % 8) * w) // 8 AS cx, ((k // 8) * h) // 8 AS cy
           |  FROM imgs CROSS JOIN range(0, 64) r(k)),
@@ -9093,6 +9262,25 @@ object SparkEntry {
            |  JOIN sizes nb ON nb.doc_id = doc_b)
            |WHERE jaccard_x10000 >= 5000 ORDER BY doc_a, doc_b""".stripMargin,
 
+      // the pair graph after takedown: any pair touching a deleted doc
+      // (doc_id % 7 = 5) is gone; survivor scores are pairwise facts and
+      // do not move
+      "dedup_pairs_del" ->
+        s"""WITH v AS (SELECT doc_id, text FROM documents WHERE $validWhere),
+           |t AS (SELECT doc_id, $toks AS toks FROM v),
+           |s AS (SELECT doc_id, $shinglesOf AS shs FROM t),
+           |sizes AS (SELECT doc_id, len(shs)::BIGINT AS n_sh FROM s),
+           |sh AS (SELECT doc_id, ${poly("sh")} AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM s)),
+           |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT * FROM (
+           |  SELECT doc_a, doc_b,
+           |    CAST(floor((10000.0::DOUBLE) * n_common / (na.n_sh + nb.n_sh - n_common) + 0.5) AS BIGINT) AS jaccard_x10000
+           |  FROM common
+           |  JOIN sizes na ON na.doc_id = doc_a
+           |  JOIN sizes nb ON nb.doc_id = doc_b)
+           |WHERE jaccard_x10000 >= 5000 AND doc_a % 7 <> 5 AND doc_b % 7 <> 5
+           |ORDER BY doc_a, doc_b""".stripMargin,
 
       // policy sibling of e2e_corpus: quality gate (40th-pct per-source
       // threshold over the VALID docs), recursive closure, split hash on

@@ -348,6 +348,99 @@ object Dedup {
     estimatePairs(cand, allSigs, k, minEstX100)
   }
 
+  /** DELETE documents from a persisted MinHash signature index — the
+    * dedup-side takedown leg (the [[Similarity.removeFromBm25Index]] /
+    * `removeFromAnnIndex` lifecycle closed for the near-dup family): a
+    * takedown that only removed the documents themselves would leave
+    * their signatures in the index POISONING every future probe — the
+    * deleted doc keeps surfacing as a near-dup partner, suppressing (or
+    * mis-canonicalizing) genuinely new content. Signatures are per-doc
+    * independent (no global statistic moves — unlike BM25's df there is
+    * nothing to decrement), so deletion is ONE index-sized anti-join and
+    * is EXACT against [[minhashTable]] over the survivors; it is also
+    * idempotent by construction (a removed doc has no rows left).
+    * Callers persist the survivor table back under their artifact
+    * discipline; [[removeFromMinhashIndexDir]] is the partition-scoped
+    * form for the streaming tier's batch_id-partitioned layout. */
+  def removeFromMinhashIndex(sigs: DataFrame, removeIds: DataFrame): DataFrame =
+    sigs.join(broadcast(removeIds.select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
+
+  /** [[removeFromMinhashIndex]] against the PERSISTED index directory the
+    * streaming near-dup tier maintains (`(doc_id, i, mh)` partitioned by
+    * `batch_id` — [[graft.streaming.Streams.streamingNearDup]]'s layout),
+    * PARTITION-SCOPED: only the batch_id partitions that actually contain
+    * a removed doc are rewritten (dynamic-partition overwrite), so a
+    * small takedown against a corpus-scale index costs O(touched
+    * partitions), not O(index) — the write-amplification discipline of
+    * the bucketed BM25/ANN merges. A touched partition left with NO
+    * survivors is deleted outright (dynamic overwrite only replaces
+    * partitions present in the written data, so an empty one would
+    * otherwise keep its stale files). Idempotent: re-delivering the same
+    * ids touches nothing the second time. The touched-batch list is a
+    * bounded control table (one row per micro-batch ever absorbed), never
+    * a data collect. */
+  def removeFromMinhashIndexDir(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String,
+                                removeIds: DataFrame): Unit = {
+    val idx = spark.read.parquet(indexDir)
+    val gone = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    // cast: a partition column read back from disk is inferred as INT
+    val touched = idx.join(broadcast(gone), Seq("doc_id"))
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    // localCheckpoint: survivors must be materialized BEFORE the dynamic
+    // overwrite replaces the very files the plan reads
+    val survivors = idx.where(col("batch_id").isin(touched.toSeq: _*))
+      .join(broadcast(gone), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val survivedBatches = survivors.select(col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    if (survivedBatches.nonEmpty)
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(survivedBatches).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir, s"batch_id=$b"), true)
+    }
+  }
+
+  /** DELETE documents from a persisted [[spanIndex]] — the span family's
+    * takedown leg: positional shingles are per-doc independent, so
+    * deletion is one anti-join and the survivor index equals
+    * [[spanIndex]] over the survivors exactly; without it a deleted doc's
+    * shingle positions keep matching every future
+    * [[sharedSpansIncremental]] probe. */
+  def removeFromSpanIndex(index: DataFrame, removeIds: DataFrame): DataFrame =
+    index.join(broadcast(removeIds.select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
+
+  /** DELETE documents from a [[buildPairsArtifact]] pair graph — the
+    * takedown leg for the persisted artifact every downstream consumer
+    * (clustering, safe splits, triplet mining, verdict) fans out from: a
+    * pair is evidence ABOUT both members, so removing a doc removes
+    * every pair it participates in (two index-sized anti-joins; surviving
+    * pairs' scores are pairwise facts and do not move). Staged through
+    * [[graft.sources.AtomicSwap]] so a crash mid-rewrite leaves the old
+    * or the new graph, never a torn one. Idempotent by construction. */
+  def removeFromPairsArtifact(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, removeIds: DataFrame): Unit = {
+    graft.sources.AtomicSwap.recover(spark, dir)
+    val gone = removeIds.select(col("doc_id")).distinct()
+    spark.read.parquet(s"$dir/pairs")
+      .join(broadcast(gone.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(gone.select(col("doc_id").as("doc_b"))),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("jaccard_x10000"))
+      .write.mode("overwrite")
+      .parquet(graft.sources.AtomicSwap.stageDir(dir, "pairs"))
+    graft.sources.AtomicSwap.commit(spark, dir, Seq("pairs"))
+  }
+
   /** Incremental containment maintenance — [[containmentPairs]]' corpus-
     * update path, completing the incremental tier (minhash / clusters /
     * spans / containment): given the persisted hashed-shingle index of the

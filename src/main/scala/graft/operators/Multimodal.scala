@@ -547,6 +547,18 @@ object Multimodal {
     hammingRank(cand, all, maxHamming)
   }
 
+  /** DELETE images from a persisted fingerprint index — the image
+    * modality's takedown leg ([[graft.operators.Dedup.removeFromMinhashIndex]]'s
+    * shape): a takedown that only removed the image bytes would leave its
+    * bands in the index, so every future [[phashPairsIncremental]] probe
+    * keeps pairing new images against the deleted one. Fingerprints are
+    * per-image independent (no global statistic), so deletion is one
+    * index-sized anti-join, EXACT against [[imagePHash]] over the
+    * survivors, and idempotent by construction. */
+  def removeFromPhashIndex(bands: DataFrame, removeIds: DataFrame): DataFrame =
+    bands.join(broadcast(removeIds.select(col("media_id")).distinct()),
+      Seq("media_id"), "left_anti")
+
   /** plant → decode → fingerprint → pair, end to end (the mm_phash_pairs
     * query): Spark round-trips real container bytes; the oracle replays
     * the closed-form planting formulas. */
