@@ -89,6 +89,23 @@ object Bench {
       // index build, not a per-query cost — round-10 verdict task 2)
       try SparkEntry.stageSqlMinhash(spark, dir)
       catch { case _: Throwable => () }
+      // one UNTIMED rep of EVERY query before any timing starts (the
+      // sql_minhash fix generalized — round-11 verdict task 5): committed
+      // baseline cells must be warm medians, not codegen-cold first
+      // invocations — the envelope was ~2× loose on exactly the newest
+      // queries because their cells were first-run cold, so a real ~1.8×
+      // regression there would have sailed through the delta gate.
+      // SPARK_GRAFT_BENCH_WARMUP=0 skips it (quick local iteration).
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1") {
+        var warmGc = 0
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          warmGc += 1
+          if (warmGc >= 5) { System.gc(); warmGc = 0 }
+          try { fn(spark, dir).queryExecution.toRdd.count(); () }
+          catch { case _: Throwable => () }
+        }
+        System.gc()
+      }
       var failed = List.empty[String]
       var sinceGc = 0
       // sorted name order: queries is a HashMap, so adding one entry would

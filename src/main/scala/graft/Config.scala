@@ -96,7 +96,14 @@ case class GraftConfig(
     templateMinDfDocs: Long = 2L,
     // HTML→text extraction: drop lines whose anchor-text share exceeds
     // this (jusText's link-density boilerplate rule); oracle-exact default
-    htmlMaxLinkDensityX100: Long = 50L)
+    htmlMaxLinkDensityX100: Long = 50L,
+    // perceptual image dedup: matching 16-bit bands required for a
+    // candidate pair (multi-index hashing). 1 = the oracle-exact default
+    // for sub-10^5-image corpora; at scale raise per the measured
+    // schedule Multimodal.minBandMatchesFor (2 at 10^5..10^8 images,
+    // 3 beyond) — the sf10-syn sweep that retired the suite's one
+    // super-linear scale row
+    phashMinBandMatches: Int = 1)
 
 object GraftConfig {
 
@@ -210,7 +217,9 @@ object GraftConfig {
       templateMinDfPct = i("curation.template_min_df_pct", d.templateMinDfPct),
       templateMinDfDocs = l("curation.template_min_df_docs", d.templateMinDfDocs),
       htmlMaxLinkDensityX100 =
-        l("curation.html_max_link_density_x100", d.htmlMaxLinkDensityX100))
+        l("curation.html_max_link_density_x100", d.htmlMaxLinkDensityX100),
+      phashMinBandMatches =
+        i("multimodal.phash_min_band_matches", d.phashMinBandMatches))
   }
 
   /** Load from a file path (missing file → defaults, mirroring the

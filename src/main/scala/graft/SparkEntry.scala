@@ -1807,6 +1807,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN LSM COMPACTION — the vector twin of sim_bm25_compact: after the
+    // same takedown as ann_index_del, fold the segment log (tombstones
+    // drop physically, sums collapse to their aggregate, quantizers
+    // untouched); the probe must be bit-identical to the uncompacted
+    // index (ann_index_del's oracle verbatim)
+    "ann_index_compact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = stagedDir("anncompact", d, "p4m8b4r1-m7", fresh = true)
+      operators.Similarity.buildAnnIndex(emb, dir)
+      operators.Similarity.removeFromAnnIndex(s, dir,
+        emb.where(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
+          .select(col("vec_id")))
+      operators.Similarity.compactAnnIndex(s, dir)
+      stagedThisSession.add(dir)
+      operators.Similarity.annQueryIndex(s, dir, cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // per-cluster simplified silhouette over the deterministic k-means —
     // the cluster-quality readout consulted BEFORE paying for
     // dedup_semantic's within-cluster pair joins (O(n·k), centroid-based;
@@ -2745,7 +2763,8 @@ object SparkEntry {
     // simhashPairs60 shape — never all-pairs). The oracle replays hash
     // and probe from the closed-form planting formulas
     "mm_phash_pairs" -> ((s, d) =>
-      operators.Multimodal.phashPairsFromDocs(s, Tables.documents(s, d))
+      operators.Multimodal.phashPairsFromDocs(s, Tables.documents(s, d),
+        minBandMatches = cfg.phashMinBandMatches)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // incremental image dedup: the persisted fingerprint index of the
@@ -2762,7 +2781,8 @@ object SparkEntry {
         .write.mode("overwrite").parquet(dir)
       stagedThisSession.add(dir)
       operators.Multimodal.phashPairsIncremental(
-          s.read.parquet(dir), bands.where(col("media_id") % 4 === 3))
+          s.read.parquet(dir), bands.where(col("media_id") % 4 === 3),
+          minBandMatches = cfg.phashMinBandMatches)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -2779,7 +2799,8 @@ object SparkEntry {
         bands.where(col("media_id") % 4 =!= 3),
         bands.where(col("media_id") % 8 === 1).select(col("media_id")))
       operators.Multimodal.phashPairsIncremental(survivors,
-          bands.where(col("media_id") % 4 === 3))
+          bands.where(col("media_id") % 4 === 3),
+          minBandMatches = cfg.phashMinBandMatches)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -2798,7 +2819,8 @@ object SparkEntry {
     // operator composed into one plan
     "e2e_image_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = operators.Multimodal.phashPairsFromDocs(s, docs)
+      val pairs = operators.Multimodal.phashPairsFromDocs(s, docs,
+        minBandMatches = cfg.phashMinBandMatches)
       val clusters = operators.Dedup
         .dedupClustersStar(pairs, "doc_a", "doc_b")
       val imgs = docs.where(col("doc_id") % 3 === 0)
@@ -3185,18 +3207,20 @@ object SparkEntry {
     // INCREMENTAL index maintenance — the retrieval family's missing
     // lifecycle leg (minhash/decontam/template/NB all have one): index
     // built on the base three-quarters, the incoming quarter ABSORBED by
-    // updateBm25Index (new text scanned once; merge is index-sized; the
-    // uncapped termdf table keeps cap eviction exact), then queried. The
-    // oracle is the FULL-corpus BM25 replay — update == rebuild is the
-    // whole claim. Query ids 0 and 4 are themselves incrementally-added
-    // docs, so the query bags exercise the merged postings both ways
+    // updateBm25Index as an O(batch) segment append (new text scanned
+    // once, nothing existing rewritten; df/doclen/stats aggregate from
+    // the mergeable segments at query time, so cap eviction is decided
+    // from the true merged counts), then queried. The oracle is the
+    // FULL-corpus BM25 replay — update == rebuild is the whole claim.
+    // Query ids 0 and 4 are themselves incrementally-added docs, so the
+    // query bags exercise the merged postings both ways
     "sim_bm25_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = stagedDir("bm25incr", d, "v1-m4", fresh = true)
+      val dir = stagedDir("bm25incr", d, "v2-m4", fresh = true)
       operators.Similarity.buildBm25Index(
         docs.where(col("doc_id") % 4 =!= 0), dir, maxDf = cfg.retrievalMaxDf)
       operators.Similarity.updateBm25Index(s, dir,
-        docs.where(col("doc_id") % 4 === 0), maxDf = cfg.retrievalMaxDf)
+        docs.where(col("doc_id") % 4 === 0))
       operators.Similarity.bm25QueryIndex(s, dir,
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -3214,6 +3238,25 @@ object SparkEntry {
       operators.Similarity.buildBm25Index(docs, dir, maxDf = cfg.retrievalMaxDf)
       operators.Similarity.removeFromBm25Index(s, dir,
         docs.where(col("doc_id") % 7 === 5).select(col("doc_id")))
+      stagedThisSession.add(dir)
+      operators.Similarity.bm25QueryIndex(s, dir,
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSM COMPACTION — the fold that amortizes the O(batch) appends and
+    // O(deleted) takedowns: after the same takedown as sim_bm25_del, the
+    // segment log (base + tombstones + negative decrements) is folded to
+    // a single base segment — masked rows drop physically, the tombstone
+    // tier empties — and the query must be bit-identical to the
+    // uncompacted index (sim_bm25_del's oracle verbatim)
+    "sim_bm25_compact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = stagedDir("bm25compact", d, "v2-m7", fresh = true)
+      operators.Similarity.buildBm25Index(docs, dir, maxDf = cfg.retrievalMaxDf)
+      operators.Similarity.removeFromBm25Index(s, dir,
+        docs.where(col("doc_id") % 7 === 5).select(col("doc_id")))
+      operators.Similarity.compactBm25Index(s, dir)
       stagedThisSession.add(dir)
       operators.Similarity.bm25QueryIndex(s, dir,
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
@@ -3267,7 +3310,7 @@ object SparkEntry {
       streaming.Streams.streamingBm25Update(s,
           streaming.Streams.fileSource(s, s"$stage/src", schema,
             maxFilesPerTrigger = 1),
-          s"$stage/index", s"$stage/ck", cfg.retrievalMaxDf)
+          s"$stage/index", s"$stage/ck")
         .awaitTermination()
       operators.Similarity.bm25QueryIndex(s, s"$stage/index",
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
@@ -9364,6 +9407,10 @@ object SparkEntry {
       // (deletion is idempotent by construction) — same oracle verbatim
       ("stream_bm25_takedown" -> base("sim_bm25_del")) +
       ("stream_ann_takedown" -> base("ann_index_del")) +
+      // compaction folds the segment log without changing a single query
+      // answer — the delete oracles verbatim
+      ("sim_bm25_compact" -> base("sim_bm25_del")) +
+      ("ann_index_compact" -> base("ann_index_del")) +
       ("ann_build_index" ->
         s"""WITH $unitVecCte,
            |cpd AS (SELECT vec_id, p,

@@ -534,18 +534,42 @@ object Multimodal {
     * in the same probe. Equals the batch [[phashPairs]] restricted to
     * new-member pairs (the oracle asserts exactly that). */
   def phashPairsIncremental(existingBands: DataFrame, newBands: DataFrame,
-                            maxHamming: Long = 6L): DataFrame = {
+                            maxHamming: Long = 6L,
+                            minBandMatches: Int = 1): DataFrame = {
+    require(minBandMatches >= 1 && minBandMatches <= 4,
+      "minBandMatches in [1, 4]")
     val all = existingBands.unionByName(newBands)
-    val cand = bandKeyed(newBands)
+    val hits = bandKeyed(newBands)
       .select(col("media_id").as("new_id"), col("j"), col("bv"))
       .join(bandKeyed(all).select(col("media_id").as("any_id"),
         col("j"), col("bv")), Seq("j", "bv"))
       .where(col("new_id") =!= col("any_id"))
       .select(least(col("new_id"), col("any_id")).as("doc_a"),
         greatest(col("new_id"), col("any_id")).as("doc_b"))
-      .distinct()
+    val cand =
+      if (minBandMatches <= 1) hits.distinct()
+      else hits.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("nb"))
+        .where(col("nb") >= minBandMatches)
+        .select(col("doc_a"), col("doc_b"))
     hammingRank(cand, all, maxHamming)
   }
+
+  /** The size-scaled [[phashPairs]] `minBandMatches` default — the
+    * multi-index-hashing schedule, derived from the candidate-volume
+    * model the sf10-syn sweep measured: requiring k matching 16-bit
+    * bands (of 4) puts RANDOM pair collisions at ~C(4,k)·n²/2^(16k), so
+    * the knob must rise when that term outgrows ~n. k=1 holds to ~10⁵
+    * images (n²/2¹⁶ ≈ n at n = 65k — exactly where the measured
+    * super-linear row began), k=2 to ~10⁸ (6·n²/2³² ≈ n at n ≈ 7·10⁸,
+    * with headroom), k=3 beyond. Recall: a planted Hamming ≤ 6 near-dup
+    * shares ≥ 2 bands unless its 6 differing bits spread 2+2+1+1 — the
+    * measured planted families share 3–4 (the sf10-syn rows and the
+    * sf0.001 spec both pin recall unchanged at k=2). */
+  def minBandMatchesFor(nImages: Long): Int =
+    if (nImages < 100000L) 1
+    else if (nImages < 100000000L) 2
+    else 3
 
   /** DELETE images from a persisted fingerprint index — the image
     * modality's takedown leg ([[graft.operators.Dedup.removeFromMinhashIndex]]'s
@@ -563,6 +587,8 @@ object Multimodal {
     * query): Spark round-trips real container bytes; the oracle replays
     * the closed-form planting formulas. */
   def phashPairsFromDocs(spark: SparkSession, docs: DataFrame,
-                         maxHamming: Long = 6L): DataFrame =
-    phashPairs(imagePHash(spark, phashImageTable(spark, docs)), maxHamming)
+                         maxHamming: Long = 6L,
+                         minBandMatches: Int = 1): DataFrame =
+    phashPairs(imagePHash(spark, phashImageTable(spark, docs)), maxHamming,
+      minBandMatches)
 }

@@ -490,20 +490,110 @@ object Similarity {
     shortlistRerank(adc, e, k, shortlist)
   }
 
-  /** Build the IVF+PQ index as a PERSISTED ARTIFACT — the serving-side
-    * lifecycle the [[buildBm25Index]] family established, closed for ANN:
-    * one training pass writes `cells/` (vec_id → coarse cell), `coarse_
-    * centroids/`, `codes/` (vec_id, subspace → PQ code), `pq_centroids/`
-    * (the codebook), and `vectors/` (unit vectors, the FAISS
-    * IndexRefineFlat companion for the exact re-rank); queries then run
-    * against the artifact without re-training anything. At 100 TB the
-    * codebooks and centroids train once per corpus snapshot and every
-    * search after is probe-only — the train cost (the Lloyd rounds over
-    * all subvectors) amortizes across every query batch. All doubles
-    * round-trip parquet bit-exactly, so [[annQueryIndex]] equals
-    * [[ivfPqTopK]] byte-for-byte (same oracle SQL). The extra
-    * `coarse_sums/` component (per-cell integer component sums) is what
-    * makes the artifact UPDATABLE — see [[updateAnnIndex]]. */
+  // ---- Segmented (LSM) index artifacts -----------------------------------
+  // The BM25 and ANN serving indexes share one layout discipline: every
+  // ROW-WISE component is a union of SEGMENT directories
+  // (`<component>/seg=base` from the build, `seg=s00001` per absorbed
+  // batch, and a `deleted/seg=d00002` tombstone tier), read back through
+  // Spark's partition discovery and aggregated/masked at query time.
+  // WHY: in-place merges — however they are bucketed — rewrite every
+  // bucket a batch's keys hash into, and real batches hash into ALL of
+  // them, so per-batch maintenance cost tracked INDEX size (the round-11
+  // write-amplification finding). A segment append writes O(batch) bytes
+  // and touches nothing else; a takedown writes O(deleted) bytes
+  // (tombstones + exact negative decrements of the mergeable statistics);
+  // [[compactBm25Index]]/[[compactAnnIndex]] fold the log back to a
+  // single base segment on cadence — the one deliberately index-sized
+  // operation that amortizes the rest (the LSM contract: RocksDB/Lucene's
+  // merge policy, expressed over parquet directories and the
+  // [[graft.sources.AtomicSwap]] nested-component commit).
+
+  private def artifactFs(spark: org.apache.spark.sql.SparkSession,
+                         path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True when `dir` exists and holds at least one data file (a swapped-in
+    * EMPTY directory — a compacted-away tombstone tier — has none). */
+  private def hasData(fs: org.apache.hadoop.fs.FileSystem,
+                      dir: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(dir)) return false
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
+  }
+
+  /** Union-of-segments read of one component; the `seg` partition column
+    * is layout, not data. */
+  private def readSegs(spark: org.apache.spark.sql.SparkSession,
+                       path: String, c: String): DataFrame =
+    spark.read.parquet(s"$path/$c").drop("seg")
+
+  /** The tombstoned ids, or None when no takedown has ever landed (the
+    * common case — query plans then carry no anti-join at all). */
+  private def deletedIds(spark: org.apache.spark.sql.SparkSession,
+                         path: String, key: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/deleted")
+    if (hasData(artifactFs(spark, path), dir))
+      Some(readSegs(spark, path, "deleted").select(col(key)).distinct())
+    else None
+  }
+
+  private def minusDeleted(df: DataFrame, del: Option[DataFrame],
+                           key: String): DataFrame =
+    del.map(d => df.join(broadcast(d), Seq(key), "left_anti")).getOrElse(df)
+
+  /** Next segment name (`s00012` appends, `d00012` tombstone tiers): one
+    * monotone counter across all of the artifact's components, derived
+    * from the max existing index (never the count — the chunk-naming
+    * lesson: a compacted or gapped segment set must not recycle names). */
+  private def nextSegName(spark: org.apache.spark.sql.SparkSession,
+                          path: String, prefix: String,
+                          components: Seq[String]): String = {
+    val fs = artifactFs(spark, path)
+    val maxIdx = components.flatMap { c =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$c")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+        .map(_.getPath.getName.stripPrefix("seg="))
+        .filter(s => s.startsWith("s") || s.startsWith("d"))
+        .map(_.drop(1).toLong)
+    }.foldLeft(0L)(math.max)
+    f"$prefix${maxIdx + 1}%05d"
+  }
+
+  private val AnnComponents =
+    Seq("vectors", "cells", "codes", "coarse_sums", "deleted")
+  private val Bm25Components =
+    Seq("postings", "termdf", "doclen", "stats", "deleted")
+
+  /** Per-cell coarse sums aggregated across segments; a cell whose live
+    * count reached zero (everything in it deleted) vanishes. */
+  private def aggSums(sums: DataFrame): DataFrame =
+    sums.groupBy(col("cell"), col("d"))
+      .agg(sum(col("sd")).as("sd"), sum(col("cnt")).as("cnt"))
+      .where(col("cnt") > 0)
+
+  /** Build the IVF+PQ index as a PERSISTED, SEGMENTED ARTIFACT — the
+    * serving-side lifecycle the [[buildBm25Index]] family established,
+    * closed for ANN: one training pass writes `cells/seg=base` (vec_id →
+    * coarse cell), `coarse_centroids/`, `codes/seg=base` (vec_id,
+    * subspace → PQ code), `pq_centroids/` (the codebook), and
+    * `vectors/seg=base` (unit vectors, the FAISS IndexRefineFlat
+    * companion for the exact re-rank); queries then run against the
+    * artifact without re-training anything. At 100 TB the codebooks and
+    * centroids train once per corpus snapshot and every search after is
+    * probe-only — the train cost (the Lloyd rounds over all subvectors)
+    * amortizes across every query batch. All doubles round-trip parquet
+    * bit-exactly, so [[annQueryIndex]] equals [[ivfPqTopK]] byte-for-byte
+    * (same oracle SQL). The mergeable `coarse_sums/` segments (per-cell
+    * integer component sums) are what make the artifact UPDATABLE and
+    * DELETABLE at O(batch) write cost — see [[updateAnnIndex]],
+    * [[removeFromAnnIndex]], and the segment-layout note above. */
   def buildAnnIndex(emb: DataFrame, path: String,
                     planes: Int = 4, m: Int = 8, bits: Int = 4,
                     dim: Int = 64, refine: Int = 1): Unit = {
@@ -512,15 +602,15 @@ object Similarity {
     val assigned = coarseAssign(e, planes, dim)
     val (_, codes, centroids) = pqTrain(e, m, bits, dim / m, refine)
     assigned.select(col("vec_id"), col("vn"))
-      .write.mode("overwrite").parquet(s"$path/vectors")
+      .write.mode("overwrite").parquet(s"$path/vectors/seg=base")
     assigned.select(col("vec_id"), col("cell"))
-      .write.mode("overwrite").parquet(s"$path/cells")
+      .write.mode("overwrite").parquet(s"$path/cells/seg=base")
     // sums feed their own write AND the centroid derivation — materialize
     val sums = coarseSums(assigned).localCheckpoint()
-    sums.write.mode("overwrite").parquet(s"$path/coarse_sums")
+    sums.write.mode("overwrite").parquet(s"$path/coarse_sums/seg=base")
     centroidsFromSums(sums)
       .write.mode("overwrite").parquet(s"$path/coarse_centroids")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
+    codes.write.mode("overwrite").parquet(s"$path/codes/seg=base")
     centroids.write.mode("overwrite").parquet(s"$path/pq_centroids")
   }
 
@@ -548,30 +638,34 @@ object Similarity {
     *
     * Contract: APPEND-only (re-delivering a batch would double rows — the
     * batch_id ledger layer above this is the dedupe), vec_ids disjoint
-    * from the base. Durability: every changed component stages to a
-    * sibling dir and swaps in via [[graft.sources.AtomicSwap]]; the frozen
-    * codebook is never touched. A production engine appends cell-sharded
-    * part files instead of rewriting `cells/`+`codes/`; the merge + exact
-    * centroid maintenance here is the identical semantic core. */
+    * from the base. Durability: the batch's segments stage to the
+    * `_stage/` tree and swap in via [[graft.sources.AtomicSwap]]'s nested
+    * components; the frozen codebook is never touched. WRITE COST is
+    * O(batch): the new rows land as fresh `seg=sNNNNN` directories under
+    * `vectors/`, `cells/`, `codes/`, `coarse_sums/` — no existing row is
+    * rewritten (the round-11 per-batch index rewrite is gone); the one
+    * always-rewritten component, `coarse_centroids/`, is CELL-count
+    * bounded (2^planes rows), not corpus-bounded. */
   def updateAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      newEmb: DataFrame, planes: Int = 4, m: Int = 8,
                      dim: Int = 64): Unit = {
     graft.sources.AtomicSwap.recover(spark, path)
-    stageAnnMerge(spark, path, newEmb, planes, m, dim)
-    graft.sources.AtomicSwap.commit(spark, path,
-      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids"))
+    val comps = stageAnnMerge(spark, path, newEmb, planes, m, dim)
+    graft.sources.AtomicSwap.commit(spark, path, comps)
   }
 
-  /** Stage (not commit) the merged ANN components — shared by
-    * [[updateAnnIndex]] and [[updateAnnIndexOnce]]. */
+  /** Stage (not commit) the batch's ANN segments — shared by
+    * [[updateAnnIndex]] and [[updateAnnIndexOnce]]. Returns the staged
+    * component list. */
   private def stageAnnMerge(spark: org.apache.spark.sql.SparkSession,
                             path: String, newEmb: DataFrame, planes: Int,
-                            m: Int, dim: Int): Unit = {
+                            m: Int, dim: Int): Seq[String] = {
     require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
     val sd = dim / m
+    val seg = nextSegName(spark, path, "s", AnnComponents)
     val e = withUnitVector(newEmb).select(col("vec_id"), col("vn"))
-    // checkpointed (inside coarseAssign): feeds vectors/cells appends, the
-    // subvector encode, and the sums merge
+    // checkpointed (inside coarseAssign): feeds vectors/cells segments, the
+    // subvector encode, and the sums segment
     val assigned = coarseAssign(e, planes, dim)
     val pqCents = spark.read.parquet(s"$path/pq_centroids")
     val newCodes = assigned
@@ -586,69 +680,101 @@ object Similarity {
       .agg(min(struct(col("dist"), col("code"))).as("mi"))
       .select(col("vec_id"), col("s"), col("mi").getField("code").as("code"))
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    spark.read.parquet(s"$path/vectors")
-      .unionByName(assigned.select(col("vec_id"), col("vn")))
-      .write.mode("overwrite").parquet(stage("vectors"))
-    spark.read.parquet(s"$path/cells")
-      .unionByName(assigned.select(col("vec_id"), col("cell")))
-      .write.mode("overwrite").parquet(stage("cells"))
-    spark.read.parquet(s"$path/codes")
-      .unionByName(newCodes)
-      .write.mode("overwrite").parquet(stage("codes"))
-    val mergedSums = spark.read.parquet(s"$path/coarse_sums")
-      .unionByName(coarseSums(assigned))
-      .groupBy(col("cell"), col("d"))
-      .agg(sum(col("sd")).as("sd"), sum(col("cnt")).as("cnt"))
-      .localCheckpoint() // feeds its own write AND the centroid derivation
-    mergedSums.write.mode("overwrite").parquet(stage("coarse_sums"))
-    centroidsFromSums(mergedSums)
+    assigned.select(col("vec_id"), col("vn"))
+      .write.mode("overwrite").parquet(stage(s"vectors/seg=$seg"))
+    assigned.select(col("vec_id"), col("cell"))
+      .write.mode("overwrite").parquet(stage(s"cells/seg=$seg"))
+    newCodes.write.mode("overwrite").parquet(stage(s"codes/seg=$seg"))
+    // the batch's sums feed their own segment AND the centroid refresh
+    val batchSums = coarseSums(assigned).localCheckpoint()
+    batchSums.write.mode("overwrite").parquet(stage(s"coarse_sums/seg=$seg"))
+    // probe-order centroids stay rebuild-exact: live sums ∪ the batch's,
+    // aggregated — associative integer sums, cell-count-bounded work
+    centroidsFromSums(
+      aggSums(readSegs(spark, path, "coarse_sums").unionByName(batchSums)))
       .write.mode("overwrite").parquet(stage("coarse_centroids"))
+    Seq(s"vectors/seg=$seg", s"cells/seg=$seg", s"codes/seg=$seg",
+      s"coarse_sums/seg=$seg", "coarse_centroids")
   }
 
   /** DELETE vectors from a [[buildAnnIndex]] artifact — the ANN side of
     * [[removeFromBm25Index]]'s takedown leg, and (unlike BM25's one
     * documented upper-bound asymmetry) EXACT against a rebuild over the
-    * survivors with the same frozen training: cells/codes/vectors drop
-    * the deleted ids; the deleted vectors' per-cell integer component
-    * sums are recomputed FROM THE INDEX ITSELF (vectors ⋈ cells, both
-    * components already carry everything needed) and SUBTRACTED from the
-    * mergeable `coarse_sums/` — integer subtraction is as associative as
-    * the addition, so the surviving centroids are bit-identical to
-    * [[buildAnnIndex]] run over the survivors (coarse tier has no trained
-    * state) while the PQ codebook stays frozen. Cells emptied by the
-    * delete drop out of sums and centroids entirely. All work is
-    * index-sized; the staged [[graft.sources.AtomicSwap]] commit keeps
-    * any crash repairable. */
+    * survivors with the same frozen training. TOMBSTONE form: the deleted
+    * ids land as a `deleted/seg=dNNNNN` segment (query reads mask
+    * vectors/cells/codes by one anti-join — those components are never
+    * rewritten), and the deleted vectors' per-cell integer component sums
+    * are recomputed FROM THE INDEX ITSELF (vectors ⋈ cells, both
+    * components already carry everything needed) and appended as a
+    * NEGATIVE `coarse_sums/` segment — integer subtraction is as
+    * associative as the addition, so the aggregated centroids are
+    * bit-identical to [[buildAnnIndex]] run over the survivors (coarse
+    * tier has no trained state) while the PQ codebook stays frozen. Cells
+    * emptied by the delete drop out of the aggregation entirely. WRITE
+    * COST is O(deleted) (tombstone + negative sums + the cell-bounded
+    * centroid refresh); reads are index-sized, as any delete's must be.
+    * Idempotent by construction: ids already tombstoned (or never
+    * present) are filtered out up front, and a fully-redundant request
+    * set is a no-op that writes nothing. [[compactAnnIndex]] physically
+    * drops tombstoned rows on cadence. */
   def removeFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, removeIds: DataFrame): Unit = {
     graft.sources.AtomicSwap.recover(spark, path)
+    val del = deletedIds(spark, path, "vec_id")
     val gone = broadcast(removeIds.select(col("vec_id")).distinct())
-    val vectors = spark.read.parquet(s"$path/vectors")
-    val cells = spark.read.parquet(s"$path/cells")
-    val removedAssigned = vectors.join(gone, Seq("vec_id"))
-      .join(cells, Seq("vec_id"))
-      .select(col("cell"), col("vn"))
-    val mergedSums = spark.read.parquet(s"$path/coarse_sums")
-      .unionByName(coarseSums(removedAssigned)
-        .select(col("cell"), col("d"), (-col("sd")).as("sd"),
-          (-col("cnt")).as("cnt")))
-      .groupBy(col("cell"), col("d"))
-      .agg(sum(col("sd")).as("sd"), sum(col("cnt")).as("cnt"))
-      .where(col("cnt") > 0) // cells emptied by the delete vanish
-      .localCheckpoint() // feeds its own write AND the centroid derivation
+    // (vec_id, cell, vn) of the ids actually live — re-deliveries vanish
+    val removedAssigned =
+      minusDeleted(readSegs(spark, path, "vectors"), del, "vec_id")
+        .join(gone, Seq("vec_id"))
+        .join(minusDeleted(readSegs(spark, path, "cells"), del, "vec_id"),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("vn"))
+        .localCheckpoint() // feeds tombstone, negative sums, and no-op check
+    if (removedAssigned.isEmpty) return
+    val seg = nextSegName(spark, path, "d", AnnComponents)
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    vectors.join(gone, Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(stage("vectors"))
-    cells.join(gone, Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(stage("cells"))
-    spark.read.parquet(s"$path/codes")
-      .join(gone, Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(stage("codes"))
-    mergedSums.write.mode("overwrite").parquet(stage("coarse_sums"))
-    centroidsFromSums(mergedSums)
+    removedAssigned.select(col("vec_id"))
+      .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg"))
+    val negSums = coarseSums(removedAssigned.select(col("cell"), col("vn")))
+      .select(col("cell"), col("d"), (-col("sd")).as("sd"),
+        (-col("cnt")).as("cnt"))
+      .localCheckpoint() // feeds its own segment AND the centroid refresh
+    negSums.write.mode("overwrite").parquet(stage(s"coarse_sums/seg=$seg"))
+    centroidsFromSums(
+      aggSums(readSegs(spark, path, "coarse_sums").unionByName(negSums)))
       .write.mode("overwrite").parquet(stage("coarse_centroids"))
     graft.sources.AtomicSwap.commit(spark, path,
-      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids"))
+      Seq(s"deleted/seg=$seg", s"coarse_sums/seg=$seg", "coarse_centroids"))
+  }
+
+  /** Fold a segmented ANN artifact back to a single base segment — the
+    * LSM compaction cadence: tombstoned rows drop physically from
+    * vectors/cells/codes, the tombstone tier empties, the sums segments
+    * collapse to their aggregate (emptied cells gone), and the quantizers
+    * are untouched. This is the ONE deliberately index-sized write — it
+    * amortizes every O(batch) append and O(deleted) takedown since the
+    * last fold, and bounds segment-count growth (each segment is a
+    * directory the readers must list). Query results are identical
+    * before and after (the spec pins it); wholesale component swaps keep
+    * every crash window repairable. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    graft.sources.AtomicSwap.recover(spark, path)
+    val del = deletedIds(spark, path, "vec_id")
+    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+    Seq("vectors", "cells", "codes").foreach { c =>
+      minusDeleted(readSegs(spark, path, c), del, "vec_id")
+        .write.mode("overwrite").parquet(s"${stage(c)}/seg=base")
+    }
+    val sums = aggSums(readSegs(spark, path, "coarse_sums")).localCheckpoint()
+    sums.write.mode("overwrite").parquet(s"${stage("coarse_sums")}/seg=base")
+    centroidsFromSums(sums)
+      .write.mode("overwrite").parquet(stage("coarse_centroids"))
+    val fs = artifactFs(spark, path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied tier
+    graft.sources.AtomicSwap.commit(spark, path,
+      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids",
+        "deleted"))
   }
 
   /** EXACTLY-ONCE wrapper over [[updateAnnIndex]] — the ANN side of
@@ -664,20 +790,17 @@ object Similarity {
                          dim: Int = 64): Boolean = {
     import spark.implicits._
     graft.sources.AtomicSwap.recover(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = artifactFs(spark, path)
     val applied =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/applied")))
         spark.read.parquet(s"$path/applied")
       else Seq.empty[Long].toDF("batch_id")
     if (!applied.where(col("batch_id") === batchId).isEmpty) return false
-    stageAnnMerge(spark, path, newEmb, planes, m, dim)
+    val comps = stageAnnMerge(spark, path, newEmb, planes, m, dim)
     applied.unionByName(Seq(batchId).toDF("batch_id"))
       .write.mode("overwrite")
       .parquet(graft.sources.AtomicSwap.stageDir(path, "applied"))
-    graft.sources.AtomicSwap.commit(spark, path,
-      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids",
-        "applied"))
+    graft.sources.AtomicSwap.commit(spark, path, comps :+ "applied")
     true
   }
 
@@ -690,11 +813,14 @@ object Similarity {
                     shortlist: Int = 50): DataFrame = {
     // finish any in-flight atomic swap left by a crashed updater
     graft.sources.AtomicSwap.recover(spark, path, cleanStale = false)
+    // segment union + tombstone mask; with no takedowns ever landed the
+    // plan carries no anti-join at all
+    val del = deletedIds(spark, path, "vec_id")
     ivfPqProbe(
-      spark.read.parquet(s"$path/vectors"),
-      spark.read.parquet(s"$path/cells"),
+      minusDeleted(readSegs(spark, path, "vectors"), del, "vec_id"),
+      minusDeleted(readSegs(spark, path, "cells"), del, "vec_id"),
       spark.read.parquet(s"$path/coarse_centroids"),
-      spark.read.parquet(s"$path/codes"),
+      minusDeleted(readSegs(spark, path, "codes"), del, "vec_id"),
       spark.read.parquet(s"$path/pq_centroids"),
       nQueries, k, nProbe, m, dim, shortlist)
   }
@@ -1086,12 +1212,20 @@ object Similarity {
           .as("snippet"))
   }
 
-  /** Build the BM25 index as a PERSISTED ARTIFACT — the serving-side
-    * pattern (the [[graft.operators.TextAnalysis.qualityThresholds]] /
-    * minhash-index family): one corpus pass writes `postings/` (term, doc,
-    * tf, df — df-capped), `doclen/`, and the one-row `stats/`; queries then
-    * run against the artifact without touching the corpus. At 100 TB the
-    * index builds once per snapshot and serves every retrieval after. */
+  /** Build the BM25 index as a PERSISTED, SEGMENTED ARTIFACT — the
+    * serving-side pattern (the [[graft.operators.TextAnalysis.qualityThresholds]] /
+    * minhash-index family): one corpus pass writes `postings/seg=base`
+    * (doc, term, tf — rows of over-cap terms dropped, bounding storage),
+    * `doclen/seg=base`, the one-row `stats/seg=base`, the UNCAPPED
+    * `termdf/seg=base` (true per-term counts — cap eviction is decided
+    * from the AGGREGATED termdf at query time, which is what keeps
+    * O(batch) appends df-correct), and the one-row `meta/` carrying the
+    * cap itself. Queries then run against the artifact without touching
+    * the corpus. At 100 TB the index builds once per snapshot and serves
+    * every retrieval after; [[updateBm25Index]]/[[removeFromBm25Index]]
+    * keep it current at O(batch)/O(deleted) write cost and
+    * [[compactBm25Index]] folds the segment log on cadence (the
+    * segment-layout note above [[buildAnnIndex]]). */
   def buildBm25Index(docs: DataFrame, path: String, maxDf: Long = 1000): Unit = {
     val tf = graft.functions.TextFunctions
       .explodeTokens(docs, "t", "doc_id")
@@ -1099,80 +1233,72 @@ object Similarity {
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfAll = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    tf.join(dfAll.where(col("df") <= maxDf), Seq("t"))
-      .write.mode("overwrite").parquet(s"$path/postings")
-    dl.write.mode("overwrite").parquet(s"$path/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
-      .write.mode("overwrite").parquet(s"$path/stats")
-    // UNCAPPED term dfs — what makes the index UPDATABLE: an evicted
-    // (over-cap) term's true count survives here even though its postings
-    // don't, so an incremental merge applies the cap exactly as a full
-    // rebuild would (see updateBm25Index)
-    dfAll.write.mode("overwrite").parquet(s"$path/termdf")
+    tf.join(dfAll.where(col("df") <= maxDf).select(col("t")),
+        Seq("t"), "left_semi")
+      .write.mode("overwrite").parquet(s"$path/postings/seg=base")
+    dl.write.mode("overwrite").parquet(s"$path/doclen/seg=base")
+    dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
+      .write.mode("overwrite").parquet(s"$path/stats/seg=base")
+    dfAll.write.mode("overwrite").parquet(s"$path/termdf/seg=base")
+    docs.sparkSession.range(1).select(lit(maxDf).as("max_df"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Incrementally ABSORB a new document batch into a [[buildBm25Index]]
     * artifact — the index-maintenance form every other artifact family
     * here has (minhash index, decontamination universe, template strip
-    * set, NB model): the expensive text scan (tokenize + tf) runs over the
-    * NEW batch only; all merge work is INDEX-sized — the corpus is never
-    * re-scanned. Global statistics are what make BM25 updates non-trivial
-    * (df and avgdl move for every term/doc when a batch lands), so the
-    * artifact carries the UNCAPPED `termdf/` table: the merged df decides
-    * the cap EXACTLY as a full rebuild would — a term whose old df already
-    * exceeded the cap stays evicted (df only grows under append), a term
-    * crossing the cap now evicts with its true count, and without the
-    * uncapped table an evicted term reappearing in a batch would resurface
-    * with an undercounted df. The spec and the `sim_bm25_incr` oracle pin
-    * `update(build(base), batch) == build(base ∪ batch)` component for
-    * component. Contract: APPEND-only — re-delivering a doc would double
-    * its rows (the streaming batch_id-overwrite pattern is the dedupe
-    * layer above this; [[updateBm25IndexOnce]] is that layer packaged). A
-    * production engine shards `postings/` by term and rewrites only
-    * touched shards; the df-correct merge + cap eviction here is the
-    * identical semantic core. Durability: the four merged tables are
-    * STAGED to sibling dirs while the originals stay live (so the merge
-    * reads them with no lineage tricks), then swapped in by
-    * [[graft.sources.AtomicSwap]]'s marker/rename protocol — a failure
-    * anywhere (including executor loss mid-write) leaves either the old
-    * index or the new one, never a mutually inconsistent mix. */
+    * set, NB model): the expensive text scan (tokenize + tf) runs over
+    * the NEW batch only, and the WRITE is O(batch) — the batch's rows
+    * land as fresh `seg=sNNNNN` directories under `postings/`, `termdf/`,
+    * `doclen/`, `stats/`; nothing existing is read or rewritten (the
+    * round-11 finding that per-batch maintenance rewrote the whole index
+    * is gone). Global statistics are what make BM25 updates non-trivial
+    * (df and avgdl move for every term/doc when a batch lands) — they
+    * stay exact because every statistic is MERGEABLE and aggregated at
+    * query time: df = Σ termdf segments (the cap then evicts from the
+    * true merged count, exactly as a full rebuild would — a term whose
+    * total crossed the cap never scores, and batch posting rows are
+    * stored uncapped so nothing is lost if a later rebuild re-admits it);
+    * n_docs/tot_len = Σ one-row stats segments. The `sim_bm25_incr`
+    * oracle pins `update(build(base), batch) == build(base ∪ batch)` at
+    * the query surface. Contract: APPEND-only — re-delivering a doc would
+    * double its rows ([[updateBm25IndexOnce]] is the dedupe layer
+    * packaged). Durability: the segments stage under `_stage/` and swap
+    * in by [[graft.sources.AtomicSwap]]'s marker/rename protocol — a
+    * failure anywhere (including executor loss mid-write) leaves either
+    * the old index or the new one, never a torn mix. */
   def updateBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
-                      newDocs: DataFrame, maxDf: Long = 1000): Unit = {
+                      newDocs: DataFrame): Unit = {
     graft.sources.AtomicSwap.recover(spark, path)
-    stageBm25Merge(spark, path, newDocs, maxDf)
-    graft.sources.AtomicSwap.commit(spark, path,
-      Seq("postings", "doclen", "stats", "termdf"))
+    val comps = stageBm25Merge(spark, path, newDocs)
+    graft.sources.AtomicSwap.commit(spark, path, comps)
   }
 
-  /** Stage (not commit) the merged BM25 components — shared by
-    * [[updateBm25Index]] and [[updateBm25IndexOnce]]. */
+  /** Stage (not commit) the batch's BM25 segments — shared by
+    * [[updateBm25Index]] and [[updateBm25IndexOnce]]. Returns the staged
+    * component list. */
   private def stageBm25Merge(spark: org.apache.spark.sql.SparkSession,
-                             path: String, newDocs: DataFrame,
-                             maxDf: Long): Unit = {
-    val oldRaw = spark.read.parquet(s"$path/postings")
-      .select(col("doc_id"), col("t"), col("tf"))
-    val oldDl = spark.read.parquet(s"$path/doclen")
-    val oldDf = spark.read.parquet(s"$path/termdf")
+                             path: String, newDocs: DataFrame): Seq[String] = {
+    val seg = nextSegName(spark, path, "s", Bm25Components)
     // the new batch's tf table feeds three consumers — materialize once
     val newTf = graft.functions.TextFunctions
       .explodeTokens(newDocs, "t", "doc_id")
       .where(col("t") =!= "")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val mergedDf = oldDf.unionByName(
-        newTf.groupBy(col("t")).agg(count(lit(1)).as("df")))
-      .groupBy(col("t")).agg(sum(col("df")).as("df"))
-      .localCheckpoint()
-    val dl = oldDl.unionByName(
-      newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val dl = newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint() // feeds its own segment AND the stats row
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    oldRaw.unionByName(newTf)
-      .join(mergedDf.where(col("df") <= maxDf), Seq("t"))
-      .write.mode("overwrite").parquet(stage("postings"))
-    dl.write.mode("overwrite").parquet(stage("doclen"))
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
-      .write.mode("overwrite").parquet(stage("stats"))
-    mergedDf.write.mode("overwrite").parquet(stage("termdf"))
+    newTf.write.mode("overwrite").parquet(stage(s"postings/seg=$seg"))
+    newTf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
+    dl.write.mode("overwrite").parquet(stage(s"doclen/seg=$seg"))
+    dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
+      .write.mode("overwrite").parquet(stage(s"stats/seg=$seg"))
+    Seq(s"postings/seg=$seg", s"termdf/seg=$seg", s"doclen/seg=$seg",
+      s"stats/seg=$seg")
   }
 
   /** EXACTLY-ONCE wrapper over [[updateBm25Index]] — the batch_id dedupe
@@ -1187,41 +1313,43 @@ object Similarity {
     * no-ops). Returns true when the batch was absorbed, false when the
     * ledger already had it. */
   def updateBm25IndexOnce(spark: org.apache.spark.sql.SparkSession,
-                          path: String, newDocs: DataFrame, batchId: Long,
-                          maxDf: Long = 1000): Boolean = {
+                          path: String, newDocs: DataFrame,
+                          batchId: Long): Boolean = {
     import spark.implicits._
     graft.sources.AtomicSwap.recover(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = artifactFs(spark, path)
     val applied =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/applied")))
         spark.read.parquet(s"$path/applied")
       else Seq.empty[Long].toDF("batch_id")
     if (!applied.where(col("batch_id") === batchId).isEmpty) return false
-    stageBm25Merge(spark, path, newDocs, maxDf)
+    val comps = stageBm25Merge(spark, path, newDocs)
     applied.unionByName(Seq(batchId).toDF("batch_id"))
       .write.mode("overwrite")
       .parquet(graft.sources.AtomicSwap.stageDir(path, "applied"))
-    graft.sources.AtomicSwap.commit(spark, path,
-      Seq("postings", "doclen", "stats", "termdf", "applied"))
+    graft.sources.AtomicSwap.commit(spark, path, comps :+ "applied")
     true
   }
 
   /** DELETE documents from a [[buildBm25Index]] artifact — the takedown /
     * right-to-be-forgotten leg of the index lifecycle (every 100 TB corpus
-    * eventually must remove specific documents without a rebuild): all
-    * work is INDEX-sized (the corpus is never touched; the deleted docs'
-    * own posting rows supply their term counts), and the four merged
-    * tables ride the same [[graft.sources.AtomicSwap]] staged commit as
-    * the update path.
+    * eventually must remove specific documents without a rebuild).
+    * TOMBSTONE form: the deleted ids land as a `deleted/seg=dNNNNN`
+    * segment (query reads mask postings/doclen by one anti-join — those
+    * components are never rewritten), the deleted docs' own visible
+    * posting rows supply exact per-term decrements appended as a NEGATIVE
+    * `termdf/` segment, and a negative one-row `stats/` segment retires
+    * their doc/length counts. WRITE COST is O(deleted); the postings read
+    * that computes the decrements is index-sized, as any delete's must
+    * be. Idempotent by construction: ids with no live doclen row are
+    * filtered out up front and a fully-redundant request set is a no-op.
     *
     * Exactness contract: scoring is EXACT for every term the index
-    * serves — posting rows of deleted docs disappear, surviving rows
-    * carry the decremented df, doclen/stats re-aggregate over survivors.
-    * The one documented asymmetry: a term whose postings were already
-    * CAP-EVICTED stays evicted, and its `termdf/` count keeps the
-    * pre-delete value as an UPPER BOUND (the evicted docs' term bags are
-    * gone from the index, so the exact decrement is unknowable without a
+    * serves — masked rows never score, aggregated df carries the
+    * decrements, stats re-aggregate over survivors. The one documented
+    * asymmetry: a term whose postings were CAP-EVICTED at build keeps its
+    * `termdf/` count as an UPPER BOUND (the evicted docs' term bags are
+    * not in the index, so their decrements are unknowable without a
     * corpus re-scan). That bound errs only toward keeping the term
     * evicted — it can never wrongly re-admit with an undercounted df —
     * and cap eviction stays monotone under any delete/append sequence;
@@ -1230,29 +1358,65 @@ object Similarity {
   def removeFromBm25Index(spark: org.apache.spark.sql.SparkSession,
                           path: String, removeIds: DataFrame): Unit = {
     graft.sources.AtomicSwap.recover(spark, path)
+    val del = deletedIds(spark, path, "doc_id")
     val gone = broadcast(removeIds.select(col("doc_id")).distinct())
-    val postings = spark.read.parquet(s"$path/postings")
-    // deleted docs' rows are the exact per-term decrements (kept terms
-    // only — evicted terms have no rows here, hence the upper-bound rule)
-    val dfDec = postings.join(gone, Seq("doc_id"))
-      .groupBy(col("t")).agg(count(lit(1)).as("dec"))
-    val newDf = spark.read.parquet(s"$path/termdf")
-      .join(dfDec, Seq("t"), "left")
-      .select(col("t"), (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
-      .where(col("df") > 0)
-      .localCheckpoint() // feeds its own write AND the postings re-join
-    val dl = spark.read.parquet(s"$path/doclen")
-      .join(gone, Seq("doc_id"), "left_anti")
+    // the ids actually live, with their lengths — re-deliveries vanish
+    val goneDl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
+      .join(gone, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds tombstone, stats, and the no-op check
+    if (goneDl.isEmpty) return
+    val seg = nextSegName(spark, path, "d", Bm25Components)
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    postings.join(gone, Seq("doc_id"), "left_anti")
-      .drop("df").join(newDf, Seq("t")) // surviving rows carry the new df
-      .write.mode("overwrite").parquet(stage("postings"))
-    dl.write.mode("overwrite").parquet(stage("doclen"))
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
-      .write.mode("overwrite").parquet(stage("stats"))
-    newDf.write.mode("overwrite").parquet(stage("termdf"))
+    goneDl.select(col("doc_id"))
+      .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg"))
+    // deleted docs' visible rows are the exact per-term decrements (kept
+    // terms only — evicted terms have no rows here, the upper-bound rule)
+    minusDeleted(readSegs(spark, path, "postings"), del, "doc_id")
+      .join(broadcast(goneDl.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .groupBy(col("t")).agg((-count(lit(1))).as("df"))
+      .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
+    goneDl.agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("tot_len"))
+      .write.mode("overwrite").parquet(stage(s"stats/seg=$seg"))
     graft.sources.AtomicSwap.commit(spark, path,
-      Seq("postings", "doclen", "stats", "termdf"))
+      Seq(s"deleted/seg=$seg", s"termdf/seg=$seg", s"stats/seg=$seg"))
+  }
+
+  /** Fold a segmented BM25 artifact back to a single base segment — the
+    * LSM compaction cadence ([[compactAnnIndex]]'s lexical twin, and the
+    * "rebuild cadence" the delete contract defers to): tombstone-masked
+    * rows drop physically, the tombstone tier empties, termdf/stats
+    * segments collapse to their aggregates (zero-df terms gone), and
+    * posting rows of over-cap terms are dropped to the build contract's
+    * storage bound. Query results are identical before and after (the
+    * spec pins it). The ONE deliberately index-sized write. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    graft.sources.AtomicSwap.recover(spark, path)
+    val maxDf = spark.read.parquet(s"$path/meta")
+      .select(col("max_df")).head().getLong(0)
+    val del = deletedIds(spark, path, "doc_id")
+    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+    val dfAgg = readSegs(spark, path, "termdf")
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+      .where(col("df") > 0)
+      .localCheckpoint() // feeds its own segment AND the postings cap
+    minusDeleted(readSegs(spark, path, "postings"), del, "doc_id")
+      .join(dfAgg.where(col("df") <= maxDf).select(col("t")),
+        Seq("t"), "left_semi")
+      .select(col("doc_id"), col("t"), col("tf"))
+      .write.mode("overwrite").parquet(s"${stage("postings")}/seg=base")
+    dfAgg.write.mode("overwrite").parquet(s"${stage("termdf")}/seg=base")
+    val dl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
+      .localCheckpoint() // feeds its own segment AND the stats row
+    dl.write.mode("overwrite").parquet(s"${stage("doclen")}/seg=base")
+    dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
+      .write.mode("overwrite").parquet(s"${stage("stats")}/seg=base")
+    artifactFs(spark, path)
+      .mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied
+    graft.sources.AtomicSwap.commit(spark, path,
+      Seq("postings", "termdf", "doclen", "stats", "deleted"))
   }
 
   /** Query a [[buildBm25Index]] artifact: identical scoring to
@@ -1266,12 +1430,26 @@ object Similarity {
     // finish any in-flight atomic swap left by a crashed updater (never
     // touches a concurrent updater's staging)
     graft.sources.AtomicSwap.recover(spark, path, cleanStale = false)
-    val postings = spark.read.parquet(s"$path/postings")
-    val dl = spark.read.parquet(s"$path/doclen")
-    val stats = spark.read.parquet(s"$path/stats")
+    val maxDf = spark.read.parquet(s"$path/meta")
+      .select(col("max_df")).head().getLong(0)
+    // segment union + tombstone mask; df/n_docs/tot_len aggregate from
+    // the mergeable segments (exact integers — a query over base ∪
+    // batches ∪ deletes scores identically to one over a fresh rebuild)
+    val del = deletedIds(spark, path, "doc_id")
+    val postings =
+      minusDeleted(readSegs(spark, path, "postings"), del, "doc_id")
+    val dl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
+    val stats = readSegs(spark, path, "stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_len")).as("tot_len"))
+    // the aggregated-df cap bounds the postings join fan-out BEFORE the
+    // inverted-index join, exactly as the stamped-df form did
+    val dfT = readSegs(spark, path, "termdf")
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+      .where(col("df") > 0 && col("df") <= maxDf)
     val qTerms = postings.where(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("t")).distinct()
     val scored = qTerms
+      .join(dfT, Seq("t"))
       .join(postings, Seq("t"))
       .where(col("doc_id") =!= col("query_id"))
       .join(dl, Seq("doc_id"))

@@ -406,15 +406,14 @@ object Streams {
     * drains, the artifact equals the full rebuild over base ∪ all batches
     * — `stream_bm25_incr` shares the full-corpus BM25 oracle verbatim. */
   def streamingBm25Update(spark: SparkSession, docs: DataFrame,
-                          indexDir: String, checkpointDir: String,
-                          maxDf: Long = 1000): StreamingQuery =
+                          indexDir: String, checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Similarity.updateBm25IndexOnce(spark, indexDir,
-          batch.toDF().select(col("doc_id"), col("text")), batchId, maxDf)
+          batch.toDF().select(col("doc_id"), col("text")), batchId)
         ()
       }
       .start()

@@ -1399,12 +1399,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     Similarity.updateAnnIndex(spark, incrDir, batch)
     Similarity.buildAnnIndex(emb, fullDir)
     // the coarse tier has no trained state (fixed hyperplanes + mergeable
-    // integer sums), so absorb == rebuild exactly; ditto the unit vectors
-    Seq("cells", "coarse_sums", "coarse_centroids", "vectors").foreach { p =>
-      val got = spark.read.parquet(s"$incrDir/$p").collect().map(_.toSeq).toSet
-      val want = spark.read.parquet(s"$fullDir/$p").collect().map(_.toSeq).toSet
+    // integer sums), so absorb == rebuild exactly; ditto the unit vectors.
+    // Segment boundaries are LAYOUT (incr = base + s00001, full = base) —
+    // row content and the aggregated sums are what must match
+    def annSums(dir: String) = spark.read.parquet(s"$dir/coarse_sums")
+      .groupBy($"cell", $"d").agg(sum($"sd").as("sd"), sum($"cnt").as("cnt"))
+      .where($"cnt" > 0).collect().map(_.toSeq).toSet
+    Seq("cells", "vectors", "coarse_centroids").foreach { p =>
+      val got = spark.read.parquet(s"$incrDir/$p").drop("seg")
+        .collect().map(_.toSeq).toSet
+      val want = spark.read.parquet(s"$fullDir/$p").drop("seg")
+        .collect().map(_.toSeq).toSet
       assert(got == want, s"$p diverged from the full rebuild")
     }
+    assert(annSums(incrDir) == annSums(fullDir),
+      "aggregated coarse sums diverged from the full rebuild")
     // frozen-quantizer contract: the codebook is untouched by the update,
     // base rows keep their training-time codes, and every new row's code
     // exists in the codebook (argmin can only pick a live centroid)
@@ -2333,13 +2342,14 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(dd(12L) == (12L, 1L))
   }
 
-  test("updateBm25Index equals the full rebuild component for component; " +
+  test("updateBm25Index equals the full rebuild at the served surface; " +
     "a term crossing the df cap on update evicts with its TRUE merged df") {
     import graft.operators.Similarity
     def tmpd(p: String) = java.nio.file.Files.createTempDirectory(p).toString
     // base: 6 docs share 'hot' (df 6 <= cap 8, postings kept); the batch
-    // adds 4 more -> merged df 10 > 8, so the update must EVICT it exactly
-    // as a full rebuild would, while its true count survives in termdf
+    // adds 4 more -> merged df 10 > 8, so the SERVED index must EVICT it
+    // exactly as a full rebuild would, while its true count survives in
+    // the aggregated termdf
     val base = (0L until 6L).map(i => (i, s"hot base$i keep"))
       .toDF("doc_id", "text")
     val batch = (6L until 10L).map(i => (i, s"hot fresh$i keep"))
@@ -2347,23 +2357,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val incrDir = tmpd("bm25-incr")
     val fullDir = tmpd("bm25-full")
     Similarity.buildBm25Index(base, incrDir, maxDf = 8)
-    assert(spark.read.parquet(s"$incrDir/postings")
+    assert(Bm25Views.servedPostings(spark, incrDir)
       .where($"t" === "hot").count() == 6, "base index must carry 'hot'")
-    Similarity.updateBm25Index(spark, incrDir, batch, maxDf = 8)
+    Similarity.updateBm25Index(spark, incrDir, batch)
     Similarity.buildBm25Index(base.unionByName(batch), fullDir, maxDf = 8)
-    def comp(dir: String, name: String, cols: Seq[String]) =
-      spark.read.parquet(s"$dir/$name").select(cols.map(col): _*)
-        .collect().map(_.toSeq).toSet
-    Seq(("postings", Seq("doc_id", "t", "tf", "df")),
-        ("doclen", Seq("doc_id", "dl")),
-        ("stats", Seq("n_docs", "tot_len")),
-        ("termdf", Seq("t", "df"))).foreach { case (n, cs) =>
-      assert(comp(incrDir, n, cs) == comp(fullDir, n, cs),
-        s"$n diverged from the full rebuild")
-    }
-    assert(spark.read.parquet(s"$incrDir/postings")
+    // segment boundaries are LAYOUT (incr = base + s00001, full = base);
+    // the SERVED views — cap-evicted postings, live doclen, aggregated
+    // termdf and stats — are what must match the rebuild
+    Bm25Views.assertServedEqual(spark, incrDir, fullDir)
+    assert(Bm25Views.servedPostings(spark, incrDir)
       .where($"t" === "hot").count() == 0, "'hot' must evict at df 10 > 8")
-    assert(spark.read.parquet(s"$incrDir/termdf").where($"t" === "hot")
+    assert(Bm25Views.termdfAgg(spark, incrDir).where($"t" === "hot")
       .select($"df").as[Long].head() == 10L, "true df must survive eviction")
   }
 
@@ -2423,6 +2427,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val wantNew = batch.filter(p => p._1 % 4 == 3 || p._2 % 4 == 3)
     assert(incr == wantNew && incr.nonEmpty)
     assert(incr.forall(p => p._1 % 4 == 3 || p._2 % 4 == 3))
+    // the multi-index lever (minBandMatches = 2, the 10^5..10^8-image
+    // default per minBandMatchesFor) preserves recall on the planted
+    // Hamming <= 6 families: every true pair shares >= 2 bands, so the
+    // k=2 candidate gate returns the identical pair set — batch and
+    // incremental both
+    assert(Multimodal.phashPairs(bands, maxHamming = 6, minBandMatches = 2)
+      .as[(Long, Long, Long)].collect().toSet == batch,
+      "k=2 candidate gate lost a true pair (batch)")
+    assert(Multimodal.phashPairsIncremental(base, fresh, minBandMatches = 2)
+      .as[(Long, Long, Long)].collect().toSet == incr,
+      "k=2 candidate gate lost a true pair (incremental)")
   }
 
   test("removeFromAnnIndex: coarse tier equals a survivor rebuild bit for " +
@@ -2437,28 +2452,45 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val gone = emb.where($"vec_id" % 7 === 3 && $"vec_id" >= 10)
       .select($"vec_id")
     val goneIds = gone.as[Long].collect().toSet
-    val preCodes = spark.read.parquet(s"$delDir/codes")
+    val preCodes = spark.read.parquet(s"$delDir/codes").drop("seg")
       .collect().map(_.toSeq).toSet
     val preBook = spark.read.parquet(s"$delDir/pq_centroids")
       .collect().map(_.toSeq).toSet
     Similarity.removeFromAnnIndex(spark, delDir, gone)
     Similarity.buildAnnIndex(emb.join(gone, Seq("vec_id"), "left_anti"), survDir)
-    // coarse tier has no trained state -> delete == survivor rebuild
-    Seq("cells", "coarse_sums", "coarse_centroids", "vectors").foreach { p =>
-      val got = spark.read.parquet(s"$delDir/$p").collect().map(_.toSeq).toSet
-      val want = spark.read.parquet(s"$survDir/$p").collect().map(_.toSeq).toSet
+    // the delete is a tombstone tier — equality holds at the LIVE surface
+    // the probe reads (segment union minus tombstones; sums aggregated)
+    def live(dir: String, c: String) = {
+      val df = spark.read.parquet(s"$dir/$c").drop("seg")
+      if (new java.io.File(s"$dir/deleted").exists())
+        df.join(spark.read.parquet(s"$dir/deleted").drop("seg")
+          .select($"vec_id").distinct(), Seq("vec_id"), "left_anti")
+      else df
+    }
+    def annSumsAgg(dir: String) = spark.read.parquet(s"$dir/coarse_sums")
+      .groupBy($"cell", $"d").agg(sum($"sd").as("sd"), sum($"cnt").as("cnt"))
+      .where($"cnt" > 0).collect().map(_.toSeq).toSet
+    Seq("cells", "vectors").foreach { p =>
+      val got = live(delDir, p).collect().map(_.toSeq).toSet
+      val want = live(survDir, p).collect().map(_.toSeq).toSet
       assert(got == want, s"$p diverged from the survivor rebuild")
     }
+    assert(annSumsAgg(delDir) == annSumsAgg(survDir),
+      "aggregated coarse sums diverged from the survivor rebuild")
+    assert(spark.read.parquet(s"$delDir/coarse_centroids")
+      .collect().map(_.toSeq).toSet ==
+      spark.read.parquet(s"$survDir/coarse_centroids")
+        .collect().map(_.toSeq).toSet,
+      "coarse centroids diverged from the survivor rebuild")
     // codes: exactly the pre-delete rows minus the deleted ids (frozen
     // training — a survivor rebuild would re-train, so compare pre-delete)
-    val postCodes = spark.read.parquet(s"$delDir/codes")
-      .collect().map(_.toSeq).toSet
+    val postCodes = live(delDir, "codes").collect().map(_.toSeq).toSet
     assert(postCodes == preCodes.filterNot(r =>
       goneIds(r.head.asInstanceOf[Long])))
     assert(spark.read.parquet(s"$delDir/pq_centroids")
       .collect().map(_.toSeq).toSet == preBook, "codebook moved on delete")
     // no residue of deleted ids anywhere the probe reads
-    assert(spark.read.parquet(s"$delDir/cells")
+    assert(live(delDir, "cells")
       .where($"vec_id".isin(goneIds.toSeq: _*)).isEmpty)
   }
 
@@ -2473,41 +2505,36 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .map(i => (i, s"hot shared$i word$i")).toDF("doc_id", "text")
     val gone = Seq(1L, 4L, 7L).toDF("doc_id")
     val survivors = docs.where(!$"doc_id".isin(1L, 4L, 7L))
-    def comp(dir: String, name: String, cols: Seq[String]) =
-      spark.read.parquet(s"$dir/$name").select(cols.map(col): _*)
-        .collect().map(_.toSeq).toSet
-    // CASE 1: cap never binds -> delete == survivor rebuild, all four
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // CASE 1: cap never binds -> delete == survivor rebuild at the whole
+    // served surface (tombstone-masked postings/doclen, aggregated
+    // termdf carrying the exact decrements, aggregated stats)
     val d1 = tmpd("bm25del-a"); val r1 = tmpd("bm25del-b")
     Similarity.buildBm25Index(docs, d1, maxDf = 100)
     Similarity.removeFromBm25Index(spark, d1, gone)
     Similarity.buildBm25Index(survivors, r1, maxDf = 100)
-    Seq(("postings", Seq("doc_id", "t", "tf", "df")),
-        ("doclen", Seq("doc_id", "dl")),
-        ("stats", Seq("n_docs", "tot_len")),
-        ("termdf", Seq("t", "df"))).foreach { case (n, cs) =>
-      assert(comp(d1, n, cs) == comp(r1, n, cs),
-        s"$n diverged from the survivor rebuild")
-    }
+    Bm25Views.assertServedEqual(spark, d1, r1)
     // CASE 2: 'hot' (df 10) evicted at cap 8; deleting 3 docs drops its
     // TRUE df to 7 <= 8, but the evicted postings are unrecoverable
-    // index-side — it must STAY evicted, termdf keeping 10 (upper bound);
-    // a survivor rebuild would re-admit it (the documented rebuild-cadence
-    // asymmetry)
+    // index-side — it must STAY evicted, aggregated termdf keeping 10
+    // (upper bound); a survivor rebuild would re-admit it (the documented
+    // rebuild-cadence asymmetry)
     val d2 = tmpd("bm25del-c")
     Similarity.buildBm25Index(docs, d2, maxDf = 8)
     Similarity.removeFromBm25Index(spark, d2, gone)
-    assert(spark.read.parquet(s"$d2/postings")
+    assert(Bm25Views.servedPostings(spark, d2)
       .where($"t" === "hot").isEmpty, "'hot' must stay evicted")
-    assert(spark.read.parquet(s"$d2/termdf").where($"t" === "hot")
+    assert(Bm25Views.termdfAgg(spark, d2).where($"t" === "hot")
       .select($"df").as[Long].head() == 10L,
       "evicted term's termdf must keep the pre-delete upper bound")
     // non-evicted terms are still exactly the survivor rebuild
     val r2 = tmpd("bm25del-d")
     Similarity.buildBm25Index(survivors, r2, maxDf = 8)
-    assert(comp(d2, "doclen", Seq("doc_id", "dl")) ==
-      comp(r2, "doclen", Seq("doc_id", "dl")))
-    assert(comp(d2, "postings", Seq("doc_id", "t", "tf", "df")) ==
-      comp(r2, "postings", Seq("doc_id", "t", "tf", "df"))
+    assert(rows(Bm25Views.liveDoclen(spark, d2)) ==
+      rows(Bm25Views.liveDoclen(spark, r2)))
+    assert(rows(Bm25Views.servedPostings(spark, d2)) ==
+      rows(Bm25Views.servedPostings(spark, r2))
         .filterNot(_(1) == "hot"))
   }
 

@@ -31,6 +31,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ann_index_incr" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the updated artifact)",
     "stream_ann_incr" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the stream-maintained artifact)",
     "ann_index_del" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the post-delete artifact)",
+    "stream_ann_takedown" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the stream-deleted artifact)",
+    "ann_index_compact" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the compacted artifact)",
+    "sim_bm25_compact" -> "same artifact query shape after compaction: one-row stats broadcast",
     "sim_bm25_del" -> "same artifact query shape after the deletion merge: one-row stats broadcast",
     "stream_bm25_takedown" -> "same artifact query shape after the streamed deletes: one-row stats broadcast",
     "mix_hard_triplets" -> "embeds sim_bm25's one-row stats broadcast",

@@ -284,31 +284,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     def runStream(): Unit =
       Streams.streamingBm25Update(spark,
         Streams.fileSource(spark, srcDir, incoming.schema, maxFilesPerTrigger = 1),
-        idxDir, ckDir, maxDf = 100).awaitTermination()
+        idxDir, ckDir).awaitTermination()
     runStream()
-    def component(name: String): Set[Seq[Any]] =
-      spark.read.parquet(s"$idxDir/$name").collect().map(_.toSeq).toSet
+    // segment boundaries differ (3 streamed appends vs 1 base) — the
+    // SERVED surface is what must equal the rebuild
     val fullDir = tmp("bm25s-full") + "/index"
     Similarity.buildBm25Index(docs, fullDir, maxDf = 100)
-    Seq("postings", "doclen", "stats", "termdf").foreach { n =>
-      assert(component(n) ==
-        spark.read.parquet(s"$fullDir/$n").collect().map(_.toSeq).toSet,
-        s"$n diverged from the full rebuild after the streamed merges")
-    }
+    Bm25Views.assertServedEqual(spark, idxDir, fullDir)
     // the ledger recorded each micro-batch exactly once
     val applied = spark.read.parquet(s"$idxDir/applied")
       .select("batch_id").as[Long].collect().sorted
     assert(applied.length == applied.distinct.length && applied.nonEmpty)
     // REPLAY the first batch id with extra docs: the ledger must refuse
-    val before = component("postings")
+    def postingsRows(): Set[Seq[Any]] =
+      Bm25Views.livePostings(spark, idxDir).collect().map(_.toSeq).toSet
+    val before = postingsRows()
     val replayed = Similarity.updateBm25IndexOnce(spark, idxDir,
-      incoming.limit(5), batchId = applied.head, maxDf = 100)
-    assert(!replayed && component("postings") == before,
+      incoming.limit(5), batchId = applied.head)
+    assert(!replayed && postingsRows() == before,
       "a re-delivered batch_id mutated the index")
     // restart against the SAME checkpoint: committed offsets, no new files
     // -> nothing re-absorbed
     runStream()
-    assert(component("postings") == before &&
+    assert(postingsRows() == before &&
       spark.read.parquet(s"$idxDir/applied").count() == applied.length,
       "a checkpoint-reusing restart re-absorbed data")
   }
@@ -334,13 +332,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Streams.fileSource(spark, srcDir, incoming.schema, maxFilesPerTrigger = 1),
       sIdx, tmp("anns-ck")).awaitTermination()
     Similarity.updateAnnIndex(spark, oIdx, incoming)
+    // segment boundaries differ (3 streamed appends vs 1) — compare the
+    // logical surface: row content, aggregated sums, derived centroids
     def comp(dir: String, name: String): Set[Seq[Any]] =
-      spark.read.parquet(s"$dir/$name").collect().map(_.toSeq).toSet
-    Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids")
-      .foreach { n =>
-        assert(comp(sIdx, n) == comp(oIdx, n),
-          s"$n diverged between the stream and the one-shot update")
-      }
+      spark.read.parquet(s"$dir/$name").drop("seg")
+        .collect().map(_.toSeq).toSet
+    def sumsAgg(dir: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/coarse_sums")
+        .groupBy($"cell", $"d").agg(sum($"sd").as("sd"), sum($"cnt").as("cnt"))
+        .where($"cnt" > 0).collect().map(_.toSeq).toSet
+    Seq("vectors", "cells", "codes", "coarse_centroids").foreach { n =>
+      assert(comp(sIdx, n) == comp(oIdx, n),
+        s"$n diverged between the stream and the one-shot update")
+    }
+    assert(sumsAgg(sIdx) == sumsAgg(oIdx),
+      "aggregated coarse sums diverged between stream and one-shot update")
     assert(comp(sIdx, "pq_centroids") == frozen, "codebook moved")
     val applied = spark.read.parquet(s"$sIdx/applied")
       .select("batch_id").as[Long].collect().sorted
@@ -368,19 +374,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Streams.fileSource(spark, srcDir, gone.schema, maxFilesPerTrigger = 1),
       sIdx, tmp("td-ck")).awaitTermination()
     Similarity.removeFromBm25Index(spark, oIdx, gone)
-    def comp(dir: String, name: String): Set[Seq[Any]] =
-      spark.read.parquet(s"$dir/$name").collect().map(_.toSeq).toSet
-    Seq("postings", "doclen", "stats", "termdf").foreach { n =>
-      assert(comp(sIdx, n) == comp(oIdx, n),
-        s"$n diverged between the stream and the one-shot delete")
+    // tombstone segment boundaries differ (3 streamed batches vs 1) —
+    // the served surface is what must match
+    Bm25Views.assertServedEqual(spark, sIdx, oIdx)
+    // re-deliver the whole request set: nothing left to subtract — a
+    // fully-redundant delete is a NO-OP that writes no new segments
+    def segDirs(): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(sIdx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("postings", "doclen", "stats", "termdf", "deleted").flatMap { c =>
+        val d = new org.apache.hadoop.fs.Path(s"$sIdx/$c")
+        if (!fs.exists(d)) Nil
+        else fs.listStatus(d).toSeq.map(st => s"$c/${st.getPath.getName}")
+      }.toSet
     }
-    // re-deliver the whole request set: nothing left to subtract
-    val before = Seq("postings", "doclen", "stats", "termdf")
-      .map(n => n -> comp(sIdx, n)).toMap
+    val beforeSegs = segDirs()
+    val beforeRows = Bm25Views.livePostings(spark, sIdx)
+      .collect().map(_.toSeq).toSet
     Similarity.removeFromBm25Index(spark, sIdx, gone)
-    before.foreach { case (n, want) =>
-      assert(comp(sIdx, n) == want, s"$n changed on re-delivered deletes")
-    }
+    assert(segDirs() == beforeSegs,
+      "a fully-redundant delete must write no new segments")
+    assert(Bm25Views.livePostings(spark, sIdx)
+      .collect().map(_.toSeq).toSet == beforeRows,
+      "re-delivered deletes changed the served postings")
   }
 
   test("streaming ANN takedown drains to the one-shot delete component " +
@@ -400,20 +416,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Streams.fileSource(spark, srcDir, gone.schema, maxFilesPerTrigger = 1),
       sIdx, tmp("atd-ck")).awaitTermination()
     Similarity.removeFromAnnIndex(spark, oIdx, gone)
-    def comp(dir: String, name: String): Set[Seq[Any]] =
-      spark.read.parquet(s"$dir/$name").collect().map(_.toSeq).toSet
-    Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids",
-      "pq_centroids").foreach { n =>
-      assert(comp(sIdx, n) == comp(oIdx, n),
+    // tombstone segment boundaries differ (3 streamed batches vs 1) —
+    // compare the LIVE surface the probe reads
+    def live(dir: String, c: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/$c").drop("seg")
+        .join(spark.read.parquet(s"$dir/deleted").drop("seg")
+          .select($"vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .collect().map(_.toSeq).toSet
+    def sumsAgg(dir: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/coarse_sums")
+        .groupBy($"cell", $"d").agg(sum($"sd").as("sd"), sum($"cnt").as("cnt"))
+        .where($"cnt" > 0).collect().map(_.toSeq).toSet
+    Seq("vectors", "cells", "codes").foreach { n =>
+      assert(live(sIdx, n) == live(oIdx, n),
         s"$n diverged between the stream and the one-shot delete")
     }
-    // re-deliver the whole request set: nothing left to subtract
-    val before = Seq("vectors", "cells", "codes", "coarse_sums")
-      .map(n => n -> comp(sIdx, n)).toMap
-    Similarity.removeFromAnnIndex(spark, sIdx, gone)
-    before.foreach { case (n, want) =>
-      assert(comp(sIdx, n) == want, s"$n changed on re-delivered deletes")
+    assert(sumsAgg(sIdx) == sumsAgg(oIdx),
+      "aggregated sums diverged between stream and one-shot delete")
+    Seq("coarse_centroids", "pq_centroids").foreach { n =>
+      assert(spark.read.parquet(s"$sIdx/$n").collect().map(_.toSeq).toSet ==
+        spark.read.parquet(s"$oIdx/$n").collect().map(_.toSeq).toSet,
+        s"$n diverged between the stream and the one-shot delete")
     }
+    // re-deliver the whole request set: nothing left to subtract — a
+    // fully-redundant delete writes no new segments
+    val beforeCells = live(sIdx, "cells")
+    val beforeSegs = {
+      val fs = new org.apache.hadoop.fs.Path(sIdx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$sIdx/deleted"))
+        .map(_.getPath.getName).toSet
+    }
+    Similarity.removeFromAnnIndex(spark, sIdx, gone)
+    assert(live(sIdx, "cells") == beforeCells,
+      "re-delivered deletes changed the live cells")
+    assert({
+      val fs = new org.apache.hadoop.fs.Path(sIdx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$sIdx/deleted"))
+        .map(_.getPath.getName).toSet
+    } == beforeSegs, "a fully-redundant delete must write no tombstones")
   }
 
   test("streaming audit accumulates to the batch audit of the same rules") {
