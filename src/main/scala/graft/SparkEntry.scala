@@ -2836,11 +2836,39 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // the flagship's SCALE PATH: identical funnel through exact-
+    // fingerprint pre-collapse — the banded join runs over distinct
+    // fingerprints only (sf10-syn: 8k reps instead of 167k images; the
+    // within-group quadratic pair mass never materializes) and star
+    // clustering consumes rep-pairs ∪ member-edges, whose connected
+    // components equal the full pair graph's. Same oracle verbatim
+    "e2e_image_pipeline_scaled" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = operators.Multimodal.phashCollapsedEdges(
+        operators.Multimodal.imagePHash(s,
+          operators.Multimodal.phashImageTable(s, docs)),
+        minBandMatches = cfg.phashMinBandMatches)
+      val clusters = operators.Dedup
+        .dedupClustersStar(edges, "doc_a", "doc_b")
+      val imgs = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"))
+      imgs.join(clusters, imgs("doc_id") === clusters("id"), "left")
+        .select(col("source"),
+          (coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"))
+            .cast("long").as("canon"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("canon")).as("n_canonical"),
+          (count(lit(1)) - sum(col("canon"))).as("n_dropped"))
+        .orderBy(col("source"))
+    }),
+
     // the 11th driven pipeline runs through the CUSTOM DataSourceV2
     // connector's MicroBatchStream face: readStream over the staged chunk
-    // corpus (offset = consumed-chunk count, the persisted continuation
-    // cursor), accumulated to parquet — the drained output must be
-    // row-identical to the parquet table the chunks were staged from
+    // corpus (offset = last-consumed chunk name, the persisted
+    // continuation cursor), accumulated to parquet — the drained output
+    // must be row-identical to the parquet table the chunks were staged
+    // from
     "stream_custom_source" -> ((s, d) => {
       val stage = stagedDir("dsv2", d, "chunks8", fresh = false)
       if (!stagedThisSession.contains(stage)) {
@@ -9411,6 +9439,9 @@ object SparkEntry {
       // answer — the delete oracles verbatim
       ("sim_bm25_compact" -> base("sim_bm25_del")) +
       ("ann_index_compact" -> base("ann_index_del")) +
+      // the pre-collapsed edge graph has the full pair graph's connected
+      // components, so the funnel is bit-identical — same oracle verbatim
+      ("e2e_image_pipeline_scaled" -> base("e2e_image_pipeline")) +
       ("ann_build_index" ->
         s"""WITH $unitVecCte,
            |cpd AS (SELECT vec_id, p,

@@ -555,6 +555,41 @@ object Multimodal {
     hammingRank(cand, all, maxHamming)
   }
 
+  /** Dedup edges with EXACT-FINGERPRINT PRE-COLLAPSE — the measured scale
+    * path for image dedup, and the fix for the suite's one super-linear
+    * scale row: real corpora (and the sf10-syn replica, acutely) carry
+    * large groups of byte-identical or identically-hashed images, and
+    * enumerating every within-group pair is inherently quadratic in group
+    * size (sf10-syn measured 166,667 images collapsing to 8,020 distinct
+    * fingerprints → 10.4M true Hamming ≤ 6 pairs; the banded join itself
+    * was never the term — `minBandMatches` prunes TRUE pairs there, not
+    * noise). The collapse: group identical fingerprints, elect the min
+    * media_id REPRESENTATIVE, run the banded near-dup join over the
+    * distinct-fingerprint table only, and emit (rep near-dup pairs) ∪
+    * (member → rep edges). Connected components over these edges equal
+    * components over the full [[phashPairs]] graph — identical
+    * fingerprints are Hamming-0 pairs, so a group is one component
+    * connected through its rep, and any cross-group near-dup pair is
+    * represented by its reps' pair (the spec pins component equality; the
+    * e2e flagship's funnel is bit-identical through either). Edge count
+    * is O(n + rep-pairs) instead of O(Σ group²) — decode-bound at
+    * sf10-syn. */
+  def phashCollapsedEdges(bands: DataFrame, maxHamming: Long = 6L,
+                          minBandMatches: Int = 1): DataFrame = {
+    val fp = Seq("b0", "b1", "b2", "b3")
+    val reps = bands.groupBy(fp.map(col): _*)
+      .agg(min(col("media_id")).as("media_id"))
+    // rep_id = the group's min id, so (rep, member) is already ordered
+    val memberEdges = bands
+      .join(reps.select((fp.map(col) :+ col("media_id").as("rep_id")): _*),
+        fp)
+      .where(col("media_id") =!= col("rep_id"))
+      .select(col("rep_id").as("doc_a"), col("media_id").as("doc_b"))
+    phashPairs(reps, maxHamming, minBandMatches)
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(memberEdges)
+  }
+
   /** The size-scaled [[phashPairs]] `minBandMatches` default — the
     * multi-index-hashing schedule, derived from the candidate-volume
     * model the sf10-syn sweep measured: requiring k matching 16-bit

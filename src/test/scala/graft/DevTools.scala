@@ -183,6 +183,29 @@ object ScaleUp {
   }
 }
 
+/** Candidate-volume decomposition for the pHash multi-index lever:
+  * images, true pairs (Hamming ≤ 6), and pair counts at each
+  * minBandMatches — the measurement behind `minBandMatchesFor`. */
+object PhashStats {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = DevTools.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bands = operators.Multimodal.imagePHash(spark,
+      operators.Multimodal.phashImageTable(spark, docs)).localCheckpoint()
+    println(s"images=${bands.count()}")
+    println(s"distinct_fingerprints=${bands.select("b0","b1","b2","b3").distinct().count()}")
+    Seq(1, 2, 3).foreach { k =>
+      val t0 = System.nanoTime()
+      val n = operators.Multimodal.phashPairs(bands, 6L, k).count()
+      println(f"k=$k pairs=$n time=${(System.nanoTime()-t0)/1e9}%.1fs")
+    }
+    spark.stop()
+  }
+}
+
 /** Driver-contract smoke: `SparkEntry.entry` must return >0 rows at
   * sf0.001 (the same check the driver runs). */
 object EntrySmoke {

@@ -2438,6 +2438,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.phashPairsIncremental(base, fresh, minBandMatches = 2)
       .as[(Long, Long, Long)].collect().toSet == incr,
       "k=2 candidate gate lost a true pair (incremental)")
+    // exact-fingerprint pre-collapse (the sf10-syn scale path): star
+    // clustering over rep-pairs ∪ member-edges assigns every image the
+    // same canonical as clustering over the full pair graph — identical
+    // fingerprints are Hamming-0 pairs, cross-group near-dups are
+    // represented by their reps' pair
+    val fullClusters = graft.operators.Dedup
+      .dedupClustersStar(Multimodal.phashPairs(bands), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val collapsedClusters = graft.operators.Dedup
+      .dedupClustersStar(Multimodal.phashCollapsedEdges(bands),
+        "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(collapsedClusters == fullClusters,
+      "pre-collapsed edges changed the cluster assignment")
   }
 
   test("removeFromAnnIndex: coarse tier equals a survivor rebuild bit for " +
