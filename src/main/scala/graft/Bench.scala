@@ -45,7 +45,9 @@ object Bench {
     "stream_quality_nb", "sim_bm25_incr", "src_custom_source",
     "ann_index_incr", "stream_bm25_incr", "mm_phash_incr",
     "stream_custom_source", "stream_ann_incr", "ann_index_del",
-    "sim_bm25_del", "e2e_image_pipeline", "stream_bm25_takedown")
+    "sim_bm25_del", "e2e_image_pipeline", "stream_bm25_takedown",
+    "stream_ann_takedown", "sim_bm25_compact", "ann_index_compact",
+    "dedup_pairs_del")
 
   /** Measured high-variance queries (cache staging, state stores, session
     * position): single timings swing 2-3× across identical quiet runs
