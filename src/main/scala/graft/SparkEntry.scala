@@ -1530,6 +1530,41 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // the 15th driven pipeline: streaming near-dup index TAKEDOWN —
+    // delete requests stream in as 3 micro-batches against the persisted
+    // batch_id-partitioned signature index (the streaming near-dup
+    // tier's layout); each batch rewrites ONLY the partitions holding a
+    // removed doc's rows. Idempotent by construction (no ledger); the
+    // survivor probe equals the one-shot delete — dedup_minhash_del's
+    // oracle verbatim
+    "stream_neardup_takedown" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = stagedDir("stream-mh-takedown", d, "n3k16-m7-s3",
+        fresh = true)
+      operators.Dedup.minhashTable(
+          docs.where(col("doc_id") < 400), cfg.ngramN, cfg.minhashK)
+        .withColumn("batch_id", pmod(col("doc_id"), lit(3L)))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$stage/index")
+      docs.where(col("doc_id") % 7 === 5 && col("doc_id") < 400)
+        .select(col("doc_id"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+      streaming.Streams.streamingNearDupTakedown(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck")
+        .awaitTermination()
+      operators.Dedup.minhashPairsIncrementalSigs(
+          s.read.parquet(s"$stage/index")
+            .select(col("doc_id"), col("i"), col("mh")),
+          operators.Dedup.minhashTable(
+            docs.where(col("doc_id") >= 400), cfg.ngramN, cfg.minhashK),
+          cfg.minhashK, cfg.minhashBands, cfg.minEstJaccardX100)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // the measured LSH S-curve: candidate recall of the banded MinHash
     // probe against exact n-gram Jaccard truth, per Jaccard decile — the
     // (k, bands) tuning evidence you read BEFORE committing a 100 TB dedup
@@ -9442,6 +9477,9 @@ object SparkEntry {
       // the pre-collapsed edge graph has the full pair graph's connected
       // components, so the funnel is bit-identical — same oracle verbatim
       ("e2e_image_pipeline_scaled" -> base("e2e_image_pipeline")) +
+      // streamed signature-index takedown drains to the one-shot delete
+      // (partition-scoped, idempotent) — same survivor oracle verbatim
+      ("stream_neardup_takedown" -> base("dedup_minhash_del")) +
       ("ann_build_index" ->
         s"""WITH $unitVecCte,
            |cpd AS (SELECT vec_id, p,

@@ -499,6 +499,34 @@ object Streams {
       }
       .start()
 
+  /** The 15th driven pipeline: streaming NEAR-DUP INDEX TAKEDOWN —
+    * closing the takedown tier across all three index families (BM25,
+    * ANN, and now the MinHash signature index the streaming near-dup
+    * pipeline maintains): delete requests arrive as a stream of doc ids
+    * and each micro-batch applies
+    * [[graft.operators.Dedup.removeFromMinhashIndexDir]] to the persisted
+    * batch_id-partitioned index — PARTITION-SCOPED writes (only the
+    * partitions holding a removed doc's signatures rewrite; emptied
+    * partitions delete). Idempotent by construction: an id with no
+    * surviving signature rows touches no partition, so re-delivered
+    * micro-batches and duplicate requests are no-ops — no ledger. The
+    * drained index equals the one-shot delete of the union of requests
+    * (`stream_neardup_takedown` shares `dedup_minhash_del`'s oracle
+    * verbatim). */
+  def streamingNearDupTakedown(spark: SparkSession, ids: DataFrame,
+                               indexDir: String,
+                               checkpointDir: String): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.removeFromMinhashIndexDir(spark, indexDir,
+          batch.toDF().select(col("doc_id")))
+        ()
+      }
+      .start()
+
   /** Streaming data-quality audit — the streaming sibling of
     * [[graft.operators.DataQuality.audit]] for the rule classes that are
     * micro-batch ADDITIVE: row predicates (violations sum across batches)

@@ -399,6 +399,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "re-delivered deletes changed the served postings")
   }
 
+  test("streaming near-dup takedown drains to the one-shot partition-" +
+    "scoped delete; re-delivered requests rewrite nothing") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .where($"doc_id" < 300)
+    def stageIndex(dir: String): Unit =
+      Dedup.minhashTable(docs, 3, 16)
+        .withColumn("batch_id", pmod($"doc_id", lit(3L)))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    val sIdx = tmp("mhtd-s") + "/index"
+    val oIdx = tmp("mhtd-o") + "/index"
+    stageIndex(sIdx); stageIndex(oIdx)
+    val gone = docs.where($"doc_id" % 7 === 5).select($"doc_id")
+    val srcDir = tmp("mhtd-src")
+    gone.repartition(3).write.mode("overwrite").parquet(srcDir)
+    Streams.streamingNearDupTakedown(spark,
+      Streams.fileSource(spark, srcDir, gone.schema, maxFilesPerTrigger = 1),
+      sIdx, tmp("mhtd-ck")).awaitTermination()
+    Dedup.removeFromMinhashIndexDir(spark, oIdx, gone)
+    def rows(dir: String): Set[Seq[Any]] =
+      spark.read.parquet(dir).select($"doc_id", $"i", $"mh")
+        .collect().map(_.toSeq).toSet
+    assert(rows(sIdx) == rows(oIdx),
+      "streamed takedown diverged from the one-shot delete")
+    assert(spark.read.parquet(sIdx).join(gone, Seq("doc_id")).isEmpty,
+      "residue after the streamed takedown")
+    // re-deliver the whole request set: no partition may rewrite
+    val fs = new org.apache.hadoop.fs.Path(sIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapshot(): Set[(String, Long, Long)] = {
+      val out = Set.newBuilder[(String, Long, Long)]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(sIdx), true)
+      while (it.hasNext) {
+        val st = it.next()
+        out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+      }
+      out.result()
+    }
+    val before = snapshot()
+    Dedup.removeFromMinhashIndexDir(spark, sIdx, gone)
+    assert(snapshot() == before,
+      "a fully-redundant takedown rewrote index files")
+  }
+
   test("streaming ANN takedown drains to the one-shot delete component " +
     "for component; re-delivered delete ids are no-ops") {
     import graft.operators.Similarity
