@@ -3380,6 +3380,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the streamed maintenance loop with the LSM MERGE POLICY live:
+    // same 3-batch absorb as stream_bm25_incr, but the in-loop
+    // auto-compaction (fold when any component exceeds 2 segments) folds
+    // the log mid-stream — read fan-in stays bounded while answers stay
+    // bit-identical (compaction preserves them), so this shares
+    // sim_bm25_incr's full-corpus rebuild oracle verbatim
+    "stream_bm25_autocompact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = stagedDir("stream-bm25-ac", d, "v2-m4-s3-c2", fresh = true)
+      operators.Similarity.buildBm25Index(
+        docs.where(col("doc_id") % 4 =!= 0), s"$stage/index",
+        maxDf = cfg.retrievalMaxDf)
+      docs.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      streaming.Streams.streamingBm25Update(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck", autoCompactSegments = 2)
+        .awaitTermination()
+      operators.Similarity.bm25QueryIndex(s, s"$stage/index",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the 12th driven pipeline: streaming ANN maintenance — the vector
     // twin of stream_bm25_incr: the incoming embedding quarter arrives as
     // a 3-micro-batch file stream, each batch absorbed into the persisted
@@ -7585,6 +7612,9 @@ object SparkEntry {
       // the batch incremental update (exactly-once ledger + append-only
       // merges), so the oracle is identical: the full-corpus BM25 replay
       "stream_bm25_incr" -> bm25OracleSql,
+      // mid-stream auto-compaction preserves every answer — the same
+      // full-corpus rebuild replay verbatim
+      "stream_bm25_autocompact" -> bm25OracleSql,
 
       // deletion replay: BM25 over the SURVIVOR corpus (doc_id % 7 <> 5)
       // with survivor df/doclen/stats; the cap test reads the FULL-corpus

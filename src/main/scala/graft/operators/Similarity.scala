@@ -1419,6 +1419,44 @@ object Similarity {
       Seq("postings", "termdf", "doclen", "stats", "deleted"))
   }
 
+  /** Live segment-directory count of one artifact — the LSM merge-policy
+    * signal: every segment is a directory readers must list and a plan
+    * source to union, so unbounded growth degrades read fan-in even
+    * though each append was O(batch). */
+  private def segmentCount(spark: org.apache.spark.sql.SparkSession,
+                           path: String, components: Seq[String]): Int = {
+    val fs = artifactFs(spark, path)
+    components.map { c =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$c")
+      if (!fs.exists(d)) 0
+      else fs.listStatus(d).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("seg="))
+    }.foldLeft(0)(math.max)
+  }
+
+  /** The COMPACTION POLICY for a [[buildBm25Index]] artifact — the
+    * cadence knob the maintenance scaladocs defer to, made driveable:
+    * fold ([[compactBm25Index]]) iff any component's segment count
+    * exceeds `maxSegments`. Returns true when a fold ran. Wired into the
+    * streaming maintenance loop via its `autoCompactSegments` parameter,
+    * this bounds read fan-in at ≤ maxSegments directories per component
+    * while keeping the amortized per-batch write cost O(batch +
+    * index/maxSegments) — the standard LSM trade. */
+  def maybeCompactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                            path: String, maxSegments: Int = 16): Boolean = {
+    require(maxSegments >= 1, "maxSegments must be positive")
+    if (segmentCount(spark, path, Bm25Components) <= maxSegments) false
+    else { compactBm25Index(spark, path); true }
+  }
+
+  /** [[maybeCompactBm25Index]]'s ANN twin. */
+  def maybeCompactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, maxSegments: Int = 16): Boolean = {
+    require(maxSegments >= 1, "maxSegments must be positive")
+    if (segmentCount(spark, path, AnnComponents) <= maxSegments) false
+    else { compactAnnIndex(spark, path); true }
+  }
+
   /** Query a [[buildBm25Index]] artifact: identical scoring to
     * [[bm25TopKFor]], but every input is an index read — the corpus is
     * never scanned. Query bags come from the query docs' own postings. */

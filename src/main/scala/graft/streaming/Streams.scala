@@ -406,7 +406,8 @@ object Streams {
     * drains, the artifact equals the full rebuild over base ∪ all batches
     * — `stream_bm25_incr` shares the full-corpus BM25 oracle verbatim. */
   def streamingBm25Update(spark: SparkSession, docs: DataFrame,
-                          indexDir: String, checkpointDir: String): StreamingQuery =
+                          indexDir: String, checkpointDir: String,
+                          autoCompactSegments: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
@@ -414,6 +415,17 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Similarity.updateBm25IndexOnce(spark, indexDir,
           batch.toDF().select(col("doc_id"), col("text")), batchId)
+        // the LSM merge policy, driven in-loop: fold when the segment log
+        // outgrows the read-fan-in bound. Compaction preserves answers
+        // (sim_bm25_compact's oracle) and the applied-batch ledger (a
+        // separate component), so it composes with exactly-once replay:
+        // a crash inside the fold is repaired by the swap's recover, a
+        // replayed batch after a fold no-ops through the ledger as usual.
+        // 0 (the default) disables — the one-shot cadence stays a policy
+        // knob above this loop.
+        if (autoCompactSegments > 0)
+          graft.operators.Similarity.maybeCompactBm25Index(spark, indexDir,
+            autoCompactSegments)
         ()
       }
       .start()

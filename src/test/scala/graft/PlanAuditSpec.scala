@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "sim_bm25_index" -> "one-row index stats artifact rides along broadcast",
     "sim_bm25_incr" -> "same artifact query shape after the incremental merge: one-row stats broadcast",
     "stream_bm25_incr" -> "same artifact query shape after the streamed merges: one-row stats broadcast",
+    "stream_bm25_autocompact" -> "same artifact query shape after the policy-folded streamed merges: one-row stats broadcast",
     "ann_index_incr" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the updated artifact)",
     "stream_ann_incr" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the stream-maintained artifact)",
     "ann_index_del" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the post-delete artifact)",

@@ -399,6 +399,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "re-delivered deletes changed the served postings")
   }
 
+  test("in-loop auto-compaction folds the segment log mid-stream, keeps " +
+    "answers rebuild-identical, and composes with the exactly-once ledger") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val incoming = docs.where(col("doc_id") % 4 === 0)
+    val idxDir = tmp("bm25ac-idx") + "/index"
+    val srcDir = tmp("bm25ac-src")
+    Similarity.buildBm25Index(base, idxDir, maxDf = 100)
+    incoming.repartition(3).write.mode("overwrite").parquet(srcDir)
+    Streams.streamingBm25Update(spark,
+      Streams.fileSource(spark, srcDir, incoming.schema, maxFilesPerTrigger = 1),
+      idxDir, tmp("bm25ac-ck"), autoCompactSegments = 2).awaitTermination()
+    // the policy fired: no component's segment count exceeds the bound
+    Seq("postings", "termdf", "doclen", "stats").foreach { c =>
+      val segsNow = new java.io.File(s"$idxDir/$c").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(segsNow.size <= 2, s"$c not folded by the policy: $segsNow")
+      assert(segsNow.contains("seg=base"), s"$c lost its base segment")
+    }
+    // answers equal the full rebuild despite the mid-stream folds
+    val fullDir = tmp("bm25ac-full") + "/index"
+    Similarity.buildBm25Index(docs, fullDir, maxDf = 100)
+    Bm25Views.assertServedEqual(spark, idxDir, fullDir)
+    // the ledger survived compaction: a replayed batch_id still refuses
+    val applied = spark.read.parquet(s"$idxDir/applied")
+      .select("batch_id").as[Long].collect().sorted
+    assert(applied.nonEmpty)
+    assert(!Similarity.updateBm25IndexOnce(spark, idxDir,
+      incoming.limit(5), batchId = applied.head),
+      "compaction must not reset the applied-batch ledger")
+  }
+
   test("streaming near-dup takedown drains to the one-shot partition-" +
     "scoped delete; re-delivered requests rewrite nothing") {
     import graft.operators.Dedup
