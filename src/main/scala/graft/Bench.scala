@@ -47,7 +47,8 @@ object Bench {
     "stream_custom_source", "stream_ann_incr", "ann_index_del",
     "sim_bm25_del", "e2e_image_pipeline", "stream_bm25_takedown",
     "stream_ann_takedown", "sim_bm25_compact", "ann_index_compact",
-    "dedup_pairs_del", "stream_neardup_takedown", "stream_bm25_autocompact")
+    "dedup_pairs_del", "stream_neardup_takedown", "stream_bm25_autocompact",
+    "stream_ann_autocompact")
 
   /** Measured high-variance queries (cache staging, state stores, session
     * position): single timings swing 2-3× across identical quiet runs

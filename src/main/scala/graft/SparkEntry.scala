@@ -3436,6 +3436,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the ANN maintenance loop with the LSM merge policy live — the
+    // vector twin of stream_bm25_autocompact: mid-stream folds bound the
+    // segment log while the drained probe stays bit-identical to the
+    // one-shot incremental update (ann_index_incr's oracle verbatim)
+    "stream_ann_autocompact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = stagedDir("stream-ann-ac", d, "p4m8b4r1-s3-c2", fresh = true)
+      operators.Similarity.buildAnnIndex(
+        emb.where(col("vec_id") % 4 =!= 0), s"$stage/index")
+      emb.where(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", org.apache.spark.sql.types.LongType)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      streaming.Streams.streamingAnnUpdate(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck", autoCompactSegments = 2)
+        .awaitTermination()
+      operators.Similarity.annQueryIndex(s, s"$stage/index",
+          cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // the 14th driven pipeline: streaming ANN TAKEDOWN — the vector twin
     // of stream_bm25_takedown: delete requests stream in as 3
     // micro-batches and each applies to the persisted full-corpus IVF+PQ
@@ -9496,6 +9521,8 @@ object SparkEntry {
       // as the one-shot incremental update (frozen quantizers, argmin
       // codes, associative sums) — same oracle SQL verbatim
       ("stream_ann_incr" -> base("ann_index_incr")) +
+      // mid-stream folds preserve the probe — same oracle verbatim
+      ("stream_ann_autocompact" -> base("ann_index_incr")) +
       // streamed takedown drains to the one-shot delete's exact index
       // (deletion is idempotent by construction) — same oracle verbatim
       ("stream_bm25_takedown" -> base("sim_bm25_del")) +

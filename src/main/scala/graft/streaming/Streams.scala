@@ -445,7 +445,8 @@ object Streams {
   def streamingAnnUpdate(spark: SparkSession, emb: DataFrame,
                          indexDir: String, checkpointDir: String,
                          planes: Int = 4, m: Int = 8,
-                         dim: Int = 64): StreamingQuery =
+                         dim: Int = 64,
+                         autoCompactSegments: Int = 0): StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
@@ -454,6 +455,12 @@ object Streams {
         graft.operators.Similarity.updateAnnIndexOnce(spark, indexDir,
           batch.toDF().select(col("vec_id"), col("embedding")), batchId,
           planes, m, dim)
+        // the LSM merge policy, vector-side (see streamingBm25Update):
+        // compaction preserves probe answers and the ledger, so it
+        // composes with exactly-once replay; 0 disables
+        if (autoCompactSegments > 0)
+          graft.operators.Similarity.maybeCompactAnnIndex(spark, indexDir,
+            autoCompactSegments)
         ()
       }
       .start()

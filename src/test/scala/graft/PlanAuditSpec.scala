@@ -31,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "stream_bm25_autocompact" -> "same artifact query shape after the policy-folded streamed merges: one-row stats broadcast",
     "ann_index_incr" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the updated artifact)",
     "stream_ann_incr" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the stream-maintained artifact)",
+    "stream_ann_autocompact" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the policy-folded artifact)",
     "ann_index_del" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the post-delete artifact)",
     "stream_ann_takedown" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the stream-deleted artifact)",
     "ann_index_compact" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the compacted artifact)",

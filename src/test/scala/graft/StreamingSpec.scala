@@ -433,6 +433,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "compaction must not reset the applied-batch ledger")
   }
 
+  test("ANN in-loop auto-compaction folds mid-stream; probe answers equal " +
+    "the uncompacted stream's; ledger survives") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.where(col("vec_id") % 4 =!= 0)
+    val incoming = emb.where(col("vec_id") % 4 === 0)
+      .select($"vec_id", $"embedding")
+    val acIdx = tmp("annac-idx") + "/index"
+    val plainIdx = tmp("annac-plain") + "/index"
+    val srcDir = tmp("annac-src")
+    Similarity.buildAnnIndex(base, acIdx)
+    Similarity.buildAnnIndex(base, plainIdx)
+    incoming.repartition(3).write.mode("overwrite").parquet(srcDir)
+    Streams.streamingAnnUpdate(spark,
+      Streams.fileSource(spark, srcDir, incoming.schema, maxFilesPerTrigger = 1),
+      acIdx, tmp("annac-ck"), autoCompactSegments = 2).awaitTermination()
+    Streams.streamingAnnUpdate(spark,
+      Streams.fileSource(spark, srcDir, incoming.schema, maxFilesPerTrigger = 1),
+      plainIdx, tmp("annac-ck2")).awaitTermination()
+    Seq("vectors", "cells", "codes", "coarse_sums").foreach { c =>
+      val segsNow = new java.io.File(s"$acIdx/$c").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(segsNow.size <= 2, s"$c not folded by the policy: $segsNow")
+    }
+    assert(Similarity.annQueryIndex(spark, acIdx, nQueries = 10, k = 5)
+      .collect().map(_.toSeq).toSet ==
+      Similarity.annQueryIndex(spark, plainIdx, nQueries = 10, k = 5)
+        .collect().map(_.toSeq).toSet,
+      "auto-compaction changed the probe answers")
+    val applied = spark.read.parquet(s"$acIdx/applied")
+      .select("batch_id").as[Long].collect().sorted
+    assert(applied.nonEmpty)
+    assert(!Similarity.updateAnnIndexOnce(spark, acIdx,
+      incoming.limit(3), batchId = applied.head),
+      "compaction must not reset the applied-batch ledger")
+  }
+
   test("streaming near-dup takedown drains to the one-shot partition-" +
     "scoped delete; re-delivered requests rewrite nothing") {
     import graft.operators.Dedup
