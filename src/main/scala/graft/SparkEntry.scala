@@ -1546,6 +1546,11 @@ object SparkEntry {
         .withColumn("batch_id", pmod(col("doc_id"), lit(3L)))
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(s"$stage/index")
+      // the slim doc→partition membership sibling: each takedown batch
+      // then probes this 2-column map for touched partitions instead of
+      // scanning the k-hashes-per-doc signature index (the round-12
+      // scale row's linear term)
+      operators.Dedup.buildMinhashMembers(s, s"$stage/index")
       docs.where(col("doc_id") % 7 === 5 && col("doc_id") < 400)
         .select(col("doc_id"))
         .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
@@ -3346,6 +3351,35 @@ object SparkEntry {
             maxFilesPerTrigger = 1),
           s"$stage/index", s"$stage/ck")
         .awaitTermination()
+      operators.Similarity.bm25QueryIndex(s, s"$stage/index",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the BATCHED takedown trigger — the scale cadence for frequent tiny
+    // requests: each applied delete pays an index read to derive its df
+    // decrements, but deletion is idempotent + associative, so pooling k
+    // request batches into ONE applied delete divides that read cost by
+    // k correctness-free. The 3 micro-batches stash to the pending pool
+    // and apply as a single delete at the 3rd; the explicit post-stream
+    // flush drains any tail. Equals the per-batch cadence and the
+    // one-shot delete — sim_bm25_del's oracle verbatim
+    "stream_bm25_takedown_batched" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = stagedDir("stream-takedown-b", d, "v1-m7-s3-b3",
+        fresh = true)
+      operators.Similarity.buildBm25Index(docs, s"$stage/index",
+        maxDf = cfg.retrievalMaxDf)
+      docs.where(col("doc_id") % 7 === 5).select(col("doc_id"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+      streaming.Streams.streamingTakedown(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck", batchEvery = 3)
+        .awaitTermination()
+      streaming.Streams.flushPendingTakedowns(s, s"$stage/index")
       operators.Similarity.bm25QueryIndex(s, s"$stage/index",
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -9526,6 +9560,9 @@ object SparkEntry {
       // streamed takedown drains to the one-shot delete's exact index
       // (deletion is idempotent by construction) — same oracle verbatim
       ("stream_bm25_takedown" -> base("sim_bm25_del")) +
+      // the pooled trigger applies the UNION of the request batches —
+      // idempotent + associative deletion makes it the same index
+      ("stream_bm25_takedown_batched" -> base("sim_bm25_del")) +
       ("stream_ann_takedown" -> base("ann_index_del")) +
       // compaction folds the segment log without changing a single query
       // answer — the delete oracles verbatim

@@ -380,19 +380,40 @@ object Dedup {
     * ids touches nothing the second time. The touched-batch list is a
     * bounded control table (one row per micro-batch ever absorbed), never
     * a data collect. */
-  def removeFromMinhashIndexDir(spark: org.apache.spark.sql.SparkSession,
-                                indexDir: String,
-                                removeIds: DataFrame): Unit = {
-    val idx = spark.read.parquet(indexDir)
-    val gone = removeIds.select(col("doc_id")).distinct().localCheckpoint()
-    // cast: a partition column read back from disk is inferred as INT
-    val touched = idx.join(broadcast(gone), Seq("doc_id"))
-      .select(col("batch_id").cast("long")).distinct()
-      .collect().map(_.getLong(0))
-    if (touched.isEmpty) return
+  /** The SLIM doc→partition membership table's directory for a given
+    * signature-index dir — a SIBLING (`<dir>_members`), never nested (a
+    * foreign subdirectory would break the index's partition discovery).
+    * Two columns, `(doc_id, batch_id)`, one row per absorbed doc: the
+    * takedown probe reads THIS map to find touched partitions instead of
+    * scanning the k-hashes-per-doc signature index — the probe's read
+    * drops from O(index) to O(docs-absorbed), the round-12 scale row's
+    * linear term. Maintained O(batch) on absorb by the streaming loop
+    * and partition-rewritten alongside the index by takedowns. */
+  def minhashMembersDir(indexDir: String): String = s"${indexDir}_members"
+
+  /** Derive the membership table from an EXISTING signature index (one
+    * distinct over (doc_id, batch_id)) — the backfill for indexes built
+    * before the members tier (the streaming loop appends it per batch
+    * thereafter). */
+  def buildMinhashMembers(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String): Unit =
+    spark.read.parquet(indexDir)
+      .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+      .distinct()
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(minhashMembersDir(indexDir))
+
+  /** Rewrite `dir`'s touched batch_id partitions minus `gone` (dynamic
+    * overwrite), deleting partitions left with no survivors — the shared
+    * partition-scoped takedown step for the signature index and its
+    * members sibling. */
+  private def rewritePartitionsMinus(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      gone: DataFrame, touched: Seq[Long]): Unit = {
     // localCheckpoint: survivors must be materialized BEFORE the dynamic
     // overwrite replaces the very files the plan reads
-    val survivors = idx.where(col("batch_id").isin(touched.toSeq: _*))
+    val survivors = spark.read.parquet(dir)
+      .where(col("batch_id").isin(touched: _*))
       .join(broadcast(gone), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val survivedBatches = survivors.select(col("batch_id").cast("long"))
@@ -400,12 +421,35 @@ object Dedup {
     if (survivedBatches.nonEmpty)
       survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(indexDir)
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .partitionBy("batch_id").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(survivedBatches).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(indexDir, s"batch_id=$b"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$b"), true)
     }
+  }
+
+  def removeFromMinhashIndexDir(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String,
+                                removeIds: DataFrame): Unit = {
+    val gone = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val membersDir = minhashMembersDir(indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasMembers = fs.exists(new org.apache.hadoop.fs.Path(membersDir))
+    // the touched-partition PROBE: against the slim members map when the
+    // index carries one (O(docs) read, the scale path), else the
+    // signature scan (pre-members indexes stay serviceable).
+    // cast: a partition column read back from disk is inferred as INT
+    val probe =
+      if (hasMembers) spark.read.parquet(membersDir)
+      else spark.read.parquet(indexDir)
+    val touched = probe.join(broadcast(gone), Seq("doc_id"))
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (touched.isEmpty) return
+    rewritePartitionsMinus(spark, indexDir, gone, touched)
+    if (hasMembers) rewritePartitionsMinus(spark, membersDir, gone, touched)
   }
 
   /** DELETE documents from a persisted [[spanIndex]] — the span family's

@@ -545,10 +545,15 @@ object Multimodal {
         col("j"), col("bv")), Seq("j", "bv"))
       .where(col("new_id") =!= col("any_id"))
       .select(least(col("new_id"), col("any_id")).as("doc_a"),
-        greatest(col("new_id"), col("any_id")).as("doc_b"))
+        greatest(col("new_id"), col("any_id")).as("doc_b"), col("j"))
+    // A new-new pair appears TWICE per matching band (once per probe
+    // orientation), so band counts must be over DISTINCT (pair, band) —
+    // otherwise minBandMatches is effectively halved for new-new pairs
+    // and the batch-equality pin breaks exactly at the k=2 schedule.
     val cand =
-      if (minBandMatches <= 1) hits.distinct()
-      else hits.groupBy(col("doc_a"), col("doc_b"))
+      if (minBandMatches <= 1) hits.select(col("doc_a"), col("doc_b")).distinct()
+      else hits.distinct()
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("nb"))
         .where(col("nb") >= minBandMatches)
         .select(col("doc_a"), col("doc_b"))

@@ -532,6 +532,38 @@ object Similarity {
                        path: String, c: String): DataFrame =
     spark.read.parquet(s"$path/$c").drop("seg")
 
+  /** doc_id bucket count for the postings layout. Every postings segment
+    * is sub-partitioned by `pbucket = doc_id mod this`, so a takedown's
+    * df-decrement read (which needs ONLY the deleted docs' own rows)
+    * partition-prunes to the buckets holding deleted ids instead of
+    * scanning the whole postings log — the read-side twin of the
+    * O(deleted) write contract. 32 at test scale; at 100 TB this is the
+    * knob that rises with the index (the layout carries it implicitly —
+    * readers derive buckets from the directory names, never from this
+    * constant). */
+  private val PostingsBuckets = 32L
+
+  private def withPBucket(df: DataFrame): DataFrame =
+    df.withColumn("pbucket",
+      pmod(col("doc_id"), lit(PostingsBuckets)).cast("int"))
+
+  /** Postings read with BOTH layout columns (seg, pbucket) dropped. */
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    spark.read.parquet(s"$path/postings").drop("seg").drop("pbucket")
+
+  /** The build-time df cap, with a DEFAULT when `meta/` is absent — a
+    * pre-pbucket artifact, or one whose (single, tiny) meta write was
+    * interrupted, must stay queryable/compactable rather than fail at
+    * read time. */
+  private def readMaxDf(spark: org.apache.spark.sql.SparkSession,
+                        path: String, default: Long = 1000L): Long = {
+    val fs = artifactFs(spark, path)
+    if (hasData(fs, new org.apache.hadoop.fs.Path(s"$path/meta")))
+      spark.read.parquet(s"$path/meta").select(col("max_df")).head().getLong(0)
+    else default
+  }
+
   /** The tombstoned ids, or None when no takedown has ever landed (the
     * common case — query plans then carry no anti-join at all). */
   private def deletedIds(spark: org.apache.spark.sql.SparkSession,
@@ -648,19 +680,26 @@ object Similarity {
     * bounded (2^planes rows), not corpus-bounded. */
   def updateAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      newEmb: DataFrame, planes: Int = 4, m: Int = 8,
-                     dim: Int = 64): Unit = {
-    graft.sources.AtomicSwap.recover(spark, path)
-    val comps = stageAnnMerge(spark, path, newEmb, planes, m, dim)
-    graft.sources.AtomicSwap.commit(spark, path, comps)
-  }
+                     dim: Int = 64): Unit =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      graft.sources.AtomicSwap.recover(spark, path)
+      val comps = stageAnnMerge(spark, path, newEmb, planes, m, dim)
+      graft.sources.AtomicSwap.commit(spark, path, comps)
+    }
 
   /** Stage (not commit) the batch's ANN segments — shared by
     * [[updateAnnIndex]] and [[updateAnnIndexOnce]]. Returns the staged
-    * component list. */
+    * component list. The batch is anti-joined against the tombstone tier
+    * first — [[stageBm25Merge]]'s tombstone-ordering rule (a re-ingested
+    * taken-down vec_id would otherwise stay masked forever while its
+    * coarse_sums rows kept counting it; the takedown wins until a
+    * compaction clears the tombstones). */
   private def stageAnnMerge(spark: org.apache.spark.sql.SparkSession,
-                            path: String, newEmb: DataFrame, planes: Int,
+                            path: String, newEmbRaw: DataFrame, planes: Int,
                             m: Int, dim: Int): Seq[String] = {
     require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    val newEmb = minusDeleted(newEmbRaw,
+      deletedIds(spark, path, "vec_id"), "vec_id")
     val sd = dim / m
     val seg = nextSegName(spark, path, "s", AnnComponents)
     val e = withUnitVector(newEmb).select(col("vec_id"), col("vn"))
@@ -718,34 +757,36 @@ object Similarity {
     * set is a no-op that writes nothing. [[compactAnnIndex]] physically
     * drops tombstoned rows on cadence. */
   def removeFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
-                         path: String, removeIds: DataFrame): Unit = {
-    graft.sources.AtomicSwap.recover(spark, path)
-    val del = deletedIds(spark, path, "vec_id")
-    val gone = broadcast(removeIds.select(col("vec_id")).distinct())
-    // (vec_id, cell, vn) of the ids actually live — re-deliveries vanish
-    val removedAssigned =
-      minusDeleted(readSegs(spark, path, "vectors"), del, "vec_id")
-        .join(gone, Seq("vec_id"))
-        .join(minusDeleted(readSegs(spark, path, "cells"), del, "vec_id"),
-          Seq("vec_id"))
-        .select(col("vec_id"), col("cell"), col("vn"))
-        .localCheckpoint() // feeds tombstone, negative sums, and no-op check
-    if (removedAssigned.isEmpty) return
-    val seg = nextSegName(spark, path, "d", AnnComponents)
-    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    removedAssigned.select(col("vec_id"))
-      .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg"))
-    val negSums = coarseSums(removedAssigned.select(col("cell"), col("vn")))
-      .select(col("cell"), col("d"), (-col("sd")).as("sd"),
-        (-col("cnt")).as("cnt"))
-      .localCheckpoint() // feeds its own segment AND the centroid refresh
-    negSums.write.mode("overwrite").parquet(stage(s"coarse_sums/seg=$seg"))
-    centroidsFromSums(
-      aggSums(readSegs(spark, path, "coarse_sums").unionByName(negSums)))
-      .write.mode("overwrite").parquet(stage("coarse_centroids"))
-    graft.sources.AtomicSwap.commit(spark, path,
-      Seq(s"deleted/seg=$seg", s"coarse_sums/seg=$seg", "coarse_centroids"))
-  }
+                         path: String, removeIds: DataFrame): Unit =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      graft.sources.AtomicSwap.recover(spark, path)
+      val del = deletedIds(spark, path, "vec_id")
+      val gone = broadcast(removeIds.select(col("vec_id")).distinct())
+      // (vec_id, cell, vn) of the ids actually live — re-deliveries vanish
+      val removedAssigned =
+        minusDeleted(readSegs(spark, path, "vectors"), del, "vec_id")
+          .join(gone, Seq("vec_id"))
+          .join(minusDeleted(readSegs(spark, path, "cells"), del, "vec_id"),
+            Seq("vec_id"))
+          .select(col("vec_id"), col("cell"), col("vn"))
+          .localCheckpoint() // feeds tombstone, negative sums, no-op check
+      if (!removedAssigned.isEmpty) {
+        val seg = nextSegName(spark, path, "d", AnnComponents)
+        val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+        removedAssigned.select(col("vec_id"))
+          .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg"))
+        val negSums = coarseSums(removedAssigned.select(col("cell"), col("vn")))
+          .select(col("cell"), col("d"), (-col("sd")).as("sd"),
+            (-col("cnt")).as("cnt"))
+          .localCheckpoint() // feeds its own segment AND the centroid refresh
+        negSums.write.mode("overwrite").parquet(stage(s"coarse_sums/seg=$seg"))
+        centroidsFromSums(
+          aggSums(readSegs(spark, path, "coarse_sums").unionByName(negSums)))
+          .write.mode("overwrite").parquet(stage("coarse_centroids"))
+        graft.sources.AtomicSwap.commit(spark, path,
+          Seq(s"deleted/seg=$seg", s"coarse_sums/seg=$seg", "coarse_centroids"))
+      }
+    }
 
   /** Fold a segmented ANN artifact back to a single base segment — the
     * LSM compaction cadence: tombstoned rows drop physically from
@@ -758,24 +799,25 @@ object Similarity {
     * before and after (the spec pins it); wholesale component swaps keep
     * every crash window repairable. */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit = {
-    graft.sources.AtomicSwap.recover(spark, path)
-    val del = deletedIds(spark, path, "vec_id")
-    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    Seq("vectors", "cells", "codes").foreach { c =>
-      minusDeleted(readSegs(spark, path, c), del, "vec_id")
-        .write.mode("overwrite").parquet(s"${stage(c)}/seg=base")
+                      path: String): Unit =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      graft.sources.AtomicSwap.recover(spark, path)
+      val del = deletedIds(spark, path, "vec_id")
+      val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+      Seq("vectors", "cells", "codes").foreach { c =>
+        minusDeleted(readSegs(spark, path, c), del, "vec_id")
+          .write.mode("overwrite").parquet(s"${stage(c)}/seg=base")
+      }
+      val sums = aggSums(readSegs(spark, path, "coarse_sums")).localCheckpoint()
+      sums.write.mode("overwrite").parquet(s"${stage("coarse_sums")}/seg=base")
+      centroidsFromSums(sums)
+        .write.mode("overwrite").parquet(stage("coarse_centroids"))
+      val fs = artifactFs(spark, path)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied
+      graft.sources.AtomicSwap.commit(spark, path,
+        Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids",
+          "deleted"))
     }
-    val sums = aggSums(readSegs(spark, path, "coarse_sums")).localCheckpoint()
-    sums.write.mode("overwrite").parquet(s"${stage("coarse_sums")}/seg=base")
-    centroidsFromSums(sums)
-      .write.mode("overwrite").parquet(stage("coarse_centroids"))
-    val fs = artifactFs(spark, path)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied tier
-    graft.sources.AtomicSwap.commit(spark, path,
-      Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids",
-        "deleted"))
-  }
 
   /** EXACTLY-ONCE wrapper over [[updateAnnIndex]] — the ANN side of
     * [[updateBm25IndexOnce]]'s ledger pattern, for a streaming
@@ -787,22 +829,24 @@ object Similarity {
   def updateAnnIndexOnce(spark: org.apache.spark.sql.SparkSession,
                          path: String, newEmb: DataFrame, batchId: Long,
                          planes: Int = 4, m: Int = 8,
-                         dim: Int = 64): Boolean = {
-    import spark.implicits._
-    graft.sources.AtomicSwap.recover(spark, path)
-    val fs = artifactFs(spark, path)
-    val applied =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/applied")))
-        spark.read.parquet(s"$path/applied")
-      else Seq.empty[Long].toDF("batch_id")
-    if (!applied.where(col("batch_id") === batchId).isEmpty) return false
-    val comps = stageAnnMerge(spark, path, newEmb, planes, m, dim)
-    applied.unionByName(Seq(batchId).toDF("batch_id"))
-      .write.mode("overwrite")
-      .parquet(graft.sources.AtomicSwap.stageDir(path, "applied"))
-    graft.sources.AtomicSwap.commit(spark, path, comps :+ "applied")
-    true
-  }
+                         dim: Int = 64): Boolean =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      import spark.implicits._
+      graft.sources.AtomicSwap.recover(spark, path)
+      val fs = artifactFs(spark, path)
+      val applied =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/applied")))
+          spark.read.parquet(s"$path/applied")
+        else Seq.empty[Long].toDF("batch_id")
+      if (applied.where(col("batch_id") === batchId).isEmpty) {
+        val comps = stageAnnMerge(spark, path, newEmb, planes, m, dim)
+        applied.unionByName(Seq(batchId).toDF("batch_id"))
+          .write.mode("overwrite")
+          .parquet(graft.sources.AtomicSwap.stageDir(path, "applied"))
+        graft.sources.AtomicSwap.commit(spark, path, comps :+ "applied")
+        true
+      } else false
+    }
 
   /** Query a [[buildAnnIndex]] artifact: identical search to [[ivfPqTopK]]
     * (shared [[ivfPqProbe]]), but every input is an index read — no
@@ -1233,9 +1277,10 @@ object Similarity {
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfAll = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    tf.join(dfAll.where(col("df") <= maxDf).select(col("t")),
-        Seq("t"), "left_semi")
-      .write.mode("overwrite").parquet(s"$path/postings/seg=base")
+    withPBucket(tf.join(dfAll.where(col("df") <= maxDf).select(col("t")),
+        Seq("t"), "left_semi"))
+      .write.partitionBy("pbucket")
+      .mode("overwrite").parquet(s"$path/postings/seg=base")
     dl.write.mode("overwrite").parquet(s"$path/doclen/seg=base")
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
@@ -1269,17 +1314,31 @@ object Similarity {
     * failure anywhere (including executor loss mid-write) leaves either
     * the old index or the new one, never a torn mix. */
   def updateBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
-                      newDocs: DataFrame): Unit = {
-    graft.sources.AtomicSwap.recover(spark, path)
-    val comps = stageBm25Merge(spark, path, newDocs)
-    graft.sources.AtomicSwap.commit(spark, path, comps)
-  }
+                      newDocs: DataFrame): Unit =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      graft.sources.AtomicSwap.recover(spark, path)
+      val comps = stageBm25Merge(spark, path, newDocs)
+      graft.sources.AtomicSwap.commit(spark, path, comps)
+    }
 
   /** Stage (not commit) the batch's BM25 segments — shared by
     * [[updateBm25Index]] and [[updateBm25IndexOnce]]. Returns the staged
-    * component list. */
+    * component list.
+    *
+    * TOMBSTONE ORDERING: the batch is anti-joined against the tombstone
+    * tier before anything stages. Without this, a doc_id re-ingested
+    * after a takedown would land in a new s-segment but stay permanently
+    * masked by the d-segment anti-join, while its stats/termdf rows
+    * still counted it — n_docs/df inflated versus a rebuild, the doc
+    * never scoring. The takedown therefore WINS until a compaction
+    * physically clears the tombstone tier; re-admitting the id after
+    * that is a plain append (the LSM delete-then-reinsert rule: a
+    * doc-keyed tombstone cannot distinguish the old rows from new ones,
+    * so resurrecting in place would un-mask the stale postings too). */
   private def stageBm25Merge(spark: org.apache.spark.sql.SparkSession,
-                             path: String, newDocs: DataFrame): Seq[String] = {
+                             path: String, newDocsRaw: DataFrame): Seq[String] = {
+    val newDocs = minusDeleted(newDocsRaw,
+      deletedIds(spark, path, "doc_id"), "doc_id")
     val seg = nextSegName(spark, path, "s", Bm25Components)
     // the new batch's tf table feeds three consumers — materialize once
     val newTf = graft.functions.TextFunctions
@@ -1290,7 +1349,8 @@ object Similarity {
     val dl = newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint() // feeds its own segment AND the stats row
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    newTf.write.mode("overwrite").parquet(stage(s"postings/seg=$seg"))
+    withPBucket(newTf).write.partitionBy("pbucket")
+      .mode("overwrite").parquet(stage(s"postings/seg=$seg"))
     newTf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
     dl.write.mode("overwrite").parquet(stage(s"doclen/seg=$seg"))
@@ -1314,22 +1374,24 @@ object Similarity {
     * ledger already had it. */
   def updateBm25IndexOnce(spark: org.apache.spark.sql.SparkSession,
                           path: String, newDocs: DataFrame,
-                          batchId: Long): Boolean = {
-    import spark.implicits._
-    graft.sources.AtomicSwap.recover(spark, path)
-    val fs = artifactFs(spark, path)
-    val applied =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/applied")))
-        spark.read.parquet(s"$path/applied")
-      else Seq.empty[Long].toDF("batch_id")
-    if (!applied.where(col("batch_id") === batchId).isEmpty) return false
-    val comps = stageBm25Merge(spark, path, newDocs)
-    applied.unionByName(Seq(batchId).toDF("batch_id"))
-      .write.mode("overwrite")
-      .parquet(graft.sources.AtomicSwap.stageDir(path, "applied"))
-    graft.sources.AtomicSwap.commit(spark, path, comps :+ "applied")
-    true
-  }
+                          batchId: Long): Boolean =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      import spark.implicits._
+      graft.sources.AtomicSwap.recover(spark, path)
+      val fs = artifactFs(spark, path)
+      val applied =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/applied")))
+          spark.read.parquet(s"$path/applied")
+        else Seq.empty[Long].toDF("batch_id")
+      if (applied.where(col("batch_id") === batchId).isEmpty) {
+        val comps = stageBm25Merge(spark, path, newDocs)
+        applied.unionByName(Seq(batchId).toDF("batch_id"))
+          .write.mode("overwrite")
+          .parquet(graft.sources.AtomicSwap.stageDir(path, "applied"))
+        graft.sources.AtomicSwap.commit(spark, path, comps :+ "applied")
+        true
+      } else false
+    }
 
   /** DELETE documents from a [[buildBm25Index]] artifact — the takedown /
     * right-to-be-forgotten leg of the index lifecycle (every 100 TB corpus
@@ -1339,9 +1401,11 @@ object Similarity {
     * components are never rewritten), the deleted docs' own visible
     * posting rows supply exact per-term decrements appended as a NEGATIVE
     * `termdf/` segment, and a negative one-row `stats/` segment retires
-    * their doc/length counts. WRITE COST is O(deleted); the postings read
-    * that computes the decrements is index-sized, as any delete's must
-    * be. Idempotent by construction: ids with no live doclen row are
+    * their doc/length counts. WRITE COST is O(deleted); the postings READ
+    * that computes the decrements partition-prunes on the doc_id-bucketed
+    * postings layout (`pbucket`), so a small takedown reads only the
+    * buckets holding deleted ids — O(touched buckets), not O(index).
+    * Idempotent by construction: ids with no live doclen row are
     * filtered out up front and a fully-redundant request set is a no-op.
     *
     * Exactness contract: scoring is EXACT for every term the index
@@ -1356,31 +1420,49 @@ object Similarity {
     * re-admitting a term whose TRUE df fell back under the cap is the
     * rebuild cadence's job, exactly like codebook re-training ANN-side. */
   def removeFromBm25Index(spark: org.apache.spark.sql.SparkSession,
-                          path: String, removeIds: DataFrame): Unit = {
-    graft.sources.AtomicSwap.recover(spark, path)
-    val del = deletedIds(spark, path, "doc_id")
-    val gone = broadcast(removeIds.select(col("doc_id")).distinct())
-    // the ids actually live, with their lengths — re-deliveries vanish
-    val goneDl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
-      .join(gone, Seq("doc_id"), "left_semi")
-      .localCheckpoint() // feeds tombstone, stats, and the no-op check
-    if (goneDl.isEmpty) return
-    val seg = nextSegName(spark, path, "d", Bm25Components)
-    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    goneDl.select(col("doc_id"))
-      .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg"))
-    // deleted docs' visible rows are the exact per-term decrements (kept
-    // terms only — evicted terms have no rows here, the upper-bound rule)
-    minusDeleted(readSegs(spark, path, "postings"), del, "doc_id")
-      .join(broadcast(goneDl.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-      .groupBy(col("t")).agg((-count(lit(1))).as("df"))
-      .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
-    goneDl.agg((-count(lit(1))).as("n_docs"),
-        (-coalesce(sum(col("dl")), lit(0L))).as("tot_len"))
-      .write.mode("overwrite").parquet(stage(s"stats/seg=$seg"))
-    graft.sources.AtomicSwap.commit(spark, path,
-      Seq(s"deleted/seg=$seg", s"termdf/seg=$seg", s"stats/seg=$seg"))
-  }
+                          path: String, removeIds: DataFrame): Unit =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      graft.sources.AtomicSwap.recover(spark, path)
+      val del = deletedIds(spark, path, "doc_id")
+      val gone = broadcast(removeIds.select(col("doc_id")).distinct())
+      // the ids actually live, with their lengths — re-deliveries vanish
+      val goneDl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
+        .join(gone, Seq("doc_id"), "left_semi")
+        .localCheckpoint() // feeds tombstone, stats, and the no-op check
+      if (!goneDl.isEmpty) {
+        val seg = nextSegName(spark, path, "d", Bm25Components)
+        val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+        goneDl.select(col("doc_id"))
+          .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg"))
+        // deleted docs' visible rows are the exact per-term decrements
+        // (kept terms only — evicted terms have no rows here, the
+        // upper-bound rule). The read PARTITION-PRUNES on the postings
+        // layout's pbucket: only the buckets actually holding a deleted
+        // id's rows are scanned, so a small takedown's read is
+        // O(touched buckets), not O(index) — the driver-side bucket list
+        // is ≤ PostingsBuckets values off the checkpointed goneDl, never
+        // a data collect.
+        val touchedBuckets = goneDl
+          .select(pmod(col("doc_id"), lit(PostingsBuckets)).cast("int").as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val rawPostings = spark.read.parquet(s"$path/postings")
+        val prunedPostings =
+          (if (rawPostings.columns.contains("pbucket"))
+             rawPostings.where(col("pbucket").isin(touchedBuckets: _*))
+           else rawPostings) // pre-pbucket artifact: full scan, still exact
+            .drop("seg").drop("pbucket")
+        minusDeleted(prunedPostings, del, "doc_id")
+          .join(broadcast(goneDl.select(col("doc_id"))), Seq("doc_id"),
+            "left_semi")
+          .groupBy(col("t")).agg((-count(lit(1))).as("df"))
+          .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
+        goneDl.agg((-count(lit(1))).as("n_docs"),
+            (-coalesce(sum(col("dl")), lit(0L))).as("tot_len"))
+          .write.mode("overwrite").parquet(stage(s"stats/seg=$seg"))
+        graft.sources.AtomicSwap.commit(spark, path,
+          Seq(s"deleted/seg=$seg", s"termdf/seg=$seg", s"stats/seg=$seg"))
+      }
+    }
 
   /** Fold a segmented BM25 artifact back to a single base segment — the
     * LSM compaction cadence ([[compactAnnIndex]]'s lexical twin, and the
@@ -1391,38 +1473,41 @@ object Similarity {
     * storage bound. Query results are identical before and after (the
     * spec pins it). The ONE deliberately index-sized write. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Unit = {
-    graft.sources.AtomicSwap.recover(spark, path)
-    val maxDf = spark.read.parquet(s"$path/meta")
-      .select(col("max_df")).head().getLong(0)
-    val del = deletedIds(spark, path, "doc_id")
-    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    val dfAgg = readSegs(spark, path, "termdf")
-      .groupBy(col("t")).agg(sum(col("df")).as("df"))
-      .where(col("df") > 0)
-      .localCheckpoint() // feeds its own segment AND the postings cap
-    minusDeleted(readSegs(spark, path, "postings"), del, "doc_id")
-      .join(dfAgg.where(col("df") <= maxDf).select(col("t")),
-        Seq("t"), "left_semi")
-      .select(col("doc_id"), col("t"), col("tf"))
-      .write.mode("overwrite").parquet(s"${stage("postings")}/seg=base")
-    dfAgg.write.mode("overwrite").parquet(s"${stage("termdf")}/seg=base")
-    val dl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
-      .localCheckpoint() // feeds its own segment AND the stats row
-    dl.write.mode("overwrite").parquet(s"${stage("doclen")}/seg=base")
-    dl.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
-      .write.mode("overwrite").parquet(s"${stage("stats")}/seg=base")
-    artifactFs(spark, path)
-      .mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied
-    graft.sources.AtomicSwap.commit(spark, path,
-      Seq("postings", "termdf", "doclen", "stats", "deleted"))
-  }
+                       path: String): Unit =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      graft.sources.AtomicSwap.recover(spark, path)
+      val maxDf = readMaxDf(spark, path)
+      val del = deletedIds(spark, path, "doc_id")
+      val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+      val dfAgg = readSegs(spark, path, "termdf")
+        .groupBy(col("t")).agg(sum(col("df")).as("df"))
+        .where(col("df") > 0)
+        .localCheckpoint() // feeds its own segment AND the postings cap
+      withPBucket(minusDeleted(readPostings(spark, path), del, "doc_id")
+          .join(dfAgg.where(col("df") <= maxDf).select(col("t")),
+            Seq("t"), "left_semi")
+          .select(col("doc_id"), col("t"), col("tf")))
+        .write.partitionBy("pbucket")
+        .mode("overwrite").parquet(s"${stage("postings")}/seg=base")
+      dfAgg.write.mode("overwrite").parquet(s"${stage("termdf")}/seg=base")
+      val dl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
+        .localCheckpoint() // feeds its own segment AND the stats row
+      dl.write.mode("overwrite").parquet(s"${stage("doclen")}/seg=base")
+      dl.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
+        .write.mode("overwrite").parquet(s"${stage("stats")}/seg=base")
+      artifactFs(spark, path)
+        .mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied
+      graft.sources.AtomicSwap.commit(spark, path,
+        Seq("postings", "termdf", "doclen", "stats", "deleted"))
+    }
 
   /** Live segment-directory count of one artifact — the LSM merge-policy
     * signal: every segment is a directory readers must list and a plan
     * source to union, so unbounded growth degrades read fan-in even
-    * though each append was O(batch). */
+    * though each append was O(batch). Counts only segments HOLDING data —
+    * an emptied-by-tier-fold directory awaiting its post-commit cleanup
+    * must not re-trigger the policy. */
   private def segmentCount(spark: org.apache.spark.sql.SparkSession,
                            path: String, components: Seq[String]): Int = {
     val fs = artifactFs(spark, path)
@@ -1430,22 +1515,175 @@ object Similarity {
       val d = new org.apache.hadoop.fs.Path(s"$path/$c")
       if (!fs.exists(d)) 0
       else fs.listStatus(d).count(st =>
-        st.isDirectory && st.getPath.getName.startsWith("seg="))
+        st.isDirectory && st.getPath.getName.startsWith("seg=") &&
+          hasData(fs, st.getPath))
     }.foldLeft(0)(math.max)
   }
 
+  /** Distinct live segment names across the artifact's components with
+    * their total bytes (summed across components) — the size signal the
+    * tiered merge policy sorts on. `base` is excluded: it is the full
+    * fold's product (the LSM bottom level); tiers fold the delta log
+    * above it. */
+  private def segmentSizes(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           components: Seq[String]): Seq[(String, Long)] = {
+    val fs = artifactFs(spark, path)
+    val names = components.flatMap { c =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$c")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg=")
+          && hasData(fs, st.getPath))
+        .map(_.getPath.getName.stripPrefix("seg="))
+    }.distinct.filter(_ != "base")
+    names.map { n =>
+      val bytes = components.map { c =>
+        val d = new org.apache.hadoop.fs.Path(s"$path/$c/seg=$n")
+        if (fs.exists(d)) fs.getContentSummary(d).getLength else 0L
+      }.sum
+      (n, bytes)
+    }
+  }
+
+  /** Fold a CHOSEN set of segments of one artifact into a single new
+    * segment — the TIERED (leveled) compaction unit: each fold costs
+    * O(tier bytes), never O(index), so the merge policy can bound read
+    * fan-in on a per-batch cadence without re-paying the whole index per
+    * fold (the full [[compactBm25Index]]/[[compactAnnIndex]] stays the
+    * rarer bottom-level cadence that drops tombstoned rows physically).
+    * Query identity is definitional: every query-time read is either a
+    * plain segment UNION (postings/doclen/vectors/cells/codes/deleted) or
+    * an associative SUM over segments (termdf/stats/coarse_sums), and the
+    * fold replaces k operands of those unions/sums with their
+    * concatenation/partial sum. Tombstone masks and the query-time
+    * df/cnt>0 filters apply AFTER the aggregation, so partial sums — even
+    * transiently negative or zero ones — are preserved, never filtered
+    * here. Crash-safe: the merged segment plus an EMPTIED stage dir per
+    * folded segment commit in one [[graft.sources.AtomicSwap]] swap; the
+    * (harmless, empty) old directories are removed post-commit.
+    * `merges` maps a component to the merge of its folded rows; absent
+    * keys concatenate unchanged. */
+  private def foldSegments(spark: org.apache.spark.sql.SparkSession,
+                           path: String, components: Seq[String],
+                           segNames: Seq[String],
+                           merges: Map[String, DataFrame => DataFrame],
+                           partitionCols: Map[String, String]): Unit = {
+    require(segNames.size >= 2, "a tier fold needs at least two segments")
+    val fs = artifactFs(spark, path)
+    val newSeg = nextSegName(spark, path, "s", components)
+    val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
+    val staged = Seq.newBuilder[String]
+    components.foreach { c =>
+      val present = segNames.filter(n =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$c/seg=$n")))
+      val withData = present.filter(n =>
+        hasData(fs, new org.apache.hadoop.fs.Path(s"$path/$c/seg=$n")))
+      if (withData.nonEmpty) {
+        val merged = merges.getOrElse(c, identity[DataFrame] _)(
+          withData.map(n => spark.read.parquet(s"$path/$c/seg=$n")
+              .drop("pbucket"))
+            .reduce(_ unionByName _))
+        val w = partitionCols.get(c) match {
+          case Some(pc) => withPBucket(merged).write.partitionBy(pc)
+          case None => merged.write
+        }
+        w.mode("overwrite").parquet(stage(s"$c/seg=$newSeg"))
+        staged += s"$c/seg=$newSeg"
+      }
+      present.foreach { n =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(stage(s"$c/seg=$n")))
+        staged += s"$c/seg=$n"
+      }
+    }
+    val comps = staged.result()
+    if (comps.nonEmpty) {
+      graft.sources.AtomicSwap.commit(spark, path, comps)
+      // post-commit: the folded directories are now EMPTY (swapped with
+      // empty stages) — remove them so listings stay tier-sized. A crash
+      // here leaves empty dirs, which contribute no rows and no segment
+      // count (hasData-gated) — repaired by the next fold's sweep.
+      components.foreach { c =>
+        segNames.foreach { n =>
+          val d = new org.apache.hadoop.fs.Path(s"$path/$c/seg=$n")
+          if (fs.exists(d) && !hasData(fs, d)) fs.delete(d, true)
+        }
+      }
+    }
+  }
+
+  /** Tiered fold of the `k` SMALLEST delta segments of a BM25 artifact
+    * into one — O(tier) read+write. Postings/doclen/deleted concatenate;
+    * termdf/stats partial-SUM (zero-net termdf rows drop — absent equals
+    * zero under the query-time aggregation; negative partials stay).
+    * Returns true when a fold ran (needs ≥ 2 non-base segments). */
+  def compactBm25IndexTier(spark: org.apache.spark.sql.SparkSession,
+                           path: String, k: Int = 4): Boolean =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      graft.sources.AtomicSwap.recover(spark, path)
+      val tiers = segmentSizes(spark, path, Bm25Components)
+        .sortBy(_._2).take(math.max(k, 2)).map(_._1)
+      if (tiers.size < 2) false
+      else {
+        foldSegments(spark, path, Bm25Components, tiers,
+          merges = Map(
+            "termdf" -> ((df: DataFrame) => df.groupBy(col("t"))
+              .agg(sum(col("df")).as("df")).where(col("df") =!= 0)),
+            "stats" -> ((df: DataFrame) => df.agg(
+              coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+              coalesce(sum(col("tot_len")), lit(0L)).as("tot_len"))),
+            "deleted" -> ((df: DataFrame) => df.distinct())),
+          partitionCols = Map("postings" -> "pbucket"))
+        true
+      }
+    }
+
+  /** [[compactBm25IndexTier]]'s ANN twin: vectors/cells/codes/deleted
+    * concatenate; coarse_sums partial-SUMs per (cell, d) — all-zero rows
+    * drop, nonzero partials (including negatives) stay for the query-time
+    * aggregate. The frozen quantizers and the exactly-maintained
+    * coarse_centroids are untouched (a fold moves no aggregate). */
+  def compactAnnIndexTier(spark: org.apache.spark.sql.SparkSession,
+                          path: String, k: Int = 4): Boolean =
+    graft.sources.AtomicSwap.withLease(spark, path) {
+      graft.sources.AtomicSwap.recover(spark, path)
+      val tiers = segmentSizes(spark, path, AnnComponents)
+        .sortBy(_._2).take(math.max(k, 2)).map(_._1)
+      if (tiers.size < 2) false
+      else {
+        foldSegments(spark, path, AnnComponents, tiers,
+          merges = Map(
+            "coarse_sums" -> ((df: DataFrame) => df
+              .groupBy(col("cell"), col("d"))
+              .agg(sum(col("sd")).as("sd"), sum(col("cnt")).as("cnt"))
+              .where(col("sd") =!= 0 || col("cnt") =!= 0)),
+            "deleted" -> ((df: DataFrame) => df.distinct())),
+          partitionCols = Map.empty)
+        true
+      }
+    }
+
   /** The COMPACTION POLICY for a [[buildBm25Index]] artifact — the
     * cadence knob the maintenance scaladocs defer to, made driveable:
-    * fold ([[compactBm25Index]]) iff any component's segment count
-    * exceeds `maxSegments`. Returns true when a fold ran. Wired into the
-    * streaming maintenance loop via its `autoCompactSegments` parameter,
-    * this bounds read fan-in at ≤ maxSegments directories per component
-    * while keeping the amortized per-batch write cost O(batch +
-    * index/maxSegments) — the standard LSM trade. */
+    * when any component's segment count exceeds `maxSegments`, fold the
+    * smallest (count − maxSegments + 1) delta segments into one
+    * ([[compactBm25IndexTier]]) — the count lands back AT maxSegments and
+    * each fold costs O(tier), not O(index). Only when the delta log
+    * cannot be tiered (a single oversized non-base segment — possible
+    * only at maxSegments = 1) does the policy fall back to the full
+    * bottom-level fold. Returns true when a fold ran. Wired into the
+    * streaming maintenance loops via their `autoCompactSegments`
+    * parameter, this bounds read fan-in at ≤ maxSegments directories per
+    * component with amortized per-batch write cost O(batch · log(index /
+    * batch) / maxSegments) — the standard tiered-LSM trade, replacing
+    * round 12's full fold per trigger (which re-paid the whole index
+    * every cadence). */
   def maybeCompactBm25Index(spark: org.apache.spark.sql.SparkSession,
                             path: String, maxSegments: Int = 16): Boolean = {
     require(maxSegments >= 1, "maxSegments must be positive")
-    if (segmentCount(spark, path, Bm25Components) <= maxSegments) false
+    val n = segmentCount(spark, path, Bm25Components)
+    if (n <= maxSegments) false
+    else if (compactBm25IndexTier(spark, path, n - maxSegments + 1)) true
     else { compactBm25Index(spark, path); true }
   }
 
@@ -1453,7 +1691,9 @@ object Similarity {
   def maybeCompactAnnIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, maxSegments: Int = 16): Boolean = {
     require(maxSegments >= 1, "maxSegments must be positive")
-    if (segmentCount(spark, path, AnnComponents) <= maxSegments) false
+    val n = segmentCount(spark, path, AnnComponents)
+    if (n <= maxSegments) false
+    else if (compactAnnIndexTier(spark, path, n - maxSegments + 1)) true
     else { compactAnnIndex(spark, path); true }
   }
 
@@ -1468,17 +1708,20 @@ object Similarity {
     // finish any in-flight atomic swap left by a crashed updater (never
     // touches a concurrent updater's staging)
     graft.sources.AtomicSwap.recover(spark, path, cleanStale = false)
-    val maxDf = spark.read.parquet(s"$path/meta")
-      .select(col("max_df")).head().getLong(0)
+    val maxDf = readMaxDf(spark, path)
     // segment union + tombstone mask; df/n_docs/tot_len aggregate from
     // the mergeable segments (exact integers — a query over base ∪
     // batches ∪ deletes scores identically to one over a fresh rebuild)
     val del = deletedIds(spark, path, "doc_id")
     val postings =
-      minusDeleted(readSegs(spark, path, "postings"), del, "doc_id")
+      minusDeleted(readPostings(spark, path), del, "doc_id")
     val dl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
+    // n_docs > 0 guards the avdl DIV against a fully-taken-down index:
+    // zero live docs → zero stats rows → zero scored rows, never a
+    // null-scored result
     val stats = readSegs(spark, path, "stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_len")).as("tot_len"))
+      .where(col("n_docs") > 0)
     // the aggregated-df cap bounds the postings join fan-out BEFORE the
     // inverted-index join, exactly as the stamped-df form did
     val dfT = readSegs(spark, path, "termdf")

@@ -99,11 +99,26 @@ object AtomicSwap {
       if (fs.exists(stage)) { // already swapped on a previous attempt if not
         if (fs.exists(live) && !fs.exists(old)) {
           if (old.getParent != root) fs.mkdirs(old.getParent)
-          fs.rename(live, old) // a racing recoverer may have won — tolerated
+          // A failed rename is tolerable ONLY if the post-state proves a
+          // racing recoverer performed it (old exists, or live is gone).
+          // Otherwise live still holds the OLD data and proceeding would
+          // skip the stage→live swap, pass the exists(live) check on stale
+          // data, and then DELETE the staged new component — a silently
+          // lost commit. Fail loudly on a genuine fs error instead.
+          if (!fs.rename(live, old))
+            require(fs.exists(old) || !fs.exists(live),
+              s"rename(live, old) for $c at $root failed with live still " +
+                "present and no backup — fs error, refusing to drop the " +
+                "staged update")
         }
         if (!fs.exists(live)) {
           if (live.getParent != root) fs.mkdirs(live.getParent)
-          fs.rename(stage, live) // ditto
+          // Same discipline: a failed stage→live rename is only tolerable
+          // if someone else completed it (stage gone, live present).
+          if (!fs.rename(stage, live))
+            require(!fs.exists(stage) && fs.exists(live),
+              s"rename(stage, live) for $c at $root failed with the staged " +
+                "component still present — fs error, refusing to proceed")
         }
         require(fs.exists(live), s"swap for $c at $root left no live dir")
       }
@@ -118,6 +133,56 @@ object AtomicSwap {
     fs.delete(new Path(root, "_stage"), true)
     fs.delete(new Path(root, "_old"), true)
     fs.delete(new Path(root, MarkerName), false)
+  }
+
+  private val LeaseName = "_writer_lease"
+
+  /** Exception a second concurrent updater gets — fail-fast, never a
+    * corrupted staging tree. */
+  final class LeaseHeldException(path: String, holder: String)
+    extends IllegalStateException(
+      s"another updater holds the writer lease on $path ($holder); " +
+        "concurrent index updates are not supported — retry after it " +
+        s"finishes, or delete $path/$LeaseName if its holder crashed")
+
+  /** WRITER-WRITER mutual exclusion for one artifact directory. The swap
+    * protocol above makes reader-vs-writer races safe, but two concurrent
+    * UPDATERS would interleave their staging trees on convention alone —
+    * so every mutating entry point (update/remove/compact) runs its whole
+    * stage→commit sequence under this lease. Acquisition is an atomic
+    * `create(overwrite = false)` of a `_writer_lease` file: exactly one
+    * writer wins; the loser throws [[LeaseHeldException]] immediately with
+    * the winner's identity, before writing a single staged byte. The lease
+    * is released in a `finally`, AFTER commit's marker removal, so a crash
+    * mid-commit leaves both the marker (repairable by [[recover]]) and the
+    * lease (telling the next writer a repair may be pending). A lease with
+    * no marker after a crash is stale residue; the error message names the
+    * file to delete — fail-fast and explicit beats silently stealing a
+    * lease whose holder may still be alive. */
+  def withLease[A](spark: SparkSession, path: String)(body: => A): A = {
+    val (fs, root) = fsOf(spark, path)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lease = new Path(root, LeaseName)
+    val holder = s"pid=${ProcessHandle.current().pid()}@" +
+      java.net.InetAddress.getLocalHost.getHostName
+    val out =
+      try fs.create(lease, false) // atomic: fails if the lease exists
+      catch {
+        case _: java.io.IOException =>
+          val existing =
+            try {
+              val in = fs.open(lease)
+              try {
+                val buf = new java.io.ByteArrayOutputStream()
+                org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+                new String(buf.toByteArray, UTF_8)
+              } finally in.close()
+            } catch { case _: java.io.IOException => "unknown holder" }
+          throw new LeaseHeldException(path, existing)
+      }
+    try out.write(holder.getBytes(UTF_8)) finally out.close()
+    try body
+    finally fs.delete(lease, false)
   }
 
   /** Repair an interrupted [[commit]]. `cleanStale = false` (read-side

@@ -336,9 +336,34 @@ private[sources] class CorpusMicroBatchStream(
       .map(c => new Path(c).getName)
     CorpusOffset(if (names.isEmpty) "" else names.last)
   }
-  override def deserializeOffset(json: String): Offset =
-    CorpusOffset(""""watermark"\s*:\s*"([^"]*)"""".r
-      .findFirstMatchIn(json).map(_.group(1)).getOrElse(""))
+  override def deserializeOffset(json: String): Offset = {
+    val byName = """"watermark"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(json).map(_.group(1))
+    byName match {
+      case Some(w) => CorpusOffset(w)
+      case None =>
+        // LEGACY checkpoint (round-11 format {"chunks":N} — a consumed-
+        // chunk COUNT): translate to the name watermark of the N-th
+        // sorted chunk, exactly what that checkpoint had consumed.
+        // Mapping it to "" would silently re-read every chunk and
+        // duplicate rows in the sink; an unrecognized format fails loudly
+        // instead.
+        val legacy = """"chunks"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toInt).getOrElse(
+            throw new IllegalStateException(
+              s"unrecognized corpus-source offset $json — neither the " +
+                "name-watermark format nor the legacy chunk-count format"))
+        if (legacy <= 0) CorpusOffset("")
+        else {
+          val names = CorpusSourceV2.listChunks(path, conf)
+            .map(c => new Path(c).getName)
+          require(legacy <= names.length,
+            s"legacy offset counts $legacy chunks but only " +
+              s"${names.length} exist — cannot translate the checkpoint")
+          CorpusOffset(names(legacy - 1))
+        }
+    }
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CorpusOffset].watermark
     val e = end.asInstanceOf[CorpusOffset].watermark

@@ -223,6 +223,16 @@ object Streams {
           .add("mh", org.apache.spark.sql.types.LongType)
           .add("batch_id", org.apache.spark.sql.types.LongType)
         val idx = spark.read.schema(idxSchema).parquet(indexDir)
+        // the SLIM doc→partition membership sibling (O(batch) append,
+        // replay-idempotent like the index write): takedowns probe this
+        // map for touched partitions instead of scanning the signature
+        // index — the batch's doc list comes off the just-written
+        // partition (partition-pruned), so docs too short to signature
+        // never become members
+        writePartition(
+          idx.where(col("batch_id") === lit(batchId))
+            .select(col("doc_id")).distinct(),
+          graft.operators.Dedup.minhashMembersDir(indexDir))
         val sigCols = Seq(col("doc_id"), col("i"), col("mh"))
         writePartition(
           graft.operators.Dedup.minhashPairsIncrementalSigs(
@@ -478,18 +488,68 @@ object Streams {
     * crash repairable. The drained index equals the one-shot delete of
     * the union of all requests (`stream_bm25_takedown` shares
     * `sim_bm25_del`'s oracle verbatim). */
+  /** Pending-pool directory for [[streamingTakedown]]'s batched trigger —
+    * a SIBLING of the index (never nested inside an artifact dir). */
+  def takedownPendingDir(indexDir: String): String =
+    s"${indexDir}_takedown_pending"
+
+  /** Apply and clear any POOLED takedown requests stashed by a batched
+    * [[streamingTakedown]] — the drain step a caller runs after the
+    * stream terminates so no tail of requests is left unapplied. Safe to
+    * call any time: deletion is idempotent, and a crash between the apply
+    * and the clear just re-applies a no-op on the next flush. */
+  def flushPendingTakedowns(spark: SparkSession, indexDir: String): Unit = {
+    val pending = takedownPendingDir(indexDir)
+    val fs = new org.apache.hadoop.fs.Path(pending)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pending))) return
+    graft.operators.Similarity.removeFromBm25Index(spark, indexDir,
+      spark.read.parquet(pending).select(col("doc_id")))
+    fs.delete(new org.apache.hadoop.fs.Path(pending), true)
+  }
+
+  /** `batchEvery = 1` applies each micro-batch immediately (the original
+    * per-batch cadence). `batchEvery > 1` is the BATCHED TRIGGER the
+    * takedown's cost model wants at scale: each delete pays an index-read
+    * to derive its df decrements (partition-pruned to the touched
+    * postings buckets, but still the dominant term for frequent tiny
+    * requests), while deletion itself is IDEMPOTENT and ASSOCIATIVE —
+    * applying the union of k batches equals applying them one by one, so
+    * pooling is correctness-free and divides the per-request read cost
+    * by k. Requests stash to a pending pool (dynamic-partition overwrite
+    * by micro-batch id — replay-idempotent), and the pool applies as ONE
+    * delete every `batchEvery` stashed batches; callers drain the tail
+    * with [[flushPendingTakedowns]] after the stream ends. */
   def streamingTakedown(spark: SparkSession, ids: DataFrame,
-                        indexDir: String, checkpointDir: String): StreamingQuery =
+                        indexDir: String, checkpointDir: String,
+                        batchEvery: Int = 1): StreamingQuery = {
+    require(batchEvery >= 1, "batchEvery must be positive")
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Similarity.removeFromBm25Index(spark, indexDir,
-          batch.toDF().select(col("doc_id")))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchEvery <= 1) {
+          graft.operators.Similarity.removeFromBm25Index(spark, indexDir,
+            batch.toDF().select(col("doc_id")))
+        } else {
+          val pending = takedownPendingDir(indexDir)
+          batch.toDF().select(col("doc_id"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(pending)
+          val fs = new org.apache.hadoop.fs.Path(pending)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val stashed = fs.listStatus(new org.apache.hadoop.fs.Path(pending))
+            .count(st => st.isDirectory &&
+              st.getPath.getName.startsWith("batch_id="))
+          if (stashed >= batchEvery) flushPendingTakedowns(spark, indexDir)
+        }
         ()
       }
       .start()
+  }
 
   /** The 14th driven pipeline: streaming ANN TAKEDOWN — the vector twin of
     * [[streamingTakedown]], closing the takedown story's asymmetry (BM25
