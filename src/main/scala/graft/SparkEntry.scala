@@ -3246,9 +3246,15 @@ object SparkEntry {
         .orderBy(col("label"))),
 
     // BM25 lexical retrieval: docs 0-4 as query bags over the inverted
-    // index, fixed-point integer scoring, df-capped postings
+    // index, fixed-point integer scoring, df-capped postings. Runs over
+    // the Zipfian synthetic corpus (engine-exact doc_id-derived re-text,
+    // ~8k-term log-uniform vocabulary): the driver table's ~31-term
+    // vocabulary df-caps away entirely past sf0.01, which made this cell
+    // correct-but-empty at bench scale — head terms now cap away like
+    // true stopwords while the mid-frequency tail genuinely ranks
     "sim_bm25" -> ((s, d) =>
-      operators.Similarity.bm25TopK(Tables.documents(s, d),
+      operators.Similarity.bm25TopK(
+          operators.TextAnalysis.syntheticZipfCorpus(Tables.documents(s, d)),
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
           maxDf = cfg.retrievalMaxDf)
         .orderBy(col("query_id"), col("rank"))),
@@ -3264,9 +3270,10 @@ object SparkEntry {
     // the BM25 index as a persisted artifact: build postings/doclen/stats
     // once, query without touching the corpus — must equal sim_bm25 exactly
     "sim_bm25_index" -> ((s, d) => {
-      val dir = stagedDir("bm25", d, "v1", fresh = true)
-      operators.Similarity.buildBm25Index(Tables.documents(s, d), dir,
-        maxDf = cfg.retrievalMaxDf)
+      val dir = stagedDir("bm25", d, "v2-zipf", fresh = true)
+      operators.Similarity.buildBm25Index(
+        operators.TextAnalysis.syntheticZipfCorpus(Tables.documents(s, d)),
+        dir, maxDf = cfg.retrievalMaxDf)
       operators.Similarity.bm25QueryIndex(s, dir,
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -4442,12 +4449,11 @@ object SparkEntry {
          |${(1 to rounds).map(segCte).mkString(",\n")}""".stripMargin
     }
 
-    // shared by sim_bm25 and sim_bm25_index (the artifact form must
-    // return the identical ranking)
-    val bm25OracleSql =
-  s"""WITH tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM
-           |    (SELECT doc_id, unnest($toks) AS t FROM documents)
-           |  WHERE t <> '' GROUP BY doc_id, t),
+    // the fixed-point BM25 replay over a pluggable term-frequency CTE —
+    // shared by the raw-corpus maintenance family (incr/del/compact/
+    // streams) and, with the Zipfian CTE, by sim_bm25/sim_bm25_index
+    def bm25SqlOverTf(tfCtes: String): String =
+  s"""WITH $tfCtes,
            |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
            |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_len FROM dl),
            |dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t
@@ -4468,6 +4474,28 @@ object SparkEntry {
            |  FROM sc GROUP BY query_id, doc_id)
            |SELECT query_id, doc_id, rank::BIGINT AS rank, score_x1e5
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+    val bm25OracleSql = bm25SqlOverTf(
+      s"""tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM
+         |    (SELECT doc_id, unnest($toks) AS t FROM documents)
+         |  WHERE t <> '' GROUP BY doc_id, t)""".stripMargin)
+
+    // the Zipfian synthetic-corpus replay (TextAnalysis.syntheticZipfCorpus
+    // mirrored in pure integer arithmetic — LCG draw, scale s = h mod 13,
+    // term id below 2^(s+1)); sim_bm25's corpus at EVERY scale factor,
+    // so the bench's retrieval cell ranks a real distribution instead of
+    // df-capping a 31-term vocabulary into an empty join
+    val bm25ZipfOracleSql = bm25SqlOverTf(
+      """zt AS (SELECT doc_id,
+        |    ((doc_id*1000003 + r.i*7919 + 12345) % 2147483647) AS h
+        |  FROM documents CROSS JOIN range(0, 64) r(i)
+        |  WHERE r.i < doc_id % 45 + 20),
+        |ztok AS (SELECT doc_id,
+        |    'z' || CAST((h // 13) %
+        |      (CAST(1 AS BIGINT) << CAST(h % 13 + 1 AS INT)) AS VARCHAR) AS t
+        |  FROM zt),
+        |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM ztok
+        |  GROUP BY doc_id, t)""".stripMargin)
 
     // unit-normalized embedding CTEs (mirrors Dedup.withUnitVector): DuckDB
     // list_dot_product folds sequentially — verified bit-identical to
@@ -7659,10 +7687,11 @@ object SparkEntry {
            |ORDER BY label""".stripMargin,
 
       // BM25: same fixed-point recurrence — capped integer idf, every
-      // division an explicit floor DIV at a fixed scale
-      "sim_bm25" -> bm25OracleSql,
+      // division an explicit floor DIV at a fixed scale; over the
+      // Zipfian synthetic corpus (see bm25ZipfOracleSql)
+      "sim_bm25" -> bm25ZipfOracleSql,
 
-      "sim_bm25_index" -> bm25OracleSql,
+      "sim_bm25_index" -> bm25ZipfOracleSql,
 
       // incremental update == full rebuild: the oracle replays BM25 over
       // the WHOLE corpus — the merged index must score identically

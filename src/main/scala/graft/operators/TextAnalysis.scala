@@ -1428,4 +1428,39 @@ object TextAnalysis {
         min(col("fre_x1000")).as("min_fre_x1000"),
         max(col("fre_x1000")).as("max_fre_x1000"))
   }
+
+  /** Deterministic SYNTHETIC CORPUS with a Zipf-like term distribution —
+    * the retrieval-fixture generator: the driver's documents table carries
+    * a ~31-term vocabulary, so at bench scale every term crosses any
+    * sane df cap and a BM25 cell measures scan + empty join instead of
+    * ranking. This derives, from nothing but `doc_id`, a corpus whose
+    * ~8k-term vocabulary is log-uniform over scales (each token draws a
+    * scale s ∈ [0, 13) uniformly, then a term id uniformly below 2^(s+1)
+    * — term j's mass falls off ~1/j, the Zipf shape real text has), so
+    * head terms df-cap away like true stopwords while the mid-frequency
+    * tail genuinely ranks.
+    *
+    * ENGINE-EXACT by construction: every draw is integer LCG arithmetic
+    * (multiply/add/mod/shift on BIGINT) that DuckDB reproduces bit-for-bit
+    * in the oracle's CTE — no float, no engine hash, no RNG. Each doc gets
+    * 20 + (doc_id mod 45) tokens; token p of doc d draws
+    * h = (d·1000003 + p·7919 + 12345) mod (2³¹−1), s = h mod 13,
+    * term = (h div 13) mod 2^(s+1), spelled `z<term>`. Plan shape: one
+    * sequence-explode + one hash agg — corpus-scan cost, no shuffle wider
+    * than doc_id. */
+  def syntheticZipfCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .withColumn("p",
+        explode(sequence(lit(0L), col("doc_id") % 45L + 19L)))
+      .withColumn("h",
+        (col("doc_id") * 1000003L + col("p") * 7919L + 12345L)
+          % 2147483647L)
+      .withColumn("t", concat(lit("z"),
+        (expr("h DIV 13") %
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 13 + 1 AS INT))"))
+          .cast("string")))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("t")))),
+          x => x.getField("t")), " ").as("text"))
 }
