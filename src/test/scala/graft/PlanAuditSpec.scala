@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "sim_bm25_compact" -> "same artifact query shape after compaction: one-row stats broadcast",
     "sim_bm25_del" -> "same artifact query shape after the deletion merge: one-row stats broadcast",
     "stream_bm25_takedown" -> "same artifact query shape after the streamed deletes: one-row stats broadcast",
+    "stream_bm25_takedown_batched" -> "same artifact query shape after the pooled streamed deletes: one-row stats broadcast",
     "mix_hard_triplets" -> "embeds sim_bm25's one-row stats broadcast",
     "dedup_cluster_labels" -> "corpus-size one-row aggregate rides along broadcast (idf)",
     "mix_temperature" -> "one-row totals aggregate rides along broadcast",

@@ -43,22 +43,26 @@ class ShuffleCanarySpec extends AnyFunSuite with SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  // sf0.001 measured shuffle-write records for the 10 most expensive
-  // bench queries (committed round-12; re-measure with the printer below
-  // when a query's plan legitimately changes)
+  // sf0.001 measured shuffle-write records for the most expensive bench
+  // queries — re-ranked round 13 against bench_out.json (the round-12 set
+  // missed the five newest, heaviest plans: the autocompact loops, the
+  // streamed ANN takedown, and both LSM compactions) plus sim_bm25 (its
+  // plan moved to the Zipfian corpus this round). Re-measure with the
+  // printer below when a plan legitimately changes.
   private val budgets: Map[String, Long] = Map(
-    "e2e_corpus" -> 34144L, "dedup_verdict" -> 20600L,
-    "stream_bm25_takedown" -> 62666L, "ann_index_del" -> 14534L,
-    "stream_ann_incr" -> 20765L, "e2e_image_pipeline" -> 843L,
-    "stream_bm25_incr" -> 50642L, "mix_hard_triplets" -> 61329L,
-    "ann_index_incr" -> 13376L, "e2e_corpus_safe" -> 3425L)
+    "stream_ann_autocompact" -> 23709L, "stream_bm25_autocompact" -> 50706L,
+    "stream_ann_incr" -> 20893L, "stream_ann_takedown" -> 21233L,
+    "ann_index_compact" -> 16674L, "dedup_verdict" -> 20600L,
+    "stream_bm25_takedown" -> 63000L, "stream_bm25_incr" -> 50642L,
+    "e2e_corpus" -> 34144L, "mix_hard_triplets" -> 73757L,
+    "sim_bm25_compact" -> 62552L, "sim_bm25" -> 4558L)
 
   test("shuffle-record budgets hold for the top-cost queries (broadcast " +
     "stays broadcast, no extra exchange)") {
-    val top = Seq("e2e_corpus", "dedup_verdict", "stream_bm25_takedown",
-      "ann_index_del", "stream_ann_incr", "e2e_image_pipeline",
-      "stream_bm25_incr", "mix_hard_triplets", "ann_index_incr",
-      "e2e_corpus_safe")
+    val top = Seq("stream_ann_autocompact", "stream_bm25_autocompact",
+      "stream_ann_incr", "stream_ann_takedown", "ann_index_compact",
+      "dedup_verdict", "stream_bm25_takedown", "stream_bm25_incr",
+      "e2e_corpus", "mix_hard_triplets", "sim_bm25_compact", "sim_bm25")
     if (budgets.isEmpty) {
       // printer mode: emit the measured counts to paste into `budgets`
       val measured = top.map(n => n -> shuffledRecords(n))
@@ -75,5 +79,20 @@ class ShuffleCanarySpec extends AnyFunSuite with SparkSpec {
       assert(offenders.isEmpty,
         s"shuffle-volume regression:\n${offenders.mkString("\n")}")
     }
+  }
+
+  test("the net actually trips: an injected broadcast→shuffle degradation " +
+    "(auto-broadcast disabled) blows a budget by multiples") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val got = shuffledRecords("sim_bm25")
+      val cap = (budgets("sim_bm25") * 1.3).toLong + 64
+      assert(got > cap,
+        s"disabling auto-broadcast left sim_bm25 at $got records " +
+          s"(cap $cap) — the canary would not catch a broadcast " +
+          "degradation on this plan; pick a threshold-sensitive query")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 }
