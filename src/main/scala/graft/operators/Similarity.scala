@@ -543,9 +543,41 @@ object Similarity {
     * constant). */
   private val PostingsBuckets = 32L
 
+  /** The bucket function is a HASH mix, not a plain modulus: real ingest
+    * batches arrive as modular or range slices of the id space, and a
+    * correlated bucket (doc_id mod B) would leave most buckets empty per
+    * segment — collapsing write parallelism and unbalancing reads. Layout
+    * only: the oracle never sees pbucket, so the Spark-native hash is
+    * fine (write and takedown-probe use this same function). */
+  private def pbucketOf(doc: Column): Column =
+    pmod(hash(doc).cast("long"), lit(PostingsBuckets)).cast("int")
+
   private def withPBucket(df: DataFrame): DataFrame =
-    df.withColumn("pbucket",
-      pmod(col("doc_id"), lit(PostingsBuckets)).cast("int"))
+    df.withColumn("pbucket", pbucketOf(col("doc_id")))
+
+  /** The DELTA segments' sentinel bucket: small append/tier segments skip
+    * true bucketing (a bare partitionBy from a 32-task plan writes tasks ×
+    * buckets ≈ 1024 small files, and a pre-repartition would charge every
+    * absorb a shuffle) and land whole under `pbucket=-1`. The takedown's
+    * pruned read always includes the sentinel — deltas are small by the
+    * LSM invariant, so reading them fully costs O(deltas), while the
+    * BASE (the index-sized component) prunes by true bucket. */
+  private val DeltaBucket = -1
+
+  /** Postings segment writer. `bucketed = true` (base-sized writes: build,
+    * full compaction) pre-repartitions on the bucket so each bucket lands
+    * from ~one task and the segment is O(buckets) files — the one narrow
+    * shuffle amortizes over every later pruned read. `bucketed = false`
+    * (delta appends, tier folds) writes the whole segment under the
+    * sentinel bucket: no shuffle, O(tasks) files. */
+  private def writePostingsSeg(df: DataFrame, dir: String,
+                               bucketed: Boolean): Unit = {
+    val w =
+      if (bucketed) withPBucket(df)
+        .repartition(PostingsBuckets.toInt, col("pbucket"))
+      else df.withColumn("pbucket", lit(DeltaBucket))
+    w.write.partitionBy("pbucket").mode("overwrite").parquet(dir)
+  }
 
   /** Postings read with BOTH layout columns (seg, pbucket) dropped. */
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
@@ -1277,10 +1309,10 @@ object Similarity {
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfAll = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    withPBucket(tf.join(dfAll.where(col("df") <= maxDf).select(col("t")),
-        Seq("t"), "left_semi"))
-      .write.partitionBy("pbucket")
-      .mode("overwrite").parquet(s"$path/postings/seg=base")
+    writePostingsSeg(
+      tf.join(dfAll.where(col("df") <= maxDf).select(col("t")),
+        Seq("t"), "left_semi"),
+      s"$path/postings/seg=base", bucketed = true)
     dl.write.mode("overwrite").parquet(s"$path/doclen/seg=base")
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
@@ -1349,8 +1381,7 @@ object Similarity {
     val dl = newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint() // feeds its own segment AND the stats row
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    withPBucket(newTf).write.partitionBy("pbucket")
-      .mode("overwrite").parquet(stage(s"postings/seg=$seg"))
+    writePostingsSeg(newTf, stage(s"postings/seg=$seg"), bucketed = false)
     newTf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
     dl.write.mode("overwrite").parquet(stage(s"doclen/seg=$seg"))
@@ -1443,8 +1474,8 @@ object Similarity {
         // is ≤ PostingsBuckets values off the checkpointed goneDl, never
         // a data collect.
         val touchedBuckets = goneDl
-          .select(pmod(col("doc_id"), lit(PostingsBuckets)).cast("int").as("pb"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+          .select(pbucketOf(col("doc_id")).as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq :+ DeltaBucket
         val rawPostings = spark.read.parquet(s"$path/postings")
         val prunedPostings =
           (if (rawPostings.columns.contains("pbucket"))
@@ -1483,12 +1514,12 @@ object Similarity {
         .groupBy(col("t")).agg(sum(col("df")).as("df"))
         .where(col("df") > 0)
         .localCheckpoint() // feeds its own segment AND the postings cap
-      withPBucket(minusDeleted(readPostings(spark, path), del, "doc_id")
+      writePostingsSeg(
+        minusDeleted(readPostings(spark, path), del, "doc_id")
           .join(dfAgg.where(col("df") <= maxDf).select(col("t")),
             Seq("t"), "left_semi")
-          .select(col("doc_id"), col("t"), col("tf")))
-        .write.partitionBy("pbucket")
-        .mode("overwrite").parquet(s"${stage("postings")}/seg=base")
+          .select(col("doc_id"), col("t"), col("tf")),
+        s"${stage("postings")}/seg=base", bucketed = true)
       dfAgg.write.mode("overwrite").parquet(s"${stage("termdf")}/seg=base")
       val dl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
         .localCheckpoint() // feeds its own segment AND the stats row
@@ -1584,11 +1615,13 @@ object Similarity {
           withData.map(n => spark.read.parquet(s"$path/$c/seg=$n")
               .drop("pbucket"))
             .reduce(_ unionByName _))
-        val w = partitionCols.get(c) match {
-          case Some(pc) => withPBucket(merged).write.partitionBy(pc)
-          case None => merged.write
+        partitionCols.get(c) match {
+          case Some(_) => // tier outputs are delta-sized — sentinel bucket
+            writePostingsSeg(merged, stage(s"$c/seg=$newSeg"),
+              bucketed = false)
+          case None => merged.write.mode("overwrite")
+            .parquet(stage(s"$c/seg=$newSeg"))
         }
-        w.mode("overwrite").parquet(stage(s"$c/seg=$newSeg"))
         staged += s"$c/seg=$newSeg"
       }
       present.foreach { n =>

@@ -183,6 +183,79 @@ object ScaleUp {
   }
 }
 
+/** Per-fold cost A/B: tiered fold (2 small deltas) vs full bottom-level
+  * fold on the SAME index state — the direct evidence that tier-fold cost
+  * tracks the TIER, not the index. Builds base = 7/8 of the corpus plus
+  * two 1/16 delta segments, twice, then times compactBm25IndexTier vs
+  * compactBm25Index. Usage: SPARK_GRAFT_SF_DIR=... tools/run.sh
+  * graft.FoldCost [scratchDir]. */
+object FoldCost {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val spark = DevTools.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val root = args.headOption.getOrElse("/tmp/graft-foldcost")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def mkIndex(dir: String): Unit = {
+      // non-evicting cap: with eviction, the base would shrink below the
+      // deltas (batch segments store uncapped) and the layout comparison
+      // would invert — the A/B wants base >> deltas, the LSM steady state
+      Similarity.buildBm25Index(docs.where(col("doc_id") % 8 =!= 0), dir,
+        maxDf = 10000000L)
+      Similarity.updateBm25Index(spark, dir,
+        docs.where(col("doc_id") % 16 === 0))
+      Similarity.updateBm25Index(spark, dir,
+        docs.where(col("doc_id") % 16 === 8))
+    }
+    def timed(tag: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"===== $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    mkIndex(s"$root/tier")
+    mkIndex(s"$root/full")
+    def indexBytes(dir: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    def snapshotFiles(dir: String): Map[String, Long] = {
+      val out = Map.newBuilder[String, Long]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      while (it.hasNext) {
+        val st = it.next(); out += st.getPath.toString -> st.getLen
+      }
+      out.result()
+    }
+    def foldWriteBytes(dir: String)(body: => Unit): Long = {
+      val pre = snapshotFiles(dir)
+      body
+      snapshotFiles(dir).filterNot { case (p, _) => pre.contains(p) }
+        .values.sum
+    }
+    val preBytes = indexBytes(s"$root/tier")
+    var tierW = 0L; var fullW = 0L
+    timed("tier_fold_2_deltas") {
+      tierW = foldWriteBytes(s"$root/tier") {
+        require(Similarity.compactBm25IndexTier(spark, s"$root/tier", 2))
+      }
+    }
+    timed("full_fold") {
+      fullW = foldWriteBytes(s"$root/full") {
+        Similarity.compactBm25Index(spark, s"$root/full")
+      }
+    }
+    println(s"===== index_bytes $preBytes tier_fold_wrote $tierW " +
+      s"full_fold_wrote $fullW")
+    // served equality across both fold shapes, same corpus
+    Bm25Views.assertServedEqual(spark, s"$root/tier", s"$root/full")
+    println("===== served_equal true")
+    spark.stop()
+  }
+}
+
 /** Candidate-volume decomposition for the pHash multi-index lever:
   * images, true pairs (Hamming ≤ 6), and pair counts at each
   * minBandMatches — the measurement behind `minBandMatchesFor`. */

@@ -50,12 +50,12 @@ class ShuffleCanarySpec extends AnyFunSuite with SparkSpec {
   // plan moved to the Zipfian corpus this round). Re-measure with the
   // printer below when a plan legitimately changes.
   private val budgets: Map[String, Long] = Map(
-    "stream_ann_autocompact" -> 23709L, "stream_bm25_autocompact" -> 50706L,
-    "stream_ann_incr" -> 20893L, "stream_ann_takedown" -> 21233L,
+    "stream_ann_autocompact" -> 23453L, "stream_bm25_autocompact" -> 59443L,
+    "stream_ann_incr" -> 21149L, "stream_ann_takedown" -> 21555L,
     "ann_index_compact" -> 16674L, "dedup_verdict" -> 20600L,
-    "stream_bm25_takedown" -> 63000L, "stream_bm25_incr" -> 50642L,
+    "stream_bm25_takedown" -> 74734L, "stream_bm25_incr" -> 59379L,
     "e2e_corpus" -> 34144L, "mix_hard_triplets" -> 73757L,
-    "sim_bm25_compact" -> 62552L, "sim_bm25" -> 4558L)
+    "sim_bm25_compact" -> 84374L, "sim_bm25" -> 4583L)
 
   test("shuffle-record budgets hold for the top-cost queries (broadcast " +
     "stays broadcast, no extra exchange)") {
