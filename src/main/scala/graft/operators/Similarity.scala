@@ -526,11 +526,11 @@ object Similarity {
     false
   }
 
-  /** Union-of-segments read of one component; the `seg` partition column
-    * is layout, not data. */
+  /** Union-of-segments read of one component; the `seg` and `pbucket`
+    * partition columns are layout, not data. */
   private def readSegs(spark: org.apache.spark.sql.SparkSession,
                        path: String, c: String): DataFrame =
-    spark.read.parquet(s"$path/$c").drop("seg")
+    spark.read.parquet(s"$path/$c").drop("seg").drop("pbucket")
 
   /** doc_id bucket count for the postings layout. Every postings segment
     * is sub-partitioned by `pbucket = doc_id mod this`, so a takedown's
@@ -552,9 +552,6 @@ object Similarity {
   private def pbucketOf(doc: Column): Column =
     pmod(hash(doc).cast("long"), lit(PostingsBuckets)).cast("int")
 
-  private def withPBucket(df: DataFrame): DataFrame =
-    df.withColumn("pbucket", pbucketOf(col("doc_id")))
-
   /** The DELTA segments' sentinel bucket: small append/tier segments skip
     * true bucketing (a bare partitionBy from a 32-task plan writes tasks ×
     * buckets ≈ 1024 small files, and a pre-repartition would charge every
@@ -564,25 +561,48 @@ object Similarity {
     * BASE (the index-sized component) prunes by true bucket. */
   private val DeltaBucket = -1
 
-  /** Postings segment writer. `bucketed = true` (base-sized writes: build,
-    * full compaction) pre-repartitions on the bucket so each bucket lands
-    * from ~one task and the segment is O(buckets) files — the one narrow
-    * shuffle amortizes over every later pruned read. `bucketed = false`
-    * (delta appends, tier folds) writes the whole segment under the
-    * sentinel bucket: no shuffle, O(tasks) files. */
-  private def writePostingsSeg(df: DataFrame, dir: String,
-                               bucketed: Boolean): Unit = {
-    val w =
-      if (bucketed) withPBucket(df)
-        .repartition(PostingsBuckets.toInt, col("pbucket"))
-      else df.withColumn("pbucket", lit(DeltaBucket))
-    w.write.partitionBy("pbucket").mode("overwrite").parquet(dir)
+  /** Bucketed segment writer — shared by the BM25 postings layout (keyed
+    * on doc_id) and the ANN vectors/cells layout (keyed on vec_id).
+    * `bucketed = true` (base-sized writes: build, full compaction)
+    * pre-repartitions on the bucket so each bucket lands from ~one task
+    * and the segment is O(buckets) files — the one narrow shuffle
+    * amortizes over every later pruned read. `bucketed = false` (delta
+    * appends, tier folds) writes the whole segment under the sentinel
+    * bucket: no shuffle, O(tasks) files. Every segment of a component
+    * must carry the pbucket directory level (mixed depths break partition
+    * discovery) — hence the sentinel rather than a flat delta dir. */
+  private def writeBucketedSeg(df: DataFrame, dir: String,
+                               idCol: String): Unit =
+    df.withColumn("pbucket", pbucketOf(col(idCol)))
+      .repartition(PostingsBuckets.toInt, col("pbucket"))
+      .write.partitionBy("pbucket").mode("overwrite").parquet(dir)
+
+  /** The delta-segment form: whole segment under the sentinel bucket. */
+  private def writeSentinelSeg(df: DataFrame, dir: String): Unit =
+    df.withColumn("pbucket", lit(DeltaBucket))
+      .write.partitionBy("pbucket").mode("overwrite").parquet(dir)
+
+  /** Bucket-pruned component read for a takedown-shaped access: only the
+    * buckets hashing a removed id — plus the sentinel delta bucket, small
+    * by the LSM invariant — are scanned. Falls back to the full read on a
+    * pre-bucket artifact. `removeIds` is takedown-batch-sized; only the
+    * ≤ buckets+1 DISTINCT bucket values reach the driver. */
+  private def readPrunedByIds(spark: org.apache.spark.sql.SparkSession,
+                              path: String, c: String, idCol: String,
+                              removeIds: DataFrame): DataFrame = {
+    val touched = removeIds.select(pbucketOf(col(idCol)).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq :+ DeltaBucket
+    val raw = spark.read.parquet(s"$path/$c")
+    (if (raw.columns.contains("pbucket"))
+       raw.where(col("pbucket").isin(touched: _*))
+     else raw)
+      .drop("seg").drop("pbucket")
   }
 
-  /** Postings read with BOTH layout columns (seg, pbucket) dropped. */
+  /** Postings read with the layout columns dropped. */
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
                            path: String): DataFrame =
-    spark.read.parquet(s"$path/postings").drop("seg").drop("pbucket")
+    readSegs(spark, path, "postings")
 
   /** The build-time df cap, with a DEFAULT when `meta/` is absent — a
     * pre-pbucket artifact, or one whose (single, tiny) meta write was
@@ -665,10 +685,13 @@ object Similarity {
     val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
     val assigned = coarseAssign(e, planes, dim)
     val (_, codes, centroids) = pqTrain(e, m, bits, dim / m, refine)
-    assigned.select(col("vec_id"), col("vn"))
-      .write.mode("overwrite").parquet(s"$path/vectors/seg=base")
-    assigned.select(col("vec_id"), col("cell"))
-      .write.mode("overwrite").parquet(s"$path/cells/seg=base")
+    // vectors/cells carry the same doc-keyed bucket layout as the BM25
+    // postings: a takedown's negative-sums read prunes to the buckets
+    // holding removed ids instead of scanning every vector
+    writeBucketedSeg(assigned.select(col("vec_id"), col("vn")),
+      s"$path/vectors/seg=base", "vec_id")
+    writeBucketedSeg(assigned.select(col("vec_id"), col("cell")),
+      s"$path/cells/seg=base", "vec_id")
     // sums feed their own write AND the centroid derivation — materialize
     val sums = coarseSums(assigned).localCheckpoint()
     sums.write.mode("overwrite").parquet(s"$path/coarse_sums/seg=base")
@@ -751,10 +774,10 @@ object Similarity {
       .agg(min(struct(col("dist"), col("code"))).as("mi"))
       .select(col("vec_id"), col("s"), col("mi").getField("code").as("code"))
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    assigned.select(col("vec_id"), col("vn"))
-      .write.mode("overwrite").parquet(stage(s"vectors/seg=$seg"))
-    assigned.select(col("vec_id"), col("cell"))
-      .write.mode("overwrite").parquet(stage(s"cells/seg=$seg"))
+    writeSentinelSeg(assigned.select(col("vec_id"), col("vn")),
+      stage(s"vectors/seg=$seg"))
+    writeSentinelSeg(assigned.select(col("vec_id"), col("cell")),
+      stage(s"cells/seg=$seg"))
     newCodes.write.mode("overwrite").parquet(stage(s"codes/seg=$seg"))
     // the batch's sums feed their own segment AND the centroid refresh
     val batchSums = coarseSums(assigned).localCheckpoint()
@@ -795,10 +818,16 @@ object Similarity {
       val del = deletedIds(spark, path, "vec_id")
       val gone = broadcast(removeIds.select(col("vec_id")).distinct())
       // (vec_id, cell, vn) of the ids actually live — re-deliveries vanish
+      // bucket-pruned: only the vectors/cells buckets hashing a removed id
+      // (plus the small sentinel deltas) are scanned for the negative sums
       val removedAssigned =
-        minusDeleted(readSegs(spark, path, "vectors"), del, "vec_id")
+        minusDeleted(
+          readPrunedByIds(spark, path, "vectors", "vec_id", gone),
+          del, "vec_id")
           .join(gone, Seq("vec_id"))
-          .join(minusDeleted(readSegs(spark, path, "cells"), del, "vec_id"),
+          .join(minusDeleted(
+            readPrunedByIds(spark, path, "cells", "vec_id", gone),
+            del, "vec_id"),
             Seq("vec_id"))
           .select(col("vec_id"), col("cell"), col("vn"))
           .localCheckpoint() // feeds tombstone, negative sums, no-op check
@@ -836,10 +865,13 @@ object Similarity {
       graft.sources.AtomicSwap.recover(spark, path)
       val del = deletedIds(spark, path, "vec_id")
       val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-      Seq("vectors", "cells", "codes").foreach { c =>
-        minusDeleted(readSegs(spark, path, c), del, "vec_id")
-          .write.mode("overwrite").parquet(s"${stage(c)}/seg=base")
+      Seq("vectors", "cells").foreach { c =>
+        writeBucketedSeg(
+          minusDeleted(readSegs(spark, path, c), del, "vec_id"),
+          s"${stage(c)}/seg=base", "vec_id")
       }
+      minusDeleted(readSegs(spark, path, "codes"), del, "vec_id")
+        .write.mode("overwrite").parquet(s"${stage("codes")}/seg=base")
       val sums = aggSums(readSegs(spark, path, "coarse_sums")).localCheckpoint()
       sums.write.mode("overwrite").parquet(s"${stage("coarse_sums")}/seg=base")
       centroidsFromSums(sums)
@@ -1309,10 +1341,10 @@ object Similarity {
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfAll = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    writePostingsSeg(
+    writeBucketedSeg(
       tf.join(dfAll.where(col("df") <= maxDf).select(col("t")),
         Seq("t"), "left_semi"),
-      s"$path/postings/seg=base", bucketed = true)
+      s"$path/postings/seg=base", "doc_id")
     dl.write.mode("overwrite").parquet(s"$path/doclen/seg=base")
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
@@ -1381,7 +1413,7 @@ object Similarity {
     val dl = newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint() // feeds its own segment AND the stats row
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    writePostingsSeg(newTf, stage(s"postings/seg=$seg"), bucketed = false)
+    writeSentinelSeg(newTf, stage(s"postings/seg=$seg"))
     newTf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
     dl.write.mode("overwrite").parquet(stage(s"doclen/seg=$seg"))
@@ -1473,16 +1505,9 @@ object Similarity {
         // O(touched buckets), not O(index) — the driver-side bucket list
         // is ≤ PostingsBuckets values off the checkpointed goneDl, never
         // a data collect.
-        val touchedBuckets = goneDl
-          .select(pbucketOf(col("doc_id")).as("pb"))
-          .distinct().collect().map(_.getInt(0)).toSeq :+ DeltaBucket
-        val rawPostings = spark.read.parquet(s"$path/postings")
-        val prunedPostings =
-          (if (rawPostings.columns.contains("pbucket"))
-             rawPostings.where(col("pbucket").isin(touchedBuckets: _*))
-           else rawPostings) // pre-pbucket artifact: full scan, still exact
-            .drop("seg").drop("pbucket")
-        minusDeleted(prunedPostings, del, "doc_id")
+        minusDeleted(
+          readPrunedByIds(spark, path, "postings", "doc_id", goneDl),
+          del, "doc_id")
           .join(broadcast(goneDl.select(col("doc_id"))), Seq("doc_id"),
             "left_semi")
           .groupBy(col("t")).agg((-count(lit(1))).as("df"))
@@ -1514,12 +1539,12 @@ object Similarity {
         .groupBy(col("t")).agg(sum(col("df")).as("df"))
         .where(col("df") > 0)
         .localCheckpoint() // feeds its own segment AND the postings cap
-      writePostingsSeg(
+      writeBucketedSeg(
         minusDeleted(readPostings(spark, path), del, "doc_id")
           .join(dfAgg.where(col("df") <= maxDf).select(col("t")),
             Seq("t"), "left_semi")
           .select(col("doc_id"), col("t"), col("tf")),
-        s"${stage("postings")}/seg=base", bucketed = true)
+        s"${stage("postings")}/seg=base", "doc_id")
       dfAgg.write.mode("overwrite").parquet(s"${stage("termdf")}/seg=base")
       val dl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
         .localCheckpoint() // feeds its own segment AND the stats row
@@ -1617,8 +1642,7 @@ object Similarity {
             .reduce(_ unionByName _))
         partitionCols.get(c) match {
           case Some(_) => // tier outputs are delta-sized — sentinel bucket
-            writePostingsSeg(merged, stage(s"$c/seg=$newSeg"),
-              bucketed = false)
+            writeSentinelSeg(merged, stage(s"$c/seg=$newSeg"))
           case None => merged.write.mode("overwrite")
             .parquet(stage(s"$c/seg=$newSeg"))
         }
@@ -1691,7 +1715,8 @@ object Similarity {
               .agg(sum(col("sd")).as("sd"), sum(col("cnt")).as("cnt"))
               .where(col("sd") =!= 0 || col("cnt") =!= 0)),
             "deleted" -> ((df: DataFrame) => df.distinct())),
-          partitionCols = Map.empty)
+          partitionCols =
+            Map("vectors" -> "pbucket", "cells" -> "pbucket"))
         true
       }
     }

@@ -212,6 +212,45 @@ class LsmMaintenanceSpec extends AnyFunSuite with SparkSpec {
     Bm25Views.assertServedEqual(spark, dir, refDir)
   }
 
+  test("ANN takedown negative-sums read partition-prunes to the touched " +
+    "vectors/cells buckets: a one-vector takedown reads a small fraction " +
+    "of the index, decrements stay exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmp("ann-pruned") + "/index"
+    Similarity.buildAnnIndex(emb, dir)
+    val indexBytes = fs.getContentSummary(new Path(dir)).getLength
+    val bytesRead = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) bytesRead.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.removeFromAnnIndex(spark, dir,
+        spark.range(7, 8).select($"id".as("vec_id")))
+      var last = -1L
+      var attempts = 0
+      while (bytesRead.get() != last && attempts < 50) {
+        last = bytesRead.get(); Thread.sleep(100); attempts += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(bytesRead.get() > 0, "no input read measured — listener broke")
+    assert(bytesRead.get() < indexBytes / 2,
+      s"one-vector takedown read ${bytesRead.get()} of $indexBytes index " +
+        "bytes — the negative-sums read is not pruning to touched buckets")
+    // exactness: probe equals the delete over a freshly-built twin
+    val refDir = tmp("ann-pruned-ref") + "/index"
+    Similarity.buildAnnIndex(emb, refDir)
+    Similarity.removeFromAnnIndex(spark, refDir,
+      spark.range(7, 8).select($"id".as("vec_id")))
+    assert(Similarity.annQueryIndex(spark, dir, 10, 5)
+      .collect().map(_.toSeq).toSet ==
+      Similarity.annQueryIndex(spark, refDir, 10, 5)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("pooled takedown trigger: 3 request batches apply as ONE delete " +
     "(single tombstone segment), flush drains the tail, index equals the " +
     "one-shot delete") {
