@@ -3529,6 +3529,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the BATCHED ANN takedown trigger — stream_bm25_takedown_batched's
+    // vector twin: 3 request micro-batches pool in the pending sibling
+    // and apply as ONE delete (one bucket-pruned negative-sums read
+    // instead of three); idempotent + associative deletion makes the
+    // drained index equal the one-shot delete — ann_index_del's oracle
+    // verbatim
+    "stream_ann_takedown_batched" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = stagedDir("stream-ann-takedown-b", d, "p4m8b4r1-m7-s3-b3",
+        fresh = true)
+      operators.Similarity.buildAnnIndex(emb, s"$stage/index")
+      emb.where(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
+        .select(col("vec_id"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", org.apache.spark.sql.types.LongType)
+      streaming.Streams.streamingAnnTakedown(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck", batchEvery = 3)
+        .awaitTermination()
+      streaming.Streams.flushPendingAnnTakedowns(s, s"$stage/index")
+      operators.Similarity.annQueryIndex(s, s"$stage/index",
+          cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // hybrid retrieval: RRF-fuse the BM25 lexical ranking with the
     // feature-hashed vector ranking for the same query docs
     "sim_rrf" -> ((s, d) => {
@@ -9593,6 +9620,7 @@ object SparkEntry {
       // idempotent + associative deletion makes it the same index
       ("stream_bm25_takedown_batched" -> base("sim_bm25_del")) +
       ("stream_ann_takedown" -> base("ann_index_del")) +
+      ("stream_ann_takedown_batched" -> base("ann_index_del")) +
       // compaction folds the segment log without changing a single query
       // answer — the delete oracles verbatim
       ("sim_bm25_compact" -> base("sim_bm25_del")) +

@@ -564,19 +564,54 @@ object Streams {
     * repairable. The drained index equals the one-shot delete of the
     * union of all requests (`stream_ann_takedown` shares `ann_index_del`'s
     * oracle verbatim). */
+  /** [[flushPendingTakedowns]]' ANN twin: apply and clear the pooled
+    * vec_id requests a batched [[streamingAnnTakedown]] stashed. */
+  def flushPendingAnnTakedowns(spark: SparkSession, indexDir: String): Unit = {
+    val pending = takedownPendingDir(indexDir)
+    val fs = new org.apache.hadoop.fs.Path(pending)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pending))) return
+    graft.operators.Similarity.removeFromAnnIndex(spark, indexDir,
+      spark.read.parquet(pending).select(col("vec_id")))
+    fs.delete(new org.apache.hadoop.fs.Path(pending), true)
+  }
+
+  /** `batchEvery > 1` pools k request batches into ONE applied delete —
+    * [[streamingTakedown]]'s trigger economics, vector-side: each applied
+    * ANN delete pays a (bucket-pruned) vectors/cells read for its exact
+    * negative coarse sums, and deletion is idempotent + associative, so
+    * pooling divides that per-request read by k correctness-free. Drain
+    * the tail with [[flushPendingAnnTakedowns]] after the stream ends. */
   def streamingAnnTakedown(spark: SparkSession, ids: DataFrame,
-                           indexDir: String,
-                           checkpointDir: String): StreamingQuery =
+                           indexDir: String, checkpointDir: String,
+                           batchEvery: Int = 1): StreamingQuery = {
+    require(batchEvery >= 1, "batchEvery must be positive")
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Similarity.removeFromAnnIndex(spark, indexDir,
-          batch.toDF().select(col("vec_id")))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchEvery <= 1) {
+          graft.operators.Similarity.removeFromAnnIndex(spark, indexDir,
+            batch.toDF().select(col("vec_id")))
+        } else {
+          val pending = takedownPendingDir(indexDir)
+          batch.toDF().select(col("vec_id"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(pending)
+          val fs = new org.apache.hadoop.fs.Path(pending)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val stashed = fs.listStatus(new org.apache.hadoop.fs.Path(pending))
+            .count(st => st.isDirectory &&
+              st.getPath.getName.startsWith("batch_id="))
+          if (stashed >= batchEvery) flushPendingAnnTakedowns(spark, indexDir)
+        }
         ()
       }
       .start()
+  }
 
   /** The 15th driven pipeline: streaming NEAR-DUP INDEX TAKEDOWN —
     * closing the takedown tier across all three index families (BM25,

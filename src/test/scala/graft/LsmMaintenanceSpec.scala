@@ -280,6 +280,39 @@ class LsmMaintenanceSpec extends AnyFunSuite with SparkSpec {
     Bm25Views.assertServedEqual(spark, dir, refDir)
   }
 
+  test("ANN pooled takedown: 3 request batches apply as ONE delete " +
+    "(single tombstone segment), flush drains, probe equals one-shot") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val stage = tmp("ann-pooled")
+    val dir = s"$stage/index"
+    Similarity.buildAnnIndex(emb, dir)
+    val gone = emb.where($"vec_id" % 7 === 3 && $"vec_id" >= 10)
+      .select($"vec_id")
+    gone.repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", org.apache.spark.sql.types.LongType)
+    streaming.Streams.streamingAnnTakedown(spark,
+      streaming.Streams.fileSource(spark, s"$stage/src", schema,
+        maxFilesPerTrigger = 1),
+      dir, s"$stage/ck", batchEvery = 3).awaitTermination()
+    streaming.Streams.flushPendingAnnTakedowns(spark, dir)
+    val delSegs = fs.listStatus(new Path(s"$dir/deleted")).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("seg="))
+    assert(delSegs.size == 1,
+      s"ANN pooling must apply the 3 batches as ONE delete, got $delSegs")
+    assert(!fs.exists(new Path(
+      streaming.Streams.takedownPendingDir(dir))),
+      "flush must clear the pending pool")
+    val refDir = tmp("ann-pooled-ref") + "/index"
+    Similarity.buildAnnIndex(emb, refDir)
+    Similarity.removeFromAnnIndex(spark, refDir, gone)
+    assert(Similarity.annQueryIndex(spark, dir, 10, 5)
+      .collect().map(_.toSeq).toSet ==
+      Similarity.annQueryIndex(spark, refDir, 10, 5)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("writer-writer lease: a second updater fails fast with the " +
     "holder's identity, the index stays serveable, and the lease releases " +
     "for the next writer") {

@@ -1405,10 +1405,11 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     def annSums(dir: String) = spark.read.parquet(s"$dir/coarse_sums")
       .groupBy($"cell", $"d").agg(sum($"sd").as("sd"), sum($"cnt").as("cnt"))
       .where($"cnt" > 0).collect().map(_.toSeq).toSet
+    // seg AND pbucket are layout columns (round-13 bucket layout)
     Seq("cells", "vectors", "coarse_centroids").foreach { p =>
-      val got = spark.read.parquet(s"$incrDir/$p").drop("seg")
+      val got = spark.read.parquet(s"$incrDir/$p").drop("seg").drop("pbucket")
         .collect().map(_.toSeq).toSet
-      val want = spark.read.parquet(s"$fullDir/$p").drop("seg")
+      val want = spark.read.parquet(s"$fullDir/$p").drop("seg").drop("pbucket")
         .collect().map(_.toSeq).toSet
       assert(got == want, s"$p diverged from the full rebuild")
     }
@@ -2475,7 +2476,7 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     // the delete is a tombstone tier — equality holds at the LIVE surface
     // the probe reads (segment union minus tombstones; sums aggregated)
     def live(dir: String, c: String) = {
-      val df = spark.read.parquet(s"$dir/$c").drop("seg")
+      val df = spark.read.parquet(s"$dir/$c").drop("seg").drop("pbucket")
       if (new java.io.File(s"$dir/deleted").exists())
         df.join(spark.read.parquet(s"$dir/deleted").drop("seg")
           .select($"vec_id").distinct(), Seq("vec_id"), "left_anti")

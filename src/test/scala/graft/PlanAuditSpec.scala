@@ -34,6 +34,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "stream_ann_autocompact" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the policy-folded artifact)",
     "ann_index_del" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the post-delete artifact)",
     "stream_ann_takedown" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the stream-deleted artifact)",
+    "stream_ann_takedown_batched" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the pool-deleted artifact)",
     "ann_index_compact" -> "query x coarse-centroid table product (10 x 2^planes rows, read from the compacted artifact)",
     "sim_bm25_compact" -> "same artifact query shape after compaction: one-row stats broadcast",
     "sim_bm25_del" -> "same artifact query shape after the deletion merge: one-row stats broadcast",
