@@ -1601,9 +1601,13 @@ object SparkEntry {
           minContainX10000 = 8000)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // the 32-bit fingerprint TABLE (one-pass SimHashAgg) — the compact
+    // per-doc signature; pairing runs ONLY through the 60-bit banded path
+    // below (8-bit bands on a 32-bit hash go quadratic past ~100k docs —
+    // measured 15× slower at 500k, so the 32-bit pair path was removed)
     "dedup_simhash" -> ((s, d) =>
-      operators.Dedup.simhashPairs(Tables.documents(s, d), cfg.simhashMaxHamming)
-        .orderBy(col("doc_a"), col("doc_b"))),
+      operators.Dedup.simhashTable(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
 
     // the 60-bit scale-path sibling: same hamming<=3 semantics, 15-bit
     // bands cut random band collisions 128x (32-bit/8-bit banding is
@@ -1803,6 +1807,22 @@ object SparkEntry {
         stagedThisSession.add(dir)
       }
       operators.Similarity.annQueryIndex(s, dir, cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SHARD-PARALLEL ANN serving — the 100 TB shape: ONE shared training
+    // pass (the frozen PQ codebook copies into every shard, FAISS's
+    // shard-the-inverted-lists discipline), vec rows hash-split into 4
+    // complete sub-indexes with independent leases/segment logs; the
+    // fan-out query reconstructs the global probe order bit-exactly from
+    // the shards' mergeable integer coarse sums, so shard count changes
+    // no score — the UNSHARDED oracle SQL verbatim
+    "ann_ivfpq_sharded" -> ((s, d) => {
+      val dir = stagedDir("annshard", d, "p4m8b4r1-s4", fresh = true)
+      operators.Similarity.buildAnnIndexSharded(Tables.embeddings(s, d),
+        dir, shards = 4)
+      operators.Similarity.annQueryIndexSharded(s, dir,
+          cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3275,6 +3295,22 @@ object SparkEntry {
         operators.TextAnalysis.syntheticZipfCorpus(Tables.documents(s, d)),
         dir, maxDf = cfg.retrievalMaxDf)
       operators.Similarity.bm25QueryIndex(s, dir,
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SHARD-PARALLEL BM25 serving — the 100 TB shape: the corpus splits
+    // by doc hash into 4 complete sub-indexes (independent leases and
+    // segment logs; per-shard maintenance cost tracks the slice, never
+    // the total); the query fans out and merges df/n_docs/tot_len as
+    // associative integer sums, so shard count changes no score — the
+    // UNSHARDED oracle SQL verbatim
+    "sim_bm25_sharded" -> ((s, d) => {
+      val dir = stagedDir("bm25shard", d, "v1-zipf-s4", fresh = true)
+      operators.Similarity.buildBm25IndexSharded(
+        operators.TextAnalysis.syntheticZipfCorpus(Tables.documents(s, d)),
+        dir, shards = 4, maxDf = cfg.retrievalMaxDf)
+      operators.Similarity.bm25QueryIndexSharded(s, dir,
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -6333,6 +6369,8 @@ object SparkEntry {
            |WHERE est_jaccard_x100 >= 50 AND (doc_a >= 400 OR doc_b >= 400)
            |ORDER BY doc_a, doc_b""".stripMargin,
 
+      // the fingerprint TABLE only — pairing is 60-bit-banded (below);
+      // the 32-bit oracle pins SimHashAgg's integer vote arithmetic
       "dedup_simhash" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
@@ -6340,18 +6378,10 @@ object SparkEntry {
            |th AS (SELECT doc_id, cnt, ((${poly("tok")}) * 48271) % 4294967291 AS h FROM tc),
            |bits AS (SELECT doc_id, b,
            |    sum(cnt * ((CAST(floor(h / power(2, b)) AS BIGINT) % 2) * 2 - 1)) AS s
-           |  FROM th CROSS JOIN range(0, 32) r(b) GROUP BY doc_id, b),
-           |sim AS (SELECT doc_id,
+           |  FROM th CROSS JOIN range(0, 32) r(b) GROUP BY doc_id, b)
+           |SELECT doc_id,
            |    sum(CAST((CASE WHEN s > 0 THEN 1 ELSE 0 END) * power(2, b) AS BIGINT))::BIGINT AS simhash
-           |  FROM bits GROUP BY doc_id),
-           |banded AS (SELECT doc_id, simhash, j,
-           |    CAST(floor(simhash / power(2, j * 8)) AS BIGINT) % 256 AS bkey
-           |  FROM sim CROSS JOIN range(0, 4) r(j)),
-           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
-           |    y.doc_id AS doc_b, y.simhash AS sim_b
-           |  FROM banded x JOIN banded y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-           |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
-           |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+           |  FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // the 60-bit sibling: dual-fold token hash, exact integer bit ops
       // (the 32-bit oracle's floor(h/2^b) double path would lose low bits
@@ -7719,6 +7749,10 @@ object SparkEntry {
       "sim_bm25" -> bm25ZipfOracleSql,
 
       "sim_bm25_index" -> bm25ZipfOracleSql,
+
+      // shard-parallel serving merges the mergeable statistics exactly —
+      // shard count is layout, not semantics: the unsharded oracle verbatim
+      "sim_bm25_sharded" -> bm25ZipfOracleSql,
 
       // incremental update == full rebuild: the oracle replays BM25 over
       // the WHOLE corpus — the merged index must score identically
@@ -9607,6 +9641,9 @@ object SparkEntry {
     // assignment is the direct oracle's own coarse-quantizer CTE replay
     base +
       ("ann_ivfpq_index" -> base("ann_ivfpq")) +
+      // shard fan-out with one shared frozen codebook reconstructs the
+      // unsharded probe bit-exactly — same oracle SQL verbatim
+      ("ann_ivfpq_sharded" -> base("ann_ivfpq")) +
       // the streamed incremental maintenance accumulates the SAME index
       // as the one-shot incremental update (frozen quantizers, argmin
       // codes, associative sums) — same oracle SQL verbatim

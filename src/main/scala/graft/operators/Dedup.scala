@@ -397,11 +397,26 @@ object Dedup {
     * thereafter). */
   def buildMinhashMembers(spark: org.apache.spark.sql.SparkSession,
                           indexDir: String): Unit =
-    spark.read.parquet(indexDir)
+    // explicit schema: an index dir whose only batch produced zero
+    // signatures holds no parquet files, and schema INFERENCE would
+    // throw — with the schema the backfill just writes an empty map
+    spark.read.schema(minhashIndexSchema).parquet(indexDir)
       .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
       .distinct()
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(minhashMembersDir(indexDir))
+
+  /** The persisted signature-index schema ((doc_id, i, mh) partitioned by
+    * batch_id) — for inference-free reads of possibly-empty dirs. */
+  private val minhashIndexSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", org.apache.spark.sql.types.LongType)
+    .add("i", org.apache.spark.sql.types.IntegerType)
+    .add("mh", org.apache.spark.sql.types.LongType)
+    .add("batch_id", org.apache.spark.sql.types.LongType)
+
+  private val minhashMembersSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", org.apache.spark.sql.types.LongType)
+    .add("batch_id", org.apache.spark.sql.types.LongType)
 
   /** Rewrite `dir`'s touched batch_id partitions minus `gone` (dynamic
     * overwrite), deleting partitions left with no survivors — the shared
@@ -437,19 +452,42 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasMembers = fs.exists(new org.apache.hadoop.fs.Path(membersDir))
-    // the touched-partition PROBE: against the slim members map when the
-    // index carries one (O(docs) read, the scale path), else the
-    // signature scan (pre-members indexes stay serviceable).
-    // cast: a partition column read back from disk is inferred as INT
+    // the members sibling is a valid probe only when it COVERS every
+    // index batch (a partial map — e.g. per-batch appends started on top
+    // of a pre-members index — would silently miss every uncovered doc's
+    // signatures: an incomplete takedown with no error). Coverage is a
+    // cheap listing compare: every index batch_id= partition must exist
+    // in the members map (the reverse need not hold — an index partition
+    // emptied by an earlier takedown may linger members-side briefly).
+    def batchParts(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName).toSet
+    }
+    val membersCover =
+      hasMembers && batchParts(indexDir).subsetOf(batchParts(membersDir))
+    // the touched-partition PROBE: against the slim members map when it
+    // provably covers the index (O(docs) read, the scale path), else the
+    // signature scan (pre-members or partial-members indexes stay
+    // serviceable — and correct). Explicit schemas: either side may be an
+    // empty directory (a fully-taken-down index), where inference throws.
     val probe =
-      if (hasMembers) spark.read.parquet(membersDir)
-      else spark.read.parquet(indexDir)
+      if (membersCover)
+        spark.read.schema(minhashMembersSchema).parquet(membersDir)
+      else spark.read.schema(minhashIndexSchema).parquet(indexDir)
     val touched = probe.join(broadcast(gone), Seq("doc_id"))
       .select(col("batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
     if (touched.isEmpty) return
     rewritePartitionsMinus(spark, indexDir, gone, touched)
-    if (hasMembers) rewritePartitionsMinus(spark, membersDir, gone, touched)
+    if (membersCover) rewritePartitionsMinus(spark, membersDir, gone, touched)
+    // self-heal a PARTIAL map: this takedown already paid the signature
+    // scan; rebuilding the sibling here restores O(docs) probes for every
+    // later takedown instead of falling back forever
+    else if (hasMembers) buildMinhashMembers(spark, indexDir)
   }
 
   /** DELETE documents from a persisted [[spanIndex]] — the span family's
@@ -597,26 +635,12 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(graft.plans.SimHashAgg.simhashAgg(col("h"), col("cnt")).as("simhash"))
 
-  /** SimHash near-dup pairs: block on the 4 signature bytes (a pair within
-    * hamming ≤ 3 of a 32-bit hash must agree on ≥1 of 4 bytes — pigeonhole),
-    * then verify hamming distance with bit_count(xor). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val st = simhashTable(docs)
-    val banded = st.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("j"))
-      .withColumn("bkey", (floor(col("simhash") / pow(lit(2.0), col("j") * 8)).cast("long") % 256))
-    val cand = banded.alias("x")
-      .join(banded.alias("y"),
-        col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sim_a"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("sim_b"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-      .where(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-  }
+  // NOTE: there is deliberately NO 32-bit pair path. Banding a 32-bit
+  // fingerprint on 8-bit bands collides randomly at E[pairs] ≈ 4·n²/2·2⁻⁸
+  // — measured 15× slower than the 60-bit form at 500k docs and quadratic
+  // past that — so the ONLY pair operator is [[simhashPairs60]]; the
+  // 32-bit table survives as the compact per-doc fingerprint (and the
+  // SimHashAgg oracle pin), never as a blocking key.
 
   /** 60-bit SimHash table — the SCALE-PATH fingerprint width. The 32-bit
     * table's 8-bit blocking bands collide RANDOMLY at
@@ -637,7 +661,7 @@ object Dedup {
         .as("simhash"))
 
   /** SimHash near-dup pairs over the 60-bit fingerprint: block on the 4
-    * 15-bit bands, verify exact hamming — [[simhashPairs]]' semantics at
+    * 15-bit bands, verify exact hamming — hamming ≤ 3 pair semantics at
     * the blocking width a web-scale corpus needs. */
   def simhashPairs60(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val st = simhashTable60(docs)

@@ -532,25 +532,78 @@ object Similarity {
                        path: String, c: String): DataFrame =
     spark.read.parquet(s"$path/$c").drop("seg").drop("pbucket")
 
-  /** doc_id bucket count for the postings layout. Every postings segment
-    * is sub-partitioned by `pbucket = doc_id mod this`, so a takedown's
-    * df-decrement read (which needs ONLY the deleted docs' own rows)
-    * partition-prunes to the buckets holding deleted ids instead of
+  /** Default doc_id bucket count for the postings layout. Every postings
+    * segment is sub-partitioned by `pbucket = hash(doc_id) mod B`, so a
+    * takedown's df-decrement read (which needs ONLY the deleted docs' own
+    * rows) partition-prunes to the buckets holding deleted ids instead of
     * scanning the whole postings log — the read-side twin of the
-    * O(deleted) write contract. 32 at test scale; at 100 TB this is the
-    * knob that rises with the index (the layout carries it implicitly —
-    * readers derive buckets from the directory names, never from this
-    * constant). */
-  private val PostingsBuckets = 32L
+    * O(deleted) write contract. B is a BUILD/COMPACT parameter recorded
+    * in the artifact's `meta/` (a fixed constant would leave the prune
+    * factor flat while the index grows 100× — the O(index) slope would
+    * return one decade later); this is the floor, [[autoBuckets]] scales
+    * it to the build input, and probes read the artifact's own recorded
+    * count. */
+  private[graft] val DefaultPostingsBuckets = 32
+
+  /** Auto-scale cap: each bucket is one directory per base segment, so
+    * the count trades prune factor against listing cost; 4096 keeps
+    * buckets ~GB-sized at 100 TB-class corpora without exploding file
+    * counts. */
+  private val MaxPostingsBuckets = 4096
+
+  /** Bucket count scaled to the build input — target ≈1 GiB of estimated
+    * input bytes per bucket, floored at the default, capped. Uses
+    * Catalyst's plan-stats estimate: free (no extra pass), and only a
+    * LAYOUT choice rides on it — any value is correct, the recorded count
+    * is what probes must (and do) match. */
+  private def autoBuckets(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = bytes / (1L << 30)
+    val t = if (target > MaxPostingsBuckets) MaxPostingsBuckets else target.toInt
+    math.min(MaxPostingsBuckets, math.max(DefaultPostingsBuckets, t))
+  }
+
+  /** The id column CANONICALIZED for bucket hashing. Spark's hash() is
+    * TYPE-sensitive — hash(INT 5) != hash(LONG 5) — and the takedown
+    * probe hashes CALLER-supplied removeIds while the write side hashed
+    * the index's own (Long) ids: an IntegerType request would prune to
+    * the wrong buckets and the takedown would silently no-op. Every
+    * integral id therefore hashes at LONG width on both sides;
+    * non-integral key types (string ids) hash as themselves on both
+    * sides. */
+  private def canonId(df: DataFrame, idCol: String): Column =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => col(idCol).cast("long")
+      case _ => col(idCol)
+    }
 
   /** The bucket function is a HASH mix, not a plain modulus: real ingest
     * batches arrive as modular or range slices of the id space, and a
     * correlated bucket (doc_id mod B) would leave most buckets empty per
     * segment — collapsing write parallelism and unbalancing reads. Layout
     * only: the oracle never sees pbucket, so the Spark-native hash is
-    * fine (write and takedown-probe use this same function). */
-  private def pbucketOf(doc: Column): Column =
-    pmod(hash(doc).cast("long"), lit(PostingsBuckets)).cast("int")
+    * fine (write and takedown-probe use this same function, over
+    * [[canonId]]-canonicalized ids). */
+  private def pbucketOf(id: Column, buckets: Int): Column =
+    pmod(hash(id).cast("long"), lit(buckets.toLong)).cast("int")
+
+  /** The artifact's RECORDED bucket count — what every probe must hash
+    * against (a probe at any other count reads the wrong directories).
+    * Artifacts from before the count was recorded were all written at
+    * the then-hardcoded default, which is exactly the fallback. */
+  private def readBuckets(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Int = {
+    val fs = artifactFs(spark, path)
+    if (hasData(fs, new org.apache.hadoop.fs.Path(s"$path/meta"))) {
+      val m = spark.read.parquet(s"$path/meta")
+      if (m.columns.contains("n_buckets"))
+        m.select(col("n_buckets")).head().getInt(0)
+      else DefaultPostingsBuckets
+    } else DefaultPostingsBuckets
+  }
 
   /** The DELTA segments' sentinel bucket: small append/tier segments skip
     * true bucketing (a bare partitionBy from a 32-task plan writes tasks ×
@@ -563,18 +616,18 @@ object Similarity {
 
   /** Bucketed segment writer — shared by the BM25 postings layout (keyed
     * on doc_id) and the ANN vectors/cells layout (keyed on vec_id).
-    * `bucketed = true` (base-sized writes: build, full compaction)
-    * pre-repartitions on the bucket so each bucket lands from ~one task
-    * and the segment is O(buckets) files — the one narrow shuffle
-    * amortizes over every later pruned read. `bucketed = false` (delta
-    * appends, tier folds) writes the whole segment under the sentinel
-    * bucket: no shuffle, O(tasks) files. Every segment of a component
-    * must carry the pbucket directory level (mixed depths break partition
-    * discovery) — hence the sentinel rather than a flat delta dir. */
+    * Base-sized writes (build, full compaction) pre-repartition on the
+    * bucket so each bucket lands from ~one task and the segment is
+    * O(buckets) files — the one narrow shuffle amortizes over every later
+    * pruned read. Delta appends and tier folds instead write the whole
+    * segment under the sentinel bucket ([[writeSentinelSeg]]): no
+    * shuffle, O(tasks) files. Every segment of a component must carry the
+    * pbucket directory level (mixed depths break partition discovery) —
+    * hence the sentinel rather than a flat delta dir. */
   private def writeBucketedSeg(df: DataFrame, dir: String,
-                               idCol: String): Unit =
-    df.withColumn("pbucket", pbucketOf(col(idCol)))
-      .repartition(PostingsBuckets.toInt, col("pbucket"))
+                               idCol: String, buckets: Int): Unit =
+    df.withColumn("pbucket", pbucketOf(canonId(df, idCol), buckets))
+      .repartition(buckets, col("pbucket"))
       .write.partitionBy("pbucket").mode("overwrite").parquet(dir)
 
   /** The delta-segment form: whole segment under the sentinel bucket. */
@@ -582,15 +635,52 @@ object Similarity {
     df.withColumn("pbucket", lit(DeltaBucket))
       .write.partitionBy("pbucket").mode("overwrite").parquet(dir)
 
+  /** Layout of one LIVE component: Some(true) = bucketed (its segments
+    * carry the pbucket directory level), Some(false) = legacy flat (a
+    * pre-bucket artifact), None = no live data yet (a fresh build — the
+    * new layout applies). */
+  private def componentBucketed(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String,
+                                c: String): Option[Boolean] = {
+    val d = new org.apache.hadoop.fs.Path(s"$path/$c")
+    if (!fs.exists(d)) return None
+    val segs = fs.listStatus(d).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("seg=") &&
+        hasData(fs, st.getPath))
+    if (segs.isEmpty) None
+    else Some(segs.exists(st => fs.listStatus(st.getPath)
+      .exists(_.getPath.getName.startsWith("pbucket="))))
+  }
+
+  /** Delta-segment writer that PRESERVES the live component's partition
+    * depth: a pre-bucket (legacy) artifact's segments have no pbucket
+    * level, and writing a sentinel-bucketed delta next to them would
+    * leave MIXED depths under one component — Spark's partition discovery
+    * then fails ("conflicting directory structures") for every read,
+    * bricking the artifact including the compaction that could have
+    * migrated it. Legacy components therefore take FLAT deltas (pruned
+    * reads fall back to full scans there — correct, just unpruned) until
+    * a full compaction rewrites the whole component bucketed in one
+    * swap. */
+  private def writeDeltaSeg(spark: org.apache.spark.sql.SparkSession,
+                            path: String, c: String, df: DataFrame,
+                            target: String): Unit =
+    if (componentBucketed(artifactFs(spark, path), path, c).getOrElse(true))
+      writeSentinelSeg(df, target)
+    else df.write.mode("overwrite").parquet(target)
+
   /** Bucket-pruned component read for a takedown-shaped access: only the
     * buckets hashing a removed id — plus the sentinel delta bucket, small
-    * by the LSM invariant — are scanned. Falls back to the full read on a
-    * pre-bucket artifact. `removeIds` is takedown-batch-sized; only the
-    * ≤ buckets+1 DISTINCT bucket values reach the driver. */
+    * by the LSM invariant — are scanned. `buckets` must be the artifact's
+    * RECORDED count ([[readBuckets]]) — probing at any other count reads
+    * the wrong directories. Falls back to the full read on a pre-bucket
+    * artifact. `removeIds` is takedown-batch-sized; only the ≤ buckets+1
+    * DISTINCT bucket values reach the driver. */
   private def readPrunedByIds(spark: org.apache.spark.sql.SparkSession,
                               path: String, c: String, idCol: String,
-                              removeIds: DataFrame): DataFrame = {
-    val touched = removeIds.select(pbucketOf(col(idCol)).as("pb"))
+                              removeIds: DataFrame, buckets: Int): DataFrame = {
+    val touched = removeIds
+      .select(pbucketOf(canonId(removeIds, idCol), buckets).as("pb"))
       .distinct().collect().map(_.getInt(0)).toSeq :+ DeltaBucket
     val raw = spark.read.parquet(s"$path/$c")
     (if (raw.columns.contains("pbucket"))
@@ -680,8 +770,13 @@ object Similarity {
     * [[removeFromAnnIndex]], and the segment-layout note above. */
   def buildAnnIndex(emb: DataFrame, path: String,
                     planes: Int = 4, m: Int = 8, bits: Int = 4,
-                    dim: Int = 64, refine: Int = 1): Unit = {
+                    dim: Int = 64, refine: Int = 1,
+                    buckets: Int = 0): Unit = {
     require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    // 0 = auto: scale the vec_id bucket count to the input so the
+    // takedown prune factor grows with the index (recorded in meta/ —
+    // probes must hash at the build's count)
+    val b = if (buckets > 0) buckets else autoBuckets(emb)
     val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
     val assigned = coarseAssign(e, planes, dim)
     val (_, codes, centroids) = pqTrain(e, m, bits, dim / m, refine)
@@ -689,9 +784,11 @@ object Similarity {
     // postings: a takedown's negative-sums read prunes to the buckets
     // holding removed ids instead of scanning every vector
     writeBucketedSeg(assigned.select(col("vec_id"), col("vn")),
-      s"$path/vectors/seg=base", "vec_id")
+      s"$path/vectors/seg=base", "vec_id", b)
     writeBucketedSeg(assigned.select(col("vec_id"), col("cell")),
-      s"$path/cells/seg=base", "vec_id")
+      s"$path/cells/seg=base", "vec_id", b)
+    emb.sparkSession.range(1).select(lit(b).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
     // sums feed their own write AND the centroid derivation — materialize
     val sums = coarseSums(assigned).localCheckpoint()
     sums.write.mode("overwrite").parquet(s"$path/coarse_sums/seg=base")
@@ -774,10 +871,10 @@ object Similarity {
       .agg(min(struct(col("dist"), col("code"))).as("mi"))
       .select(col("vec_id"), col("s"), col("mi").getField("code").as("code"))
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    writeSentinelSeg(assigned.select(col("vec_id"), col("vn")),
-      stage(s"vectors/seg=$seg"))
-    writeSentinelSeg(assigned.select(col("vec_id"), col("cell")),
-      stage(s"cells/seg=$seg"))
+    writeDeltaSeg(spark, path, "vectors",
+      assigned.select(col("vec_id"), col("vn")), stage(s"vectors/seg=$seg"))
+    writeDeltaSeg(spark, path, "cells",
+      assigned.select(col("vec_id"), col("cell")), stage(s"cells/seg=$seg"))
     newCodes.write.mode("overwrite").parquet(stage(s"codes/seg=$seg"))
     // the batch's sums feed their own segment AND the centroid refresh
     val batchSums = coarseSums(assigned).localCheckpoint()
@@ -820,13 +917,14 @@ object Similarity {
       // (vec_id, cell, vn) of the ids actually live — re-deliveries vanish
       // bucket-pruned: only the vectors/cells buckets hashing a removed id
       // (plus the small sentinel deltas) are scanned for the negative sums
+      val b = readBuckets(spark, path)
       val removedAssigned =
         minusDeleted(
-          readPrunedByIds(spark, path, "vectors", "vec_id", gone),
+          readPrunedByIds(spark, path, "vectors", "vec_id", gone, b),
           del, "vec_id")
           .join(gone, Seq("vec_id"))
           .join(minusDeleted(
-            readPrunedByIds(spark, path, "cells", "vec_id", gone),
+            readPrunedByIds(spark, path, "cells", "vec_id", gone, b),
             del, "vec_id"),
             Seq("vec_id"))
           .select(col("vec_id"), col("cell"), col("vn"))
@@ -860,15 +958,20 @@ object Similarity {
     * before and after (the spec pins it); wholesale component swaps keep
     * every crash window repairable. */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit =
+                      path: String, buckets: Int = 0): Unit =
     graft.sources.AtomicSwap.withLease(spark, path) {
       graft.sources.AtomicSwap.recover(spark, path)
+      // 0 = keep the recorded count; >0 re-buckets (the resize path — the
+      // whole component rewrites here anyway). Also the MIGRATION point
+      // for pre-bucket artifacts: the full fold rewrites every segment of
+      // vectors/cells bucketed in one swap, so legacy layouts graduate.
+      val b = if (buckets > 0) buckets else readBuckets(spark, path)
       val del = deletedIds(spark, path, "vec_id")
       val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
       Seq("vectors", "cells").foreach { c =>
         writeBucketedSeg(
           minusDeleted(readSegs(spark, path, c), del, "vec_id"),
-          s"${stage(c)}/seg=base", "vec_id")
+          s"${stage(c)}/seg=base", "vec_id", b)
       }
       minusDeleted(readSegs(spark, path, "codes"), del, "vec_id")
         .write.mode("overwrite").parquet(s"${stage("codes")}/seg=base")
@@ -876,11 +979,17 @@ object Similarity {
       sums.write.mode("overwrite").parquet(s"${stage("coarse_sums")}/seg=base")
       centroidsFromSums(sums)
         .write.mode("overwrite").parquet(stage("coarse_centroids"))
+      // the recorded count commits WITH the re-bucketed layout — a meta
+      // write outside the swap could record a count the directories
+      // don't match after a crash, and every later probe would read the
+      // wrong buckets
+      spark.range(1).select(lit(b).as("n_buckets"))
+        .write.mode("overwrite").parquet(stage("meta"))
       val fs = artifactFs(spark, path)
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied
       graft.sources.AtomicSwap.commit(spark, path,
         Seq("vectors", "cells", "codes", "coarse_sums", "coarse_centroids",
-          "deleted"))
+          "deleted", "meta"))
     }
 
   /** EXACTLY-ONCE wrapper over [[updateAnnIndex]] — the ANN side of
@@ -1334,7 +1443,11 @@ object Similarity {
     * keep it current at O(batch)/O(deleted) write cost and
     * [[compactBm25Index]] folds the segment log on cadence (the
     * segment-layout note above [[buildAnnIndex]]). */
-  def buildBm25Index(docs: DataFrame, path: String, maxDf: Long = 1000): Unit = {
+  def buildBm25Index(docs: DataFrame, path: String, maxDf: Long = 1000,
+                     buckets: Int = 0): Unit = {
+    // 0 = auto: scale the doc_id bucket count to the corpus (recorded in
+    // meta/ — the takedown probe must hash at the build's count)
+    val b = if (buckets > 0) buckets else autoBuckets(docs)
     val tf = graft.functions.TextFunctions
       .explodeTokens(docs, "t", "doc_id")
       .where(col("t") =!= "")
@@ -1344,13 +1457,14 @@ object Similarity {
     writeBucketedSeg(
       tf.join(dfAll.where(col("df") <= maxDf).select(col("t")),
         Seq("t"), "left_semi"),
-      s"$path/postings/seg=base", "doc_id")
+      s"$path/postings/seg=base", "doc_id", b)
     dl.write.mode("overwrite").parquet(s"$path/doclen/seg=base")
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
       .write.mode("overwrite").parquet(s"$path/stats/seg=base")
     dfAll.write.mode("overwrite").parquet(s"$path/termdf/seg=base")
-    docs.sparkSession.range(1).select(lit(maxDf).as("max_df"))
+    docs.sparkSession.range(1)
+      .select(lit(maxDf).as("max_df"), lit(b).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -1413,7 +1527,7 @@ object Similarity {
     val dl = newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint() // feeds its own segment AND the stats row
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    writeSentinelSeg(newTf, stage(s"postings/seg=$seg"))
+    writeDeltaSeg(spark, path, "postings", newTf, stage(s"postings/seg=$seg"))
     newTf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
     dl.write.mode("overwrite").parquet(stage(s"doclen/seg=$seg"))
@@ -1506,7 +1620,8 @@ object Similarity {
         // is ≤ PostingsBuckets values off the checkpointed goneDl, never
         // a data collect.
         minusDeleted(
-          readPrunedByIds(spark, path, "postings", "doc_id", goneDl),
+          readPrunedByIds(spark, path, "postings", "doc_id", goneDl,
+            readBuckets(spark, path)),
           del, "doc_id")
           .join(broadcast(goneDl.select(col("doc_id"))), Seq("doc_id"),
             "left_semi")
@@ -1529,10 +1644,14 @@ object Similarity {
     * storage bound. Query results are identical before and after (the
     * spec pins it). The ONE deliberately index-sized write. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Unit =
+                       path: String, buckets: Int = 0): Unit =
     graft.sources.AtomicSwap.withLease(spark, path) {
       graft.sources.AtomicSwap.recover(spark, path)
       val maxDf = readMaxDf(spark, path)
+      // 0 = keep the recorded count; >0 re-buckets (the resize path) —
+      // and the MIGRATION point for pre-bucket artifacts: the full fold
+      // rewrites the whole postings component bucketed in one swap
+      val b = if (buckets > 0) buckets else readBuckets(spark, path)
       val del = deletedIds(spark, path, "doc_id")
       val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
       val dfAgg = readSegs(spark, path, "termdf")
@@ -1544,7 +1663,7 @@ object Similarity {
           .join(dfAgg.where(col("df") <= maxDf).select(col("t")),
             Seq("t"), "left_semi")
           .select(col("doc_id"), col("t"), col("tf")),
-        s"${stage("postings")}/seg=base", "doc_id")
+        s"${stage("postings")}/seg=base", "doc_id", b)
       dfAgg.write.mode("overwrite").parquet(s"${stage("termdf")}/seg=base")
       val dl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
         .localCheckpoint() // feeds its own segment AND the stats row
@@ -1552,10 +1671,15 @@ object Similarity {
       dl.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
         .write.mode("overwrite").parquet(s"${stage("stats")}/seg=base")
+      // recorded count commits WITH the layout it describes (see
+      // compactAnnIndex)
+      spark.range(1)
+        .select(lit(maxDf).as("max_df"), lit(b).as("n_buckets"))
+        .write.mode("overwrite").parquet(stage("meta"))
       artifactFs(spark, path)
         .mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied
       graft.sources.AtomicSwap.commit(spark, path,
-        Seq("postings", "termdf", "doclen", "stats", "deleted"))
+        Seq("postings", "termdf", "doclen", "stats", "deleted", "meta"))
     }
 
   /** Live segment-directory count of one artifact — the LSM merge-policy
@@ -1642,7 +1766,8 @@ object Similarity {
             .reduce(_ unionByName _))
         partitionCols.get(c) match {
           case Some(_) => // tier outputs are delta-sized — sentinel bucket
-            writeSentinelSeg(merged, stage(s"$c/seg=$newSeg"))
+            // (or flat, matching a legacy component's depth)
+            writeDeltaSeg(spark, path, c, merged, stage(s"$c/seg=$newSeg"))
           case None => merged.write.mode("overwrite")
             .parquet(stage(s"$c/seg=$newSeg"))
         }
@@ -1755,6 +1880,216 @@ object Similarity {
     else { compactAnnIndex(spark, path); true }
   }
 
+  // ---- Shard-parallel index serving ---------------------------------------
+  // At 100 TB one directory tree per index is the wrong unit: builds,
+  // compactions, and every maintenance write serialize over a single
+  // artifact (one lease, one segment log, one listing). The SHARDED form
+  // splits ROWS by id hash into N sub-indexes — each a complete,
+  // independently-queryable, independently-maintainable buildBm25Index /
+  // buildAnnIndex artifact under `<path>/shard=NNN` with its own lease and
+  // LSM segment log — so per-shard maintenance cost is independent of
+  // TOTAL index size and shards update/compact/take down in parallel.
+  // Queries fan out over the shards and MERGE EXACTLY:
+  //  - BM25: df / n_docs / tot_len are associative integer sums across
+  //    shards (the same mergeability that makes the segment log exact),
+  //    and per-shard df-cap eviction only ever drops rows of terms whose
+  //    GLOBAL df also exceeds the cap (shard df <= global df), which the
+  //    query-time aggregated-cap filter drops anyway.
+  //  - ANN: the quantizers are trained ONCE over the full build corpus and
+  //    FROZEN into every shard (FAISS's shard-the-inverted-lists
+  //    discipline: one codebook, N inverted-list slices), and the global
+  //    probe-order centroids reconstruct bit-exactly from the shards'
+  //    mergeable integer coarse sums.
+  // Shard count must therefore not change a single score —
+  // `sim_bm25_sharded` / `ann_ivfpq_sharded` share the UNSHARDED oracle
+  // SQL verbatim.
+
+  /** Shard routing — the same canonical-id hash mix as [[pbucketOf]]
+    * (write side and maintenance probes must agree across id widths). */
+  private def shardOf(df: DataFrame, idCol: String, shards: Int): Column =
+    pmod(hash(canonId(df, idCol)).cast("long"), lit(shards.toLong))
+      .cast("int")
+
+  private def shardDir(path: String, i: Int): String = f"$path/shard=$i%03d"
+
+  /** The recorded shard count — routing must hash at the build's count. */
+  private def readShards(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Int =
+    spark.read.parquet(s"$path/shards_meta")
+      .select(col("n_shards")).head().getInt(0)
+
+  private def shardDirs(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[String] =
+    (0 until readShards(spark, path)).map(shardDir(path, _))
+
+  /** Build a BM25 index as N hash-sharded sub-artifacts. Each shard is a
+    * full [[buildBm25Index]] artifact over its doc slice; the corpus pass
+    * is shared (one checkpoint feeds every shard's filtered build). */
+  def buildBm25IndexSharded(docs: DataFrame, path: String, shards: Int,
+                            maxDf: Long = 1000, buckets: Int = 0): Unit = {
+    require(shards >= 1, "shards must be positive")
+    val d = docs.localCheckpoint()
+    (0 until shards).foreach { i =>
+      buildBm25Index(d.where(shardOf(d, "doc_id", shards) === i),
+        shardDir(path, i), maxDf, buckets)
+    }
+    d.sparkSession.range(1).select(lit(shards).as("n_shards"))
+      .write.mode("overwrite").parquet(s"$path/shards_meta")
+  }
+
+  /** Query a sharded BM25 index: per-shard live views union, the global
+    * statistics aggregate across shards (associative integer sums), and
+    * the score equals [[bm25QueryIndex]] over one index of the same
+    * corpus — shard count is layout, not semantics. */
+  def bm25QueryIndexSharded(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queryIds: Seq[Long], k: Int,
+                            idfCapX100: Long = 10000,
+                            k1X10: Long = 12, bX100: Long = 75): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "need query docs and positive k")
+    val dirs = shardDirs(spark, path)
+    dirs.foreach(dir =>
+      graft.sources.AtomicSwap.recover(spark, dir, cleanStale = false))
+    val maxDf = readMaxDf(spark, dirs.head)
+    def live(c: String): DataFrame = dirs.map { dir =>
+      minusDeleted(readSegs(spark, dir, c),
+        deletedIds(spark, dir, "doc_id"), "doc_id")
+    }.reduce(_ unionByName _)
+    val stats = dirs.map(dir => readSegs(spark, dir, "stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_len")).as("tot_len"))
+      .where(col("n_docs") > 0)
+    val dfT = dirs.map(dir => readSegs(spark, dir, "termdf"))
+      .reduce(_ unionByName _)
+      .groupBy(col("t")).agg(sum(col("df")).as("df"))
+      .where(col("df") > 0 && col("df") <= maxDf)
+    bm25ScoreServed(live("postings"), live("doclen"), stats, dfT,
+      queryIds, k, idfCapX100, k1X10, bX100)
+  }
+
+  /** Absorb a batch into a sharded BM25 index: the batch routes by doc
+    * hash and only the receiving shards do any work — per-shard append
+    * cost tracks the SLICE, never the total index. */
+  def updateBm25IndexSharded(spark: org.apache.spark.sql.SparkSession,
+                             path: String, newDocs: DataFrame): Unit = {
+    val shards = readShards(spark, path)
+    val d = newDocs.localCheckpoint()
+    (0 until shards).foreach { i =>
+      val slice = d.where(shardOf(d, "doc_id", shards) === i)
+      if (!slice.isEmpty) updateBm25Index(spark, shardDir(path, i), slice)
+    }
+  }
+
+  /** Takedown against a sharded BM25 index: requests route by doc hash,
+    * so only the shards actually holding a removed id pay their (bucket-
+    * pruned) decrement read — per-request cost independent of total index
+    * size. */
+  def removeFromBm25IndexSharded(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, removeIds: DataFrame): Unit = {
+    val shards = readShards(spark, path)
+    val ids = removeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val touched = ids.select(shardOf(ids, "doc_id", shards).as("sh"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    touched.foreach { i =>
+      removeFromBm25Index(spark, shardDir(path, i),
+        ids.where(shardOf(ids, "doc_id", shards) === i))
+    }
+  }
+
+  /** Build an IVF+PQ index as N hash-sharded sub-artifacts with ONE
+    * shared training pass: the coarse tier is fixed hyperplanes, the PQ
+    * codebook trains over the FULL corpus and freezes into every shard,
+    * and each shard holds its vec-slice of vectors/cells/codes plus its
+    * own mergeable coarse sums. Every shard is a complete
+    * [[buildAnnIndex]]-shaped artifact (queryable and maintainable alone);
+    * the fan-out query reconstructs the global probe order exactly. */
+  def buildAnnIndexSharded(emb: DataFrame, path: String, shards: Int,
+                           planes: Int = 4, m: Int = 8, bits: Int = 4,
+                           dim: Int = 64, refine: Int = 1,
+                           buckets: Int = 0): Unit = {
+    require(shards >= 1, "shards must be positive")
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    val b = if (buckets > 0) buckets else autoBuckets(emb)
+    val spark = emb.sparkSession
+    val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
+    val assigned = coarseAssign(e, planes, dim)
+    val (_, codesAll, centroids) = pqTrain(e, m, bits, dim / m, refine)
+    val codes = codesAll.localCheckpoint() // feeds every shard's filter
+    val cents = centroids.localCheckpoint()
+    (0 until shards).foreach { i =>
+      val dir = shardDir(path, i)
+      val mine = assigned.where(shardOf(assigned, "vec_id", shards) === i)
+      writeBucketedSeg(mine.select(col("vec_id"), col("vn")),
+        s"$dir/vectors/seg=base", "vec_id", b)
+      writeBucketedSeg(mine.select(col("vec_id"), col("cell")),
+        s"$dir/cells/seg=base", "vec_id", b)
+      val sums = coarseSums(mine).localCheckpoint()
+      sums.write.mode("overwrite").parquet(s"$dir/coarse_sums/seg=base")
+      centroidsFromSums(sums)
+        .write.mode("overwrite").parquet(s"$dir/coarse_centroids")
+      codes.where(shardOf(codes, "vec_id", shards) === i)
+        .write.mode("overwrite").parquet(s"$dir/codes/seg=base")
+      cents.write.mode("overwrite").parquet(s"$dir/pq_centroids")
+      spark.range(1).select(lit(b).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    spark.range(1).select(lit(shards).as("n_shards"))
+      .write.mode("overwrite").parquet(s"$path/shards_meta")
+  }
+
+  /** Query a sharded ANN index: per-shard live components union, the
+    * global probe-order centroids reconstruct from the shards' mergeable
+    * integer coarse sums (bit-exact — the same associativity the segment
+    * log relies on), and the shared frozen codebook serves the ADC — the
+    * answer equals [[annQueryIndex]] over one index of the same corpus. */
+  def annQueryIndexSharded(spark: org.apache.spark.sql.SparkSession,
+                           path: String, nQueries: Int, k: Int,
+                           nProbe: Int = 4, m: Int = 8, dim: Int = 64,
+                           shortlist: Int = 50): DataFrame = {
+    val dirs = shardDirs(spark, path)
+    dirs.foreach(dir =>
+      graft.sources.AtomicSwap.recover(spark, dir, cleanStale = false))
+    def live(c: String): DataFrame = dirs.map { dir =>
+      minusDeleted(readSegs(spark, dir, c),
+        deletedIds(spark, dir, "vec_id"), "vec_id")
+    }.reduce(_ unionByName _)
+    val cents = centroidsFromSums(aggSums(
+      dirs.map(dir => readSegs(spark, dir, "coarse_sums"))
+        .reduce(_ unionByName _)))
+    ivfPqProbe(live("vectors"), live("cells"), cents, live("codes"),
+      spark.read.parquet(s"${dirs.head}/pq_centroids"),
+      nQueries, k, nProbe, m, dim, shortlist)
+  }
+
+  /** Absorb a vector batch into a sharded ANN index — routes by vec hash;
+    * each receiving shard runs its own frozen-quantizer O(slice) append
+    * under its own lease. */
+  def updateAnnIndexSharded(spark: org.apache.spark.sql.SparkSession,
+                            path: String, newEmb: DataFrame,
+                            planes: Int = 4, m: Int = 8,
+                            dim: Int = 64): Unit = {
+    val shards = readShards(spark, path)
+    val d = newEmb.localCheckpoint()
+    (0 until shards).foreach { i =>
+      val slice = d.where(shardOf(d, "vec_id", shards) === i)
+      if (!slice.isEmpty)
+        updateAnnIndex(spark, shardDir(path, i), slice, planes, m, dim)
+    }
+  }
+
+  /** Takedown against a sharded ANN index — only the shards holding a
+    * removed id pay their bucket-pruned negative-sums read. */
+  def removeFromAnnIndexSharded(spark: org.apache.spark.sql.SparkSession,
+                                path: String, removeIds: DataFrame): Unit = {
+    val shards = readShards(spark, path)
+    val ids = removeIds.select(col("vec_id")).distinct().localCheckpoint()
+    val touched = ids.select(shardOf(ids, "vec_id", shards).as("sh"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    touched.foreach { i =>
+      removeFromAnnIndex(spark, shardDir(path, i),
+        ids.where(shardOf(ids, "vec_id", shards) === i))
+    }
+  }
+
   /** Query a [[buildBm25Index]] artifact: identical scoring to
     * [[bm25TopKFor]], but every input is an index read — the corpus is
     * never scanned. Query bags come from the query docs' own postings. */
@@ -1785,6 +2120,20 @@ object Similarity {
     val dfT = readSegs(spark, path, "termdf")
       .groupBy(col("t")).agg(sum(col("df")).as("df"))
       .where(col("df") > 0 && col("df") <= maxDf)
+    bm25ScoreServed(postings, dl, stats, dfT, queryIds, k,
+      idfCapX100, k1X10, bX100)
+  }
+
+  /** The BM25 scoring core over SERVED views — shared verbatim by the
+    * single-artifact query and the shard fan-out ([[bm25QueryIndexSharded]]):
+    * `postings`/`dl` are live (tombstone-masked) rows, `stats` the
+    * aggregated one-row (n_docs, tot_len), `dfT` the aggregated,
+    * cap-filtered per-term df. Fixed-point arithmetic throughout. */
+  private def bm25ScoreServed(postings: DataFrame, dl: DataFrame,
+                              stats: DataFrame, dfT: DataFrame,
+                              queryIds: Seq[Long], k: Int,
+                              idfCapX100: Long, k1X10: Long,
+                              bX100: Long): DataFrame = {
     val qTerms = postings.where(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("query_id"), col("t")).distinct()
     val scored = qTerms

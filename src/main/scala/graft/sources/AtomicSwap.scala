@@ -137,13 +137,98 @@ object AtomicSwap {
 
   private val LeaseName = "_writer_lease"
 
+  /** Staleness window after which a lease whose holder stopped
+    * HEARTBEATING (the lease file's modification time — [[withLease]]
+    * re-touches it on a cadence while its body runs) is presumed crashed
+    * and may be reclaimed. Live holders heartbeat every
+    * [[HeartbeatMs]] ≪ this, so a healthy long-running compaction is
+    * never at risk; 15 min bounds how long a crashed cross-host holder
+    * can wedge an artifact (a SAME-host crashed holder is detected
+    * immediately via its pid). */
+  val DefaultLeaseStaleMs: Long = 15 * 60 * 1000L
+
+  /** Lease heartbeat cadence (a single cheap `setTimes` metadata call). */
+  private val HeartbeatMs: Long = 10 * 1000L
+
   /** Exception a second concurrent updater gets — fail-fast, never a
     * corrupted staging tree. */
   final class LeaseHeldException(path: String, holder: String)
     extends IllegalStateException(
       s"another updater holds the writer lease on $path ($holder); " +
         "concurrent index updates are not supported — retry after it " +
-        s"finishes, or delete $path/$LeaseName if its holder crashed")
+        s"finishes, or run AtomicSwap.breakLease($path) if its holder " +
+        "crashed (refused while the holder is provably alive)")
+
+  private def leasePath(root: Path) = new Path(root, LeaseName)
+
+  private def localHostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "localhost" }
+
+  /** The recorded holder string (`pid=N@host`), or a placeholder when the
+    * lease vanished or is unreadable mid-check. */
+  private def readHolder(fs: FileSystem, lease: Path): String =
+    try {
+      val in = fs.open(lease)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, UTF_8)
+      } finally in.close()
+    } catch { case _: java.io.IOException => "unknown holder" }
+
+  private val HolderRe = "pid=(\\d+)@(\\S+)".r
+
+  /** True when the recorded holder is PROVABLY alive: it names a pid on
+    * THIS host and that pid is running. A holder on another host is never
+    * provably alive from here — heartbeat age is the only cross-host
+    * liveness signal. */
+  private def holderProvablyLive(holder: String): Boolean =
+    HolderRe.findFirstMatchIn(holder).exists { m =>
+      m.group(2) == localHostName &&
+        (try ProcessHandle.of(m.group(1).toLong)
+          .map[Boolean](_.isAlive).orElse(false)
+        catch { case _: NumberFormatException => false })
+    }
+
+  /** True when the recorded holder PROVABLY crashed: a pid on this host
+    * that is no longer running. (Cross-host holders are never provably
+    * dead — only stale.) */
+  private def holderProvablyDead(holder: String): Boolean =
+    HolderRe.findFirstMatchIn(holder).exists { m =>
+      m.group(2) == localHostName &&
+        (try !ProcessHandle.of(m.group(1).toLong)
+          .map[Boolean](_.isAlive).orElse(false)
+        catch { case _: NumberFormatException => false })
+    }
+
+  /** Milliseconds since the lease's last heartbeat, or 0 when unreadable
+    * (vanished mid-check — treat as fresh, the next acquire re-checks). */
+  private def leaseAgeMs(fs: FileSystem, lease: Path): Long =
+    try math.max(0L,
+      System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime)
+    catch { case _: java.io.IOException => 0L }
+
+  /** Force-release a lease whose holder crashed — the documented recovery
+    * path for a wedged artifact. REFUSES (returns false) while the holder
+    * is provably alive (same-host running pid), and also while a
+    * cross-host / unparseable holder is still inside its staleness window
+    * (its heartbeat may just be slow). Returns true when the lease was
+    * removed (or was already gone). The NEXT writer's own `withLease`
+    * runs [[recover]], repairing any swap the dead holder left in
+    * flight. */
+  def breakLease(spark: SparkSession, path: String,
+                 staleMs: Long = DefaultLeaseStaleMs): Boolean = {
+    val (fs, root) = fsOf(spark, path)
+    val lease = leasePath(root)
+    if (!fs.exists(lease)) return true
+    val holder = readHolder(fs, lease)
+    if (holderProvablyLive(holder)) false // never break a running holder
+    else if (holderProvablyDead(holder) || leaseAgeMs(fs, lease) >= staleMs) {
+      fs.delete(lease, false)
+      true
+    } else false
+  }
 
   /** WRITER-WRITER mutual exclusion for one artifact directory. The swap
     * protocol above makes reader-vs-writer races safe, but two concurrent
@@ -155,34 +240,72 @@ object AtomicSwap {
     * the winner's identity, before writing a single staged byte. The lease
     * is released in a `finally`, AFTER commit's marker removal, so a crash
     * mid-commit leaves both the marker (repairable by [[recover]]) and the
-    * lease (telling the next writer a repair may be pending). A lease with
-    * no marker after a crash is stale residue; the error message names the
-    * file to delete — fail-fast and explicit beats silently stealing a
-    * lease whose holder may still be alive. */
-  def withLease[A](spark: SparkSession, path: String)(body: => A): A = {
+    * lease (telling the next writer a repair may be pending).
+    *
+    * LIVENESS: while the body runs, a daemon heartbeat re-touches the
+    * lease file every [[HeartbeatMs]]; a contending writer that finds the
+    * lease PROVABLY DEAD (same-host pid gone) or STALE (no heartbeat for
+    * `staleMs`) reclaims it — atomic re-create decides any reclaim race —
+    * and first runs [[recover]] to repair whatever swap the dead holder
+    * left in flight. A provably-live or still-heartbeating holder is
+    * never broken. Failure to record the holder identity after winning
+    * the create releases the lease before rethrowing (no orphan), and a
+    * create failure raises [[LeaseHeldException]] only when the lease
+    * demonstrably exists — a transient fs error propagates as itself. */
+  def withLease[A](spark: SparkSession, path: String,
+                   staleMs: Long = DefaultLeaseStaleMs)(body: => A): A = {
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
-    val lease = new Path(root, LeaseName)
-    val holder = s"pid=${ProcessHandle.current().pid()}@" +
-      java.net.InetAddress.getLocalHost.getHostName
-    val out =
-      try fs.create(lease, false) // atomic: fails if the lease exists
+    val lease = leasePath(root)
+    val holder = s"pid=${ProcessHandle.current().pid()}@$localHostName"
+
+    def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
+      try Some(fs.create(lease, false)) // atomic: fails if the lease exists
       catch {
-        case _: java.io.IOException =>
-          val existing =
-            try {
-              val in = fs.open(lease)
-              try {
-                val buf = new java.io.ByteArrayOutputStream()
-                org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-                new String(buf.toByteArray, UTF_8)
-              } finally in.close()
-            } catch { case _: java.io.IOException => "unknown holder" }
-          throw new LeaseHeldException(path, existing)
+        case e: java.io.IOException =>
+          if (fs.exists(lease)) None // genuinely held — caller adjudicates
+          else throw e // transient fs error, not a held lease
       }
-    try out.write(holder.getBytes(UTF_8)) finally out.close()
-    try body
-    finally fs.delete(lease, false)
+
+    var reclaimed = false
+    val out = tryCreate().getOrElse {
+      val existing = readHolder(fs, lease)
+      val dead = holderProvablyDead(existing)
+      val stale = !holderProvablyLive(existing) &&
+        leaseAgeMs(fs, lease) >= staleMs
+      if (dead || stale) {
+        fs.delete(lease, false)
+        reclaimed = true
+        // atomic re-create decides a reclaim race: exactly one contender
+        // wins; the rest see a fresh lease and fail held as usual
+        tryCreate().getOrElse(
+          throw new LeaseHeldException(path, readHolder(fs, lease)))
+      } else throw new LeaseHeldException(path, existing)
+    }
+    // no orphan: once create succeeded, ANY failure before the body's own
+    // try/finally is entered must release the lease
+    try {
+      try out.write(holder.getBytes(UTF_8)) finally out.close()
+    } catch { case e: Throwable => fs.delete(lease, false); throw e }
+
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(math.min(HeartbeatMs, math.max(staleMs / 3, 1L)))
+        try fs.setTimes(lease, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () } // missed beat, not fatal
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$path")
+    beat.setDaemon(true)
+    beat.start()
+    try {
+      // a reclaimed lease means its holder died mid-update: repair any
+      // in-flight swap before the body stages anything on top of it
+      if (reclaimed) recover(spark, path)
+      body
+    } finally {
+      beat.interrupt()
+      fs.delete(lease, false)
+    }
   }
 
   /** Repair an interrupted [[commit]]. `cleanStale = false` (read-side

@@ -228,11 +228,22 @@ object Streams {
         // map for touched partitions instead of scanning the signature
         // index — the batch's doc list comes off the just-written
         // partition (partition-pruned), so docs too short to signature
-        // never become members
-        writePartition(
+        // never become members. When the sibling is ABSENT — first batch
+        // of a fresh index (then the backfill IS this batch), or a
+        // pre-members legacy index being absorbed into — a per-batch
+        // append would leave a PARTIAL map covering only new batches, and
+        // the takedown probing it would silently miss every pre-members
+        // doc; backfill from the full index instead (one-time O(index),
+        // O(batch) per batch thereafter).
+        val membersDir = graft.operators.Dedup.minhashMembersDir(indexDir)
+        val mfs = new org.apache.hadoop.fs.Path(membersDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!mfs.exists(new org.apache.hadoop.fs.Path(membersDir)))
+          graft.operators.Dedup.buildMinhashMembers(spark, indexDir)
+        else writePartition(
           idx.where(col("batch_id") === lit(batchId))
             .select(col("doc_id")).distinct(),
-          graft.operators.Dedup.minhashMembersDir(indexDir))
+          membersDir)
         val sigCols = Seq(col("doc_id"), col("i"), col("mh"))
         writePartition(
           graft.operators.Dedup.minhashPairsIncrementalSigs(
@@ -503,8 +514,15 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(pending)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(pending))) return
+    // explicit schema: a pool dir that exists but holds no parquet files
+    // (a replayed empty micro-batch, or a crash right after mkdir) would
+    // make schema INFERENCE throw and kill the stream/flush — with a
+    // schema the read is just empty and the delete below no-ops
+    val poolSchema = new StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("batch_id", org.apache.spark.sql.types.LongType)
     graft.operators.Similarity.removeFromBm25Index(spark, indexDir,
-      spark.read.parquet(pending).select(col("doc_id")))
+      spark.read.schema(poolSchema).parquet(pending).select(col("doc_id")))
     fs.delete(new org.apache.hadoop.fs.Path(pending), true)
   }
 
@@ -571,8 +589,13 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(pending)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(pending))) return
+    // explicit schema, same as flushPendingTakedowns: an empty pool dir
+    // must read as zero requests, not an inference AnalysisException
+    val poolSchema = new StructType()
+      .add("vec_id", org.apache.spark.sql.types.LongType)
+      .add("batch_id", org.apache.spark.sql.types.LongType)
     graft.operators.Similarity.removeFromAnnIndex(spark, indexDir,
-      spark.read.parquet(pending).select(col("vec_id")))
+      spark.read.schema(poolSchema).parquet(pending).select(col("vec_id")))
     fs.delete(new org.apache.hadoop.fs.Path(pending), true)
   }
 

@@ -256,6 +256,132 @@ object FoldCost {
   }
 }
 
+/** Bucket-count scaling evidence for the parameterized postings layout:
+  * builds the SAME corpus's BM25 index at two bucket counts, then times a
+  * ONE-ID takedown against each and reports the bytes its df-decrement
+  * read actually scanned (stage input bytes). The claim under test: the
+  * takedown read tracks BUCKET size (index/B), not index size — so at
+  * 100× the index, raising B holds the per-takedown read flat. Usage:
+  * SPARK_GRAFT_SF_DIR=... tools/run.sh graft.BucketProbeCost
+  * [scratchDir] [bucketsA] [bucketsB]. */
+object BucketProbeCost {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val spark = DevTools.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+    import spark.implicits._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val root = args.headOption.getOrElse("/tmp/graft-bucketcost")
+    val bA = if (args.length > 1) args(1).toInt else 32
+    val bB = if (args.length > 2) args(2).toInt else 256
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val victim = docs.select(max(col("doc_id"))).head().getLong(0)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytesRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+      })
+    Seq(bA, bB).foreach { b =>
+      val dir = s"$root/b$b"
+      Similarity.buildBm25Index(docs, dir, maxDf = 1000, buckets = b)
+      val idxBytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(dir)).getLength
+      // listener events are async — settle (the LsmMaintenanceSpec pattern)
+      def settle(): Unit = {
+        var last = -1L; var attempts = 0
+        while (bytesRead.get() != last && attempts < 50) {
+          last = bytesRead.get(); Thread.sleep(100); attempts += 1
+        }
+      }
+      settle()
+      bytesRead.set(0L)
+      val t0 = System.nanoTime()
+      Similarity.removeFromBm25Index(spark, dir,
+        Seq(victim).toDF("doc_id"))
+      val secs = (System.nanoTime() - t0) / 1e9
+      settle()
+      println(f"===== buckets $b index_bytes $idxBytes " +
+        f"takedown_read_bytes ${bytesRead.get()} secs $secs%.2f")
+    }
+    spark.stop()
+  }
+}
+
+/** Build-vs-maintain split for the `stream_*_autocompact` cells: the
+  * bench cell builds the corpus-sized base index IN-QUERY, so its scale
+  * slope conflates the O(corpus) build floor with the O(batch) + O(tier)
+  * maintenance the LSM policy actually claims. This A/B times them apart
+  * over a PRE-BUILT base fixture: `build` = the one-off base index
+  * build; `maintain` = draining the delta quarter as a 3-micro-batch
+  * stream with in-loop tier folds (autoCompactSegments = 2) — the
+  * steady-state cost a long-lived pipeline pays per batch. Run at two
+  * scale replicas, the maintain slope alone is the policy's claim.
+  * Usage: SPARK_GRAFT_SF_DIR=... tools/run.sh graft.AutoCompactAB
+  * [scratchDir]. */
+object AutoCompactAB {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val spark = DevTools.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val root = args.headOption.getOrElse("/tmp/graft-acab")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // ---- BM25 leg (the stream_bm25_autocompact shape, split) ----
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val bmBuild = timed {
+      Similarity.buildBm25Index(docs.where(col("doc_id") % 4 =!= 0),
+        s"$root/bm25/index", maxDf = 1000) // the bench cell's cap
+    }
+    docs.where(col("doc_id") % 4 === 0)
+      .repartition(3).write.mode("overwrite").parquet(s"$root/bm25/src")
+    val docSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val bmMaintain = timed {
+      graft.streaming.Streams.streamingBm25Update(spark,
+          graft.streaming.Streams.fileSource(spark, s"$root/bm25/src",
+            docSchema, maxFilesPerTrigger = 1),
+          s"$root/bm25/index", s"$root/bm25/ck", autoCompactSegments = 2)
+        .awaitTermination()
+    }
+    // ---- ANN leg (the stream_ann_autocompact shape, split) ----
+    val emb = Tables.embeddings(spark, sfDir)
+    val annBuild = timed {
+      Similarity.buildAnnIndex(emb.where(col("vec_id") % 4 =!= 0),
+        s"$root/ann/index")
+    }
+    emb.where(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(3).write.mode("overwrite").parquet(s"$root/ann/src")
+    val embSchema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", org.apache.spark.sql.types.LongType)
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val annMaintain = timed {
+      graft.streaming.Streams.streamingAnnUpdate(spark,
+          graft.streaming.Streams.fileSource(spark, s"$root/ann/src",
+            embSchema, maxFilesPerTrigger = 1),
+          s"$root/ann/index", s"$root/ann/ck", autoCompactSegments = 2)
+        .awaitTermination()
+    }
+    println(f"===== bm25 build $bmBuild%.2fs maintain $bmMaintain%.2fs")
+    println(f"===== ann  build $annBuild%.2fs maintain $annMaintain%.2fs")
+    spark.stop()
+  }
+}
+
 /** Candidate-volume decomposition for the pHash multi-index lever:
   * images, true pairs (Hamming ≤ 6), and pair counts at each
   * minBandMatches — the measurement behind `minBandMatchesFor`. */

@@ -335,11 +335,13 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(incr == fullRestricted && incr.nonEmpty)
   }
 
-  test("simhash of identical docs has hamming 0; disjoint docs are not banded together or far") {
+  test("32-bit simhash TABLE: identical docs get identical fingerprints " +
+    "(the pair path is 60-bit only — the 8-bit-banded 32-bit form was " +
+    "removed as quadratic-prone)") {
     val a = "one two three four five six seven eight nine ten"
-    val got = Dedup.simhashPairs(docsDF(1L -> a, 2L -> a), maxHamming = 3)
-      .as[(Long, Long, Long)].collect()
-    assert(got.toSeq == Seq((1L, 2L, 0L)))
+    val t = Dedup.simhashTable(docsDF(1L -> a, 2L -> a))
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(t.length == 2 && t(0) == t(1) && t(0) > 0)
   }
 
   test("simhash60: identical docs pair at hamming 0; one-token edit stays " +

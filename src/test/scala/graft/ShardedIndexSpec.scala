@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Shard-parallel index serving (round-14): N hash-sharded sub-indexes
+  * per artifact, query fan-out + exact merge. The claims under test:
+  * shard count changes NO score (BM25 statistics and ANN coarse sums are
+  * associative integer merges; the PQ codebook is trained once and frozen
+  * into every shard), maintenance routes to the owning shards only, and
+  * untouched shards' files never move. */
+class ShardedIndexSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-shard-$tag-").toString
+
+  private def fs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+
+  /** (relativePath, length, mtime) of every data file under dir. */
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    val root = fs.makeQualified(new Path(dir))
+    val out = Map.newBuilder[String, (Long, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      out += st.getPath.toString.stripPrefix(root.toString)
+        .stripPrefix("/") -> (st.getLen, st.getModificationTime)
+    }
+    out.result()
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("sharded BM25 equals the single artifact through the full " +
+    "lifecycle (build, update, takedown) — shard count changes no score") {
+    val base = docs.where($"doc_id" < 400)
+    val batch = docs.where($"doc_id" >= 400 && $"doc_id" < 460)
+    val gone = docs.where($"doc_id" % 8 === 5 && $"doc_id" < 460)
+      .select($"doc_id")
+    val one = tmp("bm25-one") + "/index"
+    val sh = tmp("bm25-sh") + "/index"
+    Similarity.buildBm25Index(base, one, maxDf = 1000)
+    Similarity.buildBm25IndexSharded(base, sh, shards = 3, maxDf = 1000)
+    def q(unsharded: Boolean) =
+      if (unsharded) Similarity.bm25QueryIndex(spark, one,
+        Seq(0L, 1L, 2L, 3L, 4L), 5)
+      else Similarity.bm25QueryIndexSharded(spark, sh,
+        Seq(0L, 1L, 2L, 3L, 4L), 5)
+    assert(rows(q(true)) == rows(q(false)), "post-build scores must match")
+    Similarity.updateBm25Index(spark, one, batch)
+    Similarity.updateBm25IndexSharded(spark, sh, batch)
+    assert(rows(q(true)) == rows(q(false)), "post-update scores must match")
+    Similarity.removeFromBm25Index(spark, one, gone)
+    Similarity.removeFromBm25IndexSharded(spark, sh, gone)
+    assert(rows(q(true)) == rows(q(false)), "post-takedown scores must match")
+  }
+
+  test("sharded BM25 maintenance touches ONLY the owning shards: a " +
+    "one-doc takedown leaves every other shard's files byte-identical") {
+    val sh = tmp("bm25-route") + "/index"
+    Similarity.buildBm25IndexSharded(docs.where($"doc_id" < 400), sh,
+      shards = 4, maxDf = 1000)
+    val victim = 37L
+    // which shard owns it — same canonical hash the router uses
+    val owner = Seq(victim).toDF("doc_id")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"doc_id".cast("long"))
+          .cast("long"),
+        org.apache.spark.sql.functions.lit(4L)).cast("int"))
+      .head().getInt(0)
+    val others = (0 until 4).filter(_ != owner)
+    val before = others.map(i => snapshot(f"$sh/shard=$i%03d"))
+    Similarity.removeFromBm25IndexSharded(spark, sh,
+      Seq(victim).toDF("doc_id"))
+    val after = others.map(i => snapshot(f"$sh/shard=$i%03d"))
+    assert(before == after,
+      "untouched shards must keep their exact files — per-request cost " +
+        "must be independent of total index size")
+    // and the owner actually tombstoned it
+    assert(spark.read.parquet(f"$sh/shard=$owner%03d/deleted")
+      .where($"doc_id" === victim).count() == 1)
+  }
+
+  test("sharded ANN equals the single artifact through the full " +
+    "lifecycle (one frozen codebook, mergeable coarse sums) — shard " +
+    "count changes no probe answer") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.where($"vec_id" < 300)
+    val batch = emb.where($"vec_id" >= 300 && $"vec_id" < 360)
+    val gone = emb.where($"vec_id" % 6 === 5 && $"vec_id" >= 10)
+      .select($"vec_id")
+    val one = tmp("ann-one") + "/index"
+    val sh = tmp("ann-sh") + "/index"
+    Similarity.buildAnnIndex(base, one)
+    Similarity.buildAnnIndexSharded(base, sh, shards = 3)
+    def q(unsharded: Boolean) =
+      if (unsharded) Similarity.annQueryIndex(spark, one, 10, 5)
+      else Similarity.annQueryIndexSharded(spark, sh, 10, 5)
+    assert(rows(q(true)) == rows(q(false)), "post-build probes must match")
+    Similarity.updateAnnIndex(spark, one, batch)
+    Similarity.updateAnnIndexSharded(spark, sh, batch)
+    assert(rows(q(true)) == rows(q(false)), "post-update probes must match")
+    Similarity.removeFromAnnIndex(spark, one, gone)
+    Similarity.removeFromAnnIndexSharded(spark, sh, gone)
+    assert(rows(q(true)) == rows(q(false)), "post-takedown probes must match")
+    // per-shard compaction (each shard folds alone) moves no answer
+    (0 until 3).foreach(i => Similarity.compactAnnIndex(spark,
+      f"$sh/shard=$i%03d"))
+    assert(rows(q(true)) == rows(q(false)), "post-compaction probes must match")
+  }
+}
