@@ -289,7 +289,9 @@ object BucketProbeCost {
       })
     Seq(bA, bB).foreach { b =>
       val dir = s"$root/b$b"
-      Similarity.buildBm25Index(docs, dir, maxDf = 1000, buckets = b)
+      // non-evicting cap: the A/B isolates the POSTINGS read term, which
+      // eviction would shrink below the doclen/footer floor
+      Similarity.buildBm25Index(docs, dir, maxDf = 10000000L, buckets = b)
       val idxBytes = fs.getContentSummary(
         new org.apache.hadoop.fs.Path(dir)).getLength
       // listener events are async — settle (the LsmMaintenanceSpec pattern)
