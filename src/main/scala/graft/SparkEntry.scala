@@ -1826,6 +1826,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the 19th driven pipeline: stream_bm25_sharded's ANN twin — the
+    // incoming embedding quarter routed by vec hash into 4 sub-indexes,
+    // each absorbing through its own exactly-once ledger with the SHARED
+    // frozen codebook; the drained fan-out probe equals the one-shot
+    // incremental update of one artifact (ann_index_incr's oracle
+    // verbatim)
+    "stream_ann_sharded" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stage = stagedDir("stream-ann-sh", d, "p4m8b4r1-m4-s4", fresh = true)
+      operators.Similarity.buildAnnIndexSharded(
+        emb.where(col("vec_id") % 4 =!= 0), s"$stage/index", shards = 4)
+      emb.where(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", org.apache.spark.sql.types.LongType)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      streaming.Streams.streamingAnnUpdateSharded(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck")
+        .awaitTermination()
+      operators.Similarity.annQueryIndexSharded(s, s"$stage/index",
+          cfg.annQueries, cfg.annK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // INCREMENTAL ANN index maintenance — the artifact family's last
     // missing lifecycle leg (BM25/minhash/spans/NB each have one): index
     // built on the base three-quarters, the incoming quarter ABSORBED by
@@ -3311,6 +3338,34 @@ object SparkEntry {
         operators.TextAnalysis.syntheticZipfCorpus(Tables.documents(s, d)),
         dir, shards = 4, maxDf = cfg.retrievalMaxDf)
       operators.Similarity.bm25QueryIndexSharded(s, dir,
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the 18th driven pipeline: streaming maintenance of the SHARDED
+    // index — base three-quarters built as 4 sub-indexes, the incoming
+    // quarter arrives as a 3-micro-batch stream, each batch routed by
+    // doc hash and absorbed through the owning shards' OWN exactly-once
+    // ledgers (shards proceed independently — the parallel-maintenance
+    // claim); the drained fan-out query equals the full-corpus rebuild
+    // (sim_bm25_incr's oracle verbatim)
+    "stream_bm25_sharded" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = stagedDir("stream-bm25-sh", d, "v1-m4-s4", fresh = true)
+      operators.Similarity.buildBm25IndexSharded(
+        docs.where(col("doc_id") % 4 =!= 0), s"$stage/index", shards = 4,
+        maxDf = cfg.retrievalMaxDf)
+      docs.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      streaming.Streams.streamingBm25UpdateSharded(s,
+          streaming.Streams.fileSource(s, s"$stage/src", schema,
+            maxFilesPerTrigger = 1),
+          s"$stage/index", s"$stage/ck")
+        .awaitTermination()
+      operators.Similarity.bm25QueryIndexSharded(s, s"$stage/index",
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -7753,6 +7808,10 @@ object SparkEntry {
       // shard-parallel serving merges the mergeable statistics exactly —
       // shard count is layout, not semantics: the unsharded oracle verbatim
       "sim_bm25_sharded" -> bm25ZipfOracleSql,
+      // streamed sharded maintenance drains to the full-corpus rebuild
+      // (per-shard exactly-once ledgers; stats merge associatively) —
+      // sim_bm25_incr's full-corpus BM25 replay verbatim
+      "stream_bm25_sharded" -> bm25OracleSql,
 
       // incremental update == full rebuild: the oracle replays BM25 over
       // the WHOLE corpus — the merged index must score identically
@@ -9644,6 +9703,10 @@ object SparkEntry {
       // shard fan-out with one shared frozen codebook reconstructs the
       // unsharded probe bit-exactly — same oracle SQL verbatim
       ("ann_ivfpq_sharded" -> base("ann_ivfpq")) +
+      // streamed sharded maintenance drains to the one-shot incremental
+      // update of ONE artifact (shared frozen codebook, mergeable sums,
+      // per-shard ledgers) — ann_index_incr's oracle verbatim
+      ("stream_ann_sharded" -> base("ann_index_incr")) +
       // the streamed incremental maintenance accumulates the SAME index
       // as the one-shot incremental update (frozen quantizers, argmin
       // codes, associative sums) — same oracle SQL verbatim

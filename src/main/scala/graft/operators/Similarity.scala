@@ -2076,6 +2076,40 @@ object Similarity {
     }
   }
 
+  /** Exactly-once sharded BM25 absorb — the streaming maintenance form:
+    * routes the batch by doc hash and runs each owning shard's LEDGERED
+    * [[updateBm25IndexOnce]] under that shard's own lease, so a replayed
+    * micro-batch no-ops per shard (each shard's `applied/` ledger commits
+    * atomically with its own segments; shards that received nothing
+    * skip — the replay skips them identically). */
+  def updateBm25IndexShardedOnce(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, newDocs: DataFrame,
+                                 batchId: Long): Unit = {
+    val shards = readShards(spark, path)
+    val d = newDocs.localCheckpoint()
+    (0 until shards).foreach { i =>
+      val slice = d.where(shardOf(d, "doc_id", shards) === i)
+      if (!slice.isEmpty)
+        updateBm25IndexOnce(spark, shardDir(path, i), slice, batchId)
+    }
+  }
+
+  /** [[updateBm25IndexShardedOnce]]'s ANN twin — per-shard ledgered
+    * frozen-quantizer absorbs. */
+  def updateAnnIndexShardedOnce(spark: org.apache.spark.sql.SparkSession,
+                                path: String, newEmb: DataFrame,
+                                batchId: Long, planes: Int = 4,
+                                m: Int = 8, dim: Int = 64): Unit = {
+    val shards = readShards(spark, path)
+    val d = newEmb.localCheckpoint()
+    (0 until shards).foreach { i =>
+      val slice = d.where(shardOf(d, "vec_id", shards) === i)
+      if (!slice.isEmpty)
+        updateAnnIndexOnce(spark, shardDir(path, i), slice, batchId,
+          planes, m, dim)
+    }
+  }
+
   /** Takedown against a sharded ANN index — only the shards holding a
     * removed id pay their bucket-pruned negative-sums read. */
   def removeFromAnnIndexSharded(spark: org.apache.spark.sql.SparkSession,

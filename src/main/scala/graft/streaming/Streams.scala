@@ -486,6 +486,50 @@ object Streams {
       }
       .start()
 
+  /** The 18th driven pipeline: streaming maintenance of a SHARDED BM25
+    * index — the streaming face of the shard-parallel serving shape:
+    * each micro-batch routes by doc hash to its owning shards and each
+    * shard absorbs its slice through its OWN exactly-once ledger and
+    * lease ([[graft.operators.Similarity.updateBm25IndexShardedOnce]]),
+    * so shards proceed independently (at cluster scale, in parallel) and
+    * a replayed micro-batch no-ops per shard. The drained sharded index
+    * serves identically to the unsharded full-corpus rebuild —
+    * `stream_bm25_sharded` shares the full-corpus BM25 oracle verbatim
+    * (`sim_bm25_incr`'s SQL). */
+  def streamingBm25UpdateSharded(spark: SparkSession, docs: DataFrame,
+                                 indexDir: String,
+                                 checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity.updateBm25IndexShardedOnce(spark, indexDir,
+          batch.toDF().select(col("doc_id"), col("text")), batchId)
+        ()
+      }
+      .start()
+
+  /** The 19th driven pipeline: [[streamingBm25UpdateSharded]]'s ANN twin —
+    * per-shard ledgered frozen-quantizer absorbs; the drained sharded
+    * probe equals the one-shot incremental update of one artifact
+    * (`stream_ann_sharded` shares `ann_index_incr`'s oracle verbatim). */
+  def streamingAnnUpdateSharded(spark: SparkSession, emb: DataFrame,
+                                indexDir: String, checkpointDir: String,
+                                planes: Int = 4, m: Int = 8,
+                                dim: Int = 64): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity.updateAnnIndexShardedOnce(spark, indexDir,
+          batch.toDF().select(col("vec_id"), col("embedding")), batchId,
+          planes, m, dim)
+        ()
+      }
+      .start()
+
   /** The 13th driven pipeline: streaming TAKEDOWN — delete requests
     * (right-to-be-forgotten, DMCA, policy removals) arrive as a stream of
     * doc ids and each micro-batch is applied to the persisted BM25 index

@@ -27,7 +27,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "sim_rrf" -> "embeds sim_bm25's one-row stats broadcast",
     "sim_bm25_index" -> "one-row index stats artifact rides along broadcast",
     "sim_bm25_sharded" -> "same artifact query shape over the shard fan-out: one-row merged stats broadcast",
+    "stream_bm25_sharded" -> "same shard fan-out query shape after the streamed per-shard merges: one-row merged stats broadcast",
     "ann_ivfpq_sharded" -> "query x coarse-centroid table product (10 x 2^planes rows, reconstructed from the shards' merged coarse sums)",
+    "stream_ann_sharded" -> "query x coarse-centroid table product (10 x 2^planes rows, reconstructed from the stream-maintained shards' merged coarse sums)",
     "sim_bm25_incr" -> "same artifact query shape after the incremental merge: one-row stats broadcast",
     "stream_bm25_incr" -> "same artifact query shape after the streamed merges: one-row stats broadcast",
     "stream_bm25_autocompact" -> "same artifact query shape after the policy-folded streamed merges: one-row stats broadcast",

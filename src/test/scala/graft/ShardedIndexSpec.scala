@@ -115,4 +115,37 @@ class ShardedIndexSpec extends AnyFunSuite with SparkSpec {
       f"$sh/shard=$i%03d"))
     assert(rows(q(true)) == rows(q(false)), "post-compaction probes must match")
   }
+
+  test("streamed sharded maintenance drains to the one-shot sharded " +
+    "update (per-shard exactly-once ledgers make replays no-ops) and " +
+    "serves the unsharded full-corpus answer") {
+    val base = docs.where($"doc_id" < 400)
+    val batch = docs.where($"doc_id" >= 400 && $"doc_id" < 460)
+    val stage = tmp("stream-sh")
+    val sh = s"$stage/index"
+    Similarity.buildBm25IndexSharded(base, sh, shards = 3, maxDf = 1000)
+    batch.repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    graft.streaming.Streams.streamingBm25UpdateSharded(spark,
+      graft.streaming.Streams.fileSource(spark, s"$stage/src", schema,
+        maxFilesPerTrigger = 1),
+      sh, s"$stage/ck").awaitTermination()
+    // drained index serves the unsharded full-corpus answer
+    val one = tmp("stream-sh-ref") + "/index"
+    Similarity.buildBm25Index(docs.where($"doc_id" < 460), one, maxDf = 1000)
+    assert(rows(Similarity.bm25QueryIndexSharded(spark, sh,
+        Seq(0L, 1L, 2L, 3L, 4L), 5)) ==
+      rows(Similarity.bm25QueryIndex(spark, one, Seq(0L, 1L, 2L, 3L, 4L), 5)))
+    // a RE-DELIVERED micro-batch (same batch_id, same content — what
+    // Structured Streaming replays after a failure) is a per-shard no-op
+    // through the per-shard ledgers
+    val extra = docs.where($"doc_id" >= 460 && $"doc_id" < 480)
+    Similarity.updateBm25IndexShardedOnce(spark, sh, extra, 99L)
+    val before = snapshot(sh)
+    Similarity.updateBm25IndexShardedOnce(spark, sh, extra, 99L)
+    assert(snapshot(sh) == before,
+      "a replayed batch_id must absorb nothing on any shard")
+  }
 }
