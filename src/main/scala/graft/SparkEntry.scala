@@ -1827,18 +1827,23 @@ object SparkEntry {
     }),
 
     // the 19th driven pipeline: stream_bm25_sharded's ANN twin — the
-    // incoming embedding quarter routed by vec hash into 4 sub-indexes,
+    // incoming embedding quarter routed by vec hash into sub-indexes,
     // each absorbing through its own exactly-once ledger with the SHARED
     // frozen codebook; the drained fan-out probe equals the one-shot
     // incremental update of one artifact (ann_index_incr's oracle
-    // verbatim)
+    // verbatim). The BENCH shape is 2 shards × 2 micro-batches — shard
+    // count is layout, not semantics (this query's own theorem), and
+    // every lease/swap round is fixed FS cost, so the 4×3 shape tripled
+    // under the median protocol was pure gate wall (round-14 verdict
+    // task 2); the full 4-shard replay/idempotence claims live in
+    // ShardedIndexSpec.
     "stream_ann_sharded" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val stage = stagedDir("stream-ann-sh", d, "p4m8b4r1-m4-s4", fresh = true)
+      val stage = stagedDir("stream-ann-sh", d, "p4m8b4r1-m2-s2", fresh = true)
       operators.Similarity.buildAnnIndexSharded(
-        emb.where(col("vec_id") % 4 =!= 0), s"$stage/index", shards = 4)
+        emb.where(col("vec_id") % 4 =!= 0), s"$stage/index", shards = 2)
       emb.where(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
-        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+        .repartition(2).write.mode("overwrite").parquet(s"$stage/src")
       val schema = new org.apache.spark.sql.types.StructType()
         .add("vec_id", org.apache.spark.sql.types.LongType)
         .add("embedding", org.apache.spark.sql.types.ArrayType(
@@ -3343,20 +3348,23 @@ object SparkEntry {
     }),
 
     // the 18th driven pipeline: streaming maintenance of the SHARDED
-    // index — base three-quarters built as 4 sub-indexes, the incoming
-    // quarter arrives as a 3-micro-batch stream, each batch routed by
+    // index — the base corpus built as sub-indexes, the incoming
+    // quarter arriving as a micro-batch stream, each batch routed by
     // doc hash and absorbed through the owning shards' OWN exactly-once
     // ledgers (shards proceed independently — the parallel-maintenance
     // claim); the drained fan-out query equals the full-corpus rebuild
-    // (sim_bm25_incr's oracle verbatim)
+    // (sim_bm25_incr's oracle verbatim). BENCH shape: 2 shards × 2
+    // micro-batches (see stream_ann_sharded's note — the 4×3 shape was
+    // pure fixed-FS gate wall; ShardedIndexSpec keeps the 4-shard
+    // claims).
     "stream_bm25_sharded" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val stage = stagedDir("stream-bm25-sh", d, "v1-m4-s4", fresh = true)
+      val stage = stagedDir("stream-bm25-sh", d, "v1-m2-s2", fresh = true)
       operators.Similarity.buildBm25IndexSharded(
-        docs.where(col("doc_id") % 4 =!= 0), s"$stage/index", shards = 4,
+        docs.where(col("doc_id") % 4 =!= 0), s"$stage/index", shards = 2,
         maxDf = cfg.retrievalMaxDf)
       docs.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
-        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+        .repartition(2).write.mode("overwrite").parquet(s"$stage/src")
       val schema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", org.apache.spark.sql.types.LongType)
         .add("text", org.apache.spark.sql.types.StringType)

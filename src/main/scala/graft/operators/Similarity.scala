@@ -555,9 +555,18 @@ object Similarity {
     * input bytes per bucket, floored at the default, capped. Uses
     * Catalyst's plan-stats estimate: free (no extra pass), and only a
     * LAYOUT choice rides on it — any value is correct, the recorded count
-    * is what probes must (and do) match. */
+    * is what probes must (and do) match. Plans Catalyst CANNOT size
+    * (in-memory/RDD-backed inputs fall back to the
+    * `spark.sql.defaultSizeInBytes` sentinel, Long.MaxValue by default)
+    * would max the cap and 4096-way-repartition a tiny build — detect the
+    * sentinel and size from the row-count estimate instead (~1 KiB/row
+    * for text docs), or the floor when even that is unknown. */
   private def autoBuckets(df: DataFrame): Int = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val stats = df.queryExecution.optimizedPlan.stats
+    val sentinel = df.sparkSession.sessionState.conf.defaultSizeInBytes
+    val bytes: BigInt =
+      if (stats.sizeInBytes < sentinel) stats.sizeInBytes
+      else stats.rowCount.map(_ * 1024).getOrElse(BigInt(0))
     val target = bytes / (1L << 30)
     val t = if (target > MaxPostingsBuckets) MaxPostingsBuckets else target.toInt
     math.min(MaxPostingsBuckets, math.max(DefaultPostingsBuckets, t))
@@ -1912,6 +1921,37 @@ object Similarity {
 
   private def shardDir(path: String, i: Int): String = f"$path/shard=$i%03d"
 
+  /** Run one unit of work PER SHARD with the shards genuinely concurrent
+    * inside this application (a small Future pool; Spark's scheduler
+    * interleaves their jobs) — each shard is an independent artifact
+    * under its own lease, so the sequential driver loop the first sharded
+    * cut used serialized wall time for no safety gain. All shards run to
+    * completion even when one fails (each is individually crash-safe via
+    * the swap protocol); the first failure then rethrows. */
+  private def forEachShard(spark: org.apache.spark.sql.SparkSession,
+                           shardIds: Seq[Int])(work: Int => Unit): Unit = {
+    if (shardIds.sizeIs <= 1) { shardIds.foreach(work); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(shardIds.size, 4),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-shard-worker"); t.setDaemon(true); t
+      })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = shardIds.map { i =>
+        scala.concurrent.Future {
+          // worker threads need the session active for any code path that
+          // resolves it implicitly (e.g. SparkSession.active)
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          work(i)
+        }
+      }.map(f => scala.util.Try(scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf)))
+      done.collectFirst { case scala.util.Failure(e) => throw e }
+    } finally pool.shutdown()
+  }
+
   /** The recorded shard count — routing must hash at the build's count. */
   private def readShards(spark: org.apache.spark.sql.SparkSession,
                          path: String): Int =
@@ -1929,7 +1969,7 @@ object Similarity {
                             maxDf: Long = 1000, buckets: Int = 0): Unit = {
     require(shards >= 1, "shards must be positive")
     val d = docs.localCheckpoint()
-    (0 until shards).foreach { i =>
+    forEachShard(d.sparkSession, 0 until shards) { i =>
       buildBm25Index(d.where(shardOf(d, "doc_id", shards) === i),
         shardDir(path, i), maxDf, buckets)
     }
@@ -1973,7 +2013,7 @@ object Similarity {
                              path: String, newDocs: DataFrame): Unit = {
     val shards = readShards(spark, path)
     val d = newDocs.localCheckpoint()
-    (0 until shards).foreach { i =>
+    forEachShard(spark, 0 until shards) { i =>
       val slice = d.where(shardOf(d, "doc_id", shards) === i)
       if (!slice.isEmpty) updateBm25Index(spark, shardDir(path, i), slice)
     }
@@ -1989,7 +2029,7 @@ object Similarity {
     val ids = removeIds.select(col("doc_id")).distinct().localCheckpoint()
     val touched = ids.select(shardOf(ids, "doc_id", shards).as("sh"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    touched.foreach { i =>
+    forEachShard(spark, touched) { i =>
       removeFromBm25Index(spark, shardDir(path, i),
         ids.where(shardOf(ids, "doc_id", shards) === i))
     }
@@ -2015,9 +2055,10 @@ object Similarity {
     val (_, codesAll, centroids) = pqTrain(e, m, bits, dim / m, refine)
     val codes = codesAll.localCheckpoint() // feeds every shard's filter
     val cents = centroids.localCheckpoint()
-    (0 until shards).foreach { i =>
+    val asg = assigned.localCheckpoint() // one assign pass feeds every shard
+    forEachShard(spark, 0 until shards) { i =>
       val dir = shardDir(path, i)
-      val mine = assigned.where(shardOf(assigned, "vec_id", shards) === i)
+      val mine = asg.where(shardOf(asg, "vec_id", shards) === i)
       writeBucketedSeg(mine.select(col("vec_id"), col("vn")),
         s"$dir/vectors/seg=base", "vec_id", b)
       writeBucketedSeg(mine.select(col("vec_id"), col("cell")),
@@ -2069,7 +2110,7 @@ object Similarity {
                             dim: Int = 64): Unit = {
     val shards = readShards(spark, path)
     val d = newEmb.localCheckpoint()
-    (0 until shards).foreach { i =>
+    forEachShard(spark, 0 until shards) { i =>
       val slice = d.where(shardOf(d, "vec_id", shards) === i)
       if (!slice.isEmpty)
         updateAnnIndex(spark, shardDir(path, i), slice, planes, m, dim)
@@ -2087,7 +2128,7 @@ object Similarity {
                                  batchId: Long): Unit = {
     val shards = readShards(spark, path)
     val d = newDocs.localCheckpoint()
-    (0 until shards).foreach { i =>
+    forEachShard(spark, 0 until shards) { i =>
       val slice = d.where(shardOf(d, "doc_id", shards) === i)
       if (!slice.isEmpty)
         updateBm25IndexOnce(spark, shardDir(path, i), slice, batchId)
@@ -2102,7 +2143,7 @@ object Similarity {
                                 m: Int = 8, dim: Int = 64): Unit = {
     val shards = readShards(spark, path)
     val d = newEmb.localCheckpoint()
-    (0 until shards).foreach { i =>
+    forEachShard(spark, 0 until shards) { i =>
       val slice = d.where(shardOf(d, "vec_id", shards) === i)
       if (!slice.isEmpty)
         updateAnnIndexOnce(spark, shardDir(path, i), slice, batchId,
@@ -2118,7 +2159,7 @@ object Similarity {
     val ids = removeIds.select(col("vec_id")).distinct().localCheckpoint()
     val touched = ids.select(shardOf(ids, "vec_id", shards).as("sh"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    touched.foreach { i =>
+    forEachShard(spark, touched) { i =>
       removeFromAnnIndex(spark, shardDir(path, i),
         ids.where(shardOf(ids, "vec_id", shards) === i))
     }

@@ -70,11 +70,19 @@ object AtomicSwap {
   }
 
   /** Swap all staged components into place (see class doc). Requires
-    * every component to have been written to its [[stageDir]]. */
+    * every component to have been written to its [[stageDir]]. When the
+    * calling process holds the artifact's writer lease (it registered via
+    * [[withLease]]), the lease is FENCE-CHECKED first: the file must
+    * still record this holder's token, else the lease was reclaimed
+    * while we ran (holder paused / heartbeats failing past the staleness
+    * window) and swapping now would interleave with the reclaimer — the
+    * commit aborts with [[LeaseLostException]] before the marker is
+    * written, leaving the live artifact untouched. */
   def commit(spark: SparkSession, path: String,
              components: Seq[String]): Unit = {
     require(components.nonEmpty, "nothing to commit")
     val (fs, root) = fsOf(spark, path)
+    fenceCheck(fs, root, path)
     components.foreach { c =>
       require(fs.exists(stagePath(root, c)),
         s"component $c not staged under $path")
@@ -159,14 +167,26 @@ object AtomicSwap {
         s"finishes, or run AtomicSwap.breakLease($path) if its holder " +
         "crashed (refused while the holder is provably alive)")
 
+  /** Exception a FENCED-OUT holder gets at commit time: its lease was
+    * reclaimed while the body ran (long pause, sustained heartbeat
+    * failures past the staleness window). The staged tree is abandoned
+    * unswapped — the reclaimer owns the artifact now; re-run the update
+    * after it finishes. */
+  final class LeaseLostException(path: String, nowHolder: String)
+    extends IllegalStateException(
+      s"writer lease on $path no longer records this holder " +
+        s"(now: $nowHolder) — it was reclaimed as stale while this " +
+        "update ran; refusing to swap staged components over the " +
+        "reclaimer's. Re-run the update once the current holder finishes.")
+
   private def leasePath(root: Path) = new Path(root, LeaseName)
 
   private def localHostName: String =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: java.net.UnknownHostException => "localhost" }
 
-  /** The recorded holder string (`pid=N@host`), or a placeholder when the
-    * lease vanished or is unreadable mid-check. */
+  /** The recorded holder string (`pid=N@host start=MS token=UUID`), or a
+    * placeholder when the lease vanished or is unreadable mid-check. */
   private def readHolder(fs: FileSystem, lease: Path): String =
     try {
       val in = fs.open(lease)
@@ -178,29 +198,96 @@ object AtomicSwap {
     } catch { case _: java.io.IOException => "unknown holder" }
 
   private val HolderRe = "pid=(\\d+)@(\\S+)".r
+  private val StartRe = "start=(\\d+)".r
 
-  /** True when the recorded holder is PROVABLY alive: it names a pid on
-    * THIS host and that pid is running. A holder on another host is never
-    * provably alive from here — heartbeat age is the only cross-host
-    * liveness signal. */
+  /** This process's start instant (epoch ms) — recorded in the lease so
+    * a recycled pid (same number, different process) is distinguishable
+    * from the real holder. Absent on JVMs that can't report it. */
+  private def selfStartMs: Option[Long] = {
+    val s = ProcessHandle.current().info().startInstant()
+    if (s.isPresent) Some(s.get.toEpochMilli) else None
+  }
+
+  /** Three-valued same-host liveness: Some(true) = the RECORDED holder
+    * process is provably running here; Some(false) = provably gone (pid
+    * absent, or the pid's start instant mismatches the recorded one — a
+    * recycled pid is NOT the holder, so the lease must not wedge
+    * forever); None = cross-host or unparseable, only heartbeat age can
+    * adjudicate. Start-instant comparison tolerates 1 s of rounding
+    * (procfs reports jiffies). */
+  private def holderLiveness(holder: String): Option[Boolean] =
+    HolderRe.findFirstMatchIn(holder).flatMap { m =>
+      if (m.group(2) != localHostName) None
+      else {
+        val pid = try Some(m.group(1).toLong)
+        catch { case _: NumberFormatException => None }
+        pid.map { p =>
+          val ph = ProcessHandle.of(p)
+          if (!ph.isPresent || !ph.get.isAlive) false
+          else StartRe.findFirstMatchIn(holder) match {
+            case Some(rec) =>
+              val actual = ph.get.info().startInstant()
+              // recorded start present: the live pid is the holder only
+              // if its start matches; an unreadable actual start can't
+              // prove a recycle, so keep the legacy pid-alive answer
+              !actual.isPresent ||
+                math.abs(actual.get.toEpochMilli - rec.group(1).toLong) <= 1000L
+            case None => true // legacy lease without a start instant
+          }
+        }
+      }
+    }
+
   private def holderProvablyLive(holder: String): Boolean =
-    HolderRe.findFirstMatchIn(holder).exists { m =>
-      m.group(2) == localHostName &&
-        (try ProcessHandle.of(m.group(1).toLong)
-          .map[Boolean](_.isAlive).orElse(false)
-        catch { case _: NumberFormatException => false })
-    }
+    holderLiveness(holder).contains(true)
 
-  /** True when the recorded holder PROVABLY crashed: a pid on this host
-    * that is no longer running. (Cross-host holders are never provably
-    * dead — only stale.) */
   private def holderProvablyDead(holder: String): Boolean =
-    HolderRe.findFirstMatchIn(holder).exists { m =>
-      m.group(2) == localHostName &&
-        (try !ProcessHandle.of(m.group(1).toLong)
-          .map[Boolean](_.isAlive).orElse(false)
-        catch { case _: NumberFormatException => false })
+    holderLiveness(holder).contains(false)
+
+  /** Atomically CLAIM an existing (adjudicated stale/dead) lease file:
+    * rename it to a unique tombstone — on every FileSystem rename is
+    * atomic and fails when the source is gone, so exactly one of N
+    * racing contenders wins and the losers learn it cleanly (the old
+    * delete-then-recreate reclaim let a loser's queued delete remove the
+    * winner's fresh lease, yielding two concurrent writers). The
+    * tombstone is removed after; a true return means this caller owns
+    * the reclaim. */
+  private def claimStale(fs: FileSystem, root: Path, lease: Path): Boolean = {
+    val tomb = new Path(root,
+      s"$LeaseName.stale-${java.util.UUID.randomUUID()}")
+    val won = try fs.rename(lease, tomb)
+    catch { case _: java.io.IOException => false }
+    if (won) fs.delete(tomb, false)
+    won
+  }
+
+  /** In-process registry of leases THIS process holds: qualified artifact
+    * root → the unique token its lease file records. [[commit]] uses it
+    * to fence: before writing the swap marker it re-reads the lease and
+    * requires its own token, so a holder whose lease was reclaimed
+    * mid-body (paused past staleMs, heartbeats failing) aborts instead
+    * of swapping over the reclaimer. */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit-time fence (see [[heldLeases]]): no-op when this process
+    * did not register a lease for `root` (direct commit callers manage
+    * their own exclusion). Re-arms the heartbeat (one setTimes) before
+    * adjudicating so a commit issued right at the staleness edge
+    * refreshes its claim first. */
+  private def fenceCheck(fs: FileSystem, root: Path, path: String): Unit = {
+    val token = heldLeases.get(fs.makeQualified(root).toString)
+    if (token != null) {
+      val lease = leasePath(root)
+      try fs.setTimes(lease, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // adjudicated by content
+      val content =
+        try { if (fs.exists(lease)) readHolder(fs, lease) else "(no lease)" }
+        catch { case _: java.io.IOException => "(unreadable lease)" }
+      if (!content.contains(token))
+        throw new LeaseLostException(path, content)
     }
+  }
 
   /** Milliseconds since the lease's last heartbeat, or 0 when unreadable
     * (vanished mid-check — treat as fresh, the next acquire re-checks). */
@@ -225,8 +312,9 @@ object AtomicSwap {
     val holder = readHolder(fs, lease)
     if (holderProvablyLive(holder)) false // never break a running holder
     else if (holderProvablyDead(holder) || leaseAgeMs(fs, lease) >= staleMs) {
-      fs.delete(lease, false)
-      true
+      // atomic rename-claim, not delete: a delete adjudicated on the OLD
+      // lease could land on a contender's freshly re-created one (TOCTOU)
+      claimStale(fs, root, lease) || !fs.exists(lease)
     } else false
   }
 
@@ -244,20 +332,31 @@ object AtomicSwap {
     *
     * LIVENESS: while the body runs, a daemon heartbeat re-touches the
     * lease file every [[HeartbeatMs]]; a contending writer that finds the
-    * lease PROVABLY DEAD (same-host pid gone) or STALE (no heartbeat for
-    * `staleMs`) reclaims it — atomic re-create decides any reclaim race —
-    * and first runs [[recover]] to repair whatever swap the dead holder
+    * lease PROVABLY DEAD (same-host pid gone, or the pid's start instant
+    * mismatching the recorded one — a recycled pid is not the holder) or
+    * STALE (no heartbeat for `staleMs`) reclaims it: an atomic
+    * rename-to-tombstone decides any reclaim race (exactly one renamer
+    * wins; losers throw [[LeaseHeldException]] — delete-then-recreate
+    * would let a loser's delete land on the winner's fresh lease), then
+    * the winner runs [[recover]] to repair whatever swap the dead holder
     * left in flight. A provably-live or still-heartbeating holder is
-    * never broken. Failure to record the holder identity after winning
-    * the create releases the lease before rethrowing (no orphan), and a
-    * create failure raises [[LeaseHeldException]] only when the lease
-    * demonstrably exists — a transient fs error propagates as itself. */
+    * never broken. FENCING: the lease records a unique token; [[commit]]
+    * re-verifies the lease file still records it before swapping, so a
+    * holder reclaimed mid-body (long pause, heartbeats failing past
+    * staleMs) aborts with [[LeaseLostException]] instead of mutating the
+    * artifact under the reclaimer. Failure to record the holder identity
+    * after winning the create releases the lease before rethrowing (no
+    * orphan), and a create failure raises [[LeaseHeldException]] only
+    * when the lease demonstrably exists — a transient fs error
+    * propagates as itself. */
   def withLease[A](spark: SparkSession, path: String,
                    staleMs: Long = DefaultLeaseStaleMs)(body: => A): A = {
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
     val lease = leasePath(root)
-    val holder = s"pid=${ProcessHandle.current().pid()}@$localHostName"
+    val token = java.util.UUID.randomUUID().toString
+    val holder = s"pid=${ProcessHandle.current().pid()}@$localHostName" +
+      selfStartMs.map(ms => s" start=$ms").getOrElse("") + s" token=$token"
 
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
       try Some(fs.create(lease, false)) // atomic: fails if the lease exists
@@ -274,10 +373,10 @@ object AtomicSwap {
       val stale = !holderProvablyLive(existing) &&
         leaseAgeMs(fs, lease) >= staleMs
       if (dead || stale) {
-        fs.delete(lease, false)
+        // atomic rename-claim: exactly one contender owns the reclaim
+        if (!claimStale(fs, root, lease))
+          throw new LeaseHeldException(path, readHolder(fs, lease))
         reclaimed = true
-        // atomic re-create decides a reclaim race: exactly one contender
-        // wins; the rest see a fresh lease and fail held as usual
         tryCreate().getOrElse(
           throw new LeaseHeldException(path, readHolder(fs, lease)))
       } else throw new LeaseHeldException(path, existing)
@@ -287,12 +386,15 @@ object AtomicSwap {
     try {
       try out.write(holder.getBytes(UTF_8)) finally out.close()
     } catch { case e: Throwable => fs.delete(lease, false); throw e }
+    val leaseKey = fs.makeQualified(root).toString
+    heldLeases.put(leaseKey, token)
 
     val beat = new Thread(() => {
       try while (!Thread.interrupted()) {
         Thread.sleep(math.min(HeartbeatMs, math.max(staleMs / 3, 1L)))
         try fs.setTimes(lease, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () } // missed beat, not fatal
+        catch { case _: java.io.IOException => () } // missed beat — commit's
+        // fence re-read adjudicates whether the lease was lost meanwhile
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-$path")
     beat.setDaemon(true)
@@ -304,7 +406,13 @@ object AtomicSwap {
       body
     } finally {
       beat.interrupt()
-      fs.delete(lease, false)
+      heldLeases.remove(leaseKey, token)
+      // release only OUR lease: after a mid-body reclaim the file records
+      // the reclaimer — deleting it would unlock a live holder
+      try {
+        if (fs.exists(lease) && readHolder(fs, lease).contains(token))
+          fs.delete(lease, false)
+      } catch { case _: java.io.IOException => () }
     }
   }
 

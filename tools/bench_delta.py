@@ -23,6 +23,15 @@ def load(path):
     if "queries" not in d:
         sys.exit(f"{path}: no per-query data (driver wrapper with parsed=null? "
                  "use the round's committed bench_out.json instead)")
+    if d.get("only"):
+        print(f"NOTE {path}: subset run (only={d['only']}) — totals are "
+              "partial; per-query deltas on shared cells only")
+    if d.get("partial"):
+        print(f"NOTE {path}: partial (interrupted) run")
+    degraded = set(d.get("degraded") or []) | set(d.get("degraded2") or [])
+    if degraded:
+        print(f"NOTE {path}: {len(degraded)} deadline-degraded single-rep "
+              "cells — expect extra jitter there")
     return d["queries"]
 
 

@@ -20,8 +20,25 @@ def merge(a, b, key):
     return out
 
 
+def reject_non_full(d, path):
+    """A subset (SPARK_GRAFT_BENCH_ONLY), partial (interrupted), or
+    deadline-degraded/truncated artifact must never be promoted to the
+    envelope — its 'total' looks like a full suite but is not (round-14
+    ADVICE)."""
+    assert not d.get("only"), f"{path}: subset run (only={d['only']}) — " \
+        "promote only full-suite artifacts"
+    assert not d.get("partial"), f"{path}: partial (interrupted) run"
+    for k in ("degraded", "degraded2", "skipped", "skipped2"):
+        assert not d.get(k), f"{path}: {k} cells present — the run ran " \
+            "past its deadline; re-run in a quiet window"
+    assert not d.get("degraded_n") and not d.get("skipped_n"), \
+        f"{path}: deadline-degraded run"
+
+
 def main(p1, p2, outp):
     a, b = json.load(open(p1)), json.load(open(p2))
+    reject_non_full(a, p1)
+    reject_non_full(b, p2)
     assert not a.get("failed") and not b.get("failed"), "failed queries"
     assert not a.get("failed2") and not b.get("failed2"), "failed sf2 queries"
     out = dict(a)
