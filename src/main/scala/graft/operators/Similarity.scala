@@ -1930,7 +1930,12 @@ object Similarity {
     * the swap protocol); the first failure then rethrows. */
   private def forEachShard(spark: org.apache.spark.sql.SparkSession,
                            shardIds: Seq[Int])(work: Int => Unit): Unit = {
-    if (shardIds.sizeIs <= 1) { shardIds.foreach(work); return }
+    // GRAFT_SHARD_SEQUENTIAL=1: measurement switch for the parallel-vs-
+    // sequential A/B (README scale table) — not a supported mode
+    if (shardIds.sizeIs <= 1 ||
+        sys.env.get("GRAFT_SHARD_SEQUENTIAL").contains("1")) {
+      shardIds.foreach(work); return
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(shardIds.size, 4),
       (r: Runnable) => {
