@@ -148,4 +148,58 @@ class ShardedIndexSpec extends AnyFunSuite with SparkSpec {
     assert(snapshot(sh) == before,
       "a replayed batch_id must absorb nothing on any shard")
   }
+
+  test("a WEDGED shard does not block the fan-out: the other shards " +
+    "complete their ledgered absorbs, the failure rethrows, and the " +
+    "ledgered replay heals exactly the missing shard — the healed index " +
+    "serves the unsharded same-op answer (round-15 parallel-shard " +
+    "failure contract)") {
+    val base = docs.where($"doc_id" < 400)
+    val batch = docs.where($"doc_id" >= 400 && $"doc_id" < 460)
+    val sh = tmp("bm25-wedge") + "/index"
+    Similarity.buildBm25IndexSharded(base, sh, shards = 4, maxDf = 1000)
+    // shards that own at least one batch doc — the router's own hash
+    val owners = batch.select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"doc_id".cast("long"))
+          .cast("long"),
+        org.apache.spark.sql.functions.lit(4L)).cast("int").as("sh"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assume(owners.contains(0) && owners.size > 1,
+      "test fixture must route batch docs to shard 0 and at least one other")
+    // wedge shard 0: a provably-LIVE lease (this pid) is never reclaimed
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val lease = new Path(s"$sh/shard=000/_writer_lease")
+    val out = fs.create(lease, true)
+    out.write(s"pid=${ProcessHandle.current().pid()}@$host"
+      .getBytes("UTF-8")); out.close()
+    intercept[graft.sources.AtomicSwap.LeaseHeldException] {
+      Similarity.updateBm25IndexShardedOnce(spark, sh, batch, 7L)
+    }
+    def ledgerHas(i: Int): Boolean = {
+      val p = f"$sh/shard=$i%03d/applied"
+      fs.exists(new Path(p)) &&
+        spark.read.parquet(p).where($"batch_id" === 7L).count() > 0
+    }
+    assert(!ledgerHas(0), "the wedged shard must not have absorbed")
+    assert((owners - 0).forall(ledgerHas),
+      "every healthy owning shard must complete despite the wedged one")
+    // heal: unwedge and REPLAY the same batch id — completed shards
+    // no-op through their ledgers, only shard 0 absorbs
+    fs.delete(lease, false)
+    val healthyBefore =
+      (owners - 0).map(i => i -> snapshot(f"$sh/shard=$i%03d")).toMap
+    Similarity.updateBm25IndexShardedOnce(spark, sh, batch, 7L)
+    assert(owners.forall(ledgerHas), "the replay must heal the wedged shard")
+    healthyBefore.foreach { case (i, snap) =>
+      assert(snapshot(f"$sh/shard=$i%03d") == snap,
+        s"replay must not touch already-absorbed shard $i")
+    }
+    // the healed index serves the unsharded SAME-OP answer
+    val one = tmp("bm25-wedge-ref") + "/index"
+    Similarity.buildBm25Index(base, one, maxDf = 1000)
+    Similarity.updateBm25IndexOnce(spark, one, batch, 7L)
+    assert(rows(Similarity.bm25QueryIndexSharded(spark, sh,
+        Seq(0L, 1L, 2L, 3L, 4L), 5)) ==
+      rows(Similarity.bm25QueryIndex(spark, one, Seq(0L, 1L, 2L, 3L, 4L), 5)))
+  }
 }
