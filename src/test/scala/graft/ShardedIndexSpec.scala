@@ -202,4 +202,43 @@ class ShardedIndexSpec extends AnyFunSuite with SparkSpec {
         Seq(0L, 1L, 2L, 3L, 4L), 5)) ==
       rows(Similarity.bm25QueryIndex(spark, one, Seq(0L, 1L, 2L, 3L, 4L), 5)))
   }
+
+  test("ANN twin of the wedged-shard contract: healthy shards absorb, the " +
+    "replay heals only the wedged one, and the healed sharded probe " +
+    "equals the unsharded same-op answer") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.where($"vec_id" < 300)
+    val batch = emb.where($"vec_id" >= 300 && $"vec_id" < 360)
+    val sh = tmp("ann-wedge") + "/index"
+    Similarity.buildAnnIndexSharded(base, sh, shards = 4)
+    val owners = batch.select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"vec_id".cast("long"))
+          .cast("long"),
+        org.apache.spark.sql.functions.lit(4L)).cast("int").as("sh"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assume(owners.contains(0) && owners.size > 1,
+      "test fixture must route batch vecs to shard 0 and at least one other")
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val lease = new Path(s"$sh/shard=000/_writer_lease")
+    val out = fs.create(lease, true)
+    out.write(s"pid=${ProcessHandle.current().pid()}@$host"
+      .getBytes("UTF-8")); out.close()
+    intercept[graft.sources.AtomicSwap.LeaseHeldException] {
+      Similarity.updateAnnIndexShardedOnce(spark, sh, batch, 7L)
+    }
+    def ledgerHas(i: Int): Boolean = {
+      val p = f"$sh/shard=$i%03d/applied"
+      fs.exists(new Path(p)) &&
+        spark.read.parquet(p).where($"batch_id" === 7L).count() > 0
+    }
+    assert(!ledgerHas(0) && (owners - 0).forall(ledgerHas))
+    fs.delete(lease, false)
+    Similarity.updateAnnIndexShardedOnce(spark, sh, batch, 7L)
+    assert(owners.forall(ledgerHas))
+    val one = tmp("ann-wedge-ref") + "/index"
+    Similarity.buildAnnIndex(base, one)
+    Similarity.updateAnnIndexOnce(spark, one, batch, 7L)
+    assert(rows(Similarity.annQueryIndexSharded(spark, sh, 10, 5)) ==
+      rows(Similarity.annQueryIndex(spark, one, 10, 5)))
+  }
 }
