@@ -358,13 +358,34 @@ object AtomicSwap {
     val holder = s"pid=${ProcessHandle.current().pid()}@$localHostName" +
       selfStartMs.map(ms => s" start=$ms").getOrElse("") + s" token=$token"
 
+    // Atomic create-exclusive of the lease. Hadoop's LOCAL
+    // create(overwrite=false) is CHECK-then-create — the round-15
+    // mutual-exclusion stress spec caught three concurrent winners under
+    // churn — so the file: scheme acquires through NIO Files.createFile
+    // (O_EXCL: atomic across threads AND processes), then reopens its own
+    // empty file for the holder write. Cluster filesystems (HDFS, object
+    // stores' conditional put) implement exclusive create natively, and a
+    // FileAlreadyExistsException there means definitively held AT CREATE
+    // TIME — never re-adjudicated via exists(), which under churn can
+    // already be false again and would misreport a correctly-lost race as
+    // a transient fs error.
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
-      try Some(fs.create(lease, false)) // atomic: fails if the lease exists
-      catch {
-        case e: java.io.IOException =>
-          if (fs.exists(lease)) None // genuinely held — caller adjudicates
-          else throw e // transient fs error, not a held lease
-      }
+      if (fs.getScheme == "file") {
+        val local = java.nio.file.Paths.get(lease.toUri.getPath)
+        try {
+          java.nio.file.Files.createFile(local) // O_EXCL: one atomic winner
+          Some(fs.create(lease, true)) // reopen OUR fresh empty lease
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => None
+        }
+      } else
+        try Some(fs.create(lease, false))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case e: java.io.IOException =>
+            if (fs.exists(lease)) None // genuinely held — caller adjudicates
+            else throw e // transient fs error, not a held lease
+        }
 
     var reclaimed = false
     val out = tryCreate().getOrElse {

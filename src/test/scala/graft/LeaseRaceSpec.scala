@@ -149,6 +149,45 @@ class LeaseRaceSpec extends AnyFunSuite with SparkSpec {
     assert(!AtomicSwap.breakLease(spark, dir, staleMs = 0))
   }
 
+  test("mutual-exclusion stress: many threads churning acquire/release " +
+    "cycles on ONE artifact never overlap inside the body — and every " +
+    "thread eventually gets through (no lost lease, no leak)") {
+    val dir = tmp("stress") + "/art"
+    fs.mkdirs(new Path(dir))
+    val threads = 8
+    val entriesEach = 5
+    val inBody = new AtomicInteger(0)
+    val maxInBody = new AtomicInteger(0)
+    val done = new AtomicInteger(0)
+    val others = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { _ =>
+      new Thread(() => {
+        var mine = 0
+        try while (mine < entriesEach) {
+          try {
+            AtomicSwap.withLease(spark, dir) {
+              val now = inBody.incrementAndGet()
+              maxInBody.getAndUpdate(m => math.max(m, now))
+              Thread.sleep(2)
+              inBody.decrementAndGet()
+            }
+            mine += 1
+            done.incrementAndGet()
+          } catch {
+            case _: AtomicSwap.LeaseHeldException => Thread.sleep(1) // retry
+          }
+        } catch { case t: Throwable => others.add(t) }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join(120000))
+    assert(others.isEmpty, s"unexpected failures: $others")
+    assert(done.get() == threads * entriesEach,
+      s"every cycle must eventually acquire (got ${done.get()})")
+    assert(maxInBody.get() == 1,
+      s"two holders overlapped in the body (max ${maxInBody.get()})")
+    assert(!fs.exists(new Path(s"$dir/_writer_lease")), "no leaked lease")
+  }
+
   test("autoBuckets: an RDD-backed input (Catalyst stats = the " +
     "defaultSizeInBytes sentinel) builds at the floor bucket count, not " +
     "the 4096 cap") {
