@@ -249,12 +249,19 @@ object Bench {
         SparkEntry.queries.toSeq.sortBy(_._1)
           .filter(q => selected(q._1))
           .filterNot(q => namedSlow(q._1) || envelopeSlow(q._1))
-          .foreach { case (_, fn) =>
+          .foreach { case (name, fn) =>
             if (elapsedS <= deadlineS) {
               warmGc += 1
               if (warmGc >= 5) { System.gc(); warmGc = 0 }
               try { fn(spark, dir).queryExecution.toRdd.count(); () }
               catch { case _: Throwable => () }
+            } else lock.synchronized {
+              // a deadline-skipped warmup means this single-rep cell will
+              // be timed codegen-COLD — record it as degraded so the
+              // artifact never presents a cold value as warm (and
+              // promote_envelope's reject_non_full refuses the run)
+              if (!point.degraded.contains(name)) point.degraded ::= name
+              writeArtifact(true)
             }
           }
         System.gc()
@@ -302,7 +309,8 @@ object Bench {
               if (wantMedian && !pastSoft) Seq(t1, rep(), rep()).sorted
               else Seq(t1)
             lock.synchronized {
-              if (wantMedian && pastSoft) point.degraded ::= name
+              if (wantMedian && pastSoft && !point.degraded.contains(name))
+                point.degraded ::= name
               // rep spread goes to the file artifact so pollution is
               // self-evident: a wide [min,med,max] on a flagged cell says
               // "noisy run", a tight one says "real change"

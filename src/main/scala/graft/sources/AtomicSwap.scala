@@ -244,21 +244,88 @@ object AtomicSwap {
   private def holderProvablyDead(holder: String): Boolean =
     holderLiveness(holder).contains(false)
 
+  /** NIO path of a local (`file:` scheme) Hadoop path. */
+  private def nioPath(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
+
+  /** Hadoop's LocalFileSystem is a ChecksumFileSystem: files written
+    * through `fs.create` gain a `.<name>.crc` sidecar whose maintenance
+    * shells out (chmod) and races concurrent lease churn — the round-15
+    * flake was a losing contender escaping with `ExitCodeException:
+    * chmod ._writer_lease.crc` instead of [[LeaseHeldException]]. Lease
+    * files on `file:` are therefore written ONLY through NIO (no sidecar
+    * exists to race), and every NIO create/move also drops any sidecar a
+    * legacy/Hadoop writer left behind, so a later `fs.open` of a fresh
+    * NIO-written lease can't be checksummed against stale bytes. */
+  private def dropCrcSidecar(lease: Path): Unit = {
+    val crc = new Path(lease.getParent, s".${lease.getName}.crc")
+    try java.nio.file.Files.deleteIfExists(nioPath(crc))
+    catch { case _: java.io.IOException => () }
+  }
+
   /** Atomically CLAIM an existing (adjudicated stale/dead) lease file:
     * rename it to a unique tombstone — on every FileSystem rename is
     * atomic and fails when the source is gone, so exactly one of N
     * racing contenders wins and the losers learn it cleanly (the old
     * delete-then-recreate reclaim let a loser's queued delete remove the
-    * winner's fresh lease, yielding two concurrent writers). The
-    * tombstone is removed after; a true return means this caller owns
-    * the reclaim. */
-  private def claimStale(fs: FileSystem, root: Path, lease: Path): Boolean = {
+    * winner's fresh lease, yielding two concurrent writers).
+    *
+    * `expectedHolder` closes the adjudication TOCTOU: between a
+    * contender's stale-read and its rename, the winner of a PREVIOUS
+    * claim may already have renamed the old lease away and recreated a
+    * FRESH one in its place — renaming that away would evict a live
+    * holder. So a claim is valid only if the tombstone still carries the
+    * exact bytes that were adjudicated stale; on mismatch the tombstone
+    * is restored (atomic rename back, else exclusive re-create with its
+    * content) and the claim fails. On `file:` the rename goes through
+    * NIO ATOMIC_MOVE so no ChecksumFileSystem sidecar is touched. A true
+    * return means this caller owns the reclaim of the adjudicated
+    * lease. */
+  private[graft] def claimStale(fs: FileSystem, root: Path, lease: Path,
+                                expectedHolder: String): Boolean = {
     val tomb = new Path(root,
       s"$LeaseName.stale-${java.util.UUID.randomUUID()}")
-    val won = try fs.rename(lease, tomb)
-    catch { case _: java.io.IOException => false }
-    if (won) fs.delete(tomb, false)
-    won
+    val local = fs.getScheme == "file"
+    def mv(src: Path, dst: Path): Boolean =
+      if (local)
+        try {
+          java.nio.file.Files.move(nioPath(src), nioPath(dst),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try fs.rename(src, dst)
+        catch { case _: java.io.IOException => false }
+    val won = mv(lease, tomb)
+    if (won && local) dropCrcSidecar(lease)
+    if (!won) false
+    else {
+      val got = readHolder(fs, tomb)
+      if (got == expectedHolder) { fs.delete(tomb, false); true }
+      else {
+        // the rename landed on a lease RECREATED since adjudication —
+        // the displaced holder is live, not stale: restore it
+        if (!mv(tomb, lease)) {
+          // a third contender already holds the path; re-materialize the
+          // displaced holder's bytes only if the slot is free, else drop
+          // the tombstone (the displaced holder's commit-time token
+          // fence still protects the artifact)
+          if (local)
+            try java.nio.file.Files.write(nioPath(lease),
+              got.getBytes(UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            catch { case _: java.io.IOException => () }
+          else
+            try {
+              val o = fs.create(lease, false)
+              try o.write(got.getBytes(UTF_8)) finally o.close()
+            } catch { case _: java.io.IOException => () }
+          try fs.delete(tomb, false)
+          catch { case _: java.io.IOException => () }
+        }
+        false
+      }
+    }
   }
 
   /** In-process registry of leases THIS process holds: qualified artifact
@@ -313,8 +380,12 @@ object AtomicSwap {
     if (holderProvablyLive(holder)) false // never break a running holder
     else if (holderProvablyDead(holder) || leaseAgeMs(fs, lease) >= staleMs) {
       // atomic rename-claim, not delete: a delete adjudicated on the OLD
-      // lease could land on a contender's freshly re-created one (TOCTOU)
-      claimStale(fs, root, lease) || !fs.exists(lease)
+      // lease could land on a contender's freshly re-created one
+      // (TOCTOU). The claim result ALONE is the answer: a lost race
+      // means a contender is becoming the next holder — report "not
+      // broken" and let the caller re-adjudicate, never "free" while
+      // someone is mid-acquisition.
+      claimStale(fs, root, lease, holder)
     } else false
   }
 
@@ -358,29 +429,43 @@ object AtomicSwap {
     val holder = s"pid=${ProcessHandle.current().pid()}@$localHostName" +
       selfStartMs.map(ms => s" start=$ms").getOrElse("") + s" token=$token"
 
-    // Atomic create-exclusive of the lease. Hadoop's LOCAL
-    // create(overwrite=false) is CHECK-then-create — the round-15
-    // mutual-exclusion stress spec caught three concurrent winners under
-    // churn — so the file: scheme acquires through NIO Files.createFile
-    // (O_EXCL: atomic across threads AND processes), then reopens its own
-    // empty file for the holder write. Cluster filesystems (HDFS, object
-    // stores' conditional put) implement exclusive create natively, and a
-    // FileAlreadyExistsException there means definitively held AT CREATE
-    // TIME — never re-adjudicated via exists(), which under churn can
-    // already be false again and would misreport a correctly-lost race as
-    // a transient fs error.
-    def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
+    // Atomic create-exclusive of the lease, returning the holder-record
+    // writer. Hadoop's LOCAL create(overwrite=false) is CHECK-then-create
+    // — the round-15 mutual-exclusion stress spec caught three concurrent
+    // winners under churn — so the file: scheme acquires through NIO
+    // Files.createFile (O_EXCL: atomic across threads AND processes) and
+    // writes the holder through NIO too, never reopening via the
+    // ChecksumFileSystem: the old `fs.create(lease, true)` reopen both
+    // raced the `.crc` sidecar's chmod (the round-15 ExitCodeException
+    // flake) and could silently clobber a racer's recreated lease. The
+    // holder write opens WRITE-only (no CREATE): if a racing claim
+    // renamed this fresh lease away mid-acquisition, the write fails as
+    // a LOST RACE instead of re-creating over the claimant. Cluster
+    // filesystems (HDFS, object stores' conditional put) implement
+    // exclusive create natively, and a FileAlreadyExistsException there
+    // means definitively held AT CREATE TIME — never re-adjudicated via
+    // exists(), which under churn can already be false again and would
+    // misreport a correctly-lost race as a transient fs error.
+    def tryCreate(): Option[Array[Byte] => Unit] =
       if (fs.getScheme == "file") {
-        val local = java.nio.file.Paths.get(lease.toUri.getPath)
+        val local = nioPath(lease)
         try {
           java.nio.file.Files.createFile(local) // O_EXCL: one atomic winner
-          Some(fs.create(lease, true)) // reopen OUR fresh empty lease
+          dropCrcSidecar(lease) // any sidecar here is a dead holder's orphan
+          Some { bytes =>
+            java.nio.file.Files.write(local, bytes,
+              java.nio.file.StandardOpenOption.WRITE,
+              java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+            ()
+          }
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => None
         }
       } else
-        try Some(fs.create(lease, false))
-        catch {
+        try {
+          val out = fs.create(lease, false)
+          Some { bytes => try out.write(bytes) finally out.close() }
+        } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
           case e: java.io.IOException =>
             if (fs.exists(lease)) None // genuinely held — caller adjudicates
@@ -388,14 +473,15 @@ object AtomicSwap {
         }
 
     var reclaimed = false
-    val out = tryCreate().getOrElse {
+    val writeHolder = tryCreate().getOrElse {
       val existing = readHolder(fs, lease)
       val dead = holderProvablyDead(existing)
       val stale = !holderProvablyLive(existing) &&
         leaseAgeMs(fs, lease) >= staleMs
       if (dead || stale) {
-        // atomic rename-claim: exactly one contender owns the reclaim
-        if (!claimStale(fs, root, lease))
+        // atomic rename-claim: exactly one contender owns the reclaim,
+        // and only of the exact lease bytes that were adjudicated stale
+        if (!claimStale(fs, root, lease, existing))
           throw new LeaseHeldException(path, readHolder(fs, lease))
         reclaimed = true
         tryCreate().getOrElse(
@@ -403,10 +489,21 @@ object AtomicSwap {
       } else throw new LeaseHeldException(path, existing)
     }
     // no orphan: once create succeeded, ANY failure before the body's own
-    // try/finally is entered must release the lease
-    try {
-      try out.write(holder.getBytes(UTF_8)) finally out.close()
-    } catch { case e: Throwable => fs.delete(lease, false); throw e }
+    // try/finally is entered must release the lease and rethrow
+    // CLASSIFIED — a vanished lease means it was claimed away mid-write
+    // (a lost race, nothing of ours remains to clean)
+    try writeHolder(holder.getBytes(UTF_8))
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new LeaseHeldException(path, readHolder(fs, lease))
+      case e: Throwable =>
+        try {
+          if (fs.getScheme == "file")
+            java.nio.file.Files.deleteIfExists(nioPath(lease))
+          else fs.delete(lease, false)
+        } catch { case _: java.io.IOException => () }
+        throw e
+    }
     val leaseKey = fs.makeQualified(root).toString
     heldLeases.put(leaseKey, token)
 
