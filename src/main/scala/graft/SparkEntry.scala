@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.{ArticleOps, Summaries, Relational}
@@ -682,13 +683,23 @@ object SparkEntry {
         .orderBy(col("lang"))),
 
     // scalable variant of a4: HLL sketch instead of exact distinct — the
-    // 100 TB form (no oracle: HLL implementations differ across engines, so
-    // the driver records the weaker rows-only check)
+    // 100 TB form. HLL internals differ across engines, so the sketch
+    // VALUE can't be oracle-compared; instead the query emits the exact
+    // distinct count alongside a `within_5pct` accuracy verdict (HLL++
+    // default rsd = 0.05; the estimate is deterministic — registers are
+    // max-merged, so partitioning can't change the result) and DuckDB
+    // recomputes the exact side + literal TRUE. A sketch drifting past
+    // its advertised error now FAILS the driver gate instead of hiding
+    // behind a rows-only check (round-15 verdict task 5).
     "a9_approx_distinct" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("lang"))
-        .agg(approx_count_distinct(col("tok")).as("approx_unique_tokens"))
+        .agg(countDistinct(col("tok")).as("exact_unique_tokens"),
+          approx_count_distinct(col("tok")).as("hll"))
+        .select(col("lang"), col("exact_unique_tokens"),
+          (abs(col("hll") - col("exact_unique_tokens")) * 100 <=
+            col("exact_unique_tokens") * 5).as("within_5pct"))
         .orderBy(col("lang"))),
 
     // ---- relational workload (J3 at scale: Q1/Q3/Q5/Q6-shaped) ----
@@ -1709,15 +1720,42 @@ object SparkEntry {
       operators.Similarity.bruteForceTopK(Tables.embeddings(s, d), cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))),
 
-    // IVF ANN (k-means coarse quantizer; rows-only check — no oracle since
-    // k-means isn't reproducible cross-engine). Trains on a 25% sample by
-    // default (`ann.ivf_train_fraction`): at scale the 8 Lloyd passes over
-    // the training set are the query's dominant cost, and quantizer quality
-    // needs only a representative sample — assignment still covers all.
-    "ann_ivf" -> ((s, d) =>
-      operators.Similarity.ivfTopK(Tables.embeddings(s, d), cfg.annQueries, cfg.annK,
-          trainFraction = cfg.ivfTrainFraction)
-        .orderBy(col("query_id"), col("rank"))),
+    // IVF ANN (k-means coarse quantizer). K-means isn't reproducible
+    // cross-engine, so the neighbor LIST can't be oracle-compared;
+    // instead the query emits a per-query recall@k verdict against the
+    // engine's own exact brute-force top-k (`recall_floor_met`: hits*100
+    // >= floor*k, integer arithmetic) and DuckDB recomputes the query-id
+    // roster + literal TRUE. A quantizer regression that drops recall
+    // below the floor now FAILS the driver gate instead of hiding behind
+    // a rows-only check (round-15 verdict task 5). Two verdicts: per
+    // query, `found_any` (a probe that returns zero true neighbors is
+    // broken machinery, not noise — measured per-query minimum is 2/5);
+    // corpus-wide, aggregate recall >= 60% (measured 78% at sf0.01, 90%
+    // at sf0.001 — a single unlucky query can't flip it, a real
+    // quantizer regression does). Trains
+    // on a 25% sample by default (`ann.ivf_train_fraction`): at scale
+    // the 8 Lloyd passes over the training set are the query's dominant
+    // cost, and quantizer quality needs only a representative sample —
+    // assignment still covers all.
+    "ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ivf = operators.Similarity.ivfTopK(emb, cfg.annQueries, cfg.annK,
+        trainFraction = cfg.ivfTrainFraction)
+      val exact = operators.Similarity.bruteForceTopK(emb, cfg.annQueries, cfg.annK)
+      val hits = exact.select(col("query_id"), col("neighbor_id"))
+        .join(ivf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("h", coalesce(col("hits"), lit(0L)))
+        .select(col("query_id"), lit(cfg.annK.toLong).as("k"),
+          (col("h") >= 1L).as("found_any"),
+          (sum(col("h")).over(Window.partitionBy()) * 100 >=
+            sum(lit(cfg.annK.toLong)).over(Window.partitionBy()) * 60)
+            .as("recall_floor_met"))
+        .orderBy(col("query_id"))
+    }),
 
     // deterministic IVF (fixed hyperplane coarse quantizer + exact
     // fixed-point centroid sums) — the fully oracle-checked sibling of
@@ -2665,12 +2703,33 @@ object SparkEntry {
             .as("f"),
           operators.Classifier.qualityLabel().as("y")))),
 
-    // Misra-Gries heavy hitters (rows-only: the survivor set below the
-    // guarantee line is merge-order dependent — MgSpec pins the
-    // undercount bound and the must-survive guarantee)
-    "a22_mg_heavy_hitters" -> ((s, d) =>
-      operators.TextAnalysis.mgHeavyHitters(Tables.documents(s, d), 32)
-        .orderBy(col("est_cnt").desc, col("term"))),
+    // Misra-Gries heavy hitters. The survivor set BELOW the N/(k+1)
+    // guarantee line is merge-order dependent, so the raw sketch can't be
+    // oracle-compared; instead the query emits, for every term the
+    // guarantee REQUIRES to survive (exact freq > N/(k+1) — a
+    // deterministic roster DuckDB recomputes), whether MG found it
+    // (`mg_found`) and whether its estimate sits inside the guaranteed
+    // band true-N/(k+1) <= est <= true (`bound_ok`), all in integer
+    // arithmetic. A sketch losing a guaranteed hitter or over-counting
+    // now FAILS the driver gate instead of hiding behind a rows-only
+    // check (round-15 verdict task 5); MgSpec still pins the mechanism.
+    "a22_mg_heavy_hitters" -> ((s, d) => {
+      val mgK = 32
+      val docs = Tables.documents(s, d)
+      val mg = operators.TextAnalysis.mgHeavyHitters(docs, mgK)
+      val terms = explodeTokens(docs, "term").where(col("term") =!= "")
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+      val tot = terms.agg(count(lit(1)).as("n_tot"))
+      exact.crossJoin(broadcast(tot))
+        .where(col("exact_cnt") * (mgK + 1) > col("n_tot"))
+        .join(mg, Seq("term"), "left")
+        .select(col("term"), col("exact_cnt"),
+          col("est_cnt").isNotNull.as("mg_found"),
+          (col("est_cnt").isNotNull && col("est_cnt") <= col("exact_cnt") &&
+            col("est_cnt") * (mgK + 1) >=
+              col("exact_cnt") * (mgK + 1) - col("n_tot")).as("bound_ok"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    }),
 
     // common user journeys: top-20 time-ordered event-type trigrams
     "a20_event_paths" -> ((s, d) => {
@@ -3840,11 +3899,39 @@ object SparkEntry {
         .orderBy(col("source"), col("pct"))),
 
     // sketch sibling: approx_percentile's mergeable summary — the 100 TB
-    // form (no oracle: sketch internals differ across engines; accuracy is
-    // spec-gated against the exact form, the a4/a9 pattern)
-    "a15b_approx_percentiles" -> ((s, d) =>
-      operators.Summaries.approxLengthPercentiles(Tables.documents(s, d))
-        .orderBy(col("source"), col("pct"))),
+    // form. Sketch internals differ across engines AND merge order can
+    // shift which element is returned, so the VALUE can't be
+    // oracle-compared; what the GK summary guarantees regardless of merge
+    // order is rank error <= N/accuracy. The query therefore emits, per
+    // (source, pct), the group size and whether the approx value's exact
+    // rank window [rank_lo+1, rank_hi] overlaps the target-rank band
+    // p*n/100 +- (n/accuracy + 2) (integer arithmetic; +-2 absorbs the
+    // floor/ceil convention gap between engines) — and DuckDB recomputes
+    // (source, pct, n) + literal TRUE. A sketch violating its rank-error
+    // contract now FAILS the driver gate (round-15 verdict task 5).
+    "a15b_approx_percentiles" -> ((s, d) => {
+      val acc = 10000L
+      val t = Tables.documents(s, d)
+        .select(col("source"), length(col("text")).cast("long").as("v"))
+      val ap = operators.Summaries
+        .approxLengthPercentiles(Tables.documents(s, d))
+      val n = t.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ap.join(t.withColumnRenamed("source", "src"),
+          col("source") === col("src"), "left")
+        .groupBy(col("source"), col("pct"), col("approx_value"))
+        .agg(sum(when(col("v") < col("approx_value"), 1L).otherwise(0L))
+            .as("rank_lo"),
+          sum(when(col("v") <= col("approx_value"), 1L).otherwise(0L))
+            .as("rank_hi"))
+        .join(n, Seq("source"))
+        .select(col("source"), col("pct"), col("n"),
+          ((col("rank_lo") + 1) * (100 * acc) <=
+            col("pct") * col("n") * acc + (col("n") + 2 * acc) * 100 &&
+            col("rank_hi") * (100 * acc) >=
+              col("pct") * col("n") * acc - (col("n") + 2 * acc) * 100)
+            .as("rank_err_ok"))
+        .orderBy(col("source"), col("pct"))
+    }),
 
     // eval-set decontamination: flag test-split docs whose 8-gram shingles
     // substantially occur anywhere in the train split (planted docs must
@@ -4903,6 +4990,39 @@ object SparkEntry {
         s"""SELECT lang, count(DISTINCT tok)::BIGINT AS unique_tokens
            |FROM (SELECT lang, unnest($toks) AS tok FROM documents)
            |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // the sketch-accuracy quartet (round-15 verdict task 5): the engine
+      // emits exact values + an accuracy-verdict boolean computed from its
+      // own sketch; the oracle recomputes the exact side and asserts the
+      // verdict is literally TRUE — so a sketch violating its advertised
+      // bound fails the gate like any wrong answer.
+      "a9_approx_distinct" ->
+        s"""SELECT lang, count(DISTINCT tok)::BIGINT AS exact_unique_tokens,
+           |  TRUE AS within_5pct
+           |FROM (SELECT lang, unnest($toks) AS tok FROM documents)
+           |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "a22_mg_heavy_hitters" ->
+        s"""WITH t AS (SELECT tok AS term
+           |    FROM (SELECT unnest($toks) AS tok FROM documents)
+           |    WHERE tok <> ''),
+           |c AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM t GROUP BY term),
+           |n AS (SELECT count(*)::BIGINT AS n_tot FROM t)
+           |SELECT term, exact_cnt, TRUE AS mg_found, TRUE AS bound_ok
+           |FROM c, n WHERE exact_cnt * 33 > n_tot
+           |ORDER BY exact_cnt DESC, term""".stripMargin,
+
+      "a15b_approx_percentiles" ->
+        """WITH t AS (SELECT source, length(text)::BIGINT AS v FROM documents),
+          |n AS (SELECT source, count(*)::BIGINT AS n FROM t GROUP BY source)
+          |SELECT source, pct::BIGINT AS pct, n, TRUE AS rank_err_ok
+          |FROM n CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct)
+          |ORDER BY source, pct""".stripMargin,
+
+      "ann_ivf" ->
+        """SELECT DISTINCT vec_id::BIGINT AS query_id, 5::BIGINT AS k,
+          |  TRUE AS found_any, TRUE AS recall_floor_met
+          |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
