@@ -181,11 +181,21 @@ object Bench {
           s""","degraded_n":${p1.degraded.size + p2.degraded.size},"skipped_n":${p1.skipped.size + p2.skipped.size}""" +
           onlyPart + partialPart
       val stdoutLine = head + "}"
+      // one-time per-session template builds (SparkEntry.stagedTemplate):
+      // the build-vs-maintain split the lifecycle cells no longer pay per
+      // rep stays visible in the artifact
+      val staged = {
+        import scala.jdk.CollectionConverters._
+        SparkEntry.stagedBuildSeconds.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => jstr(k) + ":" + r3(v) }
+          .mkString("{", ",", "}")
+      }
       val fileTail =
         (if (sf2Ran) s""","queries2":${qJson(p2.results)},"spread2":${sJson(p2.spreads)}""" else "") +
           s""","spread":${sJson(p1.spreads)}""" +
           s""","degraded":${fJson(p1.degraded)},"degraded2":${fJson(p2.degraded)}""" +
-          s""","skipped":${fJson(p1.skipped)},"skipped2":${fJson(p2.skipped)}}"""
+          s""","skipped":${fJson(p1.skipped)},"skipped2":${fJson(p2.skipped)}""" +
+          s""","staged_builds":$staged}"""
       (stdoutLine, head + fileTail)
     }
 

@@ -66,6 +66,192 @@ object SparkEntry {
   private val stagedThisSession: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Seconds spent building each session TEMPLATE (see [[stagedTemplate]]),
+    * keyed `name-key`. PUBLIC so Bench surfaces the one-time build costs
+    * in its artifact (`staged_builds`) — the build-vs-maintain split stays
+    * visible instead of the cells just getting silently faster. */
+  val stagedBuildSeconds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private val templateLock = new Object
+
+  /** Session-wide TEMPLATE staging for the index-LIFECYCLE cells
+    * (round-15 verdict task 6). The `stream_*` / `*_incr` / `*_del` /
+    * `*_compact` cells' names claim MAINTENANCE, but each invocation also
+    * paid the shared base-index build inside the timed window — at sf0.1
+    * that build is the dominant fixed cost, and several cells build the
+    * IDENTICAL base (the full-corpus ANN index four times, the
+    * three-quarters BM25 base three times). The base is now built ONCE
+    * per session per (name, sf, key) into a pristine template directory;
+    * each invocation starts from a filesystem COPY of it ([[copyTree]]),
+    * so timed reps measure maintenance + copy, not rebuild. Content-safe
+    * because the builds are deterministic — the oracles' update==rebuild
+    * claims already rely on exactly that — and the copy preserves bytes.
+    * The 100 TB reading: a real deployment builds its base index once
+    * per corpus snapshot and runs MANY maintenance cycles against it;
+    * per-cycle cost is what these cells exist to measure. */
+  private def stagedTemplate(name: String, sfDir: String, key: String)
+                            (build: String => Unit): String =
+    templateLock.synchronized {
+      val tmplKey = s"tmpl:$name:$sfDir:$key"
+      if (!stagedThisSession.contains(tmplKey)) {
+        val t0 = System.nanoTime()
+        val freshDir = stagedDir(s"tmpl-$name", sfDir, key, fresh = true)
+        build(freshDir)
+        stagedBuildSeconds.put(s"$name-$key", (System.nanoTime() - t0) / 1e9)
+        stagedThisSession.add(tmplKey)
+      }
+      stagedDir(s"tmpl-$name", sfDir, key, fresh = false)
+    }
+
+  // ---- shared base-index templates (each built once per session; see
+  // stagedTemplate). The grouping mirrors the builds the lifecycle cells
+  // share: the full-corpus ANN index serves four cells, the
+  // three-quarters bases serve three each. ----
+
+  /** Full-corpus IVF+PQ index — base of the ANN takedown/compaction
+    * cells. */
+  private def annFullTemplate(s: SparkSession, d: String): String =
+    stagedTemplate("ann-full", d, "p4m8b4r1") { t =>
+      operators.Similarity.buildAnnIndex(Tables.embeddings(s, d), t)
+    }
+
+  /** Three-quarters IVF+PQ index + the incoming quarter as a 3-file
+    * stream source — base of the ANN incremental/autocompact cells. */
+  private def ann75Template(s: SparkSession, d: String): String =
+    stagedTemplate("ann-75", d, "p4m8b4r1") { t =>
+      val emb = Tables.embeddings(s, d)
+      operators.Similarity.buildAnnIndex(
+        emb.where(col("vec_id") % 4 =!= 0), s"$t/index")
+      emb.where(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(s"$t/src")
+    }
+
+  /** Full-corpus BM25 index — base of the BM25 takedown/compaction
+    * cells. */
+  private def bm25FullTemplate(s: SparkSession, d: String): String =
+    stagedTemplate("bm25-full", d, "v1") { t =>
+      operators.Similarity.buildBm25Index(Tables.documents(s, d), t,
+        maxDf = cfg.retrievalMaxDf)
+    }
+
+  /** Three-quarters BM25 index + the incoming quarter as a 3-file stream
+    * source — base of the BM25 incremental/autocompact cells. */
+  private def bm2575Template(s: SparkSession, d: String): String =
+    stagedTemplate("bm25-75", d, "v2") { t =>
+      val docs = Tables.documents(s, d)
+      operators.Similarity.buildBm25Index(
+        docs.where(col("doc_id") % 4 =!= 0), s"$t/index",
+        maxDf = cfg.retrievalMaxDf)
+      docs.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(s"$t/src")
+    }
+
+  /** Full-corpus 4-shard IVF+PQ index — base of the sharded ANN serving
+    * cell. */
+  private def annShardedTemplate(s: SparkSession, d: String): String =
+    stagedTemplate("ann-shfull", d, "p4m8b4r1-s4") { t =>
+      operators.Similarity.buildAnnIndexSharded(Tables.embeddings(s, d),
+        t, shards = 4)
+    }
+
+  /** Three-quarters 2-shard IVF+PQ index + the quarter as a 2-file
+    * stream source — base of the sharded ANN maintenance cell. */
+  private def annSharded75Template(s: SparkSession, d: String): String =
+    stagedTemplate("ann-sh75", d, "p4m8b4r1-s2") { t =>
+      val emb = Tables.embeddings(s, d)
+      operators.Similarity.buildAnnIndexSharded(
+        emb.where(col("vec_id") % 4 =!= 0), s"$t/index", shards = 2)
+      emb.where(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(2).write.mode("overwrite").parquet(s"$t/src")
+    }
+
+  /** Zipf-corpus 4-shard BM25 index — base of the sharded BM25 serving
+    * cell. */
+  private def bm25ShardedZipfTemplate(s: SparkSession, d: String): String =
+    stagedTemplate("bm25-shzipf", d, "v1-s4") { t =>
+      operators.Similarity.buildBm25IndexSharded(
+        operators.TextAnalysis.syntheticZipfCorpus(Tables.documents(s, d)),
+        t, shards = 4, maxDf = cfg.retrievalMaxDf)
+    }
+
+  /** Three-quarters 2-shard BM25 index + the quarter as a 2-file stream
+    * source — base of the sharded BM25 maintenance cell. */
+  private def bm25Sharded75Template(s: SparkSession, d: String): String =
+    stagedTemplate("bm25-sh75", d, "v1-s2") { t =>
+      val docs = Tables.documents(s, d)
+      operators.Similarity.buildBm25IndexSharded(
+        docs.where(col("doc_id") % 4 =!= 0), s"$t/index", shards = 2,
+        maxDf = cfg.retrievalMaxDf)
+      docs.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
+        .repartition(2).write.mode("overwrite").parquet(s"$t/src")
+    }
+
+  /** Partitioned minhash signature index (+ members sibling) of the
+    * existing half, with the takedown requests as a 3-file stream source
+    * — base of the streamed signature-takedown cell. */
+  private def minhashTakedownTemplate(s: SparkSession, d: String): String =
+    stagedTemplate("mh-takedown", d, "n3k16-m7") { t =>
+      val docs = Tables.documents(s, d)
+      operators.Dedup.minhashTable(
+          docs.where(col("doc_id") < 400), cfg.ngramN, cfg.minhashK)
+        .withColumn("batch_id", pmod(col("doc_id"), lit(3L)))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$t/index")
+      operators.Dedup.buildMinhashMembers(s, s"$t/index")
+      docs.where(col("doc_id") % 7 === 5 && col("doc_id") < 400)
+        .select(col("doc_id"))
+        .repartition(3).write.mode("overwrite").parquet(s"$t/src")
+    }
+
+  /** Persisted train-shingle universe + the eval split as a 3-file
+    * stream source — base of the streaming decontamination cell. */
+  private def decontamStreamTemplate(s: SparkSession, d: String): String =
+    stagedTemplate("decon-stream", d, "n8o5000") { t =>
+      val (train, evalDocs) = plantedEvalSplit(s, d)
+      operators.Decontaminate.shingleUniverse(train, cfg.decontamNgramN)
+        .write.parquet(s"$t/universe")
+      evalDocs.select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(s"$t/src")
+    }
+
+  /** Persisted per-source quality thresholds + the corpus as a 3-file
+    * stream source — base of the streaming curation cell. */
+  private def curateStreamTemplate(s: SparkSession, d: String): String =
+    stagedTemplate("curate-stream", d, "p60s16") { t =>
+      val docs = Tables.documents(s, d)
+      operators.TextAnalysis.qualityThresholds(docs, 60)
+        .write.parquet(s"$t/thresholds")
+      docs.repartition(3).write.mode("overwrite").parquet(s"$t/src")
+    }
+
+  /** The corpus (doc_id, text) as a 3-file stream source — base of the
+    * streaming near-dup cell. */
+  private def neardupSrcTemplate(s: SparkSession, d: String): String =
+    stagedTemplate("ndup-src", d, "n3k16b4") { t =>
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(s"$t/src")
+    }
+
+  /** Recursive NIO copy of a template tree into a working directory. */
+  private def copyTree(src: String, dst: String): Unit = {
+    val s0 = java.nio.file.Paths.get(src)
+    val d0 = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(d0)
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(s0)) { st =>
+      st.iterator().asScala.foreach { p =>
+        val t = d0.resolve(s0.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
   /** Stage `sql_minhash_pairs`' signature/band caches ONCE PER SESSION per
     * sf dir (the stagedThisSession pattern): the eager CACHE TABLE builds +
     * SQL-path JIT cost ~8 s on a session's first invocation — the
@@ -1552,19 +1738,10 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val stage = stagedDir("stream-mh-takedown", d, "n3k16-m7-s3",
         fresh = true)
-      operators.Dedup.minhashTable(
-          docs.where(col("doc_id") < 400), cfg.ngramN, cfg.minhashK)
-        .withColumn("batch_id", pmod(col("doc_id"), lit(3L)))
-        .write.mode("overwrite").partitionBy("batch_id")
-        .parquet(s"$stage/index")
-      // the slim doc→partition membership sibling: each takedown batch
-      // then probes this 2-column map for touched partitions instead of
-      // scanning the k-hashes-per-doc signature index (the round-12
-      // scale row's linear term)
-      operators.Dedup.buildMinhashMembers(s, s"$stage/index")
-      docs.where(col("doc_id") % 7 === 5 && col("doc_id") < 400)
-        .select(col("doc_id"))
-        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      // index + the slim doc→partition members sibling + request source
+      // staged from the session template (the members probe is the
+      // round-12 scale row's linear-term fix)
+      copyTree(minhashTakedownTemplate(s, d), stage)
       val schema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", org.apache.spark.sql.types.LongType)
       streaming.Streams.streamingNearDupTakedown(s,
@@ -1857,8 +2034,7 @@ object SparkEntry {
     // no score — the UNSHARDED oracle SQL verbatim
     "ann_ivfpq_sharded" -> ((s, d) => {
       val dir = stagedDir("annshard", d, "p4m8b4r1-s4", fresh = true)
-      operators.Similarity.buildAnnIndexSharded(Tables.embeddings(s, d),
-        dir, shards = 4)
+      copyTree(annShardedTemplate(s, d), dir)
       operators.Similarity.annQueryIndexSharded(s, dir,
           cfg.annQueries, cfg.annK)
         .orderBy(col("query_id"), col("rank"))
@@ -1876,12 +2052,8 @@ object SparkEntry {
     // task 2); the full 4-shard replay/idempotence claims live in
     // ShardedIndexSpec.
     "stream_ann_sharded" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
       val stage = stagedDir("stream-ann-sh", d, "p4m8b4r1-m2-s2", fresh = true)
-      operators.Similarity.buildAnnIndexSharded(
-        emb.where(col("vec_id") % 4 =!= 0), s"$stage/index", shards = 2)
-      emb.where(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
-        .repartition(2).write.mode("overwrite").parquet(s"$stage/src")
+      copyTree(annSharded75Template(s, d), stage)
       val schema = new org.apache.spark.sql.types.StructType()
         .add("vec_id", org.apache.spark.sql.types.LongType)
         .add("embedding", org.apache.spark.sql.types.ArrayType(
@@ -1910,7 +2082,7 @@ object SparkEntry {
     "ann_index_incr" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val dir = stagedDir("annincr", d, "p4m8b4r1-m4", fresh = true)
-      operators.Similarity.buildAnnIndex(emb.where(col("vec_id") % 4 =!= 0), dir)
+      copyTree(s"${ann75Template(s, d)}/index", dir)
       operators.Similarity.updateAnnIndex(s, dir,
         emb.where(col("vec_id") % 4 === 0))
       stagedThisSession.add(dir)
@@ -1928,7 +2100,7 @@ object SparkEntry {
     "ann_index_del" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val dir = stagedDir("anndel", d, "p4m8b4r1-m7", fresh = true)
-      operators.Similarity.buildAnnIndex(emb, dir)
+      copyTree(annFullTemplate(s, d), dir)
       operators.Similarity.removeFromAnnIndex(s, dir,
         emb.where(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
           .select(col("vec_id")))
@@ -1945,7 +2117,7 @@ object SparkEntry {
     "ann_index_compact" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val dir = stagedDir("anncompact", d, "p4m8b4r1-m7", fresh = true)
-      operators.Similarity.buildAnnIndex(emb, dir)
+      copyTree(annFullTemplate(s, d), dir)
       operators.Similarity.removeFromAnnIndex(s, dir,
         emb.where(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
           .select(col("vec_id")))
@@ -3048,7 +3220,7 @@ object SparkEntry {
     "stream_near_dup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val stage = stagedDir("stream-ndup", d, "n3k16b4", fresh = true)
-      docs.repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      copyTree(neardupSrcTemplate(s, d), stage)
       streaming.Streams.streamingNearDup(s,
           streaming.Streams.fileSource(s, s"$stage/src", docs.schema,
             maxFilesPerTrigger = 1),
@@ -3066,9 +3238,7 @@ object SparkEntry {
     "stream_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val stage = stagedDir("stream-curate", d, "p60s16", fresh = true)
-      operators.TextAnalysis.qualityThresholds(docs, 60)
-        .write.parquet(s"$stage/thresholds")
-      docs.repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      copyTree(curateStreamTemplate(s, d), stage)
       streaming.Streams.streamingCurate(s,
           streaming.Streams.fileSource(s, s"$stage/src", docs.schema,
             maxFilesPerTrigger = 1),
@@ -3209,12 +3379,10 @@ object SparkEntry {
     // must equal the batch overlapReport (same oracle SQL) — the
     // continuous-holdout-screening shape of `decontaminate`
     "stream_decontam" -> ((s, d) => {
-      val (train, evalDocs) = plantedEvalSplit(s, d)
+      val (_, evalDocs) = plantedEvalSplit(s, d)
       val stage = stagedDir("stream-decon", d, "n8o5000", fresh = true)
-      operators.Decontaminate.shingleUniverse(train, cfg.decontamNgramN)
-        .write.parquet(s"$stage/universe")
+      copyTree(decontamStreamTemplate(s, d), stage)
       val ev = evalDocs.select(col("doc_id"), col("text"))
-      ev.repartition(3).write.mode("overwrite").parquet(s"$stage/src")
       streaming.Streams.streamingDecontaminate(s,
           streaming.Streams.fileSource(s, s"$stage/src", ev.schema,
             maxFilesPerTrigger = 1),
@@ -3398,9 +3566,7 @@ object SparkEntry {
     // UNSHARDED oracle SQL verbatim
     "sim_bm25_sharded" -> ((s, d) => {
       val dir = stagedDir("bm25shard", d, "v1-zipf-s4", fresh = true)
-      operators.Similarity.buildBm25IndexSharded(
-        operators.TextAnalysis.syntheticZipfCorpus(Tables.documents(s, d)),
-        dir, shards = 4, maxDf = cfg.retrievalMaxDf)
+      copyTree(bm25ShardedZipfTemplate(s, d), dir)
       operators.Similarity.bm25QueryIndexSharded(s, dir,
           queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -3417,13 +3583,8 @@ object SparkEntry {
     // pure fixed-FS gate wall; ShardedIndexSpec keeps the 4-shard
     // claims).
     "stream_bm25_sharded" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
       val stage = stagedDir("stream-bm25-sh", d, "v1-m2-s2", fresh = true)
-      operators.Similarity.buildBm25IndexSharded(
-        docs.where(col("doc_id") % 4 =!= 0), s"$stage/index", shards = 2,
-        maxDf = cfg.retrievalMaxDf)
-      docs.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
-        .repartition(2).write.mode("overwrite").parquet(s"$stage/src")
+      copyTree(bm25Sharded75Template(s, d), stage)
       val schema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", org.apache.spark.sql.types.LongType)
         .add("text", org.apache.spark.sql.types.StringType)
@@ -3450,8 +3611,7 @@ object SparkEntry {
     "sim_bm25_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = stagedDir("bm25incr", d, "v2-m4", fresh = true)
-      operators.Similarity.buildBm25Index(
-        docs.where(col("doc_id") % 4 =!= 0), dir, maxDf = cfg.retrievalMaxDf)
+      copyTree(s"${bm2575Template(s, d)}/index", dir)
       operators.Similarity.updateBm25Index(s, dir,
         docs.where(col("doc_id") % 4 === 0))
       operators.Similarity.bm25QueryIndex(s, dir,
@@ -3468,7 +3628,7 @@ object SparkEntry {
     "sim_bm25_del" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = stagedDir("bm25del", d, "v1-m7", fresh = true)
-      operators.Similarity.buildBm25Index(docs, dir, maxDf = cfg.retrievalMaxDf)
+      copyTree(bm25FullTemplate(s, d), dir)
       operators.Similarity.removeFromBm25Index(s, dir,
         docs.where(col("doc_id") % 7 === 5).select(col("doc_id")))
       stagedThisSession.add(dir)
@@ -3486,7 +3646,7 @@ object SparkEntry {
     "sim_bm25_compact" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = stagedDir("bm25compact", d, "v2-m7", fresh = true)
-      operators.Similarity.buildBm25Index(docs, dir, maxDf = cfg.retrievalMaxDf)
+      copyTree(bm25FullTemplate(s, d), dir)
       operators.Similarity.removeFromBm25Index(s, dir,
         docs.where(col("doc_id") % 7 === 5).select(col("doc_id")))
       operators.Similarity.compactBm25Index(s, dir)
@@ -3505,8 +3665,7 @@ object SparkEntry {
     "stream_bm25_takedown" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val stage = stagedDir("stream-takedown", d, "v1-m7-s3", fresh = true)
-      operators.Similarity.buildBm25Index(docs, s"$stage/index",
-        maxDf = cfg.retrievalMaxDf)
+      copyTree(bm25FullTemplate(s, d), s"$stage/index")
       docs.where(col("doc_id") % 7 === 5).select(col("doc_id"))
         .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
       val schema = new org.apache.spark.sql.types.StructType()
@@ -3533,8 +3692,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val stage = stagedDir("stream-takedown-b", d, "v1-m7-s3-b3",
         fresh = true)
-      operators.Similarity.buildBm25Index(docs, s"$stage/index",
-        maxDf = cfg.retrievalMaxDf)
+      copyTree(bm25FullTemplate(s, d), s"$stage/index")
       docs.where(col("doc_id") % 7 === 5).select(col("doc_id"))
         .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
       val schema = new org.apache.spark.sql.types.StructType()
@@ -3559,13 +3717,8 @@ object SparkEntry {
     // result shares sim_bm25_incr's full-corpus oracle verbatim. The
     // index is MUTATED by the run, so it stages fresh per invocation
     "stream_bm25_incr" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
       val stage = stagedDir("stream-bm25", d, "v1-m4-s3", fresh = true)
-      operators.Similarity.buildBm25Index(
-        docs.where(col("doc_id") % 4 =!= 0), s"$stage/index",
-        maxDf = cfg.retrievalMaxDf)
-      docs.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
-        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      copyTree(bm2575Template(s, d), stage)
       val schema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", org.apache.spark.sql.types.LongType)
         .add("text", org.apache.spark.sql.types.StringType)
@@ -3586,13 +3739,8 @@ object SparkEntry {
     // bit-identical (compaction preserves them), so this shares
     // sim_bm25_incr's full-corpus rebuild oracle verbatim
     "stream_bm25_autocompact" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
       val stage = stagedDir("stream-bm25-ac", d, "v2-m4-s3-c2", fresh = true)
-      operators.Similarity.buildBm25Index(
-        docs.where(col("doc_id") % 4 =!= 0), s"$stage/index",
-        maxDf = cfg.retrievalMaxDf)
-      docs.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
-        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      copyTree(bm2575Template(s, d), stage)
       val schema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", org.apache.spark.sql.types.LongType)
         .add("text", org.apache.spark.sql.types.StringType)
@@ -3615,12 +3763,8 @@ object SparkEntry {
     // incremental update and the query shares ann_index_incr's oracle
     // verbatim
     "stream_ann_incr" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
       val stage = stagedDir("stream-ann", d, "p4m8b4r1-s3", fresh = true)
-      operators.Similarity.buildAnnIndex(
-        emb.where(col("vec_id") % 4 =!= 0), s"$stage/index")
-      emb.where(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
-        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      copyTree(ann75Template(s, d), stage)
       val schema = new org.apache.spark.sql.types.StructType()
         .add("vec_id", org.apache.spark.sql.types.LongType)
         .add("embedding", org.apache.spark.sql.types.ArrayType(
@@ -3640,12 +3784,8 @@ object SparkEntry {
     // segment log while the drained probe stays bit-identical to the
     // one-shot incremental update (ann_index_incr's oracle verbatim)
     "stream_ann_autocompact" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
       val stage = stagedDir("stream-ann-ac", d, "p4m8b4r1-s3-c2", fresh = true)
-      operators.Similarity.buildAnnIndex(
-        emb.where(col("vec_id") % 4 =!= 0), s"$stage/index")
-      emb.where(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding"))
-        .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
+      copyTree(ann75Template(s, d), stage)
       val schema = new org.apache.spark.sql.types.StructType()
         .add("vec_id", org.apache.spark.sql.types.LongType)
         .add("embedding", org.apache.spark.sql.types.ArrayType(
@@ -3671,7 +3811,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val stage = stagedDir("stream-ann-takedown", d, "p4m8b4r1-m7-s3",
         fresh = true)
-      operators.Similarity.buildAnnIndex(emb, s"$stage/index")
+      copyTree(annFullTemplate(s, d), s"$stage/index")
       emb.where(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
         .select(col("vec_id"))
         .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
@@ -3697,7 +3837,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val stage = stagedDir("stream-ann-takedown-b", d, "p4m8b4r1-m7-s3-b3",
         fresh = true)
-      operators.Similarity.buildAnnIndex(emb, s"$stage/index")
+      copyTree(annFullTemplate(s, d), s"$stage/index")
       emb.where(col("vec_id") % 7 === 3 && col("vec_id") >= 10)
         .select(col("vec_id"))
         .repartition(3).write.mode("overwrite").parquet(s"$stage/src")
