@@ -54,6 +54,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "ver_drift" -> "token-total one-row aggregate rides along broadcast",
     "ta_pmi" -> "one-row bigram-total aggregate rides along broadcast",
     "a17_cms_counts" -> "one-row CMS sketch rides along broadcast",
+    "a22_mg_heavy_hitters" -> "one-row corpus token total rides along broadcast (the N/(k+1) guarantee line)",
     "ta_train_lsq_score" -> "one-row trained model rides along broadcast",
     "ta_train_lsq_eval" -> "one-row trained model rides along broadcast",
     "ta_train_hashed" -> "one-row prior + one-row default-weight model rows ride along broadcast (the weight table itself is a broadcast EQUI-join)",
