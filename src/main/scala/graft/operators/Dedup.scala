@@ -117,7 +117,23 @@ object Dedup {
     ngramJaccardPairsFromHashes(
       shingleTable(docs, n)
         .select(col("doc_id"), charPolyHash(col("sh")).as("h")),
-      minJaccardX10000, docFreqCap)
+      minJaccardX10000, docFreqCap,
+      sizesOpt = if (docFreqCap.isEmpty) Some(shingleSizes(docs, n)) else None)
+
+  /** Per-doc distinct-shingle count computed MAP-ONLY from the token array
+    * (`size(shinglesFromToks)` — the explode side emits exactly one row per
+    * array element, so the counts are identical by construction): replaces
+    * [[pairOverlaps]]' explode → hash-per-shingle → Exchange → count
+    * `sizes` subtree with a scan projection. Only valid for the UNCAPPED
+    * shingle universe — under `docFreqCap` the sizes must come from the
+    * capped table ([[pairOverlaps]] keeps the aggregate there). The
+    * `coalesce` mirrors the explode semantics for NULL text: explode(NULL)
+    * emits no rows, and such docs join nothing downstream either way. */
+  private def shingleSizes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        coalesce(size(shinglesFromToks(col("toks"), n)).cast("long"), lit(0L))
+          .as("n_sh"))
 
   /** [[ngramJaccardPairs]] from a pre-built hashed shingle table
     * (doc_id, h) — the entry point for pipelines that already hold the
@@ -126,8 +142,9 @@ object Dedup {
     * its input three times — sizes + both self-join sides). */
   private[operators] def ngramJaccardPairsFromHashes(
       sh0: DataFrame, minJaccardX10000: Long,
-      docFreqCap: Option[Int] = None): DataFrame =
-    pairOverlaps(sh0, docFreqCap)
+      docFreqCap: Option[Int] = None,
+      sizesOpt: Option[DataFrame] = None): DataFrame =
+    pairOverlaps(sh0, docFreqCap, sizesOpt)
       .withColumn("jaccard_x10000",
         floor(lit(10000.0) * col("n_common") / (col("n_a") + col("n_b") - col("n_common")) + 0.5)
           .cast("long"))
@@ -139,7 +156,8 @@ object Dedup {
     * (doc_id, h). Shuffles: one on `h` (the self-join), one on the pair
     * key (the count). */
   private[operators] def pairOverlaps(
-      sh0: DataFrame, docFreqCap: Option[Int] = None): DataFrame = {
+      sh0: DataFrame, docFreqCap: Option[Int] = None,
+      sizesOpt: Option[DataFrame] = None): DataFrame = {
     val sh = docFreqCap match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("h")).count().where(col("count") > cap).select(col("h"))
@@ -148,8 +166,15 @@ object Dedup {
     }
     // sizes come from the SAME (possibly capped) shingle universe as the
     // intersection — otherwise capped pairs get a systematically
-    // underestimated Jaccard and true dups can be missed
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // underestimated Jaccard and true dups can be missed. A caller holding
+    // the source docs can pass the count as a MAP-ONLY projection
+    // ([[shingleSizes]]) instead of paying this explode + hash + Exchange
+    // subtree twice (n_a and n_b legs) — only honored uncapped, per the
+    // consistency rule above.
+    val sizes = sizesOpt match {
+      case Some(sz) if docFreqCap.isEmpty => sz
+      case _ => sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    }
     val common = sh.alias("a")
       .join(sh.alias("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -213,7 +238,8 @@ object Dedup {
     pairOverlaps(
       shingleTable(docs, n)
         .select(col("doc_id"), charPolyHash(col("sh")).as("h")),
-      docFreqCap)
+      docFreqCap,
+      sizesOpt = if (docFreqCap.isEmpty) Some(shingleSizes(docs, n)) else None)
       .withColumn("containment_x10000",
         floor(lit(10000.0) * col("n_common") / least(col("n_a"), col("n_b")) + 0.5)
           .cast("long"))
