@@ -789,22 +789,28 @@ object Similarity {
     val e = withUnitVector(emb).select(col("vec_id"), col("vn"))
     val assigned = coarseAssign(e, planes, dim)
     val (_, codes, centroids) = pqTrain(e, m, bits, dim / m, refine)
+    // sums feed their own write AND the centroid derivation — materialize
+    val sums = coarseSums(assigned).localCheckpoint()
+    // every component write reads only materialized inputs (assigned /
+    // codes / centroids / sums are all checkpointed), so the seven jobs
+    // are independent — overlap them ([[parallelWrites]]) instead of
+    // serializing seven rounds of job-scheduling + file-commit latency.
     // vectors/cells carry the same doc-keyed bucket layout as the BM25
     // postings: a takedown's negative-sums read prunes to the buckets
     // holding removed ids instead of scanning every vector
-    writeBucketedSeg(assigned.select(col("vec_id"), col("vn")),
-      s"$path/vectors/seg=base", "vec_id", b)
-    writeBucketedSeg(assigned.select(col("vec_id"), col("cell")),
-      s"$path/cells/seg=base", "vec_id", b)
-    emb.sparkSession.range(1).select(lit(b).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$path/meta")
-    // sums feed their own write AND the centroid derivation — materialize
-    val sums = coarseSums(assigned).localCheckpoint()
-    sums.write.mode("overwrite").parquet(s"$path/coarse_sums/seg=base")
-    centroidsFromSums(sums)
-      .write.mode("overwrite").parquet(s"$path/coarse_centroids")
-    codes.write.mode("overwrite").parquet(s"$path/codes/seg=base")
-    centroids.write.mode("overwrite").parquet(s"$path/pq_centroids")
+    val spark = emb.sparkSession
+    parallelWrites(spark)(
+      () => writeBucketedSeg(assigned.select(col("vec_id"), col("vn")),
+        s"$path/vectors/seg=base", "vec_id", b),
+      () => writeBucketedSeg(assigned.select(col("vec_id"), col("cell")),
+        s"$path/cells/seg=base", "vec_id", b),
+      () => spark.range(1).select(lit(b).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$path/meta"),
+      () => sums.write.mode("overwrite").parquet(s"$path/coarse_sums/seg=base"),
+      () => centroidsFromSums(sums)
+        .write.mode("overwrite").parquet(s"$path/coarse_centroids"),
+      () => codes.write.mode("overwrite").parquet(s"$path/codes/seg=base"),
+      () => centroids.write.mode("overwrite").parquet(s"$path/pq_centroids"))
   }
 
   /** Incrementally ABSORB a new vector batch into a [[buildAnnIndex]]
@@ -880,19 +886,23 @@ object Similarity {
       .agg(min(struct(col("dist"), col("code"))).as("mi"))
       .select(col("vec_id"), col("s"), col("mi").getField("code").as("code"))
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    writeDeltaSeg(spark, path, "vectors",
-      assigned.select(col("vec_id"), col("vn")), stage(s"vectors/seg=$seg"))
-    writeDeltaSeg(spark, path, "cells",
-      assigned.select(col("vec_id"), col("cell")), stage(s"cells/seg=$seg"))
-    newCodes.write.mode("overwrite").parquet(stage(s"codes/seg=$seg"))
     // the batch's sums feed their own segment AND the centroid refresh
     val batchSums = coarseSums(assigned).localCheckpoint()
-    batchSums.write.mode("overwrite").parquet(stage(s"coarse_sums/seg=$seg"))
-    // probe-order centroids stay rebuild-exact: live sums ∪ the batch's,
-    // aggregated — associative integer sums, cell-count-bounded work
-    centroidsFromSums(
-      aggSums(readSegs(spark, path, "coarse_sums").unionByName(batchSums)))
-      .write.mode("overwrite").parquet(stage("coarse_centroids"))
+    // five independent staged writes (assigned/batchSums materialized;
+    // the centroid leg reads LIVE sums, untouched until commit) — overlap
+    // them (probe-order centroids stay rebuild-exact: live sums ∪ the
+    // batch's, aggregated — associative integer sums, cell-bounded work)
+    parallelWrites(spark)(
+      () => writeDeltaSeg(spark, path, "vectors",
+        assigned.select(col("vec_id"), col("vn")), stage(s"vectors/seg=$seg")),
+      () => writeDeltaSeg(spark, path, "cells",
+        assigned.select(col("vec_id"), col("cell")), stage(s"cells/seg=$seg")),
+      () => newCodes.write.mode("overwrite").parquet(stage(s"codes/seg=$seg")),
+      () => batchSums.write.mode("overwrite")
+        .parquet(stage(s"coarse_sums/seg=$seg")),
+      () => centroidsFromSums(
+        aggSums(readSegs(spark, path, "coarse_sums").unionByName(batchSums)))
+        .write.mode("overwrite").parquet(stage("coarse_centroids")))
     Seq(s"vectors/seg=$seg", s"cells/seg=$seg", s"codes/seg=$seg",
       s"coarse_sums/seg=$seg", "coarse_centroids")
   }
@@ -941,16 +951,20 @@ object Similarity {
       if (!removedAssigned.isEmpty) {
         val seg = nextSegName(spark, path, "d", AnnComponents)
         val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-        removedAssigned.select(col("vec_id"))
-          .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg"))
         val negSums = coarseSums(removedAssigned.select(col("cell"), col("vn")))
           .select(col("cell"), col("d"), (-col("sd")).as("sd"),
             (-col("cnt")).as("cnt"))
           .localCheckpoint() // feeds its own segment AND the centroid refresh
-        negSums.write.mode("overwrite").parquet(stage(s"coarse_sums/seg=$seg"))
-        centroidsFromSums(
-          aggSums(readSegs(spark, path, "coarse_sums").unionByName(negSums)))
-          .write.mode("overwrite").parquet(stage("coarse_centroids"))
+        // three independent staged writes over materialized inputs —
+        // overlap them (the parallelWrites discipline)
+        parallelWrites(spark)(
+          () => removedAssigned.select(col("vec_id"))
+            .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg")),
+          () => negSums.write.mode("overwrite")
+            .parquet(stage(s"coarse_sums/seg=$seg")),
+          () => centroidsFromSums(
+            aggSums(readSegs(spark, path, "coarse_sums").unionByName(negSums)))
+            .write.mode("overwrite").parquet(stage("coarse_centroids")))
         graft.sources.AtomicSwap.commit(spark, path,
           Seq(s"deleted/seg=$seg", s"coarse_sums/seg=$seg", "coarse_centroids"))
       }
@@ -977,23 +991,28 @@ object Similarity {
       val b = if (buckets > 0) buckets else readBuckets(spark, path)
       val del = deletedIds(spark, path, "vec_id")
       val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-      Seq("vectors", "cells").foreach { c =>
-        writeBucketedSeg(
-          minusDeleted(readSegs(spark, path, c), del, "vec_id"),
-          s"${stage(c)}/seg=base", "vec_id", b)
-      }
-      minusDeleted(readSegs(spark, path, "codes"), del, "vec_id")
-        .write.mode("overwrite").parquet(s"${stage("codes")}/seg=base")
       val sums = aggSums(readSegs(spark, path, "coarse_sums")).localCheckpoint()
-      sums.write.mode("overwrite").parquet(s"${stage("coarse_sums")}/seg=base")
-      centroidsFromSums(sums)
-        .write.mode("overwrite").parquet(stage("coarse_centroids"))
-      // the recorded count commits WITH the re-bucketed layout — a meta
-      // write outside the swap could record a count the directories
-      // don't match after a crash, and every later probe would read the
-      // wrong buckets
-      spark.range(1).select(lit(b).as("n_buckets"))
-        .write.mode("overwrite").parquet(stage("meta"))
+      // six independent staged writes: each reads LIVE components (or the
+      // materialized sums) and writes its own staged dir — overlap them
+      // (the parallelWrites discipline). The recorded count commits WITH
+      // the re-bucketed layout — a meta write outside the swap could
+      // record a count the directories don't match after a crash, and
+      // every later probe would read the wrong buckets
+      parallelWrites(spark)(
+        () => writeBucketedSeg(
+          minusDeleted(readSegs(spark, path, "vectors"), del, "vec_id"),
+          s"${stage("vectors")}/seg=base", "vec_id", b),
+        () => writeBucketedSeg(
+          minusDeleted(readSegs(spark, path, "cells"), del, "vec_id"),
+          s"${stage("cells")}/seg=base", "vec_id", b),
+        () => minusDeleted(readSegs(spark, path, "codes"), del, "vec_id")
+          .write.mode("overwrite").parquet(s"${stage("codes")}/seg=base"),
+        () => sums.write.mode("overwrite")
+          .parquet(s"${stage("coarse_sums")}/seg=base"),
+        () => centroidsFromSums(sums)
+          .write.mode("overwrite").parquet(stage("coarse_centroids")),
+        () => spark.range(1).select(lit(b).as("n_buckets"))
+          .write.mode("overwrite").parquet(stage("meta")))
       val fs = artifactFs(spark, path)
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied
       graft.sources.AtomicSwap.commit(spark, path,
@@ -1457,24 +1476,34 @@ object Similarity {
     // 0 = auto: scale the doc_id bucket count to the corpus (recorded in
     // meta/ — the takedown probe must hash at the build's count)
     val b = if (buckets > 0) buckets else autoBuckets(docs)
+    // the tf table feeds FOUR consumers (postings, doclen, stats, termdf)
+    // — materialized once so the corpus tokenize+explode+agg pass runs
+    // once, not per write (the stageBm25Merge newTf rule applied to the
+    // build); dl likewise feeds its own segment AND the stats row
     val tf = graft.functions.TextFunctions
       .explodeTokens(docs, "t", "doc_id")
       .where(col("t") =!= "")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
     val dfAll = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    writeBucketedSeg(
-      tf.join(dfAll.where(col("df") <= maxDf).select(col("t")),
-        Seq("t"), "left_semi"),
-      s"$path/postings/seg=base", "doc_id", b)
-    dl.write.mode("overwrite").parquet(s"$path/doclen/seg=base")
-    dl.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
-      .write.mode("overwrite").parquet(s"$path/stats/seg=base")
-    dfAll.write.mode("overwrite").parquet(s"$path/termdf/seg=base")
-    docs.sparkSession.range(1)
-      .select(lit(maxDf).as("max_df"), lit(b).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    // five independent writes over the materialized tf/dl — overlap them
+    // (the parallelWrites discipline)
+    val spark = docs.sparkSession
+    parallelWrites(spark)(
+      () => writeBucketedSeg(
+        tf.join(dfAll.where(col("df") <= maxDf).select(col("t")),
+          Seq("t"), "left_semi"),
+        s"$path/postings/seg=base", "doc_id", b),
+      () => dl.write.mode("overwrite").parquet(s"$path/doclen/seg=base"),
+      () => dl.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
+        .write.mode("overwrite").parquet(s"$path/stats/seg=base"),
+      () => dfAll.write.mode("overwrite").parquet(s"$path/termdf/seg=base"),
+      () => spark.range(1)
+        .select(lit(maxDf).as("max_df"), lit(b).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$path/meta"))
   }
 
   /** Incrementally ABSORB a new document batch into a [[buildBm25Index]]
@@ -1536,13 +1565,17 @@ object Similarity {
     val dl = newTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint() // feeds its own segment AND the stats row
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    writeDeltaSeg(spark, path, "postings", newTf, stage(s"postings/seg=$seg"))
-    newTf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
-    dl.write.mode("overwrite").parquet(stage(s"doclen/seg=$seg"))
-    dl.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
-      .write.mode("overwrite").parquet(stage(s"stats/seg=$seg"))
+    // four independent staged writes over the materialized newTf/dl —
+    // overlap them (the parallelWrites discipline)
+    parallelWrites(spark)(
+      () => writeDeltaSeg(spark, path, "postings", newTf,
+        stage(s"postings/seg=$seg")),
+      () => newTf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg")),
+      () => dl.write.mode("overwrite").parquet(stage(s"doclen/seg=$seg")),
+      () => dl.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
+        .write.mode("overwrite").parquet(stage(s"stats/seg=$seg")))
     Seq(s"postings/seg=$seg", s"termdf/seg=$seg", s"doclen/seg=$seg",
       s"stats/seg=$seg")
   }
@@ -1667,24 +1700,28 @@ object Similarity {
         .groupBy(col("t")).agg(sum(col("df")).as("df"))
         .where(col("df") > 0)
         .localCheckpoint() // feeds its own segment AND the postings cap
-      writeBucketedSeg(
-        minusDeleted(readPostings(spark, path), del, "doc_id")
-          .join(dfAgg.where(col("df") <= maxDf).select(col("t")),
-            Seq("t"), "left_semi")
-          .select(col("doc_id"), col("t"), col("tf")),
-        s"${stage("postings")}/seg=base", "doc_id", b)
-      dfAgg.write.mode("overwrite").parquet(s"${stage("termdf")}/seg=base")
       val dl = minusDeleted(readSegs(spark, path, "doclen"), del, "doc_id")
         .localCheckpoint() // feeds its own segment AND the stats row
-      dl.write.mode("overwrite").parquet(s"${stage("doclen")}/seg=base")
-      dl.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
-        .write.mode("overwrite").parquet(s"${stage("stats")}/seg=base")
-      // recorded count commits WITH the layout it describes (see
-      // compactAnnIndex)
-      spark.range(1)
-        .select(lit(maxDf).as("max_df"), lit(b).as("n_buckets"))
-        .write.mode("overwrite").parquet(stage("meta"))
+      // five independent staged writes over live components and the
+      // materialized dfAgg/dl — overlap them (the parallelWrites
+      // discipline). Recorded count commits WITH the layout it describes
+      // (see compactAnnIndex)
+      parallelWrites(spark)(
+        () => writeBucketedSeg(
+          minusDeleted(readPostings(spark, path), del, "doc_id")
+            .join(dfAgg.where(col("df") <= maxDf).select(col("t")),
+              Seq("t"), "left_semi")
+            .select(col("doc_id"), col("t"), col("tf")),
+          s"${stage("postings")}/seg=base", "doc_id", b),
+        () => dfAgg.write.mode("overwrite")
+          .parquet(s"${stage("termdf")}/seg=base"),
+        () => dl.write.mode("overwrite").parquet(s"${stage("doclen")}/seg=base"),
+        () => dl.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("tot_len"))
+          .write.mode("overwrite").parquet(s"${stage("stats")}/seg=base"),
+        () => spark.range(1)
+          .select(lit(maxDf).as("max_df"), lit(b).as("n_buckets"))
+          .write.mode("overwrite").parquet(stage("meta")))
       artifactFs(spark, path)
         .mkdirs(new org.apache.hadoop.fs.Path(stage("deleted"))) // emptied
       graft.sources.AtomicSwap.commit(spark, path,
@@ -1762,26 +1799,34 @@ object Similarity {
     val fs = artifactFs(spark, path)
     val newSeg = nextSegName(spark, path, "s", components)
     val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-    val staged = Seq.newBuilder[String]
-    components.foreach { c =>
+    // adjudicate each component's fold input on the driver first, then
+    // overlap the per-component merged-segment writes — each fold reads
+    // its own live segments and writes its own staged dir, so the
+    // component jobs are independent (the parallelWrites discipline)
+    val plan = components.map { c =>
       val present = segNames.filter(n =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$path/$c/seg=$n")))
       val withData = present.filter(n =>
         hasData(fs, new org.apache.hadoop.fs.Path(s"$path/$c/seg=$n")))
-      if (withData.nonEmpty) {
-        val merged = merges.getOrElse(c, identity[DataFrame] _)(
-          withData.map(n => spark.read.parquet(s"$path/$c/seg=$n")
-              .drop("pbucket"))
-            .reduce(_ unionByName _))
-        partitionCols.get(c) match {
-          case Some(_) => // tier outputs are delta-sized — sentinel bucket
-            // (or flat, matching a legacy component's depth)
-            writeDeltaSeg(spark, path, c, merged, stage(s"$c/seg=$newSeg"))
-          case None => merged.write.mode("overwrite")
-            .parquet(stage(s"$c/seg=$newSeg"))
-        }
-        staged += s"$c/seg=$newSeg"
+      (c, present, withData)
+    }
+    parallelWrites(spark)(plan.collect { case (c, _, withData)
+        if withData.nonEmpty => () => {
+      val merged = merges.getOrElse(c, identity[DataFrame] _)(
+        withData.map(n => spark.read.parquet(s"$path/$c/seg=$n")
+            .drop("pbucket"))
+          .reduce(_ unionByName _))
+      partitionCols.get(c) match {
+        case Some(_) => // tier outputs are delta-sized — sentinel bucket
+          // (or flat, matching a legacy component's depth)
+          writeDeltaSeg(spark, path, c, merged, stage(s"$c/seg=$newSeg"))
+        case None => merged.write.mode("overwrite")
+          .parquet(stage(s"$c/seg=$newSeg"))
       }
+    }}: _*)
+    val staged = Seq.newBuilder[String]
+    plan.foreach { case (c, present, withData) =>
+      if (withData.nonEmpty) staged += s"$c/seg=$newSeg"
       present.foreach { n =>
         fs.mkdirs(new org.apache.hadoop.fs.Path(stage(s"$c/seg=$n")))
         staged += s"$c/seg=$n"
@@ -1961,6 +2006,45 @@ object Similarity {
           // resolves it implicitly (e.g. SparkSession.active)
           org.apache.spark.sql.SparkSession.setActiveSession(spark)
           work(i)
+        }
+      }.map(f => scala.util.Try(scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf)))
+      done.collectFirst { case scala.util.Failure(e) => throw e }
+    } finally pool.shutdown()
+  }
+
+  /** Run INDEPENDENT staged-write jobs of one maintenance cycle
+    * concurrently — the [[forEachShard]] discipline applied one level
+    * down: a build/merge/takedown/compact cycle stages several component
+    * segments whose inputs are already materialized (localCheckpoint) or
+    * read-only live components, and each tiny write is a full Spark job
+    * whose scheduling + file-commit latency serialized for no safety gain
+    * (every thunk targets its own staged directory; nothing live mutates
+    * until the single commit AFTER all thunks return). All thunks run to
+    * completion even when one fails — the stage tree is discarded
+    * uncommitted either way — then the first failure rethrows.
+    * GRAFT_WRITE_POOL overrides the width (4, the forEachShard-measured
+    * sweet spot); GRAFT_WRITE_SEQUENTIAL=1 is the A/B switch. */
+  private[operators] def parallelWrites(
+      spark: org.apache.spark.sql.SparkSession)(thunks: (() => Unit)*): Unit = {
+    if (thunks.sizeIs <= 1 ||
+        sys.env.get("GRAFT_WRITE_SEQUENTIAL").contains("1")) {
+      thunks.foreach(_.apply()); return
+    }
+    val width = sys.env.get("GRAFT_WRITE_POOL").map(_.toInt).getOrElse(4)
+    if (width <= 1) { thunks.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thunks.size, width),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-stage-writer"); t.setDaemon(true); t
+      })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = thunks.map { th =>
+        scala.concurrent.Future {
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          th()
         }
       }.map(f => scala.util.Try(scala.concurrent.Await
         .result(f, scala.concurrent.duration.Duration.Inf)))
