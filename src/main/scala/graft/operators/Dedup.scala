@@ -508,12 +508,20 @@ object Dedup {
       .select(col("batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
     if (touched.isEmpty) return
-    rewritePartitionsMinus(spark, indexDir, gone, touched)
-    if (membersCover) rewritePartitionsMinus(spark, membersDir, gone, touched)
-    // self-heal a PARTIAL map: this takedown already paid the signature
-    // scan; rebuilding the sibling here restores O(docs) probes for every
-    // later takedown instead of falling back forever
-    else if (hasMembers) buildMinhashMembers(spark, indexDir)
+    // the index and members rewrites target DIFFERENT directories from
+    // the same materialized `gone` — independent, so overlap them (the
+    // Similarity.parallelWrites discipline)
+    if (membersCover)
+      Similarity.parallelWrites(spark)(
+        () => rewritePartitionsMinus(spark, indexDir, gone, touched),
+        () => rewritePartitionsMinus(spark, membersDir, gone, touched))
+    else {
+      rewritePartitionsMinus(spark, indexDir, gone, touched)
+      // self-heal a PARTIAL map: this takedown already paid the signature
+      // scan; rebuilding the sibling here restores O(docs) probes for
+      // every later takedown instead of falling back forever
+      if (hasMembers) buildMinhashMembers(spark, indexDir)
+    }
   }
 
   /** DELETE documents from a persisted [[spanIndex]] — the span family's

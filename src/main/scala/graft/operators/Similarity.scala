@@ -2025,7 +2025,7 @@ object Similarity {
     * uncommitted either way — then the first failure rethrows.
     * GRAFT_WRITE_POOL overrides the width (4, the forEachShard-measured
     * sweet spot); GRAFT_WRITE_SEQUENTIAL=1 is the A/B switch. */
-  private[operators] def parallelWrites(
+  private[graft] def parallelWrites(
       spark: org.apache.spark.sql.SparkSession)(thunks: (() => Unit)*): Unit = {
     if (thunks.sizeIs <= 1 ||
         sys.env.get("GRAFT_WRITE_SEQUENTIAL").contains("1")) {

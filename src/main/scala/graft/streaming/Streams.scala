@@ -238,19 +238,24 @@ object Streams {
         val membersDir = graft.operators.Dedup.minhashMembersDir(indexDir)
         val mfs = new org.apache.hadoop.fs.Path(membersDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!mfs.exists(new org.apache.hadoop.fs.Path(membersDir)))
-          graft.operators.Dedup.buildMinhashMembers(spark, indexDir)
-        else writePartition(
-          idx.where(col("batch_id") === lit(batchId))
-            .select(col("doc_id")).distinct(),
-          membersDir)
         val sigCols = Seq(col("doc_id"), col("i"), col("mh"))
-        writePartition(
-          graft.operators.Dedup.minhashPairsIncrementalSigs(
-            idx.where(col("batch_id") =!= lit(batchId)).select(sigCols: _*),
-            idx.where(col("batch_id") === lit(batchId)).select(sigCols: _*),
-            k, bands, minEstX100),
-          pairsDir)
+        // the members append and the pairs probe both read the
+        // just-written index and write DIFFERENT directories —
+        // independent, so overlap them (the parallelWrites discipline)
+        graft.operators.Similarity.parallelWrites(spark)(
+          () =>
+            if (!mfs.exists(new org.apache.hadoop.fs.Path(membersDir)))
+              graft.operators.Dedup.buildMinhashMembers(spark, indexDir)
+            else writePartition(
+              idx.where(col("batch_id") === lit(batchId))
+                .select(col("doc_id")).distinct(),
+              membersDir),
+          () => writePartition(
+            graft.operators.Dedup.minhashPairsIncrementalSigs(
+              idx.where(col("batch_id") =!= lit(batchId)).select(sigCols: _*),
+              idx.where(col("batch_id") === lit(batchId)).select(sigCols: _*),
+              k, bands, minEstX100),
+            pairsDir))
         ()
       }
       .start()
