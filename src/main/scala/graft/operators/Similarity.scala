@@ -687,16 +687,25 @@ object Similarity {
     * DISTINCT bucket values reach the driver. */
   private def readPrunedByIds(spark: org.apache.spark.sql.SparkSession,
                               path: String, c: String, idCol: String,
-                              removeIds: DataFrame, buckets: Int): DataFrame = {
-    val touched = removeIds
-      .select(pbucketOf(canonId(removeIds, idCol), buckets).as("pb"))
-      .distinct().collect().map(_.getInt(0)).toSeq :+ DeltaBucket
+                              removeIds: DataFrame, buckets: Int,
+                              touchedOpt: Option[Seq[Int]] = None): DataFrame = {
+    val touched = touchedOpt.getOrElse(
+      touchedBuckets(removeIds, idCol, buckets)) :+ DeltaBucket
     val raw = spark.read.parquet(s"$path/$c")
     (if (raw.columns.contains("pbucket"))
        raw.where(col("pbucket").isin(touched: _*))
      else raw)
       .drop("seg").drop("pbucket")
   }
+
+  /** The DISTINCT bucket ids a takedown batch hashes into — computed once
+    * per cycle and shared by every pruned component read (each collect is
+    * its own Spark job; the vectors and cells reads paid it twice). */
+  private def touchedBuckets(removeIds: DataFrame, idCol: String,
+                             buckets: Int): Seq[Int] =
+    removeIds
+      .select(pbucketOf(canonId(removeIds, idCol), buckets).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
 
   /** Postings read with the layout columns dropped. */
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
@@ -935,15 +944,17 @@ object Similarity {
       val gone = broadcast(removeIds.select(col("vec_id")).distinct())
       // (vec_id, cell, vn) of the ids actually live — re-deliveries vanish
       // bucket-pruned: only the vectors/cells buckets hashing a removed id
-      // (plus the small sentinel deltas) are scanned for the negative sums
+      // (plus the small sentinel deltas) are scanned for the negative sums;
+      // the touched-bucket set is collected ONCE and shared by both reads
       val b = readBuckets(spark, path)
+      val touched = Some(touchedBuckets(gone, "vec_id", b))
       val removedAssigned =
         minusDeleted(
-          readPrunedByIds(spark, path, "vectors", "vec_id", gone, b),
+          readPrunedByIds(spark, path, "vectors", "vec_id", gone, b, touched),
           del, "vec_id")
           .join(gone, Seq("vec_id"))
           .join(minusDeleted(
-            readPrunedByIds(spark, path, "cells", "vec_id", gone, b),
+            readPrunedByIds(spark, path, "cells", "vec_id", gone, b, touched),
             del, "vec_id"),
             Seq("vec_id"))
           .select(col("vec_id"), col("cell"), col("vn"))
@@ -1651,27 +1662,30 @@ object Similarity {
       if (!goneDl.isEmpty) {
         val seg = nextSegName(spark, path, "d", Bm25Components)
         val stage = graft.sources.AtomicSwap.stageDir(path, _: String)
-        goneDl.select(col("doc_id"))
-          .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg"))
+        // three independent staged writes over the checkpointed goneDl —
+        // overlap them (the parallelWrites discipline). The termdf leg's
         // deleted docs' visible rows are the exact per-term decrements
         // (kept terms only — evicted terms have no rows here, the
-        // upper-bound rule). The read PARTITION-PRUNES on the postings
+        // upper-bound rule). That read PARTITION-PRUNES on the postings
         // layout's pbucket: only the buckets actually holding a deleted
         // id's rows are scanned, so a small takedown's read is
         // O(touched buckets), not O(index) — the driver-side bucket list
         // is ≤ PostingsBuckets values off the checkpointed goneDl, never
         // a data collect.
-        minusDeleted(
-          readPrunedByIds(spark, path, "postings", "doc_id", goneDl,
-            readBuckets(spark, path)),
-          del, "doc_id")
-          .join(broadcast(goneDl.select(col("doc_id"))), Seq("doc_id"),
-            "left_semi")
-          .groupBy(col("t")).agg((-count(lit(1))).as("df"))
-          .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg"))
-        goneDl.agg((-count(lit(1))).as("n_docs"),
-            (-coalesce(sum(col("dl")), lit(0L))).as("tot_len"))
-          .write.mode("overwrite").parquet(stage(s"stats/seg=$seg"))
+        parallelWrites(spark)(
+          () => goneDl.select(col("doc_id"))
+            .write.mode("overwrite").parquet(stage(s"deleted/seg=$seg")),
+          () => minusDeleted(
+            readPrunedByIds(spark, path, "postings", "doc_id", goneDl,
+              readBuckets(spark, path)),
+            del, "doc_id")
+            .join(broadcast(goneDl.select(col("doc_id"))), Seq("doc_id"),
+              "left_semi")
+            .groupBy(col("t")).agg((-count(lit(1))).as("df"))
+            .write.mode("overwrite").parquet(stage(s"termdf/seg=$seg")),
+          () => goneDl.agg((-count(lit(1))).as("n_docs"),
+              (-coalesce(sum(col("dl")), lit(0L))).as("tot_len"))
+            .write.mode("overwrite").parquet(stage(s"stats/seg=$seg")))
         graft.sources.AtomicSwap.commit(spark, path,
           Seq(s"deleted/seg=$seg", s"termdf/seg=$seg", s"stats/seg=$seg"))
       }
