@@ -65,7 +65,16 @@ object Decontaminate {
     val evalSh = if (broadcastEval) broadcast(evalSh0) else evalSh0
     val hits = trainSh.join(evalSh, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    val sizes = evalSh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // per-doc shingle count MAP-ONLY from the token array (the
+    // Dedup.shingleSizes rule): the explode side emits exactly one row per
+    // distinct shingle, so size(shinglesFromToks) equals the old
+    // explode → count aggregate — without re-exploding and re-hashing the
+    // eval side a second time through an Exchange
+    val sizes = eval
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        coalesce(size(shinglesFromToks(col("toks"), n)).cast("long"), lit(0L))
+          .as("n_sh"))
     eval.select(col("doc_id"))
       .join(sizes, Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")
